@@ -1,0 +1,59 @@
+"""Benchmark harness: runs the headline queries and prints ONE JSON line.
+
+Usage: python bench.py
+Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+       SPARK_GRAFT_CPUS   (default *)
+
+Each query is forced end-to-end with a noop write (no driver collect —
+measures the distributed plan, not result transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_evm_chain_spark.plans.registry import all_specs
+from etl_evm_chain_spark.session import get_spark
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+
+    # Warm the JVM/codegen once with a trivial plan.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for spec in all_specs():
+        t0 = time.time()
+        try:
+            force(spec.fn(spark, sf_dir))
+            timings[spec.name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: {spec.name} failed: {e}", file=sys.stderr)
+            timings[spec.name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(json.dumps({
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

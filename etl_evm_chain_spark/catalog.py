@@ -1,0 +1,61 @@
+"""Table catalog over the synthetic parquet fixtures.
+
+The driver materializes deterministic tables (TPC-H-ish star schema +
+``events`` stream table + ``documents``/``embeddings`` for the
+LLM-data plane) under ``/root/testdata/sf*/``; see TESTDATA.md.
+
+At 100 TB these would be partitioned/bucketed warehouse tables; the
+loader keeps the access path identical (``spark.read.parquet``) so the
+query layer never cares. Dimension tables (region/nation/supplier/
+part/customer at typical scale) are small enough to broadcast — the
+query registry marks them with ``F.broadcast`` explicitly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions that are always broadcast-joinable (bounded cardinality
+# even at 100 TB fact scale: regions/nations are fixed-size).
+BROADCAST_DIMS = ("region", "nation")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the footer; Spark reads it as long
+        # (nanosAsLong). Floor-divide to µs — identical to DuckDB's
+        # ns→µs conversion — and rebuild the timestamp.
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (for the SQL API)."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

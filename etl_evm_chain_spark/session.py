@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Local runs use ``local[$SPARK_GRAFT_CPUS]`` (default ``local[*]``); the
+same builder flags are the ones we would ship to a 1000-executor
+cluster: AQE on (runtime re-planning, skew-join splitting, partition
+coalescing), Arrow on (vectorized pandas-UDF exchange), UTC session
+timezone (oracle comparability + sane cross-region semantics).
+
+``spark.sql.shuffle.partitions`` is sized to cores locally; on a real
+cluster AQE's ``coalescePartitions`` makes the initial number mostly
+irrelevant as long as it is high enough, so we leave AQE to shrink it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "etl_evm_chain_spark", *, cpus: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Scale notes: every config here is also the right default for a
+    large cluster — AQE handles skew and partition sizing at runtime,
+    Arrow keeps the Python boundary vectorized, and parquet pushdown
+    flags keep scans minimal. Nothing below is local-mode-only.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # Shuffle sizing: ~cores locally; AQE coalesces upward-sized counts.
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Vectorized Arrow exchange for pandas UDFs / toPandas.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic cross-engine timestamps (DuckDB oracle is UTC-naive).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Parquet scans: pushdown + pruning are defaults, keep them pinned.
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Quiet non-interactive runs.
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        # Joda-free, proleptic Gregorian everywhere.
+        .config("spark.sql.datetime.java8API.enabled", "true")
+        # Fixture parquet stores TIMESTAMP(NANOS); Spark has no ns type —
+        # read as long and convert in catalog.load_table (floor to µs,
+        # matching DuckDB's ns→µs truncation).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

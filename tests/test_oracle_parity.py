@@ -1,0 +1,35 @@
+"""Every registered oracle query must hash-match DuckDB at sf0.001.
+
+This replicates the driver's t2 gate (which runs at sf0.01; we use
+sf0.001 here to keep the suite fast — tools/check_oracle.py runs the
+full-size check).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_evm_chain_spark.plans.registry import all_specs
+
+import sys
+
+sys.path.insert(0, "/root/repo/tools")
+from check_oracle import compare  # noqa: E402
+
+from conftest import SF_SMALL  # noqa: E402
+
+SPECS = [s for s in all_specs() if s.oracle is not None]
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=[s.name for s in SPECS])
+def test_oracle_match(spark, duck, spec):
+    sdf = spec.fn(spark, SF_SMALL).toPandas()
+    odf = duck.sql(spec.oracle).df()
+    problems = compare(spec.name, sdf, odf)
+    assert not problems, problems
+
+
+def test_rows_only_queries_nonempty(spark):
+    for spec in all_specs():
+        if spec.oracle is None:
+            assert spec.fn(spark, SF_SMALL).count() >= 0, spec.name
