@@ -1,0 +1,129 @@
+"""Text-analysis kit: tokenization, quality stats, language-ID,
+fingerprinting, shingling — all as built-in column expressions
+(JVM-side; no Python UDFs in the hot path).
+
+These back the LLM-training-data operators (SURVEY §7 P2): at 100 TB
+every one of these runs inside whole-stage codegen over a parquet
+scan, shuffling nothing until an aggregation asks for it.
+
+Hash convention (cross-engine deterministic): ``hash15(s)`` = first
+15 hex chars of md5 → 60-bit non-negative bigint. Used for minhash /
+simhash / fingerprints so the DuckDB oracle can reproduce values
+exactly (DuckDB: ``CAST('0x' || substr(md5(s),1,15) AS BIGINT)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\s+"
+
+# Stopword list for quality stats (shared with the SQL oracle).
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+# Language marker words, checked in fixed order (first max wins).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of"),
+    "es": ("el", "la", "los", "y"),
+    "fr": ("le", "les", "et", "une"),
+    "de": ("der", "die", "und", "das"),
+    "zh": ("de", "shi", "le", "bu"),
+}
+
+PUNCT_CLASS = "[.,!?;:]"
+
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), TOKEN_RE)
+
+
+def hash15(c: Column) -> Column:
+    """60-bit bigint from the md5 hex prefix (engine-portable hash)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+    return F.when(F.length(c) > 0, n_punct.cast("double") / F.length(c))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    toks = tokens(text)
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS)))
+    return F.when(F.size(toks) > 0, n_stop.cast("double") / F.size(toks))
+
+
+def avg_token_len(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0).cast("long"),
+                        lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic heuristic quality score in [0,1]: rewards
+    mid-length docs, penalizes punctuation soup and stopword deserts.
+    (The reference has no analog; this is the P2 quality-scoring op.)
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    len_term = F.least(F.length(c).cast("double") / 500.0, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(c) * 10.0, F.lit(1.0))
+    stop_term = F.least(stopword_ratio(c) * 5.0, F.lit(1.0))
+    raw = 0.4 * len_term + 0.3 * punct_term + 0.3 * stop_term
+    # floor-truncate to 6 decimals instead of round(): round() algorithms
+    # differ across engines near midpoints; floor(x*1e6) is the same
+    # IEEE computation everywhere, so results stay hash-comparable.
+    return F.floor(raw * 1000000.0) / 1000000.0
+
+
+def lang_id(text: Column | str) -> Column:
+    """Marker-word language ID: count markers per language, first
+    maximum (in LANG_MARKERS order) wins; 'und' when no marker hits.
+    """
+    toks = tokens(text)
+
+    def marker_filter(markers):
+        # Factory instead of a default-arg lambda: Spark counts default
+        # params toward higher-order-function arity.
+        return lambda t: F.lower(t).isin(*markers)
+
+    scores = {
+        lang: F.size(F.filter(toks, marker_filter(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((scores[lang] == best) & (best > 0), lang).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Content fingerprint: 60-bit hash of the normalized text
+    (lowercased, whitespace-collapsed) — the exact-dedup key."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.regexp_replace(F.lower(F.trim(c)), TOKEN_RE, " ")
+    return hash15(normalized)
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-token shingles (the near-dup unit). Empty array when
+    the doc has fewer than k tokens."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - k)  # 0-based start positions
+    mk = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int"))
+                                     for j in range(k)]),
+    )
+    return F.when(n >= k, F.array_distinct(mk)).otherwise(
+        F.array().cast("array<string>")
+    )

@@ -1,0 +1,189 @@
+"""Deduplication operators for training-data pipelines (SURVEY §7 P2).
+
+Four tiers, all driver-loop-free and shuffle-minimal:
+
+- **Exact**: hash-groupBy on a normalized-content fingerprint. One
+  shuffle on the 60-bit hash; at 100 TB the hash is near-uniform so
+  no skew.
+- **MinHash + LSH**: distinct k-shingles → K portable min-hashes →
+  band signatures → equi-join on (band, signature) buckets. The
+  candidate-pair set is the union of per-bucket pairs — the crossJoin
+  never happens; cost is bounded by bucket sizes. Exact Jaccard is
+  then verified only on candidates.
+- **SimHash**: 32-bit sign-aggregated token-hash sketch; near-dup =
+  small Hamming distance. Bit arithmetic only — fully SQL-portable.
+- **Embedding cosine**: near-dup = cosine above threshold; candidate
+  generation via similarity.lsh_buckets at scale.
+
+Hashing is md5-prefix based (functions.text.hash15) so the DuckDB
+oracle reproduces every value bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, hash15, shingles
+
+MINHASH_K = 8          # signature length
+LSH_BANDS = 4          # bands of MINHASH_K // LSH_BANDS rows each
+SHINGLE_K = 3
+
+
+def exact_dedup(docs: DataFrame, *, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Group identical (normalized) content; keep the smallest id.
+
+    Deterministic keep-rule (min id), unlike dropDuplicates. Returns
+    one row per content group: fp, keep_id, n_dups.
+    """
+    return (
+        docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       k: int = MINHASH_K) -> DataFrame:
+    """K min-hashes over distinct 3-token shingles.
+
+    One explode + one groupBy(id) with K min() aggregates — min() is
+    associative, so map-side partial aggregation keeps the shuffle to
+    one row per (doc, k) group regardless of shingle count.
+    """
+    exploded = docs.select(
+        F.col(id_col),
+        F.explode(shingles(text_col, SHINGLE_K)).alias("sh"),
+    )
+    aggs = [
+        F.min(hash15(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, *, id_col: str = "doc_id",
+                        k: int = MINHASH_K,
+                        bands: int = LSH_BANDS) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH on the signatures.
+
+    Explode each doc into `bands` (band_id, band_key) rows, equi-join
+    on them (bucket join — this is the scale path: no crossJoin), then
+    de-duplicate pairs and score by fraction of matching min-hashes.
+    Output: id_a < id_b, est_jaccard.
+    """
+    rows_per_band = k // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[F.col(f"h{b * rows_per_band + r}")
+                               for r in range(rows_per_band)]).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), *[F.col(f"h{i}") for i in range(k)],
+        F.explode(F.array(*band_cols)).alias("bk"),
+    ).select(id_col, *[f"h{i}" for i in range(k)],
+             F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            *[F.col(f"a.h{i}").alias(f"ah{i}") for i in range(k)],
+            *[F.col(f"b.h{i}").alias(f"bh{i}") for i in range(k)],
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    matches = sum(
+        F.when(F.col(f"ah{i}") == F.col(f"bh{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    return pairs.select(
+        "id_a", "id_b",
+        (matches.cast("double") / k).alias("est_jaccard"),
+    )
+
+
+def verified_near_dups(docs: DataFrame, *, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       threshold: float = 0.5) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact shingle-Jaccard
+    verification → pairs above threshold.
+
+    The exact Jaccard join touches only LSH candidates — at 100 TB the
+    candidate set is orders of magnitude smaller than the pair space.
+    """
+    sig = minhash_signatures(docs, id_col=id_col, text_col=text_col)
+    cands = lsh_candidate_pairs(sig, id_col=id_col)
+    sh = docs.select(F.col(id_col), shingles(text_col, SHINGLE_K).alias("sh"))
+    j = (
+        cands.join(sh.withColumnRenamed(id_col, "id_a")
+                     .withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b")
+                .withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("n_union",
+                    F.size(F.array_distinct(F.concat("sh_a", "sh_b"))))
+        .withColumn("jaccard",
+                    F.col("n_common").cast("double") / F.col("n_union"))
+    )
+    return (
+        j.filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(docs: DataFrame, *, id_col: str = "doc_id",
+            text_col: str = "text", bits: int = 32) -> DataFrame:
+    """32-bit SimHash: per-token 32-bit hash, sign-sum each bit over
+    all token occurrences, set bit where the sum is positive.
+
+    Integer-only arithmetic → bit-identical in any engine. One explode
+    + one groupBy(id) with `bits` sum() aggregates (map-side combined).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1)
+               .otherwise(-1)).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sh = sum(
+        F.when(F.col(f"b{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+        for j in range(bits)
+    )
+    return agg.select(F.col(id_col), sh.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Test-scale pairing is a self-join; the scale path bands the sketch
+    into byte blocks and equi-joins on any equal block before the
+    bit_count filter (same output for max_hamming < 8 * blocks - 1).
+    """
+    sh = simhash(docs, id_col=id_col, text_col=text_col)
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn("hamming",
+                    F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"), "hamming")
+    )

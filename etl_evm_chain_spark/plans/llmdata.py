@@ -1,0 +1,379 @@
+"""LLM-training-data queries (SURVEY §7 P2): text analysis, dedup
+tiers, similarity search — each with a DuckDB oracle built from the
+SAME constants as the Spark implementation (hash prefixes, stopword
+lists, band layout), so values match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    avg_token_len,
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from ..operators import dedup as dd
+from ..operators import similarity as sim
+from . import QuerySpec
+
+# Shared SQL fragments (mirror functions/text.py exactly).
+_SQL_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(t) - 1), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+)
+
+
+def _sql_in(words) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def _sql_hash15(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Q30: per-document text statistics + quality score.
+# ---------------------------------------------------------------------------
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(avg_token_len("text"), 6).alias("avg_token_len"),
+        quality_score("text").alias("quality"),
+    ).orderBy("doc_id")
+
+
+ORACLE_DOC_STATS = f"""
+WITH base AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS t,
+         (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+           / length(text) AS praw,
+         len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_sql_in(STOPWORDS)}))::DOUBLE
+           / len({_SQL_TOKS}) AS sraw
+  FROM documents
+)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       round(praw, 6) AS punct_ratio,
+       round(sraw, 6) AS stopword_ratio,
+       round(list_aggregate(list_transform(t, x -> length(x)), 'sum')::DOUBLE / len(t), 6)
+         AS avg_token_len,
+       floor((0.4 * least(length(text) / 500.0, 1.0)
+           + 0.3 * (1.0 - least(praw * 10.0, 1.0))
+           + 0.3 * least(sraw * 5.0, 1.0)) * 1000000.0) / 1000000.0 AS quality
+FROM base
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q31: marker-word language ID (first max in fixed language order).
+# ---------------------------------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", lang_id("text").alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+def _oracle_lang_id() -> str:
+    scores = ", ".join(
+        f"len(list_filter(t, x -> lower(x) IN {_sql_in(m)})) AS s_{lang}"
+        for lang, m in LANG_MARKERS.items()
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_MARKERS) + ")"
+    cases = " ".join(
+        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'"
+        for lang in LANG_MARKERS
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, lang, {_SQL_TOKS} AS t FROM documents),
+scored AS (SELECT doc_id, lang, {scores} FROM toks),
+ranked AS (SELECT *, {best} AS best FROM scored)
+SELECT doc_id, lang, CASE {cases} ELSE 'und' END AS lang_pred
+FROM ranked
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q32: content fingerprint (rolling normalize + 60-bit hash) + n_chars audit.
+# ---------------------------------------------------------------------------
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        F.length("text").alias("n_chars_actual"),
+        (F.col("n_chars") == F.length("text")).alias("n_chars_ok"),
+    ).orderBy("doc_id")
+
+
+_SQL_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+ORACLE_FINGERPRINT = f"""
+SELECT doc_id,
+       {_sql_hash15(_SQL_NORM)} AS fp,
+       length(text) AS n_chars_actual,
+       n_chars = length(text) AS n_chars_ok
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q33: exact dedup — hash-groupBy on the fingerprint, min-id keep rule.
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs).orderBy("fp")
+
+
+ORACLE_EXACT_DEDUP = f"""
+SELECT {_sql_hash15(_SQL_NORM)} AS fp,
+       min(doc_id) AS keep_id,
+       count(*) AS n_dups
+FROM documents
+GROUP BY 1
+ORDER BY fp
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q34: MinHash signatures (K=8 portable min-hashes over 3-shingles).
+# ---------------------------------------------------------------------------
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_signatures(docs).orderBy("doc_id")
+
+
+def _oracle_minhash() -> str:
+    mins = ",\n       ".join(
+        "min({h}) AS h{i}".format(h=_sql_hash15("'{}:' || sh".format(i)), i=i)
+        for i in range(dd.MINHASH_K)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM toks)
+SELECT doc_id,
+       {mins}
+FROM sh
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q35: MinHash-LSH near-dup pipeline: band candidates → exact Jaccard ≥ 0.5.
+# ---------------------------------------------------------------------------
+
+def q_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.verified_near_dups(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def _oracle_lsh_near_dups() -> str:
+    rows = dd.MINHASH_K // dd.LSH_BANDS
+    mins = ",\n       ".join(
+        "min({h}) AS h{i}".format(h=_sql_hash15("'{}:' || sh".format(i)), i=i)
+        for i in range(dd.MINHASH_K)
+    )
+    band_conds = " OR ".join(
+        "(" + " AND ".join(
+            f"a.h{b * rows + r} = b.h{b * rows + r}" for r in range(rows)
+        ) + ")"
+        for b in range(dd.LSH_BANDS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+shx AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM toks),
+sig AS (
+  SELECT doc_id,
+       {mins}
+  FROM shx GROUP BY doc_id
+),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_conds})
+),
+shl AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents)),
+j AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.s, sb.s))::DOUBLE
+           / len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+  FROM cand
+  JOIN shl sa ON sa.doc_id = id_a
+  JOIN shl sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+FROM j WHERE jaccard >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q36/Q37: SimHash sketch + Hamming near-dup pairs.
+# ---------------------------------------------------------------------------
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash(docs).orderBy("doc_id")
+
+
+def _oracle_simhash(bits: int = 32) -> str:
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits)
+    )
+    recompose = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for j in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h FROM toks),
+bits AS (
+  SELECT doc_id,
+         {sums}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, {recompose} AS simhash
+FROM bits
+ORDER BY doc_id
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_pairs(docs, max_hamming=6).orderBy("id_a", "id_b")
+
+
+def _oracle_simhash_pairs() -> str:
+    inner = _oracle_simhash().replace("ORDER BY doc_id", "")
+    return f"""
+WITH sh AS ({inner})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q38: brute-force cosine top-k (queries = vec_id < 5, k = 5).
+# ---------------------------------------------------------------------------
+
+_SQL_DOT = (
+    "list_aggregate(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.brute_force_topk(emb, queries, k=5).orderBy("qid", "rank")
+
+
+ORACLE_EMBEDDING_TOPK = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT qid, cid,
+         {_SQL_DOT.format(a="qv", b="cv")}
+           / (sqrt({_SQL_DOT.format(a="qv", b="qv")})
+            * sqrt({_SQL_DOT.format(a="cv", b="cv")})) AS sim
+  FROM c CROSS JOIN q
+  WHERE qid != cid
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS rank
+  FROM scored
+)
+SELECT qid, cid, round(sim, 6) AS sim, rank
+FROM ranked WHERE rank <= 5
+ORDER BY qid, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q39: embedding-cosine near-dup pairs (threshold 0.4).
+# ---------------------------------------------------------------------------
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_near_dup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
+ORACLE_EMBEDDING_NEAR_DUPS = f"""
+WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
+b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings),
+scored AS (
+  SELECT id_a, id_b,
+         {_SQL_DOT.format(a="va", b="vb")}
+           / (sqrt({_SQL_DOT.format(a="va", b="va")})
+            * sqrt({_SQL_DOT.format(a="vb", b="vb")})) AS sim
+  FROM a JOIN b ON id_a < id_b
+)
+SELECT id_a, id_b, round(sim, 6) AS sim
+FROM scored WHERE sim >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q40: ANN top-k via random-hyperplane LSH (rows-only: xxhash64-based
+# sketch has no DuckDB equivalent; recall vs brute force is pytest-gated).
+# ---------------------------------------------------------------------------
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.ann_topk(emb, queries, k=5).orderBy("qid", "rank")
+
+
+SPECS = [
+    QuerySpec("q30_doc_stats", q_doc_stats, ORACLE_DOC_STATS,
+              "per-document token/punct/stopword stats + quality score", ("P2-text",)),
+    QuerySpec("q31_lang_id", q_lang_id, _oracle_lang_id(),
+              "marker-word language identification", ("P2-text",)),
+    QuerySpec("q32_fingerprint", q_fingerprint, ORACLE_FINGERPRINT,
+              "normalized content fingerprint + n_chars audit", ("P2-text",)),
+    QuerySpec("q33_exact_dedup", q_exact_dedup, ORACLE_EXACT_DEDUP,
+              "exact dedup via fingerprint hash-groupBy", ("P2-dedup",)),
+    QuerySpec("q34_minhash_signatures", q_minhash_signatures, _oracle_minhash(),
+              "K=8 MinHash signatures over 3-shingles", ("P2-dedup",)),
+    QuerySpec("q35_lsh_near_dups", q_lsh_near_dups, _oracle_lsh_near_dups(),
+              "banded-LSH candidates + exact Jaccard verification", ("P2-dedup",)),
+    QuerySpec("q36_simhash", q_simhash, _oracle_simhash(),
+              "32-bit SimHash sketch", ("P2-dedup",)),
+    QuerySpec("q37_simhash_pairs", q_simhash_pairs, _oracle_simhash_pairs(),
+              "SimHash Hamming near-dup pairs", ("P2-dedup",)),
+    QuerySpec("q38_embedding_topk", q_embedding_topk, ORACLE_EMBEDDING_TOPK,
+              "brute-force cosine top-k", ("P2-sim",)),
+    QuerySpec("q39_embedding_near_dups", q_embedding_near_dups, ORACLE_EMBEDDING_NEAR_DUPS,
+              "embedding-cosine near-dup pairs", ("P2-dedup", "P2-sim")),
+    QuerySpec("q40_ann_topk", q_ann_topk, None,
+              "LSH-bucketed approximate top-k (recall-tested)", ("P2-sim",)),
+]

@@ -1,0 +1,75 @@
+"""Tests for the LLM-data operators: dedup tiers, similarity search,
+text analysis — on handcrafted micro-data plus recall checks on the
+embeddings fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_evm_chain_spark.catalog import load_table
+from etl_evm_chain_spark.operators import dedup as dd
+from etl_evm_chain_spark.operators import similarity as sim
+
+from conftest import SF_SMALL
+
+
+BASE = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango")
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE),
+        (2, "  ".join(BASE.split())),            # whitespace-only dup
+        (3, BASE.replace("tango", "zulu")),       # one-token near-dup
+        (4, "completely different content about spark engines here"),
+        (5, BASE.upper()),                        # case dup (exact-dedup only)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalizes_case_and_whitespace(spark):
+    out = dd.exact_dedup(_docs(spark)).collect()
+    groups = {r["keep_id"]: r["n_dups"] for r in out}
+    assert groups[1] == 3          # docs 1+2+5 collapse (lower + ws collapse)
+    assert groups[3] == 1 and groups[4] == 1
+    assert len(out) == 3
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    pairs = dd.verified_near_dups(_docs(spark), threshold=0.4).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(1, 2)] == 1.0      # identical token stream
+    assert 0.85 <= got[(1, 3)] < 1.0
+    assert all(4 not in p for p in got)
+
+
+def test_simhash_identical_distance_zero(spark):
+    sh = {r["doc_id"]: r["simhash"]
+          for r in dd.simhash(_docs(spark)).collect()}
+    assert sh[1] == sh[2] or bin(sh[1] ^ sh[2]).count("1") <= 2
+    assert bin(sh[1] ^ sh[4]).count("1") > 4
+
+
+def test_ann_recall_against_brute_force(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = sim.brute_force_topk(emb, queries, k=5).collect()
+    approx = sim.ann_topk(emb, queries, k=5).collect()
+    exact_set = {(r["qid"], r["cid"]) for r in exact}
+    approx_set = {(r["qid"], r["cid"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # random-ish embeddings are the hardest case for LSH; multiprobe
+    # should still recover a solid fraction of the true top-5.
+    assert recall >= 0.3, f"recall {recall:.2f}"
+    # every ANN hit must be a real corpus neighbor with a valid sim
+    assert all(r["sim"] is not None and -1.0001 <= r["sim"] <= 1.0001 for r in approx)
+
+
+def test_brute_force_topk_self_excluded(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    out = sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=4).collect()
+    assert all(r["qid"] != r["cid"] for r in out)
+    for qid in (0, 1, 2):
+        ranks = sorted(r["rank"] for r in out if r["qid"] == qid)
+        assert ranks == [1, 2, 3, 4]
