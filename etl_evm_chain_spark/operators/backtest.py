@@ -1,0 +1,183 @@
+"""Stateful sequential operators: EWM smoothing and the two
+mean-reversion backtest FSMs (SURVEY §2.E).
+
+These are the reference's analytics core:
+
+- EWM bias estimate — pandas ``ewm(alpha, adjust=False).mean()``
+  (reference `stable_fee_ml_bot.py:120-129` pyc). The recursion
+  ``y_t = (1-α)·y_{t-1} + α·x_t`` has no Catalyst expression; we run
+  pandas itself inside a grouped-map UDF so semantics (including
+  ``min_periods`` masking) match the reference bit-for-bit
+  (SURVEY §7 hard part 2).
+- Trade FSMs — per-key order-dependent state machines emitting closed
+  trades (reference `stable_eth_meanrevert_bot.py:131-178` pct mode,
+  `:182-251` z-score mode with time stop).
+
+Scale notes: ``applyInPandas`` groups by the series key — one shuffle,
+then each series streams through a single task. Per-group data must
+fit one worker (SURVEY §7 hard part 3): per-pool series are tiny
+relative to executor memory even at 100 TB total, because the key
+cardinality grows with the data. Ordering inside the group is
+re-established with ``sort_values`` — never rely on shuffle order.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TRADES_SCHEMA = (
+    "pool string, side string, entry_ts long, exit_ts long, "
+    "entry_price double, exit_price double, pct_return double"
+)
+
+TRADES_Z_SCHEMA = TRADES_SCHEMA + ", entry_z double, exit_z double, held_rows long"
+
+
+def ewm_mean(df: DataFrame, *, value: str, key: str, order: str,
+             halflife: float, min_periods: int,
+             out_col: str = "ewm") -> DataFrame:
+    """Per-key EWM mean, pandas ``adjust=False`` semantics.
+
+    alpha = 1 − 0.5^(1/halflife) exactly as the reference derives it
+    (`stable_fee_ml_bot.py:120-123` pyc).
+    """
+    alpha = 1.0 - 0.5 ** (1.0 / halflife)
+    cols = df.columns
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        pdf[out_col] = (
+            pdf[value].ewm(alpha=alpha, adjust=False, min_periods=min_periods)
+            .mean()
+        )
+        return pdf
+
+    schema = ", ".join(f"`{c}` {df.schema[c].dataType.simpleString()}" for c in cols)
+    schema += f", `{out_col}` double"
+    return df.groupBy(key).applyInPandas(fn, schema)
+
+
+def _close(trades: list, pool: str, side: str, entry_i: int, exit_i: int,
+           ts, price, extra: tuple = ()) -> None:
+    entry_p, exit_p = price[entry_i], price[exit_i]
+    ret = (exit_p / entry_p - 1.0) * 100.0
+    if side == "short":
+        ret = -ret
+    trades.append((pool, side, int(ts[entry_i]), int(ts[exit_i]),
+                   float(entry_p), float(exit_p), float(ret), *extra))
+
+
+def meanrevert_fsm_pct(df: DataFrame, *, pool: str = "pool", ts: str = "ts",
+                       price: str = "price", dev: str = "dev",
+                       threshold: float) -> DataFrame:
+    """Percent-deviation FSM (reference E1, `stable_eth_meanrevert_bot.py:131-178`).
+
+    Per pool, in time order: open LONG when dev ≤ −thr, SHORT when
+    dev ≥ +thr; close when dev crosses back through 0; emit the closed
+    trade. At most one open position per pool; open position at end of
+    data is dropped (matches the reference, which only emits closes).
+    """
+
+    prepared = df.select(
+        F.col(pool).alias("pool"),
+        F.unix_timestamp(ts).alias("ts") if dict(df.dtypes)[ts].startswith("timestamp")
+        else F.col(ts).cast("long").alias("ts"),
+        F.col(price).alias("price"),
+        F.col(dev).alias("dev"),
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts", kind="mergesort").reset_index(drop=True)
+        p = str(pdf["pool"].iloc[0]) if len(pdf) else ""
+        tsv = pdf["ts"].to_numpy()
+        pricev = pdf["price"].to_numpy()
+        devv = pdf["dev"].to_numpy()
+        trades: list = []
+        side, entry_i = None, -1
+        for i in range(len(pdf)):
+            d = devv[i]
+            if d != d:
+                continue
+            if side is None:
+                if d <= -threshold:
+                    side, entry_i = "long", i
+                elif d >= threshold:
+                    side, entry_i = "short", i
+            elif side == "long" and d >= 0:
+                _close(trades, p, side, entry_i, i, tsv, pricev)
+                side = None
+            elif side == "short" and d <= 0:
+                _close(trades, p, side, entry_i, i, tsv, pricev)
+                side = None
+        return pd.DataFrame(trades, columns=[
+            "pool", "side", "entry_ts", "exit_ts",
+            "entry_price", "exit_price", "pct_return",
+        ])
+
+    return prepared.groupBy("pool").applyInPandas(run, TRADES_SCHEMA)
+
+
+def meanrevert_fsm_zscore(df: DataFrame, *, pool: str = "pool", ts: str = "ts",
+                          price: str = "price", z: str = "z",
+                          entry_z: float, exit_z: float,
+                          max_hold: int) -> DataFrame:
+    """Z-score FSM with time stop (reference E2,
+    `stable_eth_meanrevert_bot.py:182-251`).
+
+    Entry when |z| ≥ entry_z (sign picks the side: z ≤ −entry_z →
+    LONG); exit when |z| ≤ exit_z or the position has been held
+    max_hold rows; emits entry/exit z and held_rows.
+    """
+    prepared = df.select(
+        F.col(pool).alias("pool"),
+        F.unix_timestamp(ts).alias("ts") if dict(df.dtypes)[ts].startswith("timestamp")
+        else F.col(ts).cast("long").alias("ts"),
+        F.col(price).alias("price"),
+        F.col(z).alias("z"),
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts", kind="mergesort").reset_index(drop=True)
+        p = str(pdf["pool"].iloc[0]) if len(pdf) else ""
+        tsv = pdf["ts"].to_numpy()
+        pricev = pdf["price"].to_numpy()
+        zv = pdf["z"].to_numpy()
+        trades: list = []
+        side, entry_i = None, -1
+        for i in range(len(pdf)):
+            zi = zv[i]
+            if zi != zi:
+                continue
+            if side is None:
+                if zi <= -entry_z:
+                    side, entry_i = "long", i
+                elif zi >= entry_z:
+                    side, entry_i = "short", i
+            else:
+                held = i - entry_i
+                if abs(zi) <= exit_z or held >= max_hold:
+                    _close(trades, p, side, entry_i, i, tsv, pricev,
+                           (float(zv[entry_i]), float(zi), int(held)))
+                    side = None
+        return pd.DataFrame(trades, columns=[
+            "pool", "side", "entry_ts", "exit_ts",
+            "entry_price", "exit_price", "pct_return",
+            "entry_z", "exit_z", "held_rows",
+        ])
+
+    return prepared.groupBy("pool").applyInPandas(run, TRADES_Z_SCHEMA)
+
+
+def calendar_returns(trades: DataFrame, *, ts_col: str = "exit_ts") -> DataFrame:
+    """Monthly pct_return sums over the trade list (reference D12,
+    `stable_eth_meanrevert_bot.py:255-266`)."""
+    month = F.date_format(F.timestamp_seconds(ts_col), "yyyy-MM").alias("month")
+    return (
+        trades.groupBy(month)
+        .agg(F.sum("pct_return").alias("pct_return"),
+             F.count(F.lit(1)).alias("n_trades"))
+        .orderBy("month")
+    )

@@ -1,0 +1,133 @@
+"""ML plane: the reference's fee-ML pipeline re-expressed on pyspark.ml
+(SURVEY §2.E3–E8, recovered from `stable_fee_ml_bot.py` bytecode).
+
+Pipeline: windowed feature build (pure Catalyst — no custom state
+needed, unlike the reference's Python row loop) → time-ordered 70/30
+split → StandardScaler + LogisticRegression → eval metrics →
+NOW-signal scoring (latest row per key, top probability wins).
+
+Scale notes: feature building is windows over (pair, fee) partitions;
+training data for per-market models is bounded per key. The global
+model here trains on the full assembled set — pyspark.ml
+LogisticRegression is itself distributed (L-BFGS over partitioned
+gradients), so nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+FEATURE_COLS = ("z", "devdt", "bias", "sigma")
+
+
+def build_ml_dataset(dense: DataFrame, *, key: str, ts: str, value: str,
+                     ewm_col: str = "bias", std_win: int = 30,
+                     sigma_min: float = 0.5, horizon: int = 12,
+                     target: float = 2.0) -> DataFrame:
+    """Supervised dataset from a dense per-key series that already has
+    an EWM ``bias`` column (operators.backtest.ewm_mean).
+
+    Features per reference `stable_fee_ml_bot.py:115-169` (pyc):
+    devdt = value − bias (detrended deviation), sigma = rolling
+    std(ddof=1) clipped to sigma_min, z = devdt / sigma; label
+    y = 1 iff max(future devdt over horizon) − devdt ≥ target,
+    keeping only rows with devdt < 0 (B13).
+    """
+    w = Window.partitionBy(key).orderBy(ts)
+    wstd = w.rowsBetween(-(std_win - 1), 0)
+    wlead = w.rowsBetween(1, horizon)
+    min_p = max(5, std_win // 3)
+    cnt = F.count(value).over(wstd)
+    devdt = F.col(value) - F.col(ewm_col)
+    df = (
+        dense.withColumn("devdt", devdt)
+        .withColumn("sigma_raw", F.when(cnt >= min_p, F.stddev_samp("devdt").over(wstd)))
+        .withColumn("sigma", F.greatest(F.coalesce("sigma_raw", F.lit(sigma_min)),
+                                        F.lit(sigma_min)))
+        .withColumn("z", F.col("devdt") / F.col("sigma"))
+        .withColumn("lead_max_devdt", F.max("devdt").over(wlead))
+        .withColumn("y", (F.col("lead_max_devdt") - F.col("devdt") >= target)
+                    .cast("int"))
+    )
+    return (
+        df.filter(F.col("devdt") < 0)
+        .filter(F.col("y").isNotNull() & F.col("bias").isNotNull())
+        .select(key, ts, "z", "devdt", "bias", "sigma", "y")
+    )
+
+
+def time_split(df: DataFrame, *, ts: str, frac: float = 0.7) -> tuple[DataFrame, DataFrame]:
+    """Time-ordered split (reference E4): first `frac` of rows train.
+
+    Uses a timestamp-quantile cutoff — a single lightweight agg —
+    instead of a global row_number (which would funnel every row
+    through one window partition at scale).
+    """
+    cut = df.agg(
+        F.percentile_approx(F.unix_timestamp(ts) if dict(df.dtypes)[ts].startswith("timestamp")
+                            else F.col(ts).cast("long"),
+                            frac, 100000).alias("cut")
+    ).collect()[0]["cut"]
+    tcol = (F.unix_timestamp(ts) if dict(df.dtypes)[ts].startswith("timestamp")
+            else F.col(ts).cast("long"))
+    return df.filter(tcol <= cut), df.filter(tcol > cut)
+
+
+def train_and_eval(train: DataFrame, test: DataFrame):
+    """StandardScaler + LogisticRegression (reference E5-E7) on the
+    assembled feature vector; returns (model, metrics_df)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import (
+        BinaryClassificationEvaluator,
+        MulticlassClassificationEvaluator,
+    )
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+
+    pipe = Pipeline(stages=[
+        VectorAssembler(inputCols=list(FEATURE_COLS), outputCol="raw_features"),
+        StandardScaler(inputCol="raw_features", outputCol="features",
+                       withMean=True, withStd=True),
+        LogisticRegression(featuresCol="features", labelCol="y", maxIter=1000),
+    ])
+    model = pipe.fit(train)
+    scored = model.transform(test)
+    acc = MulticlassClassificationEvaluator(
+        labelCol="y", predictionCol="prediction", metricName="accuracy"
+    ).evaluate(scored)
+    try:
+        auc = BinaryClassificationEvaluator(
+            labelCol="y", rawPredictionCol="rawPrediction",
+            metricName="areaUnderROC"
+        ).evaluate(scored)
+    except Exception:  # single-class holdout → nan, like the reference
+        auc = float("nan")
+    spark = train.sparkSession
+    metrics = spark.createDataFrame(
+        [(float(acc), float(auc), train.count(), test.count())],
+        "accuracy double, auc double, n_train long, n_test long",
+    )
+    return model, metrics
+
+
+def now_signals(model, dataset: DataFrame, *, key: str, ts: str,
+                prob_thr: float = 0.6) -> DataFrame:
+    """Score the latest row per key; fire LONG iff P(y=1) ≥ prob_thr
+    and devdt < 0, ordered by probability (reference E8/B14)."""
+    from pyspark.ml.functions import vector_to_array
+
+    w = Window.partitionBy(key).orderBy(F.desc(ts))
+    latest = dataset.withColumn("rn", F.row_number().over(w)) \
+                    .filter(F.col("rn") == 1).drop("rn")
+    scored = model.transform(latest)
+    prob = vector_to_array("probability").getItem(1)
+    return (
+        scored.withColumn("prob", prob)
+        .withColumn("signal",
+                    F.when((F.col("prob") >= prob_thr) & (F.col("devdt") < 0),
+                           "LONG").otherwise("NO TRADE"))
+        .select(key, ts, F.round("prob", 6).alias("prob"), "signal",
+                "z", "devdt", "sigma")
+        .orderBy(F.desc("prob"), key)
+    )

@@ -3,9 +3,9 @@
 from __future__ import annotations
 
 from . import QuerySpec
-from . import llmdata, relational, timeseries_q
+from . import llmdata, relational, stateful, timeseries_q
 
-_MODULES = [relational, timeseries_q, llmdata]
+_MODULES = [relational, timeseries_q, stateful, llmdata]
 
 
 def all_specs() -> list[QuerySpec]:
