@@ -1,0 +1,214 @@
+"""EVM decode-plane queries (SURVEY §2.A/B1/G) with DuckDB oracles.
+
+No raw-log fixture ships in testdata, so both engines synthesize the
+SAME raw ERC-20 Transfer logs deterministically from ``lineitem``
+(hex-encoded 32-byte words), then the Spark side decodes them through
+the real ABI decoder (sources/abi.py — native substring/conv
+expressions + exact-decimal pandas UDF for uint256) while the oracle
+decodes with plain SQL string ops. Values therefore check the decoder
+itself, not a copied formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..sources.abi import AbiEvent, AbiInput, decode_event, enrich, route_events
+from . import QuerySpec
+
+TRANSFER = AbiEvent("Transfer", (
+    AbiInput("from", "address", True),
+    AbiInput("to", "address", True),
+    AbiInput("value", "uint256", False),
+))
+APPROVAL = AbiEvent("Approval", (
+    AbiInput("owner", "address", True),
+    AbiInput("spender", "address", True),
+    AbiInput("value", "uint256", False),
+))
+
+T_TRANSFER = TRANSFER.topic0   # keccak('Transfer(address,address,uint256)')
+T_APPROVAL = APPROVAL.topic0
+
+
+def _hex64(c: Column) -> Column:
+    return F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(c)), 64, "0"))
+
+
+def synthetic_transfer_logs(spark: SparkSession, sf_dir: str,
+                            *, mixed: bool = False) -> DataFrame:
+    """Deterministic raw Transfer logs derived from lineitem (shape =
+    FIXTURES.md A1). With ``mixed``, odd line numbers become Approval
+    logs (for topic-routing queries)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    value_units = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    topic0 = (
+        F.when(F.col("l_linenumber") % 2 == 1, F.lit(T_APPROVAL))
+        .otherwise(F.lit(T_TRANSFER)) if mixed else F.lit(T_TRANSFER)
+    )
+    return li.select(
+        F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(F.col("l_suppkey"))), 40, "0"))
+        .alias("address"),
+        F.array(
+            topic0,
+            _hex64(F.col("l_orderkey") % 1000),
+            _hex64(F.col("l_partkey") % 1000),
+        ).alias("topics"),
+        _hex64(value_units).alias("data"),
+        F.expr("l_orderkey div 10").alias("block_number"),
+        F.concat(F.lit("0x"),
+                 F.md5(F.concat_ws(":", "l_orderkey", "l_linenumber")))
+        .alias("tx_hash"),
+        F.col("l_linenumber").alias("log_index"),
+    )
+
+
+_SQL_RAW = """
+  SELECT '0x' || lpad(lower(hex(l_suppkey)), 40, '0') AS address,
+         [{topic0_expr},
+          '0x' || lpad(lower(hex(l_orderkey % 1000)), 64, '0'),
+          '0x' || lpad(lower(hex(l_partkey % 1000)), 64, '0')] AS topics,
+         '0x' || lpad(lower(hex(CAST(floor(l_extendedprice * 100) AS BIGINT))), 64, '0') AS data,
+         l_orderkey // 10 AS block_number,
+         '0x' || md5(concat_ws(':', l_orderkey, l_linenumber)) AS tx_hash,
+         l_linenumber AS log_index
+  FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q44: full decode + enrichment — the reference's per-log pipeline
+# (`internal/parser/parser.go:44-130`) as one declarative plan:
+# topic0 filter (B1 pushdown) → indexed-topic & data-word decode
+# (G2/G3) → broadcast block-timestamp join (C1).
+# ---------------------------------------------------------------------------
+
+def q_decode_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = synthetic_transfer_logs(spark, sf_dir)
+    decoded = decode_event(raw, TRANSFER, contract_name="TokenA")
+    blocks = (
+        raw.select("block_number").distinct()
+        .withColumn("timestamp", F.lit(1700000000) + F.col("block_number") * 12)
+    )
+    out = enrich(decoded, blocks=blocks)
+    # Emit the uint256 as BIGINT for the comparator (these synthetic
+    # values fit); value_hex stays the lossless 256-bit column. A raw
+    # DecimalType output round-trips differently through the two
+    # engines' pandas bridges (Decimal object vs float64).
+    return out.withColumn("value", F.col("value").cast("long")) \
+              .orderBy("tx_hash", "log_index")
+
+
+ORACLE_DECODE_TRANSFERS = f"""
+WITH raw AS ({_SQL_RAW.format(topic0_expr=f"'{T_TRANSFER}'")}),
+decoded AS (
+  SELECT '1' AS chain_id,
+         lower(address) AS contract,
+         'TokenA' AS contract_name,
+         'Transfer' AS event_name,
+         block_number, tx_hash, log_index,
+         '0x' || substr(topics[2], 27, 40) AS "from",
+         '0x' || substr(topics[3], 27, 40) AS "to",
+         CAST('0x' || substr(data, 52, 15) AS BIGINT) AS value,
+         '0x' || substr(data, 3, 64) AS value_hex
+  FROM raw
+  WHERE topics[1] = '{T_TRANSFER}'
+)
+SELECT d.*, 1700000000 + block_number * 12 AS timestamp
+FROM decoded d
+ORDER BY tx_hash, log_index
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q45: topic0 → event routing (G4) + per-event counts — the plan-time
+# topic map (`internal/indexer/indexer.go:64-88`,
+# `internal/parser/parser.go:164-171`).
+# ---------------------------------------------------------------------------
+
+def q_topic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = synthetic_transfer_logs(spark, sf_dir, mixed=True)
+    routed = route_events(raw, {"Transfer": TRANSFER, "Approval": APPROVAL})
+    return (
+        routed.groupBy("event_name")
+        .agg(F.count(F.lit(1)).alias("n_logs"),
+             F.countDistinct("address").alias("n_contracts"),
+             F.min("block_number").alias("min_block"),
+             F.max("block_number").alias("max_block"))
+        .orderBy("event_name")
+    )
+
+
+ORACLE_TOPIC_ROUTING = f"""
+WITH raw AS ({_SQL_RAW.format(topic0_expr=(
+    "CASE WHEN l_linenumber % 2 = 1 THEN '" + T_APPROVAL
+    + "' ELSE '" + T_TRANSFER + "' END"))}),
+routed AS (
+  SELECT *, CASE topics[1]
+              WHEN '{T_TRANSFER}' THEN 'Transfer'
+              WHEN '{T_APPROVAL}' THEN 'Approval'
+            END AS event_name
+  FROM raw
+)
+SELECT event_name, count(*) AS n_logs,
+       count(DISTINCT address) AS n_contracts,
+       min(block_number) AS min_block,
+       max(block_number) AS max_block
+FROM routed
+GROUP BY event_name
+ORDER BY event_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q46: per-token transfer rollup — decode feeding a relational agg
+# (what the reference's CSV consumers do downstream), value summed
+# exactly in decimal.
+# ---------------------------------------------------------------------------
+
+def q_transfer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = synthetic_transfer_logs(spark, sf_dir)
+    decoded = decode_event(raw, TRANSFER, contract_name="TokenA")
+    return (
+        decoded.groupBy("contract")
+        .agg(
+            F.count(F.lit(1)).alias("n_transfers"),
+            F.sum("value").cast("long").alias("total_value"),
+            F.countDistinct("from").alias("n_senders"),
+            F.countDistinct("to").alias("n_receivers"),
+        )
+        .orderBy("contract")
+    )
+
+
+ORACLE_TRANSFER_ROLLUP = f"""
+WITH raw AS ({_SQL_RAW.format(topic0_expr=f"'{T_TRANSFER}'")}),
+decoded AS (
+  SELECT lower(address) AS contract,
+         '0x' || substr(topics[2], 27, 40) AS "from",
+         '0x' || substr(topics[3], 27, 40) AS "to",
+         CAST(CAST('0x' || substr(data, 52, 15) AS BIGINT) AS DECIMAL(38,0)) AS value
+  FROM raw WHERE topics[1] = '{T_TRANSFER}'
+)
+SELECT contract, count(*) AS n_transfers,
+       CAST(sum(value) AS BIGINT) AS total_value,
+       count(DISTINCT "from") AS n_senders,
+       count(DISTINCT "to") AS n_receivers
+FROM decoded
+GROUP BY contract
+ORDER BY contract
+"""
+
+
+SPECS = [
+    QuerySpec("q44_decode_transfers", q_decode_transfers, ORACLE_DECODE_TRANSFERS,
+              "ABI decode of raw Transfer logs + block-timestamp enrichment",
+              ("A1", "B1", "C1", "G2", "G3")),
+    QuerySpec("q45_topic_routing", q_topic_routing, ORACLE_TOPIC_ROUTING,
+              "topic0→event routing + per-event stats", ("B2", "G1", "G4")),
+    QuerySpec("q46_transfer_rollup", q_transfer_rollup, ORACLE_TRANSFER_ROLLUP,
+              "decoded-event relational rollup (exact decimal sums)",
+              ("G2", "D13")),
+]

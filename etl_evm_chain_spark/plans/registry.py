@@ -3,9 +3,9 @@
 from __future__ import annotations
 
 from . import QuerySpec
-from . import llmdata, relational, stateful, timeseries_q
+from . import evm, llmdata, relational, stateful, timeseries_q
 
-_MODULES = [relational, timeseries_q, stateful, llmdata]
+_MODULES = [relational, timeseries_q, stateful, llmdata, evm]
 
 
 def all_specs() -> list[QuerySpec]:

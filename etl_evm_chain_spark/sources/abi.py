@@ -1,0 +1,282 @@
+"""ABI event → static Spark schema + decoder expressions.
+
+The reference derives event schemas dynamically from go-ethereum ABI
+parsing (`internal/config/config.go:98-132`, `internal/parser/
+parser.go:65-103`) and freezes CSV headers from the first row
+(`internal/sink/csv.go:84-99` — a fragility we deliberately fix,
+SURVEY §7 hard part 4). Here the ABI fragment *is* the schema
+authority: each event compiles to a deterministic StructType of meta
+columns + typed parameter columns, plus Catalyst decoder expressions.
+
+Decoding strategy (SURVEY §2.G):
+- topic0 (G1): keccak-256 of the canonical signature, computed once
+  driver-side (sources/keccak.py) and broadcast.
+- indexed topics (G3) and static data slots (G2): native expressions
+  (substring + conv) — JVM-side, codegen'd; no Python in the hot path
+  for every type that fits 64 bits (addresses, bools, ticks, fees…).
+- uint256/int256 (SURVEY §7 hard part 1): dual-column convention —
+  lossless ``<name>_hex`` string plus ``<name>`` DecimalType(38,0)
+  decoded by an Arrow-batched pandas UDF (Python big-int, exact up to
+  38 digits; larger values keep the hex column as the source of
+  truth and the decimal saturates to NULL).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .keccak import keccak256_hex
+
+META_FIELDS = [
+    ("chain_id", T.StringType()),
+    ("contract", T.StringType()),
+    ("contract_name", T.StringType()),
+    ("event_name", T.StringType()),
+    ("block_number", T.LongType()),
+    ("timestamp", T.LongType()),
+    ("tx_hash", T.StringType()),
+    ("tx_from", T.StringType()),
+]
+
+RAW_LOG_SCHEMA = T.StructType([
+    T.StructField("address", T.StringType()),
+    T.StructField("topics", T.ArrayType(T.StringType())),
+    T.StructField("data", T.StringType()),
+    T.StructField("block_number", T.LongType()),
+    T.StructField("tx_hash", T.StringType()),
+    T.StructField("log_index", T.IntegerType()),
+])
+
+
+@dataclass(frozen=True)
+class AbiInput:
+    name: str
+    type: str
+    indexed: bool
+
+
+@dataclass(frozen=True)
+class AbiEvent:
+    name: str
+    inputs: tuple[AbiInput, ...]
+
+    @property
+    def signature(self) -> str:
+        return f"{self.name}({','.join(i.type for i in self.inputs)})"
+
+    @property
+    def topic0(self) -> str:
+        return keccak256_hex(self.signature)
+
+
+def parse_abi(abi_json: str | list) -> dict[str, AbiEvent]:
+    """Parse an ABI document (JSON string or loaded list) into events,
+    mirroring `internal/config/config.go:124-129`."""
+    doc = json.loads(abi_json) if isinstance(abi_json, str) else abi_json
+    events = {}
+    for frag in doc:
+        if frag.get("type") != "event":
+            continue
+        ev = AbiEvent(
+            name=frag["name"],
+            inputs=tuple(
+                AbiInput(i["name"], i["type"], bool(i.get("indexed", False)))
+                for i in frag.get("inputs", [])
+            ),
+        )
+        events[ev.name] = ev
+    return events
+
+
+def _int_bits(abi_type: str) -> int | None:
+    for prefix in ("uint", "int"):
+        if abi_type.startswith(prefix):
+            digits = abi_type[len(prefix):] or "256"
+            return int(digits)
+    return None
+
+
+def spark_type(abi_type: str) -> T.DataType:
+    bits = _int_bits(abi_type)
+    if bits is not None:
+        if bits <= 32:
+            return T.IntegerType()
+        if bits <= 63:
+            return T.LongType()
+        return T.DecimalType(38, 0)
+    if abi_type == "address":
+        return T.StringType()
+    if abi_type == "bool":
+        return T.BooleanType()
+    if abi_type.startswith("bytes"):
+        return T.StringType()  # hex
+    return T.StringType()
+
+
+def event_schema(event: AbiEvent, contract_name: str = "") -> T.StructType:
+    """Deterministic StructType: meta columns + one per ABI param
+    (+ lossless _hex twin for >63-bit integers)."""
+    fields = [T.StructField(n, t) for n, t in META_FIELDS]
+    for inp in event.inputs:
+        st = spark_type(inp.type)
+        fields.append(T.StructField(inp.name, st))
+        bits = _int_bits(inp.type)
+        if bits is not None and bits > 63:
+            fields.append(T.StructField(f"{inp.name}_hex", T.StringType()))
+    return T.StructType(fields)
+
+
+_BIG_WORD_UDF = None
+
+
+def _decode_big_word(word_hex: Column, signed: Column) -> Column:
+    """Exact big-int decode of a 32-byte hex word; NULL when the value
+    exceeds DecimalType(38,0) (the _hex column stays lossless).
+
+    The pandas UDF is created lazily — decorating at import time needs
+    an active SparkSession to parse the return type.
+    """
+    global _BIG_WORD_UDF
+    if _BIG_WORD_UDF is None:
+        @pandas_udf("decimal(38,0)")
+        def big_word(word_hex: pd.Series, signed: pd.Series) -> pd.Series:
+            import decimal
+
+            def conv(h, s):
+                if h is None:
+                    return None
+                v = int(h, 16)
+                if s and v >= 1 << 255:
+                    v -= 1 << 256
+                if abs(v) >= 10 ** 38:
+                    return None
+                return decimal.Decimal(v)
+
+            return pd.Series([conv(h, s) for h, s in zip(word_hex, signed)])
+
+        _BIG_WORD_UDF = big_word
+    return _BIG_WORD_UDF(word_hex, signed)
+
+
+def _word(col: Column, slot: int) -> Column:
+    """32-byte word `slot` of a 0x-prefixed data blob, as bare hex."""
+    return F.substring(col, 3 + 64 * slot, 64)
+
+
+def _decode_word(word: Column, abi_type: str) -> Column:
+    """Native decode of one 32-byte hex word for ≤63-bit static types;
+    falls back to the pandas UDF for wide integers."""
+    bits = _int_bits(abi_type)
+    if abi_type == "address":
+        return F.concat(F.lit("0x"), F.lower(F.substring(word, 25, 40)))
+    if abi_type == "bool":
+        return (F.conv(F.substring(word, 49, 16), 16, 10).cast("long") != 0)
+    if bits is not None and bits <= 63:
+        # Slice exactly ceil(bits/4) hex chars: a two's-complement
+        # word sign-extends through all 64 chars, so a fixed 16-char
+        # slice would overflow long for negative int<N>. For the real
+        # ABI widths (multiples of 8 ≤ 56, plus ≤32) the slice always
+        # fits a signed long. conv is unsigned → sign-extend manually.
+        n_hex = (bits + 3) // 4
+        raw = F.conv(F.substring(word, 65 - n_hex, n_hex), 16, 10).cast("long")
+        if abi_type.startswith("int"):
+            half, full = 1 << (bits - 1), 1 << bits
+            raw = F.when(raw >= half, raw - full).otherwise(raw)
+        target = "int" if bits <= 32 else "long"
+        return raw.cast(target)
+    if bits is not None:  # uint64..uint256 / int64..int256 exact path
+        return _decode_big_word(word, F.lit(abi_type.startswith("int")))
+    if abi_type.startswith("bytes"):
+        return F.concat(F.lit("0x"), F.lower(word))
+    return F.concat(F.lit("0x"), F.lower(word))
+
+
+def decode_event(raw_logs: DataFrame, event: AbiEvent, *,
+                 contract_name: str = "", chain_id: str = "1") -> DataFrame:
+    """Decode raw logs of one event type into its typed table.
+
+    Filter on topic0 is pushed to the scan (Catalyst predicate
+    pushdown — the distributed analog of the reference's server-side
+    `eth_getLogs` topic filter, `internal/indexer/indexer.go:223-235`).
+    Enrichment columns (timestamp, tx_from) join in later via the
+    blocks/transactions dims (see enrich()).
+    """
+    indexed = [i for i in event.inputs if i.indexed]
+    unindexed = [i for i in event.inputs if not i.indexed]
+
+    df = raw_logs.filter(F.col("topics")[0] == event.topic0)
+    out_cols = [
+        F.lit(chain_id).alias("chain_id"),
+        F.lower(F.col("address")).alias("contract"),
+        F.lit(contract_name).alias("contract_name"),
+        F.lit(event.name).alias("event_name"),
+        F.col("block_number"),
+        F.col("tx_hash"),
+        F.col("log_index"),
+    ]
+    for pos, inp in enumerate(indexed):
+        topic = F.col("topics")[pos + 1]
+        word = F.substring(topic, 3, 64)  # strip 0x
+        out_cols.append(_decode_word(word, inp.type).alias(inp.name))
+        if (_int_bits(inp.type) or 0) > 63:
+            out_cols.append(F.concat(F.lit("0x"), F.lower(word))
+                            .alias(f"{inp.name}_hex"))
+    for slot, inp in enumerate(unindexed):
+        word = _word(F.col("data"), slot)
+        out_cols.append(_decode_word(word, inp.type).alias(inp.name))
+        if (_int_bits(inp.type) or 0) > 63:
+            out_cols.append(F.concat(F.lit("0x"), F.lower(word))
+                            .alias(f"{inp.name}_hex"))
+    return df.select(*out_cols)
+
+
+def route_events(raw_logs: DataFrame, events: dict[str, AbiEvent]) -> DataFrame:
+    """topic0 → event-name resolution (G4): the reference's linear ABI
+    scan (`internal/parser/parser.go:164-171`) becomes a literal map
+    lookup compiled into the plan (broadcast-sized by construction)."""
+    mapping = F.create_map(*[
+        x for ev in events.values()
+        for x in (F.lit(ev.topic0), F.lit(ev.name))
+    ])
+    return raw_logs.withColumn("event_name", mapping[F.col("topics")[0]])
+
+
+def enrich(decoded: DataFrame, blocks: DataFrame | None = None,
+           transactions: DataFrame | None = None) -> DataFrame:
+    """Broadcast-join enrichment (C1/C2): block→timestamp and
+    tx→sender, replacing the reference's per-log memoized RPC lookups
+    (`internal/parser/parser.go:119-130,152-159`) with dim joins."""
+    out = decoded
+    if blocks is not None:
+        out = out.join(F.broadcast(blocks.select("block_number", "timestamp")),
+                       "block_number", "left")
+    if transactions is not None:
+        out = out.join(F.broadcast(transactions.select("tx_hash", "tx_from")),
+                       "tx_hash", "left")
+    return out
+
+
+def recover_sender(tx_df: DataFrame, *, raw_tx_col: str = "raw_tx") -> DataFrame:
+    """ECDSA sender recovery (G5, `internal/parser/parser.go:153-157`).
+
+    Requires a secp256k1 backend; none ships in this environment, so
+    this gates on importability and raises otherwise. The production
+    path is the pre-landed ``transactions(tx_hash, tx_from)`` dim
+    (see enrich()), which avoids per-row crypto entirely.
+    """
+    try:
+        import coincurve  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "sender recovery needs a secp256k1 library (e.g. coincurve); "
+            "join the transactions dim instead"
+        ) from e
+    raise NotImplementedError("live recovery path not wired in this build")

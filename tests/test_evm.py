@@ -1,0 +1,172 @@
+"""EVM-plane tests: keccak vectors, ABI schema compilation, decoding
+(incl. >63-bit values and signed sign-extension), the chunked source,
+config loading, and the partitioned CSV sink."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from etl_evm_chain_spark.sources import config as cfg
+from etl_evm_chain_spark.sources.abi import (
+    AbiEvent,
+    AbiInput,
+    RAW_LOG_SCHEMA,
+    decode_event,
+    event_schema,
+    parse_abi,
+    route_events,
+)
+from etl_evm_chain_spark.sources.evm_logs import block_chunks, fetch_logs
+from etl_evm_chain_spark.sources.keccak import keccak256_hex
+from etl_evm_chain_spark.sources.sinks import write_event_csv
+
+TRANSFER_TOPIC0 = "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
+
+
+def test_keccak_known_vectors():
+    assert keccak256_hex(b"") == (
+        "0xc5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470")
+    assert keccak256_hex("Transfer(address,address,uint256)") == TRANSFER_TOPIC0
+
+
+def test_abi_parse_and_schema():
+    abi = json.dumps([
+        {"type": "event", "name": "Transfer", "inputs": [
+            {"name": "from", "type": "address", "indexed": True},
+            {"name": "to", "type": "address", "indexed": True},
+            {"name": "value", "type": "uint256", "indexed": False},
+        ]},
+        {"type": "function", "name": "transfer"},  # ignored
+    ])
+    events = parse_abi(abi)
+    assert list(events) == ["Transfer"]
+    ev = events["Transfer"]
+    assert ev.signature == "Transfer(address,address,uint256)"
+    assert ev.topic0 == TRANSFER_TOPIC0
+    schema = event_schema(ev)
+    names = [f.name for f in schema.fields]
+    assert names[:4] == ["chain_id", "contract", "contract_name", "event_name"]
+    assert "value" in names and "value_hex" in names  # dual-column uint256
+
+
+SWAPISH = AbiEvent("Swapish", (
+    AbiInput("sender", "address", True),
+    AbiInput("amount", "uint256", False),
+    AbiInput("tick", "int24", False),
+))
+
+
+def _word(v: int, bits: int = 256) -> str:
+    return format(v % (1 << 256), "064x")
+
+
+def _mklog(topics, data_words, block=1, txh="0x" + "ab" * 32, idx=0):
+    return ("0x" + "11" * 20, topics, "0x" + "".join(data_words), block, txh, idx)
+
+
+def test_decode_uint256_and_negative_int24(spark):
+    big = 2**200 + 12345            # needs the pandas big-int path
+    neg_tick = -887272              # min Uniswap tick, two's complement
+    log = _mklog(
+        [SWAPISH.topic0, "0x" + _word(0xDEAD)],
+        [_word(big), _word(neg_tick)],
+    )
+    df = spark.createDataFrame([log], RAW_LOG_SCHEMA)
+    out = decode_event(df, SWAPISH, contract_name="Pool").collect()[0]
+    assert out["sender"] == "0x" + "0" * 36 + "dead"
+    assert out["amount"] is None              # > 38 digits → NULL, hex lossless
+    assert int(out["amount_hex"], 16) == big
+    assert out["tick"] == neg_tick
+    assert out["event_name"] == "Swapish" and out["contract_name"] == "Pool"
+
+
+def test_decode_uint256_fits_decimal(spark):
+    v = 10**30 + 7
+    log = _mklog([SWAPISH.topic0, "0x" + _word(1)], [_word(v), _word(5)])
+    df = spark.createDataFrame([log], RAW_LOG_SCHEMA)
+    out = decode_event(df, SWAPISH).collect()[0]
+    assert int(out["amount"]) == v
+    assert out["tick"] == 5
+
+
+def test_topic_filter_drops_foreign_events(spark):
+    other = AbiEvent("Other", (AbiInput("x", "uint32", False),))
+    logs = [
+        _mklog([SWAPISH.topic0, "0x" + _word(1)], [_word(10), _word(1)]),
+        _mklog([other.topic0], [_word(99)], idx=1),
+    ]
+    df = spark.createDataFrame(logs, RAW_LOG_SCHEMA)
+    assert decode_event(df, SWAPISH).count() == 1
+    routed = route_events(df, {"Swapish": SWAPISH, "Other": other})
+    names = {r["log_index"]: r["event_name"] for r in routed.collect()}
+    assert names == {0: "Swapish", 1: "Other"}
+
+
+def test_block_chunks_and_fetch(spark):
+    chunks = block_chunks(spark, 0, 2499, chunk=1000).collect()
+    assert [(c["from_block"], c["to_block"]) for c in sorted(chunks, key=lambda r: r["from_block"])] == [
+        (0, 999), (1000, 1999), (2000, 2499)]
+
+    def fake_fetcher(frm, to, addresses, topic0s):
+        # one log per 500-block stride, honoring the pushed-down filter
+        for b in range(frm, to + 1):
+            if b % 500 == 0:
+                yield {"address": addresses[0] if addresses else "0x00",
+                       "topics": list(topic0s) or ["0x0"], "data": "0x",
+                       "block_number": b, "tx_hash": f"0x{b:064x}",
+                       "log_index": 0}
+
+    out = fetch_logs(spark, start=0, latest=2499, fetcher=fake_fetcher,
+                     addresses=("0xabc",), topic0s=(TRANSFER_TOPIC0,))
+    rows = sorted(r["block_number"] for r in out.collect())
+    assert rows == [0, 500, 1000, 1500, 2000]
+    assert out.schema == RAW_LOG_SCHEMA
+
+
+def test_config_load_and_overrides(tmp_path):
+    abi_path = tmp_path / "token.json"
+    abi_path.write_text(json.dumps([
+        {"type": "event", "name": "Transfer", "inputs": [
+            {"name": "from", "type": "address", "indexed": True},
+            {"name": "to", "type": "address", "indexed": True},
+            {"name": "value", "type": "uint256", "indexed": False}]},
+    ]))
+    yml = tmp_path / "config.yaml"
+    yml.write_text(f"""
+rpc_url: http://localhost:8545
+start_block: 100
+storage:
+  type: csv
+  path: ./out
+contracts:
+  - name: USDC
+    address: "0xA0b86991c6218b36c1d19D4a2e9Eb0cE3606eB48"
+    abi: token.json
+    events: [Transfer]
+""")
+    c = cfg.load(str(yml))
+    assert c.start_block == 100 and c.chunk_size == cfg.DEFAULT_CHUNK_SIZE
+    assert c.contracts[0].address == "0xa0b86991c6218b36c1d19d4a2e9eb0ce3606eb48"
+    assert cfg.topic0_filter(c) == (TRANSFER_TOPIC0,)
+    c2 = cfg.apply_overrides(c, start_block=5, storage_type="parquet")
+    assert c2.start_block == 5 and c2.storage_type == "parquet"
+    try:
+        cfg.apply_overrides(c, storage_type="bogus")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_csv_sink_partitions_by_event(spark, tmp_path):
+    log = _mklog([SWAPISH.topic0, "0x" + _word(2)], [_word(42), _word(7)])
+    df = decode_event(spark.createDataFrame([log], RAW_LOG_SCHEMA),
+                      SWAPISH, contract_name="Pool")
+    out = str(tmp_path / "sink")
+    write_event_csv(df.drop("amount"), out)  # csv has no decimal; hex is lossless
+    part = os.path.join(out, "contract_name=Pool", "event_name=Swapish")
+    assert os.path.isdir(part)
+    back = spark.read.option("header", True).csv(part)
+    assert back.count() == 1 and int(back.collect()[0]["tick"]) == 7
