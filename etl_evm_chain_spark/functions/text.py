@@ -115,15 +115,20 @@ def fingerprint(text: Column | str) -> Column:
 
 def shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct k-token shingles (the near-dup unit). Empty array when
-    the doc has fewer than k tokens."""
+    the doc has fewer than k tokens.
+
+    Built as zip_with over k shifted slices of the token array —
+    NOT transform+element_at, which would re-evaluate the split()
+    subexpression per element (O(k·n) splits per row instead of O(k);
+    a ~10× hot-path difference at corpus scale).
+    """
     toks = tokens(text)
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), n - k)  # 0-based start positions
-    mk = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int"))
-                                     for j in range(k)]),
-    )
-    return F.when(n >= k, F.array_distinct(mk)).otherwise(
+    length = F.greatest(n - k + 1, F.lit(0))
+    parts = [F.slice(toks, j + 1, length) for j in range(k)]
+    sh = parts[0]
+    for p in parts[1:]:
+        sh = F.zip_with(sh, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
         F.array().cast("array<string>")
     )

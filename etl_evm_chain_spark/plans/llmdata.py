@@ -265,7 +265,7 @@ ORDER BY doc_id
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dd.simhash_pairs(docs, max_hamming=6).orderBy("id_a", "id_b")
+    return dd.simhash_pairs(docs, max_hamming=6)
 
 
 def _oracle_simhash_pairs() -> str:
@@ -323,7 +323,7 @@ ORDER BY qid, rank
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.cosine_near_dup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+    return sim.cosine_near_dup_pairs(emb, threshold=0.4)
 
 
 ORACLE_EMBEDDING_NEAR_DUPS = f"""

