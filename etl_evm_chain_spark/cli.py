@@ -1,0 +1,128 @@
+"""Command-line surface mirroring the reference's entry points.
+
+- ``index``      ← `go run cmd/indexer.go --config=config.yaml`, plus
+  the documented-but-unimplemented --start-block/--rpc-url/
+  --storage-type overrides (README.md:107-114).
+- ``api``        ← `go run cmd/api.go` (REST job control plane).
+- ``meanrevert`` ← `python analytics/stable_eth_meanrevert_bot.py`
+  with the same flags/defaults (`:270-282`).
+- ``feebot``     ← `python analytics/stable_fee_ml_bot.py` defaults
+  (`:185-197` pyc).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="etl_evm_chain_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ix = sub.add_parser("index", help="decode raw logs per a YAML config")
+    ix.add_argument("--config", required=True)
+    ix.add_argument("--raw-logs", required=True,
+                    help="pre-landed raw-log parquet path")
+    ix.add_argument("--start-block", type=int)
+    ix.add_argument("--rpc-url")
+    ix.add_argument("--storage-type", choices=["csv", "parquet", "jdbc"])
+
+    ap = sub.add_parser("api", help="serve the REST job API")
+    ap.add_argument("--port", type=int, default=8080)
+
+    mr = sub.add_parser("meanrevert", help="consensus mean-reversion backtest")
+    mr.add_argument("--data", required=True, help="glob of *_Swap.csv files")
+    mr.add_argument("--freq", type=int, default=60, help="grid seconds")
+    mr.add_argument("--mode", choices=["pct", "zscore"], default="zscore")
+    mr.add_argument("--threshold", type=float, default=0.5)
+    mr.add_argument("--lookback", type=int, default=1440)
+    mr.add_argument("--entry-z", type=float, default=2.0)
+    mr.add_argument("--exit-z", type=float, default=0.5)
+    mr.add_argument("--max-hold", type=int, default=10080)
+
+    fb = sub.add_parser("feebot", help="fee-tier ML signal study")
+    fb.add_argument("--data", required=True)
+    fb.add_argument("--freq", type=int, default=10)
+    fb.add_argument("--ema-hl", type=int, default=300)
+    fb.add_argument("--std-win", type=int, default=300)
+    fb.add_argument("--sigma-min", type=float, default=0.5)
+    fb.add_argument("--horizon", type=int, default=120)
+    fb.add_argument("--target-ticks", type=float, default=2.0)
+    fb.add_argument("--prob-thr", type=float, default=0.6)
+    fb.add_argument("--out", help="signals CSV output path")
+
+    args = p.parse_args(argv)
+
+    from .session import get_spark
+    spark = get_spark(f"cli-{args.cmd}")
+
+    if args.cmd == "index":
+        from .sources import config as cfg
+        from .sources.abi import decode_event
+        from .sources.evm_logs import read_raw_logs
+        from .sources.sinks import write_event_csv, write_event_parquet
+        c = cfg.apply_overrides(cfg.load(args.config),
+                                start_block=args.start_block,
+                                rpc_url=args.rpc_url,
+                                storage_type=args.storage_type)
+        raw = read_raw_logs(spark, args.raw_logs,
+                            addresses=cfg.address_filter(c),
+                            topic0s=cfg.topic0_filter(c))
+        raw = raw.filter(f"block_number >= {c.start_block}")
+        n = 0
+        for contract in c.contracts:
+            for name, ev in contract.parsed_events.items():
+                decoded = decode_event(raw, ev, contract_name=contract.name)
+                if c.storage_type == "parquet":
+                    write_event_parquet(decoded, c.storage_path)
+                else:
+                    write_event_csv(decoded.drop(*[
+                        f.name for f in decoded.schema.fields
+                        if f.dataType.typeName() == "decimal"]), c.storage_path)
+                n += 1
+        print(f"indexed {n} event tables to {c.storage_path}")
+        return 0
+
+    if args.cmd == "api":
+        from .api import make_server
+        server = make_server(spark, args.port)
+        print(f"listening on :{args.port}")
+        server.serve_forever()
+        return 0
+
+    if args.cmd == "meanrevert":
+        from .pipelines import MeanRevertParams, meanrevert
+        trades, monthly = meanrevert(spark, args.data, MeanRevertParams(
+            freq_s=args.freq, mode=args.mode, threshold=args.threshold,
+            lookback=args.lookback, entry_z=args.entry_z,
+            exit_z=args.exit_z, max_hold=args.max_hold))
+        rows = trades.collect()
+        total_ret = sum(r["pct_return"] for r in rows)
+        print(f"trades: {len(rows)}  total pct_return: {total_ret:.4f}")
+        for r in monthly.collect()[-24:]:
+            print(f"  {r['month']}: {r['pct_return']:+.4f} ({r['n_trades']} trades)")
+        return 0
+
+    if args.cmd == "feebot":
+        from .pipelines import FeeMlParams, fee_ml
+        metrics, signals = fee_ml(spark, args.data, FeeMlParams(
+            freq_s=args.freq, ema_hl_s=args.ema_hl, std_win_s=args.std_win,
+            sigma_min=args.sigma_min, horizon_s=args.horizon,
+            target_ticks=args.target_ticks, prob_thr=args.prob_thr))
+        m = metrics.collect()[0]
+        print(json.dumps({"accuracy": m["accuracy"], "auc": m["auc"],
+                          "n_train": m["n_train"], "n_test": m["n_test"]}))
+        for r in signals.collect():
+            print(f"  {r['pool']}: {r['signal']} (prob {r['prob']:.3f})")
+        if args.out:
+            from .sources.sinks import export_signals_csv
+            export_signals_csv(signals, args.out)
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
