@@ -143,6 +143,50 @@ def verified_near_dups(docs: DataFrame, *, id_col: str = "doc_id",
     )
 
 
+def resolve_duplicates(ids: DataFrame, pairs: DataFrame, *,
+                       id_col: str = "doc_id",
+                       max_iter: int = 20) -> DataFrame:
+    """Collapse near-dup pairs into canonical groups: every id maps to
+    the MINIMUM id of its connected component (the deterministic
+    keep-rule), so downstream keeps exactly one row per group.
+
+    Distributed min-label propagation: labels flow along edges until
+    fixpoint — O(component diameter) rounds, each one shuffle on the
+    id. Near-dup components are shallow (dups of dups of the same
+    doc), so this converges in 2-3 rounds in practice; the driver only
+    orchestrates round counts (a scalar count per round, no data).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"),
+                            F.col("id_a").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = ids.select(F.col(id_col).alias("src"),
+                        F.col(id_col).alias("canonical"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("src", "dst2"),
+                       edges.dst == F.col("dst2"))
+            .groupBy("src").agg(F.min("canonical").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "src", "left")
+            .select("src",
+                    F.least("canonical", F.coalesce("nmin", "canonical"))
+                    .alias("canonical"))
+        )
+        changed = (
+            updated.alias("u").join(labels.alias("l"), "src")
+            .filter(F.col("u.canonical") != F.col("l.canonical")).count()
+        )
+        labels = updated.cache()
+        if changed == 0:
+            break
+    return labels.select(F.col("src").alias(id_col), "canonical")
+
+
 def simhash(docs: DataFrame, *, id_col: str = "doc_id",
             text_col: str = "text", bits: int = 32) -> DataFrame:
     """32-bit SimHash: per-token 32-bit hash, sign-sum each bit over

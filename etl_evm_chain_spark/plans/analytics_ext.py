@@ -1,0 +1,189 @@
+"""Extended analytics operators beyond the reference's own surface:
+sessionization, rollup/grouping sets, unpivot, and dedup resolution —
+standard warehouse operators a complete engine must carry (the
+reference gets them "for free" the day it moves to this engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import dedup as dd
+from . import QuerySpec
+
+
+# ---------------------------------------------------------------------------
+# Q47: sessionization — lag-gap cumulative session ids per user, with
+# per-session stats. One window partition per user; the standard
+# distributed sessionize (no state store needed in batch).
+# ---------------------------------------------------------------------------
+
+GAP_S = 1800  # 30-minute inactivity closes a session
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_session = F.when(gap.isNull() | (gap > GAP_S), 1).otherwise(0)
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = (
+        ev.withColumn("new_s", new_session)
+        .withColumn("session_n", F.sum("new_s").over(wc))
+    )
+    return (
+        sess.groupBy("user_id", "session_n")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_timestamp("ts")).alias("start_ts"),
+            F.max(F.unix_timestamp("ts")).alias("end_ts"),
+            (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts")))
+            .alias("duration_s"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+
+
+ORACLE_SESSIONIZE = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > {GAP_S}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_n
+  FROM g
+)
+SELECT user_id, session_n,
+       count(*) AS n_events,
+       min(CAST(floor(epoch(ts)) AS BIGINT)) AS start_ts,
+       max(CAST(floor(epoch(ts)) AS BIGINT)) AS end_ts,
+       max(CAST(floor(epoch(ts)) AS BIGINT))
+         - min(CAST(floor(epoch(ts)) AS BIGINT)) AS duration_s,
+       count(DISTINCT event_type) AS n_types
+FROM s
+GROUP BY user_id, session_n
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q48: rollup — hierarchical subtotals (returnflag → linestatus → all).
+# ---------------------------------------------------------------------------
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+            .cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n", "total_price",
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q49: unpivot (wide→long melt) — the inverse of D2, via stack().
+# ---------------------------------------------------------------------------
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    monetary = li.select(
+        "l_orderkey", "l_linenumber",
+        F.round("l_extendedprice", 2).alias("extendedprice"),
+        F.round("l_discount", 2).alias("discount"),
+        F.round("l_tax", 2).alias("tax"),
+    )
+    return monetary.selectExpr(
+        "l_orderkey", "l_linenumber",
+        "stack(3, 'extendedprice', extendedprice, 'discount', discount, "
+        "'tax', tax) AS (measure, amount)",
+    )
+
+
+ORACLE_UNPIVOT = """
+SELECT l_orderkey, l_linenumber, measure, amount
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         round(l_extendedprice, 2) AS extendedprice,
+         round(l_discount, 2) AS discount,
+         round(l_tax, 2) AS tax
+  FROM lineitem
+)
+UNPIVOT (amount FOR measure IN (extendedprice, discount, tax))
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q41: dedup resolution — near-dup pairs → canonical survivor per
+# connected component (min-label propagation vs recursive-CTE oracle).
+# ---------------------------------------------------------------------------
+
+def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.verified_near_dups(docs, threshold=0.5)
+    resolved = dd.resolve_duplicates(docs.select("doc_id"), pairs)
+    return resolved.withColumn(
+        "is_canonical", (F.col("doc_id") == F.col("canonical")).cast("int"))
+
+
+def _oracle_dedup_resolve() -> str:
+    from .llmdata import _oracle_lsh_near_dups
+
+    pairs_sql = _oracle_lsh_near_dups().replace("ORDER BY id_a, id_b", "")
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+canon AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS canonical
+  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT doc_id, canonical,
+       CAST(doc_id = canonical AS INTEGER) AS is_canonical
+FROM canon
+"""
+
+
+SPECS = [
+    QuerySpec("q41_dedup_resolve", q_dedup_resolve, _oracle_dedup_resolve(),
+              "near-dup connected components → canonical survivors",
+              ("P2-dedup",)),
+    QuerySpec("q47_sessionize", q_sessionize, ORACLE_SESSIONIZE,
+              "lag-gap sessionization + per-session stats", ("D7", "F7")),
+    QuerySpec("q48_rollup", q_rollup, ORACLE_ROLLUP,
+              "hierarchical rollup subtotals", ("D12",)),
+    QuerySpec("q49_unpivot", q_unpivot, ORACLE_UNPIVOT,
+              "wide→long unpivot (stack)", ("D2", "F3")),
+]

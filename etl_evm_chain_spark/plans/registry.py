@@ -3,9 +3,9 @@
 from __future__ import annotations
 
 from . import QuerySpec
-from . import evm, llmdata, relational, stateful, timeseries_q
+from . import analytics_ext, evm, llmdata, relational, stateful, timeseries_q
 
-_MODULES = [relational, timeseries_q, stateful, llmdata, evm]
+_MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext]
 
 
 def all_specs() -> list[QuerySpec]:

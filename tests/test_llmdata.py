@@ -73,3 +73,15 @@ def test_brute_force_topk_self_excluded(spark):
     for qid in (0, 1, 2):
         ranks = sorted(r["rank"] for r in out if r["qid"] == qid)
         assert ranks == [1, 2, 3, 4]
+
+
+def test_resolve_duplicates_transitive_chain(spark):
+    # components: {1,2,3} (chain via 1-2, 2-3) and {7,9}; 5 untouched
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 7, 9)],
+                                "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8), (7, 9, 0.95)],
+        "id_a long, id_b long, jaccard double")
+    out = {r["doc_id"]: r["canonical"]
+           for r in dd.resolve_duplicates(ids, pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 9: 7}

@@ -35,7 +35,8 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c], utc=True).dt.tz_localize(None)
         elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # null-aware stringify: None vs np.nan must normalize the same
+            df[c] = df[c].map(lambda v: "<NULL>" if pd.isna(v) else str(v))
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
         elif pd.api.types.is_integer_dtype(df[c]):
