@@ -133,6 +133,56 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, *,
     )
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, *,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             k: int = 5, n_cells: int = 16, n_probe: int = 4) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    Coarse quantizer = ``n_cells`` centroid vectors sampled
+    deterministically from the corpus (every ⌈n/n_cells⌉-th id — no
+    training step, no stored model). Each corpus vector is assigned to
+    its nearest centroid (one broadcast-join pass); each query probes
+    its ``n_probe`` nearest cells, so the exact kernel touches
+    ~n_probe/n_cells of the corpus. With k-means centroids this
+    becomes classical IVF; the plumbing (assign → probe → per-cell
+    kernel) is identical, which is the part that matters at 100 TB.
+    """
+    w = Window.orderBy(id_col)
+    numbered = corpus.withColumn("_rn", F.row_number().over(w) - 1)
+    n = corpus.count()
+    stride = max(1, n // n_cells)
+    cents = (
+        numbered.filter((F.col("_rn") % stride == 0) & (F.col("_rn") / stride < n_cells))
+        .select((F.col("_rn") / stride).cast("int").alias("cell"),
+                F.col(vec_col).alias("cvec_cent"))
+    )
+
+    def nearest_cells(df: DataFrame, vec: str, keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)) \
+            .withColumn("_sim", cosine(vec, "cvec_cent")).drop("cvec_cent")
+        ww = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell"))
+        return (scored.withColumn("_cr", F.row_number().over(ww))
+                .filter(F.col("_cr") <= keep).drop("_cr", "_sim"))
+
+    assigned = nearest_cells(corpus, vec_col, 1) \
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), "cell")
+    probed = nearest_cells(queries, vec_col, n_probe) \
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"), "cell")
+
+    scored = (
+        assigned.join(F.broadcast(probed), "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("sim", cosine("qvec", "cvec"))
+        .dropDuplicates(["qid", "cid"])
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", F.round("sim", 6).alias("sim"), "rank")
+    )
+
+
 def cosine_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           threshold: float = 0.4,

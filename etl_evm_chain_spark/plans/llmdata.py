@@ -353,6 +353,12 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ann_topk(emb, queries, k=5).orderBy("qid", "rank")
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.ivf_topk(emb, queries, k=5).orderBy("qid", "rank")
+
+
 SPECS = [
     QuerySpec("q30_doc_stats", q_doc_stats, ORACLE_DOC_STATS,
               "per-document token/punct/stopword stats + quality score", ("P2-text",)),
@@ -376,4 +382,6 @@ SPECS = [
               "embedding-cosine near-dup pairs", ("P2-dedup", "P2-sim")),
     QuerySpec("q40_ann_topk", q_ann_topk, None,
               "LSH-bucketed approximate top-k (recall-tested)", ("P2-sim",)),
+    QuerySpec("q42_ivf_topk", q_ivf_topk, None,
+              "IVF-cell approximate top-k (recall-tested)", ("P2-sim",)),
 ]

@@ -85,3 +85,19 @@ def test_resolve_duplicates_transitive_chain(spark):
     out = {r["doc_id"]: r["canonical"]
            for r in dd.resolve_duplicates(ids, pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 9: 7}
+
+
+def test_ivf_recall_against_brute_force(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {(r["qid"], r["cid"])
+             for r in sim.brute_force_topk(emb, queries, k=5).collect()}
+    approx = sim.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4).collect()
+    approx_set = {(r["qid"], r["cid"]) for r in approx}
+    recall = len(exact & approx_set) / len(exact)
+    # probing 4/16 cells on uniform-random vectors: recall well above
+    # the 25%-of-corpus floor because neighbors share cells
+    assert recall >= 0.3, f"recall {recall:.2f}"
+    for qid in range(20):
+        ranks = sorted(r["rank"] for r in approx if r["qid"] == qid)
+        assert ranks == list(range(1, len(ranks) + 1))

@@ -1,0 +1,78 @@
+"""Property-based tests (hypothesis): invariants that must hold for
+ANY input series, not just the fixtures — the test strategy the
+reference lacks entirely (SURVEY §5)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_evm_chain_spark.operators import backtest as bt
+from etl_evm_chain_spark.functions.timeseries import resample_ffill
+
+SETTINGS = dict(max_examples=12, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+series_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5000),      # ts seconds
+        st.floats(min_value=-1e4, max_value=1e4,
+                  allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1, max_size=60, unique_by=lambda t: t[0],
+)
+
+
+@given(series_strategy)
+@settings(**SETTINGS)
+def test_resample_ffill_invariants(spark, series):
+    df = spark.createDataFrame(
+        [("k", t, v) for t, v in series], "key string, t long, v double"
+    ).selectExpr("key", "timestamp_seconds(t) AS ts", "v")
+    out = resample_ffill(df, ts="ts", key="key", value="v", seconds=60) \
+        .orderBy("bucket_ts").collect()
+    # dense: buckets are contiguous at 60s spacing
+    buckets = [r["bucket_ts"] for r in out]
+    for a, b in zip(buckets, buckets[1:]):
+        assert (b - a).total_seconds() == 60
+    # no nulls after ffill (grid starts at first observation)
+    assert all(r["v"] is not None for r in out)
+    # every output value is one of the input values (last-obs carry)
+    vals = {v for _, v in series}
+    assert all(r["v"] in vals for r in out)
+
+
+@given(series_strategy, st.floats(min_value=0.5, max_value=50))
+@settings(**SETTINGS)
+def test_fsm_pct_trade_invariants(spark, series, threshold):
+    df = spark.createDataFrame(
+        [("p", t, 100.0 + abs(v) / 100, v / 100) for t, v in series],
+        "pool string, ts long, price double, dev double")
+    trades = bt.meanrevert_fsm_pct(df, threshold=threshold) \
+        .orderBy("entry_ts").collect()
+    for t in trades:
+        assert t["exit_ts"] > t["entry_ts"]
+        assert t["side"] in ("long", "short")
+        assert t["entry_price"] > 0 and t["exit_price"] > 0
+    # positions never overlap in time
+    for a, b in zip(trades, trades[1:]):
+        assert b["entry_ts"] >= a["exit_ts"]
+
+
+@given(st.lists(st.floats(min_value=-100, max_value=100,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=40),
+       st.floats(min_value=1.1, max_value=20))
+@settings(**SETTINGS)
+def test_ewm_matches_pandas_on_random_series(spark, vals, halflife):
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)], "key string, t long, v double")
+    got = [r["ewm"] for r in
+           bt.ewm_mean(df, value="v", key="key", order="t",
+                       halflife=halflife, min_periods=1).orderBy("t").collect()]
+    alpha = 1.0 - 0.5 ** (1.0 / halflife)
+    expected = pd.Series(vals).ewm(alpha=alpha, adjust=False, min_periods=1).mean()
+    for g, e in zip(got, expected):
+        assert g == pytest.approx(e, rel=1e-12, abs=1e-12)

@@ -46,6 +46,8 @@ ALLOW: dict[str, set[str]] = {
     # broadcast query side); ANN is its bucketed scale path
     "q38_embedding_topk": {"nested_loop"},
     "q40_ann_topk": {"nested_loop"},
+    # coarse-quantizer scan vs n_cells broadcast centroids (bounded)
+    "q42_ivf_topk": {"nested_loop"},
 }
 
 FLAGS = {
