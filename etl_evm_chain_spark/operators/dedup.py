@@ -188,9 +188,10 @@ def resolve_duplicates(ids: DataFrame, pairs: DataFrame, *,
 
 
 def simhash(docs: DataFrame, *, id_col: str = "doc_id",
-            text_col: str = "text", bits: int = 32) -> DataFrame:
-    """32-bit SimHash: per-token 32-bit hash, sign-sum each bit over
-    all token occurrences, set bit where the sum is positive.
+            text_col: str = "text", bits: int = 60) -> DataFrame:
+    """60-bit SimHash: per-token 60-bit hash (15-hex md5 prefix — the
+    widest that fits a signed long), sign-sum each bit over all token
+    occurrences, set bit where the sum is positive.
 
     Integer-only arithmetic → bit-identical in any engine. One explode
     + one groupBy(id) with `bits` sum() aggregates (map-side combined).
@@ -198,7 +199,7 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id",
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, (bits + 3) // 4), 16, 10).cast("long"))
     bit_sums = [
         F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1)
                .otherwise(-1)).alias(f"b{j}")
@@ -214,16 +215,18 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id",
 
 def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                   text_col: str = "text",
-                  max_hamming: int = 6, bits: int = 32,
-                  n_bands: int = 8) -> DataFrame:
+                  max_hamming: int = 5, bits: int = 60,
+                  n_bands: int = 6) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance — banded, not crossed.
 
     Pigeonhole: a pair within Hamming ≤ n_bands−1 must share at least
     one of n_bands equal-width bit bands untouched, so an equi-join on
     (band_id, band_bits) finds every such pair without the O(n²)
-    cross join. With 8 four-bit bands this is lossless for
-    max_hamming ≤ 7; the exact bit_count filter then prunes false
-    candidates. At scale the join shuffles on small integer keys only.
+    cross join. With 6 ten-bit bands (1024 values each) this is
+    lossless for max_hamming ≤ 5 AND selective — narrow bands turn the
+    band join itself into a near-cross-join on low-entropy corpora.
+    The exact bit_count filter then prunes false candidates. At scale
+    the join shuffles on small integer keys only.
     """
     if max_hamming > n_bands - 1:
         raise ValueError(

@@ -238,7 +238,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(docs).orderBy("doc_id")
 
 
-def _oracle_simhash(bits: int = 32) -> str:
+def _oracle_simhash(bits: int = 60) -> str:
     sums = ",\n         ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
         for j in range(bits)
@@ -247,11 +247,12 @@ def _oracle_simhash(bits: int = 32) -> str:
         f"CASE WHEN b{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         for j in range(bits)
     )
+    nh = (bits + 3) // 4
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
 ),
-h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h FROM toks),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, {nh}) AS BIGINT) AS h FROM toks),
 bits AS (
   SELECT doc_id,
          {sums}
@@ -265,7 +266,7 @@ ORDER BY doc_id
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dd.simhash_pairs(docs, max_hamming=6)
+    return dd.simhash_pairs(docs, max_hamming=5)
 
 
 def _oracle_simhash_pairs() -> str:
@@ -275,7 +276,7 @@ WITH sh AS ({inner})
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
 ORDER BY id_a, id_b
 """
 
@@ -373,7 +374,7 @@ SPECS = [
     QuerySpec("q35_lsh_near_dups", q_lsh_near_dups, _oracle_lsh_near_dups(),
               "banded-LSH candidates + exact Jaccard verification", ("P2-dedup",)),
     QuerySpec("q36_simhash", q_simhash, _oracle_simhash(),
-              "32-bit SimHash sketch", ("P2-dedup",)),
+              "60-bit SimHash sketch", ("P2-dedup",)),
     QuerySpec("q37_simhash_pairs", q_simhash_pairs, _oracle_simhash_pairs(),
               "SimHash Hamming near-dup pairs", ("P2-dedup",)),
     QuerySpec("q38_embedding_topk", q_embedding_topk, ORACLE_EMBEDDING_TOPK,
