@@ -58,6 +58,16 @@ def main(argv: list[str] | None = None) -> int:
     from .session import get_spark
     spark = get_spark(f"cli-{args.cmd}")
 
+    try:
+        return _run(args, spark)
+    except Exception as e:  # noqa: BLE001 — surface a clean one-liner, not a JVM trace
+        msg = str(e).split("\n", 1)[0]
+        print(f"error: {msg}", file=sys.stderr)
+        return 2
+
+
+def _run(args, spark) -> int:
+
     if args.cmd == "index":
         from .sources import config as cfg
         from .sources.abi import decode_event
