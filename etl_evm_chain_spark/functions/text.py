@@ -113,6 +113,52 @@ def fingerprint(text: Column | str) -> Column:
     return hash15(normalized)
 
 
+def subtoken_count(text: Column | str) -> Column:
+    """BPE-ish token estimate: word pieces + standalone non-space
+    symbols, via regexp_extract_all (portable RE subset)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(F.lower(c),
+                                       F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0))
+
+
+def winnow_fingerprints(df, *, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 8,
+                        w: int = 4):
+    """Winnowing document fingerprints (the rolling-hash scheme of
+    Schleimer/Wilkerson/Aiken): hash every k-char gram of the
+    normalized text, keep the minimum hash of each w-gram window,
+    emit the distinct selected fingerprints per document.
+
+    Implementation: build the gram-hash array ONCE per row, explode
+    with position, window-min over the next w rows per doc, distinct.
+    (Computing window minima inside array lambdas would re-evaluate
+    the gram array per window — the explode+window form keeps it
+    linear and gives Spark an honest shuffle boundary to parallelize
+    long documents.)
+    """
+    from pyspark.sql import Window
+
+    c = F.lower(F.trim(F.col(text_col)))
+    n_grams = F.length(c) - k + 1
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(0))),
+        lambda i: hash15(c.substr(i, F.lit(k))),
+    )
+    exploded = (
+        df.select(F.col(id_col), F.posexplode(grams).alias("pos", "h"))
+    )
+    win = Window.partitionBy(id_col).orderBy("pos") \
+                .rowsBetween(0, w - 1)
+    fps = (
+        exploded.withColumn("_n", F.count("h").over(Window.partitionBy(id_col)))
+        .withColumn("fp", F.min("h").over(win))
+        .filter(F.col("pos") <= F.col("_n") - w)  # pos is 0-based
+        .select(id_col, "fp")
+        .distinct()
+    )
+    return fps
+
+
 def shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct k-token shingles (the near-dup unit). Empty array when
     the doc has fewer than k tokens.

@@ -47,9 +47,12 @@ def _sql_hash15(expr: str) -> str:
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    from ..functions.text import subtoken_count
+
     return docs.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
+        subtoken_count("text").alias("n_subtokens"),
         F.round(punct_ratio("text"), 6).alias("punct_ratio"),
         F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
         F.round(avg_token_len("text"), 6).alias("avg_token_len"),
@@ -68,6 +71,7 @@ WITH base AS (
 )
 SELECT doc_id,
        len(t) AS n_tokens,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_subtokens,
        round(praw, 6) AS punct_ratio,
        round(sraw, 6) AS stopword_ratio,
        round(list_aggregate(list_transform(t, x -> length(x)), 'sum')::DOUBLE / len(t), 6)
@@ -360,6 +364,57 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, queries, k=5).orderBy("qid", "rank")
 
 
+# ---------------------------------------------------------------------------
+# Q50: winnowing fingerprints — the rolling-hash document
+# fingerprinting scheme (k-gram hashes, min per w-window, distinct).
+# ---------------------------------------------------------------------------
+
+WINNOW_K, WINNOW_W = 8, 4
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+        F.sum(F.col("fp") % 1000000000).alias("fp_checksum"),
+    )
+
+
+ORACLE_WINNOW = f"""
+WITH norm AS (
+  SELECT doc_id, lower(trim(text)) AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(t) - {WINNOW_K} + 1, 0) + 1),
+                        i -> {_sql_hash15(f"substr(t, CAST(i AS INTEGER), {WINNOW_K})")}) AS g
+  FROM norm
+),
+pos AS (
+  SELECT doc_id, unnest(g) AS h, unnest(range(0, len(g))) AS pos FROM grams
+),
+winmin AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM pos
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM winmin WHERE pos <= n - {WINNOW_W}
+)
+SELECT doc_id, count(*) AS n_fps, min(fp) AS min_fp, max(fp) AS max_fp,
+       CAST(sum(fp % 1000000000) AS BIGINT) AS fp_checksum
+FROM fps
+GROUP BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("q30_doc_stats", q_doc_stats, ORACLE_DOC_STATS,
               "per-document token/punct/stopword stats + quality score", ("P2-text",)),
@@ -385,4 +440,6 @@ SPECS = [
               "LSH-bucketed approximate top-k (recall-tested)", ("P2-sim",)),
     QuerySpec("q42_ivf_topk", q_ivf_topk, None,
               "IVF-cell approximate top-k (recall-tested)", ("P2-sim",)),
+    QuerySpec("q50_winnow_fingerprints", q_winnow_fingerprints, ORACLE_WINNOW,
+              "winnowing rolling-hash document fingerprints", ("P2-text",)),
 ]

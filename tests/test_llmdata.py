@@ -101,3 +101,22 @@ def test_ivf_recall_against_brute_force(spark):
     for qid in range(20):
         ranks = sorted(r["rank"] for r in approx if r["qid"] == qid)
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_winnow_fingerprints_detect_shared_content(spark):
+    from etl_evm_chain_spark.functions.text import winnow_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " with a small suffix appended"),
+         (3, "totally different material that shares nothing at all here")],
+        "doc_id long, text string")
+    fps = winnow_fingerprints(docs, k=8, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # doc2 contains doc1 → high fingerprint overlap; doc3 near-zero
+    inter12 = len(by_doc[1] & by_doc[2]) / len(by_doc[1])
+    inter13 = len(by_doc[1] & by_doc[3]) / len(by_doc[1])
+    assert inter12 > 0.8
+    assert inter13 < 0.2
