@@ -200,12 +200,16 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id",
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, (bits + 3) // 4), 16, 10).cast("long"))
+    # Pre-aggregate occurrence counts per distinct token hash: the
+    # `bits`-wide CASE-sum stage then runs over |vocab| rows per doc
+    # instead of |tokens| — a large constant win on natural text.
+    counted = toks.groupBy(id_col, "h").agg(F.count(F.lit(1)).alias("cnt"))
     bit_sums = [
-        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1)
-               .otherwise(-1)).alias(f"b{j}")
+        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1,
+                     F.col("cnt")).otherwise(-F.col("cnt"))).alias(f"b{j}")
         for j in range(bits)
     ]
-    agg = toks.groupBy(id_col).agg(*bit_sums)
+    agg = counted.groupBy(id_col).agg(*bit_sums)
     sh = sum(
         F.when(F.col(f"b{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
         for j in range(bits)

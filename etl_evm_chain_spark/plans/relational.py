@@ -525,7 +525,7 @@ SPECS = [
     QuerySpec("q06_dedup_by_key", q_dedup_by_key, ORACLE_DEDUP_BY_KEY,
               "deterministic dedup by key (drop_duplicates)", ("C6",)),
     QuerySpec("q07_coerce_props", q_coerce_props, ORACLE_COERCE_PROPS,
-              "coercing cast + regex extraction", ("B5", "F6")),
+              "coercing cast + regex extraction", ("B4", "B5", "F6")),
     QuerySpec("q08_derived_price", q_derived_price, ORACLE_DERIVED_PRICE,
               "tick→price/pct derivations + clip/abs math surface", ("B7", "B8", "F8", "F9")),
     QuerySpec("q09_polarity_normalize", q_polarity_normalize, ORACLE_POLARITY_NORMALIZE,

@@ -374,7 +374,7 @@ ORDER BY event_type, bucket
 
 SPECS = [
     QuerySpec("q16_resample_last", q_resample_last, ORACLE_RESAMPLE_LAST,
-              "tumbling-window downsample keeping last observation", ("D1", "H3")),
+              "tumbling-window downsample keeping last observation", ("B6", "D1", "H3")),
     QuerySpec("q17_asof_ffill", q_asof_ffill, ORACLE_ASOF_FFILL,
               "dense grid + forward-fill (as-of alignment)", ("C5", "D3")),
     QuerySpec("q18_pivot_wide", q_pivot_wide, ORACLE_PIVOT_WIDE,
@@ -386,7 +386,7 @@ SPECS = [
     QuerySpec("q21_lead_label", q_lead_label, ORACLE_LEAD_LABEL,
               "future-horizon max labeling", ("D10", "B13")),
     QuerySpec("q22_multiway_ts_join", q_multiway_ts_join, ORACLE_MULTIWAY_TS_JOIN,
-              "multi-way inner join on time key", ("C4",)),
+              "multi-way inner join on time key", ("C4", "F5")),
     QuerySpec("q23_signal_gate", q_signal_gate, ORACLE_SIGNAL_GATE,
               "threshold entry signals from z-scores", ("B11", "B12", "B14")),
 ]
