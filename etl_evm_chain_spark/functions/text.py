@@ -140,12 +140,18 @@ def winnow_fingerprints(df, *, id_col: str = "doc_id",
 
     c = F.lower(F.trim(F.col(text_col)))
     n_grams = F.length(c) - k + 1
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(0))),
-        lambda i: hash15(c.substr(i, F.lit(k))),
-    )
+    # Explode gram START POSITIONS, not precomputed hashes: hashing
+    # inside an array lambda would re-evaluate the lower(trim(text))
+    # normalization per element (O(n²) string churn per doc). Here the
+    # normalized text materializes once per input row, each exploded
+    # row slices+hashes its own gram, and only (id, pos, h) reaches
+    # the window shuffle.
     exploded = (
-        df.select(F.col(id_col), F.posexplode(grams).alias("pos", "h"))
+        df.select(F.col(id_col), c.alias("_norm"),
+                  F.posexplode(F.sequence(F.lit(1), F.greatest(n_grams, F.lit(0))))
+                  .alias("pos", "_i"))
+        .select(F.col(id_col), "pos",
+                hash15(F.col("_norm").substr(F.col("_i"), F.lit(k))).alias("h"))
     )
     win = Window.partitionBy(id_col).orderBy("pos") \
                 .rowsBetween(0, w - 1)
