@@ -3,9 +3,10 @@
 from __future__ import annotations
 
 from . import QuerySpec
-from . import analytics_ext, evm, llmdata, relational, stateful, timeseries_q
+from . import analytics_ext, evm, llmdata, relational, stateful, timeseries_q, warehouse
 
-_MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext]
+_MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
+            warehouse]
 
 
 def all_specs() -> list[QuerySpec]:

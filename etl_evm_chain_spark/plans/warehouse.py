@@ -1,0 +1,159 @@
+"""Warehouse-maintenance queries: MERGE upsert, column profiling,
+approximate aggregates — operators a complete engine must carry even
+though the reference never had them (its MySQL-sink aspiration implies
+exactly this maintenance surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.merge import merge_upsert
+from . import QuerySpec
+
+
+# ---------------------------------------------------------------------------
+# Q51: MERGE upsert — target=orders, source=synthesized change set
+# (every 7th order re-priced + brand-new keys), emulated via
+# anti-join + union; oracle = the same semantics in plain SQL.
+# ---------------------------------------------------------------------------
+
+def _change_set(orders: DataFrame) -> DataFrame:
+    updates = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        # floor-to-cents, not round(): engine round() algorithms diverge
+        # near half-cent boundaries (see relational.py parity notes)
+        .withColumn("o_totalprice",
+                    F.floor(F.col("o_totalprice") * 1.1 * 100) / 100)
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    inserts = (
+        orders.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    return updates.unionByName(inserts)
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    merged = merge_upsert(orders, _change_set(orders), key="o_orderkey")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double")
+        .alias("total"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+ORACLE_MERGE_UPSERT = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         round(o_totalprice, 2) AS o_totalprice
+  FROM orders
+),
+changes AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         floor(round(o_totalprice, 2) * 1.1 * 100) / 100 AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, 'N' AS o_orderstatus,
+         round(o_totalprice, 2) AS o_totalprice
+  FROM orders WHERE o_orderkey % 13 = 0
+),
+merged AS (
+  SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+  UNION ALL
+  SELECT * FROM changes
+)
+SELECT o_orderstatus, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM merged
+GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q52: column profiling — null rates / bounds / distincts per column,
+# one pass (the data-quality prerequisite of any training pipeline).
+# ---------------------------------------------------------------------------
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[e for col in ("l_quantity", "l_extendedprice", "l_discount")
+          for e in (
+              F.count(col).alias(f"{col}_nonnull"),
+              F.round(F.min(col), 4).alias(f"{col}_min"),
+              F.round(F.max(col), 4).alias(f"{col}_max"),
+          )],
+        F.countDistinct("l_returnflag").alias("returnflag_distinct"),
+        F.countDistinct("l_suppkey").alias("suppkey_distinct"),
+    )
+    # long-form output: one row per (column, metric)
+    pairs = []
+    for c in stats.columns:
+        pairs += [F.lit(c), F.col(c).cast("double")]
+    return stats.select(
+        F.explode(F.create_map(*pairs)).alias("metric", "value")
+    ).withColumn("value", F.round("value", 4))
+
+
+ORACLE_PROFILE_COLUMNS = """
+WITH s AS (
+  SELECT count(*) AS n_rows,
+         count(l_quantity) AS l_quantity_nonnull,
+         round(min(l_quantity), 4) AS l_quantity_min,
+         round(max(l_quantity), 4) AS l_quantity_max,
+         count(l_extendedprice) AS l_extendedprice_nonnull,
+         round(min(l_extendedprice), 4) AS l_extendedprice_min,
+         round(max(l_extendedprice), 4) AS l_extendedprice_max,
+         count(l_discount) AS l_discount_nonnull,
+         round(min(l_discount), 4) AS l_discount_min,
+         round(max(l_discount), 4) AS l_discount_max,
+         count(DISTINCT l_returnflag) AS returnflag_distinct,
+         count(DISTINCT l_suppkey) AS suppkey_distinct
+  FROM lineitem
+)
+SELECT u.metric, round(CAST(u.value AS DOUBLE), 4) AS value
+FROM s
+UNPIVOT (value FOR metric IN (
+  n_rows, l_quantity_nonnull, l_quantity_min, l_quantity_max,
+  l_extendedprice_nonnull, l_extendedprice_min, l_extendedprice_max,
+  l_discount_nonnull, l_discount_min, l_discount_max,
+  returnflag_distinct, suppkey_distinct)) AS u(metric, value)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q53: approximate aggregates (HLL distinct, quantile sketch) —
+# rows-only: sketch implementations differ across engines by design;
+# pytest bounds them against exact values instead.
+# ---------------------------------------------------------------------------
+
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
+        .alias("price_quantiles"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SPECS = [
+    QuerySpec("q51_merge_upsert", q_merge_upsert, ORACLE_MERGE_UPSERT,
+              "MERGE INTO emulation (anti-join + union upsert)", ("F3", "C4")),
+    QuerySpec("q52_profile_columns", q_profile_columns, ORACLE_PROFILE_COLUMNS,
+              "one-pass column profiling (nulls/bounds/distincts)", ("D13", "D15")),
+    QuerySpec("q53_approx_stats", q_approx_stats, None,
+              "approximate distincts + quantile sketches", ("D15",)),
+]

@@ -1,0 +1,52 @@
+"""Warehouse operators: MERGE upsert semantics, SCD2, approximate
+aggregate accuracy bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_evm_chain_spark.catalog import load_table
+from etl_evm_chain_spark.operators.merge import merge_scd2, merge_upsert
+
+from conftest import SF_SMALL
+
+
+def test_merge_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double")
+    source = spark.createDataFrame(
+        [(2, "b2", 25.0), (4, "d", 40.0)], "k long, name string, v double")
+    got = {r["k"]: (r["name"], r["v"])
+           for r in merge_upsert(target, source, key="k").collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 25.0),
+                   3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_merge_scd2_versions(spark):
+    current = spark.createDataFrame(
+        [(1, "x", 100, None), (2, "y", 100, None), (1, "old", 50, 100)],
+        "k long, val string, valid_from long, valid_to long")
+    updates = spark.createDataFrame(
+        [(1, "x2", 200)], "k long, val string, ts long")
+    out = merge_scd2(current, updates, key="k", ts_col="ts")
+    rows = {(r["k"], r["val"]): (r["valid_from"], r["valid_to"])
+            for r in out.collect()}
+    assert rows[(1, "old")] == (50, 100)      # historical row untouched
+    assert rows[(1, "x")] == (100, 200)       # open row closed at update ts
+    assert rows[(1, "x2")] == (200, None)     # new open version
+    assert rows[(2, "y")] == (100, None)      # unrelated key untouched
+
+
+def test_approx_stats_within_bounds(spark):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    approx = li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("a"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
+    ).collect()[0]
+    exact = li.agg(
+        F.countDistinct("l_partkey").alias("e"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("m"),
+    ).collect()[0]
+    assert abs(approx["a"] - exact["e"]) / exact["e"] < 0.05
+    assert abs(approx["p50"] - exact["m"]) / exact["m"] < 0.05
