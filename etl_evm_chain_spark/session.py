@@ -56,6 +56,11 @@ def get_spark(app_name: str = "etl_evm_chain_spark", *, cpus: str | None = None,
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        # local mode = the driver JVM is the whole cluster; the 1g
+        # default evicts task-result blocks under load (TaskResultLost).
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.maxResultSize", "8g")
         # Shuffle sizing: ~cores locally; AQE coalesces upward-sized counts.
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
