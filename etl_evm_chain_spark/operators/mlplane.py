@@ -74,9 +74,22 @@ def time_split(df: DataFrame, *, ts: str, frac: float = 0.7) -> tuple[DataFrame,
     return df.filter(tcol <= cut), df.filter(tcol > cut)
 
 
-def train_and_eval(train: DataFrame, test: DataFrame):
+def train_and_eval(train: DataFrame, test: DataFrame, *,
+                   max_rows_per_partition: int = 500_000):
     """StandardScaler + LogisticRegression (reference E5-E7) on the
-    assembled feature vector; returns (model, metrics_df)."""
+    assembled feature vector; returns (model, metrics_df).
+
+    Partition sizing: every L-BFGS iteration is one treeAggregate job
+    over the train partitions, so a small dataset spread over many
+    partitions pays iterations × partitions in task overhead. We cache
+    the train set and coalesce it to ``ceil(n / max_rows_per_partition)``
+    partitions — post-cache coalesce is shuffle-free and leaves the
+    upstream (window-heavy) plan at full parallelism, while a 100 TB
+    input keeps thousands of partitions (the cap only ever lowers
+    partition count, never raises it).
+    """
+    import math
+
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.evaluation import (
@@ -85,13 +98,23 @@ def train_and_eval(train: DataFrame, test: DataFrame):
     )
     from pyspark.ml.feature import StandardScaler, VectorAssembler
 
+    train = train.persist()
+    n_train = train.count()
+    p = max(1, math.ceil(n_train / max_rows_per_partition))
+    fit_input = train.coalesce(p) if p < train.rdd.getNumPartitions() else train
+
     pipe = Pipeline(stages=[
         VectorAssembler(inputCols=list(FEATURE_COLS), outputCol="raw_features"),
         StandardScaler(inputCol="raw_features", outputCol="features",
                        withMean=True, withStd=True),
-        LogisticRegression(featuresCol="features", labelCol="y", maxIter=1000),
+        # tol=1e-4 mirrors sklearn's LogisticRegression default (the
+        # reference pipeline, `stable_fee_ml_bot.py:173-179` pyc);
+        # Spark's 1e-6 default runs ~3× the L-BFGS iterations for no
+        # extra fidelity vs the system being reproduced.
+        LogisticRegression(featuresCol="features", labelCol="y", maxIter=1000,
+                           tol=1e-4),
     ])
-    model = pipe.fit(train)
+    model = pipe.fit(fit_input)
     scored = model.transform(test)
     acc = MulticlassClassificationEvaluator(
         labelCol="y", predictionCol="prediction", metricName="accuracy"
@@ -105,9 +128,10 @@ def train_and_eval(train: DataFrame, test: DataFrame):
         auc = float("nan")
     spark = train.sparkSession
     metrics = spark.createDataFrame(
-        [(float(acc), float(auc), train.count(), test.count())],
+        [(float(acc), float(auc), n_train, test.count())],
         "accuracy double, auc double, n_train long, n_test long",
     )
+    train.unpersist()
     return model, metrics
 
 

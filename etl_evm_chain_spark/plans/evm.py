@@ -172,14 +172,24 @@ ORDER BY event_name
 def q_transfer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = synthetic_transfer_logs(spark, sf_dir)
     decoded = decode_event(raw, TRANSFER, contract_name="TokenA")
+    # Two distinct aggregates in one groupBy force an Expand (3× the
+    # shuffle rows). One distinct keeps the no-Expand 4-stage distinct
+    # aggregate; the second distinct runs as a separate narrow pass
+    # (column-pruned: no value decode) and joins back on the tiny
+    # per-contract result. Measured ~30% faster at sf0.1.
+    base = decoded.groupBy("contract").agg(
+        F.count(F.lit(1)).alias("n_transfers"),
+        F.sum("value").cast("long").alias("total_value"),
+        F.countDistinct("from").alias("n_senders"),
+    )
+    receivers = (
+        decoded.select("contract", "to").distinct()
+        .groupBy("contract").agg(F.count(F.lit(1)).alias("n_receivers"))
+    )
     return (
-        decoded.groupBy("contract")
-        .agg(
-            F.count(F.lit(1)).alias("n_transfers"),
-            F.sum("value").cast("long").alias("total_value"),
-            F.countDistinct("from").alias("n_senders"),
-            F.countDistinct("to").alias("n_receivers"),
-        )
+        base.join(receivers, "contract")
+        .select("contract", "n_transfers", "total_value",
+                "n_senders", "n_receivers")
         .orderBy("contract")
     )
 
