@@ -88,6 +88,29 @@ def windowed_counts(events: DataFrame, *, ts_col: str, key: str,
     )
 
 
+def session_stats(events: DataFrame, *, ts_col: str, key: str,
+                  gap: str = "30 minutes",
+                  watermark: str = "10 minutes") -> DataFrame:
+    """Event-time sessionization (the streaming twin of the batch
+    lag-gap sessionize in plans/analytics_ext.py): ``session_window``
+    merges events closer than ``gap`` into one growing window per key,
+    and the watermark both admits late events and bounds state — a
+    session closes (and emits) once the watermark passes its end.
+
+    Works identically in batch (returns closed sessions immediately),
+    so the same plan serves backfill and live."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("session"),
+                 F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("total_value"))
+        .select(key, F.col("session.start").alias("session_start"),
+                F.col("session.end").alias("session_end"), "n_events",
+                "total_value")
+    )
+
+
 SIGNAL_SCHEMA = (
     "pool string, ts long, side string, z double, action string"
 )

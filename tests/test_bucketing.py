@@ -1,0 +1,56 @@
+"""Bucketed-table co-location: the join must plan with zero Exchange."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_evm_chain_spark.catalog import load_table
+from etl_evm_chain_spark.functions.bucketing import (
+    colocated_join,
+    exchange_count,
+    write_bucketed,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("bucketed")
+    write_bucketed(load_table(spark, SF, "orders"),
+                   table="b_orders", key="o_orderkey", buckets=8,
+                   path=str(base / "orders"))
+    write_bucketed(
+        load_table(spark, SF, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"),
+        table="b_lineitem", key="o_orderkey", buckets=8,
+        path=str(base / "lineitem"))
+    yield
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_colocated_join_has_no_shuffle(spark, bucketed):
+    joined = colocated_join(spark, "b_lineitem", "b_orders", "o_orderkey")
+    agg = joined.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    # join on the bucket key: both scans are pre-partitioned → 0 Exchange;
+    # the follow-on groupBy on the same key reuses the bucketing too
+    assert exchange_count(agg) == 0
+
+
+def test_colocated_join_matches_plain_join(spark, bucketed):
+    joined = colocated_join(spark, "b_lineitem", "b_orders", "o_orderkey")
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders")
+    plain = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    assert joined.count() == plain.count()
+
+
+def test_unbucketed_join_does_shuffle(spark):
+    li = load_table(spark, SF, "lineitem").hint("merge")
+    orders = load_table(spark, SF, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey) \
+        .groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    assert exchange_count(j) > 0

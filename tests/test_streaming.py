@@ -100,3 +100,52 @@ def test_live_signal_fsm_state_across_batches(spark, tmp_path):
                   key=lambda r: r["ts"])
     actions = [(r["action"], r["ts"], r["side"]) for r in rows]
     assert actions == [("OPEN", 1, "long"), ("CLOSE", 3, "long")]
+
+
+def test_session_window_stream(spark, tmp_path):
+    src = str(tmp_path / "sess")
+    rows = [
+        # user a: two events 10 s apart (one session), then a 120 s gap
+        # (second session); user b: one event
+        (1, "2024-01-01 00:00:00", "a", 1.0),
+        (2, "2024-01-01 00:00:10", "a", 2.0),
+        (3, "2024-01-01 00:02:30", "a", 4.0),
+        (4, "2024-01-01 00:00:05", "b", 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    agg = sp.session_stats(stream, ts_col="ts", key="user", gap="60 seconds",
+                           watermark="1 second")
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("sessions").start())
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r["user"], r["session_start"].minute, r["session_start"].second):
+           (r["n_events"], r["total_value"])
+           for r in spark.sql("select * from sessions").collect()}
+    assert got == {
+        ("a", 0, 0): (2, 3.0),   # merged: 00:00:00 + 00:00:10, gap < 60 s
+        ("a", 2, 30): (1, 4.0),  # new session after the 140 s gap
+        ("b", 0, 5): (1, 8.0),
+    }
+
+
+def test_session_stats_same_plan_in_batch(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", "a", 1.0),
+        (2, "2024-01-01 00:00:10", "a", 2.0),
+        (3, "2024-01-01 00:02:30", "a", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = sorted(
+        (r["n_events"], r["total_value"])
+        for r in sp.session_stats(df, ts_col="ts", key="user",
+                                  gap="60 seconds").collect())
+    assert got == [(1, 4.0), (2, 3.0)]
