@@ -1,0 +1,89 @@
+"""Dataset-curation operators for training-data pipelines (P2).
+
+The operations every large-scale LLM data pipeline needs between "raw
+corpus" and "training shards": deterministic splits, stratified
+sampling, per-group top-k selection, and context-window packing. All
+are pure column expressions / windows — JVM-side, shuffle-minimal, and
+reproducible run-to-run (hash-based rather than RNG-based, so adding
+machines or re-running never changes an example's split — the property
+that keeps eval sets uncontaminated).
+
+Hashing uses functions.text.hash15 (md5-prefix bigint) so results are
+engine-portable and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import hash15
+
+
+def hash_bucket(key: Column | str, *, salt: str, buckets: int = 100) -> Column:
+    """Stable bucket in [0, buckets): hash of (salt, key). Salting
+    decorrelates independent uses (split vs sample vs shard) of the
+    same key."""
+    c = F.col(key) if isinstance(key, str) else key
+    return hash15(F.concat(F.lit(salt + ":"), c.cast("string"))) % buckets
+
+
+def hash_split(df: DataFrame, *, key: str, salt: str = "split",
+               train_pct: int = 80, val_pct: int = 10,
+               out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment by key hash.
+
+    Unlike randomSplit, membership is a pure function of the key: new
+    data lands in the same proportions, and no row ever migrates
+    between splits across runs or cluster sizes.
+    """
+    b = hash_bucket(key, salt=salt, buckets=100)
+    return df.withColumn(
+        out_col,
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def stratified_sample(df: DataFrame, *, key: str, fraction: float,
+                      salt: str = "sample") -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows whose key hash
+    falls under the threshold. Stratification is implicit — the hash is
+    uniform within any stratum, so per-group rates concentrate around
+    ``fraction`` without per-group state or a shuffle."""
+    buckets = 1_000_000
+    thr = int(fraction * buckets)
+    return df.filter(hash_bucket(key, salt=salt, buckets=buckets) < thr)
+
+
+def topk_per_group(df: DataFrame, *, group: str, order: list[Column],
+                   k: int, rank_col: str = "rank") -> DataFrame:
+    """Top-k rows per group by a deterministic ordering (include a
+    unique tiebreaker in ``order``). One window per group — at scale
+    this is the standard shuffle-once selection; for tiny k over huge
+    groups, partial top-k happens map-side inside the sort."""
+    w = Window.partitionBy(group).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def pack_sequences(df: DataFrame, *, group: str, order: str, length: str,
+                   context: int, pack_col: str = "pack_id") -> DataFrame:
+    """Assign documents to fixed-size context windows by cumulative
+    token count (streaming concat-and-chop packing, the standard
+    pretraining shard layout).
+
+    ``pack_id = floor(start_offset / context)`` where start_offset is
+    the running sum of lengths before this row — one window sum per
+    group, no sequential state. A document that straddles a boundary
+    belongs to the pack it starts in (the downstream tokenizer splits
+    it); utilization accounting per pack then follows from a groupBy.
+    """
+    w = (Window.partitionBy(group).orderBy(order)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum(length).over(w), F.lit(0)).cast("long")
+    return df.withColumn(pack_col, F.floor(start / context).cast("long")) \
+             .withColumn("start_offset", start)

@@ -165,6 +165,10 @@ def resolve_duplicates(ids: DataFrame, pairs: DataFrame, *,
     )
     labels = ids.select(F.col(id_col).alias("src"),
                         F.col(id_col).alias("canonical"))
+    # Convergence check: labels are monotone non-increasing, so the
+    # global label sum strictly decreases iff any label changed — one
+    # scalar agg per round instead of a self-join + count.
+    prev_sum = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("src", "dst2"),
@@ -176,14 +180,14 @@ def resolve_duplicates(ids: DataFrame, pairs: DataFrame, *,
             .select("src",
                     F.least("canonical", F.coalesce("nmin", "canonical"))
                     .alias("canonical"))
-        )
-        changed = (
-            updated.alias("u").join(labels.alias("l"), "src")
-            .filter(F.col("u.canonical") != F.col("l.canonical")).count()
-        )
-        labels = updated.cache()
-        if changed == 0:
+        ).cache()
+        cur_sum = updated.agg(
+            F.sum(F.col("canonical").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels = updated
+        if prev_sum is not None and cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("src").alias(id_col), "canonical")
 
 

@@ -1,0 +1,172 @@
+"""Curation queries (P2): deterministic split / sample / select / pack
+over the documents corpus — the operators that turn a deduped corpus
+into training shards. All oracle-checked (hash-based determinism means
+DuckDB reproduces every assignment bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import quality_score, token_count
+from ..operators.curation import (
+    hash_split,
+    pack_sequences,
+    stratified_sample,
+    topk_per_group,
+)
+from . import QuerySpec
+
+_SQL_HASH15 = "CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+CONTEXT = 2048
+
+
+# ---------------------------------------------------------------------------
+# Q56: hash-based train/val/test split with per-split stats.
+# ---------------------------------------------------------------------------
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    split = hash_split(docs, key="doc_id")
+    return (
+        split.groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"),
+             F.min("doc_id").alias("min_doc"),
+             F.max("doc_id").alias("max_doc"))
+    )
+
+
+_H_SPLIT = _SQL_HASH15.format(expr="'split:' || CAST(doc_id AS VARCHAR)")
+
+ORACLE_HASH_SPLIT = f"""
+WITH assigned AS (
+  SELECT *, CASE WHEN {_H_SPLIT} % 100 < 80 THEN 'train'
+                 WHEN {_H_SPLIT} % 100 < 90 THEN 'val'
+                 ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM assigned
+GROUP BY split, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q57: deterministic stratified sample (~15%) with per-source stats.
+# ---------------------------------------------------------------------------
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = stratified_sample(docs, key="doc_id", fraction=0.15)
+    return (
+        sampled.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"),
+             F.sum("n_chars").alias("sampled_chars"),
+             F.countDistinct("lang").alias("n_langs"))
+        .orderBy("source")
+    )
+
+
+_H_SAMPLE = _SQL_HASH15.format(expr="'sample:' || CAST(doc_id AS VARCHAR)")
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+SELECT source, count(*) AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
+       count(DISTINCT lang) AS n_langs
+FROM documents
+WHERE {_H_SAMPLE} % 1000000 < 150000
+GROUP BY source
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q58: top-k selection per group — best-quality docs per source.
+# ---------------------------------------------------------------------------
+
+def q_topk_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", quality_score("text").alias("quality"))
+    return topk_per_group(
+        scored, group="source",
+        order=[F.desc("quality"), F.asc("doc_id")], k=5,
+    ).select("source", "rank", "doc_id", "quality")
+
+
+_SQL_TOKS = r"str_split_regex(trim(text), '\s+')"
+_SQL_QUALITY = r"""
+floor((0.4 * least(length(text) / 500.0, 1.0)
+     + 0.3 * (1.0 - least(((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text)) * 10.0, 1.0))
+     + 0.3 * least((len(list_filter(str_split_regex(trim(text), '\s+'), x -> lower(x) IN ('the', 'a', 'and', 'of', 'to', 'in')))::DOUBLE / len(str_split_regex(trim(text), '\s+'))) * 5.0, 1.0)) * 1000000.0) / 1000000.0
+"""
+
+ORACLE_TOPK_QUALITY = f"""
+WITH scored AS (
+  SELECT doc_id, source, {_SQL_QUALITY} AS quality FROM documents
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY quality DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT source, rank, doc_id, quality
+FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q59: context-window packing — cumulative-token shard assignment
+# plus per-pack utilization stats.
+# ---------------------------------------------------------------------------
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source",
+                       token_count("text").alias("n_tok"))
+    packed = pack_sequences(toks, group="source", order="doc_id",
+                            length="n_tok", context=CONTEXT)
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tok").alias("n_tokens"),
+             F.min("doc_id").alias("first_doc"),
+             F.max("doc_id").alias("last_doc"))
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH toks AS (
+  SELECT doc_id, source, len({_SQL_TOKS}) AS n_tok FROM documents
+), packed AS (
+  SELECT *,
+         CAST(floor(coalesce(CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+              / {CONTEXT}) AS BIGINT) AS pack_id
+  FROM toks
+)
+SELECT source, pack_id, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM packed
+GROUP BY source, pack_id
+"""
+
+
+SPECS = [
+    QuerySpec("q56_hash_split", q_hash_split, ORACLE_HASH_SPLIT,
+              "deterministic hash train/val/test split", ("P2-curation",)),
+    QuerySpec("q57_stratified_sample", q_stratified_sample,
+              ORACLE_STRATIFIED_SAMPLE,
+              "hash-threshold stratified sampling", ("P2-curation",)),
+    QuerySpec("q58_topk_quality", q_topk_quality, ORACLE_TOPK_QUALITY,
+              "per-source top-k by quality score", ("P2-curation", "F2")),
+    QuerySpec("q59_pack_sequences", q_pack_sequences, ORACLE_PACK_SEQUENCES,
+              "context-window packing by running token count",
+              ("P2-curation",)),
+]

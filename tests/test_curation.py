@@ -1,0 +1,67 @@
+"""Curation-operator semantics on micro-data: split stability,
+sampling determinism, top-k ties, packing boundaries."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_evm_chain_spark.operators.curation import (
+    hash_split,
+    pack_sequences,
+    stratified_sample,
+    topk_per_group,
+)
+
+
+def test_hash_split_is_stable_and_partitions(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    a = {r["id"]: r["split"] for r in hash_split(df, key="id").collect()}
+    b = {r["id"]: r["split"] for r in hash_split(df, key="id").collect()}
+    assert a == b                            # pure function of the key
+    counts = {s: list(a.values()).count(s) for s in ("train", "val", "test")}
+    assert sum(counts.values()) == 500
+    assert counts["train"] > counts["val"]   # ~80/10/10
+    assert counts["train"] > counts["test"]
+
+
+def test_hash_split_membership_survives_new_data(spark):
+    small = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    big = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    a = {r["id"]: r["split"]
+         for r in hash_split(small, key="id").collect()}
+    b = {r["id"]: r["split"]
+         for r in hash_split(big, key="id").collect() if r["id"] < 100}
+    assert a == b                            # no migration when corpus grows
+
+
+def test_stratified_sample_fraction_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 4)) for i in range(4000)], "id long, src string")
+    s1 = stratified_sample(df, key="id", fraction=0.2)
+    n = s1.count()
+    assert abs(n / 4000 - 0.2) < 0.05        # concentrates near fraction
+    assert s1.count() == n                   # deterministic re-run
+    per = {r["src"]: r["n"] for r in
+           s1.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for v in per.values():
+        assert abs(v / 1000 - 0.2) < 0.08    # each stratum near fraction
+
+
+def test_topk_per_group_deterministic_ties(spark):
+    rows = [("g", 1, 5.0), ("g", 2, 5.0), ("g", 3, 4.0), ("h", 9, 1.0)]
+    df = spark.createDataFrame(rows, "grp string, id long, score double")
+    got = topk_per_group(df, group="grp",
+                         order=[F.desc("score"), F.asc("id")], k=2)
+    sel = sorted((r["grp"], r["rank"], r["id"]) for r in got.collect())
+    assert sel == [("g", 1, 1), ("g", 2, 2), ("h", 1, 9)]  # tie → lower id
+
+
+def test_pack_sequences_boundaries(spark):
+    rows = [("s", 1, 100), ("s", 2, 100), ("s", 3, 60), ("s", 4, 100)]
+    df = spark.createDataFrame(rows, "src string, id long, n long")
+    got = {r["id"]: (r["pack_id"], r["start_offset"])
+           for r in pack_sequences(df, group="src", order="id", length="n",
+                                   context=128).collect()}
+    # doc1 starts at 0 → pack0; doc2 starts at 100 → pack0 (straddles);
+    # doc3 starts at 200 → pack1; doc4 starts at 260 → pack2
+    assert got == {1: (0, 0), 2: (0, 100), 3: (1, 200), 4: (2, 260)}
