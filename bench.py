@@ -44,6 +44,10 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"bench: {spec.name} failed: {e}", file=sys.stderr)
             timings[spec.name] = -1.0
+        # Isolation: a few queries persist intermediates (ML dataset,
+        # label-propagation edges); dropping them between queries keeps
+        # one query's cache from inflating another's GC time.
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(json.dumps({

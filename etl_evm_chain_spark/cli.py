@@ -53,6 +53,18 @@ def main(argv: list[str] | None = None) -> int:
     fb.add_argument("--prob-thr", type=float, default=0.6)
     fb.add_argument("--out", help="signals CSV output path")
 
+    cu = sub.add_parser("curate", help="split/sample/pack a document corpus")
+    cu.add_argument("--docs", required=True, help="documents parquet path")
+    cu.add_argument("--out", required=True, help="output directory")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--train-pct", type=int, default=80)
+    cu.add_argument("--val-pct", type=int, default=10)
+    cu.add_argument("--sample", type=float,
+                    help="keep only this fraction (hash-deterministic)")
+    cu.add_argument("--context", type=int, default=2048,
+                    help="pack length in tokens (0 disables packing)")
+
     args = p.parse_args(argv)
 
     from .session import get_spark
@@ -129,6 +141,31 @@ def _run(args, spark) -> int:
         if args.out:
             from .sources.sinks import export_signals_csv
             export_signals_csv(signals, args.out)
+        return 0
+
+    if args.cmd == "curate":
+        from pyspark.sql import functions as F
+
+        from .functions.text import token_count
+        from .operators.curation import (
+            hash_split, pack_sequences, stratified_sample,
+        )
+        docs = spark.read.parquet(args.docs)
+        if args.sample:
+            docs = stratified_sample(docs, key=args.id_col,
+                                     fraction=args.sample)
+        out = hash_split(docs, key=args.id_col, train_pct=args.train_pct,
+                         val_pct=args.val_pct)
+        if args.context:
+            out = out.withColumn("n_tok", token_count(args.text_col))
+            out = pack_sequences(out, group="split", order=args.id_col,
+                                 length="n_tok", context=args.context)
+        # split is the natural read pattern (train readers never touch
+        # val/test directories) → hive partitioning on it
+        out.write.mode("overwrite").partitionBy("split").parquet(args.out)
+        stats = (spark.read.parquet(args.out).groupBy("split")
+                 .agg(F.count(F.lit(1)).alias("n")).collect())
+        print(json.dumps({r["split"]: r["n"] for r in stats}))
         return 0
 
     return 1

@@ -58,3 +58,32 @@ def exchange_count(df: DataFrame) -> int:
     the metric bucketing is meant to drive to zero."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return plan.count("Exchange")
+
+
+def write_partitioned(df: DataFrame, path: str, *, keys: list[str],
+                      mode: str = "overwrite") -> None:
+    """Hive-style directory partitioning — the complement to bucketing:
+    bucketing kills join/agg shuffles, partitioning kills scan I/O.
+    A filter on a partition key prunes whole directories at plan time
+    (`PartitionFilters` in the scan node), so a day-filter over a
+    100 TB date-partitioned lake reads one day, not 100 TB. Low-
+    cardinality keys only (a per-id directory would melt the metastore
+    and produce millions of tiny files)."""
+    df.write.mode(mode).partitionBy(*keys).parquet(path)
+
+
+def partition_filters(df: DataFrame) -> str:
+    """The PartitionFilters clause of the scan — empty string when the
+    plan would read every partition (the thing to assert against)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "PartitionFilters" in line:
+            start = line.index("PartitionFilters: [") + len("PartitionFilters: [")
+            depth, out = 1, []
+            for ch in line[start:]:
+                depth += (ch == "[") - (ch == "]")
+                if depth == 0:
+                    break
+                out.append(ch)
+            return "".join(out).strip()
+    return ""

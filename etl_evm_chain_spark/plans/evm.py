@@ -11,6 +11,8 @@ itself, not a copied formula.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -40,8 +42,34 @@ def _hex64(c: Column) -> Column:
 def synthetic_transfer_logs(spark: SparkSession, sf_dir: str,
                             *, mixed: bool = False) -> DataFrame:
     """Deterministic raw Transfer logs derived from lineitem (shape =
-    FIXTURES.md A1). With ``mixed``, odd line numbers become Approval
-    logs (for topic-routing queries)."""
+    FIXTURES.md A1), landed once per scale factor as a parquet "raw-log
+    lake" and read back. The reference's decode path also consumes
+    pre-landed data (CSV exports) — landing makes the decode queries
+    measure decoding, not per-query fixture synthesis, and gives the
+    blocks-dim subplan a real scan to prune instead of a second
+    md5/hex synthesis pass. With ``mixed``, odd line numbers become
+    Approval logs (for topic-routing queries)."""
+    import tempfile
+
+    variant = "mixed" if mixed else "plain"
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    # Key the landed copy by the source file's identity so a
+    # regenerated fixture can never be served from a stale lake.
+    try:
+        st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
+        src_id = f"{int(st.st_mtime)}_{st.st_size}"
+    except OSError:
+        src_id = "unknown"
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_rawlake",
+                        f"{key}_{variant}_{src_id}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _synth_logs(spark, sf_dir, mixed=mixed) \
+            .write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _synth_logs(spark: SparkSession, sf_dir: str,
+                *, mixed: bool = False) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     value_units = F.floor(F.col("l_extendedprice") * 100).cast("long")
     topic0 = (

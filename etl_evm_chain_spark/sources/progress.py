@@ -1,0 +1,77 @@
+"""Batch resume cursor — the reference's `.progress.json` implemented.
+
+The reference documents resume-from-last-block (`README.md:60,176-178`,
+`.gitignore:14-16`) but ships no code for it (no Go file touches
+`.progress.json`). The streaming plane gets resume for free from
+checkpoints (streaming/pipeline.write_decoded); this module is the
+batch twin: a tiny parquet high-watermark log next to the output.
+
+Semantics: at-least-once on the boundary (a crash between data commit
+and cursor commit re-processes the last range), made effectively
+exactly-once by idempotent downstream writes — dedup on
+(tx_hash, log_index) or deterministic overwrite of block-partitioned
+output. This is strictly stronger than the at-most-once the reference
+README promises (`README.md:178`).
+
+The cursor is a parquet *directory* (append-only, max() on read) so
+concurrent/failed writers can never corrupt it the way a rewritten
+JSON file can — each attempt adds a file; the watermark is monotone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_watermark(spark: SparkSession, progress_path: str) -> int | None:
+    """Highest committed block, or None on first run."""
+    try:
+        df = spark.read.parquet(progress_path)
+    except Exception:  # noqa: BLE001 — absent dir = fresh start
+        return None
+    row = df.agg(F.max("to_block").alias("hwm")).collect()[0]
+    return None if row["hwm"] is None else int(row["hwm"])
+
+
+def commit_watermark(spark: SparkSession, progress_path: str,
+                     to_block: int) -> None:
+    """Append one cursor row. Called AFTER the data write commits, so
+    a crash in between only ever re-processes, never skips."""
+    spark.createDataFrame([(int(to_block),)], "to_block long") \
+        .coalesce(1).write.mode("append").parquet(progress_path)
+
+
+def resume_bounds(spark: SparkSession, progress_path: str, *,
+                  start: int, latest: int) -> tuple[int, int] | None:
+    """[from, to] still to process, or None when caught up. Mirrors the
+    reference's catch-up loop bounds (`internal/indexer/indexer.go:121-134`)
+    with the cursor supplying the restart point."""
+    hwm = read_watermark(spark, progress_path)
+    frm = start if hwm is None else max(start, hwm + 1)
+    return None if frm > latest else (frm, latest)
+
+
+def incremental_decode(spark: SparkSession, *, raw: DataFrame,
+                       progress_path: str, out_dir: str,
+                       decode, latest: int, start: int = 0) -> int:
+    """One batch increment: decode blocks past the watermark, append,
+    commit the cursor. Returns rows written (0 when caught up).
+
+    ``decode`` maps a raw-log DataFrame → decoded DataFrame (e.g.
+    ``lambda df: decode_event(df, TRANSFER)``). The block filter lands
+    in the parquet scan (partition/row-group pruning), so catch-up cost
+    scales with NEW data only — the property the reference's full
+    rescan lacked.
+    """
+    bounds = resume_bounds(spark, progress_path, start=start, latest=latest)
+    if bounds is None:
+        return 0
+    frm, to = bounds
+    fresh = raw.filter((F.col("block_number") >= frm)
+                       & (F.col("block_number") <= to))
+    decoded = decode(fresh)
+    decoded.write.mode("append").parquet(out_dir)
+    commit_watermark(spark, progress_path, to)
+    # re-derives the count from the (small) increment plan; metrics-only
+    return decoded.count()

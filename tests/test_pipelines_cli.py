@@ -163,3 +163,28 @@ def test_rest_api_lifecycle(spark):
             assert e.code == 400
     finally:
         server.shutdown()
+
+
+def test_curate_cli_end_to_end(spark, tmp_path, capsys):
+    import json as _json
+
+    from etl_evm_chain_spark.cli import main as cli_main
+
+    docs_dir = str(tmp_path / "docs")
+    rows = [(i, "word " * (i % 40 + 5), "src%d" % (i % 3)) for i in range(300)]
+    spark.createDataFrame(rows, "doc_id long, text string, source string") \
+        .write.parquet(docs_dir)
+
+    out = str(tmp_path / "curated")
+    rc = cli_main(["curate", "--docs", docs_dir, "--out", out,
+                   "--sample", "0.5", "--context", "256"])
+    assert rc == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(stats) <= {"train", "val", "test"}
+    n_total = sum(stats.values())
+    assert 0 < n_total < 300          # sampling dropped rows
+    back = spark.read.parquet(out)
+    assert back.count() == n_total
+    assert {"split", "pack_id", "n_tok"} <= set(back.columns)
+    # split must be a physical partition (train readers prune val/test)
+    assert (tmp_path / "curated" / "split=train").exists()
