@@ -234,6 +234,38 @@ ORDER BY id_a, id_b
 
 
 # ---------------------------------------------------------------------------
+# Q60: exact n-gram Jaccard near-dups — the sketch-free dedup tier
+# (inverted shingle index; MinHash/SimHash approximate this).
+# ---------------------------------------------------------------------------
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+shx AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM toks),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM shx a JOIN shx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b,
+         n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, floor(jaccard * 1000000.0) / 1000000.0 AS jaccard
+FROM scored WHERE jaccard >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q36/Q37: SimHash sketch + Hamming near-dup pairs.
 # ---------------------------------------------------------------------------
 
@@ -428,6 +460,9 @@ SPECS = [
               "K=8 MinHash signatures over 3-shingles", ("P2-dedup",)),
     QuerySpec("q35_lsh_near_dups", q_lsh_near_dups, _oracle_lsh_near_dups(),
               "banded-LSH candidates + exact Jaccard verification", ("P2-dedup",)),
+    QuerySpec("q60_ngram_jaccard", q_ngram_jaccard, ORACLE_NGRAM_JACCARD,
+              "exact n-gram Jaccard near-dups (inverted shingle index)",
+              ("P2-dedup",)),
     QuerySpec("q36_simhash", q_simhash, _oracle_simhash(),
               "60-bit SimHash sketch", ("P2-dedup",)),
     QuerySpec("q37_simhash_pairs", q_simhash_pairs, _oracle_simhash_pairs(),

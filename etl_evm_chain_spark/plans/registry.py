@@ -3,11 +3,11 @@
 from __future__ import annotations
 
 from . import QuerySpec
-from . import (analytics_ext, curation_q, evm, joins_ext, llmdata, relational,
-               stateful, timeseries_q, warehouse)
+from . import (analytics_ext, curation_q, evm, joins_ext, llmdata,
+               multimodal_q, relational, stateful, timeseries_q, warehouse)
 
 _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
-            warehouse, joins_ext, curation_q]
+            warehouse, joins_ext, curation_q, multimodal_q]
 
 
 def all_specs() -> list[QuerySpec]:

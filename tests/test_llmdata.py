@@ -120,3 +120,24 @@ def test_winnow_fingerprints_detect_shared_content(spark):
     inter13 = len(by_doc[1] & by_doc[3]) / len(by_doc[1])
     assert inter12 > 0.8
     assert inter13 < 0.2
+
+
+def test_ngram_jaccard_exact_values(spark):
+    pairs = dd.ngram_jaccard_pairs(_docs(spark), threshold=0.4).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(1, 2)] == 1.0          # identical shingle sets
+    # doc 3 swaps the LAST of 20 tokens → only the final shingle
+    # differs: |A∩B| = 17, |A∪B| = 19
+    assert abs(got[(1, 3)] - 17 / 19) < 1e-5
+    assert all(4 not in p for p in got)
+
+
+def test_ngram_jaccard_max_df_prunes_common_shingles(spark):
+    # 4 docs share the same 3 leading tokens (1 common shingle); each
+    # has a distinct tail. With max_df=2 the shared shingle is dropped
+    # from index AND set sizes, so no pair survives any threshold.
+    rows = [(i, f"common lead tokens tail{i} extra{i} more{i}")
+            for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dd.ngram_jaccard_pairs(docs, threshold=0.01).count() > 0
+    assert dd.ngram_jaccard_pairs(docs, threshold=0.01, max_df=2).count() == 0
