@@ -197,45 +197,71 @@ def resolve_duplicates(ids: DataFrame, pairs: DataFrame, *,
     the MINIMUM id of its connected component (the deterministic
     keep-rule), so downstream keeps exactly one row per group.
 
-    Distributed min-label propagation: labels flow along edges until
-    fixpoint — O(component diameter) rounds, each one shuffle on the
-    id. Near-dup components are shallow (dups of dups of the same
-    doc), so this converges in 2-3 rounds in practice; the driver only
-    orchestrates round counts (a scalar count per round, no data).
+    Distributed min-label propagation with pointer jumping, run ONLY
+    over ids that appear in a pair: singletons (the overwhelming
+    majority of a deduped corpus — at 100 TB the dup fraction is small)
+    never enter the loop and are attached by one final left join with
+    ``coalesce(canonical, id)``. Per-round shuffle size is therefore
+    |dup-candidate nodes|, not |corpus|. Each round takes
+    ``min(label, min(neighbor labels), label[label])`` — the pointer-
+    jumping term compresses chains so rounds grow with
+    log2(component diameter), not diameter. The driver only
+    orchestrates round counts (a scalar sum per round, no data).
     """
+    # localCheckpoint (not cache) on everything the loop re-references:
+    # cache keeps the full logical plan, so each round's self-joins
+    # would embed the previous round's tree several times over and
+    # Catalyst analysis time grows exponentially with rounds.
+    # Truncating lineage keeps per-round plans constant-size. (Local
+    # checkpoints are non-reliable — lost with an executor — which is
+    # the standard tradeoff for iterative graph loops; a lost block
+    # just re-runs the query.)
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"),
                             F.col("id_a").alias("dst")))
         .distinct()
-        .cache()
+        .localCheckpoint()
     )
-    labels = ids.select(F.col(id_col).alias("src"),
-                        F.col(id_col).alias("canonical"))
+    labels = (edges.select("src").distinct()
+              .withColumn("canonical", F.col("src")).localCheckpoint())
     # Convergence check: labels are monotone non-increasing, so the
     # global label sum strictly decreases iff any label changed — one
     # scalar agg per round instead of a self-join + count.
-    prev_sum = None
+    prev_sum = labels.agg(
+        F.sum(F.col("canonical").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("src", "dst2"),
                        edges.dst == F.col("dst2"))
             .groupBy("src").agg(F.min("canonical").alias("nmin"))
         )
+        hop1 = (
+            labels.join(neighbor_min, "src")
+            .select("src", F.least("canonical", "nmin").alias("canonical"))
+        )
+        # Pointer jumping: follow my label's label (path compression).
+        parent = hop1.select(F.col("src").alias("psrc"),
+                             F.col("canonical").alias("pcan"))
         updated = (
-            labels.join(neighbor_min, "src", "left")
+            hop1.join(parent, hop1.canonical == parent.psrc, "left")
             .select("src",
-                    F.least("canonical", F.coalesce("nmin", "canonical"))
+                    F.least("canonical", F.coalesce("pcan", "canonical"))
                     .alias("canonical"))
-        ).cache()
+        ).localCheckpoint()
         cur_sum = updated.agg(
             F.sum(F.col("canonical").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
         labels = updated
-        if prev_sum is not None and cur_sum == prev_sum:
+        if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels.select(F.col("src").alias(id_col), "canonical")
+    return (
+        ids.join(labels.withColumnRenamed("src", id_col), id_col, "left")
+        .select(id_col,
+                F.coalesce("canonical", F.col(id_col)).alias("canonical"))
+    )
 
 
 def simhash(docs: DataFrame, *, id_col: str = "doc_id",

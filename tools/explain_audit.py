@@ -42,6 +42,7 @@ ALLOW: dict[str, set[str]] = {
     "q28_ml_dataset": {"pandas"},
     "q29_ml_signals": {"pandas"},
     "q39_embedding_near_dups": {"pandas"},  # broadcast-matrix BLAS kernel
+    "q61_media_stats": {"pandas"},  # mapInPandas media decode IS the operator
     # brute-force top-k is the documented exact baseline (bounded by
     # broadcast query side); ANN is its bucketed scale path
     "q38_embedding_topk": {"nested_loop"},
