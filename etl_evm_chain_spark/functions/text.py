@@ -129,40 +129,38 @@ def winnow_fingerprints(df, *, id_col: str = "doc_id",
     normalized text, keep the minimum hash of each w-gram window,
     emit the distinct selected fingerprints per document.
 
-    Implementation: build the gram-hash array ONCE per row, explode
-    with position, window-min over the next w rows per doc, distinct.
-    (Computing window minima inside array lambdas would re-evaluate
-    the gram array per window — the explode+window form keeps it
-    linear and gives Spark an honest shuffle boundary to parallelize
-    long documents.)
-    """
-    from pyspark.sql import Window
+    Winnowing is row-local per document, so the whole computation runs
+    shuffle-free in one narrow stage: gram-hash array → per-window
+    minima → array_distinct, all as array expressions, exploded only at
+    the very end (callers that re-aggregate per doc see the fps of one
+    doc colocated in one partition, so partial aggregation reduces them
+    map-side). Parallelism unit = the document — same contract as the
+    grouped-map operators (one doc's grams fit a task).
 
+    The two ``explode(array(...))`` hops are projection barriers, not
+    data explosion: CollapseProject inlines aliased expressions into
+    array-lambda bodies, which would re-evaluate `lower(trim(text))`
+    (resp. the n md5 calls) once PER ELEMENT — O(n²) churn per doc. A
+    Generate boundary turns each into a materialized attribute that the
+    lambdas reference for free.
+    """
     c = F.lower(F.trim(F.col(text_col)))
-    n_grams = F.length(c) - k + 1
-    # Explode gram START POSITIONS, not precomputed hashes: hashing
-    # inside an array lambda would re-evaluate the lower(trim(text))
-    # normalization per element (O(n²) string churn per doc). Here the
-    # normalized text materializes once per input row, each exploded
-    # row slices+hashes its own gram, and only (id, pos, h) reaches
-    # the window shuffle.
-    exploded = (
-        df.select(F.col(id_col), c.alias("_norm"),
-                  F.posexplode(F.sequence(F.lit(1), F.greatest(n_grams, F.lit(0))))
-                  .alias("pos", "_i"))
-        .select(F.col(id_col), "pos",
-                hash15(F.col("_norm").substr(F.col("_i"), F.lit(k))).alias("h"))
+    normed = df.select(F.col(id_col), F.explode(F.array(c)).alias("_norm"))
+    n_grams = F.length("_norm") - k + 1
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(F.sequence(F.lit(1), n_grams),
+                    lambda i: hash15(F.col("_norm").substr(i, F.lit(k)))),
+    ).otherwise(F.array().cast("array<long>"))
+    hashed = normed.select(F.col(id_col), F.explode(F.array(grams)).alias("_h"))
+    n_windows = F.size("_h") - w + 1
+    fps = F.array_distinct(
+        F.transform(F.sequence(F.lit(0), n_windows - 1),
+                    lambda j: F.array_min(F.slice("_h", j + 1, w))))
+    return (
+        hashed.filter(F.size("_h") >= w)
+        .select(F.col(id_col), F.explode(fps).alias("fp"))
     )
-    win = Window.partitionBy(id_col).orderBy("pos") \
-                .rowsBetween(0, w - 1)
-    fps = (
-        exploded.withColumn("_n", F.count("h").over(Window.partitionBy(id_col)))
-        .withColumn("fp", F.min("h").over(win))
-        .filter(F.col("pos") <= F.col("_n") - w)  # pos is 0-based
-        .select(id_col, "fp")
-        .distinct()
-    )
-    return fps
 
 
 def shingles(text: Column | str, k: int = 3) -> Column:

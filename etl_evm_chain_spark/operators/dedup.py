@@ -161,8 +161,16 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     set sizes (standard frequent-gram pruning: stopword-grams carry no
     dedup signal but dominate join fan-out). The fixture corpus tops
     out at df=7, so the checked query runs unpruned.
+
+    The join key is the 60-bit portable hash of the shingle, not the
+    shingle string: the index shuffle then moves (long, long) rows
+    instead of multi-word strings (~3× smaller payload at corpus
+    scale). A 60-bit collision (~n²/2⁶¹) could merge two shingles;
+    both engines hash identically so the comparison is unaffected.
     """
-    sh = docs.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("sh"))
+    sh = (docs.select(F.col(id_col),
+                      F.explode(shingles(text_col, k)).alias("_sh"))
+          .select(F.col(id_col), hash15(F.col("_sh")).alias("sh")))
     if max_df is not None:
         keep = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
                 .filter(F.col("df") <= max_df).select("sh"))

@@ -245,7 +245,8 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_NGRAM_JACCARD = f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
-shx AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM toks),
+shs AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh0 FROM toks),
+shx AS (SELECT doc_id, {_sql_hash15("sh0")} AS sh FROM shs),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY doc_id),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
