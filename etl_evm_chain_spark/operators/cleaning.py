@@ -1,0 +1,86 @@
+"""Text-cleaning operators for training-data pipelines (SURVEY §7 P2).
+
+PII redaction and benchmark decontamination — the two scrub passes a
+corpus goes through before training. Both are pure JVM expressions /
+equi-joins (no UDFs), so they stay inside whole-stage codegen and are
+reproducible in the DuckDB oracle.
+
+The reference repo has no cleaning surface (its analytics layer trusts
+its own CSV exports); these extend the engine the same way the dedup
+tiers do (`operators/dedup.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import hash15, shingles
+
+# Portable regex subset: no backreferences/lookaround, so Java
+# (Spark) and RE2 (DuckDB) match the same spans.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}",
+    "url": r"https?://[^\s]+",
+}
+
+
+def scrub_pii(df: DataFrame, *, text_col: str = "text",
+              out_col: str = "clean_text") -> DataFrame:
+    """Redact PII spans in ``text_col`` and count each kind.
+
+    Adds ``n_<kind>`` match-count columns and ``out_col`` with every
+    span replaced by ``<KIND>`` tokens. Order matters: URLs are
+    scrubbed first so an address inside a query string is counted as
+    URL, not email — counts are taken on the progressively-scrubbed
+    text for the same reason. Row-local, shuffle-free; scales as a
+    narrow map over any corpus size.
+    """
+    counts = []
+    scrubbed = F.col(text_col)
+    for kind in ("url", "email", "phone"):  # specificity order
+        pat = PII_PATTERNS[kind]
+        counts.append(
+            F.regexp_count(scrubbed, F.lit(pat)).alias(f"n_{kind}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return df.select("*", *counts, scrubbed.alias(out_col))
+
+
+def contamination(train: DataFrame, evalset: DataFrame, *,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  k: int = 3, min_containment: float = 0.8) -> DataFrame:
+    """Benchmark decontamination: find training docs whose k-shingle
+    sets cover ≥ ``min_containment`` of an eval doc's shingles.
+
+    Containment (|train ∩ eval| / |eval|), not Jaccard: a long
+    training doc that embeds a whole benchmark item verbatim has low
+    Jaccard but containment ≈ 1 — exactly the case decontamination
+    must catch.
+
+    Scale shape: the eval set is tiny next to the corpus, so its
+    hashed shingle index broadcasts; the corpus-side index is a
+    narrow explode feeding a broadcast hash join — the corpus is
+    never shuffled, and only (train_id, eval_id) match counts (rare)
+    reach the aggregation exchange.
+    """
+    def index(df: DataFrame, name: str) -> DataFrame:
+        return (df.select(F.col(id_col).alias(name),
+                          F.explode(shingles(text_col, k)).alias("_sh"))
+                .select(name, hash15(F.col("_sh")).alias("sh")))
+
+    ev = index(evalset, "eval_id")
+    ev_sizes = ev.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_eval"))
+    tr = index(train, "train_id")
+    matches = (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cont = F.col("n_common").cast("double") / F.col("n_eval")
+    return (
+        matches.join(F.broadcast(ev_sizes), "eval_id")
+        .withColumn("containment", F.floor(cont * 1e6) / 1e6)
+        .filter(F.col("containment") >= min_containment)
+        .select("train_id", "eval_id", "containment")
+    )

@@ -15,6 +15,7 @@ from ..functions.text import (
     STOPWORDS,
     avg_token_len,
     fingerprint,
+    hash15,
     lang_id,
     punct_ratio,
     quality_score,
@@ -267,6 +268,133 @@ ORDER BY id_a, id_b
 
 
 # ---------------------------------------------------------------------------
+# Q62: PII redaction — scrub emails/phones/URLs, prove the exact
+# redacted text via a per-corpus checksum of clean-text hashes.
+# ---------------------------------------------------------------------------
+
+def _messy_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic PII-bearing view: the fixture corpus is clean
+    word-salad, so each doc gets synthetic spans keyed by doc_id
+    (every 3rd an email, 4th a phone, 5th a URL)."""
+    did = F.col("doc_id")
+    text = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0,
+               F.concat(F.lit(" contact user"), did,
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(did % 4 == 0,
+               F.concat(F.lit(" call +1-555-"),
+                        (F.lit(1000) + did % 9000))).otherwise(F.lit("")),
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" see https://example.com/d/"),
+                        did)).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cleaning import scrub_pii
+
+    docs = _messy_docs(load_table(spark, sf_dir, "documents"))
+    scrubbed = scrub_pii(docs)
+    return scrubbed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").cast("bigint").alias("total_emails"),
+        F.sum("n_phone").cast("bigint").alias("total_phones"),
+        F.sum("n_url").cast("bigint").alias("total_urls"),
+        F.sum(((F.col("n_email") + F.col("n_phone") + F.col("n_url")) > 0)
+              .cast("int")).cast("bigint").alias("docs_with_pii"),
+        F.sum(hash15(F.col("clean_text")) % 1000000000)
+        .cast("bigint").alias("clean_checksum"),
+    )
+
+
+def _oracle_pii_scrub() -> str:
+    from ..operators.cleaning import PII_PATTERNS
+
+    em, ph, ur = (PII_PATTERNS[k] for k in ("email", "phone", "url"))
+    return f"""
+WITH messy AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || doc_id || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' call +1-555-' || (1000 + doc_id % 9000)
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' see https://example.com/d/' || doc_id
+                 ELSE '' END AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '{ur}')) AS n_url,
+         regexp_replace(text, '{ur}', '<URL>', 'g') AS t1
+  FROM messy
+),
+s2 AS (
+  SELECT *, len(regexp_extract_all(t1, '{em}')) AS n_email,
+         regexp_replace(t1, '{em}', '<EMAIL>', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT *, len(regexp_extract_all(t2, '{ph}')) AS n_phone,
+         regexp_replace(t2, '{ph}', '<PHONE>', 'g') AS clean_text
+  FROM s2
+)
+SELECT count(*) AS n_docs,
+       CAST(sum(n_email) AS BIGINT) AS total_emails,
+       CAST(sum(n_phone) AS BIGINT) AS total_phones,
+       CAST(sum(n_url) AS BIGINT) AS total_urls,
+       CAST(sum(CASE WHEN n_email + n_phone + n_url > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_with_pii,
+       CAST(sum({_sql_hash15("clean_text")} % 1000000000) AS BIGINT)
+            AS clean_checksum
+FROM s3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q63: benchmark decontamination — training docs containing ≥80% of an
+# eval doc's shingles (containment, not Jaccard: catches embedding a
+# whole benchmark item inside a longer doc).
+# ---------------------------------------------------------------------------
+
+EVAL_MOD = 50
+CONTAIN_THR = 0.8
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cleaning import contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    evalset = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    return contamination(train, evalset, min_containment=CONTAIN_THR)
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+shs AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh0 FROM toks),
+shx AS (SELECT doc_id, {_sql_hash15("sh0")} AS sh FROM shs),
+ev AS (SELECT doc_id AS eval_id, sh FROM shx WHERE doc_id % {EVAL_MOD} = 0),
+tr AS (SELECT doc_id AS train_id, sh FROM shx WHERE doc_id % {EVAL_MOD} != 0),
+sizes AS (SELECT eval_id, count(*) AS n_eval FROM ev GROUP BY eval_id),
+m AS (
+  SELECT train_id, eval_id, count(*) AS n_common
+  FROM tr JOIN ev USING (sh)
+  GROUP BY 1, 2
+)
+SELECT train_id, eval_id,
+       floor(n_common::DOUBLE / n_eval * 1000000.0) / 1000000.0 AS containment
+FROM m JOIN sizes USING (eval_id)
+WHERE n_common::DOUBLE / n_eval >= {CONTAIN_THR}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q36/Q37: SimHash sketch + Hamming near-dup pairs.
 # ---------------------------------------------------------------------------
 
@@ -464,6 +592,12 @@ SPECS = [
     QuerySpec("q60_ngram_jaccard", q_ngram_jaccard, ORACLE_NGRAM_JACCARD,
               "exact n-gram Jaccard near-dups (inverted shingle index)",
               ("P2-dedup",)),
+    QuerySpec("q62_pii_scrub", q_pii_scrub, _oracle_pii_scrub(),
+              "PII redaction (email/phone/URL) with exact-text checksum",
+              ("P2-text",)),
+    QuerySpec("q63_decontaminate", q_decontaminate, ORACLE_DECONTAMINATE,
+              "benchmark decontamination via shingle containment",
+              ("P2-text", "P2-dedup")),
     QuerySpec("q36_simhash", q_simhash, _oracle_simhash(),
               "60-bit SimHash sketch", ("P2-dedup",)),
     QuerySpec("q37_simhash_pairs", q_simhash_pairs, _oracle_simhash_pairs(),

@@ -1,0 +1,47 @@
+"""PII scrub + decontamination operators (operators/cleaning.py)."""
+
+from etl_evm_chain_spark.operators.cleaning import contamination, scrub_pii
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@corp.io or call +1-555-123-4567"),
+            (2, "see https://ex.com/a?email=a@b.co for details"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    r1 = rows[1]
+    assert r1["n_email"] == 1 and r1["n_phone"] == 1 and r1["n_url"] == 0
+    assert "<EMAIL>" in r1["clean_text"] and "<PHONE>" in r1["clean_text"]
+    assert "bob.smith" not in r1["clean_text"]
+    assert "555" not in r1["clean_text"]
+    # URL scrubbed first: the embedded address counts as URL, not email
+    r2 = rows[2]
+    assert r2["n_url"] == 1 and r2["n_email"] == 0
+    assert r2["clean_text"] == "see <URL> for details"
+    r3 = rows[3]
+    assert (r3["n_email"], r3["n_phone"], r3["n_url"]) == (0, 0, 0)
+    assert r3["clean_text"] == r3["text"]
+
+
+def test_contamination_containment_not_jaccard(spark):
+    # train doc 10 embeds eval doc 100 verbatim inside a longer text:
+    # low Jaccard, containment 1.0 — must be caught. train doc 11
+    # shares nothing.
+    evalset = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "x1 x2 x3 alpha beta gamma delta epsilon y1 y2 y3 y4"),
+            (11, "p q r s t u v w"),
+        ],
+        "doc_id long, text string",
+    )
+    got = contamination(train, evalset, min_containment=0.8).collect()
+    assert [(r["train_id"], r["eval_id"], r["containment"]) for r in got] \
+        == [(10, 100, 1.0)]
