@@ -357,6 +357,43 @@ FROM s3
 
 
 # ---------------------------------------------------------------------------
+# Q64: Gopher-style repetition gate — duplicate / most-frequent 2-gram
+# fractions per doc (row-local array fold vs relational oracle).
+# ---------------------------------------------------------------------------
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cleaning import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
+
+ORACLE_REPETITION = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i+1])) AS g
+  FROM toks
+),
+cnts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS nd,
+         CAST(max(c) AS BIGINT) AS tc
+  FROM cnts GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+       floor(nd::DOUBLE / n_grams * 1000000.0) / 1000000.0 AS dup2_frac,
+       floor(tc::DOUBLE / n_grams * 1000000.0) / 1000000.0 AS top2_frac,
+       CAST(nd::DOUBLE / n_grams <= 0.3
+            AND tc::DOUBLE / n_grams <= 0.2 AS INT) AS keep
+FROM agg WHERE n_grams >= 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q63: benchmark decontamination — training docs containing ≥80% of an
 # eval doc's shingles (containment, not Jaccard: catches embedding a
 # whole benchmark item inside a longer doc).
@@ -598,6 +635,8 @@ SPECS = [
     QuerySpec("q63_decontaminate", q_decontaminate, ORACLE_DECONTAMINATE,
               "benchmark decontamination via shingle containment",
               ("P2-text", "P2-dedup")),
+    QuerySpec("q64_repetition_filter", q_repetition_filter, ORACLE_REPETITION,
+              "Gopher-style 2-gram repetition quality gate", ("P2-text",)),
     QuerySpec("q36_simhash", q_simhash, _oracle_simhash(),
               "60-bit SimHash sketch", ("P2-dedup",)),
     QuerySpec("q37_simhash_pairs", q_simhash_pairs, _oracle_simhash_pairs(),

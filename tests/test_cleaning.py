@@ -27,6 +27,25 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert r3["clean_text"] == r3["text"]
 
 
+def test_repetition_stats_gopher_gate(spark):
+    from etl_evm_chain_spark.operators.cleaning import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"),   # 5 grams, all duplicated, top 'a b' x3
+         (2, "u v w x y z"),   # 5 grams, all unique, top 1/5 = 0.2
+         (3, "hello")],        # no 2-grams -> excluded
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["dup2_frac"] == 1.0
+    assert rows[1]["top2_frac"] == 0.6
+    assert rows[1]["keep"] == 0
+    assert rows[2]["dup2_frac"] == 0.0
+    assert rows[2]["top2_frac"] == 0.2   # boundary: 0.2 <= 0.2 keeps
+    assert rows[2]["keep"] == 1
+
+
 def test_contamination_containment_not_jaccard(spark):
     # train doc 10 embeds eval doc 100 verbatim inside a longer text:
     # low Jaccard, containment 1.0 — must be caught. train doc 11
