@@ -115,7 +115,9 @@ def train_and_eval(train: DataFrame, test: DataFrame, *,
                            tol=1e-4),
     ])
     model = pipe.fit(fit_input)
-    scored = model.transform(test)
+    # Three consumers (accuracy, AUC, count) — score the holdout once.
+    scored = model.transform(test).persist()
+    n_test = scored.count()
     acc = MulticlassClassificationEvaluator(
         labelCol="y", predictionCol="prediction", metricName="accuracy"
     ).evaluate(scored)
@@ -128,10 +130,11 @@ def train_and_eval(train: DataFrame, test: DataFrame, *,
         auc = float("nan")
     spark = train.sparkSession
     metrics = spark.createDataFrame(
-        [(float(acc), float(auc), n_train, test.count())],
+        [(float(acc), float(auc), n_train, n_test)],
         "accuracy double, auc double, n_train long, n_test long",
     )
     train.unpersist()
+    scored.unpersist()
     return model, metrics
 
 
