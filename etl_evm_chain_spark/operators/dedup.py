@@ -168,9 +168,13 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     scale). A 60-bit collision (~n²/2⁶¹) could merge two shingles;
     both engines hash identically so the comparison is unaffected.
     """
+    # Materialized once (localCheckpoint): the index feeds three
+    # consumers (set sizes + both self-join sides); lazy evaluation
+    # would tokenize/shingle/md5 the corpus three times.
     sh = (docs.select(F.col(id_col),
                       F.explode(shingles(text_col, k)).alias("_sh"))
-          .select(F.col(id_col), hash15(F.col("_sh")).alias("sh")))
+          .select(F.col(id_col), hash15(F.col("_sh")).alias("sh"))
+          .localCheckpoint())
     if max_df is not None:
         keep = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
                 .filter(F.col("df") <= max_df).select("sh"))
@@ -322,7 +326,11 @@ def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
             f"banded join is lossless only for max_hamming <= {n_bands - 1}")
     band_width = bits // n_bands
     mask = (1 << band_width) - 1
-    sh = simhash(docs, id_col=id_col, text_col=text_col)
+    # Materialize the sketch once: both sides of the band self-join
+    # would otherwise recompute the full simhash (token explode + two
+    # aggs + 60 bit-sums). The checkpoint is |docs| × 16-byte rows —
+    # far cheaper than a second sketch pass at any scale.
+    sh = simhash(docs, id_col=id_col, text_col=text_col).localCheckpoint()
     banded = sh.select(
         id_col, "simhash",
         F.explode(F.array(*[
