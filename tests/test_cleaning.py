@@ -1,6 +1,16 @@
 """PII scrub + decontamination operators (operators/cleaning.py)."""
 
-from etl_evm_chain_spark.operators.cleaning import contamination, scrub_pii
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_evm_chain_spark.operators.cleaning import (
+    contamination,
+    repetition_stats,
+    scrub_pii,
+)
+
+SETTINGS = dict(max_examples=10, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
 
 
 def test_scrub_pii_redacts_and_counts(spark):
@@ -44,6 +54,62 @@ def test_repetition_stats_gopher_gate(spark):
     assert rows[2]["dup2_frac"] == 0.0
     assert rows[2]["top2_frac"] == 0.2   # boundary: 0.2 <= 0.2 keeps
     assert rows[2]["keep"] == 1
+
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("abc @.+-/:0189xyz")),
+        min_size=0, max_size=40,
+    ),
+    min_size=1, max_size=8,
+)
+
+
+@given(_texts)
+@settings(**SETTINGS)
+def test_scrub_pii_idempotent(spark, texts):
+    # Scrubbing already-scrubbed text finds nothing: replacement
+    # tokens must not re-match any pattern, for ANY input.
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    once = scrub_pii(docs).select("doc_id", "clean_text")
+    again = scrub_pii(once, text_col="clean_text", out_col="c2").collect()
+    for r in again:
+        assert (r["n_email"], r["n_phone"], r["n_url"]) == (0, 0, 0)
+        assert r["c2"] == r["clean_text"]
+
+
+@given(_texts)
+@settings(**SETTINGS)
+def test_repetition_stats_bounds(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    for r in repetition_stats(docs).collect():
+        assert r["n_grams"] >= 1
+        assert 0.0 <= r["dup2_frac"] <= 1.0
+        # the most frequent gram accounts for at least 1/n and at most all
+        assert 0.0 < r["top2_frac"] <= 1.0
+        assert r["keep"] in (0, 1)
+
+
+def test_scrub_pii_composes_with_streaming(spark, tmp_path):
+    # Stateless row-local op → usable unchanged in Structured
+    # Streaming (the scrub-before-land path of an ingest pipeline).
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    spark.createDataFrame(
+        [(1, "write to a@b.co now"), (2, "plain")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (scrub_pii(stream)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt).trigger(availableNow=True)
+         .start())
+    q.awaitTermination(60)
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got[1]["n_email"] == 1
+    assert got[1]["clean_text"] == "write to <EMAIL> now"
+    assert got[2]["clean_text"] == "plain"
 
 
 def test_contamination_containment_not_jaccard(spark):
