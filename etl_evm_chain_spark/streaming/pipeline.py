@@ -118,11 +118,18 @@ FSM_STATE_SCHEMA = "side string, entry_ts long, entry_z double, held int"
 
 
 def live_signal_fsm(df: DataFrame, *, entry_z: float = 1.5,
-                    exit_z: float = 0.5, max_hold: int = 60) -> DataFrame:
+                    exit_z: float = 0.5, max_hold: int = 60,
+                    idle_timeout_ms: int | None = None) -> DataFrame:
     """Streaming port of the z-score FSM (E2→H4): per-pool state
     carries the open position across micro-batches; emits OPEN/CLOSE
-    actions. State eviction via max_hold mirrors the batch time stop
-    (SURVEY §7 hard part 6).
+    actions. Two evictions mirror the batch time stop (SURVEY §7 hard
+    part 6): in-band ``max_hold`` rows, and — when ``idle_timeout_ms``
+    is set — a processing-time timeout: a pool that stops ticking for
+    that long has its open position force-closed (action EVICT) and
+    its state dropped, so state size tracks ACTIVE pools, not all
+    pools ever seen. Off by default: a pending timeout keeps
+    ``processAllAvailable()``-style drains from quiescing, so turn it
+    on for long-running queries, not drain-and-assert tests.
 
     Input: streaming df with columns (pool string, ts long, z double).
     """
@@ -133,6 +140,13 @@ def live_signal_fsm(df: DataFrame, *, entry_z: float = 1.5,
             side, entry_ts, entry_z_val, held = state.get
         else:
             side, entry_ts, entry_z_val, held = None, 0, 0.0, 0
+        if state.hasTimedOut:
+            state.remove()
+            if side is not None:
+                yield pd.DataFrame(
+                    [(pool, entry_ts, side, entry_z_val, "EVICT")],
+                    columns=["pool", "ts", "side", "z", "action"])
+            return
         out = []
         for pdf in pdf_iter:
             pdf = pdf.sort_values("ts", kind="mergesort")
@@ -156,13 +170,17 @@ def live_signal_fsm(df: DataFrame, *, entry_z: float = 1.5,
             state.remove()
         else:
             state.update((side, entry_ts, entry_z_val, held))
+            if idle_timeout_ms is not None:
+                state.setTimeoutDuration(idle_timeout_ms)
         if out:
             yield pd.DataFrame(out, columns=["pool", "ts", "side", "z", "action"])
 
+    timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout
+                    if idle_timeout_ms is not None
+                    else GroupStateTimeout.NoTimeout)
     return (
         df.groupBy("pool")
         .applyInPandasWithState(
-            fsm, SIGNAL_SCHEMA, FSM_STATE_SCHEMA, "append",
-            GroupStateTimeout.NoTimeout,
+            fsm, SIGNAL_SCHEMA, FSM_STATE_SCHEMA, "append", timeout_conf,
         )
     )

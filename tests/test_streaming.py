@@ -149,3 +149,32 @@ def test_session_stats_same_plan_in_batch(spark):
         for r in sp.session_stats(df, ts_col="ts", key="user",
                                   gap="60 seconds").collect())
     assert got == [(1, 4.0), (2, 3.0)]
+
+
+def test_live_signal_fsm_idle_eviction(spark, tmp_path):
+    import time
+
+    src = str(tmp_path / "z2")
+    schema = "pool string, ts long, z double"
+    # open a position, then go silent -> idle timeout must force-close
+    spark.createDataFrame([("p", 1, -2.0)], schema) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = sp.live_signal_fsm(stream, entry_z=1.8, exit_z=0.5,
+                             idle_timeout_ms=1500)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("evictions").start())
+    try:
+        deadline = time.time() + 120
+        actions = []
+        while time.time() < deadline:
+            actions = [r["action"]
+                       for r in spark.sql("select * from evictions").collect()]
+            if "EVICT" in actions:
+                break
+            time.sleep(1)
+        assert actions.count("OPEN") == 1
+        assert actions.count("EVICT") == 1
+    finally:
+        q.stop()
