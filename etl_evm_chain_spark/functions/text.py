@@ -163,6 +163,54 @@ def winnow_fingerprints(df, *, id_col: str = "doc_id",
     )
 
 
+def tfidf_keywords(df, *, id_col: str = "doc_id", text_col: str = "text",
+                   k: int = 3):
+    """Per-document top-k salient terms by TF-IDF
+    (``tf · ln(N / df)``) — the classic keyword-extraction /
+    quality-signal op for corpus curation.
+
+    Three shuffles, all on small keys: tf = groupBy(doc, term) with
+    map-side combine over the token explode; df = groupBy(term) over
+    the already-collapsed tf rows (|vocab| keys, not |tokens|); the
+    final per-doc top-k window partitions by document. N arrives as a
+    broadcast single-row cross join — no driver collect, so the plan
+    stays one lazy DAG at any corpus size.
+
+    Ranking compares ``floor(score · 1e6)`` integers, not raw doubles:
+    ``ln`` is not correctly rounded and differs in the last ulp across
+    engines (measured: ~12% of inputs vs DuckDB), so an integer
+    surrogate is the only ordering an oracle can reproduce exactly.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score_micros",
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("doc_freq"))
+                * 1e6
+            ).cast("long"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_micros"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "doc_freq", "score_micros", "rank")
+    )
+
+
 def shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct k-token shingles (the near-dup unit). Empty array when
     the doc has fewer than k tokens.

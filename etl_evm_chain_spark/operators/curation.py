@@ -57,6 +57,55 @@ def stratified_sample(df: DataFrame, *, key: str, fraction: float,
     return df.filter(hash_bucket(key, salt=salt, buckets=buckets) < thr)
 
 
+def temperature_sample(df: DataFrame, *, key: str, id_col: str,
+                       alpha: float = 0.5, salt: str = "mix",
+                       rate_col: str = "rate_ppm") -> DataFrame:
+    """Temperature-flattened category mixing: downsample each category
+    so the kept distribution follows ``count^alpha`` (alpha<1 flattens
+    head categories — the standard multi-source/multi-lingual rebalance
+    in LLM pretraining mixes).
+
+    Per-row keep rate for category c is ``(min_count / count_c)^(1-α)``
+    — the smallest category keeps everything, larger ones shed rows
+    until relative sizes match the tempered distribution. Selection is
+    hash-thresholded on the row key (reproducible; no RNG, no
+    per-category state): keep iff
+    ``hash15(salt:id) % 9e15 < floor(rate · 9e15)``.
+
+    Only α = 0.5 (and 1.0) are oracle-exact: the rate is then a single
+    ``sqrt``, which IEEE-754 requires to be correctly rounded, so both
+    engines compute bit-identical thresholds. Arbitrary α needs
+    ``pow``, which is not portable across libm implementations —
+    callers that use other temperatures get the same semantics but
+    must verify with rows-only checks.
+
+    Scale shape: one tiny groupBy(key) for counts (map-side combined to
+    |categories| rows), a scalar min, then a broadcast cross join back
+    — the corpus itself is filtered in place, no shuffle.
+    """
+    if alpha == 1.0:
+        return df.withColumn(rate_col, F.lit(1_000_000).cast("long"))
+    if alpha != 0.5:
+        raise ValueError("oracle-exact temperature_sample supports "
+                         "alpha in {0.5, 1.0} (sqrt is IEEE-exact; pow "
+                         "is not engine-portable)")
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    floor_cnt = counts.agg(F.min("cnt").alias("min_cnt"))
+    rate = F.sqrt(F.col("min_cnt").cast("double") / F.col("cnt"))
+    rated = (
+        counts.crossJoin(F.broadcast(floor_cnt))
+        .select(key, F.floor(rate * 9e15).cast("long").alias("_thr"),
+                F.floor(rate * 1e6).cast("long").alias(rate_col))
+    )
+    u = hash15(F.concat(F.lit(salt + ":"),
+                        F.col(id_col).cast("string"))) % F.lit(9_000_000_000_000_000)
+    return (
+        df.join(F.broadcast(rated), key)
+        .filter(u < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
 def topk_per_group(df: DataFrame, *, group: str, order: list[Column],
                    k: int, rank_col: str = "rank") -> DataFrame:
     """Top-k rows per group by a deterministic ordering (include a

@@ -47,6 +47,93 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, *,
     )
 
 
+def quantize_int8(emb: DataFrame, *, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  code_col: str = "codes") -> DataFrame:
+    """Per-dimension scalar quantization of float embeddings to int8
+    codes — the 4× storage/bandwidth reduction that makes 100 TB ANN
+    practical (codes ship through shuffles; floats stay in cold
+    storage).
+
+    Dimension stats come from one posexplode → groupBy(pos) pass
+    (map-side combined to d rows per partition), reassembled into two
+    d-length arrays on a single row and broadcast-cross-joined back —
+    the corpus is then re-encoded in place with array lambdas, no
+    second shuffle and no driver collect.
+
+    Code for value x in dimension j:
+    ``floor((x − min_j) / (max_j − min_j) · 255 + 0.5) − 128``
+    (constant dimensions encode as 0). Every step is a single IEEE
+    double op on identical inputs, so codes are bit-identical in any
+    engine — this is what makes the op oracle-checkable, unlike
+    learned (k-means/PQ) codebooks.
+    """
+    ex = emb.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+    stats = ex.groupBy("pos").agg(
+        F.min(F.col("x").cast("double")).alias("mn"),
+        F.max(F.col("x").cast("double")).alias("mx"),
+    )
+    dims = stats.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mn"))).alias("_amn"),
+        F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("_amx"),
+    ).select(
+        F.transform("_amn", lambda s: s.mn).alias("_mins"),
+        F.zip_with("_amx", "_amn",
+                   lambda a, b: a.mx - b.mn).alias("_ranges"),
+    )
+    shifted = F.zip_with(F.col(vec_col), F.col("_mins"),
+                         lambda x, m: x.cast("double") - m)
+    codes = F.zip_with(shifted, F.col("_ranges"),
+                       lambda s, r: F.when(
+                           r > 0,
+                           F.floor(s / r * 255.0 + 0.5) - 128,
+                       ).otherwise(0).cast("int"))
+    return (
+        emb.crossJoin(F.broadcast(dims))
+        .withColumn(code_col, codes)
+        .drop("_mins", "_ranges")
+    )
+
+
+def dequantize_error_micros(emb: DataFrame, *, vec_col: str = "embedding",
+                            code_col: str = "codes",
+                            out_col: str = "err_micros") -> DataFrame:
+    """Reconstruction-error audit for ``quantize_int8`` output:
+    Σ_j floor((x_j − deq_j)² · 1e6) as a bigint (integer summands →
+    order-independent, hence oracle-exact; raw double sums are not).
+
+    Recomputes the same d-row stats pass as quantize_int8 (cheap, and
+    keeps this op usable on codes read back from storage without
+    carrying the stats table around)."""
+    ex = emb.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+    stats = ex.groupBy("pos").agg(
+        F.min(F.col("x").cast("double")).alias("mn"),
+        F.max(F.col("x").cast("double")).alias("mx"),
+    )
+    dims = stats.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mn"))).alias("_amn"),
+        F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("_amx"),
+    ).select(
+        F.transform("_amn", lambda s: s.mn).alias("_mins"),
+        F.zip_with("_amx", "_amn",
+                   lambda a, b: a.mx - b.mn).alias("_ranges"),
+    )
+    scaled = F.zip_with(F.col(code_col), F.col("_ranges"),
+                        lambda c, r: (c + 128) * r / 255.0)
+    deq = F.zip_with(scaled, F.col("_mins"), lambda s, m: s + m)
+    errs = F.zip_with(F.col(vec_col), deq,
+                      lambda x, d: (x.cast("double") - d)
+                      * (x.cast("double") - d))
+    err_micros = F.aggregate(
+        F.transform(errs, lambda e: F.floor(e * 1e6)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return (
+        emb.crossJoin(F.broadcast(dims))
+        .withColumn(out_col, err_micros)
+        .drop("_mins", "_ranges")
+    )
+
+
 def _sketch(df: DataFrame, id_col: str, vec_col: str,
             n_planes: int) -> DataFrame:
     """Sign-bit sketch: bit p = (Σ_i sign(xxhash64(p,i)) · v_i) > 0.

@@ -15,6 +15,7 @@ from ..operators.curation import (
     hash_split,
     pack_sequences,
     stratified_sample,
+    temperature_sample,
     topk_per_group,
 )
 from . import QuerySpec
@@ -158,6 +159,37 @@ GROUP BY source, pack_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q67: temperature-flattened category mixing (count^0.5 rebalance of
+# the skewed lang distribution; sqrt is IEEE-exact, hence oracle-able).
+# ---------------------------------------------------------------------------
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = temperature_sample(docs, key="lang", id_col="doc_id", alpha=0.5)
+    return kept.select("doc_id", "lang", "rate_ppm").orderBy("doc_id")
+
+
+_H_MIX = _SQL_HASH15.format(expr="'mix:' || CAST(doc_id AS VARCHAR)")
+
+ORACLE_TEMPERATURE_MIX = f"""
+WITH counts AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+floorc AS (SELECT min(cnt) AS min_cnt FROM counts),
+rated AS (
+  SELECT lang,
+         CAST(floor(sqrt(CAST(min_cnt AS DOUBLE) / cnt) * 9e15) AS BIGINT)
+           AS thr,
+         CAST(floor(sqrt(CAST(min_cnt AS DOUBLE) / cnt) * 1e6) AS BIGINT)
+           AS rate_ppm
+  FROM counts CROSS JOIN floorc
+)
+SELECT d.doc_id, d.lang, r.rate_ppm
+FROM documents d JOIN rated r USING (lang)
+WHERE {_H_MIX} % 9000000000000000 < r.thr
+ORDER BY d.doc_id
+"""
+
+
 SPECS = [
     QuerySpec("q56_hash_split", q_hash_split, ORACLE_HASH_SPLIT,
               "deterministic hash train/val/test split", ("P2-curation",)),
@@ -168,5 +200,9 @@ SPECS = [
               "per-source top-k by quality score", ("P2-curation", "F2")),
     QuerySpec("q59_pack_sequences", q_pack_sequences, ORACLE_PACK_SEQUENCES,
               "context-window packing by running token count",
+              ("P2-curation",)),
+    QuerySpec("q67_temperature_mix", q_temperature_mix,
+              ORACLE_TEMPERATURE_MIX,
+              "temperature-flattened (count^0.5) category mixing",
               ("P2-curation",)),
 ]

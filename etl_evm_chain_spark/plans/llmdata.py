@@ -613,6 +613,100 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q65: int8 scalar quantization of the embedding column (+ exact
+# reconstruction-error audit in integer micros).
+# ---------------------------------------------------------------------------
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    coded = sim.dequantize_error_micros(sim.quantize_int8(emb))
+    return coded.select(
+        "vec_id",
+        F.aggregate("codes", F.lit(0).cast("long"),
+                    lambda a, v: a + v).alias("code_sum"),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+        F.element_at("codes", 1).alias("c0"),
+        F.element_at("codes", 2).alias("c1"),
+        F.element_at("codes", 3).alias("c2"),
+        F.element_at("codes", 4).alias("c3"),
+        "err_micros",
+    ).orderBy("vec_id")
+
+
+ORACLE_QUANTIZE = """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+),
+stats AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos),
+coded AS (
+  SELECT e.vec_id, e.pos, e.x, s.mn, (s.mx - s.mn) AS r,
+         CASE WHEN s.mx - s.mn > 0
+              THEN CAST(floor((e.x - s.mn) / (s.mx - s.mn) * 255.0 + 0.5)
+                        - 128 AS INT)
+              ELSE 0 END AS code
+  FROM ex e JOIN stats s USING (pos)
+),
+err AS (
+  SELECT vec_id, pos, code,
+         CAST(floor((x - (mn + (code + 128) * r / 255.0))
+                  * (x - (mn + (code + 128) * r / 255.0)) * 1e6) AS BIGINT)
+           AS errm
+  FROM coded
+)
+SELECT vec_id,
+       CAST(sum(code) AS BIGINT) AS code_sum,
+       min(code) AS code_min,
+       max(code) AS code_max,
+       max(CASE WHEN pos = 1 THEN code END) AS c0,
+       max(CASE WHEN pos = 2 THEN code END) AS c1,
+       max(CASE WHEN pos = 3 THEN code END) AS c2,
+       max(CASE WHEN pos = 4 THEN code END) AS c3,
+       CAST(sum(errm) AS BIGINT) AS err_micros
+FROM err GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q66: per-document top-3 TF-IDF keywords (integer-surrogate ranking —
+# see functions.text.tfidf_keywords for why raw ln() is not portable).
+# ---------------------------------------------------------------------------
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tfidf_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, k=3).orderBy("doc_id", "rank")
+
+
+ORACLE_TFIDF = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+         CAST(floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.doc_freq)
+                    * 1e6) AS BIGINT) AS score_micros
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score_micros DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, doc_freq, score_micros, rank
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
 SPECS = [
     QuerySpec("q30_doc_stats", q_doc_stats, ORACLE_DOC_STATS,
               "per-document token/punct/stopword stats + quality score", ("P2-text",)),
@@ -651,4 +745,9 @@ SPECS = [
               "IVF-cell approximate top-k (recall-tested)", ("P2-sim",)),
     QuerySpec("q50_winnow_fingerprints", q_winnow_fingerprints, ORACLE_WINNOW,
               "winnowing rolling-hash document fingerprints", ("P2-text",)),
+    QuerySpec("q65_quantize_embeddings", q_quantize_embeddings, ORACLE_QUANTIZE,
+              "int8 scalar quantization + exact reconstruction-error audit",
+              ("P2-sim",)),
+    QuerySpec("q66_tfidf_keywords", q_tfidf_keywords, ORACLE_TFIDF,
+              "per-document top-3 TF-IDF keywords", ("P2-text",)),
 ]

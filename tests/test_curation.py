@@ -5,10 +5,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from etl_evm_chain_spark.operators.curation import (
     hash_split,
     pack_sequences,
     stratified_sample,
+    temperature_sample,
     topk_per_group,
 )
 
@@ -65,3 +68,28 @@ def test_pack_sequences_boundaries(spark):
     # doc1 starts at 0 → pack0; doc2 starts at 100 → pack0 (straddles);
     # doc3 starts at 200 → pack1; doc4 starts at 260 → pack2
     assert got == {1: (0, 0), 2: (0, 100), 3: (1, 200), 4: (2, 260)}
+
+
+def test_temperature_sample_flattens_head(spark):
+    # 4000 "en" docs vs 250 "fr" docs (16:1) → sqrt flattening keeps
+    # fr fully and en at ~sqrt(250/4000)=25%, i.e. a 4:1 kept ratio.
+    rows = [(i, "en") for i in range(4000)] + \
+           [(4000 + i, "fr") for i in range(250)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_sample(df, key="lang", id_col="doc_id", alpha=0.5)
+    per = {r["lang"]: r["n"] for r in
+           kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per["fr"] == 250                     # floor category keeps all
+    assert abs(per["en"] / 4000 - 0.25) < 0.03  # head tempered to sqrt rate
+    rates = {r["lang"]: r["rate_ppm"]
+             for r in kept.select("lang", "rate_ppm").distinct().collect()}
+    assert rates == {"fr": 1_000_000, "en": 250_000}
+    assert kept.count() == per["fr"] + per["en"]  # deterministic re-run
+
+
+def test_temperature_sample_alpha_one_and_bad_alpha(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, k string")
+    all_kept = temperature_sample(df, key="k", id_col="doc_id", alpha=1.0)
+    assert all_kept.count() == 2
+    with pytest.raises(ValueError):
+        temperature_sample(df, key="k", id_col="doc_id", alpha=0.3)

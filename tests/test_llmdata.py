@@ -141,3 +141,54 @@ def test_ngram_jaccard_max_df_prunes_common_shingles(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     assert dd.ngram_jaccard_pairs(docs, threshold=0.01).count() > 0
     assert dd.ngram_jaccard_pairs(docs, threshold=0.01, max_df=2).count() == 0
+
+
+def test_quantize_int8_roundtrip_bounds(spark):
+    rows = [
+        (1, [0.0, -1.0, 10.0]),
+        (2, [1.0, 1.0, 20.0]),
+        (3, [0.5, 3.0, 15.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["codes"]
+           for r in sim.quantize_int8(df).collect()}
+    # per-dim min maps to -128, max to 127; midpoints land near 0
+    assert got[1][0] == -128 and got[2][0] == 127
+    assert got[1][1] == -128 and got[3][1] == 127
+    assert got[1][2] == -128 and got[2][2] == 127
+    assert got[3][0] == 0                        # (0.5-0)/1*255+0.5 → 128-128
+    assert all(-128 <= c <= 127 for cs in got.values() for c in cs)
+    # reconstruction error of a 3-point dim is bounded by (range/255)^2
+    errs = sim.dequantize_error_micros(sim.quantize_int8(df))
+    for r in errs.collect():
+        assert 0 <= r["err_micros"] <= 3 * 1e6 * (20.0 / 255) ** 2 + 3
+
+
+def test_quantize_int8_constant_dimension_is_zero(spark):
+    df = spark.createDataFrame(
+        [(1, [5.0, 1.0]), (2, [5.0, 2.0])],
+        "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["codes"] for r in sim.quantize_int8(df).collect()}
+    assert got[1][0] == 0 and got[2][0] == 0     # zero-range dim → code 0
+
+
+def test_tfidf_keywords_ranks_rare_terms_first(spark):
+    from etl_evm_chain_spark.functions.text import tfidf_keywords
+
+    rows = [
+        (1, "shared shared rare1 rare1 rare1"),
+        (2, "shared unique2"),
+        (3, "shared filler filler"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["score_micros"])
+           for r in tfidf_keywords(docs, k=2).collect()}
+    # "shared" appears in every doc → idf = ln(1) = 0 → never ranks
+    # above any doc-local term.
+    assert got[(1, 1)][0] == "rare1"
+    assert got[(2, 1)][0] == "unique2"
+    assert got[(3, 1)][0] == "filler"
+    # df=1 terms score tf·ln(3); tf=3 beats tf=1
+    import math
+    assert got[(1, 1)][1] == math.floor(3 * math.log(3.0) * 1e6)
+    assert got[(3, 1)][1] == math.floor(2 * math.log(3.0) * 1e6)

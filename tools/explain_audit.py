@@ -49,6 +49,11 @@ ALLOW: dict[str, set[str]] = {
     "q40_ann_topk": {"nested_loop"},
     # coarse-quantizer scan vs n_cells broadcast centroids (bounded)
     "q42_ivf_topk": {"nested_loop"},
+    # single-row broadcast of per-dimension stats / corpus count —
+    # the scalar-subquery shape (1-row build side, no pair explosion)
+    "q65_quantize_embeddings": {"nested_loop"},
+    "q66_tfidf_keywords": {"nested_loop"},
+    "q67_temperature_mix": {"nested_loop"},
 }
 
 FLAGS = {
