@@ -49,7 +49,8 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, *,
 
 def quantize_int8(emb: DataFrame, *, id_col: str = "vec_id",
                   vec_col: str = "embedding",
-                  code_col: str = "codes") -> DataFrame:
+                  code_col: str = "codes",
+                  keep_stats: bool = False) -> DataFrame:
     """Per-dimension scalar quantization of float embeddings to int8
     codes — the 4× storage/bandwidth reduction that makes 100 TB ANN
     practical (codes ship through shuffles; floats stay in cold
@@ -67,6 +68,10 @@ def quantize_int8(emb: DataFrame, *, id_col: str = "vec_id",
     double op on identical inputs, so codes are bit-identical in any
     engine — this is what makes the op oracle-checkable, unlike
     learned (k-means/PQ) codebooks.
+
+    ``keep_stats=True`` retains the ``_mins``/``_ranges`` array columns
+    so a downstream ``dequantize_error_micros`` (or a reader) reuses
+    them instead of re-running the stats pass.
     """
     ex = emb.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
     stats = ex.groupBy("pos").agg(
@@ -88,11 +93,11 @@ def quantize_int8(emb: DataFrame, *, id_col: str = "vec_id",
                            r > 0,
                            F.floor(s / r * 255.0 + 0.5) - 128,
                        ).otherwise(0).cast("int"))
-    return (
+    out = (
         emb.crossJoin(F.broadcast(dims))
         .withColumn(code_col, codes)
-        .drop("_mins", "_ranges")
     )
+    return out if keep_stats else out.drop("_mins", "_ranges")
 
 
 def dequantize_error_micros(emb: DataFrame, *, vec_col: str = "embedding",
@@ -102,22 +107,27 @@ def dequantize_error_micros(emb: DataFrame, *, vec_col: str = "embedding",
     Σ_j floor((x_j − deq_j)² · 1e6) as a bigint (integer summands →
     order-independent, hence oracle-exact; raw double sums are not).
 
-    Recomputes the same d-row stats pass as quantize_int8 (cheap, and
-    keeps this op usable on codes read back from storage without
-    carrying the stats table around)."""
-    ex = emb.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
-    stats = ex.groupBy("pos").agg(
-        F.min(F.col("x").cast("double")).alias("mn"),
-        F.max(F.col("x").cast("double")).alias("mx"),
-    )
-    dims = stats.groupBy().agg(
-        F.array_sort(F.collect_list(F.struct("pos", "mn"))).alias("_amn"),
-        F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("_amx"),
-    ).select(
-        F.transform("_amn", lambda s: s.mn).alias("_mins"),
-        F.zip_with("_amx", "_amn",
-                   lambda a, b: a.mx - b.mn).alias("_ranges"),
-    )
+    Reuses the ``_mins``/``_ranges`` columns when the input carries
+    them (``quantize_int8(keep_stats=True)`` — one stats pass for the
+    whole encode+audit pipeline); otherwise recomputes them, so the op
+    also works on codes read back from storage."""
+    if "_mins" in emb.columns and "_ranges" in emb.columns:
+        joined = emb
+    else:
+        ex = emb.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        stats = ex.groupBy("pos").agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        dims = stats.groupBy().agg(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))).alias("_amn"),
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("_amx"),
+        ).select(
+            F.transform("_amn", lambda s: s.mn).alias("_mins"),
+            F.zip_with("_amx", "_amn",
+                       lambda a, b: a.mx - b.mn).alias("_ranges"),
+        )
+        joined = emb.crossJoin(F.broadcast(dims))
     scaled = F.zip_with(F.col(code_col), F.col("_ranges"),
                         lambda c, r: (c + 128) * r / 255.0)
     deq = F.zip_with(scaled, F.col("_mins"), lambda s, m: s + m)
@@ -128,8 +138,7 @@ def dequantize_error_micros(emb: DataFrame, *, vec_col: str = "embedding",
         F.transform(errs, lambda e: F.floor(e * 1e6)),
         F.lit(0).cast("long"), lambda acc, v: acc + v)
     return (
-        emb.crossJoin(F.broadcast(dims))
-        .withColumn(out_col, err_micros)
+        joined.withColumn(out_col, err_micros)
         .drop("_mins", "_ranges")
     )
 

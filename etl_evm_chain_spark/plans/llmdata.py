@@ -620,7 +620,8 @@ GROUP BY doc_id
 
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    coded = sim.dequantize_error_micros(sim.quantize_int8(emb))
+    coded = sim.dequantize_error_micros(
+        sim.quantize_int8(emb, keep_stats=True))
     return coded.select(
         "vec_id",
         F.aggregate("codes", F.lit(0).cast("long"),
