@@ -76,3 +76,64 @@ def test_ewm_matches_pandas_on_random_series(spark, vals, halflife):
     expected = pd.Series(vals).ewm(alpha=alpha, adjust=False, min_periods=1).mean()
     for g, e in zip(got, expected):
         assert g == pytest.approx(e, rel=1e-12, abs=1e-12)
+
+
+@given(st.lists(
+    st.lists(st.floats(min_value=-1e3, max_value=1e3,
+                       allow_nan=False, allow_infinity=False,
+                       width=32),
+             min_size=4, max_size=4),
+    min_size=2, max_size=25))
+@settings(**SETTINGS)
+def test_quantize_int8_invariants(spark, vecs):
+    from etl_evm_chain_spark.operators.similarity import (
+        dequantize_error_micros,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    out = dequantize_error_micros(quantize_int8(df, keep_stats=True)) \
+        .collect()
+    assert len(out) == len(vecs)
+    mins = [min(v[j] for v in vecs) for j in range(4)]
+    maxs = [max(v[j] for v in vecs) for j in range(4)]
+    for r in out:
+        codes = r["codes"]
+        assert all(-128 <= c <= 127 for c in codes)
+        # per-dim reconstruction error ≤ (half a quantization step)²,
+        # so the micros sum is bounded by the summed step bound
+        bound = sum(((mx - mn) / 255 / 2 + 1e-9) ** 2 * 1e6 + 1
+                    for mn, mx in zip(mins, maxs))
+        assert 0 <= r["err_micros"] <= bound
+        # extremes map to the code range ends
+        for j in range(4):
+            if vecs[r["vec_id"]][j] == mins[j] and maxs[j] > mins[j]:
+                assert codes[j] == -128
+
+
+@given(st.dictionaries(st.sampled_from("abcdef"),
+                       st.integers(min_value=1, max_value=400),
+                       min_size=2, max_size=6))
+@settings(**SETTINGS)
+def test_temperature_sample_rate_monotone_in_count(spark, sizes):
+    from etl_evm_chain_spark.operators.curation import temperature_sample
+
+    rows, base = [], 0
+    for k, n in sorted(sizes.items()):
+        rows += [(base + i, k) for i in range(n)]
+        base += n
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = temperature_sample(df, key="lang", id_col="doc_id", alpha=0.5)
+    rates = {r["lang"]: r["rate_ppm"]
+             for r in kept.select("lang", "rate_ppm").distinct().collect()}
+    min_n = min(sizes.values())
+    for k, n in sizes.items():
+        if n == min_n:
+            assert rates.get(k) == 1_000_000   # floor category keeps all
+    # bigger categories never get a higher keep rate
+    for ka, ra in rates.items():
+        for kb, rb in rates.items():
+            if sizes[ka] < sizes[kb]:
+                assert ra >= rb
