@@ -279,6 +279,86 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *,
     )
 
 
+def semantic_dedup(df: DataFrame, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding", n_cells: int = 16,
+                   threshold: float = 0.3) -> DataFrame:
+    """SemDeDup-style clustered semantic dedup (cluster-then-compare,
+    per Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): embeddings are
+    assigned to coarse cells and cosine comparisons run only WITHIN a
+    cell, so the pair space is Σ|cell|² instead of n² — the scale
+    path that complements ``cosine_near_dup_pairs`` (exact all-pairs)
+    the way IVF complements brute-force top-k.
+
+    Deterministic in every step, hence oracle-checkable (no trained
+    k-means): the ``n_cells`` centroids are the vectors with the
+    smallest ``hash15('cent:'||id)`` (a pseudo-random but stable
+    spread, fetched via TakeOrderedAndProject — no global window, no
+    full sort); assignment is nearest-centroid by cosine against the
+    broadcast centroid set; the keep rule drops a vector iff some
+    LOWER-id vector in the same cell has cosine ≥ threshold with it
+    (lowest id of every near-dup group survives, independent of what
+    else was dropped).
+
+    Returns (id, cell, is_kept) for every input row.
+    """
+    from ..functions.text import hash15
+
+    from ..functions.vectors import dot, norm2
+
+    cent_rows = (
+        df.select(F.col(id_col), F.col(vec_col),
+                  hash15(F.concat(F.lit("cent:"),
+                                  F.col(id_col).cast("string"))).alias("_h"))
+        .orderBy("_h", id_col).limit(n_cells)
+    )
+    w_cell = Window.orderBy("_h", id_col)
+    cents = cent_rows.select(
+        (F.row_number().over(w_cell) - 1).alias("cell"),
+        F.col(vec_col).alias("_cent"),
+        F.sqrt(norm2(vec_col)).alias("_cn"))
+    # Norms fold once per vector (and once per centroid), NOT once per
+    # candidate pair — sim = dot/(n_a·n_b) is float-identical to the
+    # full cosine (same sequential folds, same division structure) at
+    # a third of the pair-phase expression work.
+    base = df.select(F.col(id_col), F.col(vec_col),
+                     F.sqrt(norm2(vec_col)).alias("_n"))
+    scored = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn("_sim", F.when(
+            (F.col("_n") != 0) & (F.col("_cn") != 0),
+            dot(vec_col, "_cent") / (F.col("_n") * F.col("_cn"))))
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(F.desc("_sim"),
+                                                  F.asc("cell"))
+    assigned = (
+        scored.withColumn("_r", F.row_number().over(w_assign))
+        .filter(F.col("_r") == 1)
+        .select(id_col, vec_col, "_n", "cell")
+    )
+    a = assigned.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("_va"),
+                        F.col("_n").alias("_na"), "cell")
+    b = assigned.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("_vb"),
+                        F.col("_n").alias("_nb"), "cell")
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("_na") != 0) & (F.col("_nb") != 0))
+        .filter(dot("_va", "_vb") / (F.col("_na") * F.col("_nb"))
+                >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_d", F.lit(1)), id_col, "left")
+        .select(id_col, "cell",
+                F.when(F.col("_d").isNull(), 1).otherwise(0)
+                .alias("is_kept"))
+    )
+
+
 def cosine_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           threshold: float = 0.4,

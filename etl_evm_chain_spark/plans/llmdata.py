@@ -708,6 +708,63 @@ FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# Q68: SemDeDup-style clustered semantic dedup — coarse cells bound the
+# cosine pair space (the scale path for embedding near-dup; q39 is the
+# exact all-pairs baseline).
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_CELLS, SEMDEDUP_THR = 16, 0.3
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(
+        emb, n_cells=SEMDEDUP_CELLS, threshold=SEMDEDUP_THR,
+    ).orderBy("vec_id")
+
+
+def _oracle_semantic_dedup() -> str:
+    cos = ("{d} / (sqrt({na}) * sqrt({nb}))").format(
+        d=_SQL_DOT.format(a="{a}", b="{b}"),
+        na=_SQL_DOT.format(a="{a}", b="{a}"),
+        nb=_SQL_DOT.format(a="{b}", b="{b}"))
+    h = _sql_hash15("'cent:' || CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH cent_rows AS (
+  SELECT vec_id, embedding, {h} AS h
+  FROM embeddings ORDER BY h, vec_id LIMIT {SEMDEDUP_CELLS}
+),
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cell,
+         embedding AS cent
+  FROM cent_rows
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         {cos.format(a="e.embedding", b="c.cent")} AS sim
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cell ASC) AS r
+    FROM scored
+  ) WHERE r = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {cos.format(a="a.embedding", b="b.embedding")} >= {SEMDEDUP_THR}
+)
+SELECT a.vec_id, a.cell,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS is_kept
+FROM assigned a LEFT JOIN dropped d USING (vec_id)
+ORDER BY a.vec_id
+"""
+
+
 SPECS = [
     QuerySpec("q30_doc_stats", q_doc_stats, ORACLE_DOC_STATS,
               "per-document token/punct/stopword stats + quality score", ("P2-text",)),
@@ -751,4 +808,8 @@ SPECS = [
               ("P2-sim",)),
     QuerySpec("q66_tfidf_keywords", q_tfidf_keywords, ORACLE_TFIDF,
               "per-document top-3 TF-IDF keywords", ("P2-text",)),
+    QuerySpec("q68_semantic_dedup", q_semantic_dedup,
+              _oracle_semantic_dedup(),
+              "SemDeDup clustered semantic dedup (cell-bounded cosine)",
+              ("P2-dedup", "P2-sim")),
 ]

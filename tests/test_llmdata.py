@@ -192,3 +192,20 @@ def test_tfidf_keywords_ranks_rare_terms_first(spark):
     import math
     assert got[(1, 1)][1] == math.floor(3 * math.log(3.0) * 1e6)
     assert got[(3, 1)][1] == math.floor(2 * math.log(3.0) * 1e6)
+
+
+def test_semantic_dedup_drops_higher_id_twin(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),      # exact twin of 1 → dropped
+        (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal → kept
+        (4, [0.99, 0.1, 0.0, 0.0]),     # near-twin of 1 → dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["is_kept"]
+           for r in sim.semantic_dedup(df, n_cells=2, threshold=0.9).collect()}
+    assert got[1] == 1                  # lowest id of the group survives
+    assert got[2] == 0
+    assert got[3] == 1
+    assert got[4] == 0
+    assert len(got) == 4                # every input row classified

@@ -54,6 +54,9 @@ ALLOW: dict[str, set[str]] = {
     "q65_quantize_embeddings": {"nested_loop"},
     "q66_tfidf_keywords": {"nested_loop"},
     "q67_temperature_mix": {"nested_loop"},
+    # n_cells-row broadcast centroid set for coarse assignment (the
+    # IVF shape); pair comparisons are cell-bounded equi-joins
+    "q68_semantic_dedup": {"nested_loop"},
 }
 
 FLAGS = {
