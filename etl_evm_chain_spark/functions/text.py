@@ -211,9 +211,10 @@ def tfidf_keywords(df, *, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
-def shingles(text: Column | str, k: int = 3) -> Column:
-    """Distinct k-token shingles (the near-dup unit). Empty array when
-    the doc has fewer than k tokens.
+def token_grams(text: Column | str, k: int = 3) -> Column:
+    """All k-token grams in document order, WITH multiplicity (the
+    exact-substring dedup unit). Empty array when the doc has fewer
+    than k tokens.
 
     Built as zip_with over k shifted slices of the token array —
     NOT transform+element_at, which would re-evaluate the split()
@@ -227,6 +228,9 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     sh = parts[0]
     for p in parts[1:]:
         sh = F.zip_with(sh, p, lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.when(n >= k, F.array_distinct(sh)).otherwise(
-        F.array().cast("array<string>")
-    )
+    return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-token shingles (the near-dup set unit)."""
+    return F.array_distinct(token_grams(text, k))

@@ -202,6 +202,56 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     )
 
 
+def span_dup_stats(docs: DataFrame, *, id_col: str = "doc_id",
+                   text_col: str = "text", k: int = 5,
+                   min_df: int = 2) -> DataFrame:
+    """Cross-document repeated n-gram span statistics — the
+    exact-substring dedup signal (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499, applied at
+    token-k-gram granularity): for each document, how many of its
+    k-gram INSTANCES (with multiplicity) also occur in at least
+    ``min_df - 1`` other documents. ``dup_ratio`` ≈ the fraction of
+    the document that is boilerplate shared across the corpus — the
+    standard cut for span-level dedup filtering.
+
+    Distinct from q64 (within-doc repetition) and q60 (pairwise
+    Jaccard): this is a corpus-global per-document signal.
+
+    Three shuffles, each with map-side partial aggregation:
+    groupBy(doc, gram-hash) collapses instances to counts; a
+    count-over-window partitioned by gram-hash attaches each gram's
+    document frequency (rows per gram = its doc frequency, so the
+    hottest gram's partition is bounded by df, not instance count);
+    groupBy(doc) folds to per-document stats. Grams travel as 60-bit
+    portable hashes (functions.text.hash15), not strings — the wide
+    shuffle moves (long, long) pairs.
+
+    Reference analog: none (the reference has no corpus operators);
+    counterpart of its dedup C6 (`stable_fee_ml_bot.py:97-98`) at
+    span granularity.
+    """
+    from ..functions.text import token_grams
+
+    g = docs.select(
+        F.col(id_col),
+        F.explode(token_grams(text_col, k)).alias("_g"),
+    ).select(F.col(id_col), hash15(F.col("_g")).alias("gh"))
+    per = g.groupBy(id_col, "gh").agg(F.count(F.lit(1)).alias("c"))
+    per = per.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("gh")))
+    dup = F.col("n_docs") >= min_df
+    out = per.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.sum(F.when(dup, F.col("c")).otherwise(F.lit(0))).alias("n_dup_grams"),
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+        F.sum(dup.cast("int")).alias("n_dup_distinct"),
+    )
+    ratio = (F.col("n_dup_grams").cast("double")
+             / F.col("n_grams").cast("double"))
+    # floor-truncate, not round(): engine-portable (see quality_score).
+    return out.withColumn("dup_ratio", F.floor(ratio * 1e6) / 1e6)
+
+
 def resolve_duplicates(ids: DataFrame, pairs: DataFrame, *,
                        id_col: str = "doc_id",
                        max_iter: int = 20) -> DataFrame:

@@ -765,6 +765,51 @@ ORDER BY a.vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q69: cross-document repeated-span statistics (token-5-gram instances
+# shared with other documents; the Lee-et-al exact-substring dedup
+# signal at gram granularity).
+# ---------------------------------------------------------------------------
+
+SPAN_K = 5
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.span_dup_stats(docs, k=SPAN_K)
+
+
+def _sql_gram(k: int) -> str:
+    join = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(k))
+    return _sql_hash15(f"({join})")
+
+
+ORACLE_SPAN_DEDUP = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - {SPAN_K} + 2),
+                               i -> {_sql_gram(SPAN_K)})) AS gh
+  FROM toks WHERE len(t) >= {SPAN_K}
+),
+per AS (SELECT doc_id, gh, count(*) AS c FROM g GROUP BY doc_id, gh),
+marked AS (
+  SELECT *, count(*) OVER (PARTITION BY gh) AS n_docs FROM per
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_grams,
+       CAST(coalesce(sum(CASE WHEN n_docs >= 2 THEN c END), 0) AS BIGINT)
+         AS n_dup_grams,
+       count(*) AS n_distinct_grams,
+       CAST(coalesce(sum(CASE WHEN n_docs >= 2 THEN 1 END), 0) AS BIGINT)
+         AS n_dup_distinct,
+       floor(CAST(coalesce(sum(CASE WHEN n_docs >= 2 THEN c END), 0) AS DOUBLE)
+             / CAST(sum(c) AS DOUBLE) * 1e6) / 1e6 AS dup_ratio
+FROM marked
+GROUP BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("q30_doc_stats", q_doc_stats, ORACLE_DOC_STATS,
               "per-document token/punct/stopword stats + quality score", ("P2-text",)),
@@ -812,4 +857,7 @@ SPECS = [
               _oracle_semantic_dedup(),
               "SemDeDup clustered semantic dedup (cell-bounded cosine)",
               ("P2-dedup", "P2-sim")),
+    QuerySpec("q69_span_dedup", q_span_dedup, ORACLE_SPAN_DEDUP,
+              "cross-document repeated 5-gram span stats (exact-substring "
+              "dedup signal)", ("P2-dedup",)),
 ]

@@ -170,3 +170,17 @@ def test_csv_sink_partitions_by_event(spark, tmp_path):
     assert os.path.isdir(part)
     back = spark.read.option("header", True).csv(part)
     assert back.count() == 1 and int(back.collect()[0]["tick"]) == 7
+
+
+def test_balance_ledger_invariants(spark):
+    from etl_evm_chain_spark.plans.evm import q_balance_ledger
+
+    rows = q_balance_ledger(spark, "/root/testdata/sf0.001").collect()
+    assert 0 < len(rows) <= 25
+    for r in rows:
+        # final running balance == net, so the peak/trough bracket it
+        assert r["peak_balance"] >= r["net_balance"] >= r["trough_balance"]
+        assert r["n_in"] >= 0 and r["n_out"] >= 0
+    # top-25 by net_balance is descending
+    nets = [r["net_balance"] for r in rows]
+    assert nets == sorted(nets, reverse=True)

@@ -209,3 +209,22 @@ def test_semantic_dedup_drops_higher_id_twin(spark):
     assert got[3] == 1
     assert got[4] == 0
     assert len(got) == 4                # every input row classified
+
+
+def test_span_dup_stats_counts_cross_doc_instances_only(spark):
+    rows = [
+        (1, "a b c d e f"),        # grams: "a b c d e", "b c d e f"
+        (2, "a b c d e x"),        # shares "a b c d e" with doc 1
+        (3, "z z z z z z z"),      # 3 identical grams, but single-doc
+        (4, "short"),              # < k tokens → no grams, no row
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dd.span_dup_stats(docs, k=5).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_grams"] == 2 and got[1]["n_dup_grams"] == 1
+    assert got[1]["n_distinct_grams"] == 2 and got[1]["n_dup_distinct"] == 1
+    assert got[1]["dup_ratio"] == 0.5
+    assert got[2]["n_dup_grams"] == 1
+    # within-doc repetition is NOT a cross-doc dup
+    assert got[3]["n_grams"] == 3 and got[3]["n_dup_grams"] == 0
+    assert got[3]["n_distinct_grams"] == 1 and got[3]["dup_ratio"] == 0.0
