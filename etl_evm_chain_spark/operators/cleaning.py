@@ -112,6 +112,60 @@ def repetition_stats(df: DataFrame, *, id_col: str = "doc_id",
     )
 
 
+def unigram_surprisal(docs: DataFrame, *, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      total_tokens: int | None = None) -> DataFrame:
+    """Corpus-unigram-LM quality score: per-document cross-entropy
+    (average surprisal, in micro-bits) under the corpus's own unigram
+    distribution — high values flag gibberish/rare-token soup, low
+    values flag boilerplate; the classic model-free "perplexity"
+    quality cut for training-data curation.
+
+    Engine-portable by construction: every per-token surprisal
+    ``(ln(total) − ln(count)) / ln(2)`` is floor-truncated to integer
+    micro-bits BEFORE summing, so document aggregates are exact
+    integer arithmetic (no float-sum ordering drift vs the oracle).
+
+    Scale shape (mirrors ``dedup.span_dup_stats``): groupBy(doc,
+    token) collapses instances to multiplicities, a count-over-window
+    partitioned by token attaches corpus frequencies — rows per token
+    = its document frequency, so no token's partition exceeds the doc
+    count, and the vocabulary is never collected or broadcast (at
+    100 TB the long tail of a web corpus's vocabulary does not fit a
+    broadcast) — then groupBy(doc) folds to per-document stats. The
+    corpus token total is the one driver-side scalar, computed by a
+    narrow shuffle-free scan (or passed in precomputed).
+
+    Reference analog: none (no corpus operators in the reference);
+    extends the P2 quality tier of `functions/text.py:quality_score`.
+    """
+    from ..functions.text import tokens
+
+    if total_tokens is None:
+        total_tokens = docs.select(
+            F.sum(F.size(tokens(text_col))).alias("n")).first()["n"]
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    per = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("m"))
+    from pyspark.sql import Window
+    per = per.withColumn(
+        "c", F.sum("m").over(Window.partitionBy("tok")))
+    # ln on both engines' own libm over identical doubles; the floor
+    # granularity (1e-6 bits) is ~1e10 ulps wide, so a last-ulp libm
+    # disagreement cannot move the truncated value.
+    micro = F.floor(
+        (F.log(F.lit(float(total_tokens))) - F.log(F.col("c").cast("double")))
+        / F.log(F.lit(2.0)) * 1e6
+    ).cast("long")
+    out = per.withColumn("micro", micro).groupBy(id_col).agg(
+        F.sum("m").alias("n_tokens"),
+        F.sum(F.col("m") * F.col("micro")).alias("surprisal_micro_sum"),
+    )
+    avg = F.col("surprisal_micro_sum").cast("double") / F.col("n_tokens")
+    return out.withColumn(
+        "avg_surprisal_micro", F.floor(avg).cast("long"))
+
+
 def contamination(train: DataFrame, evalset: DataFrame, *,
                   id_col: str = "doc_id", text_col: str = "text",
                   k: int = 3, min_containment: float = 0.8) -> DataFrame:

@@ -279,6 +279,184 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *,
     )
 
 
+def pq_topk(corpus: DataFrame, queries: DataFrame, *,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            k: int = 5, n_sub: int = 8, n_cents: int = 64) -> DataFrame:
+    """Product-quantization ADC approximate top-k (Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search"): vectors are
+    compressed to ``n_sub`` codebook indices (6 bits each at the
+    default 64 centroids — 64 float dims → 6 bytes of codes, a ~40×
+    compression), and queries score candidates straight off the codes
+    via per-subspace lookup tables, never touching the raw corpus
+    vectors.
+
+    Codebooks are deterministic sampled subvectors (the ``n_cents``
+    corpus rows with smallest ``hash15('pq:'||id)``, as in
+    ``semantic_dedup``): a stable pseudo-random spread, no training
+    iterations, so results are reproducible run-to-run; swapping in
+    k-means codebooks changes only the tiny broadcast table, not the
+    plan. Approximate sim = Σ_sub ⟨q_sub, centroid[code]⟩ normalized
+    by the true norms (stored at encode time, 8 more bytes).
+
+    Scale shape — the point of PQ at 100 TB: after one encode pass the
+    working set is ~16 bytes/vector (codes + norm), so a billion-row
+    corpus fits where raw float vectors never would; each partition
+    builds the 8×16 lookup tables locally from the broadcast
+    (codebooks, queries) and emits only its per-query local top-k, so
+    the only shuffle is (queries × k × partitions) candidate rows into
+    the final global top-k window. Compose with IVF cells for the full
+    IVF-PQ layout.
+
+    Not SQL-expressible (argmin encode + table lookups) → rows-only
+    driver check; recall vs ``brute_force_topk`` is pinned by tests.
+    """
+    import numpy as np
+
+    from ..functions.text import hash15
+
+    spark = corpus.sparkSession
+    d_probe = len(corpus.select(vec_col).first()[0])
+    if d_probe % n_sub:
+        raise ValueError(f"dim {d_probe} not divisible by n_sub {n_sub}")
+    sub_d = d_probe // n_sub
+
+    cent_rows = (
+        corpus.select(
+            F.col(vec_col),
+            hash15(F.concat(F.lit("pq:"), F.col(id_col).cast("string")))
+            .alias("_h"))
+        .orderBy("_h").limit(n_cents).collect()
+    )
+    books = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                      for r in cent_rows])
+    # books[s] : (n_cents, sub_d) codebook for subspace s
+    books = books.reshape(len(cent_rows), n_sub, sub_d).transpose(1, 0, 2)
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[id_col] for r in qrows])
+    qmat = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                     for r in qrows])
+    qnorms = np.sqrt((qmat * qmat).sum(axis=1))
+    # Per-query ADC tables: tables[q, s, c] = <q_sub s, centroid c>
+    tables = np.einsum("qsd,scd->qsc",
+                       qmat.reshape(len(qrows), n_sub, sub_d), books)
+    bc = spark.sparkContext.broadcast((books, qids, qnorms, tables))
+
+    def kernel(batches):
+        import pandas as pd
+
+        books_b, qids_b, qnorms_b, tables_b = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids_b = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            subs = mat.reshape(len(mat), len(books_b), -1)
+            # encode: codes[i, s] = argmin_c ||subs[i,s] - books[s,c]||
+            codes = np.empty((len(mat), len(books_b)), dtype=np.int64)
+            for s in range(len(books_b)):
+                d2 = ((subs[:, s, None, :] - books_b[s][None, :, :]) ** 2
+                      ).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            # ADC: approx_dot[q, i] = Σ_s tables[q, s, codes[i, s]]
+            approx = np.zeros((len(qids_b), len(mat)))
+            for s in range(len(books_b)):
+                approx += tables_b[:, s, codes[:, s]]
+            sims = approx / (qnorms_b[:, None] * norms[None, :])
+            out_q, out_c, out_s = [], [], []
+            for qi, qid in enumerate(qids_b):
+                row = sims[qi].copy()
+                row[ids_b == qid] = -np.inf
+                order = np.lexsort((ids_b, -row))[:k]
+                out_q.extend([int(qid)] * len(order))
+                out_c.extend(int(x) for x in ids_b[order])
+                out_s.extend(float(np.floor(row[j] * 1e6) / 1e6)
+                             for j in order)
+            yield pd.DataFrame({"qid": out_q, "cid": out_c, "sim": out_s})
+
+    local = corpus.select(id_col, vec_col).mapInPandas(
+        kernel, "qid long, cid long, sim double")
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return (local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "cid", "sim", "rank"))
+
+
+def knn_classify(emb: DataFrame, *, id_col: str = "vec_id",
+                 vec_col: str = "embedding", label_col: str = "label",
+                 k: int = 10,
+                 max_broadcast_rows: int = 2_000_000) -> DataFrame:
+    """Leave-one-out k-NN majority-vote label classification with
+    per-label accuracy — the standard embedding-quality probe for a
+    labeled corpus (is the embedding space locally label-consistent?),
+    and the downstream consumer of the similarity-search tier.
+
+    Same broadcast-matrix block kernel as ``cosine_near_dup_pairs``:
+    the labeled reference matrix broadcasts once, each partition
+    multiplies its row block against it with BLAS and reduces straight
+    to (query, true-label, predicted-label) — the n×n similarity
+    matrix is never materialized or shuffled; only n prediction rows
+    reach the accuracy aggregation. Neighbor order is (sim desc, id
+    asc); vote ties break to the smallest label. Beyond the broadcast
+    guard the reference set should first be IVF/LSH-bucketed
+    (``ivf_topk`` plumbing) — LOO evaluation over a bounded labeled
+    sample is the normal use.
+
+    Returns one row per label: n, n_correct, accuracy_micro
+    (floor(accuracy·1e6) — integer, engine-portable).
+
+    Reference analog: eval-metric surface of `stable_fee_ml_bot.py`
+    E7 (accuracy report), re-expressed over embeddings.
+    """
+    import numpy as np
+
+    spark = emb.sparkSession
+    corpus = emb.select(id_col, vec_col, label_col).toPandas()
+    if len(corpus) > max_broadcast_rows:
+        raise ValueError(
+            f"{len(corpus)} vectors exceed the broadcast guard "
+            f"({max_broadcast_rows}); bucket the reference set first")
+    ids = corpus[id_col].to_numpy()
+    labels = corpus[label_col].to_numpy()
+    mat = np.stack(corpus[vec_col].to_numpy()).astype(np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, labels, mat, norms))
+
+    def kernel(batches):
+        import pandas as pd
+
+        ids_b, labels_b, mat_b, norms_b = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            block = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bn = np.sqrt((block * block).sum(axis=1))
+            sims = (block @ mat_b.T) / np.outer(bn, norms_b)
+            out_q, out_t, out_p = [], [], []
+            for i, (qid, qlab) in enumerate(
+                    zip(pdf[id_col].to_numpy(), pdf[label_col].to_numpy())):
+                row = sims[i].copy()
+                row[ids_b == qid] = -np.inf          # leave-one-out
+                order = np.lexsort((ids_b, -row))[:k]
+                votes = np.bincount(labels_b[order])
+                out_q.append(int(qid))
+                out_t.append(int(qlab))
+                out_p.append(int(votes.argmax()))    # tie → smallest label
+            yield pd.DataFrame({"qid": out_q, "label": out_t, "pred": out_p})
+
+    preds = emb.select(id_col, vec_col, label_col).mapInPandas(
+        kernel, "qid long, label int, pred int")
+    hit = (F.col("pred") == F.col("label")).cast("long")
+    out = preds.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(hit).alias("n_correct"),
+    )
+    acc = F.col("n_correct").cast("double") / F.col("n").cast("double")
+    return out.withColumn(
+        "accuracy_micro", F.floor(acc * 1e6).cast("long"))
+
+
 def semantic_dedup(df: DataFrame, *, id_col: str = "vec_id",
                    vec_col: str = "embedding", n_cells: int = 16,
                    threshold: float = 0.3) -> DataFrame:

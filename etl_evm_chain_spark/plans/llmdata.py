@@ -562,6 +562,12 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, queries, k=5).orderBy("qid", "rank")
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.pq_topk(emb, queries, k=5).orderBy("qid", "rank")
+
+
 # ---------------------------------------------------------------------------
 # Q50: winnowing fingerprints — the rolling-hash document
 # fingerprinting scheme (k-gram hashes, min per w-window, distinct).
@@ -810,6 +816,91 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q71: corpus-unigram-LM surprisal (model-free perplexity quality cut).
+# ---------------------------------------------------------------------------
+
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cleaning import unigram_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_surprisal(docs)
+
+
+ORACLE_UNIGRAM_SURPRISAL = f"""
+WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents),
+per AS (SELECT doc_id, tok, count(*) AS m FROM toks GROUP BY doc_id, tok),
+tot AS (SELECT CAST(sum(m) AS BIGINT) AS total FROM per),
+wc AS (SELECT doc_id, m,
+              CAST(sum(m) OVER (PARTITION BY tok) AS BIGINT) AS c
+       FROM per),
+sc AS (SELECT doc_id, m,
+              CAST(floor((ln(CAST((SELECT total FROM tot) AS DOUBLE))
+                          - ln(CAST(c AS DOUBLE))) / ln(2) * 1e6)
+                   AS BIGINT) AS micro
+       FROM wc)
+SELECT doc_id,
+       CAST(sum(m) AS BIGINT) AS n_tokens,
+       CAST(sum(m * micro) AS BIGINT) AS surprisal_micro_sum,
+       CAST(floor(CAST(sum(m * micro) AS DOUBLE) / sum(m)) AS BIGINT)
+         AS avg_surprisal_micro
+FROM sc GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q72: leave-one-out k-NN label classification over embeddings.
+# ---------------------------------------------------------------------------
+
+KNN_K = 10
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.knn_classify(emb, k=KNN_K)
+
+
+ORACLE_KNN_CLASSIFY = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+           FROM embeddings),
+c AS (SELECT vec_id AS cid, embedding AS cv, label AS clabel
+      FROM embeddings),
+scored AS (
+  SELECT qid, qlabel, cid, clabel,
+         {{dot_qc}} / (sqrt({{dot_qq}}) * sqrt({{dot_cc}})) AS sim
+  FROM c CROSS JOIN q WHERE qid != cid
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY sim DESC, cid ASC) AS rank
+  FROM scored
+),
+votes AS (
+  SELECT qid, qlabel, clabel, count(*) AS v
+  FROM ranked WHERE rank <= {KNN_K}
+  GROUP BY qid, qlabel, clabel
+),
+pred AS (
+  SELECT qid, qlabel, clabel AS p,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY v DESC, clabel ASC) AS pr
+  FROM votes
+)
+SELECT qlabel AS label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN p = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(floor(CAST(sum(CASE WHEN p = qlabel THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*) * 1e6) AS BIGINT) AS accuracy_micro
+FROM pred WHERE pr = 1
+GROUP BY qlabel
+""".format(
+    dot_qc=_SQL_DOT.format(a="qv", b="cv"),
+    dot_qq=_SQL_DOT.format(a="qv", b="qv"),
+    dot_cc=_SQL_DOT.format(a="cv", b="cv"),
+)
+
+
 SPECS = [
     QuerySpec("q30_doc_stats", q_doc_stats, ORACLE_DOC_STATS,
               "per-document token/punct/stopword stats + quality score", ("P2-text",)),
@@ -846,6 +937,9 @@ SPECS = [
               "LSH-bucketed approximate top-k (recall-tested)", ("P2-sim",)),
     QuerySpec("q42_ivf_topk", q_ivf_topk, None,
               "IVF-cell approximate top-k (recall-tested)", ("P2-sim",)),
+    QuerySpec("q73_pq_topk", q_pq_topk, None,
+              "product-quantization ADC approximate top-k "
+              "(recall-tested)", ("P2-sim",)),
     QuerySpec("q50_winnow_fingerprints", q_winnow_fingerprints, ORACLE_WINNOW,
               "winnowing rolling-hash document fingerprints", ("P2-text",)),
     QuerySpec("q65_quantize_embeddings", q_quantize_embeddings, ORACLE_QUANTIZE,
@@ -860,4 +954,11 @@ SPECS = [
     QuerySpec("q69_span_dedup", q_span_dedup, ORACLE_SPAN_DEDUP,
               "cross-document repeated 5-gram span stats (exact-substring "
               "dedup signal)", ("P2-dedup",)),
+    QuerySpec("q71_unigram_surprisal", q_unigram_surprisal,
+              ORACLE_UNIGRAM_SURPRISAL,
+              "corpus-unigram-LM per-doc surprisal (perplexity quality cut)",
+              ("P2-text",)),
+    QuerySpec("q72_knn_classify", q_knn_classify, ORACLE_KNN_CLASSIFY,
+              "leave-one-out k-NN label vote + per-label accuracy",
+              ("P2-sim", "E7")),
 ]

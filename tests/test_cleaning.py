@@ -130,3 +130,24 @@ def test_contamination_containment_not_jaccard(spark):
     got = contamination(train, evalset, min_containment=0.8).collect()
     assert [(r["train_id"], r["eval_id"], r["containment"]) for r in got] \
         == [(10, 100, 1.0)]
+
+
+def test_unigram_surprisal_hand_computed(spark):
+    import math
+
+    from etl_evm_chain_spark.operators.cleaning import unigram_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in unigram_surprisal(docs).collect()}
+    # total = 5 tokens; counts: a=2, b=2, c=1
+    m_ab = math.floor(math.log2(5 / 2) * 1e6)   # 1321928
+    m_c = math.floor(math.log2(5 / 1) * 1e6)    # 2321928
+    assert got[1]["n_tokens"] == 3
+    assert got[1]["surprisal_micro_sum"] == 3 * m_ab
+    assert got[1]["avg_surprisal_micro"] == m_ab
+    assert got[2]["n_tokens"] == 2
+    assert got[2]["surprisal_micro_sum"] == m_ab + m_c
+    assert got[2]["avg_surprisal_micro"] == (m_ab + m_c) // 2
+    # rare-token doc scores strictly higher than the common-token doc
+    assert got[2]["avg_surprisal_micro"] > got[1]["avg_surprisal_micro"]

@@ -228,3 +228,62 @@ def test_span_dup_stats_counts_cross_doc_instances_only(spark):
     # within-doc repetition is NOT a cross-doc dup
     assert got[3]["n_grams"] == 3 and got[3]["n_dup_grams"] == 0
     assert got[3]["n_distinct_grams"] == 1 and got[3]["dup_ratio"] == 0.0
+
+
+def test_knn_classify_separable_clusters(spark):
+    # two tight clusters in 2-D: label 0 near (1,0), label 1 near (0,1);
+    # LOO 3-NN classifies every vector correctly.
+    rows = []
+    for i, eps in enumerate([0.00, 0.01, 0.02, 0.03]):
+        rows.append((i, [1.0, eps], 0))
+        rows.append((10 + i, [eps, 1.0], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = {r["label"]: r for r in sim.knn_classify(emb, k=3).collect()}
+    assert got[0]["n"] == 4 and got[0]["n_correct"] == 4
+    assert got[1]["n"] == 4 and got[1]["n_correct"] == 4
+    assert got[0]["accuracy_micro"] == 1_000_000
+
+
+def test_knn_classify_vote_tie_breaks_to_smallest_label(spark):
+    # query 0's 2 nearest neighbors have labels 1 and 2 (one vote
+    # each): the tie must resolve to label 1, a miss for true label 2.
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 2),
+            (1, [1.0, 0.01], 1),
+            (2, [1.0, -0.01], 2),
+            (3, [0.0, 1.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int")
+    got = {r["label"]: r
+           for r in sim.knn_classify(emb, k=2).collect()}
+    # query 0: neighbors {1 (label 1), 2 (label 2)} → tie → pred 1 ≠ 2
+    assert got[2]["n_correct"] < got[2]["n"]
+
+
+def test_pq_recall_against_brute_force(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = sim.brute_force_topk(emb, queries, k=10).collect()
+    approx = sim.pq_topk(emb, queries, k=10).collect()
+    exact_set = {(r["qid"], r["cid"]) for r in exact}
+    approx_set = {(r["qid"], r["cid"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # uniform-random embeddings are PQ's hardest case; sampled 64-way
+    # codebooks over 8 subspaces land ~0.38 here (deterministic).
+    assert recall >= 0.3, f"recall {recall:.2f}"
+    # exactly k rows per query, ranks contiguous from 1
+    from collections import Counter
+    per_q = Counter(r["qid"] for r in approx)
+    assert all(v == 10 for v in per_q.values())
+    assert all(-1.0001 <= r["sim"] <= 1.0001 for r in approx)
+
+
+def test_pq_topk_excludes_self_and_is_deterministic(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = sim.pq_topk(emb, queries, k=5).orderBy("qid", "rank").collect()
+    b = sim.pq_topk(emb, queries, k=5).orderBy("qid", "rank").collect()
+    assert a == b                       # sampled codebooks are stable
+    assert all(r["qid"] != r["cid"] for r in a)

@@ -43,6 +43,8 @@ ALLOW: dict[str, set[str]] = {
     "q29_ml_signals": {"pandas"},
     "q39_embedding_near_dups": {"pandas"},  # broadcast-matrix BLAS kernel
     "q61_media_stats": {"pandas"},  # mapInPandas media decode IS the operator
+    "q72_knn_classify": {"pandas"},  # broadcast-matrix BLAS kernel
+    "q73_pq_topk": {"pandas"},  # PQ encode+ADC lookup BLAS kernel
     # brute-force top-k is the documented exact baseline (bounded by
     # broadcast query side); ANN is its bucketed scale path
     "q38_embedding_topk": {"nested_loop"},
