@@ -176,6 +176,64 @@ FROM canon
 """
 
 
+# ---------------------------------------------------------------------------
+# Q77: robust outlier detection — median/MAD per event_type, flag rows
+# whose robust z (|x − med| / (1.4826·MAD)) exceeds 3.5. Two grouped
+# exact-median passes over a 5-key dim (both join back broadcast);
+# the row-level scan is touched twice but shuffles only once per agg
+# on the tiny event_type key. MAD beats stddev-z on the heavy-tailed
+# value column (exactly why curation pipelines gate on it).
+# ---------------------------------------------------------------------------
+
+MAD_K = 1.4826      # normal-consistency constant
+ROBUST_Z_CUT = 3.5
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = (dev.groupBy("event_type")
+           .agg(F.first("med").alias("med"),
+                F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"),
+                F.count(F.lit(1)).alias("n")))
+    rz = F.abs(F.col("value") - F.col("med")) / (MAD_K * F.col("mad"))
+    scored = ev.join(F.broadcast(mad), "event_type").withColumn("rz", rz)
+    return (
+        scored.groupBy("event_type")
+        .agg(F.first("n").alias("n"),
+             F.round(F.first("med"), 6).alias("med"),
+             F.round(F.first("mad"), 6).alias("mad"),
+             F.sum((F.col("rz") > ROBUST_Z_CUT).cast("long"))
+             .alias("n_outliers"),
+             F.round(F.max("rz"), 6).alias("max_robust_z"))
+    )
+
+
+ORACLE_MAD = f"""
+WITH med AS (
+  SELECT event_type, CAST(median(value) AS DOUBLE) AS med
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, any_value(m.med) AS med,
+         CAST(median(abs(e.value - m.med)) AS DOUBLE) AS mad,
+         count(*) AS n
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_type, any_value(m.n) AS n,
+       round(any_value(m.med), 6) AS med,
+       round(any_value(m.mad), 6) AS mad,
+       count(CASE WHEN abs(e.value - m.med) / ({MAD_K} * m.mad)
+                       > {ROBUST_Z_CUT} THEN 1 END) AS n_outliers,
+       round(max(abs(e.value - m.med) / ({MAD_K} * m.mad)), 6)
+         AS max_robust_z
+FROM events e JOIN mad m USING (event_type)
+GROUP BY e.event_type
+"""
+
+
 SPECS = [
     QuerySpec("q41_dedup_resolve", q_dedup_resolve, _oracle_dedup_resolve(),
               "near-dup connected components → canonical survivors",
@@ -186,4 +244,7 @@ SPECS = [
               "hierarchical rollup subtotals", ("D12",)),
     QuerySpec("q49_unpivot", q_unpivot, ORACLE_UNPIVOT,
               "wide→long unpivot (stack)", ("D2", "F3")),
+    QuerySpec("q77_mad_outliers", q_mad_outliers, ORACLE_MAD,
+              "median/MAD robust-z outlier gate per event_type",
+              ("D6", "D13")),
 ]

@@ -1,0 +1,169 @@
+"""Graph + behavioral-sequence queries over the decoded-transfer and
+events tables: PageRank flow centrality and an ordered conversion
+funnel. Both are fully SQL-expressible, so each gets an exact DuckDB
+oracle (the PageRank oracle unrolls the 5 supersteps as chained CTEs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.graph import pagerank, weighted_edges
+from . import QuerySpec
+from .evm import T_TRANSFER, TRANSFER, _SQL_RAW, synthetic_transfer_logs
+
+DAMPING = 0.85
+ITERS = 5
+TOPN = 20
+
+
+# ---------------------------------------------------------------------------
+# Q74: PageRank flow centrality of addresses in the decoded Transfer
+# graph — Pregel-by-join (operators/graph.py): edge shares materialized
+# once, each superstep = one join + one agg by destination. The output
+# scales ranks ×1000 and rounds to 6 so the two engines' float-sum
+# orders cannot perturb the hash, and orders by the ROUNDED value so
+# the top-20 cut is engine-deterministic.
+# ---------------------------------------------------------------------------
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = synthetic_transfer_logs(spark, sf_dir)
+    # src/dst decode straight from the indexed topics (G3 native form);
+    # the full decode_event (uint256 limbs etc.) would be dead weight —
+    # Catalyst would prune it, but being explicit keeps the scan to the
+    # two topic words.
+    transfers = raw.filter(F.col("topics")[0] == T_TRANSFER).select(
+        F.concat(F.lit("0x"), F.substring(F.col("topics")[1], 27, 40))
+        .alias("src_addr"),
+        F.concat(F.lit("0x"), F.substring(F.col("topics")[2], 27, 40))
+        .alias("dst_addr"),
+    )
+    edges = weighted_edges(transfers, src="src_addr", dst="dst_addr")
+    ranks = pagerank(edges, iters=ITERS, damping=DAMPING)
+    out = ranks.select(
+        F.col("node").alias("address"),
+        F.round(F.col("rank") * 1000, 6).alias("rank_x1000"),
+    )
+    return out.orderBy(F.desc("rank_x1000"), "address").limit(TOPN)
+
+
+def _oracle_pagerank() -> str:
+    raw = _SQL_RAW.format(topic0_expr=f"'{T_TRANSFER}'")
+    iter_ctes = []
+    for k in range(1, ITERS + 1):
+        iter_ctes.append(f"""
+r{k} AS (
+  SELECT nd.node,
+         (1 - {DAMPING}) / p.n + {DAMPING} * coalesce(m.mass, 0.0) AS rank
+  FROM nodes nd CROSS JOIN p
+  LEFT JOIN (
+    SELECT s.dst AS node, sum(r.rank * s.share) AS mass
+    FROM shares s JOIN r{k - 1} r ON r.node = s.src
+    GROUP BY s.dst
+  ) m USING (node)
+)""")
+    return f"""
+WITH raw AS ({raw}),
+transfers AS (
+  SELECT '0x' || substr(topics[2], 27, 40) AS src,
+         '0x' || substr(topics[3], 27, 40) AS dst
+  FROM raw WHERE topics[1] = '{T_TRANSFER}'
+),
+edges AS (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+  FROM transfers GROUP BY src, dst
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  )
+),
+p AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+shares AS (
+  SELECT e.src, e.dst, e.w / o.ow AS share
+  FROM edges e JOIN outw o ON o.src = e.src
+),
+r0 AS (SELECT node, 1.0 / p.n AS rank FROM nodes, p),
+{",".join(iter_ctes)}
+SELECT node AS address, round(rank * 1000, 6) AS rank_x1000
+FROM r{ITERS}
+ORDER BY rank_x1000 DESC, address
+LIMIT {TOPN}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q78: ordered conversion funnel signup → click → purchase. Per-user
+# first-touch per stage via one conditional aggregation pass (no
+# per-stage self-joins), then strictly-increasing timestamps gate each
+# stage. One shuffle on user_id; stage counts are a tiny final agg.
+# ---------------------------------------------------------------------------
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.unix_timestamp("ts")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", ts)).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", ts)).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", ts)).alias("t_purchase"),
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_signup"))
+    s3 = s2 & F.col("t_purchase").isNotNull() & (F.col("t_purchase") > F.col("t_click"))
+    agg = first.agg(
+        F.sum(s1.cast("long")).alias("n_signup"),
+        F.sum(s2.cast("long")).alias("n_click_after"),
+        F.sum(s3.cast("long")).alias("n_purchase_after"),
+    )
+    return agg.select(
+        F.expr("stack(3, 'signup', n_signup, 'click_after', n_click_after, "
+               "'purchase_after', n_purchase_after) AS (stage, n_users)"),
+        F.round(F.col("n_click_after") / F.col("n_signup"), 6)
+        .alias("click_rate"),
+        F.round(F.col("n_purchase_after") / F.col("n_signup"), 6)
+        .alias("purchase_rate"),
+    )
+
+
+ORACLE_FUNNEL = """
+WITH first AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup'
+                  THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_signup,
+         min(CASE WHEN event_type = 'click'
+                  THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_click,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_purchase
+  FROM events GROUP BY user_id
+),
+f AS (
+  SELECT count(CASE WHEN t_signup IS NOT NULL THEN 1 END) AS n_signup,
+         count(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                    THEN 1 END) AS n_click_after,
+         count(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                    AND t_purchase > t_click THEN 1 END) AS n_purchase_after
+  FROM first
+)
+SELECT u.stage, u.n_users,
+       round(CAST(f.n_click_after AS DOUBLE) / f.n_signup, 6) AS click_rate,
+       round(CAST(f.n_purchase_after AS DOUBLE) / f.n_signup, 6) AS purchase_rate
+FROM f, LATERAL (
+  SELECT * FROM (VALUES ('signup', f.n_signup),
+                        ('click_after', f.n_click_after),
+                        ('purchase_after', f.n_purchase_after))
+           v(stage, n_users)
+) u
+"""
+
+
+SPECS = [
+    QuerySpec("q74_pagerank", q_pagerank, _oracle_pagerank(),
+              "PageRank flow centrality of transfer addresses "
+              "(Pregel-by-join, 5 supersteps)", ("G3", "P2-graph")),
+    QuerySpec("q78_funnel", q_funnel, ORACLE_FUNNEL,
+              "ordered conversion funnel via one conditional-agg pass",
+              ("D12", "D13")),
+]

@@ -3,11 +3,13 @@
 from __future__ import annotations
 
 from . import QuerySpec
-from . import (analytics_ext, curation_q, evm, joins_ext, llmdata,
-               multimodal_q, relational, stateful, timeseries_q, warehouse)
+from . import (analytics_ext, curation_q, evm, graph_q, joins_ext, llmdata,
+               multimodal_q, relational, stateful, textstats_q, timeseries_q,
+               warehouse)
 
 _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
-            warehouse, joins_ext, curation_q, multimodal_q]
+            warehouse, joins_ext, curation_q, multimodal_q, graph_q,
+            textstats_q]
 
 
 def all_specs() -> list[QuerySpec]:

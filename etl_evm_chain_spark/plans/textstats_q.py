@@ -1,0 +1,131 @@
+"""Corpus-statistics queries: character-entropy quality gating and a
+Zipf rank-frequency fit. Both extend the text-analysis plane (P2-text)
+with information-theoretic signals a curation pipeline filters on, and
+both stay fully declarative (explode → agg → window), so they hold the
+same shape on a 100 TB corpus: the only shuffles are by doc_id / token,
+and the final fit runs over a constant-size (top-K) relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import QuerySpec
+
+ENTROPY_LOW = 3.0   # bits/char below which a doc is gate-flagged
+ZIPF_TOPK = 100
+
+
+# ---------------------------------------------------------------------------
+# Q75: per-document Shannon character entropy (bits/char) — the
+# standard gibberish/boilerplate gate: natural-language text sits
+# ~3.5-4.5 bits/char, repeated-padding spam collapses toward 0.
+# Per-doc char histogram in one explode+agg, entropy from the
+# histogram via a second agg (no window needed: sum-of-counts is
+# computed in the same pass with a grouped total join-free trick:
+# -sum(c*log2 c)/n + log2 n).
+# ---------------------------------------------------------------------------
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chars = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    hist = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("double").alias("c"))
+    # H = log2(n) - (1/n) * sum(c * log2(c)): one grouped agg, no
+    # per-doc total broadcast/window.
+    ent = hist.groupBy("doc_id").agg(
+        (F.log2(F.sum("c"))
+         - F.sum(F.col("c") * F.log2("c")) / F.sum("c")).alias("h"))
+    return ent.select(
+        "doc_id",
+        F.round("h", 6).alias("char_entropy"),
+        (F.col("h") < ENTROPY_LOW).cast("int").alias("low_entropy"),
+    )
+
+
+ORACLE_CHAR_ENTROPY = f"""
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch
+  FROM documents WHERE len(text) > 0
+),
+hist AS (
+  SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+  FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+),
+ent AS (
+  SELECT doc_id, log2(sum(c)) - sum(c * log2(c)) / sum(c) AS h
+  FROM hist GROUP BY doc_id
+)
+SELECT doc_id, round(h, 6) AS char_entropy,
+       CAST(h < {ENTROPY_LOW} AS INTEGER) AS low_entropy
+FROM ent
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q76: Zipf rank-frequency fit — global lowercase token frequencies,
+# rank by count, least-squares slope of log(freq) on log(rank) over
+# the top-100 (a healthy natural corpus fits ≈ -1). The regression is
+# closed-form covar/var over a 100-row relation: the heavy part is one
+# explode + one agg by token; ranking the top-K is
+# TakeOrderedAndProject-sized, never a global sort of the vocabulary.
+# ---------------------------------------------------------------------------
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    freq = (toks.groupBy(F.lower("tok").alias("token"))
+            .agg(F.count(F.lit(1)).alias("freq")))
+    topk = (freq.orderBy(F.desc("freq"), "token").limit(ZIPF_TOPK)
+            .withColumn("rank", F.row_number().over(
+                Window.orderBy(F.desc("freq"), "token"))))
+    lr, lf = F.log("rankd"), F.log("freqd")
+    fitted = (
+        topk.select("rank", "token", "freq",
+                    F.col("rank").cast("double").alias("rankd"),
+                    F.col("freq").cast("double").alias("freqd"))
+        .withColumn("slope", F.covar_pop(lr, lf).over(Window.partitionBy())
+                    / F.var_pop(lr).over(Window.partitionBy()))
+    )
+    return fitted.select(
+        "rank", "token", "freq", F.round("slope", 6).alias("zipf_slope"))
+
+
+ORACLE_ZIPF = f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+freq AS (
+  SELECT lower(tok) AS token, count(*) AS freq
+  FROM toks WHERE tok <> '' GROUP BY lower(tok)
+),
+topk AS (
+  SELECT token, freq,
+         row_number() OVER (ORDER BY freq DESC, token) AS rank
+  FROM freq ORDER BY freq DESC, token LIMIT {ZIPF_TOPK}
+),
+fit AS (
+  SELECT covar_pop(ln(CAST(rank AS DOUBLE)), ln(CAST(freq AS DOUBLE)))
+           / var_pop(ln(CAST(rank AS DOUBLE))) AS slope
+  FROM topk
+)
+SELECT t.rank, t.token, t.freq, round(f.slope, 6) AS zipf_slope
+FROM topk t CROSS JOIN fit f
+"""
+
+
+SPECS = [
+    QuerySpec("q75_char_entropy", q_char_entropy, ORACLE_CHAR_ENTROPY,
+              "Shannon char-entropy quality gate (bits/char)",
+              ("P2-text",)),
+    QuerySpec("q76_zipf_slope", q_zipf_slope, ORACLE_ZIPF,
+              "Zipf rank-frequency fit over top-100 tokens",
+              ("P2-text", "F2")),
+]
