@@ -432,6 +432,58 @@ WHERE n_common::DOUBLE / n_eval >= {CONTAIN_THR}
 
 
 # ---------------------------------------------------------------------------
+# Q79: Bloom-prefilter decontamination candidates — the eval set folds
+# into a 4 KiB literal bitset (operators/cleaning.bloom_candidates), so
+# the corpus pass is a joinless narrow scan; the oracle re-derives the
+# identical candidate set with a positions-set semi-join (integer-only
+# double hashing → no float or hash-library divergence).
+# ---------------------------------------------------------------------------
+
+BLOOM_MIN_HITS = 8
+
+
+def q_bloom_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cleaning import bloom_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    evalset = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    return bloom_candidates(train, evalset, min_hits=BLOOM_MIN_HITS)
+
+
+def _oracle_bloom_candidates() -> str:
+    m, k = 1 << 15, 5
+    h2 = f"((((sh >> 15) % {m}) * 2 + 1) % {m})"
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+shs AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh0 FROM toks),
+shx AS (SELECT doc_id, {_sql_hash15("sh0")} AS sh FROM shs),
+ev AS (SELECT DISTINCT sh FROM shx WHERE doc_id % {EVAL_MOD} = 0),
+seeds AS (SELECT unnest(range(0, {k})) AS i),
+pos AS (
+  SELECT DISTINCT (sh % {m} + i * {h2}) % {m} AS p
+  FROM ev CROSS JOIN seeds
+),
+tr AS (SELECT doc_id AS train_id, sh FROM shx WHERE doc_id % {EVAL_MOD} != 0),
+trp AS (
+  SELECT train_id, sh, (sh % {m} + i * {h2}) % {m} AS p
+  FROM tr CROSS JOIN seeds
+),
+hits AS (
+  SELECT train_id, sh FROM trp JOIN pos USING (p)
+  GROUP BY train_id, sh HAVING count(*) = {k}
+),
+per AS (SELECT train_id, count(*) AS n_shingles FROM tr GROUP BY train_id),
+hh AS (SELECT train_id, count(*) AS n_bloom_hits FROM hits GROUP BY train_id)
+SELECT p.train_id, p.n_shingles,
+       coalesce(h.n_bloom_hits, 0) AS n_bloom_hits,
+       CAST(coalesce(h.n_bloom_hits, 0) >= {BLOOM_MIN_HITS} AS INTEGER)
+         AS is_candidate
+FROM per p LEFT JOIN hh h USING (train_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q36/Q37: SimHash sketch + Hamming near-dup pairs.
 # ---------------------------------------------------------------------------
 
@@ -925,6 +977,10 @@ SPECS = [
               ("P2-text", "P2-dedup")),
     QuerySpec("q64_repetition_filter", q_repetition_filter, ORACLE_REPETITION,
               "Gopher-style 2-gram repetition quality gate", ("P2-text",)),
+    QuerySpec("q79_bloom_candidates", q_bloom_candidates,
+              _oracle_bloom_candidates(),
+              "joinless Bloom-bitset decontamination prefilter",
+              ("P2-text", "P2-dedup")),
     QuerySpec("q36_simhash", q_simhash, _oracle_simhash(),
               "60-bit SimHash sketch", ("P2-dedup",)),
     QuerySpec("q37_simhash_pairs", q_simhash_pairs, _oracle_simhash_pairs(),

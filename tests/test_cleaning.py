@@ -151,3 +151,27 @@ def test_unigram_surprisal_hand_computed(spark):
     assert got[2]["avg_surprisal_micro"] == (m_ab + m_c) // 2
     # rare-token doc scores strictly higher than the common-token doc
     assert got[2]["avg_surprisal_micro"] > got[1]["avg_surprisal_micro"]
+
+
+def test_bloom_candidates_no_false_negatives(spark):
+    """Every train doc sharing ≥min_hits exact shingles with the eval
+    set must clear the bloom bar (FPs allowed, FNs never)."""
+    from etl_evm_chain_spark.operators.cleaning import bloom_candidates
+
+    evalset = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # embeds the full eval text → all its shingles are present
+            (1, "prefix words the quick brown fox jumps over the lazy dog today suffix"),
+            # disjoint vocabulary → hits should be 0 (no FP at this size)
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["train_id"]: r for r in
+           bloom_candidates(train, evalset, min_hits=8).collect()}
+    assert got[1]["n_bloom_hits"] >= 8 and got[1]["is_candidate"] == 1
+    assert got[2]["n_bloom_hits"] == 0 and got[2]["is_candidate"] == 0
