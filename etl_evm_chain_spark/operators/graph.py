@@ -35,6 +35,9 @@ def weighted_edges(df: DataFrame, *, src: str, dst: str) -> DataFrame:
     )
 
 
+BROADCAST_RANK_MAX = 5_000_000  # |V| under which the rank relation broadcasts
+
+
 def pagerank(edges: DataFrame, *, iters: int = 5,
              damping: float = 0.85) -> DataFrame:
     """PageRank over a weighted edge relation (``src``, ``dst``, ``w``).
@@ -42,6 +45,15 @@ def pagerank(edges: DataFrame, *, iters: int = 5,
     Returns (node, rank). Contribution of a node to each out-neighbor
     is rank * w / total_out_weight; nodes with no in-edges keep the
     teleport term (1-d)/N.
+
+    Superstep plan shape: the edge-share relation is hash-partitioned
+    by ``dst`` ONCE; when |V| is broadcast-sized the per-iteration join
+    against ranks is then broadcast (no edge shuffle) and the groupBy
+    on ``dst`` reuses the existing partitioning (no exchange) — each
+    superstep is map-side work plus a small broadcast. Above
+    BROADCAST_RANK_MAX nodes the hint is dropped and the join falls
+    back to shuffle hash/sort-merge, which is the correct plan for a
+    billion-node graph anyway.
     """
     edges = edges.localCheckpoint()
     nodes = (
@@ -51,24 +63,28 @@ def pagerank(edges: DataFrame, *, iters: int = 5,
         .localCheckpoint()
     )
     n = nodes.count()
+    small = n <= BROADCAST_RANK_MAX
+    hint = F.broadcast if small else (lambda df: df)
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    # Normalize each edge once: share = w / total out-weight of src.
-    # The 5 supersteps then reuse this one materialized relation.
+    # Normalize each edge once (share = w / total out-weight of src),
+    # partitioned by the aggregation key so the 5 supersteps reuse one
+    # materialized, correctly-distributed relation.
     shares = (
-        edges.join(outw, "src")
+        edges.join(hint(outw), "src")
         .select("src", "dst", (F.col("w") / F.col("ow")).alias("share"))
+        .repartition("dst")
         .localCheckpoint()
     )
     teleport = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
         mass = (
-            shares.join(ranks.withColumnRenamed("node", "src"), "src")
+            shares.join(hint(ranks.withColumnRenamed("node", "src")), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("share")).alias("mass"))
         )
         ranks = (
-            nodes.join(mass, "node", "left")
+            nodes.join(hint(mass), "node", "left")
             .select(
                 "node",
                 (F.lit(teleport)
