@@ -237,6 +237,45 @@ def bloom_candidates(train: DataFrame, evalset: DataFrame, *,
     )
 
 
+def bigram_surprisal(docs: DataFrame, *, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Corpus-bigram-LM quality score: per-document average
+    ``−log2 P(w | prev)`` in micro-bits, with
+    ``P(w | prev) = c(prev,w) / Σ_w' c(prev,w')`` estimated from the
+    corpus itself (prefix-conditional counts — every document bigram
+    is in-corpus by construction, so no smoothing is needed).
+
+    Same engine-portable integer scheme as `unigram_surprisal`: each
+    bigram's surprisal floor-truncates to micro-bits BEFORE the
+    per-document sum. Scale shape: one explode to (doc, bigram,
+    multiplicity), corpus counts attached by two count-over-window
+    passes (by bigram, then by its prefix token) — partition sizes are
+    bounded by document frequency, and no vocabulary is collected or
+    broadcast.
+    """
+    from ..functions.text import token_grams
+
+    grams = docs.select(
+        F.col(id_col), F.explode(token_grams(text_col, 2)).alias("g"))
+    per = grams.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("m"))
+    from pyspark.sql import Window
+    c2 = F.sum("m").over(Window.partitionBy("g"))
+    per = per.withColumn("c2", c2) \
+             .withColumn("prev", F.substring_index("g", " ", 1))
+    c1 = F.sum("m").over(Window.partitionBy("prev"))
+    per = per.withColumn("c1", c1)
+    micro = F.floor(
+        (F.log(F.col("c1").cast("double")) - F.log(F.col("c2").cast("double")))
+        / F.log(F.lit(2.0)) * 1e6
+    ).cast("long")
+    out = per.withColumn("micro", micro).groupBy(id_col).agg(
+        F.sum("m").alias("n_bigrams"),
+        F.sum(F.col("m") * F.col("micro")).alias("surprisal_micro_sum"),
+    )
+    avg = F.col("surprisal_micro_sum").cast("double") / F.col("n_bigrams")
+    return out.withColumn("avg_surprisal_micro", F.floor(avg).cast("long"))
+
+
 def contamination(train: DataFrame, evalset: DataFrame, *,
                   id_col: str = "doc_id", text_col: str = "text",
                   k: int = 3, min_containment: float = 0.8) -> DataFrame:

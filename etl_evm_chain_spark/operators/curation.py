@@ -136,3 +136,31 @@ def pack_sequences(df: DataFrame, *, group: str, order: str, length: str,
     start = F.coalesce(F.sum(length).over(w), F.lit(0)).cast("long")
     return df.withColumn(pack_col, F.floor(start / context).cast("long")) \
              .withColumn("start_offset", start)
+
+
+def chunk_documents(df: DataFrame, *, id_col: str = "doc_id",
+                    text_col: str = "text", size: int = 256,
+                    stride: int = 192) -> DataFrame:
+    """Overlapping fixed-size character chunks (RAG / pretraining
+    window prep): chunk i covers [i*stride, i*stride + size), and the
+    last chunk starts at the final stride step that still has text.
+
+    Row-local sequence+explode — no shuffle at all; 100 TB of docs
+    chunk as a narrow map. Chunk count per doc is
+    ``max(ceil((len − size)/stride) + 1, 1)`` so a short doc yields
+    exactly one chunk and every character lands in ≥1 chunk.
+    """
+    n = F.length(text_col)
+    n_chunks = F.greatest(
+        (F.ceil((n - size) / F.lit(float(stride))) + 1).cast("int"),
+        F.lit(1),
+    )
+    ix = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_ix")
+    out = df.select(F.col(id_col), F.col(text_col), ix)
+    start = (F.col("chunk_ix") * stride + 1).cast("int")
+    chunk = F.col(text_col).substr(start, F.lit(size))
+    return out.select(
+        id_col, "chunk_ix",
+        F.length(chunk).alias("chunk_len"),
+        hash15(chunk).alias("chunk_hash"),
+    )

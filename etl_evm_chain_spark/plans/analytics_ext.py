@@ -234,6 +234,37 @@ GROUP BY e.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Q82: duplicate-cluster size histogram — the release-report view of
+# q41's connected components (how much of the corpus sits in dup
+# groups of size 2, 3, …). Two tiny aggs over the resolved mapping.
+# ---------------------------------------------------------------------------
+
+def q_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    resolved = q_dedup_resolve(spark, sf_dir)
+    comps = resolved.groupBy("canonical").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comps.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"),
+             (F.count(F.lit(1)) * F.col("cluster_size")).alias("n_docs"))
+        .withColumn("n_docs", F.col("n_docs").cast("long"))
+    )
+
+
+def _oracle_dup_cluster_histogram() -> str:
+    return f"""
+WITH resolved AS ({_oracle_dedup_resolve()}),
+comps AS (
+  SELECT canonical, count(*) AS cluster_size
+  FROM resolved GROUP BY canonical
+)
+SELECT cluster_size, count(*) AS n_clusters,
+       CAST(count(*) * cluster_size AS BIGINT) AS n_docs
+FROM comps GROUP BY cluster_size
+"""
+
+
 SPECS = [
     QuerySpec("q41_dedup_resolve", q_dedup_resolve, _oracle_dedup_resolve(),
               "near-dup connected components → canonical survivors",
@@ -247,4 +278,8 @@ SPECS = [
     QuerySpec("q77_mad_outliers", q_mad_outliers, ORACLE_MAD,
               "median/MAD robust-z outlier gate per event_type",
               ("D6", "D13")),
+    QuerySpec("q82_dup_cluster_histogram", q_dup_cluster_histogram,
+              _oracle_dup_cluster_histogram(),
+              "duplicate-cluster size histogram over q41 components",
+              ("P2-dedup", "D13")),
 ]

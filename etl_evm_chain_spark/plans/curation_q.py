@@ -190,6 +190,84 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Q80: overlapping character-window chunking (RAG / pretraining window
+# prep) — row-local sequence+explode, zero shuffles; output carries
+# the chunk hash, not the text, so result size stays bounded.
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 256
+CHUNK_STRIDE = 192
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, size=CHUNK_SIZE, stride=CHUNK_STRIDE)
+
+
+ORACLE_CHUNKS = f"""
+WITH cnt AS (
+  SELECT doc_id, text,
+         greatest(CAST(ceil((len(text) - {CHUNK_SIZE}) / {CHUNK_STRIDE}.0)
+                       AS INTEGER) + 1, 1) AS k
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, text, unnest(range(0, k)) AS chunk_ix FROM cnt
+),
+cut AS (
+  SELECT doc_id, chunk_ix,
+         substr(text, CAST(chunk_ix * {CHUNK_STRIDE} + 1 AS INTEGER),
+                {CHUNK_SIZE}) AS chunk
+  FROM ch
+)
+SELECT doc_id, chunk_ix, len(chunk) AS chunk_len,
+       {_SQL_HASH15.format(expr="chunk")} AS chunk_hash
+FROM cut
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q81: dataset card — the per-(source, lang) corpus report a release
+# ships with: doc/char/token totals, median length, corpus share.
+# One grouped agg + one tiny window over the card rows.
+# ---------------------------------------------------------------------------
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    card = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"),
+             F.median(F.col("n_chars").cast("double")).alias("median_chars"),
+             F.sum(token_count("text")).alias("total_tokens"))
+    )
+    share = (F.col("n_docs").cast("double")
+             / F.sum("n_docs").over(Window.partitionBy()))
+    return card.withColumn("share_ppm",
+                           F.floor(share * 1e6).cast("long"))
+
+
+ORACLE_DATASET_CARD = r"""
+WITH card AS (
+  SELECT source, lang, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(median(CAST(n_chars AS DOUBLE)) AS DOUBLE) AS median_chars,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+           AS total_tokens
+  FROM documents GROUP BY source, lang
+)
+SELECT source, lang, n_docs, total_chars, median_chars, total_tokens,
+       CAST(floor(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () * 1e6)
+            AS BIGINT) AS share_ppm
+FROM card
+"""
+
+
 SPECS = [
     QuerySpec("q56_hash_split", q_hash_split, ORACLE_HASH_SPLIT,
               "deterministic hash train/val/test split", ("P2-curation",)),
@@ -205,4 +283,10 @@ SPECS = [
               ORACLE_TEMPERATURE_MIX,
               "temperature-flattened (count^0.5) category mixing",
               ("P2-curation",)),
+    QuerySpec("q80_chunk_documents", q_chunk_documents, ORACLE_CHUNKS,
+              "overlapping char-window chunking (shuffle-free)",
+              ("P2-curation",)),
+    QuerySpec("q81_dataset_card", q_dataset_card, ORACLE_DATASET_CARD,
+              "per-(source, lang) corpus release report",
+              ("P2-curation", "D13")),
 ]

@@ -901,6 +901,46 @@ FROM sc GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Q83: corpus-bigram-LM surprisal — conditional −log2 P(w|prev) under
+# prefix-conditional corpus counts; the order-aware companion to q71
+# (catches shuffled-token soup that unigram stats score as fluent).
+# ---------------------------------------------------------------------------
+
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cleaning import bigram_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_surprisal(docs)
+
+
+_SQL_BIGRAMS = ("list_transform(range(1, len(t)), "
+                "i -> t[i] || ' ' || t[i+1])")
+
+ORACLE_BIGRAM_SURPRISAL = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+grams AS (SELECT doc_id, unnest({_SQL_BIGRAMS}) AS g FROM toks),
+per AS (SELECT doc_id, g, count(*) AS m FROM grams GROUP BY doc_id, g),
+wc AS (SELECT doc_id, g, m,
+              CAST(sum(m) OVER (PARTITION BY g) AS BIGINT) AS c2,
+              split_part(g, ' ', 1) AS prev
+       FROM per),
+pc AS (SELECT doc_id, m,
+              CAST(sum(m) OVER (PARTITION BY prev) AS BIGINT) AS c1, c2
+       FROM wc),
+sc AS (SELECT doc_id, m,
+              CAST(floor((ln(CAST(c1 AS DOUBLE)) - ln(CAST(c2 AS DOUBLE)))
+                         / ln(2) * 1e6) AS BIGINT) AS micro
+       FROM pc)
+SELECT doc_id,
+       CAST(sum(m) AS BIGINT) AS n_bigrams,
+       CAST(sum(m * micro) AS BIGINT) AS surprisal_micro_sum,
+       CAST(floor(CAST(sum(m * micro) AS DOUBLE) / sum(m)) AS BIGINT)
+         AS avg_surprisal_micro
+FROM sc GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q72: leave-one-out k-NN label classification over embeddings.
 # ---------------------------------------------------------------------------
 
@@ -1010,6 +1050,10 @@ SPECS = [
     QuerySpec("q69_span_dedup", q_span_dedup, ORACLE_SPAN_DEDUP,
               "cross-document repeated 5-gram span stats (exact-substring "
               "dedup signal)", ("P2-dedup",)),
+    QuerySpec("q83_bigram_surprisal", q_bigram_surprisal,
+              ORACLE_BIGRAM_SURPRISAL,
+              "corpus-bigram conditional surprisal quality score",
+              ("P2-text",)),
     QuerySpec("q71_unigram_surprisal", q_unigram_surprisal,
               ORACLE_UNIGRAM_SURPRISAL,
               "corpus-unigram-LM per-doc surprisal (perplexity quality cut)",
