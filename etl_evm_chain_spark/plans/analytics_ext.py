@@ -265,6 +265,84 @@ FROM comps GROUP BY cluster_size
 """
 
 
+# ---------------------------------------------------------------------------
+# Q87: order-value deciles — ntile(10) ranking (a function family the
+# reference lacks entirely; SURVEY §2.D notes "no ranking functions").
+# Total order includes the unique key so both engines tile identically.
+# ---------------------------------------------------------------------------
+
+def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import _dsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    tiled = orders.withColumn("decile", F.ntile(10).over(w))
+    return (
+        tiled.groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.min("o_totalprice").alias("min_price"),
+             F.max("o_totalprice").alias("max_price"),
+             _dsum(F.col("o_totalprice")).alias("total_price"))
+    )
+
+
+ORACLE_VALUE_DECILES = """
+WITH tiled AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT decile, count(*) AS n_orders,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS total_price
+FROM tiled GROUP BY decile
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q88: trailing-7-day distinct active users per day. Spark has no
+# COUNT(DISTINCT) OVER RANGE — the scalable form explodes each
+# (user, day) into the 7 report days it contributes to (a bounded ×7
+# fan-out of an already-collapsed relation), then one countDistinct
+# per day: shuffle-once, no inequality join, no per-day rescans.
+# ---------------------------------------------------------------------------
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_day = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = per_day.select("day").distinct()
+    contrib = per_day.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6)))
+        .alias("report_day"),
+    )
+    return (
+        contrib.join(F.broadcast(days),
+                     contrib.report_day == days.day, "left_semi")
+        .groupBy(F.date_format("report_day", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+    )
+
+
+ORACLE_ROLLING_ACTIVE = """
+WITH per_day AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM per_day),
+contrib AS (
+  SELECT user_id, day + CAST(i AS INTEGER) AS report_day
+  FROM per_day CROSS JOIN (SELECT unnest(range(0, 7)) AS i)
+)
+SELECT strftime(c.report_day, '%Y-%m-%d') AS day,
+       count(DISTINCT c.user_id) AS active_users_7d
+FROM contrib c
+WHERE c.report_day IN (SELECT day FROM days)
+GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("q41_dedup_resolve", q_dedup_resolve, _oracle_dedup_resolve(),
               "near-dup connected components → canonical survivors",
@@ -282,4 +360,10 @@ SPECS = [
               _oracle_dup_cluster_histogram(),
               "duplicate-cluster size histogram over q41 components",
               ("P2-dedup", "D13")),
+    QuerySpec("q87_value_deciles", q_value_deciles, ORACLE_VALUE_DECILES,
+              "ntile(10) order-value deciles", ("D13", "F2")),
+    QuerySpec("q88_rolling_active_users", q_rolling_active_users,
+              ORACLE_ROLLING_ACTIVE,
+              "trailing-7-day distinct users via bounded fan-out",
+              ("D7", "D15")),
 ]

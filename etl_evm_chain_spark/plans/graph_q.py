@@ -159,6 +159,106 @@ FROM f, LATERAL (
 """
 
 
+# ---------------------------------------------------------------------------
+# Q84: weekly retention cohorts — users grouped by signup week, counted
+# by how many weeks later they were still active. Two shuffles total
+# (per-user cohort agg, then cohort×offset agg); the cohort dim join
+# broadcasts.
+# ---------------------------------------------------------------------------
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(week).alias("cohort_week"))
+    )
+    active = ev.select("user_id", week.alias("act_week")).distinct()
+    offset = F.floor(
+        (F.unix_timestamp("act_week") - F.unix_timestamp("cohort_week"))
+        / (7 * 86400)).cast("int")
+    return (
+        active.join(F.broadcast(cohort), "user_id")
+        .withColumn("week_offset", offset)
+        .filter(F.col("week_offset") >= 0)
+        .groupBy(F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+                 "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+ORACLE_RETENTION = """
+WITH cohort AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+)
+SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(floor((epoch(a.act_week) - epoch(c.cohort_week)) / (7 * 86400))
+            AS INTEGER) AS week_offset,
+       count(DISTINCT a.user_id) AS n_active
+FROM active a JOIN cohort c USING (user_id)
+WHERE epoch(a.act_week) >= epoch(c.cohort_week)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q85: seasonal volume anomaly — per (event_type, hour-of-day) volume
+# baseline over days, flag hours whose daily count z-scores past 3.
+# Group keys are tiny; the scan aggregates once by (type, date, hour)
+# and everything after runs on the aggregate.
+# ---------------------------------------------------------------------------
+
+ANOM_Z = 3.0
+
+
+def q_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type",
+                   F.to_date("ts").alias("day"),
+                   F.hour("ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type", "hour")
+    stats = (hourly
+             .withColumn("mu", F.avg("n").over(w))
+             .withColumn("sd", F.stddev_pop("n").over(w)))
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        stats.filter((F.col("sd") > 0) & (F.abs(z) > ANOM_Z))
+        .select("event_type", F.date_format("day", "yyyy-MM-dd").alias("day"),
+                "hour", "n",
+                F.round("mu", 6).alias("mu"),
+                F.round("sd", 6).alias("sd"),
+                F.round(z, 6).alias("z"))
+    )
+
+
+ORACLE_VOLUME_ANOMALY = f"""
+WITH hourly AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(extract(hour FROM ts) AS INTEGER) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+stats AS (
+  SELECT *, avg(n) OVER w AS mu, stddev_pop(n) OVER w AS sd
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type, hour)
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, hour, n,
+       round(mu, 6) AS mu, round(sd, 6) AS sd,
+       round((n - mu) / sd, 6) AS z
+FROM stats WHERE sd > 0 AND abs((n - mu) / sd) > {ANOM_Z}
+"""
+
+
 SPECS = [
     QuerySpec("q74_pagerank", q_pagerank, _oracle_pagerank(),
               "PageRank flow centrality of transfer addresses "
@@ -166,4 +266,11 @@ SPECS = [
     QuerySpec("q78_funnel", q_funnel, ORACLE_FUNNEL,
               "ordered conversion funnel via one conditional-agg pass",
               ("D12", "D13")),
+    QuerySpec("q84_retention_cohorts", q_retention_cohorts,
+              ORACLE_RETENTION,
+              "weekly signup-cohort retention matrix", ("D12", "C1")),
+    QuerySpec("q85_volume_anomaly", q_volume_anomaly,
+              ORACLE_VOLUME_ANOMALY,
+              "per (type, hour-of-day) volume z-score anomalies",
+              ("D7", "D8", "F7")),
 ]

@@ -112,6 +112,61 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Q86: nation-pair trade flows (the TPC-H Q7 "volume shipping" shape):
+# revenue between every (supplier nation, customer nation) pair by
+# order year. The one big shuffle is lineitem ⋈ orders on l_orderkey;
+# customer, supplier and nation are broadcast dims folded in before
+# and after, so the fact table is shuffled exactly once.
+# ---------------------------------------------------------------------------
+
+def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    supp_n = (supp.join(F.broadcast(nation),
+                        supp.s_nationkey == nation.n_nationkey)
+              .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust_n = (cust.join(F.broadcast(nation),
+                        cust.c_nationkey == nation.n_nationkey)
+              .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    ord_n = (orders.join(F.broadcast(cust_n), orders.o_custkey == cust_n.c_custkey)
+             .select("o_orderkey", "cust_nation",
+                     F.year("o_orderdate").alias("trade_year")))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    from .relational import _dsum
+
+    return (
+        li.join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .join(ord_n, li.l_orderkey == ord_n.o_orderkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "trade_year")
+        .agg(_dsum(rev).alias("revenue"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+ORACLE_NATION_TRADE = """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(extract(year FROM o.o_orderdate) AS INTEGER) AS trade_year,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+
 SPECS = [
     QuerySpec("q54_asof_join", q_asof_join, ORACLE_ASOF_JOIN,
               "true event-time as-of join (union-tag, one shuffle)",
@@ -119,4 +174,7 @@ SPECS = [
     QuerySpec("q55_range_join", q_range_join, ORACLE_RANGE_JOIN,
               "banded interval join over pre-aggregated points",
               ("C4", "D1")),
+    QuerySpec("q86_nation_trade", q_nation_trade, ORACLE_NATION_TRADE,
+              "nation-pair trade flows (TPC-H Q7 shape, one fact shuffle)",
+              ("C4", "C1", "D12")),
 ]
