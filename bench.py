@@ -48,6 +48,19 @@ def main() -> None:
         # label-propagation edges); dropping them between queries keeps
         # one query's cache from inflating another's GC time.
         spark.catalog.clearCache()
+        # clearCache() misses localCheckpoint blocks (they are
+        # persisted RDDs, not cached Datasets): over ~90 queries they
+        # accumulate in the block manager until iterative queries GC-
+        # thrash (observed: q41 at 6× its isolated time). Unpersist
+        # them explicitly and let the ContextCleaner reap broadcasts.
+        try:
+            it = (spark.sparkContext._jsc.sc()
+                  .getPersistentRDDs().toList().iterator())
+            while it.hasNext():
+                it.next()._2().unpersist(False)
+            spark._jvm.System.gc()
+        except Exception:  # noqa: BLE001  (private API; never fail bench)
+            pass
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(json.dumps({
