@@ -32,8 +32,14 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("bench")
 
-    # Warm the JVM/codegen once with a trivial plan.
+    # Warm the JVM once with a representative plan (parquet reader +
+    # hash agg + exchange), so one-time init (FS, codegen, Arrow)
+    # lands in warm-up instead of inside the first measured query.
+    from etl_evm_chain_spark.catalog import load_table
+
     spark.range(1000).selectExpr("sum(id)").collect()
+    load_table(spark, sf_dir, "lineitem") \
+        .groupBy("l_returnflag").count().collect()
 
     timings: dict[str, float] = {}
     for spec in all_specs():

@@ -4,12 +4,12 @@ from __future__ import annotations
 
 from . import QuerySpec
 from . import (analytics_ext, curation_q, evm, graph_q, joins_ext, llmdata,
-               multimodal_q, relational, stateful, textstats_q, timeseries_q,
-               warehouse)
+               multimodal_q, relational, skew_q, stateful, textstats_q,
+               timeseries_q, warehouse)
 
 _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
             warehouse, joins_ext, curation_q, multimodal_q, graph_q,
-            textstats_q]
+            textstats_q, skew_q]
 
 
 def all_specs() -> list[QuerySpec]:
