@@ -266,6 +266,73 @@ FROM comps GROUP BY cluster_size
 
 
 # ---------------------------------------------------------------------------
+# Q91: CUBE subtotals — every grouping-set combination of
+# (priority, status) in one pass (completes the D12 family next to
+# q48's ROLLUP; Spark expands grouping sets inside a single agg).
+# ---------------------------------------------------------------------------
+
+def q_cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import _dsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             _dsum(F.col("o_totalprice")).alias("total_price"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n", "total_price",
+        )
+    )
+
+
+ORACLE_CUBE = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS total_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q92: correlated scalar subquery through the SQL entry path — orders
+# beating their customer's average by 50%. Catalyst decorrelates the
+# subquery into an aggregate + join (no per-row re-execution); the
+# registry otherwise exercises the DataFrame API, this proves the
+# spark.sql surface end-to-end.
+# ---------------------------------------------------------------------------
+
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        SELECT o.o_custkey, count(*) AS n_big_orders,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS big_total
+        FROM orders_v o
+        WHERE o.o_totalprice > 1.5 * (
+            SELECT avg(i.o_totalprice) FROM orders_v i
+            WHERE i.o_custkey = o.o_custkey)
+        GROUP BY o.o_custkey
+    """)
+
+
+ORACLE_ABOVE_AVG = """
+SELECT o.o_custkey, count(*) AS n_big_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+         AS big_total
+FROM orders o
+WHERE o.o_totalprice > 1.5 * (
+    SELECT avg(i.o_totalprice) FROM orders i
+    WHERE i.o_custkey = o.o_custkey)
+GROUP BY o.o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q87: order-value deciles — ntile(10) ranking (a function family the
 # reference lacks entirely; SURVEY §2.D notes "no ranking functions").
 # Total order includes the unique key so both engines tile identically.
@@ -366,4 +433,9 @@ SPECS = [
               ORACLE_ROLLING_ACTIVE,
               "trailing-7-day distinct users via bounded fan-out",
               ("D7", "D15")),
+    QuerySpec("q91_cube_totals", q_cube_totals, ORACLE_CUBE,
+              "CUBE grouping-set subtotals", ("D12",)),
+    QuerySpec("q92_above_avg_orders", q_above_avg_orders, ORACLE_ABOVE_AVG,
+              "correlated scalar subquery (spark.sql, decorrelated)",
+              ("C4", "D13")),
 ]
