@@ -42,7 +42,7 @@ def main() -> None:
         .groupBy("l_returnflag").count().collect()
 
     timings: dict[str, float] = {}
-    for spec in all_specs():
+    for qi, spec in enumerate(all_specs()):
         t0 = time.time()
         try:
             force(spec.fn(spark, sf_dir))
@@ -64,7 +64,16 @@ def main() -> None:
                   .getPersistentRDDs().toList().iterator())
             while it.hasNext():
                 it.next()._2().unpersist(False)
-            spark._jvm.System.gc()
+            # Full GC only under real heap pressure: a per-query
+            # System.gc() floods the ContextCleaner with dead refs
+            # whose (blocking) unregister callbacks then stall the
+            # NEXT query's jobs (+38s total), while a fixed cadence
+            # lets garbage pile up under whichever heavy window/agg
+            # query lands mid-cycle (q70: 9s → 28s). Keying off live
+            # heap fires exactly when a collection will actually help.
+            rt = spark._jvm.Runtime.getRuntime()
+            if rt.totalMemory() - rt.freeMemory() > rt.maxMemory() * 0.45:
+                spark._jvm.System.gc()
         except Exception:  # noqa: BLE001  (private API; never fail bench)
             pass
 
