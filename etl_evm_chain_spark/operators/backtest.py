@@ -38,14 +38,43 @@ TRADES_Z_SCHEMA = TRADES_SCHEMA + ", entry_z double, exit_z double, held_rows lo
 
 def ewm_mean(df: DataFrame, *, value: str, key: str, order: str,
              halflife: float, min_periods: int,
-             out_col: str = "ewm") -> DataFrame:
+             out_col: str = "ewm", method: str = "native") -> DataFrame:
     """Per-key EWM mean, pandas ``adjust=False`` semantics.
 
     alpha = 1 − 0.5^(1/halflife) exactly as the reference derives it
     (`stable_fee_ml_bot.py:120-123` pyc).
+
+    ``method="native"`` (default) evaluates the recursion
+    ``y_t = (1-α)·y_{t-1} + α·x_t`` in closed form as a cumulative
+    window sum, entirely JVM-side: with ``1-α = 0.5^(1/h)``,
+
+        y_t = 2^(−t/h) · Σ_{i≤t} c_i · x_i · 2^(i/h),   c_0 = 1, c_i = α
+
+    — one shuffle on the key, no Python workers, and the exact same
+    arithmetic is expressible in ANSI SQL (DuckDB oracle parity).
+    Domain bound: the rescale factor 2^(t/h) overflows double when a
+    single key has more than ≈1000·h rows; callers with unbounded
+    per-key series (or null gaps — the closed form assumes a dense
+    non-null series) should pass ``method="pandas"``, which runs the
+    reference's own pandas recursion in a grouped-map UDF.
     """
     alpha = 1.0 - 0.5 ** (1.0 / halflife)
     cols = df.columns
+
+    if method == "native":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key).orderBy(order)
+        wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        i = F.row_number().over(w) - 1
+        df = df.withColumn("__i", i)
+        term = (
+            F.when(F.col("__i") == 0, 1.0).otherwise(alpha)
+            * F.col(value) * F.pow(F.lit(2.0), F.col("__i") / halflife)
+        )
+        y = F.pow(F.lit(2.0), -F.col("__i") / halflife) * F.sum(term).over(wcum)
+        out = F.when(F.col("__i") + 1 >= min_periods, y)
+        return df.withColumn(out_col, out).drop("__i")
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order, kind="mergesort")

@@ -50,8 +50,13 @@ def build_ml_dataset(dense: DataFrame, *, key: str, ts: str, value: str,
         .withColumn("y", (F.col("lead_max_devdt") - F.col("devdt") >= target)
                     .cast("int"))
     )
+    # Filter on the rounded deviation: ffilled flat stretches drive the
+    # raw devdt to ±1e-15 of zero, where the sign is an artifact of
+    # float evaluation order — a knife edge for any cross-engine check.
+    # Rounding moves the cut to −5e-7, which the data does not attract
+    # to, making "negative deviation" engine-deterministic.
     return (
-        df.filter(F.col("devdt") < 0)
+        df.filter(F.round("devdt", 6) < 0)
         .filter(F.col("y").isNotNull() & F.col("bias").isNotNull())
         .select(key, ts, "z", "devdt", "bias", "sigma", "y")
     )

@@ -1,8 +1,11 @@
 """Stateful/sequential queries (SURVEY §2.E): EWM, backtest FSMs, ML.
 
-These are the non-SQL-expressible operators (grouped-map pandas state,
-iterative training) → no oracle entries; the driver records rows-only
-checks and pytest holds golden-output tests (tests/test_stateful.py).
+The EWM pipeline (q24, q28) is oracle-checked: the adjust=False
+recursion has a closed form (see operators/backtest.ewm_mean) that
+both Spark and DuckDB evaluate as a cumulative window sum. The trade
+FSMs and iterative training (q25-q27, q29) remain genuinely
+non-SQL-expressible → rows-only driver checks plus golden-output
+tests (tests/test_stateful.py).
 """
 
 from __future__ import annotations
@@ -13,7 +16,34 @@ from pyspark.sql import functions as F
 from ..operators import backtest as bt
 from ..operators import mlplane as ml
 from . import QuerySpec
-from .timeseries_q import _dense, _with_consensus, _with_rolling
+from .timeseries_q import _SQL_DENSE, _dense, _with_consensus, _with_rolling
+
+# Closed-form EWM shared by the q24/q28 oracles — the exact arithmetic
+# operators/backtest.ewm_mean(method="native") runs in Spark:
+#   y_t = 2^(−t/h) · Σ_{i≤t} c_i·x_i·2^(i/h),  c_0 = 1, c_i = α,
+# with α inlined at full double precision so both engines fold the
+# same literal. min_periods=5 masks the first four rows per key.
+_EWM_ALPHA = repr(1.0 - 0.5 ** (1.0 / 10.0))
+
+_SQL_EWM = _SQL_DENSE + f"""
+, idx AS (
+  SELECT event_type, bucket, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY bucket) - 1 AS i
+  FROM dense
+), ewm AS (
+  SELECT event_type, bucket, value, i,
+         pow(2.0, -i / 10.0) * sum(
+           (CASE WHEN i = 0 THEN 1.0 ELSE {_EWM_ALPHA} END)
+           * value * pow(2.0, i / 10.0)
+         ) OVER (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y
+  FROM idx
+), biased AS (
+  SELECT event_type, bucket, value, i,
+         CASE WHEN i + 1 >= 5 THEN y END AS bias
+  FROM ewm
+)
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -27,6 +57,12 @@ def q_ewm_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "bucket", "value", F.round("bias", 6).alias("bias"),
     )
+
+
+ORACLE_EWM_BIAS = _SQL_EWM + """
+SELECT event_type, bucket, value, round(bias, 6) AS bias
+FROM biased
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -87,6 +123,39 @@ def q_ml_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mirrors operators/mlplane.build_ml_dataset: devdt = value − bias,
+# sigma = stddev_samp(devdt) over the trailing 30 rows (masked below
+# min_periods=max(5,30//3)=10 observations, clipped to 0.5),
+# z = devdt/sigma, label y from the 12-row leading max; keep rows with
+# devdt < 0 and a defined label/bias. devdt is bit-identical across
+# engines (same closed-form bias), so the float filter is exact.
+ORACLE_ML_DATASET = _SQL_EWM + """
+, feat AS (
+  SELECT event_type, bucket, bias, value - bias AS devdt,
+         count(value) OVER wstd AS cnt,
+         stddev_samp(value - bias) OVER wstd AS sigma_raw,
+         max(value - bias) OVER wlead AS lead_max
+  FROM biased
+  WINDOW
+    wstd AS (PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN 29 PRECEDING AND CURRENT ROW),
+    wlead AS (PARTITION BY event_type ORDER BY bucket
+              ROWS BETWEEN 1 FOLLOWING AND 12 FOLLOWING)
+), scored AS (
+  SELECT event_type, bucket, bias, devdt,
+         greatest(coalesce(CASE WHEN cnt >= 10 THEN sigma_raw END, 0.5), 0.5)
+           AS sigma,
+         CAST(lead_max - devdt >= 25.0 AS INT) AS y
+  FROM feat
+)
+SELECT event_type, bucket,
+       round(devdt / sigma, 6) AS z, round(devdt, 6) AS devdt,
+       round(bias, 6) AS bias, round(sigma, 6) AS sigma, y
+FROM scored
+WHERE round(devdt, 6) < 0 AND y IS NOT NULL AND bias IS NOT NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # Q29: train + evaluate + NOW signals (E5-E8).
 # ---------------------------------------------------------------------------
@@ -109,15 +178,15 @@ def q_ml_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPECS = [
-    QuerySpec("q24_ewm_bias", q_ewm_bias, None,
-              "per-key EWM mean (pandas adjust=False recursion)", ("D9",)),
+    QuerySpec("q24_ewm_bias", q_ewm_bias, ORACLE_EWM_BIAS,
+              "per-key EWM mean (adjust=False recursion, closed form)", ("D9",)),
     QuerySpec("q25_backtest_pct", q_backtest_pct, None,
               "pct-threshold mean-reversion trade FSM", ("E1", "B11")),
     QuerySpec("q26_backtest_zscore", q_backtest_zscore, None,
               "z-score trade FSM with time stop", ("E2", "B12")),
     QuerySpec("q27_calendar_returns", q_calendar_returns, None,
               "monthly return aggregation over trades", ("D12",)),
-    QuerySpec("q28_ml_dataset", q_ml_dataset, None,
+    QuerySpec("q28_ml_dataset", q_ml_dataset, ORACLE_ML_DATASET,
               "supervised feature/label dataset (EWM + windows)", ("E3", "D10", "B13")),
     QuerySpec("q29_ml_signals", q_ml_signals, None,
               "scaler+logreg training, eval, NOW signals", ("E5", "E6", "E7", "E8", "B14")),
