@@ -58,8 +58,14 @@ def get_spark(app_name: str = "etl_evm_chain_spark", *, cpus: str | None = None,
         .appName(app_name)
         # local mode = the driver JVM is the whole cluster; the 1g
         # default evicts task-result blocks under load (TaskResultLost).
+        # 16g is deliberately far below the box's RAM: GC cost scales
+        # with heap size, and on a 48g heap the occasional full
+        # collection is a 20-30s stall that lands inside whichever
+        # query is running (measured ±20% total-bench noise). At 16g
+        # collections are cheap and the suite is both faster and
+        # stable; 12g starts to squeeze the replicated skew join.
         .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.driver.maxResultSize", "8g")
         # Shuffle sizing: ~cores locally; AQE coalesces upward-sized counts.
         .config("spark.sql.shuffle.partitions", "32")
