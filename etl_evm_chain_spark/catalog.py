@@ -57,6 +57,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def landed_parquet(spark: SparkSession, *, name: str, src_paths: list[str],
+                   build, params: str = "") -> DataFrame:
+    """Build-once/read-many materialization of a derived table.
+
+    Lands ``build()``'s output as parquet under the system temp dir,
+    keyed by the source files' (mtime, size) identity plus a params
+    tag, so a regenerated fixture or changed parameters can never be
+    served from a stale copy. This is the medallion-layer pattern: an
+    expensive derived artifact (decoded logs, a dedup resolution) is
+    written once and every downstream consumer scans the landed copy
+    instead of recomputing the lineage. On a cluster the path would be
+    a warehouse location; the access pattern is identical.
+    """
+    import tempfile
+
+    ids = []
+    for p in src_paths:
+        try:
+            st = os.stat(p)
+            ids.append(f"{int(st.st_mtime)}_{st.st_size}")
+        except OSError:
+            ids.append("unknown")
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_lake",
+                        f"{name}_{params}_{'_'.join(ids)}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build().write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

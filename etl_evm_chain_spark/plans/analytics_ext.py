@@ -6,6 +6,8 @@ reference gets them "for free" the day it moves to this engine).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -140,10 +142,26 @@ UNPIVOT (amount FOR measure IN (extendedprice, discount, tax))
 # connected component (min-label propagation vs recursive-CTE oracle).
 # ---------------------------------------------------------------------------
 
+def _resolved_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → canonical mapping, landed once per fixture (silver
+    artifact): the LSH pair-gen + label propagation is the priciest
+    subplan in the suite and feeds two release reports (q41, q82)."""
+    from ..catalog import landed_parquet
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = dd.verified_near_dups(docs, threshold=0.5)
+        return dd.resolve_duplicates(docs.select("doc_id"), pairs)
+
+    return landed_parquet(
+        spark, name="dedup_resolve",
+        src_paths=[os.path.join(sf_dir, "documents.parquet")],
+        build=build, params="lsh05",
+    )
+
+
 def q_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.verified_near_dups(docs, threshold=0.5)
-    resolved = dd.resolve_duplicates(docs.select("doc_id"), pairs)
+    resolved = _resolved_landed(spark, sf_dir)
     return resolved.withColumn(
         "is_canonical", (F.col("doc_id") == F.col("canonical")).cast("int"))
 
@@ -241,7 +259,7 @@ GROUP BY e.event_type
 # ---------------------------------------------------------------------------
 
 def q_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    resolved = q_dedup_resolve(spark, sf_dir)
+    resolved = _resolved_landed(spark, sf_dir)
     comps = resolved.groupBy("canonical").agg(
         F.count(F.lit(1)).alias("cluster_size"))
     return (
