@@ -82,7 +82,17 @@ def landed_parquet(spark: SparkSession, *, name: str, src_paths: list[str],
     path = os.path.join(tempfile.gettempdir(), "spark_graft_lake",
                         f"{name}_{params}_{'_'.join(ids)}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        build().write.mode("overwrite").parquet(path)
+        # Build into a private dir and publish with an atomic rename so
+        # concurrent builders (bench + oracle checker) can never serve
+        # each other a half-written table; the loser just discards.
+        tmp = f"{path}.tmp-{os.getpid()}"
+        build().write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)
 
 

@@ -49,23 +49,16 @@ def synthetic_transfer_logs(spark: SparkSession, sf_dir: str,
     blocks-dim subplan a real scan to prune instead of a second
     md5/hex synthesis pass. With ``mixed``, odd line numbers become
     Approval logs (for topic-routing queries)."""
-    import tempfile
+    from ..catalog import landed_parquet
 
     variant = "mixed" if mixed else "plain"
     key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    # Key the landed copy by the source file's identity so a
-    # regenerated fixture can never be served from a stale lake.
-    try:
-        st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
-        src_id = f"{int(st.st_mtime)}_{st.st_size}"
-    except OSError:
-        src_id = "unknown"
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_rawlake",
-                        f"{key}_{variant}_{src_id}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        _synth_logs(spark, sf_dir, mixed=mixed) \
-            .write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    return landed_parquet(
+        spark, name="rawlogs",
+        src_paths=[os.path.join(sf_dir, "lineitem.parquet")],
+        build=lambda: _synth_logs(spark, sf_dir, mixed=mixed),
+        params=f"{key}_{variant}",
+    )
 
 
 def _synth_logs(spark: SparkSession, sf_dir: str,
