@@ -40,6 +40,17 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     load_table(spark, sf_dir, "lineitem") \
         .groupBy("l_returnflag").count().collect()
+    # Pre-land the raw-log INPUT fixture both decode queries scan (the
+    # reference's analytics likewise read pre-landed CSV exports), so
+    # q44/q45 measure decoding, not one-time fixture synthesis on a
+    # cold /tmp. Derived artifacts that ARE a query's own output (the
+    # q41 dedup resolution) are deliberately not warmed: their first
+    # consumer pays the build, as it would in production.
+    from etl_evm_chain_spark.plans.evm import synthetic_transfer_logs
+
+    for mixed in (False, True):
+        synthetic_transfer_logs(spark, sf_dir, mixed=mixed) \
+            .select("block_number").limit(1).collect()
 
     timings: dict[str, float] = {}
     for qi, spec in enumerate(all_specs()):
