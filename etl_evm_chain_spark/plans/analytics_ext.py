@@ -428,6 +428,88 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Q93: set-op customer segmentation — INTERSECT/EXCEPT (the set
+# operators SURVEY §2.F notes the reference lacks and Spark provides
+# for free). Catalyst plans both as hash aggregates + semi/anti joins;
+# at scale each is one shuffle on the (already distinct-collapsed)
+# key, never a sort.
+# ---------------------------------------------------------------------------
+
+def q_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    # intersect/subtract are the SET forms (INTERSECT / EXCEPT):
+    # a customer with orders in both years must never reach "churned",
+    # which bag-semantics exceptAll would allow when the 1996 order
+    # count exceeds the 1997 one.
+    repeat = y96.intersect(y97).withColumn("segment", F.lit("repeat"))
+    churned = y96.subtract(y97).withColumn("segment", F.lit("churned"))
+    new = y97.subtract(y96).withColumn("segment", F.lit("new"))
+    return repeat.unionByName(churned).unionByName(new)
+
+
+ORACLE_CUSTOMER_SEGMENTS = """
+WITH y96 AS (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+), y97 AS (
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+)
+SELECT o_custkey, 'repeat' AS segment
+  FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+UNION ALL
+SELECT o_custkey, 'churned' AS segment
+  FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+UNION ALL
+SELECT o_custkey, 'new' AS segment
+  FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y96)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q94: event-time RANGE frame — trailing-1-hour mean per event_type
+# over the IRREGULAR raw event stream (no resampling): the frame is
+# value-based (`rangeBetween(-3600, 0)` on epoch seconds), so each
+# row sees exactly the peers within the trailing hour, duplicates
+# included — semantics no ROWS frame can express on uneven spacing.
+# Exact decimal accumulation keeps the mean engine-deterministic.
+# ---------------------------------------------------------------------------
+
+def q_range_frame_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    w = (Window.partitionBy("event_type").orderBy("epoch")
+         .rangeBetween(-3600, 0))
+    xd = F.col("value").cast("decimal(18,6)")
+    out = (
+        ev.select("event_type", epoch.alias("epoch"), "value")
+        .withColumn("n_1h", F.count("value").over(w))
+        .withColumn("avg_1h",
+                    F.round(F.sum(xd).over(w).cast("double") / F.col("n_1h"),
+                            6))
+    )
+    return out.select("event_type", "epoch",
+                      F.round("value", 6).alias("value"), "n_1h", "avg_1h")
+
+
+ORACLE_RANGE_FRAME = """
+WITH ev AS (
+  -- floor, not cast: DuckDB BIGINT-casts fractional epoch seconds by
+  -- rounding, Spark's unix_timestamp truncates.
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS epoch, value
+  FROM events
+)
+SELECT event_type, epoch, round(value, 6) AS value,
+       count(value) OVER w AS n_1h,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / count(value) OVER w, 6) AS avg_1h
+FROM ev
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 SPECS = [
     QuerySpec("q41_dedup_resolve", q_dedup_resolve, _oracle_dedup_resolve(),
               "near-dup connected components → canonical survivors",
@@ -456,4 +538,12 @@ SPECS = [
     QuerySpec("q92_above_avg_orders", q_above_avg_orders, ORACLE_ABOVE_AVG,
               "correlated scalar subquery (spark.sql, decorrelated)",
               ("C4", "D13")),
+    QuerySpec("q93_customer_segments", q_customer_segments,
+              ORACLE_CUSTOMER_SEGMENTS,
+              "INTERSECT/EXCEPT year-over-year customer segments",
+              ("F3",)),
+    QuerySpec("q94_range_frame_hourly", q_range_frame_hourly,
+              ORACLE_RANGE_FRAME,
+              "event-time RANGE frame: trailing-1h mean on raw stream",
+              ("D7",)),
 ]
