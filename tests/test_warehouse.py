@@ -50,3 +50,35 @@ def test_approx_stats_within_bounds(spark):
     ).collect()[0]
     assert abs(approx["a"] - exact["e"]) / exact["e"] < 0.05
     assert abs(approx["p50"] - exact["m"]) / exact["m"] < 0.05
+
+
+def test_landed_parquet_builds_once_and_rebuilds_on_stale(spark, tmp_path):
+    import os
+
+    from etl_evm_chain_spark.catalog import landed_parquet
+
+    src = tmp_path / "src.txt"
+    src.write_text("v1")
+    builds = []
+
+    def build():
+        builds.append(1)
+        return spark.range(5).withColumnRenamed("id", "k")
+
+    import uuid
+
+    # unique per run: the landed store is /tmp-persistent, and the
+    # utime(1,1) key below would otherwise hit a previous run's copy
+    kw = dict(name=f"t_landed_{uuid.uuid4().hex[:8]}",
+              src_paths=[str(src)], params="p1")
+    assert landed_parquet(spark, build=build, **kw).count() == 5
+    assert landed_parquet(spark, build=build, **kw).count() == 5
+    assert len(builds) == 1                      # second read served landed
+
+    os.utime(src, (1, 1))                        # new source identity
+    assert landed_parquet(spark, build=build, **kw).count() == 5
+    assert len(builds) == 2                      # stale key → rebuilt
+
+    kw2 = dict(kw, params="p2")                  # params key separates
+    assert landed_parquet(spark, build=build, **kw2).count() == 5
+    assert len(builds) == 3
