@@ -359,7 +359,8 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id",
 def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                   text_col: str = "text",
                   max_hamming: int = 5, bits: int = 60,
-                  n_bands: int = 6) -> DataFrame:
+                  n_bands: int = 6,
+                  sketch: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance — banded, not crossed.
 
     Pigeonhole: a pair within Hamming ≤ n_bands−1 must share at least
@@ -379,8 +380,11 @@ def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     # Materialize the sketch once: both sides of the band self-join
     # would otherwise recompute the full simhash (token explode + two
     # aggs + 60 bit-sums). The checkpoint is |docs| × 16-byte rows —
-    # far cheaper than a second sketch pass at any scale.
-    sh = simhash(docs, id_col=id_col, text_col=text_col).localCheckpoint()
+    # far cheaper than a second sketch pass at any scale. Callers that
+    # already landed the sketch (a (id, simhash) silver table) pass it
+    # via ``sketch`` and skip the computation entirely.
+    sh = sketch if sketch is not None else \
+        simhash(docs, id_col=id_col, text_col=text_col).localCheckpoint()
     banded = sh.select(
         id_col, "simhash",
         F.explode(F.array(*[

@@ -487,9 +487,25 @@ FROM per p LEFT JOIN hh h USING (train_id)
 # Q36/Q37: SimHash sketch + Hamming near-dup pairs.
 # ---------------------------------------------------------------------------
 
+def _simhash_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) sketch landed once per fixture — the silver
+    artifact both the sketch report (q36) and the pair generator
+    (q37) consume; whichever runs first pays the token-explode +
+    60-bit-sum build."""
+    import os
+
+    from ..catalog import landed_parquet
+
+    return landed_parquet(
+        spark, name="simhash",
+        src_paths=[os.path.join(sf_dir, "documents.parquet")],
+        build=lambda: dd.simhash(load_table(spark, sf_dir, "documents")),
+        params="b60",
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dd.simhash(docs).orderBy("doc_id")
+    return _simhash_landed(spark, sf_dir).orderBy("doc_id")
 
 
 def _oracle_simhash(bits: int = 60) -> str:
@@ -520,7 +536,8 @@ ORDER BY doc_id
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dd.simhash_pairs(docs, max_hamming=5)
+    return dd.simhash_pairs(docs, max_hamming=5,
+                            sketch=_simhash_landed(spark, sf_dir))
 
 
 def _oracle_simhash_pairs() -> str:
