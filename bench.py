@@ -53,7 +53,7 @@ def main() -> None:
             .select("block_number").limit(1).collect()
 
     timings: dict[str, float] = {}
-    for qi, spec in enumerate(all_specs()):
+    for spec in all_specs():
         t0 = time.time()
         try:
             force(spec.fn(spark, sf_dir))

@@ -73,6 +73,17 @@ def ewm_mean(df: DataFrame, *, value: str, key: str, order: str,
             * F.col(value) * F.pow(F.lit(2.0), F.col("__i") / halflife)
         )
         y = F.pow(F.lit(2.0), -F.col("__i") / halflife) * F.sum(term).over(wcum)
+        # Domain guard: the 2^(i/h) rescale overflows double past
+        # i/h ≈ 1024, turning the result into silent NaN (Inf·0).
+        # assert_true is NULL on success (coalesced to +0.0) and raises
+        # a clear error instead of NaN when a key outgrows the bound.
+        chk = F.assert_true(
+            F.col("__i") < F.lit(1000.0 * halflife),
+            F.lit("ewm_mean(method='native'): per-key series exceeds "
+                  "~1000*halflife rows; the closed-form rescale would "
+                  "overflow double — use method='pandas'"),
+        )
+        y = y + F.coalesce(chk.cast("double"), F.lit(0.0))
         out = F.when(F.col("__i") + 1 >= min_periods, y)
         return df.withColumn(out_col, out).drop("__i")
 

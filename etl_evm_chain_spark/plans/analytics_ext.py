@@ -331,9 +331,9 @@ def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
                  AS big_total
         FROM orders_v o
-        WHERE o.o_totalprice > 1.5 * (
+        WHERE o.o_totalprice > round(1.5 * (
             SELECT avg(i.o_totalprice) FROM orders_v i
-            WHERE i.o_custkey = o.o_custkey)
+            WHERE i.o_custkey = o.o_custkey), 6)
         GROUP BY o.o_custkey
     """)
 
@@ -343,9 +343,9 @@ SELECT o.o_custkey, count(*) AS n_big_orders,
        CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
          AS big_total
 FROM orders o
-WHERE o.o_totalprice > 1.5 * (
+WHERE o.o_totalprice > round(1.5 * (
     SELECT avg(i.o_totalprice) FROM orders i
-    WHERE i.o_custkey = o.o_custkey)
+    WHERE i.o_custkey = o.o_custkey), 6)
 GROUP BY o.o_custkey
 """
 

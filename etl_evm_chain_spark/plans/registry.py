@@ -11,6 +11,33 @@ _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
             warehouse, joins_ext, curation_q, multimodal_q, graph_q,
             textstats_q, skew_q]
 
+# The correctness driver samples the FIRST 50 registry entries. Round 1 left
+# 43 queries outside that window (VERDICT.md round 1, "Next round" item 1);
+# this priority list front-loads the never-driver-checked queries plus this
+# round's new ones, padded with a few already-proven sentinels (q01/q20/q28).
+_PRIORITY = [
+    # 43 queries with no driver-side CORRECTNESS_r01 row:
+    "q68_semantic_dedup", "q69_span_dedup", "q83_bigram_surprisal",
+    "q71_unigram_surprisal", "q72_knn_classify", "q44_decode_transfers",
+    "q45_topic_routing", "q46_transfer_rollup", "q70_balance_ledger",
+    "q41_dedup_resolve", "q47_sessionize", "q48_rollup", "q49_unpivot",
+    "q77_mad_outliers", "q82_dup_cluster_histogram", "q87_value_deciles",
+    "q88_rolling_active_users", "q91_cube_totals", "q92_above_avg_orders",
+    "q93_customer_segments", "q94_range_frame_hourly", "q51_merge_upsert",
+    "q52_profile_columns", "q53_approx_stats", "q54_asof_join",
+    "q55_range_join", "q86_nation_trade", "q56_hash_split",
+    "q57_stratified_sample", "q58_topk_quality", "q59_pack_sequences",
+    "q67_temperature_mix", "q80_chunk_documents", "q81_dataset_card",
+    "q61_media_stats", "q74_pagerank", "q78_funnel", "q84_retention_cohorts",
+    "q85_volume_anomaly", "q75_char_entropy", "q76_zipf_slope",
+    "q89_salted_agg", "q90_skew_join",
+    # round-2 additions (new queries slot in here as they land):
+    "q95_dynamic_abi", "q96_bucketed_near_dups", "q97_bucketed_knn",
+    "q98_sender_recovery",
+    # proven sentinels to round out the window:
+    "q01_pricing_summary", "q20_rolling_zscore", "q28_ml_dataset",
+]
+
 
 def all_specs() -> list[QuerySpec]:
     specs: list[QuerySpec] = []
@@ -21,6 +48,8 @@ def all_specs() -> list[QuerySpec]:
                 raise ValueError(f"duplicate query name: {spec.name}")
             seen.add(spec.name)
             specs.append(spec)
+    rank = {name: i for i, name in enumerate(_PRIORITY)}
+    specs.sort(key=lambda s: rank.get(s.name, len(rank)))  # stable: keeps module order otherwise
     return specs
 
 
