@@ -229,40 +229,70 @@ def ann_topk(corpus: DataFrame, queries: DataFrame, *,
     )
 
 
+def _ivf_centroids(corpus: DataFrame, id_col: str, vec_col: str,
+                   n_cells: int, salt: str) -> DataFrame:
+    """Deterministic coarse-quantizer centroids: the ``n_cells`` rows
+    with the smallest ``hash15(salt||id)`` — a stable pseudo-random
+    spread fetched via TakeOrderedAndProject (partition-local top-N +
+    driver merge of n_cells rows). No global window, no corpus count,
+    no training step; swapping in k-means centroids changes only this
+    tiny relation, not any consumer's plan.
+    """
+    from pyspark.sql import types as T
+
+    from ..functions.text import hash15
+
+    cent_rows = (
+        corpus.select(
+            F.col(id_col), F.col(vec_col),
+            hash15(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+            .alias("_h"))
+        .orderBy("_h", id_col).limit(n_cells)
+        .collect()                       # n_cells rows — always tiny
+    )
+    vec_type = corpus.schema[vec_col].dataType
+    schema = T.StructType([
+        T.StructField("cell", T.IntegerType(), False),
+        T.StructField("cvec_cent", vec_type, False),
+    ])
+    return corpus.sparkSession.createDataFrame(
+        [(i, list(r[vec_col])) for i, r in enumerate(cent_rows)], schema)
+
+
+def _nearest_cells(df: DataFrame, cents: DataFrame, id_col: str,
+                   vec_col: str, keep: int) -> DataFrame:
+    """Assign each row its ``keep`` nearest centroids by cosine (one
+    broadcast cross-join against the n_cells centroid relation; the
+    per-id window ranks only n_cells rows per id)."""
+    scored = df.crossJoin(F.broadcast(cents)) \
+        .withColumn("_sim", cosine(vec_col, "cvec_cent")).drop("cvec_cent")
+    ww = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell"))
+    return (scored.withColumn("_cr", F.row_number().over(ww))
+            .filter(F.col("_cr") <= keep).drop("_cr", "_sim"))
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, *,
              id_col: str = "vec_id", vec_col: str = "embedding",
              k: int = 5, n_cells: int = 16, n_probe: int = 4) -> DataFrame:
     """IVF (inverted-file) approximate top-k.
 
     Coarse quantizer = ``n_cells`` centroid vectors sampled
-    deterministically from the corpus (every ⌈n/n_cells⌉-th id — no
-    training step, no stored model). Each corpus vector is assigned to
-    its nearest centroid (one broadcast-join pass); each query probes
-    its ``n_probe`` nearest cells, so the exact kernel touches
+    deterministically from the corpus: the rows with the smallest
+    ``hash15('ivf:'||id)`` — a stable pseudo-random spread fetched via
+    TakeOrderedAndProject (partition-local top-N + driver merge of
+    n_cells rows), exactly as ``semantic_dedup`` and ``pq_topk`` pick
+    theirs. No training step, no stored model, no global sort, no
+    corpus count. Each corpus vector is assigned to its nearest
+    centroid (one broadcast-join pass); each query probes its
+    ``n_probe`` nearest cells, so the exact kernel touches
     ~n_probe/n_cells of the corpus. With k-means centroids this
     becomes classical IVF; the plumbing (assign → probe → per-cell
     kernel) is identical, which is the part that matters at 100 TB.
     """
-    w = Window.orderBy(id_col)
-    numbered = corpus.withColumn("_rn", F.row_number().over(w) - 1)
-    n = corpus.count()
-    stride = max(1, n // n_cells)
-    cents = (
-        numbered.filter((F.col("_rn") % stride == 0) & (F.col("_rn") / stride < n_cells))
-        .select((F.col("_rn") / stride).cast("int").alias("cell"),
-                F.col(vec_col).alias("cvec_cent"))
-    )
-
-    def nearest_cells(df: DataFrame, vec: str, keep: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cents)) \
-            .withColumn("_sim", cosine(vec, "cvec_cent")).drop("cvec_cent")
-        ww = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell"))
-        return (scored.withColumn("_cr", F.row_number().over(ww))
-                .filter(F.col("_cr") <= keep).drop("_cr", "_sim"))
-
-    assigned = nearest_cells(corpus, vec_col, 1) \
+    cents = _ivf_centroids(corpus, id_col, vec_col, n_cells, salt="ivf:")
+    assigned = _nearest_cells(corpus, cents, id_col, vec_col, 1) \
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), "cell")
-    probed = nearest_cells(queries, vec_col, n_probe) \
+    probed = _nearest_cells(queries, cents, id_col, vec_col, n_probe) \
         .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"), "cell")
 
     scored = (
@@ -383,10 +413,108 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, *,
             .select("qid", "cid", "sim", "rank"))
 
 
+def _knn_accuracy(preds: DataFrame) -> DataFrame:
+    """(qid, label, pred) → per-label n / n_correct / accuracy_micro
+    (floor(accuracy·1e6) — integer, engine-portable)."""
+    hit = (F.col("pred") == F.col("label")).cast("long")
+    out = preds.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(hit).alias("n_correct"),
+    )
+    acc = F.col("n_correct").cast("double") / F.col("n").cast("double")
+    return out.withColumn(
+        "accuracy_micro", F.floor(acc * 1e6).cast("long"))
+
+
+def knn_classify_bucketed(emb: DataFrame, *, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          label_col: str = "label", k: int = 10,
+                          n_cells: int = 64, n_probe: int = 8) -> DataFrame:
+    """IVF-bucketed leave-one-out k-NN label probe — the
+    past-the-broadcast-guard path of ``knn_classify``.
+
+    Shape: the labeled set is assigned to its 1 nearest IVF cell
+    (reference role) and its ``n_probe`` nearest cells (query role);
+    a cogrouped Arrow kernel scores queries × references *within each
+    cell only* and emits each query's per-cell top-k candidates, so
+    the pair space is bounded by Σ|cell|·|probes-in-cell| and nothing
+    n² ever materializes or shuffles. Candidates then reduce to a
+    global per-query top-k window (≤ n_probe·k rows per query) and a
+    JVM-side majority vote — neighbor order (sim desc, id asc) and
+    vote tie → smallest label match the exact kernel bit-for-bit
+    where recall is total. Each reference lives in exactly one cell,
+    so a (query, reference) pair is scored at most once — no dedup.
+    """
+    import numpy as np  # noqa: F401  (worker-side dependency)
+
+    base = emb.select(id_col, vec_col, label_col)
+    cents = _ivf_centroids(base, id_col, vec_col, n_cells, salt="knn:")
+    # Distinct grouping-column name on the reference side: both sides
+    # derive from the same plan and an identically-named key trips
+    # Spark's ambiguous-self-join detection inside cogroup.
+    refs = _nearest_cells(base, cents, id_col, vec_col, 1).select(
+        F.col(id_col).alias("rid"), F.col(vec_col).alias("rvec"),
+        F.col(label_col).alias("rlabel"), F.col("cell").alias("rcell"))
+    qs = _nearest_cells(base, cents, id_col, vec_col, n_probe).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"),
+        F.col(label_col).alias("qlabel"), "cell")
+
+    def kernel(qpdf, rpdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"qid": pd.Series(dtype="int64"),
+                              "qlabel": pd.Series(dtype="int32"),
+                              "rid": pd.Series(dtype="int64"),
+                              "rlabel": pd.Series(dtype="int32"),
+                              "sim": pd.Series(dtype="float64")})
+        if not len(qpdf) or not len(rpdf):
+            return empty
+        qids = qpdf["qid"].to_numpy()
+        rids = rpdf["rid"].to_numpy()
+        qmat = np.stack(qpdf["qvec"].to_numpy()).astype(np.float64)
+        rmat = np.stack(rpdf["rvec"].to_numpy()).astype(np.float64)
+        qn = np.sqrt((qmat * qmat).sum(axis=1))
+        rn = np.sqrt((rmat * rmat).sum(axis=1))
+        sims = (qmat @ rmat.T) / np.outer(qn, rn)
+        frames = []
+        for i, qid in enumerate(qids):
+            row = sims[i].copy()
+            row[rids == qid] = -np.inf               # leave-one-out
+            order = np.lexsort((rids, -row))[:k]
+            order = order[np.isfinite(row[order])]
+            if not len(order):
+                continue
+            frames.append(pd.DataFrame({
+                "qid": np.full(len(order), int(qid), dtype="int64"),
+                "qlabel": np.full(len(order),
+                                  int(qpdf["qlabel"].iloc[i]), dtype="int32"),
+                "rid": rids[order].astype("int64"),
+                "rlabel": rpdf["rlabel"].to_numpy()[order].astype("int32"),
+                "sim": row[order],
+            }))
+        return pd.concat(frames) if frames else empty
+
+    cand = qs.groupby("cell").cogroup(refs.groupby("rcell")).applyInPandas(
+        kernel, "qid long, qlabel int, rid long, rlabel int, sim double")
+    wk = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("rid"))
+    topk = cand.withColumn("_r", F.row_number().over(wk)) \
+        .filter(F.col("_r") <= k)
+    votes = topk.groupBy("qid", "qlabel", "rlabel") \
+        .agg(F.count(F.lit(1)).alias("_v"))
+    wv = Window.partitionBy("qid").orderBy(F.desc("_v"), F.asc("rlabel"))
+    preds = (votes.withColumn("_p", F.row_number().over(wv))
+             .filter(F.col("_p") == 1)
+             .select("qid", F.col("qlabel").alias("label"),
+                     F.col("rlabel").alias("pred")))
+    return _knn_accuracy(preds)
+
+
 def knn_classify(emb: DataFrame, *, id_col: str = "vec_id",
                  vec_col: str = "embedding", label_col: str = "label",
                  k: int = 10,
-                 max_broadcast_rows: int = 2_000_000) -> DataFrame:
+                 max_broadcast_rows: int = 2_000_000,
+                 method: str = "auto") -> DataFrame:
     """Leave-one-out k-NN majority-vote label classification with
     per-label accuracy — the standard embedding-quality probe for a
     labeled corpus (is the embedding space locally label-consistent?),
@@ -398,10 +526,13 @@ def knn_classify(emb: DataFrame, *, id_col: str = "vec_id",
     to (query, true-label, predicted-label) — the n×n similarity
     matrix is never materialized or shuffled; only n prediction rows
     reach the accuracy aggregation. Neighbor order is (sim desc, id
-    asc); vote ties break to the smallest label. Beyond the broadcast
-    guard the reference set should first be IVF/LSH-bucketed
-    (``ivf_topk`` plumbing) — LOO evaluation over a bounded labeled
-    sample is the normal use.
+    asc); vote ties break to the smallest label.
+
+    Beyond the broadcast guard the exact kernel stops being the right
+    operator, so ``method="auto"`` (default) routes to
+    ``knn_classify_bucketed`` — IVF cells, cogrouped per-cell kernel —
+    instead of raising (size probe: bounded ``limit(guard+1).count()``,
+    not a full count). ``method="exact"``/``"bucketed"`` force a path.
 
     Returns one row per label: n, n_correct, accuracy_micro
     (floor(accuracy·1e6) — integer, engine-portable).
@@ -411,12 +542,24 @@ def knn_classify(emb: DataFrame, *, id_col: str = "vec_id",
     """
     import numpy as np
 
+    if method not in ("auto", "exact", "bucketed"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "bucketed":
+        return knn_classify_bucketed(
+            emb, id_col=id_col, vec_col=vec_col, label_col=label_col, k=k)
+    if method == "auto":
+        probe = emb.select(id_col).limit(max_broadcast_rows + 1).count()
+        if probe > max_broadcast_rows:
+            return knn_classify_bucketed(
+                emb, id_col=id_col, vec_col=vec_col, label_col=label_col,
+                k=k)
+
     spark = emb.sparkSession
     corpus = emb.select(id_col, vec_col, label_col).toPandas()
     if len(corpus) > max_broadcast_rows:
         raise ValueError(
             f"{len(corpus)} vectors exceed the broadcast guard "
-            f"({max_broadcast_rows}); bucket the reference set first")
+            f"({max_broadcast_rows}); use method='bucketed'")
     ids = corpus[id_col].to_numpy()
     labels = corpus[label_col].to_numpy()
     mat = np.stack(corpus[vec_col].to_numpy()).astype(np.float64)
@@ -447,14 +590,7 @@ def knn_classify(emb: DataFrame, *, id_col: str = "vec_id",
 
     preds = emb.select(id_col, vec_col, label_col).mapInPandas(
         kernel, "qid long, label int, pred int")
-    hit = (F.col("pred") == F.col("label")).cast("long")
-    out = preds.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(hit).alias("n_correct"),
-    )
-    acc = F.col("n_correct").cast("double") / F.col("n").cast("double")
-    return out.withColumn(
-        "accuracy_micro", F.floor(acc * 1e6).cast("long"))
+    return _knn_accuracy(preds)
 
 
 def semantic_dedup(df: DataFrame, *, id_col: str = "vec_id",
@@ -537,10 +673,110 @@ def semantic_dedup(df: DataFrame, *, id_col: str = "vec_id",
     )
 
 
+def _banded_buckets(df: DataFrame, id_col: str, vec_col: str,
+                    n_tables: int, planes_per_table: int,
+                    extra_cols: tuple = ()) -> DataFrame:
+    """``n_tables`` independent sign-bit LSH buckets per vector
+    (classic banded LSH: two vectors are candidates iff they share a
+    bucket in ANY table). Table ``t`` reuses the ``_sketch`` plane
+    family at global plane index ``t*planes_per_table + p``, so table
+    0 with the default widths reproduces ``lsh_buckets`` exactly.
+
+    Returns one row per (vector, table): id, vec, extra_cols, tbl,
+    bucket — a ``n_tables``× replication of ids+vectors, which is the
+    whole shuffle cost of the bucketed kernels built on it.
+    """
+    vec = F.col(vec_col)
+
+    def signed_term(gp):
+        return lambda x, i: x.cast("double") * F.when(
+            F.pmod(F.xxhash64(F.lit(gp), i), 2) == 0, 1.0).otherwise(-1.0)
+
+    buckets = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(planes_per_table):
+            proj = F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.sequence(F.lit(0), F.size(vec) - 1),
+                    signed_term(t * planes_per_table + p),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj > 0, F.lit(2 ** p).cast("long"))
+                        .otherwise(F.lit(0).cast("long")))
+        buckets.append(sum(bits[1:], bits[0]))
+    return df.select(
+        F.col(id_col), F.col(vec_col), *[F.col(c) for c in extra_cols],
+        F.posexplode(F.array(*buckets)).alias("tbl", "bucket"))
+
+
+def cosine_near_dup_pairs_bucketed(df: DataFrame, *,
+                                   id_col: str = "vec_id",
+                                   vec_col: str = "embedding",
+                                   threshold: float = 0.4,
+                                   n_tables: int = 16,
+                                   planes_per_table: int = 4) -> DataFrame:
+    """Banded-LSH near-dup pairs — the past-the-broadcast-guard path
+    of ``cosine_near_dup_pairs``.
+
+    Shape: each vector lands in one bucket per table
+    (``_banded_buckets``); an Arrow grouped-map kernel runs the exact
+    BLAS all-pairs *within each (table, bucket) group only*, so the
+    pair space is Σ|bucket|² per table instead of n², and the only
+    shuffle is the n_tables× replicated (id, vec) rows into their
+    groups. A pair found in several tables collapses via
+    groupBy(id_a,id_b) max(sim) (sims agree to the 6 rounded decimals;
+    max makes the survivor deterministic).
+
+    Recall is 1−(1−p^b)^L for match probability p=1−θ/π per plane,
+    b=planes_per_table, L=n_tables — tune b up to shrink buckets
+    (scale) and L up to recover recall. The b=4/L=16 defaults target
+    moderate thresholds (θ≈0.4 → ~94% marginal-pair recall, 2^4
+    buckets/table); high-threshold near-dup hunting (θ≥0.85) should
+    raise b to 8-12 for 256-4096× smaller buckets at equal recall.
+    Pinned vs the exact kernel in tests; rows-only at the driver
+    (xxhash64 sketch has no DuckDB twin).
+    """
+    sk = _banded_buckets(df, id_col, vec_col, n_tables, planes_per_table)
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "sim": pd.Series(dtype="float64")})
+        if len(pdf) < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        sims = (mat @ mat.T) / np.outer(norms, norms)
+        lt = ids[:, None] < ids[None, :]          # id_a < id_b, both orders once
+        ai, bi = np.nonzero((sims >= threshold) & lt)
+        if not len(ai):
+            return empty
+        return pd.DataFrame({
+            "id_a": ids[ai].astype("int64"),
+            "id_b": ids[bi].astype("int64"),
+            "sim": np.round(sims[ai, bi], 6),
+        })
+
+    pairs = sk.groupBy("tbl", "bucket").applyInPandas(
+        kernel, "id_a long, id_b long, sim double")
+    return pairs.groupBy("id_a", "id_b").agg(F.max("sim").alias("sim"))
+
+
 def cosine_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           threshold: float = 0.4,
-                          max_broadcast_rows: int = 2_000_000) -> DataFrame:
+                          max_broadcast_rows: int = 2_000_000,
+                          method: str = "auto",
+                          n_tables: int = 16,
+                          planes_per_table: int = 4) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold.
 
     Exact all-pairs is inherently O(n²); the scalable formulation is a
@@ -550,18 +786,34 @@ def cosine_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
     only pairs above the threshold (id_a < id_b). No shuffle, no pair
     materialization — output size is the answer size.
 
-    Beyond ``max_broadcast_rows``, exact all-pairs stops being the
-    right operator: route through lsh_buckets (bucket equi-join) or an
-    IVF assignment first, then run this kernel per bucket.
+    Beyond ``max_broadcast_rows`` exact all-pairs stops being the
+    right operator, so ``method="auto"`` (default) routes to
+    ``cosine_near_dup_pairs_bucketed`` — banded LSH buckets, exact
+    kernel per bucket — instead of raising. The size probe is a
+    bounded ``limit(guard+1).count()`` over the id column, not a full
+    corpus count. ``method="exact"``/``"bucketed"`` force a path
+    (exact past the guard raises, preserving the old contract).
     """
     import numpy as np
+
+    if method not in ("auto", "exact", "bucketed"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "bucketed":
+        return cosine_near_dup_pairs_bucketed(
+            df, id_col=id_col, vec_col=vec_col, threshold=threshold,
+            n_tables=n_tables, planes_per_table=planes_per_table)
+    if method == "auto":
+        probe = df.select(id_col).limit(max_broadcast_rows + 1).count()
+        if probe > max_broadcast_rows:
+            return cosine_near_dup_pairs_bucketed(
+                df, id_col=id_col, vec_col=vec_col, threshold=threshold)
 
     spark = df.sparkSession
     corpus = df.select(id_col, vec_col).toPandas()
     if len(corpus) > max_broadcast_rows:
         raise ValueError(
             f"{len(corpus)} vectors exceed the broadcast guard "
-            f"({max_broadcast_rows}); LSH/IVF-bucket the corpus first")
+            f"({max_broadcast_rows}); use method='bucketed'")
     ids = corpus[id_col].to_numpy()
     mat = np.stack(corpus[vec_col].to_numpy()).astype(np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))

@@ -1010,6 +1010,111 @@ GROUP BY qlabel
 )
 
 
+# ---------------------------------------------------------------------------
+# Q96: banded-LSH bucketed near-dup pairs — the past-the-broadcast-guard
+# path of cosine_near_dup_pairs (q39 is the exact baseline). Rows-only:
+# the sign-bit sketch is xxhash64-based, which has no DuckDB twin;
+# no-false-positive + recall vs the exact kernel are pytest-pinned.
+# ---------------------------------------------------------------------------
+
+def q_bucketed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_near_dup_pairs(
+        emb, threshold=0.4, method="bucketed").orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Q97: IVF-bucketed leave-one-out k-NN label probe — the
+# past-the-broadcast-guard path of knn_classify (q72 is the exact
+# baseline). Fully oracle-checkable: the hash15 centroid pick, cosine
+# cell assignment, per-cell top-k, global top-k, and majority vote are
+# all deterministic and SQL-expressible.
+# ---------------------------------------------------------------------------
+
+BKNN_CELLS, BKNN_PROBE = 16, 4
+
+
+def q_bucketed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.knn_classify_bucketed(
+        emb, k=KNN_K, n_cells=BKNN_CELLS, n_probe=BKNN_PROBE)
+
+
+def _oracle_bucketed_knn() -> str:
+    cos = ("{d} / (sqrt({na}) * sqrt({nb}))").format(
+        d=_SQL_DOT.format(a="{a}", b="{b}"),
+        na=_SQL_DOT.format(a="{a}", b="{a}"),
+        nb=_SQL_DOT.format(a="{b}", b="{b}"))
+    h = _sql_hash15("'knn:' || CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH cent_rows AS (
+  SELECT vec_id, embedding, {h} AS h
+  FROM embeddings ORDER BY h, vec_id LIMIT {BKNN_CELLS}
+),
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cell,
+         embedding AS cent
+  FROM cent_rows
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, e.label, c.cell,
+         {cos.format(a="e.embedding", b="c.cent")} AS csim
+  FROM embeddings e CROSS JOIN cents c
+),
+ranked_cells AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY csim DESC, cell ASC) AS cr
+  FROM scored
+),
+refs AS (
+  SELECT vec_id AS rid, embedding AS rv, label AS rlabel, cell
+  FROM ranked_cells WHERE cr = 1
+),
+qs AS (
+  SELECT vec_id AS qid, embedding AS qv, label AS qlabel, cell
+  FROM ranked_cells WHERE cr <= {BKNN_PROBE}
+),
+cand AS (
+  SELECT qid, qlabel, rid, rlabel, cell,
+         {cos.format(a="qv", b="rv")} AS sim
+  FROM qs JOIN refs USING (cell)
+  WHERE qid != rid
+),
+cell_topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid, cell
+                                 ORDER BY sim DESC, rid ASC) AS kr
+    FROM cand
+  ) WHERE kr <= {KNN_K}
+),
+global_topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY sim DESC, rid ASC) AS gr
+    FROM cell_topk
+  ) WHERE gr <= {KNN_K}
+),
+votes AS (
+  SELECT qid, qlabel, rlabel, count(*) AS v
+  FROM global_topk GROUP BY qid, qlabel, rlabel
+),
+pred AS (
+  SELECT qid, qlabel, rlabel AS p,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY v DESC, rlabel ASC) AS pr
+  FROM votes
+)
+SELECT qlabel AS label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN p = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(floor(CAST(sum(CASE WHEN p = qlabel THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*) * 1e6) AS BIGINT) AS accuracy_micro
+FROM pred WHERE pr = 1
+GROUP BY qlabel
+"""
+
+
 SPECS = [
     QuerySpec("q30_doc_stats", q_doc_stats, ORACLE_DOC_STATS,
               "per-document token/punct/stopword stats + quality score", ("P2-text",)),
@@ -1077,5 +1182,11 @@ SPECS = [
               ("P2-text",)),
     QuerySpec("q72_knn_classify", q_knn_classify, ORACLE_KNN_CLASSIFY,
               "leave-one-out k-NN label vote + per-label accuracy",
+              ("P2-sim", "E7")),
+    QuerySpec("q96_bucketed_near_dups", q_bucketed_near_dups, None,
+              "banded-LSH bucketed cosine near-dup pairs (scale path of "
+              "q39; recall pytest-pinned)", ("P2-dedup", "P2-sim")),
+    QuerySpec("q97_bucketed_knn", q_bucketed_knn, _oracle_bucketed_knn(),
+              "IVF-bucketed LOO k-NN label probe (scale path of q72)",
               ("P2-sim", "E7")),
 ]

@@ -287,3 +287,69 @@ def test_pq_topk_excludes_self_and_is_deterministic(spark):
     b = sim.pq_topk(emb, queries, k=5).orderBy("qid", "rank").collect()
     assert a == b                       # sampled codebooks are stable
     assert all(r["qid"] != r["cid"] for r in a)
+
+
+def test_near_dup_bucketed_no_false_positives_and_recall(spark):
+    # Force the auto-router past a tiny guard: 500 fixture vectors > 100
+    # routes to the banded-LSH bucketed kernel. Every emitted pair must
+    # be a true pair with the exact sim (per-bucket kernel is exact);
+    # recall vs all-pairs is pinned.
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    exact = {(r["id_a"], r["id_b"]): r["sim"]
+             for r in sim.cosine_near_dup_pairs(
+                 emb, threshold=0.4, method="exact").collect()}
+    bucketed = {(r["id_a"], r["id_b"]): r["sim"]
+                for r in sim.cosine_near_dup_pairs(
+                    emb, threshold=0.4, max_broadcast_rows=100).collect()}
+    assert set(bucketed) <= set(exact)            # no false positives
+    for pair, s in bucketed.items():
+        assert abs(s - exact[pair]) < 1e-6        # exact sims per pair
+    recall = len(bucketed) / len(exact)
+    assert recall >= 0.5, f"recall {recall:.2f}"
+
+
+def test_near_dup_exact_method_still_raises_past_guard(spark):
+    import pytest
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    with pytest.raises(Exception, match="broadcast guard"):
+        sim.cosine_near_dup_pairs(emb, threshold=0.4,
+                                  max_broadcast_rows=100,
+                                  method="exact").collect()
+
+
+def test_knn_bucketed_matches_exact_on_separable_clusters(spark):
+    # Same fixture as the exact-kernel test: with cells covering the two
+    # clusters the bucketed path must reproduce perfect LOO accuracy.
+    rows = []
+    for i, eps in enumerate([0.00, 0.01, 0.02, 0.03]):
+        rows.append((i, [1.0, eps], 0))
+        rows.append((10 + i, [eps, 1.0], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = {r["label"]: r
+           for r in sim.knn_classify(emb, k=3, method="bucketed").collect()}
+    assert got[0]["n"] == 4 and got[0]["n_correct"] == 4
+    assert got[1]["n"] == 4 and got[1]["n_correct"] == 4
+    assert got[0]["accuracy_micro"] == 1_000_000
+
+
+def test_knn_auto_routes_past_guard_and_agrees(spark):
+    # 500-row fixture with a tiny guard exercises the router end-to-end;
+    # per-label accuracies must stay close to the exact kernel's (IVF
+    # probing is approximate but labels here are what's being probed).
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    labeled = emb.withColumn("label",
+                             (F.col("vec_id") % 3).cast("int"))
+    exact = {r["label"]: r["n_correct"]
+             for r in sim.knn_classify(labeled, k=5,
+                                       method="exact").collect()}
+    routed = {r["label"]: r["n_correct"]
+              for r in sim.knn_classify(labeled, k=5,
+                                        max_broadcast_rows=100).collect()}
+    assert set(routed) == set(exact)
+    # random labels → accuracy itself is chance; what we pin is that the
+    # bucketed path produces a prediction for every vector
+    total_routed = sum(r["n"] for r in sim.knn_classify(
+        labeled, k=5, max_broadcast_rows=100).collect())
+    assert total_routed == 500

@@ -59,6 +59,11 @@ ALLOW: dict[str, set[str]] = {
     # n_cells-row broadcast centroid set for coarse assignment (the
     # IVF shape); pair comparisons are cell-bounded equi-joins
     "q68_semantic_dedup": {"nested_loop"},
+    # per-(table,bucket) grouped-map BLAS kernel IS the operator
+    "q96_bucketed_near_dups": {"pandas"},
+    # n_cells-row broadcast centroid assignment + cogrouped per-cell
+    # kernel (the IVF shape; candidates are cell-bounded)
+    "q97_bucketed_knn": {"nested_loop", "pandas"},
 }
 
 FLAGS = {
