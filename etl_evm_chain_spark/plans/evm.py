@@ -326,6 +326,153 @@ LIMIT 25
 """
 
 
+# ---------------------------------------------------------------------------
+# Q95: dynamic ABI type decode (string + uint32[] tails, offset-based
+# head/tail layout) — the reference decodes these via go-ethereum
+# `abi.UnpackIntoMap` (`internal/parser/parser.go:74-77`); here the
+# whole decode is native offset arithmetic on the hex blob
+# (sources/abi.py `_decode_dynamic`), no Python in the path. Both
+# engines synthesize the SAME ABI-encoded Memo logs from lineitem,
+# then decode independently (Spark: the real decoder; DuckDB: SQL
+# substr/unhex/list_transform on the read-back offsets), so values
+# check the decoder's offset walk, not a shared formula.
+# ---------------------------------------------------------------------------
+
+MEMO = AbiEvent("Memo", (
+    AbiInput("sender", "address", True),
+    AbiInput("note", "string", False),
+    AbiInput("amount", "uint256", False),
+    AbiInput("tags", "uint32[]", False),
+))
+T_MEMO = MEMO.topic0
+
+
+def synthetic_memo_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw Memo logs with dynamic-type data blobs, landed once per
+    scale factor (same lake pattern as synthetic_transfer_logs).
+
+    Blob layout (8 words): [0x60][amount][0xa0][note_len][note·rpad]
+    [2][tag0][tag1] — note is a ≤16-byte ASCII tag string so its
+    tail is always exactly two words, keeping the tags offset a
+    constant the DECODER must still read from the blob."""
+    from ..catalog import landed_parquet
+
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return landed_parquet(
+        spark, name="memologs",
+        src_paths=[os.path.join(sf_dir, "lineitem.parquet")],
+        build=lambda: _synth_memo_logs(spark, sf_dir),
+        params=key,
+    )
+
+
+def _wh(c: Column) -> Column:
+    """64-hex-char ABI word from a non-negative integral column."""
+    return F.lpad(F.lower(F.hex(c)), 64, "0")
+
+
+def _synth_memo_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # variable-length ASCII note, e.g. "NO-7" … "RF-999"
+    note = F.concat(F.col("l_returnflag"), F.col("l_linestatus"), F.lit("-"),
+                    (F.col("l_orderkey") % 1000).cast("string"))
+    amount = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    data = F.concat(
+        F.lit("0x"),
+        _wh(F.lit(0x60)), _wh(amount), _wh(F.lit(0xA0)),
+        _wh(F.length(note).cast("long")),
+        F.rpad(F.lower(F.hex(note)), 64, "0"),
+        _wh(F.lit(2)),
+        _wh(F.col("l_linenumber").cast("long")),
+        _wh(F.col("l_partkey") % 1000),
+    )
+    return li.select(
+        F.concat(F.lit("0x"), F.lpad(F.lower(F.hex(F.col("l_suppkey"))), 40, "0"))
+        .alias("address"),
+        F.array(F.lit(T_MEMO), _hex64(F.col("l_orderkey") % 1000))
+        .alias("topics"),
+        data.alias("data"),
+        F.expr("l_orderkey div 10").alias("block_number"),
+        F.concat(F.lit("0x"),
+                 F.md5(F.concat_ws(":", "l_orderkey", "l_linenumber")))
+        .alias("tx_hash"),
+        F.col("l_linenumber").alias("log_index"),
+    )
+
+
+def q_dynamic_abi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = synthetic_memo_logs(spark, sf_dir)
+    decoded = decode_event(raw, MEMO, contract_name="Memo")
+    # Arrays project to scalars for the engine-portable comparator
+    # (same convention as q65); the projections still exercise the
+    # decoded array end-to-end.
+    return decoded.select(
+        "block_number", "tx_hash", "log_index", "sender", "note",
+        F.col("amount").cast("long").alias("amount"),
+        F.length("note").alias("note_len"),
+        F.size("tags").alias("n_tags"),
+        F.element_at("tags", 1).cast("long").alias("tag0"),
+        F.element_at("tags", 2).cast("long").alias("tag1"),
+        F.aggregate("tags", F.lit(0).cast("long"),
+                    lambda a, v: a + v.cast("long")).alias("tag_sum"),
+    )
+
+
+_SQL_MEMO_RAW = """
+  SELECT lpad(lower(hex(l_orderkey % 1000)), 64, '0') AS sender_word,
+         '0x'
+           || lpad('60', 64, '0')
+           || lpad(lower(hex(CAST(floor(l_extendedprice * 100) AS BIGINT))), 64, '0')
+           || lpad('a0', 64, '0')
+           || lpad(lower(hex(length(l_returnflag || l_linestatus || '-'
+                || CAST(l_orderkey % 1000 AS VARCHAR)))), 64, '0')
+           || rpad(lower(hex(l_returnflag || l_linestatus || '-'
+                || CAST(l_orderkey % 1000 AS VARCHAR))), 64, '0')
+           || lpad('2', 64, '0')
+           || lpad(lower(hex(l_linenumber)), 64, '0')
+           || lpad(lower(hex(l_partkey % 1000)), 64, '0') AS data,
+         l_orderkey // 10 AS block_number,
+         '0x' || md5(concat_ws(':', l_orderkey, l_linenumber)) AS tx_hash,
+         l_linenumber AS log_index
+  FROM lineitem
+"""
+
+ORACLE_DYNAMIC_ABI = f"""
+WITH raw AS ({_SQL_MEMO_RAW}),
+offs AS (
+  SELECT *,
+         CAST('0x' || substr(data, 3 + 48, 16) AS BIGINT) * 2 + 3 AS note_tail,
+         CAST('0x' || substr(data, 3 + 128 + 48, 16) AS BIGINT) * 2 + 3 AS tags_tail
+  FROM raw
+),
+lens AS (
+  SELECT *,
+         CAST('0x' || substr(data, CAST(note_tail + 48 AS INTEGER), 16) AS BIGINT) AS note_len,
+         CAST('0x' || substr(data, CAST(tags_tail + 48 AS INTEGER), 16) AS BIGINT) AS n_tags
+  FROM offs
+),
+dec AS (
+  SELECT block_number, tx_hash, log_index,
+         '0x' || substr(sender_word, 25, 40) AS sender,
+         decode(unhex(substr(data, CAST(note_tail + 64 AS INTEGER),
+                             CAST(note_len * 2 AS INTEGER)))) AS note,
+         CAST('0x' || substr(data, 116, 15) AS BIGINT) AS amount,
+         CAST(note_len AS INTEGER) AS note_len,
+         CAST(n_tags AS INTEGER) AS n_tags,
+         list_transform(range(0, CAST(n_tags AS INTEGER)),
+             i -> CAST('0x' || substr(data,
+                      CAST(tags_tail + 64 + i * 64 + 56 AS INTEGER), 8)
+                  AS BIGINT)) AS tags
+  FROM lens
+)
+SELECT block_number, tx_hash, log_index, sender, note, amount,
+       note_len, n_tags,
+       tags[1] AS tag0, tags[2] AS tag1,
+       CAST(list_aggregate(tags, 'sum') AS BIGINT) AS tag_sum
+FROM dec
+"""
+
+
 SPECS = [
     QuerySpec("q44_decode_transfers", q_decode_transfers, ORACLE_DECODE_TRANSFERS,
               "ABI decode of raw Transfer logs + block-timestamp enrichment",
@@ -338,4 +485,7 @@ SPECS = [
     QuerySpec("q70_balance_ledger", q_balance_ledger, ORACLE_BALANCE_LEDGER,
               "address balance ledger: cumulative window + top-25 holders",
               ("G2", "D3", "F2")),
+    QuerySpec("q95_dynamic_abi", q_dynamic_abi, ORACLE_DYNAMIC_ABI,
+              "dynamic ABI decode: string + uint32[] offset/tail layout",
+              ("G2", "G3")),
 ]

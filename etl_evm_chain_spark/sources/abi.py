@@ -19,11 +19,18 @@ Decoding strategy (SURVEY §2.G):
   decoded by an Arrow-batched pandas UDF (Python big-int, exact up to
   38 digits; larger values keep the hex column as the source of
   truth and the decimal saturates to NULL).
+- dynamic types (string, bytes, T[]; `abi.UnpackIntoMap` parity):
+  head-slot offset → length-prefixed tail, decoded with native offset
+  arithmetic on the hex blob (substr/conv/unhex — still no Python);
+  static fixed arrays T[k] decode inline from k head slots; indexed
+  dynamic/array params surface as their keccak-hash topic
+  (go-ethereum common.Hash semantics).
 """
 
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass
 
 import pandas as pd
@@ -96,20 +103,59 @@ def parse_abi(abi_json: str | list) -> dict[str, AbiEvent]:
     return events
 
 
+_ARRAY_RE = re.compile(r"^(.*)\[(\d*)\]$")
+
+
 def _int_bits(abi_type: str) -> int | None:
     for prefix in ("uint", "int"):
         if abi_type.startswith(prefix):
             digits = abi_type[len(prefix):] or "256"
-            return int(digits)
+            if digits.isdigit():
+                return int(digits)
     return None
 
 
-def spark_type(abi_type: str) -> T.DataType:
+def _is_dynamic(abi_type: str) -> bool:
+    """Dynamic per the ABI spec (head slot holds a byte offset to a
+    length-prefixed tail): string, bytes, T[], and T[k] of dynamic T —
+    mirrors go-ethereum's `abi.Type.requiresLengthPrefix` semantics
+    used by `abi.UnpackIntoMap` (reference
+    `internal/parser/parser.go:74-77`)."""
+    if abi_type in ("string", "bytes"):
+        return True
+    m = _ARRAY_RE.match(abi_type)
+    if m:
+        return True if m.group(2) == "" else _is_dynamic(m.group(1))
+    return False
+
+
+def _head_slots(abi_type: str) -> int:
+    """32-byte head slots a parameter occupies in the data blob: 1 for
+    every dynamic type (the offset word) and scalar static type; k×
+    inner for a static fixed array T[k] (encoded inline)."""
+    if _is_dynamic(abi_type):
+        return 1
+    m = _ARRAY_RE.match(abi_type)
+    if m and m.group(2):
+        return int(m.group(2)) * _head_slots(m.group(1))
+    return 1
+
+
+def spark_type(abi_type: str, *, indexed: bool = False) -> T.DataType:
+    m = _ARRAY_RE.match(abi_type)
+    if indexed and (m or _is_dynamic(abi_type)):
+        # indexed arrays/strings/bytes arrive as their keccak hash topic
+        return T.StringType()
+    if m:
+        return T.ArrayType(spark_type(m.group(1)))
     bits = _int_bits(abi_type)
     if bits is not None:
-        if bits <= 32:
+        # unsigned types need one extra bit of headroom in a signed
+        # Spark integral (uint32 max 2^32−1 overflows IntegerType)
+        room = 0 if abi_type.startswith("int") else 1
+        if bits + room <= 32:
             return T.IntegerType()
-        if bits <= 63:
+        if bits + room <= 64:
             return T.LongType()
         return T.DecimalType(38, 0)
     if abi_type == "address":
@@ -123,10 +169,11 @@ def spark_type(abi_type: str) -> T.DataType:
 
 def event_schema(event: AbiEvent, contract_name: str = "") -> T.StructType:
     """Deterministic StructType: meta columns + one per ABI param
-    (+ lossless _hex twin for >63-bit integers)."""
+    (+ lossless _hex twin for >63-bit scalar integers; array elements
+    carry no twin — the raw data blob is their lossless source)."""
     fields = [T.StructField(n, t) for n, t in META_FIELDS]
     for inp in event.inputs:
-        st = spark_type(inp.type)
+        st = spark_type(inp.type, indexed=inp.indexed)
         fields.append(T.StructField(inp.name, st))
         bits = _int_bits(inp.type)
         if bits is not None and bits > 63:
@@ -190,8 +237,13 @@ def _decode_word(word: Column, abi_type: str) -> Column:
         if abi_type.startswith("int"):
             half, full = 1 << (bits - 1), 1 << bits
             raw = F.when(raw >= half, raw - full).otherwise(raw)
-        target = "int" if bits <= 32 else "long"
-        return raw.cast(target)
+        # target integral mirrors spark_type (unsigned needs headroom)
+        room = 0 if abi_type.startswith("int") else 1
+        return raw.cast("int" if bits + room <= 32 else "long")
+    if abi_type == "int64":
+        # exact via the big-int UDF (a 16-hex conv can exceed signed
+        # long as an unsigned string), then narrowed losslessly
+        return _decode_big_word(word, F.lit(True)).cast("long")
     if bits is not None and abi_type.startswith("uint"):
         # Native two-limb decimal decode (JVM-side, no Python): value =
         # hi64·2^64 + lo64 as DecimalType(38,0). Upper 128 bits nonzero
@@ -207,8 +259,65 @@ def _decode_word(word: Column, abi_type: str) -> Column:
     if bits is not None:  # int64..int256: two's complement needs Python big-int
         return _decode_big_word(word, F.lit(True))
     if abi_type.startswith("bytes"):
+        # bytesN is left-aligned in the word: slice exactly N bytes.
+        n = abi_type[5:]
+        if n.isdigit():
+            return F.concat(F.lit("0x"), F.lower(F.substring(word, 1, 2 * int(n))))
         return F.concat(F.lit("0x"), F.lower(word))
     return F.concat(F.lit("0x"), F.lower(word))
+
+
+def _decode_dynamic(data: Column, head_slot: int, abi_type: str) -> Column:
+    """Native decode of a dynamic-type parameter from its tail
+    (SURVEY §2.G2 extension; reference decodes these via go-ethereum
+    `abi.UnpackIntoMap`, `internal/parser/parser.go:74-77`).
+
+    ABI dynamic layout: the head slot holds the byte offset (from the
+    start of the data section) of a length-prefixed tail —
+    ``[len][payload …]`` with the payload right-padded to a 32-byte
+    multiple (strings/bytes left-aligned; array elements one word
+    each). Everything here is offset arithmetic on the hex string:
+    substr positions computed from the decoded offset/length words, so
+    the whole decode stays JVM-side (codegen'd substr/conv/unhex) —
+    no Python for any dynamic type.
+    """
+    # 1-based hex-char position of the tail's length word inside the
+    # 0x-prefixed blob: 3 + 2·offset_bytes.
+    off = F.conv(F.substring(_word(data, head_slot), 49, 16), 16, 10) \
+        .cast("long")
+    tail = off * 2 + 3
+    n = F.conv(data.substr(tail + 48, F.lit(16)), 16, 10).cast("long")
+    body = tail + 64
+    if abi_type == "string":
+        return F.decode(F.unhex(data.substr(body, n * 2)), "UTF-8")
+    if abi_type == "bytes":
+        return F.concat(F.lit("0x"), F.lower(data.substr(body, n * 2)))
+    m = _ARRAY_RE.match(abi_type)
+    if m and m.group(2) == "":
+        elem = m.group(1)
+        if _is_dynamic(elem) or (_int_bits(elem) or 0) > 63 \
+                and elem.startswith("int"):
+            raise NotImplementedError(
+                f"array element type {elem!r} not supported natively "
+                "(nested dynamic / wide signed int)")
+        idx = F.when(n > 0, F.sequence(F.lit(0).cast("long"), n - 1)) \
+            .otherwise(F.array().cast("array<long>"))
+        return F.transform(
+            idx, lambda i: _decode_word(data.substr(body + i * 64, F.lit(64)),
+                                        elem))
+    raise NotImplementedError(f"dynamic type {abi_type!r}")
+
+
+def _decode_static_array(data: Column, base_slot: int,
+                         abi_type: str) -> Column:
+    """Inline decode of a static fixed array T[k]: k consecutive head
+    slots, one element per word."""
+    m = _ARRAY_RE.match(abi_type)
+    elem, k = m.group(1), int(m.group(2))
+    if _ARRAY_RE.match(elem):
+        raise NotImplementedError("nested fixed arrays")
+    return F.array(*[_decode_word(_word(data, base_slot + i), elem)
+                     for i in range(k)])
 
 
 def decode_event(raw_logs: DataFrame, event: AbiEvent, *,
@@ -237,16 +346,32 @@ def decode_event(raw_logs: DataFrame, event: AbiEvent, *,
     for pos, inp in enumerate(indexed):
         topic = F.col("topics")[pos + 1]
         word = F.substring(topic, 3, 64)  # strip 0x
+        if _is_dynamic(inp.type) or _ARRAY_RE.match(inp.type):
+            # indexed dynamic/array params are stored as the keccak
+            # hash of the encoded value (go-ethereum common.Hash).
+            out_cols.append(F.lower(topic).alias(inp.name))
+            continue
         out_cols.append(_decode_word(word, inp.type).alias(inp.name))
         if (_int_bits(inp.type) or 0) > 63:
             out_cols.append(F.concat(F.lit("0x"), F.lower(word))
                             .alias(f"{inp.name}_hex"))
-    for slot, inp in enumerate(unindexed):
-        word = _word(F.col("data"), slot)
-        out_cols.append(_decode_word(word, inp.type).alias(inp.name))
-        if (_int_bits(inp.type) or 0) > 63:
-            out_cols.append(F.concat(F.lit("0x"), F.lower(word))
-                            .alias(f"{inp.name}_hex"))
+    slot = 0
+    for inp in unindexed:
+        if _is_dynamic(inp.type):
+            out_cols.append(
+                _decode_dynamic(F.col("data"), slot, inp.type)
+                .alias(inp.name))
+        elif _ARRAY_RE.match(inp.type):
+            out_cols.append(
+                _decode_static_array(F.col("data"), slot, inp.type)
+                .alias(inp.name))
+        else:
+            word = _word(F.col("data"), slot)
+            out_cols.append(_decode_word(word, inp.type).alias(inp.name))
+            if (_int_bits(inp.type) or 0) > 63:
+                out_cols.append(F.concat(F.lit("0x"), F.lower(word))
+                                .alias(f"{inp.name}_hex"))
+        slot += _head_slots(inp.type)
     return df.select(*out_cols)
 
 

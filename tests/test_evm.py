@@ -184,3 +184,100 @@ def test_balance_ledger_invariants(spark):
     # top-25 by net_balance is descending
     nets = [r["net_balance"] for r in rows]
     assert nets == sorted(nets, reverse=True)
+
+
+MEMO = AbiEvent("Memo", (
+    AbiInput("sender", "address", True),
+    AbiInput("note", "string", False),
+    AbiInput("amount", "uint256", False),
+    AbiInput("tags", "uint32[]", False),
+))
+
+
+def _w(x: int) -> str:
+    return format(x, "064x")
+
+
+def _memo_raw(spark, data: str):
+    return spark.createDataFrame(
+        [("0xAbc0000000000000000000000000000000000abc",
+          [MEMO.topic0, "0x" + "0" * 24 + "deadbeef" * 5],
+          data, 100, "0xtx", 0)],
+        RAW_LOG_SCHEMA)
+
+
+def test_decode_dynamic_string_and_array(spark):
+    # head: [0x60 note-offset][amount][0xa0 tags-offset]
+    # tails: [5]["hello"·rpad] / [2][7][9]
+    data = ("0x" + _w(0x60) + _w(1234) + _w(0xA0)
+            + _w(5) + "68656c6c6f" + "0" * 54
+            + _w(2) + _w(7) + _w(9))
+    r = decode_event(_memo_raw(spark, data), MEMO).collect()[0]
+    assert r["sender"] == "0xdeadbeefdeadbeefdeadbeefdeadbeefdeadbeef"
+    assert r["note"] == "hello"
+    assert int(r["amount"]) == 1234
+    assert r["tags"] == [7, 9]
+
+
+def test_decode_dynamic_empty_tails(spark):
+    data = "0x" + _w(0x60) + _w(0) + _w(0x80) + _w(0) + _w(0)
+    r = decode_event(_memo_raw(spark, data), MEMO).collect()[0]
+    assert r["note"] == "" and int(r["amount"]) == 0 and r["tags"] == []
+
+
+def test_decode_dynamic_multiword_string(spark):
+    # 40-byte string spans two tail words; tags offset shifts to 0xc0
+    s = b"abcdefghijklmnopqrstuvwxyz0123456789ABCD"
+    assert len(s) == 40
+    data = ("0x" + _w(0x60) + _w(1) + _w(0xC0)
+            + _w(40) + s.hex() + "0" * (128 - 80)
+            + _w(1) + _w(42))
+    r = decode_event(_memo_raw(spark, data), MEMO).collect()[0]
+    assert r["note"] == s.decode() and r["tags"] == [42]
+
+
+def test_decode_bytes_and_static_fixed_array(spark):
+    ev = AbiEvent("Blob", (
+        AbiInput("payload", "bytes", False),
+        AbiInput("pair", "int32[2]", False),
+    ))
+    # head: [offset payload][pair[0]][pair[1]] — the fixed array is
+    # inline (2 slots), so payload's tail starts at 3*32 = 0x60
+    data = ("0x" + _w(0x60) + _w(0xFFFFFFFF) + _w(2 ** 32 - 5)
+            + _w(3) + "a1b2c3" + "0" * 58)
+    raw = _memo_raw(spark, data)
+    r = decode_event(raw.withColumn(
+        "topics", F.array(F.lit(ev.topic0))), ev).collect()[0]
+    assert r["payload"] == "0xa1b2c3"
+    assert r["pair"] == [-1, -5]          # two's complement int32
+
+
+def test_decode_indexed_dynamic_is_topic_hash(spark):
+    ev = AbiEvent("Named", (
+        AbiInput("name", "string", True),      # topic = keccak(name)
+        AbiInput("v", "uint8", False),
+    ))
+    topic1 = "0x" + "ab" * 32
+    raw = spark.createDataFrame(
+        [("0xc", [ev.topic0, topic1], "0x" + _w(7), 1, "0xt", 0)],
+        RAW_LOG_SCHEMA)
+    r = decode_event(raw, ev).collect()[0]
+    assert r["name"] == topic1 and r["v"] == 7
+
+
+def test_uint32_decodes_above_int_range(spark):
+    ev = AbiEvent("U", (AbiInput("x", "uint32", False),))
+    raw = spark.createDataFrame(
+        [("0xc", [ev.topic0], "0x" + _w(2 ** 32 - 1), 1, "0xt", 0)],
+        RAW_LOG_SCHEMA)
+    r = decode_event(raw, ev).collect()[0]
+    assert r["x"] == 2 ** 32 - 1          # LongType: no int32 overflow
+
+
+def test_int64_decodes_exact_min(spark):
+    ev = AbiEvent("I", (AbiInput("x", "int64", False),))
+    word = _w((-(2 ** 63)) % (1 << 256))  # sign-extended two's complement
+    raw = spark.createDataFrame(
+        [("0xc", [ev.topic0], "0x" + word, 1, "0xt", 0)], RAW_LOG_SCHEMA)
+    r = decode_event(raw, ev).collect()[0]
+    assert r["x"] == -(2 ** 63)
