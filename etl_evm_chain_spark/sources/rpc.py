@@ -1,0 +1,118 @@
+"""Stdlib JSON-RPC client for live EVM extraction (SURVEY §2.A1/A2).
+
+The reference dials an RPC node with bounded retries and calls
+``eth_getLogs`` / ``eth_blockNumber`` per chunk (retry loop:
+`/root/reference/internal/rpc/client.go:26-58,94-118`; defaults
+3 attempts × 1500 ms: `/root/reference/internal/config/config.go:
+135-140`). This is the concrete out-of-the-box implementation of the
+pluggable ``Fetcher`` contract in ``evm_logs.fetch_logs`` — pure
+stdlib (urllib), no extra dependencies, picklable so the client ships
+to executors inside ``mapPartitions`` and each task talks to the node
+for its own block slice.
+
+Every RPC method retries ``attempts`` times with ``delay_ms`` sleeps
+between attempts (none after the last), then re-raises the final
+error — the same policy as the reference; Spark's task retry
+(`spark.task.maxFailures`) layers on top exactly like the reference's
+sink-level retry decorator.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.request
+from dataclasses import dataclass, field
+from typing import Iterable
+
+DEFAULT_ATTEMPTS = 3      # reference config.go:135-137
+DEFAULT_DELAY_MS = 1500   # reference config.go:138-140
+
+
+@dataclass(frozen=True)
+class RetryConfig:
+    attempts: int = DEFAULT_ATTEMPTS
+    delay_ms: int = DEFAULT_DELAY_MS
+
+
+class RpcError(RuntimeError):
+    """JSON-RPC level error (the node answered with an error object)."""
+
+
+@dataclass
+class JsonRpcClient:
+    """Minimal Ethereum JSON-RPC client over HTTP POST.
+
+    Dataclass (url + config only) so instances pickle into Spark task
+    closures; the urllib request is built per call, no live sockets
+    held.
+    """
+
+    url: str
+    retry: RetryConfig = field(default_factory=RetryConfig)
+    timeout_s: float = 30.0
+
+    def call(self, method: str, params: list) -> object:
+        payload = json.dumps({
+            "jsonrpc": "2.0", "id": 1, "method": method, "params": params,
+        }).encode()
+        last: Exception | None = None
+        for attempt in range(1, self.retry.attempts + 1):
+            try:
+                req = urllib.request.Request(
+                    self.url, data=payload,
+                    headers={"Content-Type": "application/json"})
+                with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                    body = json.loads(resp.read().decode())
+                if "error" in body and body["error"]:
+                    raise RpcError(str(body["error"]))
+                return body.get("result")
+            except Exception as e:  # noqa: BLE001 — mirror blanket retry
+                last = e
+                if attempt < self.retry.attempts:
+                    time.sleep(self.retry.delay_ms / 1000.0)
+        raise last  # type: ignore[misc]
+
+    # -- typed methods ----------------------------------------------------
+
+    def latest_block(self) -> int:
+        """Height probe (A2): ``eth_blockNumber``."""
+        return int(str(self.call("eth_blockNumber", [])), 16)
+
+    def get_logs(self, from_block: int, to_block: int,
+                 addresses: tuple[str, ...] = (),
+                 topic0s: tuple[str, ...] = ()) -> list[dict]:
+        """``eth_getLogs`` over a block range with server-side address
+        and topic0 filters (B1 pushdown, the reference's FilterQuery —
+        `internal/indexer/indexer.go:223-235`), normalized to
+        RAW_LOG_SCHEMA field names."""
+        filt: dict = {
+            "fromBlock": hex(from_block),
+            "toBlock": hex(to_block),
+        }
+        if addresses:
+            filt["address"] = list(addresses)
+        if topic0s:
+            filt["topics"] = [list(topic0s)]
+        logs = self.call("eth_getLogs", [filt]) or []
+        return [
+            {
+                "address": lg.get("address"),
+                "topics": lg.get("topics") or [],
+                "data": lg.get("data"),
+                "block_number": int(str(lg.get("blockNumber")), 16),
+                "tx_hash": lg.get("transactionHash"),
+                "log_index": int(str(lg.get("logIndex", "0x0")), 16),
+            }
+            for lg in logs
+        ]
+
+    # -- Fetcher contract --------------------------------------------------
+
+    def __call__(self, from_block: int, to_block: int,
+                 addresses: tuple[str, ...],
+                 topic0s: tuple[str, ...]) -> Iterable[dict]:
+        """The ``evm_logs.Fetcher`` signature — pass a JsonRpcClient
+        straight into ``fetch_logs(fetcher=client)``."""
+        return self.get_logs(from_block, to_block, addresses, topic0s)

@@ -1,0 +1,134 @@
+"""JSON-RPC client tests against a local fake HTTP node: typed
+methods, retry policy, and the distributed fetch_logs path end-to-end
+through real HTTP from executor tasks."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from etl_evm_chain_spark.sources.evm_logs import fetch_logs
+from etl_evm_chain_spark.sources.rpc import JsonRpcClient, RetryConfig, RpcError
+
+
+class _FakeNode(ThreadingHTTPServer):
+    """Serves eth_blockNumber / eth_getLogs from a canned log store;
+    optionally fails the first N requests with HTTP 503 (retry test)."""
+
+    def __init__(self):
+        super().__init__(("127.0.0.1", 0), _Handler)
+        self.latest = 45
+        self.fail_next = 0
+        self.lock = threading.Lock()
+        # one log per block 0..latest, topic alternates
+        self.logs = [
+            {
+                "address": f"0x{'ab' * 19}{i % 7:02x}",
+                "topics": [f"0xt{i % 2}", f"0x{'00' * 31}{i % 5:02x}"],
+                "data": "0x" + format(i * 10, "064x"),
+                "blockNumber": hex(i),
+                "transactionHash": f"0x{'cd' * 31}{i:02x}",
+                "logIndex": "0x0",
+            }
+            for i in range(self.latest + 1)
+        ]
+
+    @property
+    def url(self) -> str:
+        return f"http://127.0.0.1:{self.server_address[1]}"
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def log_message(self, *a):  # keep pytest output clean
+        pass
+
+    def do_POST(self):
+        srv: _FakeNode = self.server  # type: ignore[assignment]
+        with srv.lock:
+            if srv.fail_next > 0:
+                srv.fail_next -= 1
+                self.send_response(503)
+                self.end_headers()
+                return
+        req = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+        method, params = req["method"], req["params"]
+        if method == "eth_blockNumber":
+            result = hex(srv.latest)
+        elif method == "eth_getLogs":
+            f = params[0]
+            lo, hi = int(f["fromBlock"], 16), int(f["toBlock"], 16)
+            topic0s = (f.get("topics") or [[]])[0]
+            result = [
+                lg for lg in srv.logs
+                if lo <= int(lg["blockNumber"], 16) <= hi
+                and (not f.get("address")
+                     or lg["address"] in f["address"])
+                and (not topic0s or lg["topics"][0] in topic0s)
+            ]
+        else:
+            self._reply({"jsonrpc": "2.0", "id": req["id"],
+                         "error": {"code": -32601, "message": "no method"}})
+            return
+        self._reply({"jsonrpc": "2.0", "id": req["id"], "result": result})
+
+    def _reply(self, body: dict):
+        data = json.dumps(body).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+
+@pytest.fixture()
+def node():
+    srv = _FakeNode()
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+
+
+def test_latest_block_and_get_logs(node):
+    cli = JsonRpcClient(node.url)
+    assert cli.latest_block() == 45
+    logs = cli.get_logs(10, 19)
+    assert len(logs) == 10
+    assert logs[0]["block_number"] == 10
+    assert logs[0]["tx_hash"].startswith("0xcd")
+    # server-side topic filter: only even blocks carry 0xt0
+    only_t0 = cli.get_logs(10, 19, topic0s=("0xt0",))
+    assert [lg["block_number"] for lg in only_t0] == [10, 12, 14, 16, 18]
+
+
+def test_retry_recovers_after_transient_failures(node):
+    cli = JsonRpcClient(node.url, retry=RetryConfig(attempts=3, delay_ms=10))
+    node.fail_next = 2          # two 503s, third attempt succeeds
+    assert cli.latest_block() == 45
+
+
+def test_retry_exhausts_and_raises(node):
+    cli = JsonRpcClient(node.url, retry=RetryConfig(attempts=2, delay_ms=10))
+    node.fail_next = 5
+    with pytest.raises(Exception):
+        cli.latest_block()
+
+
+def test_rpc_error_body_raises(node):
+    cli = JsonRpcClient(node.url, retry=RetryConfig(attempts=1, delay_ms=1))
+    with pytest.raises(RpcError):
+        cli.call("eth_noSuchMethod", [])
+
+
+def test_fetch_logs_through_real_http(spark, node):
+    cli = JsonRpcClient(node.url, retry=RetryConfig(attempts=3, delay_ms=10))
+    df = fetch_logs(spark, start=0, latest=cli.latest_block(),
+                    fetcher=cli, topic0s=("0xt1",), chunk=10, tasks=4)
+    rows = df.collect()
+    # odd blocks 1..45 carry topic 0xt1
+    assert sorted(r["block_number"] for r in rows) == list(range(1, 46, 2))
+    assert all(r["topics"][0] == "0xt1" for r in rows)
+    assert all(r["data"].startswith("0x") for r in rows)
