@@ -401,19 +401,44 @@ def enrich(decoded: DataFrame, blocks: DataFrame | None = None,
     return out
 
 
-def recover_sender(tx_df: DataFrame, *, raw_tx_col: str = "raw_tx") -> DataFrame:
-    """ECDSA sender recovery (G5, `internal/parser/parser.go:153-157`).
+_RECOVER_UDF = None
 
-    Requires a secp256k1 backend; none ships in this environment, so
-    this gates on importability and raises otherwise. The production
-    path is the pre-landed ``transactions(tx_hash, tx_from)`` dim
-    (see enrich()), which avoids per-row crypto entirely.
+
+def recover_sender(tx_df: DataFrame, *, hash_col: str = "sig_hash",
+                   r_col: str = "r", s_col: str = "s", v_col: str = "v",
+                   out_col: str = "tx_from") -> DataFrame:
+    """ECDSA sender recovery (G5, `internal/parser/parser.go:152-159`:
+    ``types.Sender(signer, tx)``).
+
+    Inputs: the transaction *signing hash* (0x hex) plus the r/s (0x
+    hex) and v components; output: the recovered lowercase 0x address
+    (NULL for invalid signatures). Pure-Python secp256k1
+    (sources/secp256k1.py) inside an Arrow-batched pandas UDF — a few ms/
+    row/core, acceptable for live tails and audits. For bulk
+    backfills prefer the pre-landed ``transactions(tx_hash, tx_from)``
+    dim join (see ``enrich``), which avoids per-row crypto entirely.
     """
-    try:
-        import coincurve  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "sender recovery needs a secp256k1 library (e.g. coincurve); "
-            "join the transactions dim instead"
-        ) from e
-    raise NotImplementedError("live recovery path not wired in this build")
+    global _RECOVER_UDF
+    if _RECOVER_UDF is None:
+        @pandas_udf("string")
+        def rec(h: pd.Series, r: pd.Series, s: pd.Series,
+                v: pd.Series) -> pd.Series:
+            from .secp256k1 import recover_address
+
+            def one(hh, rr, ss, vv):
+                if hh is None or rr is None or ss is None or vv is None:
+                    return None
+                try:
+                    return recover_address(
+                        bytes.fromhex(str(hh).removeprefix("0x")),
+                        int(str(rr), 16), int(str(ss), 16), int(vv))
+                except (ValueError, AssertionError):
+                    return None
+
+            return pd.Series([one(*t) for t in zip(h, r, s, v)])
+
+        _RECOVER_UDF = rec
+    return tx_df.withColumn(
+        out_col,
+        _RECOVER_UDF(F.col(hash_col), F.col(r_col), F.col(s_col),
+                     F.col(v_col).cast("long")))

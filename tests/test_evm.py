@@ -281,3 +281,48 @@ def test_int64_decodes_exact_min(spark):
         [("0xc", [ev.topic0], "0x" + word, 1, "0xt", 0)], RAW_LOG_SCHEMA)
     r = decode_event(raw, ev).collect()[0]
     assert r["x"] == -(2 ** 63)
+
+
+def test_secp256k1_known_privkey_addresses():
+    from etl_evm_chain_spark.sources import secp256k1 as ec
+
+    # widely published vectors: addresses of private keys 1 and 2
+    assert ec.priv_to_address(1) == \
+        "0x7e5f4552091a69125d5dfcb7b8c2659029395bdf"
+    assert ec.priv_to_address(2) == \
+        "0x2b5ad5c4795c026514f8317c7a215e218dccd6cf"
+
+
+def test_secp256k1_sign_recover_roundtrip():
+    from etl_evm_chain_spark.sources import secp256k1 as ec
+    from etl_evm_chain_spark.sources.keccak import keccak256
+
+    h = keccak256(b"transfer 42 wei")
+    for priv in (1, 0xDEADBEEF, 98765432109876543210987654321):
+        for nonce in (7, 999999937, ec.N - 3):
+            r, s, v = ec.sign(h, priv, nonce)
+            assert s <= ec.N // 2          # Ethereum low-s rule
+            assert ec.recover_address(h, r, s, v) == ec.priv_to_address(priv)
+    # EIP-155 v encoding normalizes to the same parity
+    r, s, v = ec.sign(h, 5, 11)
+    v155 = 1 * 2 + 35 + (v - 27)
+    assert ec.recover_address(h, r, s, v155) == ec.priv_to_address(5)
+
+
+def test_recover_sender_udf_and_invalid_rows(spark):
+    from etl_evm_chain_spark.sources import secp256k1 as ec
+    from etl_evm_chain_spark.sources.abi import recover_sender
+    from etl_evm_chain_spark.sources.keccak import keccak256
+
+    h = keccak256(b"payload")
+    r, s, v = ec.sign(h, 3, 17)
+    rows = [
+        ("0x" + h.hex(), format(r, "x"), format(s, "x"), v),
+        ("0x" + h.hex(), "0", format(s, "x"), v),       # r=0 → invalid
+        (None, format(r, "x"), format(s, "x"), v),      # null hash
+    ]
+    df = spark.createDataFrame(
+        rows, "sig_hash string, r string, s string, v int")
+    got = [x["tx_from"] for x in recover_sender(df).collect()]
+    assert got[0] == ec.priv_to_address(3)
+    assert got[1] is None and got[2] is None
