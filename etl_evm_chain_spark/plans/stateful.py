@@ -108,13 +108,35 @@ def q_calendar_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q28: supervised ML dataset (E3: EWM bias + windowed features + label).
 # ---------------------------------------------------------------------------
 
+def _ml_dataset_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q28/q29 feature dataset as a landed silver table: the
+    window-heavy build (dense grid → EWM → rolling std → leading max)
+    runs once per scale factor and every consumer — the oracle-checked
+    dataset query AND the iterative trainer — scans the landed copy.
+    The build is fully deterministic, so landing changes no values
+    (doubles round-trip parquet exactly)."""
+    import os
+
+    from ..catalog import landed_parquet
+
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+
+    def build() -> DataFrame:
+        dense = bt.ewm_mean(
+            _dense(spark, sf_dir), value="value", key="event_type",
+            order="bucket", halflife=10.0, min_periods=5, out_col="bias")
+        return ml.build_ml_dataset(
+            dense, key="event_type", ts="bucket", value="value",
+            std_win=30, sigma_min=0.5, horizon=12, target=25.0)
+
+    return landed_parquet(
+        spark, name="mldataset",
+        src_paths=[os.path.join(sf_dir, "events.parquet")],
+        build=build, params=f"{key}_h10mp5w30s05hz12t25")
+
+
 def q_ml_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dense = bt.ewm_mean(_dense(spark, sf_dir), value="value", key="event_type",
-                        order="bucket", halflife=10.0, min_periods=5,
-                        out_col="bias")
-    ds = ml.build_ml_dataset(dense, key="event_type", ts="bucket",
-                             value="value", std_win=30, sigma_min=0.5,
-                             horizon=12, target=25.0)
+    ds = _ml_dataset_landed(spark, sf_dir)
     return ds.select(
         "event_type", "bucket",
         F.round("z", 6).alias("z"), F.round("devdt", 6).alias("devdt"),
@@ -161,12 +183,7 @@ WHERE round(devdt, 6) < 0 AND y IS NOT NULL AND bias IS NOT NULL
 # ---------------------------------------------------------------------------
 
 def q_ml_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dense = bt.ewm_mean(_dense(spark, sf_dir), value="value", key="event_type",
-                        order="bucket", halflife=10.0, min_periods=5,
-                        out_col="bias")
-    ds = ml.build_ml_dataset(dense, key="event_type", ts="bucket",
-                             value="value", std_win=30, sigma_min=0.5,
-                             horizon=12, target=25.0).cache()
+    ds = _ml_dataset_landed(spark, sf_dir)
     train, test = ml.time_split(ds, ts="bucket", frac=0.7)
     model, metrics = ml.train_and_eval(train, test)
     sigs = ml.now_signals(model, ds, key="event_type", ts="bucket",
