@@ -152,6 +152,12 @@ def live_signal_fsm(df: DataFrame, *, entry_z: float = 1.5,
             pdf = pdf.sort_values("ts", kind="mergesort")
             for ts, z in zip(pdf["ts"], pdf["z"]):
                 if z != z:
+                    # NaN rows advance the hold clock but can never
+                    # close — exactly the batch FSM's held = i−entry_i
+                    # index distance (operators/backtest.py E2), so the
+                    # two planes stay trade-for-trade equivalent.
+                    if side is not None:
+                        held += 1
                     continue
                 ts = int(ts)
                 if side is None:

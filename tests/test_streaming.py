@@ -178,3 +178,132 @@ def test_live_signal_fsm_idle_eviction(spark, tmp_path):
         assert actions.count("EVICT") == 1
     finally:
         q.stop()
+
+
+def _seeded_z_series(n_pools: int = 3, n_rows: int = 200):
+    """Deterministic pseudo-random z walk per pool, with a few NaN
+    gaps mid-series (warm-up artifacts in the real pipeline)."""
+    import math
+
+    rows = []
+    for p in range(n_pools):
+        z = 0.0
+        for t in range(n_rows):
+            # stateless pseudo-random step in [-0.9, 0.9]
+            h = math.sin(p * 7919 + t * 104729) * 1e4
+            z = max(-3.5, min(3.5, z + (h - math.floor(h) - 0.5) * 1.8))
+            val = float("nan") if (t % 47) == 13 else round(z, 6)
+            rows.append((f"pool{p}", t, 100.0 + t, val))
+    return rows
+
+
+def _stream_trades(spark, tmp_path, rows, *, entry_z, exit_z, max_hold,
+                   n_files=5, shuffle_in_file=True):
+    """Run live_signal_fsm over the rows split into n_files micro-
+    batches (file order = ts order; rows shuffled inside each file to
+    prove in-batch disorder is re-sorted), pair OPEN/CLOSE actions
+    into closed trades."""
+    src = str(tmp_path / "zsrc")
+    schema = "pool string, ts long, price double, z double"
+    per = (max(r[1] for r in rows) + 1 + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = [r for r in rows if i * per <= r[1] < (i + 1) * per]
+        if shuffle_in_file:
+            chunk = sorted(chunk, key=lambda r: (r[1] * 2654435761) % 97)
+        spark.createDataFrame(chunk, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .select("pool", "ts", "z"))
+    out = sp.live_signal_fsm(stream, entry_z=entry_z, exit_z=exit_z,
+                             max_hold=max_hold)
+    name = f"eqsig{abs(hash(str(tmp_path))) % 10**6}"
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(name).start())
+    q.processAllAvailable()
+    q.stop()
+    acts = sorted(spark.sql(f"select * from {name}").collect(),
+                  key=lambda r: (r["pool"], r["ts"]))
+    trades, open_by_pool = [], {}
+    for r in acts:
+        if r["action"] == "OPEN":
+            open_by_pool[r["pool"]] = r
+        elif r["action"] == "CLOSE":
+            o = open_by_pool.pop(r["pool"])
+            trades.append((r["pool"], o["side"], o["ts"], r["ts"],
+                           round(o["z"], 6), round(r["z"], 6)))
+    return sorted(trades)
+
+
+def test_fsm_streaming_batch_equivalence(spark, tmp_path):
+    """The streaming FSM (H4) and the batch FSM (E2) must emit the
+    SAME trade list over the same series — including NaN gaps (which
+    advance the hold clock in both planes) and out-of-order arrival
+    within a micro-batch (re-sorted by the FSM)."""
+    from etl_evm_chain_spark.operators import backtest as bt
+
+    rows = _seeded_z_series()
+    kw = dict(entry_z=1.5, exit_z=0.5, max_hold=10)
+    stream_trades = _stream_trades(spark, tmp_path, rows, **kw)
+    assert len(stream_trades) >= 10          # the walk must actually trade
+
+    batch = spark.createDataFrame(
+        rows, "pool string, ts long, price double, z double")
+    batch_trades = sorted(
+        (r["pool"], r["side"], r["entry_ts"], r["exit_ts"],
+         round(r["entry_z"], 6), round(r["exit_z"], 6))
+        for r in bt.meanrevert_fsm_zscore(
+            batch, pool="pool", ts="ts", price="price", z="z",
+            **kw).collect())
+    assert stream_trades == batch_trades
+
+
+def test_fsm_equivalence_with_watermarked_late_duplicates(spark, tmp_path):
+    """Late duplicate deliveries (same pool+ts re-sent in a later
+    micro-batch, inside the watermark) are dropped by the upstream
+    dedup stage, so the FSM still matches the batch run on the clean
+    series."""
+    from etl_evm_chain_spark.operators import backtest as bt
+
+    rows = _seeded_z_series(n_pools=2, n_rows=120)
+    kw = dict(entry_z=1.5, exit_z=0.5, max_hold=10)
+
+    src = str(tmp_path / "latesrc")
+    schema = "pool string, ts long, z double"
+    base = [(p, t, z) for p, t, _, z in rows]
+    half = 60
+    spark.createDataFrame([r for r in base if r[1] < half], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    # second delivery: the rest PLUS late re-sends of earlier rows
+    dupes = [r for r in base if half - 20 <= r[1] < half]
+    spark.createDataFrame([r for r in base if r[1] >= half] + dupes,
+                          schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .withColumn("ets", F.timestamp_seconds("ts")))
+    deduped = sp.dedup_stream(stream, ts_col="ets", key_cols=["pool"],
+                              watermark="1 hour").drop("ets")
+    out = sp.live_signal_fsm(deduped, **kw)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("latesig").start())
+    q.processAllAvailable()
+    q.stop()
+    acts = sorted(spark.sql("select * from latesig").collect(),
+                  key=lambda r: (r["pool"], r["ts"]))
+    trades, open_by_pool = [], {}
+    for r in acts:
+        if r["action"] == "OPEN":
+            open_by_pool[r["pool"]] = r
+        elif r["action"] == "CLOSE":
+            o = open_by_pool.pop(r["pool"])
+            trades.append((r["pool"], o["side"], o["ts"], r["ts"]))
+    batch = spark.createDataFrame(
+        rows, "pool string, ts long, price double, z double")
+    batch_trades = sorted(
+        (r["pool"], r["side"], r["entry_ts"], r["exit_ts"])
+        for r in bt.meanrevert_fsm_zscore(
+            batch, pool="pool", ts="ts", price="price", z="z",
+            **kw).collect())
+    assert sorted(trades) == batch_trades
