@@ -326,3 +326,25 @@ def test_recover_sender_udf_and_invalid_rows(spark):
     got = [x["tx_from"] for x in recover_sender(df).collect()]
     assert got[0] == ec.priv_to_address(3)
     assert got[1] is None and got[2] is None
+
+
+def test_jdbc_sink_roundtrip_embedded_derby(spark, tmp_path):
+    """A7 smoke: write_event_jdbc against the Derby engine bundled
+    with Spark (embedded, in-JVM — no server needed), read back via
+    the JDBC source and compare."""
+    from etl_evm_chain_spark.sources.sinks import write_event_jdbc
+
+    db = str(tmp_path / "eventdb")
+    url = f"jdbc:derby:{db};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    df = spark.createDataFrame(
+        [("0xaaa", 1, 100), ("0xbbb", 2, 250)],
+        "contract string, log_index int, value long").coalesce(1)
+    write_event_jdbc(df, url, event_name="transfer", mode="overwrite",
+                     driver=driver)
+    back = (spark.read.format("jdbc")
+            .option("url", url).option("driver", driver)
+            .option("dbtable", "event_transfer").load())
+    got = sorted((r["contract"], r["log_index"], r["value"])
+                 for r in back.collect())
+    assert got == [("0xaaa", 1, 100), ("0xbbb", 2, 250)]
