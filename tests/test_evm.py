@@ -348,3 +348,64 @@ def test_jdbc_sink_roundtrip_embedded_derby(spark, tmp_path):
     got = sorted((r["contract"], r["log_index"], r["value"])
                  for r in back.collect())
     assert got == [("0xaaa", 1, 100), ("0xbbb", 2, 250)]
+
+
+def test_rlp_published_vectors():
+    # golden vectors from the Ethereum RLP spec
+    from etl_evm_chain_spark.sources.rlp import encode
+
+    assert encode("dog") == bytes.fromhex("83646f67")
+    assert encode(["cat", "dog"]) == bytes.fromhex("c88363617483646f67")
+    assert encode("") == b"\x80"
+    assert encode(0) == b"\x80"
+    assert encode(15) == b"\x0f"
+    assert encode(1024) == bytes.fromhex("820400")
+    assert encode([]) == b"\xc0"
+    assert encode([[], [[]], [[], [[]]]]) == bytes.fromhex("c7c0c1c0c3c0c1c0")
+    long = "Lorem ipsum dolor sit amet, consectetur adipisicing elit"
+    assert encode(long) == b"\xb8\x38" + long.encode()
+
+
+def test_legacy_tx_sender_roundtrip():
+    # sign a legacy tx's EIP-155 sighash with a known key, then the
+    # full raw-fields → sender path must recover the same address
+    from etl_evm_chain_spark.sources import secp256k1 as ec
+    from etl_evm_chain_spark.sources.rlp import legacy_sighash, legacy_tx_sender
+
+    fields = dict(nonce=9, gas_price=20_000_000_000, gas=21000,
+                  to="0x3535353535353535353535353535353535353535",
+                  value=10 ** 18, data=b"")
+    h = legacy_sighash(**fields, chain_id=1)
+    r, s, v27 = ec.sign(h, 0x4646464646464646464646464646464646464646464646464646464646464646,
+                        nonce=7777)
+    v = 1 * 2 + 35 + (v27 - 27)          # EIP-155 encoding
+    got = legacy_tx_sender(**fields, v=v, r=r, s=s)
+    assert got == ec.priv_to_address(
+        0x4646464646464646464646464646464646464646464646464646464646464646)
+
+
+def test_eip155_spec_vector_sighash():
+    # the EIP-155 example transaction: its documented signing hash
+    from etl_evm_chain_spark.sources.rlp import legacy_sighash
+
+    h = legacy_sighash(nonce=9, gas_price=20_000_000_000, gas=21000,
+                       to="0x3535353535353535353535353535353535353535",
+                       value=10 ** 18, data=b"", chain_id=1)
+    assert h.hex() == ("daf5a779ae972f972197303d7b574746c7ef83eadac0f2791ad23db92e4c8e53")
+
+
+def test_eip155_spec_vector_full_recovery():
+    # the EIP-155 example's PUBLISHED signature (v=37, r, s) must
+    # recover the documented sender — an external golden for the whole
+    # rlp → keccak → secp256k1 chain
+    from etl_evm_chain_spark.sources import secp256k1 as ec
+    from etl_evm_chain_spark.sources.rlp import legacy_tx_sender
+
+    got = legacy_tx_sender(
+        nonce=9, gas_price=20_000_000_000, gas=21000,
+        to="0x3535353535353535353535353535353535353535",
+        value=10 ** 18, data=b"", v=37,
+        r=18515461264373351373200002665853028612451056578545711640558177340181847433846,
+        s=46948507304638947509940763649030358759909902576025900602547168820602576006531)
+    assert got == ec.priv_to_address(
+        0x4646464646464646464646464646464646464646464646464646464646464646)
