@@ -61,6 +61,9 @@ ALLOW: dict[str, set[str]] = {
     "q68_semantic_dedup": {"nested_loop"},
     # per-(table,bucket) grouped-map BLAS kernel IS the operator
     "q96_bucketed_near_dups": {"pandas"},
+    # secp256k1 recovery is per-row curve math — the Arrow UDF IS the
+    # operator (bulk path = transactions dim join, documented)
+    "q98_sender_recovery": {"pandas"},
     # n_cells-row broadcast centroid assignment + cogrouped per-cell
     # kernel (the IVF shape; candidates are cell-bounded)
     "q97_bucketed_knn": {"nested_loop", "pandas"},
