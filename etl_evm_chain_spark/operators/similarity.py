@@ -271,9 +271,48 @@ def _nearest_cells(df: DataFrame, cents: DataFrame, id_col: str,
             .filter(F.col("_cr") <= keep).drop("_cr", "_sim"))
 
 
+def kmeans_centroids(corpus: DataFrame, *, id_col: str = "vec_id",
+                     vec_col: str = "embedding", n_cells: int = 16,
+                     max_iter: int = 10, seed: int = 7) -> DataFrame:
+    """Learned coarse quantizer: spherical k-means centroids via
+    pyspark.ml (distributed Lloyd's over k-means|| init) — the
+    classical-IVF upgrade of the deterministic hash-sampled pick.
+
+    Vectors are L2-normalized before clustering so Euclidean k-means
+    ranks like cosine (spherical k-means); the returned relation has
+    the same (cell, cvec_cent) shape as ``_ivf_centroids``, so every
+    consumer's plan is unchanged — only the tiny broadcast relation
+    differs. Cluster centers live on the driver as n_cells small
+    arrays (model.clusterCenters()), never the corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import types as T
+
+    nrm = F.sqrt(F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * x),
+        F.lit(0.0), lambda a, x: a + x))
+    unit = F.when(nrm > 0, F.transform(
+        F.col(vec_col), lambda x: x.cast("double") / nrm))
+    feat = corpus.select(array_to_vector(unit).alias("features")) \
+        .filter(F.col("features").isNotNull())
+    model = KMeans(k=n_cells, maxIter=max_iter, seed=seed).fit(feat)
+    spark = corpus.sparkSession
+    vec_type = corpus.schema[vec_col].dataType
+    schema = T.StructType([
+        T.StructField("cell", T.IntegerType(), False),
+        T.StructField("cvec_cent", vec_type, False),
+    ])
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in
+         enumerate(model.clusterCenters())], schema)
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, *,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             k: int = 5, n_cells: int = 16, n_probe: int = 4) -> DataFrame:
+             k: int = 5, n_cells: int = 16, n_probe: int = 4,
+             centroids: str = "hash", kmeans_iter: int = 10,
+             seed: int = 7) -> DataFrame:
     """IVF (inverted-file) approximate top-k.
 
     Coarse quantizer = ``n_cells`` centroid vectors sampled
@@ -288,8 +327,20 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *,
     ~n_probe/n_cells of the corpus. With k-means centroids this
     becomes classical IVF; the plumbing (assign → probe → per-cell
     kernel) is identical, which is the part that matters at 100 TB.
+
+    ``centroids="kmeans"`` swaps in trained spherical-k-means centers
+    (``kmeans_centroids``) — classical IVF — leaving the rest of the
+    plan byte-identical; the default "hash" pick stays fully
+    deterministic and training-free.
     """
-    cents = _ivf_centroids(corpus, id_col, vec_col, n_cells, salt="ivf:")
+    if centroids == "kmeans":
+        cents = kmeans_centroids(corpus, id_col=id_col, vec_col=vec_col,
+                                 n_cells=n_cells, max_iter=kmeans_iter,
+                                 seed=seed)
+    elif centroids == "hash":
+        cents = _ivf_centroids(corpus, id_col, vec_col, n_cells, salt="ivf:")
+    else:
+        raise ValueError(f"unknown centroids source {centroids!r}")
     assigned = _nearest_cells(corpus, cents, id_col, vec_col, 1) \
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), "cell")
     probed = _nearest_cells(queries, cents, id_col, vec_col, n_probe) \

@@ -353,3 +353,22 @@ def test_knn_auto_routes_past_guard_and_agrees(spark):
     total_routed = sum(r["n"] for r in sim.knn_classify(
         labeled, k=5, max_broadcast_rows=100).collect())
     assert total_routed == 500
+
+
+def test_kmeans_ivf_beats_or_matches_hash_centroids(spark):
+    # classical IVF (trained spherical k-means centers) must not lose
+    # recall vs the deterministic hash-sampled pick on the fixture
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {(r["qid"], r["cid"])
+             for r in sim.brute_force_topk(emb, queries, k=5).collect()}
+    km = {(r["qid"], r["cid"])
+          for r in sim.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4,
+                                centroids="kmeans").collect()}
+    hs = {(r["qid"], r["cid"])
+          for r in sim.ivf_topk(emb, queries, k=5, n_cells=16,
+                                n_probe=4).collect()}
+    km_recall = len(exact & km) / len(exact)
+    hash_recall = len(exact & hs) / len(exact)
+    assert km_recall >= 0.4, f"kmeans recall {km_recall:.2f}"
+    assert km_recall >= hash_recall - 0.05   # never materially worse
