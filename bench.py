@@ -46,11 +46,14 @@ def main() -> None:
     # cold /tmp. Derived artifacts that ARE a query's own output (the
     # q41 dedup resolution) are deliberately not warmed: their first
     # consumer pays the build, as it would in production.
-    from etl_evm_chain_spark.plans.evm import synthetic_transfer_logs
+    from etl_evm_chain_spark.plans.evm import (synthetic_memo_logs,
+                                               synthetic_transfer_logs)
 
     for mixed in (False, True):
         synthetic_transfer_logs(spark, sf_dir, mixed=mixed) \
             .select("block_number").limit(1).collect()
+    synthetic_memo_logs(spark, sf_dir) \
+        .select("block_number").limit(1).collect()
 
     timings: dict[str, float] = {}
     for spec in all_specs():

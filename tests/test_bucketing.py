@@ -54,3 +54,33 @@ def test_unbucketed_join_does_shuffle(spark):
     j = li.join(orders, li.l_orderkey == orders.o_orderkey) \
         .groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
     assert exchange_count(j) > 0
+
+
+def test_range_sorted_layout_prunes_row_groups(spark, tmp_path):
+    """A key-range filter over a range-sorted lake must decode a small
+    fraction of the rows (row-group min/max skipping); the same filter
+    over a key-shuffled layout decodes far more."""
+    from pyspark.sql import functions as F
+
+    from etl_evm_chain_spark.functions.layout import (land_range_sorted,
+                                                      scan_metrics)
+
+    n = 200_000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.md5(F.col("id").cast("string")).alias("payload"))
+
+    sorted_path = str(tmp_path / "sorted")
+    land_range_sorted(df, sorted_path, by=["k"], n_files=8)
+    shuffled_path = str(tmp_path / "shuffled")
+    # order by a hash → every row group spans the whole key range
+    df.orderBy("payload").coalesce(8).write.parquet(shuffled_path)
+
+    pred = (F.col("k") >= 10_000) & (F.col("k") < 12_000)
+    m_sorted = scan_metrics(spark.read.parquet(sorted_path).filter(pred))
+    m_shuffled = scan_metrics(spark.read.parquet(shuffled_path).filter(pred))
+
+    assert m_sorted["numOutputRows"] < n * 0.2          # groups skipped
+    assert m_sorted["numOutputRows"] < m_shuffled["numOutputRows"]
+    # correctness unchanged by layout
+    assert spark.read.parquet(sorted_path).filter(pred).count() == 2_000
