@@ -112,3 +112,32 @@ def resize_plan(df: DataFrame, *, max_side: int = 224) -> DataFrame:
     )
     return df.withColumn("target_w", F.ceil(F.col("width") * scale).cast("int")) \
              .withColumn("target_h", F.ceil(F.col("height") * scale).cast("int"))
+
+
+def chunk_bytes(df: DataFrame, *, bytes_col: str = "bytes",
+                id_col: str = "media_id", chunk_size: int = 64) -> DataFrame:
+    """Shard a binary payload into fixed-size chunks with per-chunk
+    md5 — the blob transfer/dedup primitive (content-addressed chunk
+    store; CDC would vary the boundaries, the plumbing is identical).
+
+    Runs on the hex image of the payload so every step is a native
+    string expression (split every 2·chunk_size hex chars, posexplode
+    with the chunk index) — engine-portable and shuffle-free: chunks
+    of a payload stay in their row's partition; only if a downstream
+    groupBy(chunk_md5) dedups across payloads does a shuffle (of
+    hashes, not bytes) appear.
+
+    Returns (id, chunk_idx int, chunk_len int bytes, chunk_md5).
+    """
+    hx = F.lower(F.hex(F.col(bytes_col)))
+    chunks = F.split(hx, r"(?<=\G.{%d})" % (2 * chunk_size))
+    out = (
+        df.select(F.col(id_col),
+                  F.posexplode(chunks).alias("chunk_idx", "_ch"))
+        .filter(F.length("_ch") > 0)       # drop the trailing empty split
+    )
+    return out.select(
+        id_col, "chunk_idx",
+        (F.length("_ch") / 2).cast("int").alias("chunk_len"),
+        F.md5(F.col("_ch")).alias("chunk_md5"),
+    )

@@ -134,3 +134,41 @@ SPECS = [
               "binary media decode (mapInPandas) + resize/frame-sample stats",
               ("P2-multimodal",)),
 ]
+
+
+# ---------------------------------------------------------------------------
+# Q99: content-addressed chunking of binary payloads — the blob
+# sharding primitive (fixed 64-byte chunks, per-chunk md5). Both
+# engines chunk the hex image of the payload, so the check covers the
+# byte-exact boundaries and hashes.
+# ---------------------------------------------------------------------------
+
+CHUNK_BYTES = 64
+
+
+def q_media_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import chunk_bytes
+
+    media = media_table(spark, sf_dir)
+    return chunk_bytes(media, chunk_size=CHUNK_BYTES)
+
+
+_ORACLE_MEDIA_CHUNKS = f"""
+WITH m AS (SELECT doc_id AS media_id, lower(hex(encode(text))) AS hx
+           FROM documents),
+e AS (SELECT media_id,
+             unnest(list_transform(
+                 range(0, CAST(ceil(length(hx)/{2 * CHUNK_BYTES}.0) AS BIGINT)),
+                 i -> struct_pack(idx := i,
+                                  ch := substring(hx, i*{2 * CHUNK_BYTES}+1,
+                                                  {2 * CHUNK_BYTES})))) AS u
+      FROM m)
+SELECT media_id, CAST(u.idx AS INT) AS chunk_idx,
+       CAST(length(u.ch)/2 AS INT) AS chunk_len, md5(u.ch) AS chunk_md5
+FROM e
+"""
+
+SPECS.append(
+    QuerySpec("q99_media_chunks", q_media_chunks, _ORACLE_MEDIA_CHUNKS,
+              "fixed-size binary chunking with per-chunk md5 (blob "
+              "sharding primitive)", ("P2-multimodal",)))

@@ -74,3 +74,27 @@ def test_job_registry_lifecycle(spark):
 
     with pytest.raises(KeyError):
         reg.get("nope")
+
+
+def test_chunk_bytes_boundaries_and_hashes(spark):
+    import hashlib
+
+    from etl_evm_chain_spark.operators.multimodal import chunk_bytes
+
+    rows = [
+        (1, b"a" * 64),            # exactly one chunk
+        (2, b"b" * 65),            # chunk + 1-byte tail
+        (3, b""),                  # empty payload → no chunks
+        (4, b"xy"),                # single short chunk
+    ]
+    df = spark.createDataFrame(rows, "media_id long, bytes binary")
+    got = {}
+    for r in chunk_bytes(df, chunk_size=64).collect():
+        got.setdefault(r["media_id"], []).append(
+            (r["chunk_idx"], r["chunk_len"], r["chunk_md5"]))
+    def h(b):  # the operator hashes the lowercase hex image
+        return hashlib.md5(b.hex().encode()).hexdigest()
+    assert got[1] == [(0, 64, h(b"a" * 64))]
+    assert got[2] == [(0, 64, h(b"b" * 64)), (1, 1, h(b"b"))]
+    assert 3 not in got
+    assert got[4] == [(0, 2, h(b"xy"))]
