@@ -19,7 +19,7 @@ hash bucket with a learned-centroid assignment; the plumbing
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
@@ -143,12 +143,15 @@ def dequantize_error_micros(emb: DataFrame, *, vec_col: str = "embedding",
     )
 
 
-def _sketch(df: DataFrame, id_col: str, vec_col: str,
-            n_planes: int) -> DataFrame:
-    """Sign-bit sketch: bit p = (Σ_i sign(xxhash64(p,i)) · v_i) > 0.
+def _bucket_expr(vec_col: str, n_planes: int,
+                 plane_offset: int = 0) -> Column:
+    """Sign-bit bucket: bit p = (Σ_i sign(xxhash64(p+offset,i))·v_i) > 0.
 
     The hyperplanes are pseudo-random ±1 vectors derived from
     xxhash64 — deterministic, no stored model, computable inline.
+    ``plane_offset`` selects an independent plane family (banded-LSH
+    tables reuse this with offset = table·planes_per_table, so table 0
+    reproduces the plain sketch exactly).
     """
     vec = F.col(vec_col)
 
@@ -164,15 +167,20 @@ def _sketch(df: DataFrame, id_col: str, vec_col: str,
             F.zip_with(
                 vec,
                 F.sequence(F.lit(0), F.size(vec) - 1),
-                signed_term(p),
+                signed_term(plane_offset + p),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
         bits.append(F.when(proj > 0, F.lit(2 ** p).cast("long"))
                     .otherwise(F.lit(0).cast("long")))
-    bucket = sum(bits[1:], bits[0])
-    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    return sum(bits[1:], bits[0])
+
+
+def _sketch(df: DataFrame, id_col: str, vec_col: str,
+            n_planes: int) -> DataFrame:
+    return df.select(F.col(id_col), F.col(vec_col),
+                     _bucket_expr(vec_col, n_planes).alias("bucket"))
 
 
 def lsh_buckets(df: DataFrame, *, id_col: str = "vec_id",
@@ -243,7 +251,10 @@ def _ivf_centroids(corpus: DataFrame, id_col: str, vec_col: str,
     from ..functions.text import hash15
 
     cent_rows = (
-        corpus.select(
+        corpus.filter(F.col(vec_col).isNotNull())  # a NULL vector can
+        # never be a centroid (kmeans_centroids filters them the same
+        # way, keeping the two centroid sources consistent)
+        .select(
             F.col(id_col), F.col(vec_col),
             hash15(F.concat(F.lit(salt), F.col(id_col).cast("string")))
             .alias("_h"))
@@ -556,9 +567,14 @@ def knn_classify_bucketed(emb: DataFrame, *, id_col: str = "vec_id",
     wv = Window.partitionBy("qid").orderBy(F.desc("_v"), F.asc("rlabel"))
     preds = (votes.withColumn("_p", F.row_number().over(wv))
              .filter(F.col("_p") == 1)
-             .select("qid", F.col("qlabel").alias("label"),
-                     F.col("rlabel").alias("pred")))
-    return _knn_accuracy(preds)
+             .select("qid", F.col("rlabel").alias("pred")))
+    # Every input row counts in the per-label denominator, matching the
+    # exact kernel: a query whose probed cells held no other reference
+    # gets pred=NULL (counted in n, never in n_correct) instead of
+    # silently vanishing from the accuracy report.
+    base = base.select(F.col(id_col).alias("qid"),
+                       F.col(label_col).alias("label"))
+    return _knn_accuracy(base.join(preds, "qid", "left"))
 
 
 def knn_classify(emb: DataFrame, *, id_col: str = "vec_id",
@@ -598,19 +614,20 @@ def knn_classify(emb: DataFrame, *, id_col: str = "vec_id",
     if method == "bucketed":
         return knn_classify_bucketed(
             emb, id_col=id_col, vec_col=vec_col, label_col=label_col, k=k)
-    if method == "auto":
-        probe = emb.select(id_col).limit(max_broadcast_rows + 1).count()
-        if probe > max_broadcast_rows:
+    # Bounded size probe BEFORE any driver materialization — the guard
+    # must fire before a toPandas() of an oversized corpus, not after.
+    probe = emb.select(id_col).limit(max_broadcast_rows + 1).count()
+    if probe > max_broadcast_rows:
+        if method == "auto":
             return knn_classify_bucketed(
                 emb, id_col=id_col, vec_col=vec_col, label_col=label_col,
                 k=k)
+        raise ValueError(
+            f">{max_broadcast_rows} vectors exceed the broadcast guard; "
+            "use method='bucketed'")
 
     spark = emb.sparkSession
     corpus = emb.select(id_col, vec_col, label_col).toPandas()
-    if len(corpus) > max_broadcast_rows:
-        raise ValueError(
-            f"{len(corpus)} vectors exceed the broadcast guard "
-            f"({max_broadcast_rows}); use method='bucketed'")
     ids = corpus[id_col].to_numpy()
     labels = corpus[label_col].to_numpy()
     mat = np.stack(corpus[vec_col].to_numpy()).astype(np.float64)
@@ -725,42 +742,22 @@ def semantic_dedup(df: DataFrame, *, id_col: str = "vec_id",
 
 
 def _banded_buckets(df: DataFrame, id_col: str, vec_col: str,
-                    n_tables: int, planes_per_table: int,
-                    extra_cols: tuple = ()) -> DataFrame:
+                    n_tables: int, planes_per_table: int) -> DataFrame:
     """``n_tables`` independent sign-bit LSH buckets per vector
     (classic banded LSH: two vectors are candidates iff they share a
-    bucket in ANY table). Table ``t`` reuses the ``_sketch`` plane
-    family at global plane index ``t*planes_per_table + p``, so table
-    0 with the default widths reproduces ``lsh_buckets`` exactly.
+    bucket in ANY table). Table ``t`` is ``_bucket_expr`` at plane
+    offset ``t*planes_per_table``, so table 0 with the default widths
+    reproduces ``lsh_buckets`` exactly — one bucket formula, not two.
 
-    Returns one row per (vector, table): id, vec, extra_cols, tbl,
-    bucket — a ``n_tables``× replication of ids+vectors, which is the
-    whole shuffle cost of the bucketed kernels built on it.
+    Returns one row per (vector, table): id, vec, tbl, bucket — a
+    ``n_tables``× replication of ids+vectors, which is the whole
+    shuffle cost of the bucketed kernels built on it.
     """
-    vec = F.col(vec_col)
-
-    def signed_term(gp):
-        return lambda x, i: x.cast("double") * F.when(
-            F.pmod(F.xxhash64(F.lit(gp), i), 2) == 0, 1.0).otherwise(-1.0)
-
-    buckets = []
-    for t in range(n_tables):
-        bits = []
-        for p in range(planes_per_table):
-            proj = F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.sequence(F.lit(0), F.size(vec) - 1),
-                    signed_term(t * planes_per_table + p),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(proj > 0, F.lit(2 ** p).cast("long"))
-                        .otherwise(F.lit(0).cast("long")))
-        buckets.append(sum(bits[1:], bits[0]))
+    buckets = [_bucket_expr(vec_col, planes_per_table,
+                            plane_offset=t * planes_per_table)
+               for t in range(n_tables)]
     return df.select(
-        F.col(id_col), F.col(vec_col), *[F.col(c) for c in extra_cols],
+        F.col(id_col), F.col(vec_col),
         F.posexplode(F.array(*buckets)).alias("tbl", "bucket"))
 
 
@@ -853,18 +850,20 @@ def cosine_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
         return cosine_near_dup_pairs_bucketed(
             df, id_col=id_col, vec_col=vec_col, threshold=threshold,
             n_tables=n_tables, planes_per_table=planes_per_table)
-    if method == "auto":
-        probe = df.select(id_col).limit(max_broadcast_rows + 1).count()
-        if probe > max_broadcast_rows:
+    # Bounded size probe BEFORE any driver materialization — the guard
+    # must fire before a toPandas() of an oversized corpus, not after.
+    probe = df.select(id_col).limit(max_broadcast_rows + 1).count()
+    if probe > max_broadcast_rows:
+        if method == "auto":
             return cosine_near_dup_pairs_bucketed(
-                df, id_col=id_col, vec_col=vec_col, threshold=threshold)
+                df, id_col=id_col, vec_col=vec_col, threshold=threshold,
+                n_tables=n_tables, planes_per_table=planes_per_table)
+        raise ValueError(
+            f">{max_broadcast_rows} vectors exceed the broadcast guard; "
+            "use method='bucketed'")
 
     spark = df.sparkSession
     corpus = df.select(id_col, vec_col).toPandas()
-    if len(corpus) > max_broadcast_rows:
-        raise ValueError(
-            f"{len(corpus)} vectors exceed the broadcast guard "
-            f"({max_broadcast_rows}); use method='bucketed'")
     ids = corpus[id_col].to_numpy()
     mat = np.stack(corpus[vec_col].to_numpy()).astype(np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))

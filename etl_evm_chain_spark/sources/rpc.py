@@ -54,6 +54,9 @@ class JsonRpcClient:
     timeout_s: float = 30.0
 
     def call(self, method: str, params: list) -> object:
+        if self.retry.attempts < 1:
+            raise ValueError(
+                f"RetryConfig.attempts must be >= 1, got {self.retry.attempts}")
         payload = json.dumps({
             "jsonrpc": "2.0", "id": 1, "method": method, "params": params,
         }).encode()
@@ -96,16 +99,24 @@ class JsonRpcClient:
         if topic0s:
             filt["topics"] = [list(topic0s)]
         logs = self.call("eth_getLogs", [filt]) or []
+
+        def hx(v, default=None):
+            return default if v is None else int(str(v), 16)
+
+        # Pending logs (blockNumber: null per the JSON-RPC spec) carry
+        # no stable height; a range query should never see them, but a
+        # non-conforming node must not kill the whole partition's task.
         return [
             {
                 "address": lg.get("address"),
                 "topics": lg.get("topics") or [],
                 "data": lg.get("data"),
-                "block_number": int(str(lg.get("blockNumber")), 16),
+                "block_number": hx(lg.get("blockNumber")),
                 "tx_hash": lg.get("transactionHash"),
-                "log_index": int(str(lg.get("logIndex", "0x0")), 16),
+                "log_index": hx(lg.get("logIndex"), 0),
             }
             for lg in logs
+            if lg.get("blockNumber") is not None
         ]
 
     # -- Fetcher contract --------------------------------------------------
