@@ -547,3 +547,66 @@ SPECS = [
               "event-time RANGE frame: trailing-1h mean on raw stream",
               ("D7",)),
 ]
+
+
+# ---------------------------------------------------------------------------
+# Q100: event-time session windows via the STREAMING-native operator
+# (F.session_window) run in batch — the same plan serves live and
+# backfill (streaming/pipeline.session_stats is this exact shape with
+# a watermark). Semantics: an event merges into a session iff it
+# starts strictly before last_event + gap; window end = last event +
+# gap. The DuckDB twin is the classic gaps-and-islands rewrite at
+# exact microsecond precision (the fixture has sub-second
+# timestamps, so second-floor arithmetic would misplace boundaries).
+# ---------------------------------------------------------------------------
+
+SESSION_GAP = "30 minutes"
+_GAP_US = 30 * 60 * 1_000_000
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", SESSION_GAP).alias("w"),
+                   F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,6)"))
+             .cast("double").alias("total_value"))
+        .select("user_id",
+                F.unix_micros(F.col("w.start").cast("timestamp"))
+                .alias("session_start_us"),
+                F.unix_micros(F.col("w.end").cast("timestamp"))
+                .alias("session_end_us"),
+                "n_events", "total_value")
+    )
+
+
+ORACLE_SESSION_WINDOW = f"""
+WITH g AS (
+  SELECT user_id, value, epoch_us(ts) AS tus,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                             ROWS UNBOUNDED PRECEDING) AS session_n
+  FROM g
+)
+SELECT user_id,
+       min(tus) AS session_start_us,
+       max(tus) + {_GAP_US} AS session_end_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM s
+GROUP BY user_id, session_n
+"""
+
+
+SPECS.append(
+    QuerySpec("q100_session_window", q_session_window,
+              ORACLE_SESSION_WINDOW,
+              "session_window (streaming-native gap sessions) in batch, "
+              "microsecond-exact", ("H3", "D12")))

@@ -33,7 +33,7 @@ _PRIORITY = [
     "q89_salted_agg", "q90_skew_join",
     # round-2 additions (new queries slot in here as they land):
     "q95_dynamic_abi", "q96_bucketed_near_dups", "q97_bucketed_knn",
-    "q98_sender_recovery", "q99_media_chunks",
+    "q98_sender_recovery", "q99_media_chunks", "q100_session_window",
     # proven sentinels to round out the window:
     "q01_pricing_summary", "q20_rolling_zscore", "q28_ml_dataset",
 ]
