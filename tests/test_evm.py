@@ -409,3 +409,56 @@ def test_eip155_spec_vector_full_recovery():
         s=46948507304638947509940763649030358759909902576025900602547168820602576006531)
     assert got == ec.priv_to_address(
         0x4646464646464646464646464646464646464646464646464646464646464646)
+
+
+def _abi_encode_memo(note: str, amount: int, tags: list[int]) -> str:
+    """Independent reference encoder for Memo(string,uint256,uint32[])
+    data blobs (head/tail offset layout per the ABI spec) — written
+    from the spec, NOT from the decoder, so the roundtrip test is a
+    genuine differential check."""
+    def w(x: int) -> str:
+        return format(x, "064x")
+
+    nb = note.encode("utf-8")
+    note_tail = w(len(nb)) + nb.hex().ljust(
+        ((len(nb) + 31) // 32) * 64 or 64, "0")
+    tags_tail = w(len(tags)) + "".join(w(t) for t in tags)
+    head_size = 3 * 32
+    note_off = head_size
+    tags_off = head_size + len(note_tail) // 2
+    return "0x" + w(note_off) + w(amount) + w(tags_off) + note_tail + tags_tail
+
+
+def test_dynamic_abi_randomized_roundtrip(spark):
+    """50 seeded random Memo payloads — unicode strings, empty/long
+    arrays, boundary uint256 values — encoded by the independent
+    test encoder must decode back exactly."""
+    import random
+
+    rng = random.Random(20260814)
+    alphabet = "abc XYZ 012 αβγ δ € 漢字 🚀 -—"
+    cases = []
+    for i in range(50):
+        note = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        amount = rng.choice([0, 1, 255, 2**63 - 1, 10**37, 2**200,
+                             rng.getrandbits(100)])
+        tags = [rng.getrandbits(32) for _ in range(rng.randint(0, 12))]
+        cases.append((i, note, amount, tags))
+    raw = spark.createDataFrame(
+        [(f"0x{'ab'*20}", [MEMO.topic0, "0x" + "00" * 32],
+          _abi_encode_memo(n, a, t), i, f"0xt{i}", 0)
+         for i, n, a, t in cases],
+        RAW_LOG_SCHEMA)
+    got = {r["block_number"]: r
+           for r in decode_event(raw.withColumn(
+               "topics", F.array(F.lit(MEMO.topic0),
+                                 F.lit("0x" + "00" * 32))), MEMO).collect()}
+    for i, note, amount, tags in cases:
+        r = got[i]
+        assert r["note"] == note, (i, r["note"], note)
+        if amount < 10**38:
+            assert int(r["amount"]) == amount
+        else:
+            assert r["amount"] is None     # saturates; hex stays lossless
+        assert r["amount_hex"] == "0x" + format(amount, "064x")
+        assert [int(t) for t in r["tags"]] == tags
