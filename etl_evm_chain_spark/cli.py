@@ -23,9 +23,13 @@ def main(argv: list[str] | None = None) -> int:
 
     ix = sub.add_parser("index", help="decode raw logs per a YAML config")
     ix.add_argument("--config", required=True)
-    ix.add_argument("--raw-logs", required=True,
-                    help="pre-landed raw-log parquet path")
+    ix.add_argument("--raw-logs",
+                    help="pre-landed raw-log parquet path; omit to fetch "
+                         "live from the config/--rpc-url JSON-RPC endpoint")
     ix.add_argument("--start-block", type=int)
+    ix.add_argument("--end-block", type=int,
+                    help="last block for a live fetch "
+                         "(default: eth_blockNumber)")
     ix.add_argument("--rpc-url")
     ix.add_argument("--storage-type", choices=["csv", "parquet", "jdbc"])
 
@@ -89,10 +93,24 @@ def _run(args, spark) -> int:
                                 start_block=args.start_block,
                                 rpc_url=args.rpc_url,
                                 storage_type=args.storage_type)
-        raw = read_raw_logs(spark, args.raw_logs,
-                            addresses=cfg.address_filter(c),
-                            topic0s=cfg.topic0_filter(c))
-        raw = raw.filter(f"block_number >= {c.start_block}")
+        if args.raw_logs:
+            raw = read_raw_logs(spark, args.raw_logs,
+                                addresses=cfg.address_filter(c),
+                                topic0s=cfg.topic0_filter(c))
+            raw = raw.filter(f"block_number >= {c.start_block}")
+        else:
+            # live extraction: chunked eth_getLogs through the stdlib
+            # JSON-RPC client (the reference's headline mode)
+            from .sources.evm_logs import fetch_logs
+            from .sources.rpc import JsonRpcClient
+            client = JsonRpcClient(c.rpc_url)
+            latest = (args.end_block if args.end_block is not None
+                      else client.latest_block())
+            raw = fetch_logs(spark, start=c.start_block, latest=latest,
+                             fetcher=client,
+                             addresses=cfg.address_filter(c),
+                             topic0s=cfg.topic0_filter(c),
+                             chunk=c.chunk_size)
         n = 0
         for contract in c.contracts:
             for name, ev in contract.parsed_events.items():

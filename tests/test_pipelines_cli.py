@@ -188,3 +188,60 @@ def test_curate_cli_end_to_end(spark, tmp_path, capsys):
     assert {"split", "pack_id", "n_tok"} <= set(back.columns)
     # split must be a physical partition (train readers prune val/test)
     assert (tmp_path / "curated" / "split=train").exists()
+
+
+def test_index_cli_live_fetch_via_fake_node(spark, tmp_path):
+    """`index` without --raw-logs fetches live through the JSON-RPC
+    client (chunked eth_getLogs against a local fake node) and decodes
+    to the configured sink — the reference's headline mode end-to-end.
+    """
+    import json as _json
+    import threading
+
+    from etl_evm_chain_spark.cli import main as cli_main
+    from tests.test_evm import SWAPISH, _word
+    from tests.test_rpc import _FakeNode
+
+    node = _FakeNode()
+    node.latest = 60
+    node.logs = [
+        {
+            "address": "0x" + "11" * 20,
+            "topics": [SWAPISH.topic0, "0x" + _word(i)],
+            "data": "0x" + _word(10 * i) + _word(i),
+            "blockNumber": hex(i * 10),
+            "transactionHash": f"0x{'ee' * 31}{i:02x}",
+            "logIndex": "0x0",
+        }
+        for i in range(1, 6)            # blocks 10..50
+    ]
+    t = threading.Thread(target=node.serve_forever, daemon=True)
+    t.start()
+    try:
+        abi = [{"type": "event", "name": "Swapish", "inputs": [
+            {"name": "sender", "type": "address", "indexed": True},
+            {"name": "amount", "type": "uint256", "indexed": False},
+            {"name": "tick", "type": "int24", "indexed": False}]}]
+        (tmp_path / "pool.json").write_text(_json.dumps(abi))
+        out = str(tmp_path / "out")
+        (tmp_path / "config.yaml").write_text(f"""
+rpc_url: {node.url}
+start_block: 20
+chunk_size: 10
+storage:
+  type: parquet
+  path: {out}
+contracts:
+  - name: Pool
+    address: "0x{'11' * 20}"
+    abi: pool.json
+    events: [Swapish]
+""")
+        rc = cli_main(["index", "--config", str(tmp_path / "config.yaml")])
+        assert rc == 0
+        rows = spark.read.parquet(out).collect()
+        # start_block 20 keeps blocks 20..50 → ticks 2..5
+        assert sorted(r["tick"] for r in rows) == [2, 3, 4, 5]
+        assert all(r["contract_name"] == "Pool" for r in rows)
+    finally:
+        node.shutdown()
