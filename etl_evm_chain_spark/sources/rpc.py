@@ -119,6 +119,34 @@ class JsonRpcClient:
             if lg.get("blockNumber") is not None
         ]
 
+    def get_transaction(self, tx_hash: str) -> dict | None:
+        """``eth_getTransactionByHash`` → normalized field dict (ints
+        decoded from hex), or None when the node doesn't know the
+        hash. Feed the result to ``transaction_sender`` for the full
+        reference ``types.Sender`` chain (fields → RLP sighash →
+        secp256k1 recovery)."""
+        tx = self.call("eth_getTransactionByHash", [tx_hash])
+        if tx is None:
+            return None
+
+        def hx(v, default=None):
+            return default if v is None else int(str(v), 16)
+
+        return {
+            "hash": tx.get("hash"),
+            "nonce": hx(tx.get("nonce"), 0),
+            "gas_price": hx(tx.get("gasPrice"), 0),
+            "gas": hx(tx.get("gas"), 0),
+            "to": tx.get("to"),
+            "value": hx(tx.get("value"), 0),
+            "input": tx.get("input") or "0x",
+            "type": hx(tx.get("type"), 0),
+            "v": hx(tx.get("v")),
+            "r": hx(tx.get("r")),
+            "s": hx(tx.get("s")),
+        }
+
+
     # -- Fetcher contract --------------------------------------------------
 
     def __call__(self, from_block: int, to_block: int,
@@ -127,3 +155,22 @@ class JsonRpcClient:
         """The ``evm_logs.Fetcher`` signature — pass a JsonRpcClient
         straight into ``fetch_logs(fetcher=client)``."""
         return self.get_logs(from_block, to_block, addresses, topic0s)
+
+
+def transaction_sender(tx: dict | None) -> str | None:
+    """Recover the sender address from a normalized RPC transaction
+    dict (``JsonRpcClient.get_transaction`` output) — the pure-Python
+    ``types.Sender`` (`internal/parser/parser.go:152-159`). Legacy
+    (type-0) transactions only; typed (EIP-2930/1559) envelopes hash
+    differently and return None here — the pre-landed transactions
+    dim join covers them in bulk."""
+    from .rlp import legacy_tx_sender
+
+    if tx is None or tx.get("type", 0) != 0:
+        return None
+    if tx.get("v") is None or tx.get("r") is None or tx.get("s") is None:
+        return None
+    return legacy_tx_sender(
+        nonce=tx["nonce"], gas_price=tx["gas_price"], gas=tx["gas"],
+        to=tx.get("to"), value=tx["value"], data=tx.get("input", "0x"),
+        v=tx["v"], r=tx["r"], s=tx["s"])

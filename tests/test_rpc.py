@@ -57,6 +57,8 @@ class _Handler(BaseHTTPRequestHandler):
         method, params = req["method"], req["params"]
         if method == "eth_blockNumber":
             result = hex(srv.latest)
+        elif method == "eth_getTransactionByHash":
+            result = getattr(srv, "txs", {}).get(params[0])
         elif method == "eth_getLogs":
             f = params[0]
             lo, hi = int(f["fromBlock"], 16), int(f["toBlock"], 16)
@@ -132,3 +134,33 @@ def test_fetch_logs_through_real_http(spark, node):
     assert sorted(r["block_number"] for r in rows) == list(range(1, 46, 2))
     assert all(r["topics"][0] == "0xt1" for r in rows)
     assert all(r["data"].startswith("0x") for r in rows)
+
+
+def test_transaction_sender_full_chain(node):
+    """eth_getTransactionByHash → normalized fields → RLP sighash →
+    secp256k1 recovery: the full types.Sender chain over HTTP,
+    checked against the EIP-155 example transaction's published
+    signature and documented sender."""
+    from etl_evm_chain_spark.sources import secp256k1 as ec
+    from etl_evm_chain_spark.sources.rpc import transaction_sender
+
+    node.txs = {"0xaaa": {
+        "hash": "0xaaa", "nonce": "0x9",
+        "gasPrice": hex(20_000_000_000), "gas": hex(21000),
+        "to": "0x3535353535353535353535353535353535353535",
+        "value": hex(10 ** 18), "input": "0x", "type": "0x0",
+        "v": "0x25",
+        "r": hex(18515461264373351373200002665853028612451056578545711640558177340181847433846),
+        "s": hex(46948507304638947509940763649030358759909902576025900602547168820602576006531),
+    }, "0xbbb": {  # typed tx → out of scope, must return None
+        "hash": "0xbbb", "nonce": "0x1", "gasPrice": "0x1", "gas": "0x1",
+        "to": None, "value": "0x0", "input": "0x", "type": "0x2",
+        "v": "0x0", "r": "0x1", "s": "0x1",
+    }}
+    cli = JsonRpcClient(node.url)
+    tx = cli.get_transaction("0xaaa")
+    assert tx["nonce"] == 9 and tx["gas"] == 21000
+    assert transaction_sender(tx) == ec.priv_to_address(
+        0x4646464646464646464646464646464646464646464646464646464646464646)
+    assert transaction_sender(cli.get_transaction("0xbbb")) is None
+    assert cli.get_transaction("0xmissing") is None
