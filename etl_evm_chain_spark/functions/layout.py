@@ -16,7 +16,8 @@ event, `internal/sink/csv.go:65`); this is the Spark-first upgrade.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def land_range_sorted(df: DataFrame, path: str, *, by: list[str],
@@ -48,3 +49,54 @@ def scan_metrics(df: DataFrame) -> dict:
         kv = it.next()
         out[kv._1()] = kv._2().value()
     return out
+
+
+def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 16,
+               out_col: str = "_zkey") -> DataFrame:
+    """Morton (Z-order) clustering key over 2+ numeric columns: each
+    column quantizes to a ``bits``-bit bucket index against its
+    approx-quantile boundaries (one lightweight driver-side
+    percentile pass, broadcast as literals), and the indices
+    bit-interleave into one long. Sorting files by the key gives
+    every column locality at once, so row-group min/max stats prune
+    range predicates on ANY of the participating columns — the
+    multi-dimensional upgrade of ``land_range_sorted``'s single-key
+    clustering. Pure expressions (width_bucket + shifts), no UDF.
+    """
+    n_buckets = 1 << bits
+    # one min/max pass over all participating columns (uniform-width
+    # buckets; heavily skewed columns would want quantile boundaries,
+    # at the cost of a percentile pass — same interleave either way)
+    stats = df.agg(*[f for c in cols
+                     for f in (F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+                               F.max(F.col(c).cast("double")).alias(f"mx_{c}"))
+                     ]).collect()[0]
+    idx_cols = []
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx is None or mx <= mn:
+            idx_cols.append(F.lit(0).cast("long"))
+            continue
+        idx = (F.width_bucket(F.col(c).cast("double"), F.lit(float(mn)),
+                              F.lit(float(mx)), F.lit(n_buckets)) - 1) \
+            .cast("long")
+        idx_cols.append(F.greatest(F.lit(0), F.least(idx,
+                                                     F.lit(n_buckets - 1))))
+    z = F.lit(0).cast("long")
+    for b in range(bits - 1, -1, -1):
+        for idx in idx_cols:
+            z = F.shiftleft(z, 1).bitwiseOR(
+                F.shiftright(idx, b).bitwiseAND(F.lit(1).cast("long")))
+    return df.withColumn(out_col, z)
+
+
+def land_zordered(df: DataFrame, path: str, *, by: list[str],
+                  bits: int = 8, n_files: int | None = None,
+                  mode: str = "overwrite") -> None:
+    """Write parquet clustered by the Morton key of ``by`` — range
+    predicates on any participating column skip row groups."""
+    keyed = zorder_key(df, by, bits=bits)
+    out = (keyed.repartitionByRange(n_files, "_zkey") if n_files
+           else keyed.repartitionByRange("_zkey"))
+    out.sortWithinPartitions("_zkey").drop("_zkey") \
+       .write.mode(mode).parquet(path)

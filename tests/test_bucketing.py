@@ -84,3 +84,36 @@ def test_range_sorted_layout_prunes_row_groups(spark, tmp_path):
     assert m_sorted["numOutputRows"] < m_shuffled["numOutputRows"]
     # correctness unchanged by layout
     assert spark.read.parquet(sorted_path).filter(pred).count() == 2_000
+
+
+def test_zorder_layout_prunes_on_both_dimensions(spark, tmp_path):
+    """Morton-key clustering trades a little single-column locality
+    for pruning on EVERY participating column: the x-sorted layout
+    cannot skip anything for a y filter, the z-ordered one skips on
+    both."""
+    from pyspark.sql import functions as F
+
+    from etl_evm_chain_spark.functions.layout import (land_range_sorted,
+                                                      land_zordered,
+                                                      scan_metrics)
+
+    n = 200_000
+    df = spark.range(n).select(
+        (F.col("id") % 500).alias("x"),
+        F.floor(F.col("id") / 500).alias("y"),
+        F.md5(F.col("id").cast("string")).alias("payload"))
+    zo, xs = str(tmp_path / "zo"), str(tmp_path / "xs")
+    land_zordered(df, zo, by=["x", "y"], bits=8, n_files=16)
+    land_range_sorted(df, xs, by=["x"], n_files=16)
+
+    fx = (F.col("x") >= 100) & (F.col("x") < 120)
+    fy = (F.col("y") >= 100) & (F.col("y") < 120)
+    z, x = spark.read.parquet(zo), spark.read.parquet(xs)
+    assert scan_metrics(x.filter(fy))["numOutputRows"] == n   # no skip
+    # row-group sizing varies with writer memory pressure; the point
+    # is material skipping on BOTH dims, not an exact fraction
+    assert scan_metrics(z.filter(fy))["numOutputRows"] < n * 0.7
+    assert scan_metrics(z.filter(fx))["numOutputRows"] < n * 0.7
+    # correctness unchanged by layout
+    assert z.filter(fx).count() == x.filter(fx).count() \
+        == df.filter(fx).count()
