@@ -54,10 +54,10 @@ def scan_metrics(df: DataFrame) -> dict:
 def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 16,
                out_col: str = "_zkey") -> DataFrame:
     """Morton (Z-order) clustering key over 2+ numeric columns: each
-    column quantizes to a ``bits``-bit bucket index against its
-    approx-quantile boundaries (one lightweight driver-side
-    percentile pass, broadcast as literals), and the indices
-    bit-interleave into one long. Sorting files by the key gives
+    column quantizes to a ``bits``-bit uniform-width bucket index
+    against its [min, max] (one lightweight agg pass, inlined as
+    literals), and the indices bit-interleave into one long. Sorting
+    files by the key gives
     every column locality at once, so row-group min/max stats prune
     range predicates on ANY of the participating columns — the
     multi-dimensional upgrade of ``land_range_sorted``'s single-key
@@ -100,3 +100,33 @@ def land_zordered(df: DataFrame, path: str, *, by: list[str],
            else keyed.repartitionByRange("_zkey"))
     out.sortWithinPartitions("_zkey").drop("_zkey") \
        .write.mode(mode).parquet(path)
+
+
+def compact_parquet(spark, path: str, *, target_mb: int = 512,
+                    sort_within_by: list[str] | None = None) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ⌈total_bytes / target_mb⌉ files (atomic swap via a sibling temp
+    dir + rename). Streaming sinks and incremental batch appends
+    accumulate small files whose per-file open/footer cost dominates
+    scans at 100 TB; periodic compaction — optionally re-sorting
+    within partitions to restore row-group stats tightness — is the
+    standard maintenance pass. Returns the new file count.
+    """
+    import os
+    import shutil
+
+    total = sum(os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(path)
+                for f in fs if f.endswith(".parquet"))
+    n_files = max(1, -(-total // (target_mb << 20)))
+    df = spark.read.parquet(path)
+    out = df.repartition(n_files)
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    tmp = f"{path}.compact-{os.getpid()}"
+    out.write.mode("overwrite").parquet(tmp)
+    old = f"{path}.old-{os.getpid()}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n_files

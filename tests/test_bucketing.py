@@ -117,3 +117,21 @@ def test_zorder_layout_prunes_on_both_dimensions(spark, tmp_path):
     # correctness unchanged by layout
     assert z.filter(fx).count() == x.filter(fx).count() \
         == df.filter(fx).count()
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_evm_chain_spark.functions.layout import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(50_000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("p"))
+    df.repartition(64).write.parquet(path)          # 64 small files
+    import glob
+    assert len(glob.glob(f"{path}/*.parquet")) == 64
+    before = spark.read.parquet(path).agg(F.sum("id")).collect()[0][0]
+    n = compact_parquet(spark, path, target_mb=512)
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) == n == 1                      # tiny table → 1 file
+    assert spark.read.parquet(path).agg(F.sum("id")).collect()[0][0] == before
