@@ -631,6 +631,60 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, queries, k=5).orderBy("qid", "rank")
 
 
+def _oracle_ivf_topk() -> str:
+    """q42 became fully oracle-expressible once the centroid pick went
+    hash15-deterministic: centroids, cosine cell assignment, n_probe
+    probing, and the per-query ranking all have exact SQL twins (same
+    structure as the q97 oracle)."""
+    cos = ("{d} / (sqrt({na}) * sqrt({nb}))").format(
+        d=_SQL_DOT.format(a="{a}", b="{b}"),
+        na=_SQL_DOT.format(a="{a}", b="{a}"),
+        nb=_SQL_DOT.format(a="{b}", b="{b}"))
+    h = _sql_hash15("'ivf:' || CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH cent_rows AS (
+  SELECT vec_id, embedding, {h} AS h
+  FROM embeddings ORDER BY h, vec_id LIMIT 16
+),
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cell,
+         embedding AS cent
+  FROM cent_rows
+),
+scored_cells AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         {cos.format(a="e.embedding", b="c.cent")} AS csim
+  FROM embeddings e CROSS JOIN cents c
+),
+ranked_cells AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY csim DESC, cell ASC) AS cr
+  FROM scored_cells
+),
+assigned AS (
+  SELECT vec_id AS cid, embedding AS cv, cell
+  FROM ranked_cells WHERE cr = 1
+),
+probed AS (
+  SELECT vec_id AS qid, embedding AS qv, cell
+  FROM ranked_cells WHERE cr <= 4 AND vec_id < 5
+),
+cand AS (
+  SELECT qid, cid, {cos.format(a="qv", b="cv")} AS sim
+  FROM assigned JOIN probed USING (cell)
+  WHERE qid != cid
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY sim DESC, cid ASC) AS rank
+  FROM cand
+)
+SELECT qid, cid, round(sim, 6) AS sim, rank
+FROM ranked WHERE rank <= 5
+ORDER BY qid, rank
+"""
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -1153,8 +1207,9 @@ SPECS = [
               "embedding-cosine near-dup pairs", ("P2-dedup", "P2-sim")),
     QuerySpec("q40_ann_topk", q_ann_topk, None,
               "LSH-bucketed approximate top-k (recall-tested)", ("P2-sim",)),
-    QuerySpec("q42_ivf_topk", q_ivf_topk, None,
-              "IVF-cell approximate top-k (recall-tested)", ("P2-sim",)),
+    QuerySpec("q42_ivf_topk", q_ivf_topk, _oracle_ivf_topk(),
+              "IVF-cell approximate top-k (recall-tested; "
+              "oracle-exact pipeline)", ("P2-sim",)),
     QuerySpec("q73_pq_topk", q_pq_topk, None,
               "product-quantization ADC approximate top-k "
               "(recall-tested)", ("P2-sim",)),
