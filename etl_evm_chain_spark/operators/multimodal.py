@@ -3,11 +3,14 @@
 Media (image/audio/video) travels as an opaque ``binary`` column plus
 a typed metadata struct; all processing runs as Arrow-batched
 ``mapInPandas`` so bytes never round-trip through Python row objects.
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container,
-so the decode kernel is pluggable: the default raises
-NotImplementedError, and ``fake_decoder`` provides a deterministic
-stand-in so the Spark-side plumbing — schema, batching, partitioning,
-UDF signatures — is real and tested end-to-end.
+The decode kernel is pluggable. ``stdlib_decoder`` is a REAL codec
+path with no third-party dependency: a full PNG decode (IHDR parse,
+zlib inflate, all five scanline unfilters, per-channel pixel means)
+and WAV PCM decode (stdlib ``wave``; channels/rate/frames + RMS).
+Video and non-PNG images need an injected codec (PIL/ffmpeg absent in
+this container): the default raises NotImplementedError, and
+``fake_decoder`` remains the deterministic stand-in the oracle-checked
+query uses (md5-derived → expressible in DuckDB).
 
 Scale notes: binary payloads dominate partition size — repartition by
 a size-aware key before heavy kernels (``target_partition_mb``), and
@@ -141,3 +144,172 @@ def chunk_bytes(df: DataFrame, *, bytes_col: str = "bytes",
         (F.length("_ch") / 2).cast("int").alias("chunk_len"),
         F.md5(F.col("_ch")).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real stdlib codecs: the environment has no PIL/ffmpeg, but PNG is
+# struct+zlib and WAV is the stdlib `wave` module — so image and audio
+# get a GENUINE decode path (header parse + full pixel/PCM decode),
+# not just the fake stand-in. Video stays decoder-injected.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}   # gray, RGB, gray+A, RGBA
+
+
+def _png_unfilter(raw: bytes, width: int, height: int,
+                  channels: int) -> bytes:
+    """Reverse PNG scanline filtering (types 0-4, 8-bit samples)."""
+    stride = width * channels
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ft = raw[pos]
+        line = bytearray(raw[pos + 1:pos + 1 + stride])
+        pos += 1 + stride
+        if ft == 1:                                   # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ft == 2:                                 # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:                                 # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:                                 # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown PNG filter {ft}")
+        out += line
+        prev = line
+    return bytes(out)
+
+
+def _decode_png(data: bytes) -> dict:
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, width = 8, 0
+    height = depth = ctype = 0
+    idat = b""
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        ctag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln                                # skip CRC
+        if ctag == b"IHDR":
+            width, height, depth, ctype = struct.unpack(">IIBB", body[:10])
+        elif ctag == b"IDAT":
+            idat += body
+        elif ctag == b"IEND":
+            break
+    if depth != 8 or ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG (depth={depth} color={ctype})")
+    ch = _PNG_CHANNELS[ctype]
+    pix = _png_unfilter(zlib.decompress(idat), width, height, ch)
+    n = width * height
+    means = [sum(pix[c::ch]) / (255.0 * n) for c in range(ch)]
+    return {"width": width, "height": height, "n_frames": 1,
+            "features": means}
+
+
+def _decode_wav(data: bytes) -> dict:
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(data)) as w:
+        n_ch, sw, rate, n_frames = (w.getnchannels(), w.getsampwidth(),
+                                    w.getframerate(), w.getnframes())
+        pcm = w.readframes(n_frames)
+    if sw == 2:
+        vals = struct.unpack(f"<{len(pcm) // 2}h", pcm)
+        rms = ((sum(v * v for v in vals) / max(1, len(vals))) ** 0.5) / 32768.0
+    else:
+        rms = 0.0
+    return {"width": 0, "height": 0, "n_frames": n_frames,
+            "features": [float(n_ch), float(rate), float(rms)]}
+
+
+def stdlib_decoder(data: bytes, mime: str) -> dict:
+    """Real decode for image/png (struct+zlib: IHDR parse, full
+    scanline unfilter, per-channel pixel means) and audio/wav (stdlib
+    `wave`: channels/rate/frames + PCM RMS). Other mimes need an
+    injected codec — same contract as ``default_decoder``."""
+    if mime == "image/png":
+        return _decode_png(data)
+    if mime in ("audio/wav", "audio/x-wav"):
+        return _decode_wav(data)
+    return default_decoder(data, mime)
+
+
+def encode_png(pixels: list[list[tuple]], *, color_type: int = 2,
+               filter_type: int = 0) -> bytes:
+    """Minimal PNG encoder for tests/fixtures; ``filter_type`` applies
+    that scanline filter to every row so each decoder unfilter branch
+    can be exercised with a roundtrip."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    h, w = len(pixels), len(pixels[0])
+    ch = len(pixels[0][0])
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    stride = w * ch
+    raw = bytearray()
+    prev = bytearray(stride)
+    for row in pixels:
+        line = bytearray(v for px in row for v in px)
+        enc = bytearray(stride)
+        for i in range(stride):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if filter_type == 0:
+                pred = 0
+            elif filter_type == 1:
+                pred = a
+            elif filter_type == 2:
+                pred = b
+            elif filter_type == 3:
+                pred = (a + b) >> 1
+            else:                                     # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[i] = (line[i] - pred) & 0xFF
+        raw += bytes([filter_type]) + enc
+        prev = line
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def encode_wav(samples: list[int], *, rate: int = 8000,
+               n_channels: int = 1) -> bytes:
+    """Minimal 16-bit PCM WAV encoder for tests/fixtures."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()

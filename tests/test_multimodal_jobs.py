@@ -98,3 +98,46 @@ def test_chunk_bytes_boundaries_and_hashes(spark):
     assert got[2] == [(0, 64, h(b"b" * 64)), (1, 1, h(b"b"))]
     assert 3 not in got
     assert got[4] == [(0, 2, h(b"xy"))]
+
+
+def test_png_roundtrip_all_filter_types():
+    import random
+
+    from etl_evm_chain_spark.operators.multimodal import (encode_png,
+                                                          stdlib_decoder)
+
+    rng = random.Random(7)
+    pixels = [[(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+               for _ in range(9)] for _ in range(7)]
+    n = 9 * 7
+    exp = [sum(px[c] for row in pixels for px in row) / (255.0 * n)
+           for c in range(3)]
+    for ft in range(5):          # every PNG scanline filter type
+        d = stdlib_decoder(encode_png(pixels, filter_type=ft), "image/png")
+        assert (d["width"], d["height"]) == (9, 7)
+        for got, want in zip(d["features"], exp):
+            assert abs(got - want) < 1e-12, (ft, got, want)
+
+
+def test_stdlib_codecs_through_spark_decode(spark):
+    import math
+
+    from etl_evm_chain_spark.operators.multimodal import (decode_media,
+                                                          encode_png,
+                                                          encode_wav,
+                                                          stdlib_decoder)
+
+    png = encode_png([[(255, 0, 0), (0, 255, 0)],
+                      [(0, 0, 255), (255, 255, 255)]], filter_type=4)
+    wav = encode_wav([int(10000 * math.sin(i / 10)) for i in range(4000)],
+                     rate=8000)
+    df = spark.createDataFrame(
+        [(1, png, "image/png", {}), (2, wav, "audio/wav", {})],
+        "media_id long, bytes binary, mime string, meta map<string,string>")
+    got = {r["media_id"]: r
+           for r in decode_media(df, decoder=stdlib_decoder).collect()}
+    assert got[1]["width"] == 2 and got[1]["height"] == 2
+    assert abs(got[1]["features"][0] - 0.5) < 1e-12     # red channel mean
+    assert got[2]["n_frames"] == 4000
+    assert got[2]["features"][1] == 8000.0               # sample rate
+    assert 0.2 < got[2]["features"][2] < 0.23            # sine RMS/32768
