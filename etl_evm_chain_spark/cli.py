@@ -111,6 +111,10 @@ def _run(args, spark) -> int:
                              addresses=cfg.address_filter(c),
                              topic0s=cfg.topic0_filter(c),
                              chunk=c.chunk_size)
+            # the per-event decode loop runs one action per event
+            # table; cache so the RPC sweep hits the node once, not
+            # once per (contract, event)
+            raw = raw.cache()
         n = 0
         for contract in c.contracts:
             for name, ev in contract.parsed_events.items():

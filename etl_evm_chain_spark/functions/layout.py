@@ -63,6 +63,10 @@ def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 16,
     multi-dimensional upgrade of ``land_range_sorted``'s single-key
     clustering. Pure expressions (width_bucket + shifts), no UDF.
     """
+    # the interleaved key must fit a signed long: cap bits so
+    # len(cols)·bits ≤ 63 (silent truncation would shift the COARSE
+    # bucket bits — the ones that cluster — off the top)
+    bits = min(bits, 63 // max(1, len(cols)))
     n_buckets = 1 << bits
     # one min/max pass over all participating columns (uniform-width
     # buckets; heavily skewed columns would want quantile boundaries,
@@ -105,15 +109,30 @@ def land_zordered(df: DataFrame, path: str, *, by: list[str],
 def compact_parquet(spark, path: str, *, target_mb: int = 512,
                     sort_within_by: list[str] | None = None) -> int:
     """Small-file compaction: rewrite a parquet directory into
-    ⌈total_bytes / target_mb⌉ files (atomic swap via a sibling temp
-    dir + rename). Streaming sinks and incremental batch appends
-    accumulate small files whose per-file open/footer cost dominates
-    scans at 100 TB; periodic compaction — optionally re-sorting
-    within partitions to restore row-group stats tightness — is the
-    standard maintenance pass. Returns the new file count.
+    ⌈total_bytes / target_mb⌉ files. Streaming sinks and incremental
+    batch appends accumulate small files whose per-file open/footer
+    cost dominates scans at 100 TB; periodic compaction — optionally
+    re-sorting within partitions to restore row-group stats tightness
+    — is the standard maintenance pass. Returns the new file count.
+
+    Swap semantics: build-aside + two renames. POSIX cannot exchange
+    two directories atomically, so there is a moment where ``path`` is
+    absent (a true atomic swap needs a table format — Delta/Iceberg —
+    whose manifest IS the atomic pointer). On a crash between the
+    renames the data survives intact at ``<path>.old-<pid>`` /
+    ``<path>.compact-<pid>``; a failed second rename is rolled back.
+    Hive-partitioned datasets (``col=value/`` subdirectories) are
+    refused rather than silently flattened.
     """
     import os
     import shutil
+
+    subdirs = [d for d in os.listdir(path)
+               if os.path.isdir(os.path.join(path, d)) and "=" in d]
+    if subdirs:
+        raise ValueError(
+            f"{path} is hive-partitioned ({subdirs[0]}/ …); compact each "
+            "partition directory individually to preserve the layout")
 
     total = sum(os.path.getsize(os.path.join(dp, f))
                 for dp, _, fs in os.walk(path)
@@ -127,6 +146,11 @@ def compact_parquet(spark, path: str, *, target_mb: int = 512,
     out.write.mode("overwrite").parquet(tmp)
     old = f"{path}.old-{os.getpid()}"
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)               # roll back; original intact
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     shutil.rmtree(old, ignore_errors=True)
     return n_files

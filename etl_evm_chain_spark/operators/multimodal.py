@@ -209,7 +209,10 @@ def _decode_png(data: bytes) -> dict:
         body = data[pos + 8:pos + 8 + ln]
         pos += 12 + ln                                # skip CRC
         if ctag == b"IHDR":
-            width, height, depth, ctype = struct.unpack(">IIBB", body[:10])
+            width, height, depth, ctype, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", body[:13])
+            if interlace:
+                raise ValueError("Adam7-interlaced PNG not supported")
         elif ctag == b"IDAT":
             idat += body
         elif ctag == b"IEND":
@@ -233,11 +236,12 @@ def _decode_wav(data: bytes) -> dict:
         n_ch, sw, rate, n_frames = (w.getnchannels(), w.getsampwidth(),
                                     w.getframerate(), w.getnframes())
         pcm = w.readframes(n_frames)
-    if sw == 2:
-        vals = struct.unpack(f"<{len(pcm) // 2}h", pcm)
-        rms = ((sum(v * v for v in vals) / max(1, len(vals))) ** 0.5) / 32768.0
-    else:
-        rms = 0.0
+    if sw != 2:
+        # mirroring the PNG path: reject rather than report a fake
+        # silent clip (8/24-bit or float PCM needs an injected codec)
+        raise ValueError(f"unsupported WAV sample width {sw} (16-bit only)")
+    vals = struct.unpack(f"<{len(pcm) // 2}h", pcm)
+    rms = ((sum(v * v for v in vals) / max(1, len(vals))) ** 0.5) / 32768.0
     return {"width": 0, "height": 0, "n_frames": n_frames,
             "features": [float(n_ch), float(rate), float(rms)]}
 

@@ -192,6 +192,34 @@ def live_signal_fsm(df: DataFrame, *, entry_z: float = 1.5,
     )
 
 
+def _jdbc_table_exists(spark, url: str, table: str,
+                       driver: str | None) -> bool:
+    """Table-existence probe via JDBC metadata (a driver-side
+    connection through the JVM — no Spark job)."""
+    jvm = spark._jvm  # noqa: SLF001
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        rs = conn.getMetaData().getTables(None, None, table.upper(), None)
+        return bool(rs.next())
+    finally:
+        conn.close()
+
+
+def _jdbc_execute(spark, url: str, sql: str, driver: str | None) -> None:
+    jvm = spark._jvm  # noqa: SLF001
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        st.execute(sql)
+        st.close()
+    finally:
+        conn.close()
+
+
 def write_jdbc_exactly_once(decoded: DataFrame, url: str, *,
                             table: str, checkpoint: str,
                             driver: str | None = None,
@@ -200,35 +228,30 @@ def write_jdbc_exactly_once(decoded: DataFrame, url: str, *,
 
     Parquet sinks get exactly-once from the checkpoint offset log plus
     idempotent file manifests; JDBC appends are not idempotent, so
-    each micro-batch is fenced with a batch-id ledger row in
-    ``<table>_batches``: a batch whose id is already recorded is
-    skipped entirely on replay (the standard foreachBatch idempotence
-    recipe). The ledger insert runs AFTER the data append — a crash
-    between the two replays the batch, and the replay is then fenced
-    only if the ledger row landed; crash-before-ledger duplicates are
-    prevented by writing data and ledger in one connection commit
-    where the target supports it (Derby/MySQL: the tiny ledger table
-    is the cheap practical fence).
+    each micro-batch is made REPLAY-IDEMPOTENT instead of fenced:
+    every row carries its ``_batch_id``, and the sink deletes that
+    batch's rows (one driver-side DELETE over a direct JDBC
+    connection) before appending. A crash at ANY point — mid-append,
+    between partitions, before or after commit — replays the batch,
+    the delete clears whatever fraction landed, and the append rewrites
+    it whole. No ledger, no window in which a replay can duplicate;
+    errors in the existence probe or delete propagate (failing the
+    batch for retry) rather than silently skipping the fence.
     """
     opts = {"driver": driver} if driver else {}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        ledger = f"{table}_batches"
-        try:
-            seen = (spark.read.format("jdbc").option("url", url)
-                    .option("dbtable", ledger).options(**opts).load()
-                    .filter(F.col("batch_id") == batch_id).count())
-            if seen:
-                return                       # replayed batch → no-op
-        except Exception:  # noqa: BLE001 — first batch: ledger absent
-            pass
-        (batch_df.write.mode("append").format("jdbc")
-         .option("url", url).option("dbtable", table)
-         .options(**opts).save())
-        (spark.createDataFrame([(int(batch_id),)], "batch_id long")
+        if _jdbc_table_exists(spark, url, table, driver):
+            # ANSI-quoted: Spark's JDBC writer creates the column as a
+            # quoted lowercase identifier
+            _jdbc_execute(
+                spark, url,
+                f'DELETE FROM {table} WHERE "_batch_id" = {int(batch_id)}',
+                driver)
+        (batch_df.withColumn("_batch_id", F.lit(int(batch_id)))
          .write.mode("append").format("jdbc")
-         .option("url", url).option("dbtable", ledger)
+         .option("url", url).option("dbtable", table)
          .options(**opts).save())
 
     w = (decoded.writeStream.foreachBatch(sink)

@@ -343,6 +343,24 @@ def test_jdbc_exactly_once_across_restart(spark, tmp_path):
     run()
     run()   # third run: nothing new — must be a no-op
 
-    back = (spark.read.format("jdbc").option("url", url)
-            .option("driver", driver).option("dbtable", "ev").load())
-    assert sorted(r["tick"] for r in back.collect()) == [1, 2, 3]
+    def ticks():
+        back = (spark.read.format("jdbc").option("url", url)
+                .option("driver", driver).option("dbtable", "ev").load())
+        return sorted(r["tick"] for r in back.collect())
+
+    assert ticks() == [1, 2, 3]
+
+    # force a REPLAY of the last micro-batch: drop its commit marker so
+    # the restarted query re-offers it; the per-batch delete fence must
+    # keep the table duplicate-free
+    import glob
+    import os
+
+    last_commit = sorted(glob.glob(f"{ckpt}/commits/[0-9]*"))[-1]
+    os.remove(last_commit)
+    crc = os.path.join(os.path.dirname(last_commit),
+                       f".{os.path.basename(last_commit)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    assert ticks() == [1, 2, 3]
