@@ -314,11 +314,38 @@ def _decode_dynamic(words: Column, head_slot: int, abi_type: str) -> Column:
     m = _ARRAY_RE.match(abi_type)
     if m and m.group(2) == "":
         elem = m.group(1)
+        if elem in ("string", "bytes"):
+            # T[] of dynamic scalars: after the length word comes a
+            # mini head/tail — per-element byte offsets RELATIVE to
+            # the array body start (ABI tuple-encoding rule), each
+            # pointing at its own length-prefixed payload.
+            body_w = off_w + 1            # 0-based word of elem slot 0
+            idx = F.when(
+                n > 0, F.sequence(F.lit(0), (n - 1).cast("int"))) \
+                .otherwise(F.array().cast("array<int>"))
+
+            def one(i):
+                eoff_w = (F.conv(
+                    F.substring(F.element_at(words, body_w + i + 1),
+                                49, 16), 16, 10) / 32).cast("int")
+                etail_w = body_w + eoff_w
+                elen = F.conv(
+                    F.substring(F.element_at(words, etail_w + 1), 49, 16),
+                    16, 10).cast("int")
+                payload = F.concat_ws(
+                    "", F.slice(words, etail_w + 2,
+                                F.ceil(elen / 32).cast("int"))) \
+                    .substr(F.lit(1), elen * 2)
+                if elem == "string":
+                    return F.decode(F.unhex(payload), "UTF-8")
+                return F.concat(F.lit("0x"), F.lower(payload))
+
+            return F.transform(idx, one)
         if _is_dynamic(elem) or ((_int_bits(elem) or 0) > 63
                                  and elem.startswith("int")):
             raise NotImplementedError(
                 f"array element type {elem!r} not supported natively "
-                "(nested dynamic / wide signed int)")
+                "(nested array / wide signed int)")
         return F.transform(F.slice(words, off_w + 2, n.cast("int")),
                            lambda wd: _decode_word(wd, elem))
     raise NotImplementedError(f"dynamic type {abi_type!r}")

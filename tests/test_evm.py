@@ -420,8 +420,9 @@ def _abi_encode_memo(note: str, amount: int, tags: list[int]) -> str:
         return format(x, "064x")
 
     nb = note.encode("utf-8")
-    note_tail = w(len(nb)) + nb.hex().ljust(
-        ((len(nb) + 31) // 32) * 64 or 64, "0")
+    # payload right-padded to a 32-byte multiple; an EMPTY payload has
+    # no padding word at all (spec: enc("") is just the length word)
+    note_tail = w(len(nb)) + nb.hex().ljust(((len(nb) + 31) // 32) * 64, "0")
     tags_tail = w(len(tags)) + "".join(w(t) for t in tags)
     head_size = 3 * 32
     note_off = head_size
@@ -462,3 +463,43 @@ def test_dynamic_abi_randomized_roundtrip(spark):
             assert r["amount"] is None     # saturates; hex stays lossless
         assert r["amount_hex"] == "0x" + format(amount, "064x")
         assert [int(t) for t in r["tags"]] == tags
+
+
+def _abi_encode_string_array(strs: list[str]) -> str:
+    """Reference encoder for a string[] tail body (spec tuple rule:
+    per-element offsets relative to the tuple-encoding start)."""
+    def w(x: int) -> str:
+        return format(x, "064x")
+
+    tails = []
+    for s in strs:
+        b = s.encode("utf-8")
+        tails.append(w(len(b)) + b.hex().ljust(((len(b) + 31) // 32) * 64, "0"))
+    offs, acc = [], 32 * len(strs)
+    for t in tails:
+        offs.append(acc)
+        acc += len(t) // 2
+    return w(len(strs)) + "".join(w(o) for o in offs) + "".join(tails)
+
+
+def test_decode_string_array_param(spark):
+    ev = AbiEvent("Batch", (
+        AbiInput("notes", "string[]", False),
+        AbiInput("v", "uint8", False),
+    ))
+    cases = [
+        ["alpha", "βγδ €", "", "x" * 45],     # multibyte, empty, 2-word
+        [],                                     # empty array
+        ["solo"],
+    ]
+    def w(x): return format(x, "064x")
+    rows = []
+    for i, strs in enumerate(cases):
+        body = _abi_encode_string_array(strs)
+        data = "0x" + w(0x40) + w(i + 1) + body
+        rows.append(("0xc", [ev.topic0], data, i, f"0xt{i}", 0))
+    raw = spark.createDataFrame(rows, RAW_LOG_SCHEMA)
+    got = {r["block_number"]: r for r in decode_event(raw, ev).collect()}
+    for i, strs in enumerate(cases):
+        assert got[i]["notes"] == strs, (i, got[i]["notes"])
+        assert got[i]["v"] == i + 1
