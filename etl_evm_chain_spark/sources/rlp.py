@@ -78,6 +78,44 @@ def chain_id_from_v(v: int) -> int | None:
     return (v - 35) // 2 if v >= 35 else None
 
 
+def _access_list_fields(access_list) -> list:
+    """RPC accessList → RLP shape: [[address_bytes, [key_bytes …]] …]."""
+    out = []
+    for entry in access_list or []:
+        addr = _addr_bytes(entry.get("address") if isinstance(entry, dict)
+                           else entry[0])
+        keys = (entry.get("storageKeys") if isinstance(entry, dict)
+                else entry[1]) or []
+        out.append([addr, [bytes.fromhex(str(k).removeprefix("0x"))
+                           for k in keys]])
+    return out
+
+
+def typed_sighash(*, tx_type: int, chain_id: int, nonce: int, gas: int,
+                  to: str | bytes | None, value: int,
+                  data: str | bytes = b"", access_list=None,
+                  gas_price: int = 0,
+                  max_priority_fee: int = 0, max_fee: int = 0) -> bytes:
+    """Signing hash of an EIP-2718 typed transaction:
+    ``keccak256(type_byte ‖ rlp(fields))`` — type 1 (EIP-2930:
+    [chainId, nonce, gasPrice, gas, to, value, data, accessList]) and
+    type 2 (EIP-1559: [chainId, nonce, maxPriorityFee, maxFee, gas,
+    to, value, data, accessList]). The signature's v is the raw
+    yParity bit for both."""
+    if isinstance(data, str):
+        data = bytes.fromhex(data.removeprefix("0x"))
+    al = _access_list_fields(access_list)
+    if tx_type == 1:
+        fields = [chain_id, nonce, gas_price, gas, _addr_bytes(to),
+                  value, data, al]
+    elif tx_type == 2:
+        fields = [chain_id, nonce, max_priority_fee, max_fee, gas,
+                  _addr_bytes(to), value, data, al]
+    else:
+        raise ValueError(f"unsupported typed transaction type {tx_type}")
+    return keccak256(bytes([tx_type]) + encode(fields))
+
+
 def legacy_tx_sender(*, nonce: int, gas_price: int, gas: int,
                      to: str | bytes | None, value: int,
                      data: str | bytes, v: int, r: int, s: int) -> str | None:

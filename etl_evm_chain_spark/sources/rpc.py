@@ -141,6 +141,10 @@ class JsonRpcClient:
             "value": hx(tx.get("value"), 0),
             "input": tx.get("input") or "0x",
             "type": hx(tx.get("type"), 0),
+            "chain_id": hx(tx.get("chainId")),
+            "max_priority_fee": hx(tx.get("maxPriorityFeePerGas"), 0),
+            "max_fee": hx(tx.get("maxFeePerGas"), 0),
+            "access_list": tx.get("accessList") or [],
             "v": hx(tx.get("v")),
             "r": hx(tx.get("r")),
             "s": hx(tx.get("s")),
@@ -160,17 +164,31 @@ class JsonRpcClient:
 def transaction_sender(tx: dict | None) -> str | None:
     """Recover the sender address from a normalized RPC transaction
     dict (``JsonRpcClient.get_transaction`` output) — the pure-Python
-    ``types.Sender`` (`internal/parser/parser.go:152-159`). Legacy
-    (type-0) transactions only; typed (EIP-2930/1559) envelopes hash
-    differently and return None here — the pre-landed transactions
-    dim join covers them in bulk."""
-    from .rlp import legacy_tx_sender
+    ``types.Sender`` (`internal/parser/parser.go:152-159`), covering
+    legacy (type 0, EIP-155 or homestead) and typed EIP-2930/1559
+    (types 1/2, v = raw yParity) envelopes. Unknown future types
+    return None — the pre-landed transactions dim join covers them."""
+    from .rlp import legacy_tx_sender, typed_sighash
+    from .secp256k1 import recover_address
 
-    if tx is None or tx.get("type", 0) != 0:
+    if tx is None:
         return None
     if tx.get("v") is None or tx.get("r") is None or tx.get("s") is None:
         return None
-    return legacy_tx_sender(
-        nonce=tx["nonce"], gas_price=tx["gas_price"], gas=tx["gas"],
-        to=tx.get("to"), value=tx["value"], data=tx.get("input", "0x"),
-        v=tx["v"], r=tx["r"], s=tx["s"])
+    t = tx.get("type", 0)
+    if t == 0:
+        return legacy_tx_sender(
+            nonce=tx["nonce"], gas_price=tx["gas_price"], gas=tx["gas"],
+            to=tx.get("to"), value=tx["value"], data=tx.get("input", "0x"),
+            v=tx["v"], r=tx["r"], s=tx["s"])
+    if t in (1, 2):
+        h = typed_sighash(
+            tx_type=t, chain_id=tx.get("chain_id") or 1,
+            nonce=tx["nonce"], gas=tx["gas"], to=tx.get("to"),
+            value=tx["value"], data=tx.get("input", "0x"),
+            access_list=tx.get("access_list"),
+            gas_price=tx.get("gas_price", 0),
+            max_priority_fee=tx.get("max_priority_fee", 0),
+            max_fee=tx.get("max_fee", 0))
+        return recover_address(h, tx["r"], tx["s"], tx["v"])
+    return None

@@ -152,15 +152,33 @@ def test_transaction_sender_full_chain(node):
         "v": "0x25",
         "r": hex(18515461264373351373200002665853028612451056578545711640558177340181847433846),
         "s": hex(46948507304638947509940763649030358759909902576025900602547168820602576006531),
-    }, "0xbbb": {  # typed tx → out of scope, must return None
-        "hash": "0xbbb", "nonce": "0x1", "gasPrice": "0x1", "gas": "0x1",
-        "to": None, "value": "0x0", "input": "0x", "type": "0x2",
-        "v": "0x0", "r": "0x1", "s": "0x1",
     }}
+    # EIP-1559 (type 2) tx with an access list: sign its typed sighash
+    # with a known key; v is the raw yParity
+    from etl_evm_chain_spark.sources.rlp import typed_sighash
+
+    al = [{"address": "0x" + "22" * 20,
+           "storageKeys": ["0x" + "07" * 32]}]
+    h2 = typed_sighash(tx_type=2, chain_id=5, nonce=3, gas=30000,
+                       to="0x" + "33" * 20, value=12345, data="0xbeef",
+                       access_list=al, max_priority_fee=2, max_fee=100)
+    r2, s2, v27 = ec.sign(h2, 0xB0B, nonce=424242)
+    node.txs["0xbbb"] = {
+        "hash": "0xbbb", "nonce": "0x3", "gas": hex(30000),
+        "to": "0x" + "33" * 20, "value": hex(12345), "input": "0xbeef",
+        "type": "0x2", "chainId": "0x5",
+        "maxPriorityFeePerGas": "0x2", "maxFeePerGas": hex(100),
+        "accessList": al,
+        "v": hex(v27 - 27), "r": hex(r2), "s": hex(s2),
+    }
+    node.txs["0xccc"] = dict(node.txs["0xbbb"], hash="0xccc",
+                             type="0x9")    # unknown future type
     cli = JsonRpcClient(node.url)
     tx = cli.get_transaction("0xaaa")
     assert tx["nonce"] == 9 and tx["gas"] == 21000
     assert transaction_sender(tx) == ec.priv_to_address(
         0x4646464646464646464646464646464646464646464646464646464646464646)
-    assert transaction_sender(cli.get_transaction("0xbbb")) is None
+    assert transaction_sender(cli.get_transaction("0xbbb")) \
+        == ec.priv_to_address(0xB0B)
+    assert transaction_sender(cli.get_transaction("0xccc")) is None
     assert cli.get_transaction("0xmissing") is None
