@@ -90,3 +90,30 @@ def read_raw_logs(spark: SparkSession, path: str, *,
 def latest_block(df: DataFrame) -> int:
     """Height probe (A2) for pre-landed data: max block in the lake."""
     return df.agg(F.max("block_number")).collect()[0][0]
+
+
+def fetch_blocks(spark: SparkSession, numbers: DataFrame, *,
+                 fetcher) -> DataFrame:
+    """Live blocks dim (A3): fetch (block_number, timestamp) headers
+    for each DISTINCT block via ``JsonRpcClient.get_block`` inside
+    mapPartitions — the reference's per-log memoized header lookup
+    (`internal/rpc/client.go:124-148`, `parser.go:119-130`) becomes
+    one RPC call per distinct block, distributed. Feed the result to
+    ``abi.enrich(decoded, blocks=...)``.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("block_number", T.LongType()),
+        T.StructField("timestamp", T.LongType()),
+    ])
+
+    def run(rows: Iterator[Row]) -> Iterator[Row]:
+        for r in rows:
+            b = fetcher.get_block(int(r["block_number"]))
+            if b is not None:
+                yield Row(block_number=b["block_number"],
+                          timestamp=b["timestamp"])
+
+    distinct = numbers.select("block_number").distinct()
+    return spark.createDataFrame(distinct.rdd.mapPartitions(run), schema)

@@ -119,6 +119,18 @@ class JsonRpcClient:
             if lg.get("blockNumber") is not None
         ]
 
+    def get_block(self, number: int) -> dict | None:
+        """``eth_getBlockByNumber`` (header only) → {block_number,
+        timestamp} — the reference's GetHeaderByNumber
+        (`internal/rpc/client.go:124-148`), used for the block→ts dim."""
+        blk = self.call("eth_getBlockByNumber", [hex(number), False])
+        if blk is None:
+            return None
+        return {
+            "block_number": int(str(blk.get("number")), 16),
+            "timestamp": int(str(blk.get("timestamp")), 16),
+        }
+
     def get_transaction(self, tx_hash: str) -> dict | None:
         """``eth_getTransactionByHash`` → normalized field dict (ints
         decoded from hex), or None when the node doesn't know the

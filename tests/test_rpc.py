@@ -59,6 +59,10 @@ class _Handler(BaseHTTPRequestHandler):
             result = hex(srv.latest)
         elif method == "eth_getTransactionByHash":
             result = getattr(srv, "txs", {}).get(params[0])
+        elif method == "eth_getBlockByNumber":
+            n = int(params[0], 16)
+            result = ({"number": hex(n), "timestamp": hex(1700000000 + n * 12)}
+                      if n <= srv.latest else None)
         elif method == "eth_getLogs":
             f = params[0]
             lo, hi = int(f["fromBlock"], 16), int(f["toBlock"], 16)
@@ -182,3 +186,19 @@ def test_transaction_sender_full_chain(node):
         == ec.priv_to_address(0xB0B)
     assert transaction_sender(cli.get_transaction("0xccc")) is None
     assert cli.get_transaction("0xmissing") is None
+
+
+def test_fetch_blocks_dim_and_enrich(spark, node):
+    from etl_evm_chain_spark.sources.abi import enrich
+    from etl_evm_chain_spark.sources.evm_logs import fetch_blocks
+
+    cli = JsonRpcClient(node.url, retry=RetryConfig(attempts=2, delay_ms=10))
+    raw = fetch_logs(spark, start=0, latest=9, fetcher=cli, chunk=5)
+    blocks = fetch_blocks(spark, raw, fetcher=cli)
+    got = {r["block_number"]: r["timestamp"] for r in blocks.collect()}
+    assert got == {i: 1700000000 + i * 12 for i in range(10)}
+    # broadcast-join enrichment attaches the live timestamps
+    enriched = enrich(raw.select("block_number", "tx_hash"), blocks=blocks)
+    rows = enriched.collect()
+    assert all(r["timestamp"] == 1700000000 + r["block_number"] * 12
+               for r in rows)
