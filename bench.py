@@ -92,13 +92,18 @@ def main() -> None:
             pass
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # The driver captures a bounded tail of stdout and parses the last
+    # line as JSON; round 1's full-name dict (~3.5 KB) overflowed that
+    # window and recorded "parsed": null. Short keys (the qNN prefix,
+    # unique by construction) + compact separators keep the line ~1.3 KB.
+    short = {name.split("_", 1)[0]: round(t, 2) for name, t in timings.items()}
     print(json.dumps({
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": short,
         "sf": sf,
-    }))
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":
