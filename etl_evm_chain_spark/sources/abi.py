@@ -267,19 +267,37 @@ def _decode_word(word: Column, abi_type: str) -> Column:
     return F.concat(F.lit("0x"), F.lower(word))
 
 
-_WORDS_COL = "__abi_words"
-# split the bare-hex blob into 64-char ABI words (Java regex \G —
-# zero-width match every 64 chars)
-_WORD_SPLIT_RE = r"(?<=\G.{64})"
+# Dynamic-tail decoding works on 1-based CHAR positions into the
+# 0x-prefixed hex blob: byte offset b ↔ char position b*2 + 3.
+_ONE_WORD_RE = ".{64}"
 
 
-def _wslot(words: Column, slot) -> Column:
-    """Word at 0-based ``slot`` (int or Column) of the words array."""
-    idx = slot + 1 if isinstance(slot, Column) else F.lit(slot + 1)
-    return F.element_at(words, idx)
+def _head_slot_offsets(inputs) -> list[int]:
+    """0-based head slot of each unindexed param (cumulative widths —
+    static fixed arrays occupy k slots, everything else one)."""
+    offs, slot = [], 0
+    for inp in inputs:
+        offs.append(slot)
+        slot += _head_slots(inp.type)
+    return offs
 
 
-def _decode_dynamic(words: Column, head_slot: int, abi_type: str) -> Column:
+def _tail_pos(data: Column, head_slot: int) -> Column:
+    """Char position of a dynamic parameter's length word. The head
+    slot (compile-time constant position) holds the byte offset of the
+    length-prefixed tail, relative to the data-section start."""
+    off = F.conv(F.substring(data, 3 + head_slot * 64 + 48, 16), 16, 10)
+    return (off.cast("long") * 2 + 3).cast("int")
+
+
+def _len_at(data: Column, pos: Column) -> Column:
+    """Length/count word at char position ``pos`` (low 8 bytes —
+    lengths beyond 2^63 are not physically possible in a log blob)."""
+    return F.conv(F.substring(data, pos + 48, F.lit(16)), 16, 10).cast("int")
+
+
+def _decode_dynamic(data: Column, pos: Column, n: Column,
+                    abi_type: str) -> Column:
     """Native decode of a dynamic-type parameter from its tail
     (SURVEY §2.G2 extension; reference decodes these via go-ethereum
     `abi.UnpackIntoMap`, `internal/parser/parser.go:74-77`).
@@ -288,26 +306,20 @@ def _decode_dynamic(words: Column, head_slot: int, abi_type: str) -> Column:
     start of the data section) of a length-prefixed tail —
     ``[len][payload …]`` with the payload right-padded to a 32-byte
     multiple (strings/bytes left-aligned; array elements one word
-    each). The decode runs over a pre-split words ARRAY column (see
-    ``decode_event``: the blob is split ONCE in its own projection):
-    element_at/slice on the bound array beats re-substringing the full
-    hex string per reference — measured ~2× on a 600k-row decode,
-    because tail expressions are HOF-adjacent (interpreted, no
-    codegen) and every substr of the whole blob re-evaluates its
-    offset chain. Still entirely JVM-side — no Python for any
-    dynamic type.
+    each). ``pos``/``n`` arrive as STAGED columns (see decode_event:
+    each offset/length conv is computed once in its own projection,
+    kept un-collapsed by CollapseProject's non-cheap-multi-ref rule),
+    so every payload here is a single substring(data, pos, len) —
+    whole-stage-codegen, no per-row regex, no intermediate word array
+    (measured 3× over the previous split-into-words scheme on a
+    600k-row decode; the regex word split alone was ~45% of that
+    query). Arrays slice their region substring and split THAT short
+    string, so the regex cost scales with the array body, not the
+    blob. Still entirely JVM-side — no Python for any dynamic type.
     """
-    # ABI offsets are word-aligned: byte offset / 32 = 0-based word
-    # index of the length word.
-    off_w = (F.conv(F.substring(_wslot(words, head_slot), 49, 16), 16, 10)
-             / 32).cast("int")
-    n = F.conv(F.substring(_wslot(words, off_w), 49, 16), 16, 10) \
-        .cast("long")
+    body = pos + 64  # char position of the first tail word
     if abi_type in ("string", "bytes"):
-        n_words = F.ceil(n / 32).cast("int")
-        payload = F.concat_ws(
-            "", F.slice(words, off_w + 2, n_words)) \
-            .substr(F.lit(1), (n * 2).cast("int"))
+        payload = F.substring(data, body, n * 2)
         if abi_type == "string":
             return F.decode(F.unhex(payload), "UTF-8")
         return F.concat(F.lit("0x"), F.lower(payload))
@@ -315,27 +327,23 @@ def _decode_dynamic(words: Column, head_slot: int, abi_type: str) -> Column:
     if m and m.group(2) == "":
         elem = m.group(1)
         if elem in ("string", "bytes"):
-            # T[] of dynamic scalars: after the length word comes a
+            # T[] of dynamic scalars: after the count word comes a
             # mini head/tail — per-element byte offsets RELATIVE to
             # the array body start (ABI tuple-encoding rule), each
             # pointing at its own length-prefixed payload.
-            body_w = off_w + 1            # 0-based word of elem slot 0
             idx = F.when(
-                n > 0, F.sequence(F.lit(0), (n - 1).cast("int"))) \
+                n > 0, F.sequence(F.lit(0), n - 1)) \
                 .otherwise(F.array().cast("array<int>"))
 
             def one(i):
-                eoff_w = (F.conv(
-                    F.substring(F.element_at(words, body_w + i + 1),
-                                49, 16), 16, 10) / 32).cast("int")
-                etail_w = body_w + eoff_w
-                elen = F.conv(
-                    F.substring(F.element_at(words, etail_w + 1), 49, 16),
+                eoff = F.conv(
+                    F.substring(data, body + i * 64 + 48, F.lit(16)),
                     16, 10).cast("int")
-                payload = F.concat_ws(
-                    "", F.slice(words, etail_w + 2,
-                                F.ceil(elen / 32).cast("int"))) \
-                    .substr(F.lit(1), elen * 2)
+                epos = body + eoff * 2  # element's length word
+                elen = F.conv(
+                    F.substring(data, epos + 48, F.lit(16)),
+                    16, 10).cast("int")
+                payload = F.substring(data, epos + 64, elen * 2)
                 if elem == "string":
                     return F.decode(F.unhex(payload), "UTF-8")
                 return F.concat(F.lit("0x"), F.lower(payload))
@@ -346,20 +354,22 @@ def _decode_dynamic(words: Column, head_slot: int, abi_type: str) -> Column:
             raise NotImplementedError(
                 f"array element type {elem!r} not supported natively "
                 "(nested array / wide signed int)")
-        return F.transform(F.slice(words, off_w + 2, n.cast("int")),
-                           lambda wd: _decode_word(wd, elem))
+        region = F.substring(data, body, n * 64)
+        return F.transform(
+            F.regexp_extract_all(region, F.lit(_ONE_WORD_RE), 0),
+            lambda wd: _decode_word(wd, elem))
     raise NotImplementedError(f"dynamic type {abi_type!r}")
 
 
-def _decode_static_array(words: Column, base_slot: int,
+def _decode_static_array(data: Column, base_slot: int,
                          abi_type: str) -> Column:
     """Inline decode of a static fixed array T[k]: k consecutive head
-    slots, one element per word."""
+    slots, one element per word, all compile-time positions."""
     m = _ARRAY_RE.match(abi_type)
     elem, k = m.group(1), int(m.group(2))
     if _ARRAY_RE.match(elem):
         raise NotImplementedError("nested fixed arrays")
-    return F.array(*[_decode_word(_wslot(words, base_slot + i), elem)
+    return F.array(*[_decode_word(_word(data, base_slot + i), elem)
                      for i in range(k)])
 
 
@@ -414,46 +424,60 @@ def decode_event(raw_logs: DataFrame, event: AbiEvent, *,
                                 .alias(f"{inp.name}_hex"))
         return df.select(*out_cols)
 
-    # Dynamic event → three stacked projections, each kept separate by
-    # CollapseProject (non-cheap expressions, multiple references):
-    #   P1: split the blob into its 64-char words ONCE;
-    #   P2: every scalar/string/bytes decode from the bound words
-    #       array — no lambdas, so the whole project stays inside
-    #       WholeStageCodegen;
-    #   P3: array decodes only (transform lambdas are CodegenFallback
-    #       and would otherwise drag P2's decimal/string work into
-    #       interpreted evaluation — measured ~2× on a 600k-row blob).
+    # Dynamic event → staged projections, each kept separate by
+    # CollapseProject (non-cheap conv expressions, multiple refs):
+    #   P1: per-dynamic-param tail CHAR POSITION from its head slot;
+    #   P2: per-dynamic-param length/count word at that position;
+    #   P3: scalar decodes — static params from compile-time positions,
+    #       string/bytes payloads via one substring(data, pos, n*2) —
+    #       all WholeStageCodegen, no word array, no per-row regex on
+    #       the whole blob (the previous split-blob-into-words scheme
+    #       spent ~45% of the query in the \G regex split);
+    #   P4: array decodes only (transform lambdas are CodegenFallback
+    #       and would otherwise drag P3's decimal/string work into
+    #       interpreted evaluation) — each slices its own region
+    #       substring, so regex cost scales with the array body.
     # A final attribute-only select restores the declared column order.
-    df = df.withColumn(
-        _WORDS_COL,
-        F.split(F.substring(F.col("data"), 3, 1 << 30), _WORD_SPLIT_RE))
-    words = F.col(_WORDS_COL)
+    data = F.col("data")
+    dyn = [(slot, inp)
+           for slot, inp in zip(_head_slot_offsets(unindexed), unindexed)
+           if _is_dynamic(inp.type)]
+    pos_cols = {inp.name: f"__pos_{inp.name}" for _, inp in dyn}
+    n_cols = {inp.name: f"__n_{inp.name}" for _, inp in dyn}
+    df = df.select(
+        "*", *[_tail_pos(data, slot).alias(pos_cols[inp.name])
+               for slot, inp in dyn])
+    df = df.select(
+        "*", *[_len_at(data, F.col(pos_cols[inp.name])).alias(
+            n_cols[inp.name]) for _, inp in dyn])
 
     scalar_cols, array_cols = [], []
-    slot = 0
-    for inp in unindexed:
-        if _is_dynamic(inp.type) and not _ARRAY_RE.match(inp.type):
-            scalar_cols.append(_decode_dynamic(words, slot, inp.type)
-                               .alias(inp.name))
-        elif _ARRAY_RE.match(inp.type):
-            fn = (_decode_dynamic if _is_dynamic(inp.type)
-                  else _decode_static_array)
-            array_cols.append(fn(words, slot, inp.type).alias(inp.name))
+    for slot, inp in zip(_head_slot_offsets(unindexed), unindexed):
+        is_arr = bool(_ARRAY_RE.match(inp.type))
+        if _is_dynamic(inp.type):
+            col = _decode_dynamic(
+                data, F.col(pos_cols[inp.name]), F.col(n_cols[inp.name]),
+                inp.type).alias(inp.name)
+            (array_cols if is_arr else scalar_cols).append(col)
+        elif is_arr:
+            array_cols.append(
+                _decode_static_array(data, slot, inp.type).alias(inp.name))
         else:
-            word = _wslot(words, slot)
+            word = _word(data, slot)
             scalar_cols.append(_decode_word(word, inp.type).alias(inp.name))
             if (_int_bits(inp.type) or 0) > 63:
                 scalar_cols.append(F.concat(F.lit("0x"), F.lower(word))
                                    .alias(f"{inp.name}_hex"))
         order.append(inp.name)
-        if (_int_bits(inp.type) or 0) > 63 and not _ARRAY_RE.match(inp.type):
+        if (_int_bits(inp.type) or 0) > 63 and not is_arr:
             order.append(f"{inp.name}_hex")
-        slot += _head_slots(inp.type)
 
-    out = df.select(*out_cols, *scalar_cols,
-                    *([words] if array_cols else []))
+    keep = ([data, *[F.col(c) for c in pos_cols.values()],
+             *[F.col(c) for c in n_cols.values()]] if array_cols else [])
+    out = df.select(*out_cols, *scalar_cols, *keep)
     if array_cols:
-        out = out.select("*", *array_cols).drop(_WORDS_COL)
+        out = out.select("*", *array_cols) \
+            .drop("data", *pos_cols.values(), *n_cols.values())
     return out.select(*order)
 
 
