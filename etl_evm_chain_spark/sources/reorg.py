@@ -1,0 +1,197 @@
+"""Reorg-safe incremental indexing — the cursor the reference's
+catch-up loop would need in production.
+
+The reference scans `[start_block, latest]` in chunks
+(`/root/reference/internal/indexer/indexer.go:121-189`) and trusts
+every fetched block forever. On a real chain the last few blocks are
+not final: a reorganization replaces them, orphaning their logs and
+emitting different ones. An indexer with only a high-watermark cursor
+(sources/progress.py) then keeps rows from blocks that no longer
+exist. This module adds the three standard defenses:
+
+1. **Confirmation lag** — only index up to ``latest − confirmations``
+   so the common shallow reorg never touches committed data.
+2. **Hash-anchored cursor** — every commit records its tip block
+   HASH. On the next increment the stored tips are re-checked against
+   the live chain; the highest anchor whose hash still matches is the
+   fork point. Detection cost is O(committed anchors past the fork),
+   not O(chain).
+3. **Generation rewind** — the cursor log stays append-only (a
+   rewritten JSON file can be torn; an appended parquet row cannot).
+   A rewind appends a row with ``gen+1`` and the fork block; the
+   current watermark is the max ``to_block`` of the max ``gen``, so
+   the log is monotone in ``(gen, to_block)`` even though block
+   progress went backward.
+
+Output hygiene: decoded rows land partitioned by
+``block_bucket = block_number div bucket_size`` and every increment
+rewrites its touched buckets entirely (bucket-aligned replay: delete
+the bucket dirs, re-append). Decode is deterministic, so a rewrite is
+value-identical for untouched blocks — and after a rewind, orphaned
+rows are physically REMOVED, not merely superseded. At 100 TB the
+maintenance cost is bounded by reorg depth × bucket size (both O(1)
+w.r.t. lake size): only the affected partitions are touched, never
+the lake.
+
+The reference has no analog (its README promises at-most-once resume
+it never implemented, `README.md:176-178`); semantics here follow the
+standard confirmations/rollback design of production EVM ETL
+(e.g. the public ethereum-etl "last_synced_block - lag" pattern).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CURSOR_SCHEMA = "gen int, to_block long, tip_hash string"
+
+
+def read_cursor(spark: SparkSession,
+                progress_path: str) -> tuple[int, int, str] | None:
+    """(gen, to_block, tip_hash) of the current tip, or None."""
+    try:
+        df = spark.read.parquet(progress_path)
+    except Exception:  # noqa: BLE001 — absent dir = fresh start
+        return None
+    row = (df.orderBy(F.col("gen").desc(), F.col("to_block").desc())
+           .limit(1).collect())
+    if not row:
+        return None
+    r = row[0]
+    return int(r["gen"]), int(r["to_block"]), r["tip_hash"]
+
+
+def commit_cursor(spark: SparkSession, progress_path: str, *, gen: int,
+                  to_block: int, tip_hash: str) -> None:
+    """Append one anchor row AFTER the data write commits (crash in
+    between re-processes, never skips — same at-least-once boundary as
+    progress.commit_watermark)."""
+    spark.createDataFrame([(int(gen), int(to_block), tip_hash)],
+                          CURSOR_SCHEMA) \
+        .coalesce(1).write.mode("append").parquet(progress_path)
+
+
+def find_fork_point(spark: SparkSession, progress_path: str,
+                    get_block_hash: Callable[[int], str | None],
+                    *, max_probes: int = 64) -> tuple[int, int] | None:
+    """Validate stored anchors against the live chain.
+
+    Returns ``(gen, fork_block)`` — the highest current-generation
+    anchor whose hash still matches (``fork_block`` may be -1 when
+    every anchor is orphaned). Returns None when the tip itself still
+    matches (no reorg). Probes newest-first: the common case costs ONE
+    ``eth_getBlockByNumber``.
+    """
+    cur = read_cursor(spark, progress_path)
+    if cur is None:
+        return None
+    gen, tip_block, tip_hash = cur
+    if get_block_hash(tip_block) == tip_hash:
+        return None
+    anchors = (spark.read.parquet(progress_path)
+               .filter(F.col("gen") == gen)
+               .orderBy(F.col("to_block").desc())
+               .limit(max_probes).collect())
+    for a in anchors[1:]:  # tip already checked
+        if get_block_hash(int(a["to_block"])) == a["tip_hash"]:
+            return gen, int(a["to_block"])
+    return gen, -1
+
+
+def _bucket_start(block: int, bucket_size: int) -> int:
+    return (block // bucket_size) * bucket_size
+
+
+def incremental_decode_reorg_safe(
+        spark: SparkSession, *, raw: DataFrame, progress_path: str,
+        out_dir: str, decode: Callable[[DataFrame], DataFrame],
+        latest: int, get_block_hash: Callable[[int], str | None],
+        confirmations: int = 12, start: int = 0,
+        bucket_size: int = 1000) -> dict:
+    """One reorg-safe batch increment.
+
+    ``raw`` must reflect the CURRENT chain (a live fetcher, or a raw
+    lake maintained by this same discipline one hop upstream).
+    Returns ``{"from", "to", "rewound_to", "rows"}``;
+    ``{"rows": 0, ...}`` when caught up.
+    """
+    safe_latest = latest - confirmations
+    cur = read_cursor(spark, progress_path)
+    gen = cur[0] if cur else 0
+    hwm = cur[1] if cur else None
+    rewound_to = None
+
+    fork = find_fork_point(spark, progress_path, get_block_hash)
+    if fork is not None:
+        gen = fork[0] + 1
+        rewound_to = fork[1]
+        hwm = None if rewound_to < start else rewound_to
+
+    frm = start if hwm is None else max(start, hwm + 1)
+    if frm > safe_latest:
+        # Nothing replayable inside the confirmation gate yet. A
+        # detected fork is deliberately NOT committed here: detection
+        # is repeatable (the orphaned anchors keep failing their hash
+        # check), and the replay applies it as soon as the gate opens.
+        return {"from": None, "to": None,
+                "rewound_to": rewound_to, "rows": 0}
+
+    # Bucket-aligned replay: rewrite the partial head bucket entirely.
+    # Replayed bucket dirs are DELETED first (dynamic-partition
+    # overwrite alone leaves a stale bucket behind when the new chain
+    # decodes to zero rows for it), then appended. A crash between
+    # delete and append is self-healing: the cursor still points below
+    # the replay, so the next increment re-decodes the same buckets —
+    # decode is deterministic, so the rewrite is value-identical for
+    # unchanged blocks.
+    replay_from = max(start, _bucket_start(frm, bucket_size))
+    _delete_buckets(spark, out_dir,
+                    replay_from // bucket_size,
+                    safe_latest // bucket_size)
+    fresh = raw.filter((F.col("block_number") >= replay_from)
+                       & (F.col("block_number") <= safe_latest))
+    decoded = decode(fresh).withColumn(
+        "block_bucket",
+        (F.col("block_number") / bucket_size).cast("long"))
+    decoded.write.mode("append").partitionBy("block_bucket") \
+        .parquet(out_dir)
+
+    tip_hash = get_block_hash(safe_latest) or ""
+    commit_cursor(spark, progress_path, gen=gen, to_block=safe_latest,
+                  tip_hash=tip_hash)
+    n = (spark.read.parquet(out_dir)
+         .filter(F.col("block_number").between(frm, safe_latest)).count())
+    return {"from": frm, "to": safe_latest,
+            "rewound_to": rewound_to, "rows": n}
+
+
+def _delete_buckets(spark: SparkSession, out_dir: str,
+                    b0: int, b1: int) -> None:
+    """Drop ``block_bucket=b0..b1`` partition dirs (bounded by
+    increment size + reorg depth — O(1) w.r.t. lake size)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for b in range(b0, b1 + 1):
+        path = jvm.org.apache.hadoop.fs.Path(
+            f"{out_dir}/block_bucket={b}")
+        fs = path.getFileSystem(conf)
+        if fs.exists(path):
+            fs.delete(path, True)
+
+
+def read_committed(spark: SparkSession, out_dir: str,
+                   progress_path: str) -> DataFrame:
+    """Read-committed view of the decoded lake: rows at or below the
+    current cursor watermark. Replayed buckets are physically clean
+    (dynamic overwrite replaced them); the one case physical rewrite
+    cannot cover — a reorg onto a SHORTER chain leaving rows above the
+    new tip in not-yet-replayed buckets — is exactly what the
+    watermark filter removes. The filter is a parquet min/max prune on
+    ``block_bucket``/``block_number``, not a scan."""
+    cur = read_cursor(spark, progress_path)
+    hwm = cur[1] if cur else -1
+    return spark.read.parquet(out_dir) \
+        .filter(F.col("block_number") <= F.lit(hwm))

@@ -1,0 +1,159 @@
+"""Reorg-safe incremental cursor: fork detection, rewind, replay."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_evm_chain_spark.sources import reorg as rg
+from etl_evm_chain_spark.sources.abi import RAW_LOG_SCHEMA, decode_event
+from tests.test_evm import SWAPISH, _mklog, _word
+
+
+class FakeChain:
+    """A mutable chain: block → (hash, [log payload words]). Reorg by
+    replacing a suffix."""
+
+    def __init__(self, n_blocks: int, salt: str = "a"):
+        self.salt = {}
+        self.reorg(0, n_blocks, salt)
+
+    def reorg(self, frm: int, to: int, salt: str) -> None:
+        for b in range(frm, to + 1):
+            self.salt[b] = salt
+
+    def block_hash(self, number: int) -> str | None:
+        s = self.salt.get(number)
+        return None if s is None else f"0xh{number}{s}"
+
+    @property
+    def latest(self) -> int:
+        return max(self.salt)
+
+    def raw_logs(self, spark):
+        # one log per block; the decoded amount encodes the chain
+        # branch (salt) so orphaned rows are distinguishable.
+        rows = [
+            _mklog([SWAPISH.topic0, "0x" + _word(b)],
+                   [_word(b * 10 + (0 if s == "a" else 1)), _word(b)],
+                   block=b, idx=0)
+            for b, s in self.salt.items()
+        ]
+        return spark.createDataFrame(rows, RAW_LOG_SCHEMA)
+
+
+def _run(spark, chain, prog, out, **kw):
+    return rg.incremental_decode_reorg_safe(
+        spark, raw=chain.raw_logs(spark), progress_path=prog,
+        out_dir=out, decode=lambda df: decode_event(df, SWAPISH),
+        latest=chain.latest, get_block_hash=chain.block_hash,
+        bucket_size=10, **kw)
+
+
+def test_confirmation_lag_gates_the_tip(spark, tmp_path):
+    chain = FakeChain(20)
+    r = _run(spark, chain, str(tmp_path / "p"), str(tmp_path / "o"),
+             confirmations=5)
+    assert (r["from"], r["to"]) == (0, 15)
+    out = spark.read.parquet(str(tmp_path / "o"))
+    assert out.agg(F.max("block_number")).collect()[0][0] == 15
+
+
+def test_incremental_extends_without_reorg(spark, tmp_path):
+    chain = FakeChain(20)
+    prog, out = str(tmp_path / "p"), str(tmp_path / "o")
+    _run(spark, chain, prog, out, confirmations=5)
+    chain.reorg(21, 30, "a")  # chain grows
+    r = _run(spark, chain, prog, out, confirmations=5)
+    assert (r["from"], r["to"], r["rewound_to"]) == (16, 25, None)
+    got = spark.read.parquet(out).select("block_number").distinct().count()
+    assert got == 26  # blocks 0..25, no duplicates despite bucket replay
+
+
+def test_caught_up_is_a_noop(spark, tmp_path):
+    chain = FakeChain(20)
+    prog, out = str(tmp_path / "p"), str(tmp_path / "o")
+    _run(spark, chain, prog, out, confirmations=5)
+    r = _run(spark, chain, prog, out, confirmations=5)
+    assert r["rows"] == 0 and r["rewound_to"] is None
+
+
+def test_reorg_rewinds_and_replaces_orphans(spark, tmp_path):
+    chain = FakeChain(40)
+    prog, out = str(tmp_path / "p"), str(tmp_path / "o")
+    # two committed anchors: tips 15 and 35
+    _run(spark, chain, prog, out, confirmations=25)  # tip 15
+    _run(spark, chain, prog, out, confirmations=5)   # tip 35
+    # deep reorg: blocks 20+ replaced on branch "b", chain grows to 45
+    chain.reorg(20, 45, "b")
+    r = _run(spark, chain, prog, out, confirmations=5)
+    # tip anchor 35 is orphaned; anchor 15 still matches → fork at 15
+    assert r["rewound_to"] == 15
+    assert (r["from"], r["to"]) == (16, 40)
+    dec = spark.read.parquet(out)
+    # every decoded amount must match the CURRENT chain: amount parity
+    # encodes the branch (even = a, odd = b)
+    rows = {x["block_number"]: int(x["amount"])
+            for x in dec.collect()}
+    assert set(rows) == set(range(0, 41))
+    for b, amt in rows.items():
+        assert amt == b * 10 + (0 if b < 20 else 1), (b, amt)
+    # cursor generation bumped, tip re-anchored on the new branch
+    gen, to_block, tip_hash = rg.read_cursor(spark, prog)
+    assert gen == 1 and to_block == 40
+    assert tip_hash == chain.block_hash(40)
+
+
+def test_reorg_deeper_than_all_anchors_reindexes(spark, tmp_path):
+    chain = FakeChain(20)
+    prog, out = str(tmp_path / "p"), str(tmp_path / "o")
+    _run(spark, chain, prog, out, confirmations=5)
+    chain.reorg(0, 22, "b")  # everything orphaned
+    r = _run(spark, chain, prog, out, confirmations=5)
+    assert r["rewound_to"] == -1 and (r["from"], r["to"]) == (0, 17)
+    amts = {x["block_number"]: int(x["amount"])
+            for x in spark.read.parquet(out).collect()}
+    assert all(amt == b * 10 + 1 for b, amt in amts.items())
+
+
+def test_rewind_inside_confirmation_gate_waits(spark, tmp_path):
+    chain = FakeChain(20)
+    prog, out = str(tmp_path / "p"), str(tmp_path / "o")
+    _run(spark, chain, prog, out, confirmations=5)  # tip anchor 15
+    chain.reorg(15, 20, "b")  # reorg touches the anchor itself
+    # huge lag: fork detected (anchor 15 orphaned, no older anchor →
+    # -1) but nothing replayable inside the gate → no-op
+    r = _run(spark, chain, prog, out, confirmations=25)
+    assert r["rows"] == 0 and r["rewound_to"] == -1
+    # cursor untouched: detection repeats next increment
+    assert rg.read_cursor(spark, prog)[0] == 0
+    # once the gate opens, the rewind applies
+    r = _run(spark, chain, prog, out, confirmations=3)
+    assert r["rewound_to"] == -1 and r["to"] == 17
+
+
+def test_empty_replayed_bucket_is_physically_cleaned(spark, tmp_path):
+    chain = FakeChain(20)
+    prog, out = str(tmp_path / "p"), str(tmp_path / "o")
+    _run(spark, chain, prog, out, confirmations=5)  # blocks 0..15
+    # reorg wipes ALL logs from blocks 10.. (new branch has no blocks
+    # there beyond headers): simulate by replaying onto a chain whose
+    # raw stream is empty past block 9
+    chain.reorg(10, 21, "b")
+    raw = chain.raw_logs(spark).filter(F.col("block_number") < 10)
+    r = rg.incremental_decode_reorg_safe(
+        spark, raw=raw, progress_path=prog, out_dir=out,
+        decode=lambda df: decode_event(df, SWAPISH),
+        latest=chain.latest, get_block_hash=chain.block_hash,
+        bucket_size=10, confirmations=5)
+    assert r["rewound_to"] == -1
+    blocks = {x["block_number"]
+              for x in rg.read_committed(spark, out, prog).collect()}
+    assert blocks == set(range(0, 10))  # orphans at 10..15 are GONE
+
+
+def test_read_committed_hides_above_watermark(spark, tmp_path):
+    chain = FakeChain(20)
+    prog, out = str(tmp_path / "p"), str(tmp_path / "o")
+    _run(spark, chain, prog, out, confirmations=5)
+    committed = rg.read_committed(spark, out, prog)
+    assert committed.agg(F.max("block_number")).collect()[0][0] == 15
