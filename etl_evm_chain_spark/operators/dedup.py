@@ -65,6 +65,27 @@ def minhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
     return exploded.groupBy(id_col).agg(*aggs)
 
 
+def _banded(sig: DataFrame, *, id_col: str = "doc_id",
+            k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
+    """Explode signatures into (id, h0..h{k-1}, band, key) rows — the
+    join unit for both one-shot pair generation and the landed
+    incremental index."""
+    rows_per_band = k // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[F.col(f"h{b * rows_per_band + r}")
+                               for r in range(rows_per_band)]).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), *[F.col(f"h{i}") for i in range(k)],
+        F.explode(F.array(*band_cols)).alias("bk"),
+    ).select(id_col, *[f"h{i}" for i in range(k)],
+             F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def lsh_candidate_pairs(sig: DataFrame, *, id_col: str = "doc_id",
                         k: int = MINHASH_K,
                         bands: int = LSH_BANDS) -> DataFrame:
@@ -75,21 +96,7 @@ def lsh_candidate_pairs(sig: DataFrame, *, id_col: str = "doc_id",
     de-duplicate pairs and score by fraction of matching min-hashes.
     Output: id_a < id_b, est_jaccard.
     """
-    rows_per_band = k // bands
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws("_", *[F.col(f"h{b * rows_per_band + r}")
-                               for r in range(rows_per_band)]).alias("key"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        F.col(id_col), *[F.col(f"h{i}") for i in range(k)],
-        F.explode(F.array(*band_cols)).alias("bk"),
-    ).select(id_col, *[f"h{i}" for i in range(k)],
-             F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-
+    banded = _banded(sig, id_col=id_col, k=k, bands=bands)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -250,6 +257,103 @@ def span_dup_stats(docs: DataFrame, *, id_col: str = "doc_id",
              / F.col("n_grams").cast("double"))
     # floor-truncate, not round(): engine-portable (see quality_score).
     return out.withColumn("dup_ratio", F.floor(ratio * 1e6) / 1e6)
+
+
+def dup_spans(docs: DataFrame, *, id_col: str = "doc_id",
+              text_col: str = "text", k: int = 5, min_df: int = 2,
+              min_tokens: int = 15) -> DataFrame:
+    """Maximal duplicated-span EXTRACTION — the actionable form of
+    span_dup_stats: instead of a per-document ratio, emit the actual
+    token spans whose every k-gram also occurs in ≥ ``min_df − 1``
+    other documents, so a pipeline can TRIM boilerplate instead of
+    dropping whole documents (the remove-the-span policy of Lee et
+    al., arXiv:2107.06499, at k-gram anchor granularity).
+
+    A maximal duplicated span is a maximal run of consecutive
+    duplicated k-gram positions — classic gaps-and-islands:
+    ``pos − row_number()`` is constant within a run. Shuffle budget:
+    one groupBy(gh) for document frequency (map-side combined), one
+    semi-join back (gram hashes travel as 60-bit longs), one window +
+    groupBy per document (bounded by per-doc gram count, never
+    corpus-global). Output: (doc_id, start_tok, end_tok, len_toks,
+    n_grams, max_gram_df), token positions 0-based inclusive.
+    """
+    from ..functions.text import token_grams
+
+    gp = docs.select(
+        F.col(id_col),
+        F.posexplode(token_grams(text_col, k)).alias("pos", "_g"),
+    ).select(id_col, "pos", hash15(F.col("_g")).alias("gh"))
+    dup_gh = (gp.select(id_col, "gh").distinct()
+              .groupBy("gh").agg(F.count(F.lit(1)).alias("n_docs"))
+              .filter(F.col("n_docs") >= min_df))
+    marked = gp.join(dup_gh, "gh")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = marked.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        isl.groupBy(id_col, "grp")
+        .agg(F.min("pos").cast("long").alias("start_tok"),
+             (F.max("pos") + F.lit(k - 1)).cast("long").alias("end_tok"),
+             F.count(F.lit(1)).alias("n_grams"),
+             F.max("n_docs").alias("max_gram_df"))
+        .withColumn("len_toks",
+                    F.col("end_tok") - F.col("start_tok") + F.lit(1))
+        .filter(F.col("len_toks") >= min_tokens)
+        .drop("grp")
+    )
+
+
+def update_near_dup_index(spark, docs: DataFrame, index_path: str, *,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          k: int = MINHASH_K,
+                          bands: int = LSH_BANDS) -> DataFrame:
+    """Incremental near-dup detection against a LANDED LSH index — the
+    daily-increment shape of a 100 TB dedup pipeline: signatures and
+    band keys are computed for the NEW batch only, appended to the
+    parquet index, and candidate pairs come from joining the new
+    batch's bands against the (now-complete) index. Cost per increment
+    is O(batch) compute + an equi-join whose corpus side prunes to the
+    touched band keys — never a corpus-wide recompute.
+
+    Returns candidate pairs touching the new batch (new↔corpus and
+    new↔new), id_a < id_b, scored by estimated Jaccard (fraction of
+    matching min-hashes — the standard index-resident verification;
+    exact-Jaccard re-verification needs document text and composes via
+    verified_near_dups on the candidate ids). The union of pair sets
+    over successive increments equals one-shot lsh_candidate_pairs on
+    the full corpus (tested equivalence, tests/test_llmdata.py).
+
+    Batch commits are the caller's exactly-once boundary: pair it with
+    sources/progress (append after data commit) — re-appending the
+    same batch would duplicate index rows.
+    """
+    sig = minhash_signatures(docs, id_col=id_col, text_col=text_col, k=k)
+    new_banded = _banded(sig, id_col=id_col, k=k, bands=bands)
+    new_banded.write.mode("append").parquet(index_path)
+    index = spark.read.parquet(index_path)
+    a = new_banded.alias("a")
+    b = index.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"),
+                       F.col(f"b.{id_col}")).alias("id_b"),
+            *[F.col(f"a.h{i}").alias(f"ah{i}") for i in range(k)],
+            *[F.col(f"b.h{i}").alias(f"bh{i}") for i in range(k)],
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    matches = sum(
+        F.when(F.col(f"ah{i}") == F.col(f"bh{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    return pairs.select(
+        "id_a", "id_b",
+        (matches.cast("double") / k).alias("est_jaccard"),
+    )
 
 
 def resolve_duplicates(ids: DataFrame, pairs: DataFrame, *,

@@ -913,6 +913,52 @@ def _sql_gram(k: int) -> str:
     return _sql_hash15(f"({join})")
 
 
+# ---------------------------------------------------------------------------
+# Q101: maximal duplicated-span extraction (gaps-and-islands over
+# duplicated k-gram positions — the trim-the-span form of q69's
+# signal; operators/dedup.dup_spans).
+# ---------------------------------------------------------------------------
+
+SPAN_MIN_TOKENS = 15
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.dup_spans(docs, k=SPAN_K, min_tokens=SPAN_MIN_TOKENS)
+
+
+def _oracle_dup_spans() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+g AS (
+  SELECT doc_id, u.pos AS pos, u.gh AS gh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - {SPAN_K} + 2),
+                  i -> {{'pos': i - 1, 'gh': {_sql_gram(SPAN_K)}}})) AS u
+    FROM toks WHERE len(t) >= {SPAN_K})
+),
+dup AS (
+  SELECT gh, count(*) AS n_docs
+  FROM (SELECT DISTINCT doc_id, gh FROM g)
+  GROUP BY gh HAVING count(*) >= 2
+),
+marked AS (SELECT g.doc_id, g.pos, dup.n_docs FROM g JOIN dup USING (gh)),
+isl AS (
+  SELECT doc_id, pos, n_docs,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM marked
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS start_tok,
+       CAST(max(pos) + {SPAN_K - 1} AS BIGINT) AS end_tok,
+       count(*) AS n_grams,
+       CAST(max(n_docs) AS BIGINT) AS max_gram_df,
+       CAST(max(pos) + {SPAN_K - 1} - min(pos) + 1 AS BIGINT) AS len_toks
+FROM isl GROUP BY doc_id, grp
+HAVING max(pos) + {SPAN_K - 1} - min(pos) + 1 >= {SPAN_MIN_TOKENS}
+"""
+
+
 ORACLE_SPAN_DEDUP = f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
 g AS (
@@ -1224,6 +1270,9 @@ SPECS = [
               _oracle_semantic_dedup(),
               "SemDeDup clustered semantic dedup (cell-bounded cosine)",
               ("P2-dedup", "P2-sim")),
+    QuerySpec("q101_dup_spans", q_dup_spans, _oracle_dup_spans(),
+              "maximal duplicated token spans (trim-not-drop dedup)",
+              ("P2-dedup",)),
     QuerySpec("q69_span_dedup", q_span_dedup, ORACLE_SPAN_DEDUP,
               "cross-document repeated 5-gram span stats (exact-substring "
               "dedup signal)", ("P2-dedup",)),

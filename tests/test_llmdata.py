@@ -372,3 +372,51 @@ def test_kmeans_ivf_beats_or_matches_hash_centroids(spark):
     hash_recall = len(exact & hs) / len(exact)
     assert km_recall >= 0.4, f"kmeans recall {km_recall:.2f}"
     assert km_recall >= hash_recall - 0.05   # never materially worse
+
+
+def test_dup_spans_extracts_maximal_shared_run(spark):
+    shared = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, f"{shared} unique1a unique1b unique1c"),
+         (2, f"prefix2a prefix2b {shared}"),
+         (3, "totally different words with no overlap at all whatsoever")],
+        "doc_id long, text string")
+    out = dd.dup_spans(docs, k=3, min_df=2, min_tokens=5)
+    spans = {r["doc_id"]: (r["start_tok"], r["end_tok"], r["len_toks"])
+             for r in out.collect()}
+    # the 10-token shared run is maximal in both docs, nothing in doc 3
+    assert spans[1] == (0, 9, 10)
+    assert spans[2] == (2, 11, 10)
+    assert 3 not in spans
+
+
+def test_dup_spans_splits_on_gap(spark):
+    a = "one two three four five"
+    b = "six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, f"{a} GAPX {b}"),
+         (2, f"{a} other words here {b}")],
+        "doc_id long, text string")
+    out = dd.dup_spans(docs, k=2, min_df=2, min_tokens=3)
+    spans = sorted((r["start_tok"], r["end_tok"])
+                   for r in out.filter(F.col("doc_id") == 1).collect())
+    assert spans == [(0, 4), (6, 10)]  # two islands, the gap breaks the run
+
+
+def test_incremental_near_dup_index_matches_one_shot(spark, tmp_path):
+    idx = str(tmp_path / "lsh_index")
+    all_docs = _docs(spark)
+    batch1 = all_docs.filter(F.col("doc_id") <= 3)
+    batch2 = all_docs.filter(F.col("doc_id") > 3)
+
+    p1 = dd.update_near_dup_index(spark, batch1, idx)
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in p1.collect()}
+    p2 = dd.update_near_dup_index(spark, batch2, idx)
+    for r in p2.collect():
+        got[(r["id_a"], r["id_b"])] = r["est_jaccard"]
+
+    one_shot = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+                for r in dd.lsh_candidate_pairs(
+                    dd.minhash_signatures(all_docs)).collect()}
+    assert got == one_shot
+    assert (1, 2) in got and got[(1, 2)] == 1.0
