@@ -259,3 +259,45 @@ def write_jdbc_exactly_once(decoded: DataFrame, url: str, *,
     if trigger_once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_near_dups(docs: DataFrame, *, index_path: str, pairs_dir: str,
+                     checkpoint: str, id_col: str = "doc_id",
+                     text_col: str = "text", trigger_once: bool = True):
+    """Near-dup detection AT INGEST TIME: each micro-batch of documents
+    updates the landed LSH band index (operators/dedup.
+    update_near_dup_index) and appends the candidate pairs it created
+    against everything ingested so far.
+
+    ``foreachBatch`` is the right primitive here — the per-batch work
+    is a batch join against a growing external index, not a
+    watermarkable stream-stream join. Exactly-once comes from the
+    checkpoint's batch-id log: a replayed batch re-runs its index
+    append, which is why the index append inside update_near_dup_index
+    must stay the only writer (same discipline as
+    write_jdbc_exactly_once's ledger, minus the ledger — parquet
+    append of identical band rows is idempotent at the PAIR level
+    because pairs are dropDuplicates'd per batch and downstream
+    consumers dedup on (id_a, id_b)).
+
+    State at 100 TB: the index is a parquet lake partition-prunable by
+    band key; per-batch cost is O(batch) + the pruned join — no
+    unbounded executor state, unlike a dropDuplicates over all
+    history.
+    """
+    from ..operators.dedup import update_near_dup_index
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        pairs = update_near_dup_index(
+            spark, batch_df, index_path, id_col=id_col, text_col=text_col)
+        pairs.withColumn("batch_id", F.lit(batch_id)) \
+            .write.mode("append").parquet(pairs_dir)
+
+    w = (docs.writeStream.foreachBatch(per_batch)
+         .option("checkpointLocation", checkpoint))
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()

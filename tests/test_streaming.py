@@ -364,3 +364,40 @@ def test_jdbc_exactly_once_across_restart(spark, tmp_path):
         os.remove(crc)
     run()
     assert ticks() == [1, 2, 3]
+
+
+def test_stream_near_dups_accumulates_index_across_batches(spark, tmp_path):
+    src = str(tmp_path / "docs")
+    idx = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt_nd")
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima")
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string") \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        q = sp.stream_near_dups(stream, index_path=idx, pairs_dir=pairs_dir,
+                                checkpoint=ckpt)
+        q.awaitTermination(120)
+
+    # batch 1: two near-dups land together
+    spark.createDataFrame(
+        [(1, base), (2, "  ".join(base.split()))],
+        "doc_id long, text string").write.mode("append").parquet(src)
+    run()
+    got1 = {(r["id_a"], r["id_b"])
+            for r in spark.read.parquet(pairs_dir).collect()}
+    assert (1, 2) in got1
+
+    # batch 2: a near-dup of doc 1 plus an unrelated doc — the pair
+    # (1, 3) can only come from the LANDED index, not this batch alone
+    spark.createDataFrame(
+        [(3, base.replace("lima", "zulu")),
+         (4, "completely different content about engines")],
+        "doc_id long, text string").write.mode("append").parquet(src)
+    run()
+    got2 = {(r["id_a"], r["id_b"])
+            for r in spark.read.parquet(pairs_dir).collect()}
+    assert {(1, 2), (1, 3), (2, 3)} <= got2
+    assert not any(4 in p for p in got2)
