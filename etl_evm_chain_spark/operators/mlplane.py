@@ -163,3 +163,92 @@ def now_signals(model, dataset: DataFrame, *, key: str, ts: str,
                 "z", "devdt", "sigma")
         .orderBy(F.desc("prob"), key)
     )
+
+
+DOC_FEATURE_COLS = ("n_tokens", "avg_tok_len", "punct_r", "stop_r",
+                    "marker_en", "marker_de", "marker_fr")
+
+
+def doc_features(docs: DataFrame, *, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Surface features for model-based quality filtering — pure
+    expressions (functions/text.py), no Python in the scan. The
+    marker-word rates are the fastText-style lexical features; the
+    rest are the Gopher-style shape statistics."""
+    from ..functions import text as tx
+
+    t = F.col(text_col)
+    toks = tx.tokens(t)
+    n = F.size(toks)
+
+    def marker_rate(markers):
+        hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(*markers)))
+        return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+    return docs.select(
+        F.col(id_col),
+        tx.token_count(t).cast("double").alias("n_tokens"),
+        F.coalesce(tx.avg_token_len(t), F.lit(0.0)).alias("avg_tok_len"),
+        F.coalesce(tx.punct_ratio(t), F.lit(0.0)).alias("punct_r"),
+        F.coalesce(tx.stopword_ratio(t), F.lit(0.0)).alias("stop_r"),
+        *[marker_rate(ms).alias(f"marker_{lang}")
+          for lang, ms in tx.LANG_MARKERS.items()],
+    )
+
+
+def train_quality_filter(docs: DataFrame, *, positive,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         max_rows_per_partition: int = 500_000):
+    """Model-based quality filter — the fastText/CCNet-style component
+    of a training-data pipeline: weak labels from metadata (``positive``
+    is a boolean Column, e.g. membership in a curated seed corpus),
+    surface features from the text, a distributed
+    StandardScaler+LogisticRegression fit, and a per-document keep
+    probability for downstream top-p%% curation.
+
+    Returns (model, scored) where scored = (id, y, p_keep, pred) for
+    EVERY document. Same L-BFGS cost model as train_and_eval: the
+    train set is cached and coalesced so iterations do not multiply
+    task overhead; at 100 TB the treeAggregate per iteration is the
+    only corpus-wide pass.
+
+    Reference analog: E5/E6 (`stable_fee_ml_bot.py:173-186` pyc)
+    re-targeted from fee features to document features.
+    """
+    import math
+
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+
+    from .curation import hash_split
+
+    feats = doc_features(docs, id_col=id_col, text_col=text_col) \
+        .join(docs.select(F.col(id_col),
+                          positive.cast("int").alias("y")), id_col)
+    feats = hash_split(feats, key=id_col, salt="qf", train_pct=70,
+                       val_pct=0)
+    train = feats.filter(F.col("split") == "train").persist()
+    n_train = train.count()
+    p = max(1, math.ceil(n_train / max_rows_per_partition))
+    fit_input = (train.coalesce(p)
+                 if p < train.rdd.getNumPartitions() else train)
+
+    pipe = Pipeline(stages=[
+        VectorAssembler(inputCols=list(DOC_FEATURE_COLS),
+                        outputCol="raw_features"),
+        StandardScaler(inputCol="raw_features", outputCol="features",
+                       withMean=True, withStd=True),
+        LogisticRegression(featuresCol="features", labelCol="y",
+                           maxIter=1000, tol=1e-4),
+    ])
+    model = pipe.fit(fit_input)
+    train.unpersist()
+
+    from pyspark.ml.functions import vector_to_array
+
+    p1 = vector_to_array("probability").getItem(1)
+    scored = model.transform(feats).select(
+        id_col, "y", "split", p1.alias("p_keep"),
+        F.col("prediction").cast("int").alias("pred"))
+    return model, scored

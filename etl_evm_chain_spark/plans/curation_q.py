@@ -268,7 +268,37 @@ FROM card
 """
 
 
+# ---------------------------------------------------------------------------
+# Q102: model-based quality filter — weak labels from metadata (the
+# curated-seed-corpus pattern; here "substantial documents", n_chars
+# >= 300, stands in for seed membership — the fixture's lang column is
+# deliberately text-independent, so it is the one metadata label with
+# learnable text signal), surface features from text, distributed
+# scaler+logreg, per-document keep probability. Training is not
+# SQL-expressible -> rows-only correctness; the feature-separation
+# semantics are pytest-proven on a constructed corpus
+# (tests/test_llmdata.py::test_quality_filter_separates).
+# ---------------------------------------------------------------------------
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import mlplane as ml
+
+    docs = load_table(spark, sf_dir, "documents")
+    _, scored = ml.train_quality_filter(
+        docs, positive=F.col("n_chars") >= 300)
+    return (
+        scored.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("pred").cast("long").alias("n_pred_keep"))
+        .orderBy("y")
+    )
+
+
 SPECS = [
+    QuerySpec("q102_quality_filter", q_quality_filter, None,
+              "model-based quality filter (weak-label logreg over "
+              "surface features; fastText/CCNet analog)",
+              ("P2-curation", "E5", "E6")),
     QuerySpec("q56_hash_split", q_hash_split, ORACLE_HASH_SPLIT,
               "deterministic hash train/val/test split", ("P2-curation",)),
     QuerySpec("q57_stratified_sample", q_stratified_sample,

@@ -420,3 +420,25 @@ def test_incremental_near_dup_index_matches_one_shot(spark, tmp_path):
                     dd.minhash_signatures(all_docs)).collect()}
     assert got == one_shot
     assert (1, 2) in got and got[(1, 2)] == 1.0
+
+
+def test_quality_filter_separates_constructed_corpus(spark):
+    from etl_evm_chain_spark.operators import mlplane as ml
+
+    # positives: natural-ish English (stopword-rich, normal word len);
+    # negatives: junky strings (no stopwords, long tokens, punct-heavy)
+    good = ("the quick brown fox and the lazy dog walk to the park "
+            "in a sunny day of the spring and all of it is fine")
+    bad = "zzzzqqqq!!!! xxxxyyyyzzzz@@@@ qwertyuiopasdfgh 0x1234abcd!!!"
+    rows = [(i, f"{good} variant {i}", 1) for i in range(40)] + \
+           [(100 + i, f"{bad} {i}!!!", 0) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, seed int")
+
+    model, scored = ml.train_quality_filter(
+        docs, positive=F.col("seed") == 1)
+    agg = {r["y"]: r for r in
+           scored.groupBy("y").agg(
+               F.avg("p_keep").alias("p"),
+               F.avg(F.col("pred").cast("double")).alias("acc1")).collect()}
+    assert agg[1]["p"] > 0.9 and agg[0]["p"] < 0.1
+    assert agg[1]["acc1"] == 1.0 and agg[0]["acc1"] == 0.0
