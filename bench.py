@@ -106,6 +106,18 @@ def main() -> None:
             pass
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Apples-to-apples with the reference's single quantitative trace
+    # (~769 blocks/s indexing sample, reference README.md:188): blocks
+    # covered by the raw-log lake / wall time of the full decode+enrich
+    # query (q44) — the same scan→decode→enrich step the log line
+    # measures, minus network fetch on both sides (pre-landed lake
+    # here, sample log there).
+    bps = None
+    t44 = timings.get("q44_decode_transfers", -1.0)
+    if t44 > 0:
+        n_blocks = (synthetic_transfer_logs(spark, sf_dir, mixed=True)
+                    .select("block_number").distinct().count())
+        bps = int(n_blocks / t44)
     # The driver captures a bounded tail of stdout and parses the last
     # line as JSON; round 1's full-name dict (~3.5 KB) overflowed that
     # window and recorded "parsed": null. Short keys (the qNN prefix,
@@ -117,6 +129,7 @@ def main() -> None:
         "unit": "sec",
         "queries": short,
         "sf": sf,
+        "blocks_per_sec": bps,
     }, separators=(",", ":")))
 
 
