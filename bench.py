@@ -18,6 +18,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from etl_evm_chain_spark.plans.registry import all_specs
 from etl_evm_chain_spark.session import get_spark
 
@@ -112,12 +114,16 @@ def main() -> None:
     # query (q44) — the same scan→decode→enrich step the log line
     # measures, minus network fetch on both sides (pre-landed lake
     # here, sample log there).
-    bps = None
+    # Block density differs hugely (reference sample: 48 events/1000
+    # blocks; this lake: ~40 events/block), so report both units.
+    bps = eps = None
     t44 = timings.get("q44_decode_transfers", -1.0)
     if t44 > 0:
-        n_blocks = (synthetic_transfer_logs(spark, sf_dir, mixed=True)
-                    .select("block_number").distinct().count())
-        bps = int(n_blocks / t44)
+        lake = synthetic_transfer_logs(spark, sf_dir, mixed=True)
+        agg = lake.agg(
+            F.countDistinct("block_number").alias("b"),
+            F.count(F.lit(1)).alias("e")).collect()[0]
+        bps, eps = int(agg["b"] / t44), int(agg["e"] / t44)
     # The driver captures a bounded tail of stdout and parses the last
     # line as JSON; round 1's full-name dict (~3.5 KB) overflowed that
     # window and recorded "parsed": null. Short keys (the qNN prefix,
@@ -130,6 +136,7 @@ def main() -> None:
         "queries": short,
         "sf": sf,
         "blocks_per_sec": bps,
+        "events_per_sec": eps,
     }, separators=(",", ":")))
 
 
