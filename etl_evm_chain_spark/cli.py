@@ -32,6 +32,12 @@ def main(argv: list[str] | None = None) -> int:
                          "(default: eth_blockNumber)")
     ix.add_argument("--rpc-url")
     ix.add_argument("--storage-type", choices=["csv", "parquet", "jdbc"])
+    ix.add_argument("--progress", help="cursor directory: run ONE "
+                    "incremental catch-up step instead of a full scan "
+                    "(reorg-safe when live: confirmation lag + hash-"
+                    "anchored rewind)")
+    ix.add_argument("--confirmations", type=int, default=12,
+                    help="finality lag for --progress live mode")
 
     ap = sub.add_parser("api", help="serve the REST job API")
     ap.add_argument("--port", type=int, default=8080)
@@ -93,11 +99,70 @@ def _run(args, spark) -> int:
                                 start_block=args.start_block,
                                 rpc_url=args.rpc_url,
                                 storage_type=args.storage_type)
+        if getattr(args, "progress", None) and not args.raw_logs:
+            # reorg-safe incremental live indexing: one catch-up step
+            # per invocation (cron/scheduler-friendly), cursor + hash
+            # anchors under --progress/<Contract_Event>/
+            import os as _os
+
+            from .sources.evm_logs import fetch_logs
+            from .sources.reorg import incremental_decode_reorg_safe
+            from .sources.rpc import JsonRpcClient
+            client = JsonRpcClient(c.rpc_url)
+            latest = (args.end_block if args.end_block is not None
+                      else client.latest_block())
+
+            def get_hash(n: int):
+                blk = client.get_block(n)
+                return None if blk is None else blk.get("hash")
+
+            for contract in c.contracts:
+                for name, ev in contract.parsed_events.items():
+                    table = f"{contract.name}_{name}"
+
+                    def factory(frm, to, _ev=ev, _addr=contract.address):
+                        return fetch_logs(
+                            spark, start=frm, latest=to, fetcher=client,
+                            addresses=[_addr] if _addr else None,
+                            topic0s=[_ev.topic0], chunk=c.chunk_size)
+
+                    r = incremental_decode_reorg_safe(
+                        spark, raw_factory=factory,
+                        progress_path=_os.path.join(args.progress, table),
+                        out_dir=_os.path.join(c.storage_path, table),
+                        decode=lambda df, _ev=ev, _cn=contract.name:
+                            decode_event(df, _ev, contract_name=_cn),
+                        latest=latest, get_block_hash=get_hash,
+                        confirmations=args.confirmations,
+                        start=c.start_block)
+                    print(json.dumps({"table": table, **r}))
+            return 0
+
         if args.raw_logs:
             raw = read_raw_logs(spark, args.raw_logs,
                                 addresses=cfg.address_filter(c),
                                 topic0s=cfg.topic0_filter(c))
             raw = raw.filter(f"block_number >= {c.start_block}")
+            if getattr(args, "progress", None):
+                # lake catch-up: plain watermark cursor (a landed lake
+                # has no reorg surface; its maintainer has the hashes)
+                import os as _os
+
+                from .sources.progress import incremental_decode
+                hi = raw.agg({"block_number": "max"}).collect()[0][0] or 0
+                for contract in c.contracts:
+                    for name, ev in contract.parsed_events.items():
+                        table = f"{contract.name}_{name}"
+                        n = incremental_decode(
+                            spark, raw=raw,
+                            progress_path=_os.path.join(args.progress,
+                                                        table),
+                            out_dir=_os.path.join(c.storage_path, table),
+                            decode=lambda df, _ev=ev, _cn=contract.name:
+                                decode_event(df, _ev, contract_name=_cn),
+                            latest=int(hi), start=c.start_block)
+                        print(json.dumps({"table": table, "rows": n}))
+                return 0
         else:
             # live extraction: chunked eth_getLogs through the stdlib
             # JSON-RPC client (the reference's headline mode)

@@ -106,17 +106,22 @@ def _bucket_start(block: int, bucket_size: int) -> int:
 
 
 def incremental_decode_reorg_safe(
-        spark: SparkSession, *, raw: DataFrame, progress_path: str,
-        out_dir: str, decode: Callable[[DataFrame], DataFrame],
+        spark: SparkSession, *, raw: DataFrame | None = None,
+        progress_path: str, out_dir: str,
+        decode: Callable[[DataFrame], DataFrame],
         latest: int, get_block_hash: Callable[[int], str | None],
-        confirmations: int = 12, start: int = 0,
-        bucket_size: int = 1000) -> dict:
+        confirmations: int = 12, start: int = 0, bucket_size: int = 1000,
+        raw_factory: Callable[[int, int], DataFrame] | None = None) -> dict:
     """One reorg-safe batch increment.
 
-    ``raw`` must reflect the CURRENT chain (a live fetcher, or a raw
-    lake maintained by this same discipline one hop upstream).
-    Returns ``{"from", "to", "rewound_to", "rows"}``;
-    ``{"rows": 0, ...}`` when caught up.
+    ``raw`` must reflect the CURRENT chain (a raw lake maintained by
+    this same discipline one hop upstream); the block-range filter
+    prunes its scan. For LIVE extraction pass ``raw_factory(frm, to)``
+    instead — it is called with the exact replay bounds, so an
+    ``eth_getLogs`` fetcher only pulls the blocks being (re)indexed,
+    never the whole chain. Returns
+    ``{"from", "to", "rewound_to", "rows"}``; ``{"rows": 0, ...}``
+    when caught up.
     """
     safe_latest = latest - confirmations
     cur = read_cursor(spark, progress_path)
@@ -151,8 +156,11 @@ def incremental_decode_reorg_safe(
     _delete_buckets(spark, out_dir,
                     replay_from // bucket_size,
                     safe_latest // bucket_size)
-    fresh = raw.filter((F.col("block_number") >= replay_from)
-                       & (F.col("block_number") <= safe_latest))
+    if raw_factory is not None:
+        fresh = raw_factory(replay_from, safe_latest)
+    else:
+        fresh = raw.filter((F.col("block_number") >= replay_from)
+                           & (F.col("block_number") <= safe_latest))
     decoded = decode(fresh).withColumn(
         "block_bucket",
         (F.col("block_number") / bucket_size).cast("long"))

@@ -245,3 +245,82 @@ contracts:
         assert all(r["contract_name"] == "Pool" for r in rows)
     finally:
         node.shutdown()
+
+
+def test_index_cli_incremental_reorg_safe(spark, tmp_path):
+    """`index --progress` runs one reorg-safe catch-up step per call:
+    confirmation lag, resume past the watermark, hash-anchored rewind
+    that physically replaces orphaned rows."""
+    import json as _json
+    import threading
+
+    from etl_evm_chain_spark.cli import main as cli_main
+    from tests.test_evm import SWAPISH, _word
+
+    from tests.test_rpc import _FakeNode
+
+    node = _FakeNode()
+    node.latest = 60
+
+    def mklog(i, amount):
+        return {
+            "address": "0x" + "11" * 20,
+            "topics": [SWAPISH.topic0, "0x" + _word(i)],
+            "data": "0x" + _word(amount) + _word(i),
+            "blockNumber": hex(i * 10),
+            "transactionHash": f"0x{'ee' * 31}{i:02x}",
+            "logIndex": "0x0",
+        }
+
+    node.logs = [mklog(i, 10 * i) for i in range(1, 6)]  # blocks 10..50
+    t = threading.Thread(target=node.serve_forever, daemon=True)
+    t.start()
+    try:
+        abi = [{"type": "event", "name": "Swapish", "inputs": [
+            {"name": "sender", "type": "address", "indexed": True},
+            {"name": "amount", "type": "uint256", "indexed": False},
+            {"name": "tick", "type": "int24", "indexed": False}]}]
+        (tmp_path / "pool.json").write_text(_json.dumps(abi))
+        out = str(tmp_path / "out")
+        (tmp_path / "config.yaml").write_text(f"""
+rpc_url: {node.url}
+start_block: 0
+chunk_size: 10
+storage:
+  type: parquet
+  path: {out}
+contracts:
+  - name: Pool
+    address: "0x{'11' * 20}"
+    abi: pool.json
+    events: [Swapish]
+""")
+        argv = ["index", "--config", str(tmp_path / "config.yaml"),
+                "--progress", str(tmp_path / "prog"),
+                "--confirmations", "5"]
+        assert cli_main(argv) == 0          # step 1: blocks 0..55
+        table = out + "/Pool_Swapish"
+        ticks = sorted(r["tick"]
+                       for r in spark.read.parquet(table).collect())
+        assert ticks == [1, 2, 3, 4, 5]
+
+        # chain grows; a new log lands at block 58
+        node.logs.append(mklog(6, 60) | {"blockNumber": hex(58)})
+        node.latest = 70
+        assert cli_main(argv) == 0          # step 2: 56..65 picks it up
+        ticks = sorted(r["tick"]
+                       for r in spark.read.parquet(table).collect())
+        assert ticks == [1, 2, 3, 4, 5, 6]
+
+        # reorg: blocks >= 50 move to branch b — block 50's log is
+        # replaced (amount changes), block 58's log is orphaned
+        for b in range(50, 71):
+            node.salts[b] = "b"
+        node.logs = [mklog(i, 10 * i) for i in range(1, 5)] \
+            + [mklog(5, 555)]
+        assert cli_main(argv) == 0          # step 3: rewind + replay
+        rows = {r["tick"]: int(r["amount"])
+                for r in spark.read.parquet(table).collect()}
+        assert rows == {1: 10, 2: 20, 3: 30, 4: 40, 5: 555}
+    finally:
+        node.shutdown()

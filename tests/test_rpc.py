@@ -22,6 +22,7 @@ class _FakeNode(ThreadingHTTPServer):
         super().__init__(("127.0.0.1", 0), _Handler)
         self.latest = 45
         self.fail_next = 0
+        self.salts = {}            # block -> branch salt (reorg tests)
         self.lock = threading.Lock()
         # one log per block 0..latest, topic alternates
         self.logs = [
@@ -35,6 +36,9 @@ class _FakeNode(ThreadingHTTPServer):
             }
             for i in range(self.latest + 1)
         ]
+
+    def block_hash(self, n: int) -> str:
+        return f"0xh{n:08x}{self.salts.get(n, 'a')}"
 
     @property
     def url(self) -> str:
@@ -61,7 +65,9 @@ class _Handler(BaseHTTPRequestHandler):
             result = getattr(srv, "txs", {}).get(params[0])
         elif method == "eth_getBlockByNumber":
             n = int(params[0], 16)
-            result = ({"number": hex(n), "timestamp": hex(1700000000 + n * 12)}
+            result = ({"number": hex(n),
+                       "timestamp": hex(1700000000 + n * 12),
+                       "hash": srv.block_hash(n)}
                       if n <= srv.latest else None)
         elif method == "eth_getLogs":
             f = params[0]
