@@ -99,6 +99,14 @@ def _run(args, spark) -> int:
                                 start_block=args.start_block,
                                 rpc_url=args.rpc_url,
                                 storage_type=args.storage_type)
+        if getattr(args, "progress", None) and c.storage_type != "parquet":
+            # incremental layouts are parquet tables under
+            # storage_path/<Contract>_<Event>/ (live mode additionally
+            # partitioned by block_bucket) — not the CSV/JDBC sinks of
+            # full-scan mode, and not interchangeable with it.
+            print("index --progress requires storage.type: parquet",
+                  file=sys.stderr)
+            return 2
         if getattr(args, "progress", None) and not args.raw_logs:
             # reorg-safe incremental live indexing: one catch-up step
             # per invocation (cron/scheduler-friendly), cursor + hash

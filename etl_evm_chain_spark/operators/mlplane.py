@@ -165,8 +165,14 @@ def now_signals(model, dataset: DataFrame, *, key: str, ts: str,
     )
 
 
-DOC_FEATURE_COLS = ("n_tokens", "avg_tok_len", "punct_r", "stop_r",
-                    "marker_en", "marker_de", "marker_fr")
+def _doc_feature_cols() -> tuple[str, ...]:
+    from ..functions.text import LANG_MARKERS
+
+    return ("n_tokens", "avg_tok_len", "punct_r", "stop_r",
+            *[f"marker_{lang}" for lang in LANG_MARKERS])
+
+
+DOC_FEATURE_COLS = _doc_feature_cols()
 
 
 def doc_features(docs: DataFrame, *, id_col: str = "doc_id",

@@ -451,17 +451,24 @@ def decode_event(raw_logs: DataFrame, event: AbiEvent, *,
         "*", *[_len_at(data, F.col(pos_cols[inp.name])).alias(
             n_cols[inp.name]) for _, inp in dyn])
 
+    # Array decodes run in their own projection AFTER the scalar one
+    # (P4); by then a decoded param may legitimately be aliased "data"
+    # (common name, cf. ERC777 Sent), so the raw blob travels under a
+    # reserved alias that cannot collide.
+    blob_col = "__abi_blob"
+    blob = F.col(blob_col)
     scalar_cols, array_cols = [], []
     for slot, inp in zip(_head_slot_offsets(unindexed), unindexed):
         is_arr = bool(_ARRAY_RE.match(inp.type))
         if _is_dynamic(inp.type):
             col = _decode_dynamic(
-                data, F.col(pos_cols[inp.name]), F.col(n_cols[inp.name]),
+                blob if is_arr else data,
+                F.col(pos_cols[inp.name]), F.col(n_cols[inp.name]),
                 inp.type).alias(inp.name)
             (array_cols if is_arr else scalar_cols).append(col)
         elif is_arr:
             array_cols.append(
-                _decode_static_array(data, slot, inp.type).alias(inp.name))
+                _decode_static_array(blob, slot, inp.type).alias(inp.name))
         else:
             word = _word(data, slot)
             scalar_cols.append(_decode_word(word, inp.type).alias(inp.name))
@@ -472,12 +479,13 @@ def decode_event(raw_logs: DataFrame, event: AbiEvent, *,
         if (_int_bits(inp.type) or 0) > 63 and not is_arr:
             order.append(f"{inp.name}_hex")
 
-    keep = ([data, *[F.col(c) for c in pos_cols.values()],
+    keep = ([data.alias(blob_col),
+             *[F.col(c) for c in pos_cols.values()],
              *[F.col(c) for c in n_cols.values()]] if array_cols else [])
     out = df.select(*out_cols, *scalar_cols, *keep)
     if array_cols:
         out = out.select("*", *array_cols) \
-            .drop("data", *pos_cols.values(), *n_cols.values())
+            .drop(blob_col, *pos_cols.values(), *n_cols.values())
     return out.select(*order)
 
 

@@ -56,6 +56,11 @@ def read_cursor(spark: SparkSession,
         df = spark.read.parquet(progress_path)
     except Exception:  # noqa: BLE001 — absent dir = fresh start
         return None
+    if "gen" not in df.columns or "tip_hash" not in df.columns:
+        raise ValueError(
+            f"{progress_path} is not a reorg-safe cursor (columns "
+            f"{df.columns}); plain watermark cursors "
+            "(sources/progress.py) are not interchangeable with it")
     row = (df.orderBy(F.col("gen").desc(), F.col("to_block").desc())
            .limit(1).collect())
     if not row:
@@ -144,6 +149,22 @@ def incremental_decode_reorg_safe(
         return {"from": None, "to": None,
                 "rewound_to": rewound_to, "rows": 0}
 
+    # Anchor hash is captured BEFORE fetching/writing any data: if the
+    # chain reorgs mid-increment, the committed anchor then belongs to
+    # the branch we MIGHT have read from — worst case the next
+    # increment sees a mismatch and safely re-replays. Capturing it
+    # after the write would commit the NEW branch's hash over the OLD
+    # branch's rows, hiding the orphans forever. A None hash (lagging
+    # node, end-block past tip) aborts the increment instead of
+    # committing an anchor that can never match again — the cursor is
+    # still below, so the next run simply redoes this step.
+    tip_hash = get_block_hash(safe_latest)
+    if tip_hash is None:
+        raise RuntimeError(
+            f"reorg-safe increment: no block hash at safe tip "
+            f"{safe_latest} (node lagging or latest overstated); "
+            "refusing to commit an unverifiable anchor")
+
     # Bucket-aligned replay: rewrite the partial head bucket entirely.
     # Replayed bucket dirs are DELETED first (dynamic-partition
     # overwrite alone leaves a stale bucket behind when the new chain
@@ -167,7 +188,6 @@ def incremental_decode_reorg_safe(
     decoded.write.mode("append").partitionBy("block_bucket") \
         .parquet(out_dir)
 
-    tip_hash = get_block_hash(safe_latest) or ""
     commit_cursor(spark, progress_path, gen=gen, to_block=safe_latest,
                   tip_hash=tip_hash)
     n = (spark.read.parquet(out_dir)
@@ -201,5 +221,10 @@ def read_committed(spark: SparkSession, out_dir: str,
     ``block_bucket``/``block_number``, not a scan."""
     cur = read_cursor(spark, progress_path)
     hwm = cur[1] if cur else -1
-    return spark.read.parquet(out_dir) \
-        .filter(F.col("block_number") <= F.lit(hwm))
+    try:
+        lake = spark.read.parquet(out_dir)
+    except Exception as e:  # noqa: BLE001
+        raise RuntimeError(
+            f"read_committed: no decoded lake at {out_dir} yet (cursor "
+            f"watermark {hwm}); run an increment first") from e
+    return lake.filter(F.col("block_number") <= F.lit(hwm))

@@ -121,14 +121,16 @@ class JsonRpcClient:
 
     def get_block(self, number: int) -> dict | None:
         """``eth_getBlockByNumber`` (header only) → {block_number,
-        timestamp} — the reference's GetHeaderByNumber
-        (`internal/rpc/client.go:124-148`), used for the block→ts dim."""
+        timestamp, hash} — the reference's GetHeaderByNumber
+        (`internal/rpc/client.go:124-148`), used for the block→ts dim
+        and (hash) for the reorg-safe cursor's fork anchors."""
         blk = self.call("eth_getBlockByNumber", [hex(number), False])
         if blk is None:
             return None
         return {
             "block_number": int(str(blk.get("number")), 16),
             "timestamp": int(str(blk.get("timestamp")), 16),
+            "hash": blk.get("hash"),
         }
 
     def get_transaction(self, tx_hash: str) -> dict | None:

@@ -503,3 +503,20 @@ def test_decode_string_array_param(spark):
     for i, strs in enumerate(cases):
         assert got[i]["notes"] == strs, (i, got[i]["notes"])
         assert got[i]["v"] == i + 1
+
+
+def test_decode_dynamic_param_named_data_with_array(spark):
+    """A decoded param literally named 'data' (cf. ERC777 Sent) must
+    not collide with the raw blob column the array stage carries."""
+    ev = AbiEvent("Executed", (
+        AbiInput("data", "bytes", False),
+        AbiInput("targets", "uint32[]", False),
+    ))
+    # head: [0x40][0x80]; tails: bytes len 3 = 0xaabbcc; uint32[] = [7]
+    words = [_word(0x40), _word(0x80), _word(3),
+             "aabbcc" + "0" * 58, _word(1), _word(7)]
+    log = _mklog([ev.topic0], words)
+    out = decode_event(
+        spark.createDataFrame([log], RAW_LOG_SCHEMA), ev).collect()[0]
+    assert out["data"] == "0xaabbcc"
+    assert out["targets"] == [7]

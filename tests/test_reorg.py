@@ -157,3 +157,32 @@ def test_read_committed_hides_above_watermark(spark, tmp_path):
     _run(spark, chain, prog, out, confirmations=5)
     committed = rg.read_committed(spark, out, prog)
     assert committed.agg(F.max("block_number")).collect()[0][0] == 15
+
+
+def test_missing_tip_hash_aborts_without_committing(spark, tmp_path):
+    chain = FakeChain(20)
+    prog, out = str(tmp_path / "p"), str(tmp_path / "o")
+    _run(spark, chain, prog, out, confirmations=5)  # tip 15
+    chain.reorg(21, 40, "a")
+    # node "lags": no hash past block 30, but latest claims 40
+    lagging = lambda n: chain.block_hash(n) if n <= 30 else None  # noqa: E731
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="unverifiable anchor"):
+        rg.incremental_decode_reorg_safe(
+            spark, raw=chain.raw_logs(spark), progress_path=prog,
+            out_dir=out, decode=lambda df: decode_event(df, SWAPISH),
+            latest=chain.latest, get_block_hash=lagging,
+            bucket_size=10, confirmations=5)
+    # cursor untouched: the next healthy increment resumes normally
+    assert rg.read_cursor(spark, prog)[1] == 15
+    r = _run(spark, chain, prog, out, confirmations=5)
+    assert (r["from"], r["to"]) == (16, 35)
+
+
+def test_plain_watermark_cursor_is_rejected(spark, tmp_path):
+    from etl_evm_chain_spark.sources import progress as pg
+    prog = str(tmp_path / "p")
+    pg.commit_watermark(spark, prog, 42)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not a reorg-safe cursor"):
+        rg.read_cursor(spark, prog)
