@@ -54,13 +54,14 @@ def main() -> None:
     from etl_evm_chain_spark.plans.evm import (synthetic_memo_logs,
                                                synthetic_transfer_logs)
     from etl_evm_chain_spark.plans.llmdata import _simhash_landed
+    from etl_evm_chain_spark.plans.textstats_q import _bpe_merges_landed
     from etl_evm_chain_spark.plans.stateful import _ml_dataset_landed
 
     for mixed in (False, True):
         synthetic_transfer_logs(spark, sf_dir, mixed=mixed) \
             .select("block_number").limit(1).collect()
     for landed in (synthetic_memo_logs, _ml_dataset_landed,
-                   _simhash_landed, _resolved_landed):
+                   _simhash_landed, _resolved_landed, _bpe_merges_landed):
         landed(spark, sf_dir).limit(1).collect()
 
     timings: dict[str, float] = {}

@@ -121,7 +121,57 @@ FROM topk t CROSS JOIN fit f
 """
 
 
+# ---------------------------------------------------------------------------
+# Q103: exact BPE tokenization — merges trained on the corpus's word-
+# frequency table (functions/bpe.py), landed once per scale factor,
+# then applied via the distinct-word encoder + hash join. Training is
+# an iterative driver-coordinated algorithm -> rows-only correctness;
+# the merge algebra itself is golden-tested against the Sennrich
+# reference example (tests/test_bpe.py).
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 30
+
+
+def _bpe_merges_landed(spark: SparkSession, sf_dir: str):
+    import os
+
+    from ..catalog import landed_parquet
+    from ..functions import bpe
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        merges = bpe.train_bpe_merges(docs, num_merges=BPE_MERGES)
+        return spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(merges)],
+            "rank int, a string, b string")
+
+    return landed_parquet(
+        spark, name="bpe_merges",
+        src_paths=[os.path.join(sf_dir, "documents.parquet")],
+        build=build, params=f"m{BPE_MERGES}")
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import bpe
+
+    merges = [(r["a"], r["b"]) for r in
+              _bpe_merges_landed(spark, sf_dir).orderBy("rank").collect()]
+    docs = load_table(spark, sf_dir, "documents")
+    stats = bpe.bpe_token_stats(docs, merges)
+    return (docs.select("doc_id", "source").join(stats, "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_words").alias("n_words"),
+                 F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+                 F.max("max_word_toks").alias("max_word_toks"))
+            .orderBy("source"))
+
+
 SPECS = [
+    QuerySpec("q103_bpe_tokens", q_bpe_tokens, None,
+              "exact BPE tokenization (trained merges, distinct-word "
+              "encoder)", ("P2-text",)),
     QuerySpec("q75_char_entropy", q_char_entropy, ORACLE_CHAR_ENTROPY,
               "Shannon char-entropy quality gate (bits/char)",
               ("P2-text",)),
