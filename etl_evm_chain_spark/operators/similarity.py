@@ -890,3 +890,68 @@ def cosine_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
 
     return df.select(id_col, vec_col).mapInPandas(
         kernel, "id_a long, id_b long, sim double")
+
+
+def update_ann_index(spark, batch: DataFrame, index_path: str, *,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     k: int = 5, n_cells: int = 16, n_probe: int = 4,
+                     centroids: str = "hash") -> DataFrame:
+    """Incremental IVF index — the embedding twin of
+    dedup.update_near_dup_index, the daily-increment shape of a 100 TB
+    similarity pipeline: cell assignments are computed for the NEW
+    batch only and appended to a landed parquet index; the batch's
+    top-k neighbors come from probing its ``n_probe`` nearest cells
+    against the (now-complete) index, so the corpus side prunes to the
+    touched cells (cell is the physical partition key — the probe join
+    reads only those directories).
+
+    The coarse quantizer is FROZEN at index creation (first call:
+    hash-picked from the first batch, or spherical k-means with
+    ``centroids="kmeans"``) and persisted under
+    ``<index_path>/centroids`` — later batches must quantize against
+    the same cells or assignments drift per increment. Re-training
+    centroids is an explicit rebuild, exactly as in FAISS-style IVF
+    services.
+
+    Returns (qid, cid, sim, rank) for the new batch vs everything
+    ingested so far (self-matches excluded). Batch commits are the
+    caller's exactly-once boundary (pair with sources/progress).
+    """
+    import os
+
+    cent_path = os.path.join(index_path, "centroids")
+    cells_path = os.path.join(index_path, "cells")
+    try:
+        cents = spark.read.parquet(cent_path)
+        _ = cents.schema["cvec_cent"]
+    except Exception:  # noqa: BLE001 — first batch creates the quantizer
+        if centroids == "kmeans":
+            cents = kmeans_centroids(batch, id_col=id_col, vec_col=vec_col,
+                                     n_cells=n_cells)
+        else:
+            cents = _ivf_centroids(batch, id_col, vec_col, n_cells,
+                                   salt="ivfx:")
+        cents.coalesce(1).write.mode("overwrite").parquet(cent_path)
+        cents = spark.read.parquet(cent_path)
+
+    assigned = _nearest_cells(batch, cents, id_col, vec_col, 1) \
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"),
+                "cell")
+    assigned.write.mode("append").partitionBy("cell").parquet(cells_path)
+
+    index = spark.read.parquet(cells_path)
+    probed = _nearest_cells(batch, cents, id_col, vec_col, n_probe) \
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"),
+                "cell")
+    scored = (
+        index.join(F.broadcast(probed), "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("sim", cosine("qvec", "cvec"))
+        .dropDuplicates(["qid", "cid"])
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", F.round("sim", 6).alias("sim"), "rank")
+    )

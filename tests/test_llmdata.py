@@ -442,3 +442,38 @@ def test_quality_filter_separates_constructed_corpus(spark):
                F.avg(F.col("pred").cast("double")).alias("acc1")).collect()}
     assert agg[1]["p"] > 0.9 and agg[0]["p"] < 0.1
     assert agg[1]["acc1"] == 1.0 and agg[0]["acc1"] == 0.0
+
+
+def test_incremental_ann_index_matches_one_shot(spark, tmp_path):
+    idx = str(tmp_path / "ann_index")
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+
+    r1 = sim.update_ann_index(spark, b1, idx, k=3)
+    assert r1.count() > 0                      # batch-1 self neighbors
+    r2 = sim.update_ann_index(spark, b2, idx, k=3).collect()
+    # batch-2 queries must see batch-1 vectors through the index
+    cids = {r["cid"] for r in r2}
+    assert any(c % 2 == 0 for c in cids)
+
+    # equivalence: re-running the probe for batch-2 against a one-shot
+    # assignment with the SAME frozen centroids gives identical pairs
+    cents = spark.read.parquet(idx + "/centroids")
+    assigned = sim._nearest_cells(emb, cents, "vec_id", "embedding", 1) \
+        .select(F.col("vec_id").alias("cid"),
+                F.col("embedding").alias("cvec"), "cell")
+    probed = sim._nearest_cells(b2, cents, "vec_id", "embedding", 4) \
+        .select(F.col("vec_id").alias("qid"),
+                F.col("embedding").alias("qvec"), "cell")
+    from pyspark.sql import Window
+    scored = (assigned.join(F.broadcast(probed), "cell")
+              .filter(F.col("qid") != F.col("cid"))
+              .withColumn("sim", sim.cosine("qvec", "cvec"))
+              .dropDuplicates(["qid", "cid"]))
+    wr = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    want = {(r["qid"], r["cid"], r["rank"]) for r in
+            scored.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= 3).collect()}
+    got = {(r["qid"], r["cid"], r["rank"]) for r in r2}
+    assert got == want
