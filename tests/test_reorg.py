@@ -29,12 +29,21 @@ class FakeChain:
     def latest(self) -> int:
         return max(self.salt)
 
+    @staticmethod
+    def _salt_ord(s: str) -> int:
+        if s == "a":
+            return 0
+        if s == "b":
+            return 1
+        return int(s[1:]) + 1  # "s1" -> 2, "s2" -> 3, ...
+
     def raw_logs(self, spark):
         # one log per block; the decoded amount encodes the chain
-        # branch (salt) so orphaned rows are distinguishable.
+        # branch (salt) so orphaned rows are distinguishable — every
+        # branch gets a distinct amount, not just a/b.
         rows = [
             _mklog([SWAPISH.topic0, "0x" + _word(b)],
-                   [_word(b * 10 + (0 if s == "a" else 1)), _word(b)],
+                   [_word(b * 10 + self._salt_ord(s)), _word(b)],
                    block=b, idx=0)
             for b, s in self.salt.items()
         ]
@@ -186,3 +195,42 @@ def test_plain_watermark_cursor_is_rejected(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="not a reorg-safe cursor"):
         rg.read_cursor(spark, prog)
+
+
+def test_random_grow_reorg_sequences_converge_to_chain(spark, tmp_path):
+    """Property: after ANY sequence of grows and reorgs, the committed
+    lake equals a clean decode of the final chain up to the watermark.
+    Seeded exhaustive-ish sweep instead of hypothesis (each scenario
+    costs real Spark jobs)."""
+    import random
+
+    rng = random.Random(7)
+    for case in range(3):
+        chain = FakeChain(15)
+        prog = str(tmp_path / f"p{case}")
+        out = str(tmp_path / f"o{case}")
+        salt_i = 0
+        for step in range(4):
+            op = rng.choice(["grow", "reorg", "grow"])
+            if op == "grow":
+                chain.reorg(chain.latest + 1,
+                            chain.latest + rng.randint(3, 12),
+                            chain.salt[chain.latest])
+            else:
+                salt_i += 1
+                depth = rng.randint(1, 10)
+                frm = max(0, chain.latest - depth)
+                chain.reorg(frm, chain.latest + rng.randint(0, 6),
+                            f"s{salt_i}")
+            _run(spark, chain, prog, out, confirmations=3)
+
+        hwm = rg.read_cursor(spark, prog)[1]
+        got = {(x["block_number"], int(x["amount"]))
+               for x in rg.read_committed(spark, out, prog).collect()}
+        want = {
+            (r["block_number"], int(r["amount"]))
+            for r in decode_event(
+                chain.raw_logs(spark).filter(
+                    F.col("block_number") <= hwm), SWAPISH).collect()
+        }
+        assert got == want, f"case {case}: lake diverged from chain"
