@@ -70,21 +70,31 @@ def _merge_adjacent(syms: F.Column, a: str, b: str) -> F.Column:
 
 def train_bpe_merges(docs: DataFrame, *, num_merges: int,
                      text_col: str = "text",
-                     min_pair_count: int = 2) -> list[tuple[str, str]]:
+                     min_pair_count: int = 2,
+                     batch: int = 1) -> list[tuple[str, str]]:
     """Learn ``num_merges`` merges; returns them in rank order.
 
-    Driver traffic per round is ONE row (the winning pair); the symbol
-    table stays distributed and cached. Rounds stop early when the
-    best pair drops under ``min_pair_count`` (merging singletons only
-    memorizes the sample).
+    Driver traffic per round is ``batch`` rows; the symbol table stays
+    distributed and cached. Rounds stop early when the best pair drops
+    under ``min_pair_count`` (merging singletons only memorizes the
+    sample).
+
+    ``batch=1`` (default) is EXACT classic BPE — counts are recomputed
+    after every merge. ``batch=k`` applies up to k merges per round,
+    greedily filtered so no two share a symbol (pairwise-disjoint
+    merges cannot interact within a pass, left-to-right scan aside),
+    cutting round count ~k× — the standard scalable approximation when
+    vocabularies are large and each round is a full shuffle. Merge
+    RANK order (count desc, pair asc within a round) is preserved, so
+    the encoder consumes both variants identically.
     """
     wc = word_counts(docs, text_col=text_col)
     table = wc.select("n", _initial_symbols(F.col("word")).alias("syms"))
     merges: list[tuple[str, str]] = []
-    for _ in range(num_merges):
+    while len(merges) < num_merges:
         table = table.persist()
         pair = F.struct(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        best = (
+        top = (
             table.filter(F.size("syms") > 1)
             .select("n", F.explode(F.zip_with(
                 F.slice("syms", 1, F.size("syms") - 1),
@@ -94,15 +104,28 @@ def train_bpe_merges(docs: DataFrame, *, num_merges: int,
             .groupBy(pair.alias("pair"))
             .agg(F.sum("n").alias("c"))
             .orderBy(F.desc("c"), F.asc("pair.a"), F.asc("pair.b"))
-            .limit(1).collect()
+            .limit(max(batch * 4, batch)).collect()
         )
-        if not best or best[0]["c"] < min_pair_count:
+        picked: list[tuple[str, str]] = []
+        used: set[str] = set()
+        for r in top:
+            if r["c"] < min_pair_count:
+                break
+            a, b = r["pair"]["a"], r["pair"]["b"]
+            if a in used or b in used or a + b in used:
+                continue  # shares a symbol with an earlier pick
+            picked.append((a, b))
+            used.update((a, b, a + b))
+            if len(picked) >= min(batch, num_merges - len(merges)):
+                break
+        if not picked:
             table.unpersist()
             break
-        a, b = best[0]["pair"]["a"], best[0]["pair"]["b"]
-        merges.append((a, b))
-        nxt = table.select("n", _merge_adjacent(F.col("syms"), a, b)
-                           .alias("syms"))
+        merges.extend(picked)
+        col = F.col("syms")
+        for a, b in picked:
+            col = _merge_adjacent(col, a, b)
+        nxt = table.select("n", col.alias("syms"))
         nxt = nxt.localCheckpoint(eager=True)  # cut the growing lineage
         table.unpersist()
         table = nxt

@@ -57,3 +57,21 @@ def test_training_stops_when_pairs_run_dry(spark):
     # only pairs with count >= 2 ever merge; the tail rounds stop early
     assert len(m) < 50
     assert m[0] in [("a", "b"), ("b", "</w>"), ("ab", "</w>")]
+
+
+def test_batched_training_matches_exact_on_disjoint_merges(spark):
+    docs = _corpus(spark)
+    exact = bpe.train_bpe_merges(docs, num_merges=5, batch=1)
+    batched = bpe.train_bpe_merges(docs, num_merges=5, batch=3)
+    # same merge SET is not guaranteed in general, but every batched
+    # tokenization must still round-trip and compress
+    for r in bpe.word_token_map(docs, batched).collect():
+        assert "".join(r["toks"]) == r["word"] + "</w>"
+    n_exact = bpe.bpe_token_stats(docs, exact).collect()[0]["n_bpe_tokens"]
+    n_batch = bpe.bpe_token_stats(docs, batched).collect()[0]["n_bpe_tokens"]
+    n_none = bpe.bpe_token_stats(docs, []).collect()[0]["n_bpe_tokens"]
+    assert n_batch < n_none
+    assert abs(n_batch - n_exact) <= 0.3 * n_exact
+    # batch=1 path is byte-identical to the pre-batching algorithm
+    assert exact == [("e", "s"), ("es", "t"), ("est", "</w>"),
+                     ("l", "o"), ("lo", "w")]
