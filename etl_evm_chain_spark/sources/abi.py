@@ -424,20 +424,27 @@ def decode_event(raw_logs: DataFrame, event: AbiEvent, *,
                                 .alias(f"{inp.name}_hex"))
         return df.select(*out_cols)
 
-    # Dynamic event → staged projections, each kept separate by
-    # CollapseProject (non-cheap conv expressions, multiple refs):
-    #   P1: per-dynamic-param tail CHAR POSITION from its head slot;
+    # Dynamic event → staged projections:
+    #   P1: per-dynamic-param tail CHAR POSITION from its head slot —
+    #       kept as its own projection by CollapseProject because each
+    #       pos is non-cheap (conv) and referenced twice downstream
+    #       (length word + payload slice);
     #   P2: per-dynamic-param length/count word at that position;
     #   P3: scalar decodes — static params from compile-time positions,
     #       string/bytes payloads via one substring(data, pos, n*2) —
-    #       all WholeStageCodegen, no word array, no per-row regex on
-    #       the whole blob (the previous split-blob-into-words scheme
-    #       spent ~45% of the query in the \G regex split);
-    #   P4: array decodes only (transform lambdas are CodegenFallback
-    #       and would otherwise drag P3's decimal/string work into
-    #       interpreted evaluation) — each slices its own region
-    #       substring, so regex cost scales with the array body.
-    # A final attribute-only select restores the declared column order.
+    #       no word array, no per-row regex on the whole blob (the
+    #       previous split-blob-into-words scheme spent ~45% of the
+    #       query in the \G regex split);
+    #   P4: array decodes — each slices its own region substring, so
+    #       regex cost scales with the array body, not the blob.
+    # When arrays exist, Catalyst collapses P3 into P4 (each staged
+    # column ends up single-reference after pruning), taking the
+    # scalar decodes out of codegen along with the transform lambdas.
+    # Measured at sf0.1 this is a wash (8.4s merged vs 8.6s with a
+    # CollectMetrics barrier forcing the split): the HOF machinery
+    # dominates, not interpreted-vs-codegen scalar eval — so we keep
+    # the simpler plan. A final attribute-only select restores the
+    # declared column order.
     data = F.col("data")
     dyn = [(slot, inp)
            for slot, inp in zip(_head_slot_offsets(unindexed), unindexed)
