@@ -15,10 +15,11 @@ Decoding strategy (SURVEY §2.G):
   (substring + conv) — JVM-side, codegen'd; no Python in the hot path
   for every type that fits 64 bits (addresses, bools, ticks, fees…).
 - uint256/int256 (SURVEY §7 hard part 1): dual-column convention —
-  lossless ``<name>_hex`` string plus ``<name>`` DecimalType(38,0)
-  decoded by an Arrow-batched pandas UDF (Python big-int, exact up to
-  38 digits; larger values keep the hex column as the source of
-  truth and the decimal saturates to NULL).
+  lossless ``<name>_hex`` string plus ``<name>`` DecimalType(38,0).
+  uint256 decodes natively (two-limb hi·2⁶⁴+lo decimal arithmetic);
+  only signed >63-bit types fall back to an Arrow-batched pandas UDF
+  (Python big-int). Values beyond 38 digits keep the hex column as
+  the source of truth and the decimal saturates to NULL.
 - dynamic types (string, bytes, T[]; `abi.UnpackIntoMap` parity):
   head-slot offset → length-prefixed tail, decoded with native offset
   arithmetic on the hex blob (substr/conv/unhex — still no Python);
