@@ -104,7 +104,7 @@ def train_bpe_merges(docs: DataFrame, *, num_merges: int,
             .groupBy(pair.alias("pair"))
             .agg(F.sum("n").alias("c"))
             .orderBy(F.desc("c"), F.asc("pair.a"), F.asc("pair.b"))
-            .limit(max(batch * 4, batch)).collect()
+            .limit(batch * 4).collect()  # 4x oversample for the disjoint filter
         )
         picked: list[tuple[str, str]] = []
         used: set[str] = set()

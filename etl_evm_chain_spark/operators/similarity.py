@@ -356,9 +356,16 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *,
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), "cell")
     probed = _nearest_cells(queries, cents, id_col, vec_col, n_probe) \
         .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"), "cell")
+    return _probe_score_topk(assigned, F.broadcast(probed), k)
 
+
+def _probe_score_topk(assigned: DataFrame, probed: DataFrame,
+                      k: int) -> DataFrame:
+    """Shared IVF tail: join probes to assigned cells, exact cosine,
+    global per-query top-k across the probed cells. ``assigned`` =
+    (cid, cvec, cell); ``probed`` = (qid, qvec, cell)."""
     scored = (
-        assigned.join(F.broadcast(probed), "cell")
+        assigned.join(probed, "cell")
         .filter(F.col("qid") != F.col("cid"))
         .withColumn("sim", cosine("qvec", "cvec"))
         .dropDuplicates(["qid", "cid"])
@@ -919,12 +926,22 @@ def update_ann_index(spark, batch: DataFrame, index_path: str, *,
     """
     import os
 
+    if centroids not in ("hash", "kmeans"):
+        # validate BEFORE anything persists: a typo silently frozen
+        # into the quantizer would cost a full index rebuild
+        raise ValueError(f"unknown centroids source {centroids!r}")
+
     cent_path = os.path.join(index_path, "centroids")
     cells_path = os.path.join(index_path, "cells")
-    try:
+    # Existence-checked, not try/except-everything: a transient read
+    # failure on an EXISTING quantizer must surface, never silently
+    # retrain and overwrite the frozen centroids (which would orphan
+    # every prior batch's cell assignments).
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(cent_path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jvm_path):
         cents = spark.read.parquet(cent_path)
-        _ = cents.schema["cvec_cent"]
-    except Exception:  # noqa: BLE001 — first batch creates the quantizer
+    else:
         if centroids == "kmeans":
             cents = kmeans_centroids(batch, id_col=id_col, vec_col=vec_col,
                                      n_cells=n_cells)
@@ -934,24 +951,25 @@ def update_ann_index(spark, batch: DataFrame, index_path: str, *,
         cents.coalesce(1).write.mode("overwrite").parquet(cent_path)
         cents = spark.read.parquet(cent_path)
 
-    assigned = _nearest_cells(batch, cents, id_col, vec_col, 1) \
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"),
-                "cell")
+    # NULL vectors can neither be indexed nor probed (cosine(NULL, x)
+    # is NULL and would pollute the landed index forever).
+    batch = batch.filter(F.col(vec_col).isNotNull())
+    # One _nearest_cells pass serves both sides: rank 1 = the cell a
+    # vector is indexed under, ranks 1..n_probe = the cells it probes.
+    ww = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell"))
+    ranked = (batch.crossJoin(F.broadcast(cents))
+              .withColumn("_sim", cosine(vec_col, "cvec_cent"))
+              .drop("cvec_cent")
+              .withColumn("_cr", F.row_number().over(ww))
+              .filter(F.col("_cr") <= n_probe))
+    assigned = ranked.filter(F.col("_cr") == 1).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), "cell")
     assigned.write.mode("append").partitionBy("cell").parquet(cells_path)
 
     index = spark.read.parquet(cells_path)
-    probed = _nearest_cells(batch, cents, id_col, vec_col, n_probe) \
-        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"),
-                "cell")
-    scored = (
-        index.join(F.broadcast(probed), "cell")
-        .filter(F.col("qid") != F.col("cid"))
-        .withColumn("sim", cosine("qvec", "cvec"))
-        .dropDuplicates(["qid", "cid"])
-    )
-    wr = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= k)
-        .select("qid", "cid", F.round("sim", 6).alias("sim"), "rank")
-    )
+    probed = ranked.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"), "cell")
+    # plain equi-join: the batch is unbounded (a forced broadcast of
+    # the ingest side caps at Spark's 8 GB table limit) — AQE picks
+    # broadcast on its own when the batch is actually small.
+    return _probe_score_topk(index, probed, k)

@@ -159,12 +159,16 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
               _bpe_merges_landed(spark, sf_dir).orderBy("rank").collect()]
     docs = load_table(spark, sf_dir, "documents")
     stats = bpe.bpe_token_stats(docs, merges)
-    return (docs.select("doc_id", "source").join(stats, "doc_id")
+    # left join: zero-token documents produce no stats row but must
+    # still count toward n_docs
+    return (docs.select("doc_id", "source").join(stats, "doc_id", "left")
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("n_words").alias("n_words"),
-                 F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
-                 F.max("max_word_toks").alias("max_word_toks"))
+                 F.sum(F.coalesce("n_words", F.lit(0))).alias("n_words"),
+                 F.sum(F.coalesce("n_bpe_tokens", F.lit(0)))
+                 .alias("n_bpe_tokens"),
+                 F.max(F.coalesce("max_word_toks", F.lit(0)))
+                 .alias("max_word_toks"))
             .orderBy("source"))
 
 
