@@ -61,3 +61,34 @@ def merge_scd2(current: DataFrame, updates: DataFrame, *,
         .withColumn(valid_to, F.lit(None).cast(current.schema[valid_to].dataType))
     )
     return untouched.unionByName(closed).unionByName(opened, allowMissingColumns=True)
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, *, key: str,
+                  compare: list[str]) -> DataFrame:
+    """Corpus/snapshot diff — the data-versioning primitive between
+    two versions of a table: every key classified added / removed /
+    changed / unchanged by comparing a fingerprint of the ``compare``
+    columns (null-safe, 60-bit md5 prefix so the verdict is portable
+    to any engine).
+
+    One full-outer join on the key; the fingerprints fold each side to
+    (key, long) BEFORE the join, so the shuffle carries 16 bytes per
+    row regardless of payload width — the property that makes diffing
+    two 100 TB snapshots a key shuffle, not a payload shuffle.
+    """
+    def fp(df: DataFrame) -> DataFrame:
+        h = F.conv(F.substring(F.md5(F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                      for c in compare])), 1, 15), 16, 10).cast("long")
+        return df.select(F.col(key), h.alias("_fp"))
+
+    o = fp(old).withColumnRenamed("_fp", "_fp_old")
+    n = fp(new).withColumnRenamed("_fp", "_fp_new")
+    j = o.join(n, key, "full_outer")
+    status = (
+        F.when(F.col("_fp_old").isNull(), "added")
+        .when(F.col("_fp_new").isNull(), "removed")
+        .when(F.col("_fp_old") == F.col("_fp_new"), "unchanged")
+        .otherwise("changed")
+    )
+    return j.select(F.col(key), status.alias("status"))

@@ -37,6 +37,59 @@ def _change_set(orders: DataFrame) -> DataFrame:
     return updates.unionByName(inserts)
 
 
+# ---------------------------------------------------------------------------
+# Q104: corpus snapshot diff (operators/merge.snapshot_diff) — the
+# "previous snapshot" is derived deterministically from documents:
+# doc_id % 7 == 3 rows are absent from it (-> added), doc_id % 11 == 5
+# rows carry mutated text (-> changed), and a shifted-id slice exists
+# only in it (-> removed). The oracle classifies by direct null-safe
+# column comparison, so it also validates that the fingerprint path is
+# semantically a column compare (collision odds ~2^-60).
+# ---------------------------------------------------------------------------
+
+def _old_snapshot(docs: DataFrame) -> DataFrame:
+    kept = docs.filter(F.col("doc_id") % 7 != 3).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 5,
+               F.concat(F.col("text"), F.lit("~old")))
+        .otherwise(F.col("text")).alias("text"),
+        "lang")
+    extinct = docs.filter(F.col("doc_id") % 13 == 1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang")
+    return kept.unionByName(extinct)
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.select("doc_id", "text", "lang")
+    return snapshot_diff(_old_snapshot(new), new, key="doc_id",
+                         compare=["text", "lang"]).orderBy("doc_id")
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH new AS (SELECT doc_id, text, lang FROM documents),
+old AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 5 THEN text || '~old' ELSE text END AS text,
+         lang
+  FROM new WHERE doc_id % 7 != 3
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang FROM new
+  WHERE doc_id % 13 = 1
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text IS NOT DISTINCT FROM n.text
+             AND o.lang IS NOT DISTINCT FROM n.lang THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+ORDER BY doc_id
+"""
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus",
@@ -150,6 +203,9 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPECS = [
+    QuerySpec("q104_snapshot_diff", q_snapshot_diff, ORACLE_SNAPSHOT_DIFF,
+              "corpus snapshot diff: added/removed/changed/unchanged "
+              "by fingerprint full-outer join", ("P2-curation", "C4")),
     QuerySpec("q51_merge_upsert", q_merge_upsert, ORACLE_MERGE_UPSERT,
               "MERGE INTO emulation (anti-join + union upsert)", ("F3", "C4")),
     QuerySpec("q52_profile_columns", q_profile_columns, ORACLE_PROFILE_COLUMNS,

@@ -82,3 +82,27 @@ def test_landed_parquet_builds_once_and_rebuilds_on_stale(spark, tmp_path):
     kw2 = dict(kw, params="p2")                  # params key separates
     assert landed_parquet(spark, build=build, **kw2).count() == 5
     assert len(builds) == 3
+
+
+def test_snapshot_diff_classifies_all_four_states(spark):
+    from etl_evm_chain_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", None)],
+        "id long, v string, w string")
+    new = spark.createDataFrame(
+        [(2, "b", "y"), (3, "CHANGED", None), (4, "d", "z")],
+        "id long, v string, w string")
+    got = {r["id"]: r["status"]
+           for r in snapshot_diff(old, new, key="id",
+                                  compare=["v", "w"]).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_snapshot_diff_null_safe_compare(spark):
+    from etl_evm_chain_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "id long, v string")
+    new = spark.createDataFrame([(1, None)], "id long, v string")
+    assert snapshot_diff(old, new, key="id",
+                         compare=["v"]).collect()[0]["status"] == "unchanged"
