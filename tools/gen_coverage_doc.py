@@ -54,6 +54,10 @@ STATIC = {
     "C5": "operators/asof.py asof_join (true event-time form; q54) + timeseries kit grid form (q17)",
     "P2-bucketing": "functions/bucketing.py write_bucketed/colocated_join (0-Exchange joins); tests/test_bucketing.py",
     "P2-graph": "operators/graph.py pagerank (Pregel-by-join, checkpointed supersteps) (q74)",
+    "P2-dedup": "incremental: dedup.update_near_dup_index (landed LSH band index) + streaming/pipeline.stream_near_dups (foreachBatch ingest-time dedup); tests prove increment-union == one-shot",
+    "P2-sim": "incremental: similarity.update_ann_index (frozen-quantizer IVF, cell-partitioned parquet index); equivalence-tested vs one-shot assignment",
+    "P2-text": "exact BPE: functions/bpe.py (merges trained on the word-frequency table, batch=k disjoint variant; q103)",
+    "P2-curation": "mlplane.train_quality_filter model-based filter (q102); merge.snapshot_diff corpus versioning (q104)",
 }
 
 
