@@ -313,3 +313,52 @@ def contamination(train: DataFrame, evalset: DataFrame, *,
         .filter(F.col("containment") >= min_containment)
         .select("train_id", "eval_id", "containment")
     )
+
+
+def redact_contaminated(train: DataFrame, evalset: DataFrame, *,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 5) -> DataFrame:
+    """Span-level decontamination: REMOVE the tokens covered by any
+    k-gram that also appears in the benchmark set, instead of dropping
+    the whole document (the redaction policy of e.g. GPT-3 appendix C /
+    PaLM's 'n-gram removal' variant — ``contamination`` above is the
+    drop-policy twin).
+
+    Shuffle shape: the benchmark gram set folds to DISTINCT 60-bit
+    hashes once; train grams semi-join against it (long keys), covered
+    token indices explode from hit positions only (O(hits·k), not
+    O(corpus)), and the rebuild is one groupBy(doc) whose state is
+    bounded by document length. Returns every train document with
+    ``n_tokens``, ``n_tokens_kept``, ``n_tokens_removed``, and the
+    redacted text (space-rejoined kept tokens, in order).
+    """
+    from ..functions.text import hash15, token_grams, tokens
+
+    bad = (evalset.select(F.explode(token_grams(text_col, k)).alias("_g"))
+           .select(hash15(F.col("_g")).alias("gh")).distinct())
+    toks = train.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("idx", "tok"))
+    gpos = train.select(
+        F.col(id_col),
+        F.posexplode(token_grams(text_col, k)).alias("pos", "_g")) \
+        .select(id_col, "pos", hash15(F.col("_g")).alias("gh"))
+    covered = (gpos.join(bad, "gh", "left_semi")
+               .select(id_col, F.explode(
+                   F.sequence(F.col("pos"), F.col("pos") + k - 1))
+                   .alias("idx"))
+               .distinct())
+    kept = toks.join(covered, [id_col, "idx"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+            lambda x: x["tok"])).alias("redacted_text"),
+        F.count(F.lit(1)).alias("n_tokens_kept"))
+    base = train.select(F.col(id_col),
+                        F.size(tokens(text_col)).cast("long")
+                        .alias("n_tokens"))
+    kept_n = F.coalesce("n_tokens_kept", F.lit(0)).cast("long")
+    return base.join(rebuilt, id_col, "left").select(
+        id_col, "n_tokens",
+        kept_n.alias("n_tokens_kept"),
+        (F.col("n_tokens") - kept_n).cast("long").alias("n_tokens_removed"),
+        F.coalesce("redacted_text", F.lit("")).alias("redacted_text"))

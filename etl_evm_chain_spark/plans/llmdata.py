@@ -412,6 +412,79 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination(train, evalset, min_containment=CONTAIN_THR)
 
 
+# ---------------------------------------------------------------------------
+# Q105: span-level decontamination — redact benchmark-covered k-gram
+# spans instead of dropping documents (cleaning.redact_contaminated;
+# the drop-policy twin is q63). Text is compared as a 60-bit
+# fingerprint so result rows stay narrow.
+# ---------------------------------------------------------------------------
+
+REDACT_K = 5
+
+
+def q_redact_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cleaning import redact_contaminated
+
+    docs = load_table(spark, sf_dir, "documents")
+    evalset = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    out = redact_contaminated(train, evalset, k=REDACT_K)
+    from ..functions.text import hash15
+
+    return out.select(
+        "doc_id", "n_tokens", "n_tokens_kept", "n_tokens_removed",
+        hash15(F.col("redacted_text")).alias("redacted_fp"))
+
+
+def _oracle_redact() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+g AS (
+  SELECT doc_id, u.pos AS pos, u.gh AS gh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - {REDACT_K} + 2),
+                  i -> {{'pos': i - 1, 'gh': {_sql_gram(REDACT_K)}}})) AS u
+    FROM toks WHERE len(t) >= {REDACT_K})
+),
+bad AS (SELECT DISTINCT gh FROM g WHERE doc_id % {EVAL_MOD} = 0),
+hits AS (
+  SELECT g.doc_id, g.pos FROM g JOIN bad USING (gh)
+  WHERE g.doc_id % {EVAL_MOD} != 0
+),
+covered AS (
+  SELECT DISTINCT doc_id, idx FROM (
+    SELECT doc_id, unnest(list_transform(range(0, {REDACT_K}),
+                                         j -> pos + j)) AS idx
+    FROM hits)
+),
+tok_rows AS (
+  SELECT doc_id, u.idx AS idx, u.tok AS tok FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) + 1),
+                  i -> {{'idx': i - 1, 'tok': t[i]}})) AS u
+    FROM toks WHERE doc_id % {EVAL_MOD} != 0)
+),
+kept AS (
+  SELECT tr.doc_id, tr.idx, tr.tok
+  FROM tok_rows tr LEFT JOIN covered c
+    ON tr.doc_id = c.doc_id AND tr.idx = c.idx
+  WHERE c.doc_id IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS rt,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+       CAST(len(t.t) - coalesce(r.n_kept, 0) AS BIGINT) AS n_tokens_removed,
+       {_sql_hash15("coalesce(r.rt, '')")} AS redacted_fp
+FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+WHERE t.doc_id % {EVAL_MOD} != 0
+"""
+
+
 ORACLE_DECONTAMINATE = f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
 shs AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh0 FROM toks),
@@ -1234,6 +1307,10 @@ SPECS = [
     QuerySpec("q62_pii_scrub", q_pii_scrub, _oracle_pii_scrub(),
               "PII redaction (email/phone/URL) with exact-text checksum",
               ("P2-text",)),
+    QuerySpec("q105_redact_contaminated", q_redact_contaminated,
+              _oracle_redact(),
+              "span-level decontamination (redact benchmark-covered "
+              "k-gram spans)", ("P2-text", "P2-dedup")),
     QuerySpec("q63_decontaminate", q_decontaminate, ORACLE_DECONTAMINATE,
               "benchmark decontamination via shingle containment",
               ("P2-text", "P2-dedup")),

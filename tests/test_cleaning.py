@@ -175,3 +175,21 @@ def test_bloom_candidates_no_false_negatives(spark):
            bloom_candidates(train, evalset, min_hits=8).collect()}
     assert got[1]["n_bloom_hits"] >= 8 and got[1]["is_candidate"] == 1
     assert got[2]["n_bloom_hits"] == 0 and got[2]["is_candidate"] == 0
+
+
+def test_redact_contaminated_splices_out_benchmark_spans(spark):
+    from etl_evm_chain_spark.operators.cleaning import redact_contaminated
+
+    bench = spark.createDataFrame(
+        [(100, "one two three four five")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, "intro one two three four five outro words here"),
+         (2, "totally clean document with no overlap at all")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           redact_contaminated(train, bench, k=5).collect()}
+    assert out[1]["redacted_text"] == "intro outro words here"
+    assert out[1]["n_tokens_removed"] == 5
+    assert out[2]["n_tokens_removed"] == 0
+    assert out[2]["redacted_text"] == train.collect()[1]["text"] or \
+        out[2]["redacted_text"] == "totally clean document with no overlap at all"
