@@ -67,6 +67,10 @@ ALLOW: dict[str, set[str]] = {
     # n_cells-row broadcast centroid assignment + cogrouped per-cell
     # kernel (the IVF shape; candidates are cell-bounded)
     "q97_bucketed_knn": {"nested_loop", "pandas"},
+    # BPE encode runs the merge loop per DISTINCT word (Zipf-bounded),
+    # Arrow-batched — the sequential merge scan IS the operator; the
+    # corpus only ever sees a hash join on the word column
+    "q103_bpe_tokens": {"pandas"},
 }
 
 FLAGS = {
