@@ -164,3 +164,38 @@ def chunk_documents(df: DataFrame, *, id_col: str = "doc_id",
         F.length(chunk).alias("chunk_len"),
         hash15(chunk).alias("chunk_hash"),
     )
+
+
+def weighted_sample(df: DataFrame, *, key: str, weight: Column | str,
+                    k: int, salt: str = "ws",
+                    max_weight: int = 64) -> DataFrame:
+    """Deterministic weighted top-k sample (without replacement):
+    higher-weight rows are proportionally likelier to be picked, with
+    NO RNG and NO transcendental math — so any engine reproduces the
+    selected set bit-for-bit (ln/pow differ across libms; hash
+    comparisons do not).
+
+    The integer-replication trick: a row with integer weight w gets w
+    independent 60-bit hash keys ``hash15(salt:key:j)``, j < w, and
+    competes with its MINIMUM key; the k smallest minima win. A row
+    with twice the replicas halves its expected minimum — the discrete
+    sibling of Efraimidis-Spirakis exponential keys. Weights clamp to
+    [1, max_weight] (the key array is built per row, so weight bounds
+    per-row work, not a shuffle).
+
+    Scale shape: one projection computes the min-key (aggregate over a
+    ≤max_weight literal-range array), then TakeOrderedAndProject picks
+    k rows — partition-local top-k + driver merge of k, never a global
+    sort.
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    w = F.greatest(F.lit(1), F.least(w.cast("int"), F.lit(max_weight)))
+    kcol = F.col(key).cast("string")
+    minkey = F.array_min(F.transform(
+        F.sequence(F.lit(0), w - 1),
+        lambda j: hash15(F.concat(F.lit(f"{salt}:"), kcol, F.lit(":"),
+                                  j.cast("string")))))
+    return (df.withColumn("_wkey", minkey)
+            .orderBy(F.asc("_wkey"), F.asc(key))
+            .limit(k)
+            .drop("_wkey"))

@@ -280,6 +280,45 @@ FROM card
 # (tests/test_llmdata.py::test_quality_filter_separates).
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Q106: deterministic weighted sampling — longer documents
+# proportionally likelier; selection reproducible on any engine
+# because the keys are pure hash minima (operators/curation.
+# weighted_sample).
+# ---------------------------------------------------------------------------
+
+WS_K = 20
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    wt = (F.col("n_chars") / 100).cast("int")
+    return weighted_sample(
+        docs.select("doc_id", "source", "n_chars"),
+        key="doc_id", weight=wt, k=WS_K).orderBy("doc_id")
+
+
+_H_WS = _SQL_HASH15.format(
+    expr="'ws:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+WITH w AS (
+  SELECT doc_id, source, n_chars,
+         greatest(1, least(CAST(n_chars // 100 AS INTEGER), 64)) AS wt
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, source, n_chars,
+         list_min(list_transform(range(0, wt), j -> {_H_WS})) AS k
+  FROM w
+)
+SELECT doc_id, source, n_chars
+FROM keyed ORDER BY k, doc_id LIMIT {WS_K}
+"""
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import mlplane as ml
 
@@ -295,6 +334,11 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPECS = [
+    QuerySpec("q106_weighted_sample", q_weighted_sample,
+              ORACLE_WEIGHTED_SAMPLE,
+              "deterministic weighted top-k sample (integer-replication "
+              "min-hash keys, no RNG/transcendentals)",
+              ("P2-curation",)),
     QuerySpec("q102_quality_filter", q_quality_filter, None,
               "model-based quality filter (weak-label logreg over "
               "surface features; fastText/CCNet analog)",

@@ -93,3 +93,29 @@ def test_temperature_sample_alpha_one_and_bad_alpha(spark):
     assert all_kept.count() == 2
     with pytest.raises(ValueError):
         temperature_sample(df, key="k", id_col="doc_id", alpha=0.3)
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    from etl_evm_chain_spark.operators.curation import weighted_sample
+
+    # 200 light rows (w=1) + 20 heavy rows (w=50): heavy rows are 50x
+    # likelier per row — the 30-row sample should be mostly heavy
+    rows = [(i, 1) for i in range(200)] + [(1000 + i, 50) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, w int")
+    got = [r["id"] for r in
+           weighted_sample(df, key="id", weight="w", k=30).collect()]
+    heavy = sum(1 for i in got if i >= 1000)
+    assert len(got) == 30
+    assert heavy >= 12  # expected ~25; deterministic given the hash
+
+
+def test_weighted_sample_is_deterministic(spark):
+    from etl_evm_chain_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame([(i, i % 5 + 1) for i in range(100)],
+                               "id long, w int")
+    a = {r["id"] for r in weighted_sample(df, key="id", weight="w",
+                                          k=10).collect()}
+    b = {r["id"] for r in weighted_sample(
+        df.repartition(7), key="id", weight="w", k=10).collect()}
+    assert a == b  # partitioning-independent
