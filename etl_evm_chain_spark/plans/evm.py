@@ -476,39 +476,58 @@ FROM dec
 # ---------------------------------------------------------------------------
 # Q98: ECDSA sender recovery (G5) — the reference's types.Sender
 # (`internal/parser/parser.go:152-159`) over a deterministic signed
-# fixture: 64 signatures generated driver-side from order keys (sign
+# fixture: 64 signatures generated driver-side from keys 1..64 (sign
 # and recover are independent code paths), recovered distributed via
-# the Arrow UDF, reduced to a match report. Rows-only at the driver
-# (no SQL twin for curve math); exact per-vector parity is
-# pytest-pinned including the known privkey-1/-2 addresses.
+# the Arrow UDF. The oracle is the ground truth stated as literals:
+# the 64 key-derived addresses (pure-Python priv_to_address at oracle
+# build time, no Spark, no curve recovery) — Spark's sign→recover
+# round-trip must value-hash-match them exactly. Per-vector parity is
+# additionally pytest-pinned including the known privkey-1/-2
+# addresses.
 # ---------------------------------------------------------------------------
+
+_Q98_KEYS = range(1, 65)
+
+
+def _q98_expected() -> list[tuple[int, str]]:
+    from ..sources import secp256k1 as ec
+
+    out = []
+    for k in _Q98_KEYS:
+        priv = (k * 2654435761 + 1) % ec.N or 1
+        out.append((k, ec.priv_to_address(priv)))
+    return out
+
 
 def q_sender_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import secp256k1 as ec
     from ..sources.abi import recover_sender
     from ..sources.keccak import keccak256
 
-    keys = [int(r[0]) for r in
-            load_table(spark, sf_dir, "orders").select("o_orderkey")
-            .orderBy("o_orderkey").limit(64).collect()]
     rows = []
-    for k in keys:
+    for k in _Q98_KEYS:
         priv = (k * 2654435761 + 1) % ec.N or 1
         nonce = (k + 0xC0FFEE) % ec.N or 7
         h = keccak256(str(k).encode())
         r, s, v = ec.sign(h, priv, nonce)
-        rows.append((k, "0x" + h.hex(), format(r, "x"), format(s, "x"),
-                     v, ec.priv_to_address(priv)))
+        rows.append((k, "0x" + h.hex(), format(r, "x"), format(s, "x"), v))
     sigs = spark.createDataFrame(
-        rows, "okey long, sig_hash string, r string, s string, "
-              "v int, expected string").coalesce(4)   # 64 rows ≠ 32 tasks
-    rec = recover_sender(sigs)
-    return rec.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("tx_from").isNotNull().cast("long")).alias("n_recovered"),
-        F.sum((F.col("tx_from") == F.col("expected")).cast("long"))
-        .alias("n_match"),
-    )
+        rows, "okey long, sig_hash string, r string, s string, v int"
+    ).coalesce(4)   # 64 rows ≠ 32 tasks
+    return (recover_sender(sigs)
+            .select("okey", "tx_from")
+            .orderBy("okey"))
+
+
+def _oracle_sender_recovery() -> str:
+    values = ",\n  ".join(
+        f"({k}, '{addr}')" for k, addr in _q98_expected())
+    return f"""
+SELECT CAST(okey AS BIGINT) AS okey, tx_from
+FROM (VALUES
+  {values}) AS expected(okey, tx_from)
+ORDER BY okey
+"""
 
 
 SPECS = [
@@ -526,7 +545,9 @@ SPECS = [
     QuerySpec("q95_dynamic_abi", q_dynamic_abi, ORACLE_DYNAMIC_ABI,
               "dynamic ABI decode: string + uint32[] offset/tail layout",
               ("G2", "G3")),
-    QuerySpec("q98_sender_recovery", q_sender_recovery, None,
-              "pure-Python secp256k1 sender recovery (golden-tested)",
+    QuerySpec("q98_sender_recovery", q_sender_recovery,
+              _oracle_sender_recovery(),
+              "pure-Python secp256k1 sender recovery (golden-tested; "
+              "oracle = literal key-derived ground-truth addresses)",
               ("G5",)),
 ]

@@ -688,14 +688,49 @@ ORDER BY id_a, id_b
 
 
 # ---------------------------------------------------------------------------
-# Q40: ANN top-k via random-hyperplane LSH (rows-only: xxhash64-based
-# sketch has no DuckDB equivalent; recall vs brute force is pytest-gated).
+# Q40: ANN top-k via random-hyperplane LSH. Oracle-checkable since the
+# round-3 md5-parity planes: multi-probe at radius r is exactly
+# "bucket Hamming distance ≤ r", which DuckDB states directly as
+# bit_count(xor(qbucket, cbucket)) <= r over the portable sketch.
+# Recall vs brute force stays pytest-gated.
 # ---------------------------------------------------------------------------
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return sim.ann_topk(emb, queries, k=5).orderBy("qid", "rank")
+
+
+def _oracle_ann_topk() -> str:
+    cos = ("{d} / (sqrt({na}) * sqrt({nb}))").format(
+        d=_SQL_DOT.format(a="{a}", b="{b}"),
+        na=_SQL_DOT.format(a="{a}", b="{a}"),
+        nb=_SQL_DOT.format(a="{b}", b="{b}"))
+    # n_planes=8 single-table sketch: _sql_banded_buckets(8, 8) yields
+    # tbl=0 rows whose bucket matches similarity.lsh_buckets exactly.
+    return f"""
+WITH {_sql_banded_buckets(8, 8)},
+cand AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid
+  FROM bk q JOIN bk c ON bit_count(xor(q.bucket, c.bucket)) <= 2
+  WHERE q.vec_id < 5 AND q.vec_id != c.vec_id
+),
+scored AS (
+  SELECT qid, cid,
+         {cos.format(a="eq.embedding", b="ec.embedding")} AS sim
+  FROM cand
+  JOIN embeddings eq ON eq.vec_id = qid
+  JOIN embeddings ec ON ec.vec_id = cid
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY sim DESC, cid ASC) AS rank
+  FROM scored
+)
+SELECT qid, cid, round(sim, 6) AS sim, rank
+FROM ranked WHERE rank <= 5
+ORDER BY qid, rank
+"""
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1185,15 +1220,81 @@ GROUP BY qlabel
 
 # ---------------------------------------------------------------------------
 # Q96: banded-LSH bucketed near-dup pairs — the past-the-broadcast-guard
-# path of cosine_near_dup_pairs (q39 is the exact baseline). Rows-only:
-# the sign-bit sketch is xxhash64-based, which has no DuckDB twin;
-# no-false-positive + recall vs the exact kernel are pytest-pinned.
+# path of cosine_near_dup_pairs (q39 is the exact baseline). Fully
+# oracle-checkable since round 3: the sign planes are md5-parity
+# (hash15 % 2) constants, so DuckDB rebuilds the exact (table, bucket)
+# assignment, candidate set, and per-pair cosine. No-false-positive +
+# recall vs the exact kernel stay pytest-pinned.
 # ---------------------------------------------------------------------------
+
+BND_TABLES, BND_PLANES = 16, 4
+
 
 def q_bucketed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.cosine_near_dup_pairs(
-        emb, threshold=0.4, method="bucketed").orderBy("id_a", "id_b")
+        emb, threshold=0.4, method="bucketed",
+        n_tables=BND_TABLES,
+        planes_per_table=BND_PLANES).orderBy("id_a", "id_b")
+
+
+# Sign planes + bucket assembly shared by the q96 and q40 oracles: the
+# md5-parity sign of global plane p, component i is the same hash15
+# arithmetic as similarity._plane_signs.
+_SQL_PLANE_SIGN = (
+    "CASE WHEN CAST('0x' || substr(md5('pl:' || CAST(p AS VARCHAR) "
+    "|| ':' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0 "
+    "THEN 1.0 ELSE -1.0 END"
+)
+
+
+def _sql_banded_buckets(n_planes_total: int, planes_per_table: int) -> str:
+    """CTE body producing (vec_id, tbl, bucket) exactly like
+    similarity._banded_buckets over the portable sign planes."""
+    return f"""
+planes AS (
+  SELECT p, list({_SQL_PLANE_SIGN} ORDER BY i) AS sv
+  FROM range(0, {n_planes_total}) t1(p), range(0, 64) t2(i)
+  GROUP BY p
+),
+proj AS (
+  SELECT e.vec_id, pl.p,
+         list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+             i -> CAST(e.embedding[i] AS DOUBLE) * pl.sv[i]), 'sum') AS proj
+  FROM embeddings e CROSS JOIN planes pl
+),
+bk AS (
+  SELECT vec_id, CAST(p // {planes_per_table} AS INT) AS tbl,
+         SUM(CASE WHEN proj > 0
+                  THEN CAST(pow(2, p % {planes_per_table}) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END) AS bucket
+  FROM proj GROUP BY vec_id, CAST(p // {planes_per_table} AS INT)
+)"""
+
+
+def _oracle_bucketed_near_dups() -> str:
+    cos = ("{d} / (sqrt({na}) * sqrt({nb}))").format(
+        d=_SQL_DOT.format(a="{a}", b="{b}"),
+        na=_SQL_DOT.format(a="{a}", b="{a}"),
+        nb=_SQL_DOT.format(a="{b}", b="{b}"))
+    return f"""
+WITH {_sql_banded_buckets(BND_TABLES * BND_PLANES, BND_PLANES)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         {cos.format(a="ea.embedding", b="eb.embedding")} AS sim
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = id_a
+  JOIN embeddings eb ON eb.vec_id = id_b
+)
+SELECT id_a, id_b, round(sim, 6) AS sim
+FROM scored WHERE sim >= 0.4
+ORDER BY id_a, id_b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1328,7 +1429,7 @@ SPECS = [
               "brute-force cosine top-k", ("P2-sim",)),
     QuerySpec("q39_embedding_near_dups", q_embedding_near_dups, ORACLE_EMBEDDING_NEAR_DUPS,
               "embedding-cosine near-dup pairs", ("P2-dedup", "P2-sim")),
-    QuerySpec("q40_ann_topk", q_ann_topk, None,
+    QuerySpec("q40_ann_topk", q_ann_topk, _oracle_ann_topk(),
               "LSH-bucketed approximate top-k (recall-tested)", ("P2-sim",)),
     QuerySpec("q42_ivf_topk", q_ivf_topk, _oracle_ivf_topk(),
               "IVF-cell approximate top-k (recall-tested; "
@@ -1364,7 +1465,8 @@ SPECS = [
     QuerySpec("q72_knn_classify", q_knn_classify, ORACLE_KNN_CLASSIFY,
               "leave-one-out k-NN label vote + per-label accuracy",
               ("P2-sim", "E7")),
-    QuerySpec("q96_bucketed_near_dups", q_bucketed_near_dups, None,
+    QuerySpec("q96_bucketed_near_dups", q_bucketed_near_dups,
+              _oracle_bucketed_near_dups(),
               "banded-LSH bucketed cosine near-dup pairs (scale path of "
               "q39; recall pytest-pinned)", ("P2-dedup", "P2-sim")),
     QuerySpec("q97_bucketed_knn", q_bucketed_knn, _oracle_bucketed_knn(),

@@ -472,40 +472,83 @@ ORDER BY y, m, d, h, etype
 
 # ---------------------------------------------------------------------------
 # Q15: time-ordered 70/30 split (E4, reference `stable_fee_ml_bot.py:283-287`
-# pyc). Global row_number is fine at test scale; the scale path is a
-# timestamp-quantile cutoff (percentile_approx) — both shown, checked on
-# the row_number form.
+# pyc), in timestamp-cut form (round-3 rework of the r2 scale-killer:
+# the old registry form ran a global row_number over all events plus a
+# driver-side count). Semantics: the cut is the smallest whole second
+# whose cumulative event count reaches ceil(0.7·total); train = events
+# at or before the cut second. Ties at the cut second all go to train,
+# so the split is a *timestamp* boundary (reproducible, leakage-free —
+# exactly what operators/mlplane.time_split gives pipelines), not a
+# row-rank boundary.
+#
+# Scale shape: per-second counts → equi-width second-bucketing on
+# broadcast (min,max) bounds → per-bucket prefix sums (the only
+# unbounded-ish structures are the ≤256-row bucket-counts relations,
+# prefix-summed via a tiny triangular join) → broadcast 1-row cut.
+# No unpartitioned window, no driver-side count.
 # ---------------------------------------------------------------------------
 
+_SPLIT_BUCKETS = 256
+
+
 def q_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    n = ev.count()
-    cut = int(0.7 * n)
-    w = Window.orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_timestamp("ts").alias("sec"))
+    per_sec = ev.groupBy("sec").agg(F.count(F.lit(1)).alias("c"))
+    stats = per_sec.agg(F.min("sec").alias("_lo"), F.max("sec").alias("_hi"),
+                        F.sum("c").alias("_total"))
+    width = F.greatest(
+        (F.col("_hi") - F.col("_lo")) / _SPLIT_BUCKETS, F.lit(1e-9))
+    b = (per_sec.crossJoin(F.broadcast(stats))
+         .withColumn("_bkt", F.least(
+             F.lit(_SPLIT_BUCKETS - 1),
+             F.floor((F.col("sec") - F.col("_lo")) / width)).cast("int")))
+    bcounts = b.groupBy("_bkt").agg(F.sum("c").alias("_cnt"))
+    ca, cb = bcounts.alias("ca"), bcounts.alias("cb")
+    offs = (
+        ca.join(F.broadcast(cb),
+                F.col("cb._bkt") < F.col("ca._bkt"), "left")
+        .groupBy(F.col("ca._bkt").alias("_bkt"))
+        .agg(F.coalesce(F.sum("cb._cnt"), F.lit(0)).alias("_off"))
+    )
+    w_loc = Window.partitionBy("_bkt").orderBy("sec")
+    cum = (
+        b.withColumn("_lcum", F.sum("c").over(w_loc))
+        .join(F.broadcast(offs), "_bkt")
+        .withColumn("_cum", F.col("_off") + F.col("_lcum"))
+    )
+    cut = (cum.filter(F.col("_cum") >= F.ceil(F.col("_total") * 0.7))
+           .agg(F.min("sec").alias("cut_sec")))
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .withColumn("split", F.when(F.col("rn") <= cut, "train").otherwise("test"))
+        ev.crossJoin(F.broadcast(cut))
+        .withColumn("split", F.when(F.col("sec") <= F.col("cut_sec"),
+                                    "train").otherwise("test"))
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.min(F.unix_timestamp("ts")).alias("min_ts"),
-            F.max(F.unix_timestamp("ts")).alias("max_ts"),
+            F.min("sec").alias("min_ts"),
+            F.max("sec").alias("max_ts"),
         )
         .orderBy("split")
     )
 
 
 ORACLE_TIME_SPLIT = """
-WITH numbered AS (
-  SELECT *, row_number() OVER (ORDER BY ts, event_id) AS rn,
-         count(*) OVER () AS total
-  FROM events
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+),
+tot AS (SELECT count(*) AS total FROM ev),
+per_sec AS (SELECT sec, count(*) AS c FROM ev GROUP BY 1),
+cum AS (SELECT sec, sum(c) OVER (ORDER BY sec) AS cum FROM per_sec),
+cut AS (
+  SELECT min(sec) AS cut_sec FROM cum, tot
+  WHERE cum >= ceil(0.7 * total)
 )
-SELECT CASE WHEN rn <= CAST(floor(0.7 * total) AS BIGINT) THEN 'train' ELSE 'test' END AS split,
+SELECT CASE WHEN sec <= cut_sec THEN 'train' ELSE 'test' END AS split,
        count(*) AS n,
-       min(CAST(floor(epoch(ts)) AS BIGINT)) AS min_ts,
-       max(CAST(floor(epoch(ts)) AS BIGINT)) AS max_ts
-FROM numbered
+       min(sec) AS min_ts,
+       max(sec) AS max_ts
+FROM ev, cut
 GROUP BY 1
 ORDER BY split
 """

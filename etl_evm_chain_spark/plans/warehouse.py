@@ -187,19 +187,115 @@ UNPIVOT (value FOR metric IN (
 
 
 # ---------------------------------------------------------------------------
-# Q53: approximate aggregates (HLL distinct, quantile sketch) —
-# rows-only: sketch implementations differ across engines by design;
-# pytest bounds them against exact values instead.
+# Q53: approximate aggregates via PORTABLE deterministic sketches.
+#
+# Round-2 verdict: the engine-native sketch form (approx_count_distinct +
+# percentile_approx array) was rows-only AND its array<double> column crashed
+# the driver's row-hasher. This form keeps the same operator semantics
+# (approximate distincts + quantiles per group) but builds the sketches from
+# engine-agnostic arithmetic so a DuckDB oracle hash-matches bit-for-bit:
+#   - approx_parts: distinct-sampling estimator — keep partkeys whose 60-bit
+#     md5 hash lands in a 1/16 band, distinct-count survivors, scale by 16
+#     (classic "distinct sampling"/adaptive-sampling estimator).
+#   - q50/q95/q99: discrete quantiles over a deterministic 1/16 hash sample
+#     of rows — actual data values picked by integer rank, so no
+#     interpolation-float divergence between engines.
+# Engine-native sketches stay pytest-bounded (tests/test_warehouse.py).
+# Scale: the only window is partitioned by l_returnflag over the 1/16
+# SAMPLE (sample rate bounds the per-group sort); everything else is
+# hash-partitioned groupBy with map-side partials.
 # ---------------------------------------------------------------------------
 
+_SQL_H15 = "CAST('0x' || substr(md5({e}), 1, 15) AS BIGINT)"
+
+
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import hash15
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
-        .alias("price_quantiles"),
-        F.count(F.lit(1)).alias("n"),
+    base = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+
+    pk_h = hash15(F.concat(F.lit("kmv:"), F.col("l_partkey").cast("string")))
+    kmv = (
+        li.select("l_returnflag", F.col("l_partkey").alias("pk"),
+                  pk_h.alias("h"))
+        .filter(F.col("h") % 16 == 0)
+        .groupBy("l_returnflag")
+        .agg((F.countDistinct("pk") * 16).alias("approx_parts"))
     )
+
+    row_h = hash15(F.concat(F.lit("qs:"), F.col("l_orderkey").cast("string"),
+                            F.lit(":"), F.col("l_linenumber").cast("string")))
+    samp = (li.filter(row_h % 16 == 0)
+            .select("l_returnflag", "l_extendedprice",
+                    "l_orderkey", "l_linenumber"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber")
+    counts = samp.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("m"))
+    ranked = (samp.withColumn("rn", F.row_number().over(w))
+              .join(F.broadcast(counts), "l_returnflag"))
+
+    def pick(p: float, name: str):
+        return F.max(F.when(
+            F.col("rn") == F.ceil(F.col("m") * F.lit(p)),
+            F.col("l_extendedprice"))).alias(name)
+
+    qs = ranked.groupBy("l_returnflag").agg(
+        pick(0.5, "q50"), pick(0.95, "q95"), pick(0.99, "q99"))
+
+    return (base.join(kmv, "l_returnflag", "left")
+            .join(qs, "l_returnflag", "left")
+            .select("l_returnflag", "approx_parts", "q50", "q95", "q99", "n")
+            .orderBy("l_returnflag"))
+
+
+_H_KMV = _SQL_H15.format(e="'kmv:' || CAST(l_partkey AS VARCHAR)")
+_H_QS = _SQL_H15.format(
+    e="'qs:' || CAST(l_orderkey AS VARCHAR) || ':' "
+      "|| CAST(l_linenumber AS VARCHAR)")
+
+ORACLE_APPROX_STATS = f"""
+WITH base AS (
+  SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1
+),
+kmv AS (
+  SELECT l_returnflag,
+         CAST(count(DISTINCT l_partkey) * 16 AS BIGINT) AS approx_parts
+  FROM lineitem
+  WHERE {_H_KMV} % 16 = 0
+  GROUP BY 1
+),
+samp AS (
+  SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber
+  FROM lineitem
+  WHERE {_H_QS} % 16 = 0
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey,
+                                     l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS m
+  FROM samp
+),
+qs AS (
+  SELECT l_returnflag,
+         max(CASE WHEN rn = CAST(ceil(m * 0.5) AS BIGINT)
+                  THEN l_extendedprice END) AS q50,
+         max(CASE WHEN rn = CAST(ceil(m * 0.95) AS BIGINT)
+                  THEN l_extendedprice END) AS q95,
+         max(CASE WHEN rn = CAST(ceil(m * 0.99) AS BIGINT)
+                  THEN l_extendedprice END) AS q99
+  FROM ranked GROUP BY 1
+)
+SELECT b.l_returnflag, k.approx_parts, q.q50, q.q95, q.q99, b.n
+FROM base b
+LEFT JOIN kmv k USING (l_returnflag)
+LEFT JOIN qs q USING (l_returnflag)
+ORDER BY l_returnflag
+"""
 
 
 SPECS = [
@@ -210,6 +306,7 @@ SPECS = [
               "MERGE INTO emulation (anti-join + union upsert)", ("F3", "C4")),
     QuerySpec("q52_profile_columns", q_profile_columns, ORACLE_PROFILE_COLUMNS,
               "one-pass column profiling (nulls/bounds/distincts)", ("D13", "D15")),
-    QuerySpec("q53_approx_stats", q_approx_stats, None,
-              "approximate distincts + quantile sketches", ("D15",)),
+    QuerySpec("q53_approx_stats", q_approx_stats, ORACLE_APPROX_STATS,
+              "approximate distincts + quantile sketches "
+              "(portable deterministic estimators)", ("D15",)),
 ]
