@@ -306,14 +306,25 @@ def dup_spans(docs: DataFrame, *, id_col: str = "doc_id",
 def update_near_dup_index(spark, docs: DataFrame, index_path: str, *,
                           id_col: str = "doc_id", text_col: str = "text",
                           k: int = MINHASH_K,
-                          bands: int = LSH_BANDS) -> DataFrame:
+                          bands: int = LSH_BANDS,
+                          batch_id: str | None = None) -> DataFrame:
     """Incremental near-dup detection against a LANDED LSH index — the
     daily-increment shape of a 100 TB dedup pipeline: signatures and
-    band keys are computed for the NEW batch only, appended to the
+    band keys are computed for the NEW batch only, landed into the
     parquet index, and candidate pairs come from joining the new
     batch's bands against the (now-complete) index. Cost per increment
-    is O(batch) compute + an equi-join whose corpus side prunes to the
-    touched band keys — never a corpus-wide recompute.
+    is O(batch) compute + an equi-join whose corpus side is semi-join
+    pruned to the batch's touched (band, key) buckets and whose files
+    are laid out ``batch_id=<id>/band=<b>/`` — band is a physical
+    partition key, so band-targeted maintenance reads only its
+    directories, and each batch lives in its own partition directory.
+
+    Exactly-once: pass a stable ``batch_id`` and a replayed batch
+    OVERWRITES its own partition directory instead of appending a
+    duplicate copy (the round-2 form appended unconditionally, so a
+    retried batch duplicated index rows forever). Without a caller
+    batch id a fresh UUID is used — correct results, but replays then
+    append; give streaming/restartable callers a deterministic id.
 
     Returns candidate pairs touching the new batch (new↔corpus and
     new↔new), id_a < id_b, scored by estimated Jaccard (fraction of
@@ -322,15 +333,27 @@ def update_near_dup_index(spark, docs: DataFrame, index_path: str, *,
     verified_near_dups on the candidate ids). The union of pair sets
     over successive increments equals one-shot lsh_candidate_pairs on
     the full corpus (tested equivalence, tests/test_llmdata.py).
-
-    Batch commits are the caller's exactly-once boundary: pair it with
-    sources/progress (append after data commit) — re-appending the
-    same batch would duplicate index rows.
     """
+    import os
+    import uuid
+
     sig = minhash_signatures(docs, id_col=id_col, text_col=text_col, k=k)
     new_banded = _banded(sig, id_col=id_col, k=k, bands=bands)
-    new_banded.write.mode("append").parquet(index_path)
-    index = spark.read.parquet(index_path)
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex
+    # "b" prefix pins the inferred partition type to string — an
+    # all-digit batch id (streaming epoch) in one directory and a hex
+    # uuid in another would otherwise make partition-type inference
+    # conflict across directories.
+    batch_dir = os.path.join(index_path, f"batch_id=b{batch_id}")
+    new_banded.write.mode("overwrite").partitionBy("band").parquet(batch_dir)
+    index = spark.read.parquet(index_path).drop("batch_id")
+    # Semi-join prune the landed side to the batch's touched buckets
+    # BEFORE the pair join: with a small increment AQE broadcasts the
+    # touched-keys set and dynamic partition pruning skips untouched
+    # band directories entirely.
+    touched = new_banded.select("band", "key").dropDuplicates()
+    index = index.join(touched, ["band", "key"], "leftsemi")
     a = new_banded.alias("a")
     b = index.alias("b")
     pairs = (

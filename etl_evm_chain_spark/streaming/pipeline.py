@@ -271,20 +271,23 @@ def stream_near_dups(docs: DataFrame, *, index_path: str, pairs_dir: str,
 
     ``foreachBatch`` is the right primitive here — the per-batch work
     is a batch join against a growing external index, not a
-    watermarkable stream-stream join. Exactly-once comes from the
-    checkpoint's batch-id log: a replayed batch re-runs its index
-    append, which is why the index append inside update_near_dup_index
-    must stay the only writer (same discipline as
-    write_jdbc_exactly_once's ledger, minus the ledger — parquet
-    append of identical band rows is idempotent at the PAIR level
-    because pairs are dropDuplicates'd per batch and downstream
-    consumers dedup on (id_a, id_b)).
+    watermarkable stream-stream join. foreachBatch is AT-LEAST-once,
+    so exactly-once must come from idempotent writes keyed by the
+    checkpoint's epoch id: the index increment lands under
+    ``batch_id=b<epoch>/band=*/`` (update_near_dup_index OVERWRITES
+    that directory on replay) and the pair rows land under
+    ``batch_id=<epoch>/`` in ``pairs_dir``, also overwrite-on-replay.
+    A crashed-and-replayed epoch therefore converges to exactly one
+    copy of its index rows and its pairs — no ledger table needed,
+    the partition directory IS the ledger entry.
 
-    State at 100 TB: the index is a parquet lake partition-prunable by
-    band key; per-batch cost is O(batch) + the pruned join — no
-    unbounded executor state, unlike a dropDuplicates over all
+    State at 100 TB: the index is a parquet lake physically partitioned
+    by band; per-batch cost is O(batch) + the (band, key)-pruned join —
+    no unbounded executor state, unlike a dropDuplicates over all
     history.
     """
+    import os
+
     from ..operators.dedup import update_near_dup_index
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -292,9 +295,10 @@ def stream_near_dups(docs: DataFrame, *, index_path: str, pairs_dir: str,
             return
         spark = batch_df.sparkSession
         pairs = update_near_dup_index(
-            spark, batch_df, index_path, id_col=id_col, text_col=text_col)
-        pairs.withColumn("batch_id", F.lit(batch_id)) \
-            .write.mode("append").parquet(pairs_dir)
+            spark, batch_df, index_path, id_col=id_col, text_col=text_col,
+            batch_id=str(batch_id))
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"batch_id={int(batch_id)}"))
 
     w = (docs.writeStream.foreachBatch(per_batch)
          .option("checkpointLocation", checkpoint))

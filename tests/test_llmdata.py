@@ -425,6 +425,30 @@ def test_incremental_near_dup_index_matches_one_shot(spark, tmp_path):
     assert (1, 2) in got and got[(1, 2)] == 1.0
 
 
+def test_near_dup_index_replay_is_idempotent(spark, tmp_path):
+    """A retried batch with the same batch_id must overwrite its own
+    partition directory, not append a second copy (at-least-once
+    foreachBatch replays)."""
+    idx = str(tmp_path / "lsh_index")
+    docs = _docs(spark)
+    dd.update_near_dup_index(spark, docs, idx, batch_id="day1").collect()
+    n1 = spark.read.parquet(idx).count()
+    # replay the same batch — index must not grow, pairs unchanged
+    p_replay = dd.update_near_dup_index(
+        spark, docs, idx, batch_id="day1")
+    pairs = {(r["id_a"], r["id_b"]) for r in p_replay.collect()}
+    assert spark.read.parquet(idx).count() == n1
+    one_shot = {(r["id_a"], r["id_b"]) for r in dd.lsh_candidate_pairs(
+        dd.minhash_signatures(docs)).collect()}
+    assert pairs == one_shot
+    # the landed layout is physically partitioned by batch then band
+    import os
+    sub = os.listdir(idx)
+    assert any(d.startswith("batch_id=b") for d in sub)
+    bdir = os.path.join(idx, "batch_id=bday1")
+    assert any(d.startswith("band=") for d in os.listdir(bdir))
+
+
 def test_quality_filter_separates_constructed_corpus(spark):
     from etl_evm_chain_spark.operators import mlplane as ml
 

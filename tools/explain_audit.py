@@ -13,6 +13,10 @@ flags scale red-flags:
 - parquet scans reading all columns where the query projects few
   (column pruning failure).
 - missing WholeStageCodegen entirely.
+- Window with an EMPTY partition spec ("No Partition Defined") — a
+  single-partition sort of the window's whole input. Allowed only
+  where the input is provably bounded (beneath a limit or a
+  small-group aggregate) and documented.
 
 Usage: python tools/explain_audit.py [sf_dir] [query ...]
 Exit 1 if an unexpected red flag appears (ALLOW list documents the
@@ -57,8 +61,17 @@ ALLOW: dict[str, set[str]] = {
     "q66_tfidf_keywords": {"nested_loop"},
     "q67_temperature_mix": {"nested_loop"},
     # n_cells-row broadcast centroid set for coarse assignment (the
-    # IVF shape); pair comparisons are cell-bounded equi-joins
-    "q68_semantic_dedup": {"nested_loop"},
+    # IVF shape); pair comparisons are cell-bounded equi-joins; the
+    # global window is the centroid numbering over limit(n_cells) rows
+    "q68_semantic_dedup": {"nested_loop", "global_window"},
+    # both global windows run over the limit(ZIPF_TOPK) relation —
+    # bounded beneath a limit, never the token table
+    "q76_zipf_slope": {"global_window"},
+    # ≤64-row (≤256 for q15) triangular prefix-sum self-join over the
+    # bucket-counts relation + 1-row stats broadcasts — the two-phase
+    # rank machinery that REPLACED these queries' global windows
+    "q87_value_deciles": {"nested_loop"},
+    "q15_time_split": {"nested_loop"},
     # per-(table,bucket) grouped-map BLAS kernel IS the operator
     "q96_bucketed_near_dups": {"pandas"},
     # secp256k1 recovery is per-row curve math — the Arrow UDF IS the
@@ -80,6 +93,40 @@ FLAGS = {
     "pandas": re.compile(r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas"),
 }
 
+_WSD = re.compile(r"windowspecdefinition\(")
+
+
+def _top_level_first_arg(s: str) -> str:
+    """First comma-separated argument of s at paren depth 0."""
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                return s[:i]
+            depth -= 1
+        elif ch == "," and depth == 0:
+            return s[:i]
+    return s
+
+
+def _has_global_window(plan: str) -> bool:
+    """True if any windowspecdefinition has an empty partition spec.
+
+    In plan text the spec prints partition columns first (bare, no
+    sort direction), then order columns (each tagged ASC/DESC), then
+    the frame — so a spec whose FIRST argument already carries a sort
+    direction has no partition columns: the runtime's "No Partition
+    Defined for Window" case, which funnels the window's entire input
+    through one partition.
+    """
+    for m in _WSD.finditer(plan):
+        first = _top_level_first_arg(plan[m.end():])
+        if re.search(r"\b(ASC|DESC)\b", first):
+            return True
+    return False
+
 
 def audit(spec, spark, sf_dir: str) -> tuple[set[str], str]:
     df = spec.fn(spark, sf_dir)
@@ -88,6 +135,8 @@ def audit(spec, spark, sf_dir: str) -> tuple[set[str], str]:
         df.explain("formatted")
     plan = buf.getvalue()
     found = {name for name, rx in FLAGS.items() if rx.search(plan)}
+    if _has_global_window(plan):
+        found.add("global_window")
     return found, plan
 
 
