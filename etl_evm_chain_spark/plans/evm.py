@@ -474,6 +474,176 @@ FROM dec
 
 
 # ---------------------------------------------------------------------------
+# Q107: tuple/struct ABI decode — the round-3 extension closing the
+# reference-parity gap called out in VERDICT r2 ("ABI tuple/struct
+# event params"; reference decodes them via go-ethereum
+# `abi.UnpackIntoMap`, `internal/parser/parser.go:74-77`). The event
+# carries a STATIC tuple (inline slots), a DYNAMIC tuple whose members
+# resolve through tuple-relative offset words (note length varies, so
+# the tags offset genuinely varies row to row — the decoder must read
+# it, not assume it), and a trailing static param whose head slot sits
+# after the tuple's slots. Oracle: DuckDB mirrors the blob
+# construction and decodes by following the same offsets.
+# ---------------------------------------------------------------------------
+
+TRADE = AbiEvent("Trade", (
+    AbiInput("pool", "address", True),
+    AbiInput("trader", "tuple", False, (
+        AbiInput("addr", "address", False),
+        AbiInput("qty", "uint32", False),
+    )),
+    AbiInput("meta", "tuple", False, (
+        AbiInput("note", "string", False),
+        AbiInput("tags", "uint32[]", False),
+    )),
+    AbiInput("fee", "uint64", False),
+))
+T_TRADE = TRADE.topic0
+
+
+def synthetic_trade_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import landed_parquet
+
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return landed_parquet(
+        spark, name="tuplelogs",
+        src_paths=[os.path.join(sf_dir, "lineitem.parquet")],
+        build=lambda: _synth_trade_logs(spark, sf_dir),
+        params=key,
+    )
+
+
+def _synth_trade_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # note length varies 6..~46 bytes → 1 or 2 payload words → the
+    # meta tuple's tags offset word changes row to row
+    note = F.concat(F.col("l_returnflag"), F.col("l_linestatus"), F.lit("-"),
+                    (F.col("l_orderkey") % 1000).cast("string"), F.lit(":"),
+                    F.repeat(F.lit("x"), (F.col("l_orderkey") % 40)
+                             .cast("int")))
+    nlen = F.length(note).cast("long")
+    pad_words = F.ceil(nlen / 32).cast("int")
+    tags_off = F.lit(64 + 32).cast("long") + pad_words.cast("long") * 32
+    data = F.concat(
+        F.lit("0x"),
+        # head: [trader.addr][trader.qty][meta offset = 4 slots][fee]
+        F.lpad(F.lower(F.hex(F.col("l_suppkey"))), 64, "0"),
+        _wh(F.col("l_quantity").cast("long")),
+        _wh(F.lit(0x80)),
+        _wh(F.col("l_orderkey") % 10000),
+        # meta body: [note off][tags off][note len][note·pad][2][t0][t1]
+        _wh(F.lit(0x40)), _wh(tags_off),
+        _wh(nlen),
+        F.rpad(F.lower(F.hex(note)), pad_words * 64, "0"),
+        _wh(F.lit(2)),
+        _wh(F.col("l_linenumber").cast("long")),
+        _wh(F.col("l_partkey") % 1000),
+    )
+    return li.select(
+        F.concat(F.lit("0x"),
+                 F.lpad(F.lower(F.hex(F.col("l_suppkey"))), 40, "0"))
+        .alias("address"),
+        F.array(F.lit(T_TRADE), _hex64(F.col("l_orderkey") % 1000))
+        .alias("topics"),
+        data.alias("data"),
+        F.expr("l_orderkey div 10").alias("block_number"),
+        F.concat(F.lit("0x"),
+                 F.md5(F.concat_ws(":", "l_orderkey", "l_linenumber")))
+        .alias("tx_hash"),
+        F.col("l_linenumber").alias("log_index"),
+    )
+
+
+def q_tuple_abi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = synthetic_trade_logs(spark, sf_dir)
+    decoded = decode_event(raw, TRADE, contract_name="Trade")
+    return decoded.select(
+        "block_number", "tx_hash", "log_index",
+        F.col("trader.addr").alias("trader_addr"),
+        F.col("trader.qty").cast("long").alias("trader_qty"),
+        F.col("meta.note").alias("note"),
+        F.length("meta.note").alias("note_len"),
+        F.element_at("meta.tags", 1).cast("long").alias("tag0"),
+        F.element_at("meta.tags", 2).cast("long").alias("tag1"),
+        F.col("fee").cast("long").alias("fee"),
+    )
+
+
+_SQL_TRADE_RAW = """
+  SELECT lpad(lower(hex(l_suppkey)), 64, '0') AS trader_word,
+         l_returnflag || l_linestatus || '-'
+           || CAST(l_orderkey % 1000 AS VARCHAR) || ':'
+           || repeat('x', CAST(l_orderkey % 40 AS INTEGER)) AS note,
+         CAST(l_quantity AS BIGINT) AS qty,
+         l_orderkey % 10000 AS fee,
+         l_linenumber AS t0, l_partkey % 1000 AS t1,
+         l_orderkey // 10 AS block_number,
+         '0x' || md5(concat_ws(':', l_orderkey, l_linenumber)) AS tx_hash,
+         l_linenumber AS log_index
+  FROM lineitem
+"""
+
+ORACLE_TUPLE_ABI = f"""
+WITH src AS ({_SQL_TRADE_RAW}),
+enc AS (
+  SELECT *,
+         CAST(ceil(length(note) / 32.0) AS INTEGER) AS pad_words,
+         '0x'
+           || trader_word
+           || lpad(lower(hex(qty)), 64, '0')
+           || lpad('80', 64, '0')
+           || lpad(lower(hex(fee)), 64, '0')
+           || lpad('40', 64, '0')
+           || lpad(lower(hex(96 + CAST(ceil(length(note) / 32.0) AS BIGINT)
+                               * 32)), 64, '0')
+           || lpad(lower(hex(length(note))), 64, '0')
+           || rpad(lower(hex(note)),
+                   CAST(ceil(length(note) / 32.0) AS INTEGER) * 64, '0')
+           || lpad('2', 64, '0')
+           || lpad(lower(hex(t0)), 64, '0')
+           || lpad(lower(hex(t1)), 64, '0') AS data
+  FROM src
+),
+offs AS (
+  -- decode by FOLLOWING the offsets, mirroring the Spark decoder:
+  -- meta tail char pos from head slot 2, then member offsets
+  -- relative to the tuple body
+  SELECT *,
+         CAST('0x' || substr(data, 3 + 2 * 64 + 48, 16) AS BIGINT) * 2 + 3
+           AS meta_pos
+  FROM enc
+),
+members AS (
+  SELECT *,
+         meta_pos + CAST('0x' || substr(data,
+             CAST(meta_pos + 48 AS INTEGER), 16) AS BIGINT) * 2 AS note_pos,
+         meta_pos + CAST('0x' || substr(data,
+             CAST(meta_pos + 64 + 48 AS INTEGER), 16) AS BIGINT) * 2
+           AS tags_pos
+  FROM offs
+),
+dec AS (
+  SELECT block_number, tx_hash, log_index,
+         '0x' || substr(data, 27, 40) AS trader_addr,
+         CAST('0x' || substr(data, 3 + 64 + 48, 16) AS BIGINT) AS trader_qty,
+         decode(unhex(substr(data, CAST(note_pos + 64 AS INTEGER),
+             CAST(CAST('0x' || substr(data, CAST(note_pos + 48 AS INTEGER),
+                                      16) AS BIGINT) * 2 AS INTEGER))))
+           AS note,
+         CAST('0x' || substr(data, CAST(tags_pos + 64 + 48 AS INTEGER), 16)
+           AS BIGINT) AS tag0,
+         CAST('0x' || substr(data, CAST(tags_pos + 128 + 48 AS INTEGER), 16)
+           AS BIGINT) AS tag1,
+         CAST('0x' || substr(data, 3 + 3 * 64 + 48, 16) AS BIGINT) AS fee
+  FROM members
+)
+SELECT block_number, tx_hash, log_index, trader_addr, trader_qty,
+       note, length(note) AS note_len, tag0, tag1, fee
+FROM dec
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q98: ECDSA sender recovery (G5) — the reference's types.Sender
 # (`internal/parser/parser.go:152-159`) over a deterministic signed
 # fixture: 64 signatures generated driver-side from keys 1..64 (sign
@@ -545,6 +715,9 @@ SPECS = [
     QuerySpec("q95_dynamic_abi", q_dynamic_abi, ORACLE_DYNAMIC_ABI,
               "dynamic ABI decode: string + uint32[] offset/tail layout",
               ("G2", "G3")),
+    QuerySpec("q107_tuple_abi", q_tuple_abi, ORACLE_TUPLE_ABI,
+              "tuple/struct ABI decode: static tuple inline slots + "
+              "dynamic tuple with tuple-relative offsets", ("G2", "G3")),
     QuerySpec("q98_sender_recovery", q_sender_recovery,
               _oracle_sender_recovery(),
               "pure-Python secp256k1 sender recovery (golden-tested; "

@@ -26,6 +26,16 @@ Decoding strategy (SURVEY §2.G):
   static fixed arrays T[k] decode inline from k head slots; indexed
   dynamic/array params surface as their keccak-hash topic
   (go-ethereum common.Hash semantics).
+- tuples/structs (ABI "components"): static tuples decode inline from
+  consecutive head slots into StructType columns; dynamic tuples
+  resolve members through tuple-relative offset words and recurse —
+  nested tuples, tuple arrays (tuple[] / tuple[k]) and dynamic members
+  (string/bytes/T[]) all via the same `_decode_static_at` /
+  `_decode_dyn_at` position scheme, still entirely JVM-side. Indexed
+  tuples surface as their keccak-hash topic. The one remaining edge:
+  wide SIGNED ints (int72..int256) inside array elements raise (the
+  big-int pandas UDF cannot run inside a HOF lambda); as direct tuple
+  members they work.
 """
 
 from __future__ import annotations
@@ -69,6 +79,24 @@ class AbiInput:
     name: str
     type: str
     indexed: bool
+    # tuple/struct params carry their members here (ABI JSON
+    # "components"), recursively — empty for elementary types.
+    components: tuple["AbiInput", ...] = ()
+
+
+def _canon_type(inp: AbiInput) -> str:
+    """Canonical signature type: tuples render as (t1,t2,...) with
+    array suffixes preserved — the form keccak'd into topic0
+    (go-ethereum abi.Type.String() semantics)."""
+    t = inp.type
+    if t.startswith("tuple"):
+        m = _ARRAY_RE.match(t)
+        if m:
+            inner = _canon_type(
+                AbiInput(inp.name, m.group(1), False, inp.components))
+            return f"{inner}[{m.group(2)}]"
+        return "(" + ",".join(_canon_type(c) for c in inp.components) + ")"
+    return t
 
 
 @dataclass(frozen=True)
@@ -78,16 +106,24 @@ class AbiEvent:
 
     @property
     def signature(self) -> str:
-        return f"{self.name}({','.join(i.type for i in self.inputs)})"
+        return f"{self.name}({','.join(_canon_type(i) for i in self.inputs)})"
 
     @property
     def topic0(self) -> str:
         return keccak256_hex(self.signature)
 
 
+def _parse_input(i: dict) -> AbiInput:
+    return AbiInput(
+        i["name"], i["type"], bool(i.get("indexed", False)),
+        tuple(_parse_input(c) for c in i.get("components", [])))
+
+
 def parse_abi(abi_json: str | list) -> dict[str, AbiEvent]:
     """Parse an ABI document (JSON string or loaded list) into events,
-    mirroring `internal/config/config.go:124-129`."""
+    mirroring `internal/config/config.go:124-129`; tuple components
+    parse recursively (go-ethereum `abi.NewType` component handling,
+    the path the reference's `abi.UnpackIntoMap` relies on)."""
     doc = json.loads(abi_json) if isinstance(abi_json, str) else abi_json
     events = {}
     for frag in doc:
@@ -95,10 +131,7 @@ def parse_abi(abi_json: str | list) -> dict[str, AbiEvent]:
             continue
         ev = AbiEvent(
             name=frag["name"],
-            inputs=tuple(
-                AbiInput(i["name"], i["type"], bool(i.get("indexed", False)))
-                for i in frag.get("inputs", [])
-            ),
+            inputs=tuple(_parse_input(i) for i in frag.get("inputs", [])),
         )
         events[ev.name] = ev
     return events
@@ -142,6 +175,64 @@ def _head_slots(abi_type: str) -> int:
     return 1
 
 
+def _elem_of(inp: AbiInput) -> AbiInput:
+    """The element AbiInput of an array-typed input (strips ONE array
+    suffix; components pass through for tuple elements)."""
+    m = _ARRAY_RE.match(inp.type)
+    return AbiInput(inp.name, m.group(1), False, inp.components)
+
+
+def _is_dynamic_i(inp: AbiInput) -> bool:
+    """_is_dynamic generalized to inputs: a tuple is dynamic iff any
+    member is; tuple arrays follow the usual array rules."""
+    t = inp.type
+    if t.startswith("tuple"):
+        m = _ARRAY_RE.match(t)
+        if m:
+            return True if m.group(2) == "" else _is_dynamic_i(_elem_of(inp))
+        return any(_is_dynamic_i(c) for c in inp.components)
+    return _is_dynamic(t)
+
+
+def _head_slots_i(inp: AbiInput) -> int:
+    """_head_slots generalized to inputs: a static tuple occupies the
+    sum of its members' slots inline; dynamic anything occupies 1."""
+    if _is_dynamic_i(inp):
+        return 1
+    t = inp.type
+    if t.startswith("tuple"):
+        m = _ARRAY_RE.match(t)
+        if m:
+            return int(m.group(2)) * _head_slots_i(_elem_of(inp))
+        return sum(_head_slots_i(c) for c in inp.components)
+    return _head_slots(t)
+
+
+def _comp_slot_offsets(comps: tuple[AbiInput, ...]) -> list[int]:
+    """Cumulative head-slot offset of each tuple member."""
+    offs, slot = [], 0
+    for c in comps:
+        offs.append(slot)
+        slot += _head_slots_i(c)
+    return offs
+
+
+def spark_type_i(inp: AbiInput, *, indexed: bool = False) -> T.DataType:
+    """spark_type generalized to inputs: tuples become StructType (no
+    per-member _hex twins — members beyond Decimal(38,0) NULL-saturate
+    with the raw blob as the lossless source)."""
+    t = inp.type
+    if t.startswith("tuple"):
+        if indexed:
+            return T.StringType()  # keccak hash topic
+        m = _ARRAY_RE.match(t)
+        if m:
+            return T.ArrayType(spark_type_i(_elem_of(inp)))
+        return T.StructType(
+            [T.StructField(c.name, spark_type_i(c)) for c in inp.components])
+    return spark_type(t, indexed=indexed)
+
+
 def spark_type(abi_type: str, *, indexed: bool = False) -> T.DataType:
     m = _ARRAY_RE.match(abi_type)
     if indexed and (m or _is_dynamic(abi_type)):
@@ -174,7 +265,7 @@ def event_schema(event: AbiEvent, contract_name: str = "") -> T.StructType:
     carry no twin — the raw data blob is their lossless source)."""
     fields = [T.StructField(n, t) for n, t in META_FIELDS]
     for inp in event.inputs:
-        st = spark_type(inp.type, indexed=inp.indexed)
+        st = spark_type_i(inp, indexed=inp.indexed)
         fields.append(T.StructField(inp.name, st))
         bits = _int_bits(inp.type)
         if bits is not None and bits > 63:
@@ -279,7 +370,7 @@ def _head_slot_offsets(inputs) -> list[int]:
     offs, slot = [], 0
     for inp in inputs:
         offs.append(slot)
-        slot += _head_slots(inp.type)
+        slot += _head_slots_i(inp)
     return offs
 
 
@@ -362,6 +453,94 @@ def _decode_dynamic(data: Column, pos: Column, n: Column,
     raise NotImplementedError(f"dynamic type {abi_type!r}")
 
 
+def _decode_static_at(data: Column, pos: Column, inp: AbiInput,
+                      in_lambda: bool = False) -> Column:
+    """Decode a STATIC value whose encoding starts at char position
+    ``pos`` — the general recursive form that makes tuples work:
+    static tuple members lie at pos + 64·(cumulative member slots),
+    static fixed arrays stride by 64·(element slots). Positions are
+    plain column arithmetic, so everything stays JVM-side expressions
+    (reference parity: go-ethereum `abi.UnpackIntoMap` tuple handling,
+    `internal/parser/parser.go:74-77`).
+
+    ``in_lambda``: wide signed ints need the big-int pandas UDF, which
+    cannot appear inside a higher-order-function lambda — callers
+    inside F.transform set this so the limitation raises loudly
+    instead of failing at runtime.
+    """
+    t = inp.type
+    m = _ARRAY_RE.match(t)
+    if t.startswith("tuple") and not m:
+        offs = _comp_slot_offsets(inp.components)
+        return F.struct(*[
+            _decode_static_at(data, pos + 64 * s, c, in_lambda).alias(c.name)
+            for s, c in zip(offs, inp.components)])
+    if m:  # static fixed array T[k]
+        elem = _elem_of(inp)
+        stride = 64 * _head_slots_i(elem)
+        return F.array(*[
+            _decode_static_at(data, pos + i * stride, elem, in_lambda)
+            for i in range(int(m.group(2)))])
+    if in_lambda and t.startswith("int") and (_int_bits(t) or 0) > 63:
+        raise NotImplementedError(
+            "wide signed int inside an array element (pandas UDF "
+            "cannot run inside a higher-order-function lambda)")
+    return _decode_word(F.substring(data, pos, 64), t)
+
+
+def _offset_at(data: Column, pos: Column) -> Column:
+    """Byte-offset word at char position ``pos``, as a char delta."""
+    return (F.conv(F.substring(data, pos + 48, F.lit(16)), 16, 10)
+            .cast("long") * 2).cast("int")
+
+
+def _decode_dyn_at(data: Column, pos: Column, inp: AbiInput,
+                   in_lambda: bool = False) -> Column:
+    """Decode a DYNAMIC value whose tail starts at char position
+    ``pos`` (the length word for string/bytes/T[]; the body itself for
+    dynamic tuples, which have no length word). Dynamic tuple members
+    resolve through offset words RELATIVE to the tuple body — the ABI
+    tuple-encoding rule — and recurse, so tuples nest to any depth and
+    arrays-of-tuples come through the dynamic-element path below.
+    """
+    t = inp.type
+    m = _ARRAY_RE.match(t)
+    if t in ("string", "bytes") or (m and not t.startswith("tuple")
+                                    and not _is_dynamic_i(_elem_of(inp))
+                                    and m.group(2) == ""):
+        # elementary dynamic scalars and T[] of elementary/static types
+        # keep the tuned staged-region path
+        return _decode_dynamic(data, pos, _len_at(data, pos), t)
+    if m:  # tuple[] / tuple[k] / T[] of dynamic T / nested arrays
+        elem = _elem_of(inp)
+        if m.group(2) == "":
+            n, body = _len_at(data, pos), pos + 64
+        else:  # fixed array of dynamic elements: no count word
+            n, body = F.lit(int(m.group(2))), pos
+        idx = (F.when(n > 0, F.sequence(F.lit(0), n - 1))
+               .otherwise(F.array().cast("array<int>")))
+        if _is_dynamic_i(elem):
+            return F.transform(idx, lambda i: _decode_dyn_at(
+                data, body + _offset_at(data, body + i * 64), elem,
+                in_lambda=True))
+        stride = 64 * _head_slots_i(elem)
+        return F.transform(idx, lambda i: _decode_static_at(
+            data, body + i * stride, elem, in_lambda=True))
+    if t == "tuple":
+        offs = _comp_slot_offsets(inp.components)
+        fields = []
+        for s, c in zip(offs, inp.components):
+            if _is_dynamic_i(c):
+                cpos = pos + _offset_at(data, pos + 64 * s)
+                fields.append(_decode_dyn_at(data, cpos, c,
+                                             in_lambda).alias(c.name))
+            else:
+                fields.append(_decode_static_at(data, pos + 64 * s, c,
+                                                in_lambda).alias(c.name))
+        return F.struct(*fields)
+    raise NotImplementedError(f"dynamic type {t!r}")
+
+
 def _decode_static_array(data: Column, base_slot: int,
                          abi_type: str) -> Column:
     """Inline decode of a static fixed array T[k]: k consecutive head
@@ -403,9 +582,10 @@ def decode_event(raw_logs: DataFrame, event: AbiEvent, *,
         topic = F.col("topics")[pos + 1]
         word = F.substring(topic, 3, 64)  # strip 0x
         order.append(inp.name)
-        if _is_dynamic(inp.type) or _ARRAY_RE.match(inp.type):
-            # indexed dynamic/array params are stored as the keccak
-            # hash of the encoded value (go-ethereum common.Hash).
+        if (_is_dynamic_i(inp) or _ARRAY_RE.match(inp.type)
+                or inp.type.startswith("tuple")):
+            # indexed dynamic/array/struct params are stored as the
+            # keccak hash of the encoded value (go-ethereum common.Hash).
             out_cols.append(F.lower(topic).alias(inp.name))
             continue
         out_cols.append(_decode_word(word, inp.type).alias(inp.name))
@@ -413,8 +593,8 @@ def decode_event(raw_logs: DataFrame, event: AbiEvent, *,
             out_cols.append(F.concat(F.lit("0x"), F.lower(word))
                             .alias(f"{inp.name}_hex"))
             order.append(f"{inp.name}_hex")
-    needs_words = any(_is_dynamic(i.type) or _ARRAY_RE.match(i.type)
-                      for i in unindexed)
+    needs_words = any(_is_dynamic_i(i) or _ARRAY_RE.match(i.type)
+                      or i.type.startswith("tuple") for i in unindexed)
     if not needs_words:
         # static-only event: single projection straight off the blob
         for slot, inp in enumerate(unindexed):
@@ -449,15 +629,18 @@ def decode_event(raw_logs: DataFrame, event: AbiEvent, *,
     data = F.col("data")
     dyn = [(slot, inp)
            for slot, inp in zip(_head_slot_offsets(unindexed), unindexed)
-           if _is_dynamic(inp.type)]
+           if _is_dynamic_i(inp)]
     pos_cols = {inp.name: f"__pos_{inp.name}" for _, inp in dyn}
-    n_cols = {inp.name: f"__n_{inp.name}" for _, inp in dyn}
+    # length staging applies to length-prefixed tails only — dynamic
+    # tuples have no length word (their tail IS the member layout)
+    n_cols = {inp.name: f"__n_{inp.name}" for _, inp in dyn
+              if not inp.type.startswith("tuple")}
     df = df.select(
         "*", *[_tail_pos(data, slot).alias(pos_cols[inp.name])
                for slot, inp in dyn])
     df = df.select(
-        "*", *[_len_at(data, F.col(pos_cols[inp.name])).alias(
-            n_cols[inp.name]) for _, inp in dyn])
+        "*", *[_len_at(data, F.col(pos_cols[name])).alias(n_col)
+               for name, n_col in n_cols.items()])
 
     # Array decodes run in their own projection AFTER the scalar one
     # (P4); by then a decoded param may legitimately be aliased "data"
@@ -468,7 +651,18 @@ def decode_event(raw_logs: DataFrame, event: AbiEvent, *,
     scalar_cols, array_cols = [], []
     for slot, inp in zip(_head_slot_offsets(unindexed), unindexed):
         is_arr = bool(_ARRAY_RE.match(inp.type))
-        if _is_dynamic(inp.type):
+        is_tuple = inp.type.startswith("tuple")
+        if is_tuple:
+            # tuples decode via the recursive position scheme (complex
+            # output → the P4 projection, like arrays)
+            if _is_dynamic_i(inp):
+                col = _decode_dyn_at(
+                    blob, F.col(pos_cols[inp.name]), inp).alias(inp.name)
+            else:
+                col = _decode_static_at(
+                    blob, F.lit(3 + 64 * slot), inp).alias(inp.name)
+            array_cols.append(col)
+        elif _is_dynamic(inp.type):
             col = _decode_dynamic(
                 blob if is_arr else data,
                 F.col(pos_cols[inp.name]), F.col(n_cols[inp.name]),

@@ -520,3 +520,230 @@ def test_decode_dynamic_param_named_data_with_array(spark):
         spark.createDataFrame([log], RAW_LOG_SCHEMA), ev).collect()[0]
     assert out["data"] == "0xaabbcc"
     assert out["targets"] == [7]
+
+
+# ---------------------------------------------------------------------------
+# Tuple (struct) decoding — round-3 extension of the staged decoder.
+# _spec_encode is an INDEPENDENT reference encoder implementing the
+# ABI spec head/tail rules directly (offsets relative to each
+# enclosing tuple encoding), so decode tests are true round-trips.
+# ---------------------------------------------------------------------------
+
+def _spec_encode_one(inp, v) -> tuple[str, str | None]:
+    """Returns (head_words, tail) hex; tail None for static types."""
+    import re as _re
+
+    t = inp.type
+    m = _re.match(r"^(.*)\[(\d*)\]$", t)
+
+    def is_dyn(i):
+        from etl_evm_chain_spark.sources.abi import _is_dynamic_i
+        return _is_dynamic_i(i)
+
+    if t == "string":
+        b = v.encode("utf-8")
+        return "", _w(len(b)) + b.hex().ljust(((len(b) + 31) // 32) * 64, "0")
+    if t == "bytes":
+        b = bytes.fromhex(v[2:])
+        return "", _w(len(b)) + b.hex().ljust(((len(b) + 31) // 32) * 64, "0")
+    if m:
+        elem = AbiInput(inp.name, m.group(1), False, inp.components)
+        body = _spec_encode_tuple([elem] * len(v), list(v))
+        if m.group(2) == "":
+            return "", _w(len(v)) + body
+        if is_dyn(inp):
+            return "", body
+        return body, None
+    if t == "tuple":
+        body = _spec_encode_tuple(list(inp.components), list(v))
+        if is_dyn(inp):
+            return "", body
+        return body, None
+    if t == "address":
+        return _w(int(v, 16)), None
+    if t == "bool":
+        return _w(int(v)), None
+    if t.startswith("uint") or t.startswith("int"):
+        return format(v % (1 << 256), "064x"), None
+    raise NotImplementedError(t)
+
+
+def _spec_encode_tuple(inputs, values) -> str:
+    parts = [_spec_encode_one(i, v) for i, v in zip(inputs, values)]
+    heads, tails, dyn_idx = [], [], []
+    for head, tail in parts:
+        if tail is None:
+            heads.append(head)
+        else:
+            heads.append(None)  # offset placeholder
+            dyn_idx.append(len(heads) - 1)
+            tails.append(tail)
+    head_len = sum(64 if h is None else len(h) for h in heads) // 2
+    acc, offs = head_len, []
+    for tail in tails:
+        offs.append(acc)
+        acc += len(tail) // 2
+    out = []
+    ti = 0
+    for h in heads:
+        if h is None:
+            out.append(_w(offs[ti]))
+            ti += 1
+        else:
+            out.append(h)
+    return "".join(out) + "".join(tails)
+
+
+def _spec_encode_data(event, values) -> str:
+    unindexed = [i for i in event.inputs if not i.indexed]
+    return "0x" + _spec_encode_tuple(list(unindexed), values)
+
+
+SWAP_T = AbiEvent("SwapT", (
+    AbiInput("pool", "address", True),
+    AbiInput("trader", "tuple", False, (
+        AbiInput("addr", "address", False),
+        AbiInput("qty", "uint64", False),
+    )),
+    AbiInput("meta", "tuple", False, (
+        AbiInput("note", "string", False),
+        AbiInput("tags", "uint32[]", False),
+    )),
+    AbiInput("fee", "uint64", False),
+))
+
+
+def test_tuple_signature_canonicalization():
+    assert SWAP_T.signature == \
+        "SwapT(address,(address,uint64),(string,uint32[]),uint64)"
+
+
+def test_tuple_event_schema():
+    sch = event_schema(SWAP_T)
+    f = {x.name: x.dataType for x in sch.fields}
+    # uint64 needs unsigned headroom beyond a signed long → decimal
+    assert f["trader"].simpleString() == \
+        "struct<addr:string,qty:decimal(38,0)>"
+    assert f["meta"].simpleString() == \
+        "struct<note:string,tags:array<bigint>>"
+
+
+def _swap_raw(spark, data):
+    return spark.createDataFrame(
+        [("0xAbc0000000000000000000000000000000000abc",
+          [SWAP_T.topic0, "0x" + "0" * 24 + "deadbeef" * 5],
+          data, 100, "0xtx", 0)],
+        RAW_LOG_SCHEMA)
+
+
+def test_decode_static_and_dynamic_tuple(spark):
+    data = _spec_encode_data(
+        SWAP_T, [("0x" + "12" * 20, 777), ("hi there", [5, 6, 7]), 42])
+    r = decode_event(_swap_raw(spark, data), SWAP_T).collect()[0]
+    assert r["pool"] == "0x" + "deadbeef" * 5
+    assert r["trader"]["addr"] == "0x" + "12" * 20
+    assert int(r["trader"]["qty"]) == 777
+    assert r["meta"]["note"] == "hi there"
+    assert list(r["meta"]["tags"]) == [5, 6, 7]
+    assert int(r["fee"]) == 42
+
+
+def test_decode_tuple_empty_dynamics(spark):
+    data = _spec_encode_data(
+        SWAP_T, [("0x" + "00" * 20, 0), ("", []), 0])
+    r = decode_event(_swap_raw(spark, data), SWAP_T).collect()[0]
+    assert r["meta"]["note"] == "" and list(r["meta"]["tags"]) == []
+
+
+TUPLE_ARRAY_EV = AbiEvent("Legs", (
+    AbiInput("legs", "tuple[]", False, (
+        AbiInput("venue", "uint32", False),
+        AbiInput("px", "uint64", False),
+    )),
+    AbiInput("memo", "string", False),
+))
+
+
+def test_decode_array_of_static_tuples(spark):
+    data = _spec_encode_data(
+        TUPLE_ARRAY_EV, [[(1, 100), (2, 200), (3, 300)], "ok"])
+    raw = spark.createDataFrame(
+        [("0x" + "ab" * 20, [TUPLE_ARRAY_EV.topic0], data, 1, "0xt", 0)],
+        RAW_LOG_SCHEMA)
+    r = decode_event(raw, TUPLE_ARRAY_EV).collect()[0]
+    legs = [(leg["venue"], leg["px"]) for leg in r["legs"]]
+    assert legs == [(1, 100), (2, 200), (3, 300)]
+    assert r["memo"] == "ok"
+
+
+DYN_TUPLE_ARRAY_EV = AbiEvent("Orders", (
+    AbiInput("orders", "tuple[]", False, (
+        AbiInput("tag", "string", False),
+        AbiInput("size", "uint32", False),
+    )),
+))
+
+
+def test_decode_array_of_dynamic_tuples(spark):
+    vals = [[("alpha", 1), ("beta-long-tag-spanning-two-words-here!", 2),
+             ("", 3)]]
+    data = _spec_encode_data(DYN_TUPLE_ARRAY_EV, vals)
+    raw = spark.createDataFrame(
+        [("0x" + "ab" * 20, [DYN_TUPLE_ARRAY_EV.topic0], data, 1, "0xt", 0)],
+        RAW_LOG_SCHEMA)
+    r = decode_event(raw, DYN_TUPLE_ARRAY_EV).collect()[0]
+    got = [(o["tag"], o["size"]) for o in r["orders"]]
+    assert got == vals[0]
+
+
+def test_decode_nested_static_tuple(spark):
+    ev = AbiEvent("Nest", (
+        AbiInput("outer", "tuple", False, (
+            AbiInput("a", "uint32", False),
+            AbiInput("inner", "tuple", False, (
+                AbiInput("x", "uint64", False),
+                AbiInput("y", "bool", False),
+            )),
+            AbiInput("b", "uint32", False),
+        )),
+    ))
+    data = _spec_encode_data(ev, [(7, (123456789, True), 9)])
+    raw = spark.createDataFrame(
+        [("0x" + "ab" * 20, [ev.topic0], data, 1, "0xt", 0)],
+        RAW_LOG_SCHEMA)
+    r = decode_event(raw, ev).collect()[0]
+    assert r["outer"]["a"] == 7 and r["outer"]["b"] == 9
+    assert r["outer"]["inner"]["x"] == 123456789
+    assert r["outer"]["inner"]["y"] is True
+
+
+def test_indexed_tuple_surfaces_as_topic_hash(spark):
+    ev = AbiEvent("IxT", (
+        AbiInput("key", "tuple", True, (
+            AbiInput("a", "uint32", False),
+            AbiInput("b", "uint32", False),
+        )),
+        AbiInput("v", "uint64", False),
+    ))
+    h = "0x" + "ee" * 32
+    raw = spark.createDataFrame(
+        [("0x" + "ab" * 20, [ev.topic0, h], "0x" + _w(5), 1, "0xt", 0)],
+        RAW_LOG_SCHEMA)
+    r = decode_event(raw, ev).collect()[0]
+    assert r["key"] == h and r["v"] == 5
+
+
+def test_parse_abi_tuple_components():
+    doc = [{
+        "type": "event", "name": "E",
+        "inputs": [{
+            "name": "s", "type": "tuple", "indexed": False,
+            "components": [
+                {"name": "a", "type": "address"},
+                {"name": "amts", "type": "uint256[]"},
+            ],
+        }],
+    }]
+    ev = parse_abi(doc)["E"]
+    assert ev.inputs[0].components[1].type == "uint256[]"
+    assert ev.signature == "E((address,uint256[]))"
