@@ -52,6 +52,7 @@ def main() -> None:
     # repeatable compute; the warm-up pays all one-time builds.
     from etl_evm_chain_spark.plans.analytics_ext import _resolved_landed
     from etl_evm_chain_spark.plans.evm import (synthetic_memo_logs,
+                                               synthetic_trade_logs,
                                                synthetic_transfer_logs)
     from etl_evm_chain_spark.plans.llmdata import _simhash_landed
     from etl_evm_chain_spark.plans.textstats_q import _bpe_merges_landed
@@ -60,9 +61,22 @@ def main() -> None:
     for mixed in (False, True):
         synthetic_transfer_logs(spark, sf_dir, mixed=mixed) \
             .select("block_number").limit(1).collect()
-    for landed in (synthetic_memo_logs, _ml_dataset_landed,
-                   _simhash_landed, _resolved_landed, _bpe_merges_landed):
+    for landed in (synthetic_memo_logs, synthetic_trade_logs,
+                   _ml_dataset_landed, _simhash_landed, _resolved_landed,
+                   _bpe_merges_landed):
         landed(spark, sf_dir).limit(1).collect()
+    # JIT the two heavyweight execution paths the first queries in
+    # registry order otherwise absorb (driver benches cold; r2 showed
+    # q68 +1.5s / q44 +1.1s of pure warm-up): Arrow grouped-map
+    # (FlatMapGroupsInPandas machinery) and interpreted higher-order
+    # functions (aggregate/transform are CodegenFallback).
+    warm = spark.range(256).withColumn("g", F.col("id") % 8)
+    warm.groupBy("g").applyInPandas(
+        lambda pdf: pdf, "id long, g long").count()
+    warm.withColumn("a", F.expr(
+        "aggregate(transform(sequence(1, 32), x -> CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")).agg(
+        F.sum("a")).collect()
 
     timings: dict[str, float] = {}
     for spec in all_specs():
@@ -130,6 +144,9 @@ def main() -> None:
     # window and recorded "parsed": null. Short keys (the qNN prefix,
     # unique by construction) + compact separators keep the line ~1.3 KB.
     short = {name.split("_", 1)[0]: round(t, 2) for name, t in timings.items()}
+    # a future qNN prefix collision must fail loudly, not silently drop
+    # a timing from the reported JSON
+    assert len(short) == len(timings), "duplicate qNN prefix in registry"
     print(json.dumps({
         "metric": "total_query_wall_seconds",
         "value": total,

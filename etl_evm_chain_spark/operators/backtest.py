@@ -103,7 +103,13 @@ def ewm_mean(df: DataFrame, *, value: str, key: str, order: str,
 def _close(trades: list, pool: str, side: str, entry_i: int, exit_i: int,
            ts, price, extra: tuple = ()) -> None:
     entry_p, exit_p = price[entry_i], price[exit_i]
-    ret = (exit_p / entry_p - 1.0) * 100.0
+    # pandas inf-semantics made explicit (a synthetic price underflowing
+    # to 0 must not spray RuntimeWarnings across a bench run): 0-entry →
+    # ±inf return, 0/0 → nan — exactly what the ufunc would produce.
+    if entry_p == 0.0:
+        ret = float("nan") if exit_p == 0.0 else float("inf") * exit_p
+    else:
+        ret = (exit_p / entry_p - 1.0) * 100.0
     if side == "short":
         ret = -ret
     trades.append((pool, side, int(ts[entry_i]), int(ts[exit_i]),

@@ -189,7 +189,12 @@ def weighted_sample(df: DataFrame, *, key: str, weight: Column | str,
     sort.
     """
     w = F.col(weight) if isinstance(weight, str) else weight
-    w = F.greatest(F.lit(1), F.least(w.cast("int"), F.lit(max_weight)))
+    # coalesce BEFORE clamping: least()/greatest() skip NULLs, so a
+    # NULL weight would clamp to max_weight — the most-likely-sampled
+    # row — instead of the neutral minimum
+    w = F.greatest(F.lit(1),
+                   F.least(F.coalesce(w.cast("int"), F.lit(1)),
+                           F.lit(max_weight)))
     kcol = F.col(key).cast("string")
     minkey = F.array_min(F.transform(
         F.sequence(F.lit(0), w - 1),

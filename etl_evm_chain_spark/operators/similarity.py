@@ -624,7 +624,8 @@ def knn_classify(emb: DataFrame, *, id_col: str = "vec_id",
                  vec_col: str = "embedding", label_col: str = "label",
                  k: int = 10,
                  max_broadcast_rows: int = 2_000_000,
-                 method: str = "auto") -> DataFrame:
+                 method: str = "auto",
+                 approx_rows: int | None = None) -> DataFrame:
     """Leave-one-out k-NN majority-vote label classification with
     per-label accuracy — the standard embedding-quality probe for a
     labeled corpus (is the embedding space locally label-consistent?),
@@ -641,8 +642,15 @@ def knn_classify(emb: DataFrame, *, id_col: str = "vec_id",
     Beyond the broadcast guard the exact kernel stops being the right
     operator, so ``method="auto"`` (default) routes to
     ``knn_classify_bucketed`` — IVF cells, cogrouped per-cell kernel —
-    instead of raising (size probe: bounded ``limit(guard+1).count()``,
-    not a full count). ``method="exact"``/``"bucketed"`` force a path.
+    instead of raising. The size guard is FREE on the exact path: the
+    corpus materializes through ``limit(guard+1).toPandas()`` and the
+    guard checks the materialized length — one job, not a separate
+    count probe (the round-2 probe job doubled q72's wall time).
+    Callers who already know the corpus scale pass ``approx_rows``
+    (e.g. from catalog stats) to route with no job at all; an
+    over-guard corpus without the hint pays one guard-bounded
+    transfer before routing. ``method="exact"``/``"bucketed"`` force
+    a path.
 
     Returns one row per label: n, n_correct, accuracy_micro
     (floor(accuracy·1e6) — integer, engine-portable).
@@ -654,13 +662,19 @@ def knn_classify(emb: DataFrame, *, id_col: str = "vec_id",
 
     if method not in ("auto", "exact", "bucketed"):
         raise ValueError(f"unknown method {method!r}")
-    if method == "bucketed":
+    over_hint = approx_rows is not None and approx_rows > max_broadcast_rows
+    if method == "bucketed" or (method == "auto" and over_hint):
         return knn_classify_bucketed(
             emb, id_col=id_col, vec_col=vec_col, label_col=label_col, k=k)
-    # Bounded size probe BEFORE any driver materialization — the guard
-    # must fire before a toPandas() of an oversized corpus, not after.
-    probe = emb.select(id_col).limit(max_broadcast_rows + 1).count()
-    if probe > max_broadcast_rows:
+    if over_hint:
+        raise ValueError(
+            f">{max_broadcast_rows} vectors exceed the broadcast guard; "
+            "use method='bucketed'")
+
+    spark = emb.sparkSession
+    corpus = (emb.select(id_col, vec_col, label_col)
+              .limit(max_broadcast_rows + 1).toPandas())
+    if len(corpus) > max_broadcast_rows:
         if method == "auto":
             return knn_classify_bucketed(
                 emb, id_col=id_col, vec_col=vec_col, label_col=label_col,
@@ -668,9 +682,6 @@ def knn_classify(emb: DataFrame, *, id_col: str = "vec_id",
         raise ValueError(
             f">{max_broadcast_rows} vectors exceed the broadcast guard; "
             "use method='bucketed'")
-
-    spark = emb.sparkSession
-    corpus = emb.select(id_col, vec_col, label_col).toPandas()
     ids = corpus[id_col].to_numpy()
     labels = corpus[label_col].to_numpy()
     mat = np.stack(corpus[vec_col].to_numpy()).astype(np.float64)
@@ -867,7 +878,8 @@ def cosine_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
                           max_broadcast_rows: int = 2_000_000,
                           method: str = "auto",
                           n_tables: int = 16,
-                          planes_per_table: int = 4) -> DataFrame:
+                          planes_per_table: int = 4,
+                          approx_rows: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above a threshold.
 
     Exact all-pairs is inherently O(n²); the scalable formulation is a
@@ -880,23 +892,31 @@ def cosine_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
     Beyond ``max_broadcast_rows`` exact all-pairs stops being the
     right operator, so ``method="auto"`` (default) routes to
     ``cosine_near_dup_pairs_bucketed`` — banded LSH buckets, exact
-    kernel per bucket — instead of raising. The size probe is a
-    bounded ``limit(guard+1).count()`` over the id column, not a full
-    corpus count. ``method="exact"``/``"bucketed"`` force a path
-    (exact past the guard raises, preserving the old contract).
+    kernel per bucket — instead of raising. The size guard is free on
+    the exact path (the corpus materializes via limit(guard+1) and
+    the LENGTH is the guard — one job, no separate count probe);
+    callers with catalog knowledge pass ``approx_rows`` to route
+    jobless. ``method="exact"``/``"bucketed"`` force a path (exact
+    past the guard raises, preserving the old contract).
     """
     import numpy as np
 
     if method not in ("auto", "exact", "bucketed"):
         raise ValueError(f"unknown method {method!r}")
-    if method == "bucketed":
+    over_hint = approx_rows is not None and approx_rows > max_broadcast_rows
+    if method == "bucketed" or (method == "auto" and over_hint):
         return cosine_near_dup_pairs_bucketed(
             df, id_col=id_col, vec_col=vec_col, threshold=threshold,
             n_tables=n_tables, planes_per_table=planes_per_table)
-    # Bounded size probe BEFORE any driver materialization — the guard
-    # must fire before a toPandas() of an oversized corpus, not after.
-    probe = df.select(id_col).limit(max_broadcast_rows + 1).count()
-    if probe > max_broadcast_rows:
+    if over_hint:
+        raise ValueError(
+            f">{max_broadcast_rows} vectors exceed the broadcast guard; "
+            "use method='bucketed'")
+
+    spark = df.sparkSession
+    corpus = (df.select(id_col, vec_col)
+              .limit(max_broadcast_rows + 1).toPandas())
+    if len(corpus) > max_broadcast_rows:
         if method == "auto":
             return cosine_near_dup_pairs_bucketed(
                 df, id_col=id_col, vec_col=vec_col, threshold=threshold,
@@ -904,9 +924,6 @@ def cosine_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
         raise ValueError(
             f">{max_broadcast_rows} vectors exceed the broadcast guard; "
             "use method='bucketed'")
-
-    spark = df.sparkSession
-    corpus = df.select(id_col, vec_col).toPandas()
     ids = corpus[id_col].to_numpy()
     mat = np.stack(corpus[vec_col].to_numpy()).astype(np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))

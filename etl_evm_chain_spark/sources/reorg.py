@@ -174,9 +174,18 @@ def incremental_decode_reorg_safe(
     # decode is deterministic, so the rewrite is value-identical for
     # unchanged blocks.
     replay_from = max(start, _bucket_start(frm, bucket_size))
+    # Reorg onto a SHORTER chain: buckets between the new safe tip and
+    # the previous watermark hold orphaned rows from the abandoned
+    # branch. They must be physically deleted here, not merely hidden
+    # by read_committed's watermark filter — consumers reading the lake
+    # directly (CLI export, ad-hoc spark.read) would see them until the
+    # chain regrew past them.
+    top_bucket = safe_latest // bucket_size
+    if fork is not None and cur is not None:
+        top_bucket = max(top_bucket, cur[1] // bucket_size)
     _delete_buckets(spark, out_dir,
                     replay_from // bucket_size,
-                    safe_latest // bucket_size)
+                    top_bucket)
     if raw_factory is not None:
         fresh = raw_factory(replay_from, safe_latest)
     else:

@@ -47,6 +47,67 @@ def write_event_jdbc(df: DataFrame, url: str, *, event_name: str,
        .save())
 
 
+def mysql_jdbc_url(host: str, db: str, *, port: int = 3306,
+                   user: str | None = None,
+                   password: str | None = None) -> str:
+    """MySQL JDBC URL with the flags a bulk event sink needs:
+    rewriteBatchedStatements turns Spark's per-row INSERT batches into
+    multi-row statements (~10× on MySQL), and a UTC session timezone
+    keeps TIMESTAMP columns aligned with the engine's UTC convention.
+    """
+    creds = ""
+    if user is not None:
+        creds = f"user={user}&" + (
+            f"password={password}&" if password is not None else "")
+    return (f"jdbc:mysql://{host}:{port}/{db}?{creds}"
+            "rewriteBatchedStatements=true&connectionTimeZone=UTC")
+
+
+def mysql_ddl(df: DataFrame, table: str) -> str:
+    """CREATE TABLE DDL in MySQL dialect from the ABI-derived schema —
+    the analog of the reference's GORM auto-migrate for its declared
+    MySQL sink (`README.md:168-172`, `internal/sink/mysql.go:3`).
+    Emitted as a string (executed via JDBC ``createTableOptions`` or
+    out-of-band) so the mapping is testable without a server: no MySQL
+    exists in CI, and the write path itself is exercised against
+    embedded Derby (tests/test_evm.py).
+
+    Type mapping notes: addresses/hashes are fixed-width hex →
+    VARCHAR(66) (indexable, unlike TEXT); uint256 decimals map to
+    DECIMAL(38,0) with the lossless _hex twin beside them.
+    """
+    from pyspark.sql import types as T
+
+    def mysql_type(f: T.StructField) -> str:
+        dt = f.dataType
+        if isinstance(dt, T.LongType):
+            return "BIGINT"
+        if isinstance(dt, T.IntegerType):
+            return "INT"
+        if isinstance(dt, T.DoubleType):
+            return "DOUBLE"
+        if isinstance(dt, T.BooleanType):
+            return "TINYINT(1)"
+        if isinstance(dt, T.DecimalType):
+            return f"DECIMAL({dt.precision},{dt.scale})"
+        if isinstance(dt, T.TimestampType):
+            return "TIMESTAMP"
+        if isinstance(dt, T.StringType):
+            # hex-valued columns are fixed-width: 0x + 64 (hashes) is
+            # the widest; VARCHAR beats TEXT for indexability
+            if f.name in ("tx_hash", "contract", "address") \
+                    or f.name.endswith("_hex"):
+                return "VARCHAR(66)"
+            return "TEXT"
+        raise NotImplementedError(
+            f"no MySQL mapping for column {f.name}: {dt.simpleString()} "
+            "(project complex types to scalars before a JDBC sink)")
+
+    cols = ",\n  ".join(f"`{f.name}` {mysql_type(f)}"
+                        for f in df.schema.fields)
+    return f"CREATE TABLE IF NOT EXISTS `{table}` (\n  {cols}\n)"
+
+
 def export_signals_csv(df: DataFrame, path: str) -> None:
     """Single-file signals export (A11,
     `stable_fee_ml_bot.py:330-333` pyc). coalesce(1) is fine here:

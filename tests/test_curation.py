@@ -109,6 +109,25 @@ def test_weighted_sample_favors_heavy_rows(spark):
     assert heavy >= 12  # expected ~25; deterministic given the hash
 
 
+def test_weighted_sample_null_weight_is_neutral(spark):
+    from etl_evm_chain_spark.operators.curation import weighted_sample
+
+    # NULL weight must behave like weight=1, not clamp to max_weight
+    # (least/greatest skip NULLs — ADVICE r2)
+    rows = [(i, None) for i in range(200)] + [(1000 + i, 50)
+                                              for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, w int")
+    got = [r["id"] for r in
+           weighted_sample(df, key="id", weight="w", k=30).collect()]
+    heavy = sum(1 for i in got if i >= 1000)
+    assert heavy >= 12  # heavy rows still dominate the null-weight mass
+    # and a NULL-weight corpus alone still samples (keys defined)
+    nulls_only = spark.createDataFrame(
+        [(i, None) for i in range(50)], "id long, w int")
+    assert len(weighted_sample(nulls_only, key="id", weight="w",
+                               k=10).collect()) == 10
+
+
 def test_weighted_sample_is_deterministic(spark):
     from etl_evm_chain_spark.operators.curation import weighted_sample
 

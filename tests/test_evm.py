@@ -747,3 +747,33 @@ def test_parse_abi_tuple_components():
     ev = parse_abi(doc)["E"]
     assert ev.inputs[0].components[1].type == "uint256[]"
     assert ev.signature == "E((address,uint256[]))"
+
+
+def test_mysql_dialect_ddl_and_url(spark):
+    """MySQL sink surface (reference README.md:168-172): DDL mapping
+    from an ABI-derived schema + bulk-flag URL builder. No MySQL
+    server exists in this env — the JDBC write path itself is Derby-
+    exercised above; this pins the dialect mapping."""
+    from etl_evm_chain_spark.sources.abi import event_schema
+    from etl_evm_chain_spark.sources.sinks import mysql_ddl, mysql_jdbc_url
+
+    ev = parse_abi(json.dumps([{
+        "type": "event", "name": "Transfer",
+        "inputs": [
+            {"name": "src", "type": "address", "indexed": True},
+            {"name": "dst", "type": "address", "indexed": True},
+            {"name": "wad", "type": "uint256", "indexed": False},
+        ],
+    }]))["Transfer"]
+    df = spark.createDataFrame([], event_schema(ev))
+    ddl = mysql_ddl(df, "event_transfer")
+    assert "`wad` DECIMAL(38,0)" in ddl
+    assert "`wad_hex` VARCHAR(66)" in ddl
+    assert "`tx_hash` VARCHAR(66)" in ddl
+    assert "`block_number` BIGINT" in ddl
+    assert ddl.startswith("CREATE TABLE IF NOT EXISTS `event_transfer`")
+
+    url = mysql_jdbc_url("dbhost", "chain", user="etl", password="pw")
+    assert url.startswith("jdbc:mysql://dbhost:3306/chain?")
+    assert "rewriteBatchedStatements=true" in url
+    assert "connectionTimeZone=UTC" in url

@@ -234,3 +234,28 @@ def test_random_grow_reorg_sequences_converge_to_chain(spark, tmp_path):
                     F.col("block_number") <= hwm), SWAPISH).collect()
         }
         assert got == want, f"case {case}: lake diverged from chain"
+
+
+def test_shrink_reorg_physically_deletes_orphan_buckets(spark, tmp_path):
+    """Reorg onto a SHORTER chain: rows above the new safe tip must be
+    deleted from the lake, not merely hidden by read_committed —
+    direct spark.read consumers would otherwise see orphans until the
+    chain regrew past them (ADVICE r2)."""
+    chain = FakeChain(60)
+    prog, out = str(tmp_path / "p"), str(tmp_path / "o")
+    _run(spark, chain, prog, out, confirmations=5)   # watermark 55
+    # new branch forks at 20 and TOPS OUT at 30 (shorter than before)
+    for b in list(chain.salt):
+        if b > 30:
+            del chain.salt[b]
+    chain.reorg(20, 30, "b")
+    r = _run(spark, chain, prog, out, confirmations=5)
+    assert r["rewound_to"] is not None and r["to"] == 25
+    # plain (non-read_committed) read: nothing above the new safe tip
+    lake = spark.read.parquet(out)
+    assert lake.agg(F.max("block_number")).collect()[0][0] == 25
+    # and the replayed range carries the new branch's payloads
+    amounts = {int(x["amount"]) for x in
+               lake.filter(F.col("block_number").between(20, 25))
+               .select("amount").collect()}
+    assert amounts == {b * 10 + 1 for b in range(20, 26)}  # salt "b"
