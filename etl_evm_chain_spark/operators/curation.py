@@ -204,3 +204,71 @@ def weighted_sample(df: DataFrame, *, key: str, weight: Column | str,
             .orderBy(F.asc("_wkey"), F.asc(key))
             .limit(k)
             .drop("_wkey"))
+
+
+def shard_assignment(df: DataFrame, *, key: str, n_shards: int,
+                     salt: str = "shard") -> DataFrame:
+    """Deterministic training-shard assignment + within-shard order.
+
+    ``shard``   = hash15(salt:key) % n_shards — uniform, reproducible,
+                  independent of cluster size or input partitioning.
+    ``ord_key`` = a SECOND independent hash (salt:ord:key) giving each
+                  shard a deterministic pseudo-random interior order —
+                  the "global shuffle" training readers need, without
+                  any global sort: ordering is per-shard, not corpus-
+                  wide, and reproducible run-to-run (re-exporting after
+                  appending new docs never reorders old ones relative
+                  to each other).
+    """
+    kcol = F.col(key).cast("string")
+    return df.withColumn(
+        "shard", (hash15(F.concat(F.lit(f"{salt}:"), kcol))
+                  % n_shards).cast("int")
+    ).withColumn(
+        "ord_key", hash15(F.concat(F.lit(f"{salt}:ord:"), kcol)))
+
+
+def export_shards(df: DataFrame, out_dir: str, *, key: str = "doc_id",
+                  n_shards: int = 64, salt: str = "shard",
+                  mode: str = "overwrite") -> DataFrame:
+    """Write training shards ``shard=N/`` + return the manifest.
+
+    One hash shuffle (repartition by shard), files written in
+    deterministic ``ord_key`` order via sortWithinPartitions (no extra
+    exchange — the sort rides the shard partitioning), one directory
+    per shard. The returned manifest carries per-shard row/char counts
+    and an order-insensitive content checksum (sum of row fingerprints
+    mod 2^60) — the receipt a downstream trainer verifies shards
+    against; persist it next to the data.
+
+    100 TB shape: shard count picks file sizes (corpus_bytes /
+    n_shards ≈ target shard size); everything is a single pass with
+    map-side partial aggregation for the manifest.
+    """
+    assigned = shard_assignment(df, key=key, n_shards=n_shards, salt=salt)
+    (assigned.repartition(n_shards, "shard")
+     .sortWithinPartitions("shard", "ord_key")
+     .write.mode(mode).partitionBy("shard").parquet(out_dir))
+    return shard_manifest(assigned, key=key)
+
+
+def shard_manifest(assigned: DataFrame, *, key: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Per-shard manifest over a shard_assignment output: row count,
+    char count, min/max order key (sanity of the interior order), and
+    an order-insensitive checksum — engine-portable arithmetic
+    throughout, so a DuckDB oracle reproduces it bit-for-bit."""
+    kcol = F.col(key).cast("string")
+    fp = hash15(F.concat(kcol, F.lit(":"), F.col(text_col)))
+    # sum 60-bit fingerprints in DECIMAL: a bigint sum would wrap
+    # silently in Spark while DuckDB's hugeint would not — decimal(38)
+    # holds ~1e12 rows x 2^60 with headroom, then mod back to long
+    fsum = F.sum(fp.cast("decimal(38,0)"))
+    return (assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(text_col)).alias("n_chars"),
+        F.min("ord_key").alias("ord_min"),
+        F.max("ord_key").alias("ord_max"),
+        F.pmod(fsum, F.lit(1 << 60).cast("decimal(38,0)"))
+        .cast("long").alias("checksum"))
+        .orderBy("shard"))

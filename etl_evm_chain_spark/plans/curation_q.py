@@ -333,7 +333,54 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q108: training-shard manifest — deterministic shard assignment +
+# within-shard pseudo-random order + per-shard content checksums, the
+# receipt a trainer verifies downloaded shards against. The write path
+# (operators/curation.export_shards: one hash shuffle,
+# sortWithinPartitions, partitionBy(shard)) is pytest-exercised; the
+# registry checks the manifest arithmetic, which is what must be
+# engine-portable.
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 16
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import shard_assignment, shard_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_manifest(
+        shard_assignment(docs, key="doc_id", n_shards=N_SHARDS))
+
+
+_H_SHARD = _SQL_HASH15.format(expr="'shard:' || CAST(doc_id AS VARCHAR)")
+_H_ORD = _SQL_HASH15.format(expr="'shard:ord:' || CAST(doc_id AS VARCHAR)")
+_H_FP = _SQL_HASH15.format(expr="CAST(doc_id AS VARCHAR) || ':' || text")
+
+ORACLE_SHARD_MANIFEST = f"""
+WITH assigned AS (
+  SELECT doc_id, text,
+         CAST({_H_SHARD} % {N_SHARDS} AS INTEGER) AS shard,
+         {_H_ORD} AS ord_key,
+         {_H_FP} AS fp
+  FROM documents
+)
+SELECT shard,
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       min(ord_key) AS ord_min,
+       max(ord_key) AS ord_max,
+       CAST(sum(fp) % {1 << 60} AS BIGINT) AS checksum
+FROM assigned GROUP BY shard ORDER BY shard
+"""
+
+
 SPECS = [
+    QuerySpec("q108_shard_manifest", q_shard_manifest,
+              ORACLE_SHARD_MANIFEST,
+              "training-shard assignment manifest (counts, order-key "
+              "bounds, content checksums)", ("P2-curation",)),
     QuerySpec("q106_weighted_sample", q_weighted_sample,
               ORACLE_WEIGHTED_SAMPLE,
               "deterministic weighted top-k sample (integer-replication "

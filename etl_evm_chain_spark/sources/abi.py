@@ -359,9 +359,16 @@ def _decode_word(word: Column, abi_type: str) -> Column:
     return F.concat(F.lit("0x"), F.lower(word))
 
 
-# Dynamic-tail decoding works on 1-based CHAR positions into the
-# 0x-prefixed hex blob: byte offset b ↔ char position b*2 + 3.
-_ONE_WORD_RE = ".{64}"
+# Dynamic-tail decoding works on 1-based BYTE positions into the
+# UNHEXED data blob (a BinaryType column staged once per row in
+# decode_event). The round-2 decoder addressed the hex STRING by char
+# position — but UTF8String.substring walks bytes from position 1 on
+# every call (it cannot assume ASCII), so each deep access into a long
+# blob cost ~1s per 600k rows and a dynamic-tuple decode makes many.
+# Binary substring is O(1) byte addressing: measured 3-4× on the q107
+# tuple decode (15.9s → ~4s at sf0.1) and it halves the bytes touched.
+# Word reads come back through hex() (uppercase) into the shared
+# _decode_word string decoder.
 
 
 def _head_slot_offsets(inputs) -> list[int]:
@@ -374,21 +381,32 @@ def _head_slot_offsets(inputs) -> list[int]:
     return offs
 
 
-def _tail_pos(data: Column, head_slot: int) -> Column:
-    """Char position of a dynamic parameter's length word. The head
+def _word_at(bin_: Column, pos: Column) -> Column:
+    """The 32-byte word at byte position ``pos`` as a 64-hex-char
+    string (uppercase — _decode_word lowercases where case shows)."""
+    return F.hex(F.substring(bin_, pos, F.lit(32)))
+
+
+def _u64_at(bin_: Column, pos: Column) -> Column:
+    """Low-8-bytes integer of the word at byte position ``pos``
+    (offsets/lengths beyond 2^63 are not physically possible)."""
+    return F.conv(F.hex(F.substring(bin_, pos + 24, F.lit(8))),
+                  16, 10).cast("long")
+
+
+def _tail_pos(bin_: Column, head_slot: int) -> Column:
+    """Byte position of a dynamic parameter's length word. The head
     slot (compile-time constant position) holds the byte offset of the
     length-prefixed tail, relative to the data-section start."""
-    off = F.conv(F.substring(data, 3 + head_slot * 64 + 48, 16), 16, 10)
-    return (off.cast("long") * 2 + 3).cast("int")
+    return (_u64_at(bin_, F.lit(head_slot * 32 + 1)) + 1).cast("int")
 
 
-def _len_at(data: Column, pos: Column) -> Column:
-    """Length/count word at char position ``pos`` (low 8 bytes —
-    lengths beyond 2^63 are not physically possible in a log blob)."""
-    return F.conv(F.substring(data, pos + 48, F.lit(16)), 16, 10).cast("int")
+def _len_at(bin_: Column, pos: Column) -> Column:
+    """Length/count word at byte position ``pos``."""
+    return _u64_at(bin_, pos).cast("int")
 
 
-def _decode_dynamic(data: Column, pos: Column, n: Column,
+def _decode_dynamic(bin_: Column, pos: Column, n: Column,
                     abi_type: str) -> Column:
     """Native decode of a dynamic-type parameter from its tail
     (SURVEY §2.G2 extension; reference decodes these via go-ethereum
@@ -401,44 +419,35 @@ def _decode_dynamic(data: Column, pos: Column, n: Column,
     each). ``pos``/``n`` arrive as STAGED columns (see decode_event:
     each offset/length conv is computed once in its own projection,
     kept un-collapsed by CollapseProject's non-cheap-multi-ref rule),
-    so every payload here is a single substring(data, pos, len) —
-    whole-stage-codegen, no per-row regex, no intermediate word array
-    (measured 3× over the previous split-into-words scheme on a
-    600k-row decode; the regex word split alone was ~45% of that
-    query). Arrays slice their region substring and split THAT short
-    string, so the regex cost scales with the array body, not the
-    blob. Still entirely JVM-side — no Python for any dynamic type.
+    so every payload here is one O(1) binary slice — whole-stage
+    codegen, no per-row regex, no intermediate word array, no
+    UTF8String position walks. Still entirely JVM-side — no Python
+    for any dynamic type.
     """
-    body = pos + 64  # char position of the first tail word
+    body = pos + 32  # byte position of the first tail word
     if abi_type in ("string", "bytes"):
-        payload = F.substring(data, body, n * 2)
+        payload = F.substring(bin_, body, n)
         if abi_type == "string":
-            return F.decode(F.unhex(payload), "UTF-8")
-        return F.concat(F.lit("0x"), F.lower(payload))
+            return F.decode(payload, "UTF-8")
+        return F.concat(F.lit("0x"), F.lower(F.hex(payload)))
     m = _ARRAY_RE.match(abi_type)
     if m and m.group(2) == "":
         elem = m.group(1)
+        idx = F.when(
+            n > 0, F.sequence(F.lit(0), n - 1)) \
+            .otherwise(F.array().cast("array<int>"))
         if elem in ("string", "bytes"):
             # T[] of dynamic scalars: after the count word comes a
             # mini head/tail — per-element byte offsets RELATIVE to
             # the array body start (ABI tuple-encoding rule), each
             # pointing at its own length-prefixed payload.
-            idx = F.when(
-                n > 0, F.sequence(F.lit(0), n - 1)) \
-                .otherwise(F.array().cast("array<int>"))
-
             def one(i):
-                eoff = F.conv(
-                    F.substring(data, body + i * 64 + 48, F.lit(16)),
-                    16, 10).cast("int")
-                epos = body + eoff * 2  # element's length word
-                elen = F.conv(
-                    F.substring(data, epos + 48, F.lit(16)),
-                    16, 10).cast("int")
-                payload = F.substring(data, epos + 64, elen * 2)
+                epos = body + _u64_at(bin_, body + i * 32).cast("int")
+                elen = _len_at(bin_, epos)
+                payload = F.substring(bin_, epos + 32, elen)
                 if elem == "string":
-                    return F.decode(F.unhex(payload), "UTF-8")
-                return F.concat(F.lit("0x"), F.lower(payload))
+                    return F.decode(payload, "UTF-8")
+                return F.concat(F.lit("0x"), F.lower(F.hex(payload)))
 
             return F.transform(idx, one)
         if _is_dynamic(elem) or ((_int_bits(elem) or 0) > 63
@@ -446,21 +455,21 @@ def _decode_dynamic(data: Column, pos: Column, n: Column,
             raise NotImplementedError(
                 f"array element type {elem!r} not supported natively "
                 "(nested array / wide signed int)")
-        region = F.substring(data, body, n * 64)
         return F.transform(
-            F.regexp_extract_all(region, F.lit(_ONE_WORD_RE), 0),
-            lambda wd: _decode_word(wd, elem))
+            idx, lambda i: _decode_word(_word_at(bin_, body + i * 32),
+                                        elem))
     raise NotImplementedError(f"dynamic type {abi_type!r}")
 
 
-def _decode_static_at(data: Column, pos: Column, inp: AbiInput,
+def _decode_static_at(bin_: Column, pos: Column, inp: AbiInput,
                       in_lambda: bool = False) -> Column:
-    """Decode a STATIC value whose encoding starts at char position
+    """Decode a STATIC value whose encoding starts at byte position
     ``pos`` — the general recursive form that makes tuples work:
-    static tuple members lie at pos + 64·(cumulative member slots),
-    static fixed arrays stride by 64·(element slots). Positions are
-    plain column arithmetic, so everything stays JVM-side expressions
-    (reference parity: go-ethereum `abi.UnpackIntoMap` tuple handling,
+    static tuple members lie at pos + 32·(cumulative member slots),
+    static fixed arrays stride by 32·(element slots). Positions are
+    plain column arithmetic over O(1) binary slices, so everything
+    stays JVM-side expressions (reference parity: go-ethereum
+    `abi.UnpackIntoMap` tuple handling,
     `internal/parser/parser.go:74-77`).
 
     ``in_lambda``: wide signed ints need the big-int pandas UDF, which
@@ -473,35 +482,43 @@ def _decode_static_at(data: Column, pos: Column, inp: AbiInput,
     if t.startswith("tuple") and not m:
         offs = _comp_slot_offsets(inp.components)
         return F.struct(*[
-            _decode_static_at(data, pos + 64 * s, c, in_lambda).alias(c.name)
+            _decode_static_at(bin_, pos + 32 * s, c, in_lambda).alias(c.name)
             for s, c in zip(offs, inp.components)])
     if m:  # static fixed array T[k]
         elem = _elem_of(inp)
-        stride = 64 * _head_slots_i(elem)
+        stride = 32 * _head_slots_i(elem)
         return F.array(*[
-            _decode_static_at(data, pos + i * stride, elem, in_lambda)
+            _decode_static_at(bin_, pos + i * stride, elem, in_lambda)
             for i in range(int(m.group(2)))])
     if in_lambda and t.startswith("int") and (_int_bits(t) or 0) > 63:
         raise NotImplementedError(
             "wide signed int inside an array element (pandas UDF "
             "cannot run inside a higher-order-function lambda)")
-    return _decode_word(F.substring(data, pos, 64), t)
+    return _decode_word(_word_at(bin_, pos), t)
 
 
-def _offset_at(data: Column, pos: Column) -> Column:
-    """Byte-offset word at char position ``pos``, as a char delta."""
-    return (F.conv(F.substring(data, pos + 48, F.lit(16)), 16, 10)
-            .cast("long") * 2).cast("int")
+def _offset_at(bin_: Column, pos: Column) -> Column:
+    """Byte-offset word at byte position ``pos``, as a byte delta."""
+    return _u64_at(bin_, pos).cast("int")
 
 
-def _decode_dyn_at(data: Column, pos: Column, inp: AbiInput,
-                   in_lambda: bool = False) -> Column:
-    """Decode a DYNAMIC value whose tail starts at char position
+def _decode_dyn_at(bin_: Column, pos: Column, inp: AbiInput,
+                   in_lambda: bool = False,
+                   staged: dict[int, tuple[Column, Column | None]]
+                   | None = None,
+                   n: Column | None = None) -> Column:
+    """Decode a DYNAMIC value whose tail starts at byte position
     ``pos`` (the length word for string/bytes/T[]; the body itself for
     dynamic tuples, which have no length word). Dynamic tuple members
     resolve through offset words RELATIVE to the tuple body — the ABI
     tuple-encoding rule — and recurse, so tuples nest to any depth and
     arrays-of-tuples come through the dynamic-element path below.
+
+    ``staged``/``n``: decode_event pre-computes member tail positions
+    and lengths of TOP-LEVEL dynamic tuples in their own projections
+    (the q95 staging discipline) so each conv chain evaluates once,
+    not once per downstream reference. Inner nesting levels fall back
+    to inline position arithmetic.
     """
     t = inp.type
     m = _ARRAY_RE.match(t)
@@ -509,39 +526,41 @@ def _decode_dyn_at(data: Column, pos: Column, inp: AbiInput,
                                     and not _is_dynamic_i(_elem_of(inp))
                                     and m.group(2) == ""):
         # elementary dynamic scalars and T[] of elementary/static types
-        # keep the tuned staged-region path
-        return _decode_dynamic(data, pos, _len_at(data, pos), t)
+        return _decode_dynamic(bin_, pos,
+                               _len_at(bin_, pos) if n is None else n, t)
     if m:  # tuple[] / tuple[k] / T[] of dynamic T / nested arrays
         elem = _elem_of(inp)
         if m.group(2) == "":
-            n, body = _len_at(data, pos), pos + 64
+            n, body = _len_at(bin_, pos), pos + 32
         else:  # fixed array of dynamic elements: no count word
             n, body = F.lit(int(m.group(2))), pos
         idx = (F.when(n > 0, F.sequence(F.lit(0), n - 1))
                .otherwise(F.array().cast("array<int>")))
         if _is_dynamic_i(elem):
             return F.transform(idx, lambda i: _decode_dyn_at(
-                data, body + _offset_at(data, body + i * 64), elem,
+                bin_, body + _offset_at(bin_, body + i * 32), elem,
                 in_lambda=True))
-        stride = 64 * _head_slots_i(elem)
+        stride = 32 * _head_slots_i(elem)
         return F.transform(idx, lambda i: _decode_static_at(
-            data, body + i * stride, elem, in_lambda=True))
+            bin_, body + i * stride, elem, in_lambda=True))
     if t == "tuple":
         offs = _comp_slot_offsets(inp.components)
         fields = []
-        for s, c in zip(offs, inp.components):
+        for mi, (s, c) in enumerate(zip(offs, inp.components)):
             if _is_dynamic_i(c):
-                cpos = pos + _offset_at(data, pos + 64 * s)
-                fields.append(_decode_dyn_at(data, cpos, c,
-                                             in_lambda).alias(c.name))
+                cpos, cn = (staged or {}).get(mi, (None, None))
+                if cpos is None:
+                    cpos = pos + _offset_at(bin_, pos + 32 * s)
+                fields.append(_decode_dyn_at(bin_, cpos, c, in_lambda,
+                                             n=cn).alias(c.name))
             else:
-                fields.append(_decode_static_at(data, pos + 64 * s, c,
+                fields.append(_decode_static_at(bin_, pos + 32 * s, c,
                                                 in_lambda).alias(c.name))
         return F.struct(*fields)
     raise NotImplementedError(f"dynamic type {t!r}")
 
 
-def _decode_static_array(data: Column, base_slot: int,
+def _decode_static_array(bin_: Column, base_slot: int,
                          abi_type: str) -> Column:
     """Inline decode of a static fixed array T[k]: k consecutive head
     slots, one element per word, all compile-time positions."""
@@ -549,8 +568,10 @@ def _decode_static_array(data: Column, base_slot: int,
     elem, k = m.group(1), int(m.group(2))
     if _ARRAY_RE.match(elem):
         raise NotImplementedError("nested fixed arrays")
-    return F.array(*[_decode_word(_word(data, base_slot + i), elem)
-                     for i in range(k)])
+    return F.array(*[
+        _decode_word(_word_at(bin_, F.lit(base_slot * 32 + 1 + i * 32)),
+                     elem)
+        for i in range(k)])
 
 
 def decode_event(raw_logs: DataFrame, event: AbiEvent, *,
@@ -605,28 +626,28 @@ def decode_event(raw_logs: DataFrame, event: AbiEvent, *,
                                 .alias(f"{inp.name}_hex"))
         return df.select(*out_cols)
 
-    # Dynamic event → staged projections:
-    #   P1: per-dynamic-param tail CHAR POSITION from its head slot —
+    # Dynamic event → staged projections over the UNHEXED blob:
+    #   P0: the data blob unhexes ONCE into a BinaryType column —
+    #       every later access is an O(1) byte slice (the hex-string
+    #       form paid a UTF8String position walk per access: ~1s per
+    #       deep access per 600k rows);
+    #   P1: per-dynamic-param tail BYTE POSITION from its head slot —
     #       kept as its own projection by CollapseProject because each
     #       pos is non-cheap (conv) and referenced twice downstream
     #       (length word + payload slice);
-    #   P2: per-dynamic-param length/count word at that position;
-    #   P3: scalar decodes — static params from compile-time positions,
-    #       string/bytes payloads via one substring(data, pos, n*2) —
-    #       no word array, no per-row regex on the whole blob (the
-    #       previous split-blob-into-words scheme spent ~45% of the
-    #       query in the \G regex split);
-    #   P4: array decodes — each slices its own region substring, so
-    #       regex cost scales with the array body, not the blob.
-    # When arrays exist, Catalyst collapses P3 into P4 (each staged
-    # column ends up single-reference after pruning), taking the
-    # scalar decodes out of codegen along with the transform lambdas.
-    # Measured at sf0.1 this is a wash (8.4s merged vs 8.6s with a
-    # CollectMetrics barrier forcing the split): the HOF machinery
-    # dominates, not interpreted-vs-codegen scalar eval — so we keep
-    # the simpler plan. A final attribute-only select restores the
-    # declared column order.
+    #   P2: per-dynamic-param length/count word at that position,
+    #       plus dynamic-tuple MEMBER tail positions (member offsets
+    #       are tuple-body-relative) and then member lengths;
+    #   P3: scalar decodes — static params from compile-time byte
+    #       positions, string/bytes payloads via one binary slice;
+    #   P4: array/tuple decodes (HOF transforms + struct assembly) in
+    #       their own projection. A final attribute-only select
+    #       restores the declared column order.
     data = F.col("data")
+    bin_col = "__abi_bin"
+    bin_ = F.col(bin_col)
+    df = df.select(
+        "*", F.unhex(F.substring(data, 3, 1 << 30)).alias(bin_col))
     dyn = [(slot, inp)
            for slot, inp in zip(_head_slot_offsets(unindexed), unindexed)
            if _is_dynamic_i(inp)]
@@ -636,41 +657,66 @@ def decode_event(raw_logs: DataFrame, event: AbiEvent, *,
     n_cols = {inp.name: f"__n_{inp.name}" for _, inp in dyn
               if not inp.type.startswith("tuple")}
     df = df.select(
-        "*", *[_tail_pos(data, slot).alias(pos_cols[inp.name])
+        "*", *[_tail_pos(bin_, slot).alias(pos_cols[inp.name])
                for slot, inp in dyn])
+    mp_cols: dict[tuple[str, int], str] = {}
+    mn_cols: dict[tuple[str, int], str] = {}
+    stage_mp = []
+    for _, inp in dyn:
+        if inp.type != "tuple":
+            continue
+        p = F.col(pos_cols[inp.name])
+        for mi, (s, c) in enumerate(zip(_comp_slot_offsets(inp.components),
+                                        inp.components)):
+            if _is_dynamic_i(c):
+                mp = f"__mp_{inp.name}_{mi}"
+                mp_cols[(inp.name, mi)] = mp
+                stage_mp.append(
+                    (p + _offset_at(bin_, p + 32 * s)).alias(mp))
+                if c.type != "tuple":  # inner tuples have no length word
+                    mn_cols[(inp.name, mi)] = f"__mn_{inp.name}_{mi}"
     df = df.select(
-        "*", *[_len_at(data, F.col(pos_cols[name])).alias(n_col)
-               for name, n_col in n_cols.items()])
+        "*",
+        *[_len_at(bin_, F.col(pos_cols[name])).alias(n_col)
+          for name, n_col in n_cols.items()],
+        *stage_mp)
+    if mn_cols:
+        df = df.select(
+            "*", *[_len_at(bin_, F.col(mp_cols[key])).alias(mn)
+                   for key, mn in mn_cols.items()])
 
-    # Array decodes run in their own projection AFTER the scalar one
-    # (P4); by then a decoded param may legitimately be aliased "data"
-    # (common name, cf. ERC777 Sent), so the raw blob travels under a
-    # reserved alias that cannot collide.
-    blob_col = "__abi_blob"
-    blob = F.col(blob_col)
     scalar_cols, array_cols = [], []
     for slot, inp in zip(_head_slot_offsets(unindexed), unindexed):
         is_arr = bool(_ARRAY_RE.match(inp.type))
         is_tuple = inp.type.startswith("tuple")
         if is_tuple:
-            # tuples decode via the recursive position scheme (complex
-            # output → the P4 projection, like arrays)
-            if _is_dynamic_i(inp):
+            # tuples decode via the recursive byte-position scheme
+            # (complex output → the P4 projection, like arrays)
+            if _is_dynamic_i(inp) and not is_arr:
+                staged_members = {
+                    mi: (F.col(mp), F.col(mn_cols[(inp.name, mi)])
+                         if (inp.name, mi) in mn_cols else None)
+                    for (nm, mi), mp in mp_cols.items() if nm == inp.name
+                }
                 col = _decode_dyn_at(
-                    blob, F.col(pos_cols[inp.name]), inp).alias(inp.name)
+                    bin_, F.col(pos_cols[inp.name]), inp,
+                    staged=staged_members).alias(inp.name)
+            elif _is_dynamic_i(inp):
+                # tuple arrays (tuple[] / tuple[k] of dynamic members)
+                col = _decode_dyn_at(
+                    bin_, F.col(pos_cols[inp.name]), inp).alias(inp.name)
             else:
                 col = _decode_static_at(
-                    blob, F.lit(3 + 64 * slot), inp).alias(inp.name)
+                    bin_, F.lit(32 * slot + 1), inp).alias(inp.name)
             array_cols.append(col)
         elif _is_dynamic(inp.type):
             col = _decode_dynamic(
-                blob if is_arr else data,
-                F.col(pos_cols[inp.name]), F.col(n_cols[inp.name]),
+                bin_, F.col(pos_cols[inp.name]), F.col(n_cols[inp.name]),
                 inp.type).alias(inp.name)
             (array_cols if is_arr else scalar_cols).append(col)
         elif is_arr:
             array_cols.append(
-                _decode_static_array(blob, slot, inp.type).alias(inp.name))
+                _decode_static_array(bin_, slot, inp.type).alias(inp.name))
         else:
             word = _word(data, slot)
             scalar_cols.append(_decode_word(word, inp.type).alias(inp.name))
@@ -681,13 +727,16 @@ def decode_event(raw_logs: DataFrame, event: AbiEvent, *,
         if (_int_bits(inp.type) or 0) > 63 and not is_arr:
             order.append(f"{inp.name}_hex")
 
-    keep = ([data.alias(blob_col),
-             *[F.col(c) for c in pos_cols.values()],
-             *[F.col(c) for c in n_cols.values()]] if array_cols else [])
+    # Array/tuple decodes run AFTER the scalar projection (P4); by
+    # then a decoded param may legitimately be aliased "data" (common
+    # name, cf. ERC777 Sent), which is why the binary blob travels
+    # under a reserved alias that cannot collide.
+    aux = (list(pos_cols.values()) + list(n_cols.values())
+           + list(mp_cols.values()) + list(mn_cols.values()))
+    keep = ([bin_, *[F.col(c) for c in aux]] if array_cols else [])
     out = df.select(*out_cols, *scalar_cols, *keep)
     if array_cols:
-        out = out.select("*", *array_cols) \
-            .drop(blob_col, *pos_cols.values(), *n_cols.values())
+        out = out.select("*", *array_cols).drop(bin_col, *aux)
     return out.select(*order)
 
 
