@@ -50,9 +50,11 @@ ALLOW: dict[str, set[str]] = {
     "q72_knn_classify": {"pandas"},  # broadcast-matrix BLAS kernel
     "q73_pq_topk": {"pandas"},  # PQ encode+ADC lookup BLAS kernel
     # brute-force top-k is the documented exact baseline (bounded by
-    # broadcast query side); ANN is its bucketed scale path
+    # broadcast query side); ANN is its bucketed scale path; the
+    # Arrow kernel is the vectorized sign-plane sketch (exact
+    # sequential-fold parity with the SQL oracle via cumsum)
     "q38_embedding_topk": {"nested_loop"},
-    "q40_ann_topk": {"nested_loop"},
+    "q40_ann_topk": {"nested_loop", "pandas"},
     # coarse-quantizer scan vs n_cells broadcast centroids (bounded)
     "q42_ivf_topk": {"nested_loop"},
     # single-row broadcast of per-dimension stats / corpus count —
