@@ -323,14 +323,46 @@ def _ivf_centroids(corpus: DataFrame, id_col: str, vec_col: str,
 
 def _nearest_cells(df: DataFrame, cents: DataFrame, id_col: str,
                    vec_col: str, keep: int) -> DataFrame:
-    """Assign each row its ``keep`` nearest centroids by cosine (one
-    broadcast cross-join against the n_cells centroid relation; the
-    per-id window ranks only n_cells rows per id)."""
-    scored = df.crossJoin(F.broadcast(cents)) \
-        .withColumn("_sim", cosine(vec_col, "cvec_cent")).drop("cvec_cent")
-    ww = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell"))
-    return (scored.withColumn("_cr", F.row_number().over(ww))
-            .filter(F.col("_cr") <= keep).drop("_cr", "_sim"))
+    """Assign each row its ``keep`` nearest centroids by cosine.
+
+    One Arrow kernel per batch instead of the round-2
+    crossJoin(n_cells) + interpreted HOF cosine + per-id window: the
+    kernel emits each row's ranked cell list directly, so there is no
+    n_cells× row blowup and no window shuffle at all. Ranking parity
+    with the SQL oracles is exact: sims use the sequential float64
+    fold (numpy cumsum — bit-identical to the cosine() expression and
+    DuckDB's list_aggregate), ties order by cell asc via stable
+    lexsort, zero-norm/NULL vectors rank last (the window form's
+    NULLS-LAST), mirroring (sim DESC, cell ASC).
+    """
+    cent_rows = cents.collect()  # n_cells rows — always tiny
+
+    @pandas_udf("array<int>")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        cells = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
+        C = [np.asarray(r["cvec_cent"], dtype=np.float64)
+             for r in cent_rows]
+        cn = np.array([np.sqrt(np.cumsum(c * c)[-1]) if len(c) else 0.0
+                       for c in C])
+        out = []
+        for v in vecs.to_numpy():
+            if v is None:
+                sims = np.full(len(C), -np.inf)
+            else:
+                va = np.asarray(v, dtype=np.float64)
+                nv = np.sqrt(np.cumsum(va * va)[-1]) if len(va) else 0.0
+                sims = np.empty(len(C))
+                for j, c in enumerate(C):
+                    denom = nv * cn[j]
+                    sims[j] = (np.cumsum(va * c)[-1] / denom
+                               if denom != 0 else -np.inf)
+            order = np.lexsort((cells, -sims))[:keep]
+            out.append([int(cells[j]) for j in order])
+        return pd.Series(out)
+
+    return df.withColumn("cell", F.explode(nearest(F.col(vec_col))))
 
 
 def kmeans_centroids(corpus: DataFrame, *, id_col: str = "vec_id",

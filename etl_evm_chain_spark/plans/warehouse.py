@@ -215,16 +215,14 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import hash15
 
     li = load_table(spark, sf_dir, "lineitem")
-    base = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
-
+    # exact count + sampled-distinct estimator in ONE scan/aggregation
+    # (count(DISTINCT CASE WHEN sampled THEN pk END) ignores the NULLs
+    # of unsampled rows)
     pk_h = hash15(F.concat(F.lit("kmv:"), F.col("l_partkey").cast("string")))
-    kmv = (
-        li.select("l_returnflag", F.col("l_partkey").alias("pk"),
-                  pk_h.alias("h"))
-        .filter(F.col("h") % 16 == 0)
-        .groupBy("l_returnflag")
-        .agg((F.countDistinct("pk") * 16).alias("approx_parts"))
-    )
+    base = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.countDistinct(F.when(pk_h % 16 == 0, F.col("l_partkey"))) * 16)
+        .alias("approx_parts"))
 
     row_h = hash15(F.concat(F.lit("qs:"), F.col("l_orderkey").cast("string"),
                             F.lit(":"), F.col("l_linenumber").cast("string")))
@@ -245,8 +243,7 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = ranked.groupBy("l_returnflag").agg(
         pick(0.5, "q50"), pick(0.95, "q95"), pick(0.99, "q99"))
 
-    return (base.join(kmv, "l_returnflag", "left")
-            .join(qs, "l_returnflag", "left")
+    return (base.join(qs, "l_returnflag", "left")
             .select("l_returnflag", "approx_parts", "q50", "q95", "q99", "n")
             .orderBy("l_returnflag"))
 
@@ -258,14 +255,10 @@ _H_QS = _SQL_H15.format(
 
 ORACLE_APPROX_STATS = f"""
 WITH base AS (
-  SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1
-),
-kmv AS (
-  SELECT l_returnflag,
-         CAST(count(DISTINCT l_partkey) * 16 AS BIGINT) AS approx_parts
-  FROM lineitem
-  WHERE {_H_KMV} % 16 = 0
-  GROUP BY 1
+  SELECT l_returnflag, count(*) AS n,
+         CAST(count(DISTINCT CASE WHEN {_H_KMV} % 16 = 0
+                    THEN l_partkey END) * 16 AS BIGINT) AS approx_parts
+  FROM lineitem GROUP BY 1
 ),
 samp AS (
   SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber
@@ -290,9 +283,8 @@ qs AS (
                   THEN l_extendedprice END) AS q99
   FROM ranked GROUP BY 1
 )
-SELECT b.l_returnflag, k.approx_parts, q.q50, q.q95, q.q99, b.n
+SELECT b.l_returnflag, b.approx_parts, q.q50, q.q95, q.q99, b.n
 FROM base b
-LEFT JOIN kmv k USING (l_returnflag)
 LEFT JOIN qs q USING (l_returnflag)
 ORDER BY l_returnflag
 """
