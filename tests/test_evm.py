@@ -777,3 +777,57 @@ def test_mysql_dialect_ddl_and_url(spark):
     assert url.startswith("jdbc:mysql://dbhost:3306/chain?")
     assert "rewriteBatchedStatements=true" in url
     assert "connectionTimeZone=UTC" in url
+
+
+def test_tuple_abi_randomized_roundtrip(spark):
+    """40 seeded random payloads through the independent spec encoder:
+    nested tuples, tuple arrays, variable-length strings and uint32[]
+    members, empty dynamics — decode must round-trip exactly."""
+    import random
+
+    rng = random.Random(20260814)
+    ev = AbiEvent("Rx", (
+        AbiInput("hdr", "tuple", False, (
+            AbiInput("v", "uint32", False),
+            AbiInput("inner", "tuple", False, (
+                AbiInput("a", "uint64", False),
+                AbiInput("flag", "bool", False),
+            )),
+        )),
+        AbiInput("meta", "tuple", False, (
+            AbiInput("note", "string", False),
+            AbiInput("tags", "uint32[]", False),
+        )),
+        AbiInput("legs", "tuple[]", False, (
+            AbiInput("venue", "uint32", False),
+            AbiInput("label", "string", False),
+        )),
+        AbiInput("fee", "uint32", False),
+    ))
+    alphabet = "ab XY 01 αβ € 漢 🚀"
+    cases = []
+    for i in range(40):
+        note = "".join(rng.choice(alphabet)
+                       for _ in range(rng.randint(0, 45)))
+        tags = [rng.getrandbits(31) for _ in range(rng.randint(0, 6))]
+        legs = [(rng.getrandbits(16),
+                 "".join(rng.choice(alphabet)
+                         for _ in range(rng.randint(0, 20))))
+                for _ in range(rng.randint(0, 4))]
+        hdr = (rng.getrandbits(31), (rng.getrandbits(62), rng.random() < .5))
+        cases.append((i, hdr, (note, tags), legs, rng.getrandbits(20)))
+    raw = spark.createDataFrame(
+        [(f"0x{'ab'*20}", [ev.topic0],
+          _spec_encode_data(ev, [hdr, meta, legs, fee]), i, f"0xt{i}", 0)
+         for i, hdr, meta, legs, fee in cases],
+        RAW_LOG_SCHEMA)
+    got = {r["block_number"]: r for r in decode_event(raw, ev).collect()}
+    for i, hdr, (note, tags), legs, fee in cases:
+        r = got[i]
+        assert r["hdr"]["v"] == hdr[0]
+        assert int(r["hdr"]["inner"]["a"]) == hdr[1][0]
+        assert r["hdr"]["inner"]["flag"] is hdr[1][1]
+        assert r["meta"]["note"] == note, (i, r["meta"]["note"], note)
+        assert [int(t) for t in r["meta"]["tags"]] == tags
+        assert [(leg["venue"], leg["label"]) for leg in r["legs"]] == legs
+        assert r["fee"] == fee
