@@ -209,6 +209,13 @@ def _buckets_udf(n_tables: int, planes_per_table: int,
                 raise ValueError(
                     f"vector dim {d} exceeds LSH plane cap "
                     f"{_PLANE_DIM_CAP}")
+            if d == 0:
+                # empty vector: every projection is the empty sum (0),
+                # 0 > 0 is false → all bits 0 (the expression form's
+                # behavior; cumsum[-1] on width 0 would raise)
+                for row_i in idxs:
+                    res[row_i] = [0] * n_tables
+                continue
             V = np.stack([np.asarray(vals[i], dtype=np.float64)
                           for i in idxs])
             S = np.array([_plane_signs(plane_offset + p)[:d]
@@ -900,8 +907,19 @@ def cosine_near_dup_pairs_bucketed(df: DataFrame, *,
             return empty
         ids = pdf[id_col].to_numpy()
         mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        sims = (mat @ mat.T) / np.outer(norms, norms)
+        if mat.shape[1] == 0:
+            return empty
+        # Sequential-fold dots (cumsum), NOT mat @ mat.T: this query
+        # carries a value-hash oracle, and a pair whose cosine sits
+        # within an ulp of the threshold or a rounding boundary would
+        # otherwise flip between the kernel's pairwise-BLAS sum and
+        # the oracle's sequential list_aggregate fold. Buckets are
+        # small by construction, so the b× python loop is cheap.
+        norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+        dots = np.empty((len(mat), len(mat)))
+        for j in range(len(mat)):
+            dots[:, j] = np.cumsum(mat * mat[j], axis=1)[:, -1]
+        sims = dots / np.outer(norms, norms)
         lt = ids[:, None] < ids[None, :]          # id_a < id_b, both orders once
         ai, bi = np.nonzero((sims >= threshold) & lt)
         if not len(ai):

@@ -21,14 +21,21 @@ class QuerySpec:
 
     - ``name``: stable key (shared between queries() and oracle_sql()).
     - ``fn``: (spark, sf_dir) -> DataFrame, pure DataFrame-API impl.
-    - ``oracle``: equivalent DuckDB SQL over the pre-registered views,
-      or None for non-SQL-expressible ops (FSM, EWM, ML, LSH) — the
-      driver then records a weaker rows-only check.
+    - ``oracle``: equivalent DuckDB SQL over the pre-registered views —
+      a string, or a zero-arg callable returning the string for oracles
+      that are expensive to BUILD (e.g. q98 derives 64 secp256k1
+      addresses; computing that at import time taxed every process
+      that merely imported the registry). None for non-SQL-expressible
+      ops (FSM, EWM, ML) — the driver then records a weaker rows-only
+      check.
     - ``survey``: SURVEY.md §2 operator ids this query exercises.
     """
 
     name: str
     fn: QueryFn
-    oracle: Optional[str]
+    oracle: Optional[str | Callable[[], str]]
     description: str = ""
     survey: tuple[str, ...] = field(default=())
+
+    def oracle_text(self) -> Optional[str]:
+        return self.oracle() if callable(self.oracle) else self.oracle

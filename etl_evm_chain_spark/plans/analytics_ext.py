@@ -406,12 +406,24 @@ def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = counts.agg(F.sum("_cnt").alias("_total"))
     offs = prefix.crossJoin(F.broadcast(total))
     w_loc = Window.partitionBy("_bkt").orderBy("o_totalprice", "o_orderkey")
+    # Exact ntile(10) arithmetic: the first (N mod 10) tiles hold
+    # ceil(N/10) CONTIGUOUS rows, the rest floor(N/10). The simpler
+    # floor((rank-1)*10/N)+1 spreads the remainder Bresenham-style and
+    # diverges whenever N is not divisible by 10 (caught in round-3
+    # self-review; the sf0.01/sf0.1 fixtures are divisible by 10 and
+    # masked it).
+    tile = ("CAST(CASE WHEN _rank <= _b THEN (_rank - 1) DIV (_q + 1) "
+            "ELSE _rem + (_rank - 1 - _b) DIV _q END AS INT) + 1")
     tiled = (
         b.withColumn("_rn", F.row_number().over(w_loc))
         .join(F.broadcast(offs), "_bkt")
-        .withColumn("decile",
-                    F.expr("CAST((((_off + _rn) - 1) * 10) DIV _total "
-                           "AS INT) + 1"))
+        .withColumn("_rank", F.col("_off") + F.col("_rn"))
+        .withColumn("_q", F.expr("_total DIV 10"))
+        .withColumn("_rem", F.expr("_total % 10"))
+        .withColumn("_b", F.expr("_rem * (_q + 1)"))
+        # N < 10 ⇒ _q = 0, but then every rank ≤ _b = N, so the
+        # ELSE branch (and its DIV _q) is never evaluated for a row
+        .withColumn("decile", F.expr(tile))
     )
     return (
         tiled.groupBy("decile")

@@ -644,6 +644,124 @@ FROM dec
 
 
 # ---------------------------------------------------------------------------
+# Q109: tuple-ARRAY ABI decode (tuple[] of static pairs) — q107's
+# sibling covering the array-of-structs layout: count word, then n
+# inline 2-word elements, then a trailing string whose head offset
+# shifts with n. Oracle style: a ROUND-TRIP twin — it
+# recomputes the expected struct list from the same source columns,
+# so Spark's encode→decode must invert exactly (q107's oracle is the
+# complementary style: independent offset-following over the bytes).
+# ---------------------------------------------------------------------------
+
+LEGS = AbiEvent("Legs", (
+    AbiInput("legs", "tuple[]", False, (
+        AbiInput("venue", "uint32", False),
+        # uint48: >32-bit coverage on the single-conv fast path (a
+        # uint64 member forces the two-limb decimal decode per element
+        # — measured 2x on this query; q107's fee keeps uint64 parity)
+        AbiInput("px", "uint48", False),
+    )),
+    AbiInput("memo", "string", False),
+))
+T_LEGS = LEGS.topic0
+
+
+def synthetic_leg_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import landed_parquet
+
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return landed_parquet(
+        spark, name="leglogs",
+        src_paths=[os.path.join(sf_dir, "lineitem.parquet")],
+        build=lambda: _synth_leg_logs(spark, sf_dir),
+        params=key,
+    )
+
+
+def _synth_leg_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    n = (F.col("l_linenumber") % 4).cast("int")          # 0..3 legs
+    memo = F.concat(F.col("l_returnflag"), F.lit("/"),
+                    (F.col("l_orderkey") % 997).cast("string"))
+    legs_parts = []
+    for i in range(3):
+        legs_parts.append(F.when(
+            F.lit(i) < n,
+            F.concat(_wh(F.col("l_suppkey") % 100 + i),
+                     _wh(F.col("l_partkey") + i))).otherwise(F.lit("")))
+    memo_off = (F.lit(64 + 32).cast("long") + n.cast("long") * 64)
+    data = F.concat(
+        F.lit("0x"),
+        _wh(F.lit(0x40)), _wh(memo_off),
+        _wh(n.cast("long")), *legs_parts,
+        _wh(F.length(memo).cast("long")),
+        F.rpad(F.lower(F.hex(memo)), 64, "0"),
+    )
+    return li.select(
+        F.concat(F.lit("0x"),
+                 F.lpad(F.lower(F.hex(F.col("l_suppkey"))), 40, "0"))
+        .alias("address"),
+        F.array(F.lit(T_LEGS)).alias("topics"),
+        data.alias("data"),
+        F.expr("l_orderkey div 10").alias("block_number"),
+        F.concat(F.lit("0x"),
+                 F.md5(F.concat_ws(":", "l_orderkey", "l_linenumber")))
+        .alias("tx_hash"),
+        F.col("l_linenumber").alias("log_index"),
+    )
+
+
+def q_tuple_array_abi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = synthetic_leg_logs(spark, sf_dir)
+    decoded = decode_event(raw, LEGS, contract_name="Legs")
+    return decoded.select(
+        "block_number", "tx_hash", "log_index",
+        F.size("legs").alias("n_legs"),
+        # try_element_at: rows with 0 legs must yield NULL, not raise
+        F.try_element_at("legs", F.lit(1))["venue"].alias("venue0"),
+        F.try_element_at("legs", F.lit(1))["px"].cast("long").alias("px0"),
+        F.aggregate("legs", F.lit(0).cast("long"),
+                    lambda a, leg: a + leg["venue"].cast("long"))
+        .alias("venue_sum"),
+        F.aggregate("legs", F.lit(0).cast("long"),
+                    lambda a, leg: a + leg["px"].cast("long"))
+        .alias("px_sum"),
+        "memo",
+    )
+
+
+ORACLE_TUPLE_ARRAY_ABI = """
+WITH src AS (
+  SELECT CAST(l_linenumber % 4 AS INTEGER) AS n,
+         l_suppkey % 100 AS v0, l_partkey AS p0,
+         l_returnflag || '/' || CAST(l_orderkey % 997 AS VARCHAR) AS memo,
+         l_orderkey // 10 AS block_number,
+         '0x' || md5(concat_ws(':', l_orderkey, l_linenumber)) AS tx_hash,
+         l_linenumber AS log_index
+  FROM lineitem
+),
+dec AS (
+  SELECT block_number, tx_hash, log_index, n, memo,
+         list_transform(range(0, n), i ->
+             struct_pack(venue := CAST(v0 + i AS INTEGER),
+                         px := CAST(p0 + i AS BIGINT))) AS legs
+  FROM src
+)
+SELECT block_number, tx_hash, log_index,
+       n AS n_legs,
+       legs[1].venue AS venue0,
+       legs[1].px AS px0,
+       CAST(coalesce(list_aggregate(list_transform(legs,
+            x -> CAST(x.venue AS BIGINT)), 'sum'), 0) AS BIGINT)
+         AS venue_sum,
+       CAST(coalesce(list_aggregate(list_transform(legs,
+            x -> x.px), 'sum'), 0) AS BIGINT) AS px_sum,
+       memo
+FROM dec
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q98: ECDSA sender recovery (G5) — the reference's types.Sender
 # (`internal/parser/parser.go:152-159`) over a deterministic signed
 # fixture: 64 signatures generated driver-side from keys 1..64 (sign
@@ -715,11 +833,15 @@ SPECS = [
     QuerySpec("q95_dynamic_abi", q_dynamic_abi, ORACLE_DYNAMIC_ABI,
               "dynamic ABI decode: string + uint32[] offset/tail layout",
               ("G2", "G3")),
+    QuerySpec("q109_tuple_array_abi", q_tuple_array_abi,
+              ORACLE_TUPLE_ARRAY_ABI,
+              "tuple[] (array-of-structs) ABI decode with a shifting "
+              "trailing-string offset", ("G2",)),
     QuerySpec("q107_tuple_abi", q_tuple_abi, ORACLE_TUPLE_ABI,
               "tuple/struct ABI decode: static tuple inline slots + "
               "dynamic tuple with tuple-relative offsets", ("G2", "G3")),
     QuerySpec("q98_sender_recovery", q_sender_recovery,
-              _oracle_sender_recovery(),
+              _oracle_sender_recovery,  # lazy: 64 EC scalar-mults
               "pure-Python secp256k1 sender recovery (golden-tested; "
               "oracle = literal key-derived ground-truth addresses)",
               ("G5",)),

@@ -1253,8 +1253,11 @@ def _sql_banded_buckets(n_planes_total: int, planes_per_table: int) -> str:
     similarity._banded_buckets over the portable sign planes."""
     return f"""
 planes AS (
+  -- sign components up to the kernel's _PLANE_DIM_CAP (256), not the
+  -- current fixture dim: a wider embeddings table must keep matching
+  -- (the projection only reads sv[1..len(embedding)])
   SELECT p, list({_SQL_PLANE_SIGN} ORDER BY i) AS sv
-  FROM range(0, {n_planes_total}) t1(p), range(0, 64) t2(i)
+  FROM range(0, {n_planes_total}) t1(p), range(0, 256) t2(i)
   GROUP BY p
 ),
 proj AS (

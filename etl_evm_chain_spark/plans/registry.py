@@ -21,13 +21,15 @@ _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
 # (q107). Rows-only-by-design queries (q25-q29, q73, q102, q103) stay
 # OUTSIDE the window so every window row can be value-hash green.
 _PRIORITY = [
+    # ---- EXACTLY the driver's 50-slot window, all oracle-backed ----
     # never driver-hash-green, oracle-backed as of round 3:
     "q53_approx_stats", "q96_bucketed_near_dups", "q98_sender_recovery",
     "q40_ann_topk", "q42_ivf_topk", "q101_dup_spans", "q104_snapshot_diff",
     "q105_redact_contaminated", "q106_weighted_sample", "q107_tuple_abi",
+    "q108_shard_manifest", "q109_tuple_array_abi",
     # reworked this round (global-window removal — re-prove under driver):
     "q87_value_deciles", "q15_time_split",
-    # proven sentinels fill the remaining window slots (driver-green in
+    # proven sentinels fill the remaining 36 slots (driver-green in
     # CORRECTNESS_r01/r02), diverse across operator families:
     "q68_semantic_dedup", "q69_span_dedup", "q83_bigram_surprisal",
     "q71_unigram_surprisal", "q72_knn_classify", "q44_decode_transfers",
@@ -40,12 +42,10 @@ _PRIORITY = [
     "q86_nation_trade", "q56_hash_split", "q57_stratified_sample",
     "q58_topk_quality", "q59_pack_sequences", "q67_temperature_mix",
     "q80_chunk_documents", "q81_dataset_card", "q61_media_stats",
-    "q74_pagerank", "q78_funnel", "q84_retention_cohorts",
-    "q85_volume_anomaly", "q75_char_entropy", "q76_zipf_slope",
-    "q89_salted_agg", "q90_skew_join", "q95_dynamic_abi",
-    "q97_bucketed_knn", "q99_media_chunks", "q100_session_window",
-    "q01_pricing_summary",
+    "q74_pagerank", "q95_dynamic_abi", "q97_bucketed_knn",
 ]
+
+assert len(_PRIORITY) == 50, "driver window must be exactly 50 entries"
 
 
 def all_specs() -> list[QuerySpec]:
@@ -67,4 +67,5 @@ def queries():
 
 
 def oracle_sql():
-    return {s.name: s.oracle for s in all_specs() if s.oracle is not None}
+    return {s.name: s.oracle_text() for s in all_specs()
+            if s.oracle is not None}

@@ -55,15 +55,20 @@ def mysql_jdbc_url(host: str, db: str, *, port: int = 3306,
     multi-row statements (~10× on MySQL), and a UTC session timezone
     keeps TIMESTAMP columns aligned with the engine's UTC convention.
     """
+    from urllib.parse import quote_plus
+
     creds = ""
     if user is not None:
-        creds = f"user={user}&" + (
-            f"password={password}&" if password is not None else "")
+        # URL-encode: an '&'/'%'/'#' in a password would otherwise be
+        # parsed as URL structure and silently detach the flags below
+        creds = f"user={quote_plus(user)}&" + (
+            f"password={quote_plus(password)}&"
+            if password is not None else "")
     return (f"jdbc:mysql://{host}:{port}/{db}?{creds}"
             "rewriteBatchedStatements=true&connectionTimeZone=UTC")
 
 
-def mysql_ddl(df: DataFrame, table: str) -> str:
+def mysql_ddl(df: DataFrame, table: str, *, event=None) -> str:
     """CREATE TABLE DDL in MySQL dialect from the ABI-derived schema —
     the analog of the reference's GORM auto-migrate for its declared
     MySQL sink (`README.md:168-172`, `internal/sink/mysql.go:3`).
@@ -73,10 +78,22 @@ def mysql_ddl(df: DataFrame, table: str) -> str:
     embedded Derby (tests/test_evm.py).
 
     Type mapping notes: addresses/hashes are fixed-width hex →
-    VARCHAR(66) (indexable, unlike TEXT); uint256 decimals map to
-    DECIMAL(38,0) with the lossless _hex twin beside them.
+    VARCHAR(66) (indexable, unlike TEXT). The fixed-width set covers
+    the meta columns (tx_hash/tx_from/contract/address) and ``_hex``
+    twins by name; pass the decoded ``event`` (AbiEvent) to also map
+    its address/bytesN-typed params — schema alone cannot tell an
+    address string from free text.
     """
     from pyspark.sql import types as T
+
+    hex_width: dict[str, int] = {}
+    if event is not None:
+        for inp in event.inputs:
+            if inp.type == "address":
+                hex_width[inp.name] = 42
+            elif (inp.type.startswith("bytes") and inp.type != "bytes"
+                  and inp.type[5:].isdigit()):
+                hex_width[inp.name] = 2 + 2 * int(inp.type[5:])
 
     def mysql_type(f: T.StructField) -> str:
         dt = f.dataType
@@ -93,9 +110,11 @@ def mysql_ddl(df: DataFrame, table: str) -> str:
         if isinstance(dt, T.TimestampType):
             return "TIMESTAMP"
         if isinstance(dt, T.StringType):
-            # hex-valued columns are fixed-width: 0x + 64 (hashes) is
-            # the widest; VARCHAR beats TEXT for indexability
-            if f.name in ("tx_hash", "contract", "address") \
+            if f.name in hex_width:
+                return f"VARCHAR({max(hex_width[f.name], 42)})"
+            # hex-valued meta columns are fixed-width: 0x + 64
+            # (hashes) is the widest; VARCHAR beats TEXT for indexes
+            if f.name in ("tx_hash", "tx_from", "contract", "address") \
                     or f.name.endswith("_hex"):
                 return "VARCHAR(66)"
             return "TEXT"

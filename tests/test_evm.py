@@ -766,10 +766,14 @@ def test_mysql_dialect_ddl_and_url(spark):
         ],
     }]))["Transfer"]
     df = spark.createDataFrame([], event_schema(ev))
-    ddl = mysql_ddl(df, "event_transfer")
+    ddl = mysql_ddl(df, "event_transfer", event=ev)
     assert "`wad` DECIMAL(38,0)" in ddl
     assert "`wad_hex` VARCHAR(66)" in ddl
     assert "`tx_hash` VARCHAR(66)" in ddl
+    assert "`tx_from` VARCHAR(66)" in ddl
+    # address params map by ABI type (names alone cannot tell)
+    assert "`src` VARCHAR(42)" in ddl
+    assert "`dst` VARCHAR(42)" in ddl
     assert "`block_number` BIGINT" in ddl
     assert ddl.startswith("CREATE TABLE IF NOT EXISTS `event_transfer`")
 
@@ -777,6 +781,10 @@ def test_mysql_dialect_ddl_and_url(spark):
     assert url.startswith("jdbc:mysql://dbhost:3306/chain?")
     assert "rewriteBatchedStatements=true" in url
     assert "connectionTimeZone=UTC" in url
+    # reserved characters must not detach the flags
+    url2 = mysql_jdbc_url("h", "db", user="e&t", password="p&s#1")
+    assert "password=p%26s%231" in url2 and "user=e%26t" in url2
+    assert url2.endswith("rewriteBatchedStatements=true&connectionTimeZone=UTC")
 
 
 def test_tuple_abi_randomized_roundtrip(spark):

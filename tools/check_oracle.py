@@ -89,7 +89,7 @@ def main() -> int:
                 print(f"WARN {spec.name}: 0 rows")
             continue
         try:
-            odf = con.sql(spec.oracle).df()
+            odf = con.sql(spec.oracle_text()).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {spec.name}: oracle error: {e}")
             failures += 1

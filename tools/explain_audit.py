@@ -55,8 +55,10 @@ ALLOW: dict[str, set[str]] = {
     # sequential-fold parity with the SQL oracle via cumsum)
     "q38_embedding_topk": {"nested_loop"},
     "q40_ann_topk": {"nested_loop", "pandas"},
-    # coarse-quantizer scan vs n_cells broadcast centroids (bounded)
-    "q42_ivf_topk": {"nested_loop"},
+    # coarse-quantizer scan vs n_cells broadcast centroids (bounded);
+    # the Arrow kernel is the map-only cell assignment (exact
+    # sequential-fold parity with the SQL oracle)
+    "q42_ivf_topk": {"nested_loop", "pandas"},
     # single-row broadcast of per-dimension stats / corpus count —
     # the scalar-subquery shape (1-row build side, no pair explosion)
     "q65_quantize_embeddings": {"nested_loop"},
