@@ -24,7 +24,7 @@ SPECS = [s for s in all_specs() if s.oracle is not None]
 @pytest.mark.parametrize("spec", SPECS, ids=[s.name for s in SPECS])
 def test_oracle_match(spark, duck, spec):
     sdf = spec.fn(spark, SF_SMALL).toPandas()
-    odf = duck.sql(spec.oracle).df()
+    odf = duck.sql(spec.oracle_text()).df()
     problems = compare(spec.name, sdf, odf)
     assert not problems, problems
 

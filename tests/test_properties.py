@@ -137,3 +137,51 @@ def test_temperature_sample_rate_monotone_in_count(spark, sizes):
         for kb, rb in rates.items():
             if sizes[ka] < sizes[kb]:
                 assert ra >= rb
+
+
+@given(st.lists(st.integers(min_value=0, max_value=300),
+                min_size=1, max_size=120))
+@settings(**SETTINGS)
+def test_two_phase_time_split_matches_naive_cut(spark, secs):
+    """q15's bucketed prefix-sum cut must equal the naive definition
+    (smallest second whose cumulative count reaches ceil(0.7*total))
+    for ANY multiset of event seconds — heavy duplicate seconds,
+    single-second corpora, values hugging bucket boundaries."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from etl_evm_chain_spark.plans.relational import (_SPLIT_BUCKETS,
+                                                      q_time_split)
+    import os
+    import tempfile
+
+    # naive python reference
+    total = len(secs)
+    target = math.ceil(0.7 * total)
+    cum, cut = 0, None
+    for s in sorted(set(secs)):
+        cum += Counter(secs)[s]
+        if cum >= target:
+            cut = s
+            break
+    train = [s for s in secs if s <= cut]
+    test = [s for s in secs if s > cut]
+
+    d = tempfile.mkdtemp()
+    import datetime as _dt
+
+    spark.createDataFrame(
+        [(i, _dt.datetime.fromtimestamp(s, _dt.timezone.utc)
+             .replace(tzinfo=None))
+         for i, s in enumerate(secs)],
+        "event_id long, ts timestamp",
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {r["split"]: (r["n"], r["min_ts"], r["max_ts"])
+           for r in q_time_split(spark, d).collect()}
+    assert got["train"] == (len(train), min(train), max(train))
+    if test:
+        assert got["test"] == (len(test), min(test), max(test))
+    else:
+        assert "test" not in got
