@@ -60,6 +60,11 @@ def pagerank(edges: DataFrame, *, iters: int = 5,
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        # |V| rows spread across spark.sql.shuffle.partitions inflate
+        # every superstep by (iters × partitions) task overheads; at
+        # cluster scale AQE coalesces this automatically, but the
+        # localCheckpoint pins whatever partitioning exists here
+        .coalesce(8)
         .localCheckpoint()
     )
     n = nodes.count()
@@ -91,6 +96,7 @@ def pagerank(edges: DataFrame, *, iters: int = 5,
                  + F.lit(damping) * F.coalesce("mass", F.lit(0.0)))
                 .alias("rank"),
             )
+            .coalesce(8)  # |V|-sized; see nodes note
             .localCheckpoint()
         )
     return ranks
