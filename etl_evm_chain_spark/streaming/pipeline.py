@@ -305,3 +305,42 @@ def stream_near_dups(docs: DataFrame, *, index_path: str, pairs_dir: str,
     if trigger_once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_export_shards(docs: DataFrame, *, out_dir: str, checkpoint: str,
+                         key: str = "doc_id", n_shards: int = 64,
+                         salt: str = "shard", trigger_once: bool = True):
+    """Training-shard export AT INGEST TIME: each micro-batch lands
+    under ``batch_id=<epoch>/shard=<N>/`` with the deterministic
+    assignment of operators/curation.shard_assignment — a document's
+    shard is a pure hash of its key, so assignment never depends on
+    which batch delivered it, and re-exporting after growth never
+    moves old documents between shards.
+
+    Exactly-once like stream_near_dups: foreachBatch is at-least-once,
+    so each epoch OVERWRITES its own batch_id partition directory on
+    replay — the directory is the ledger entry. Readers see one lake
+    with (batch_id, shard) partition columns; the global receipt is
+    ``shard_manifest(spark.read.parquet(out_dir))`` (checksums are
+    order- and batch-insensitive sums, so incremental and one-shot
+    exports agree — tested).
+    """
+    import os
+
+    from ..operators.curation import shard_assignment
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        assigned = shard_assignment(batch_df, key=key,
+                                    n_shards=n_shards, salt=salt)
+        (assigned.repartition(min(n_shards, 32), "shard")
+         .sortWithinPartitions("shard", "ord_key")
+         .write.mode("overwrite").partitionBy("shard")
+         .parquet(os.path.join(out_dir, f"batch_id={int(batch_id)}")))
+
+    w = (docs.writeStream.foreachBatch(per_batch)
+         .option("checkpointLocation", checkpoint))
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -401,3 +401,43 @@ def test_stream_near_dups_accumulates_index_across_batches(spark, tmp_path):
             for r in spark.read.parquet(pairs_dir).collect()}
     assert {(1, 2), (1, 3), (2, 3)} <= got2
     assert not any(4 in p for p in got2)
+
+
+def test_stream_export_shards_incremental_equals_one_shot(spark, tmp_path):
+    """Incremental streamed shard export must produce the same shard
+    membership and content checksums as a one-shot export of the full
+    corpus (hash assignment is batch-independent), and an epoch replay
+    must not duplicate rows."""
+    from etl_evm_chain_spark.operators.curation import (shard_assignment,
+                                                        shard_manifest)
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt_shards")
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string") \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        q = sp.stream_export_shards(stream, out_dir=out, checkpoint=ckpt,
+                                    n_shards=8)
+        q.awaitTermination(120)
+
+    rows1 = [(i, f"doc {i} body " * 3) for i in range(40)]
+    rows2 = [(100 + i, f"later doc {i} text") for i in range(25)]
+    spark.createDataFrame(rows1, "doc_id long, text string") \
+        .write.mode("append").parquet(src)
+    run()
+    spark.createDataFrame(rows2, "doc_id long, text string") \
+        .write.mode("append").parquet(src)
+    run()
+
+    lake = spark.read.parquet(out)
+    assert lake.count() == 65
+    streamed = {r["shard"]: (r["n_docs"], r["checksum"])
+                for r in shard_manifest(lake).collect()}
+    all_docs = spark.createDataFrame(rows1 + rows2,
+                                     "doc_id long, text string")
+    one_shot = {r["shard"]: (r["n_docs"], r["checksum"])
+                for r in shard_manifest(shard_assignment(
+                    all_docs, key="doc_id", n_shards=8)).collect()}
+    assert streamed == one_shot
