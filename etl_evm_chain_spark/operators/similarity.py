@@ -796,17 +796,25 @@ def semantic_dedup(df: DataFrame, *, id_col: str = "vec_id",
 
     from ..functions.vectors import dot, norm2
 
-    cent_rows = (
+    # TakeOrderedAndProject fetch + driver-side numbering of n_cells
+    # rows (the _ivf_centroids pattern) — numbering the limited rows
+    # with a global window fired the single-partition WindowExec
+    # warning on every run for a ≤n_cells relation
+    from pyspark.sql import types as T
+
+    cent_collected = (
         df.select(F.col(id_col), F.col(vec_col),
                   hash15(F.concat(F.lit("cent:"),
                                   F.col(id_col).cast("string"))).alias("_h"))
         .orderBy("_h", id_col).limit(n_cells)
+        .collect()
     )
-    w_cell = Window.orderBy("_h", id_col)
-    cents = cent_rows.select(
-        (F.row_number().over(w_cell) - 1).alias("cell"),
-        F.col(vec_col).alias("_cent"),
-        F.sqrt(norm2(vec_col)).alias("_cn"))
+    vec_type = df.schema[vec_col].dataType
+    cents = df.sparkSession.createDataFrame(
+        [(i, list(r[vec_col])) for i, r in enumerate(cent_collected)],
+        T.StructType([T.StructField("cell", T.IntegerType(), False),
+                      T.StructField("_cent", vec_type, False)]),
+    ).withColumn("_cn", F.sqrt(norm2("_cent")))
     # Norms fold once per vector (and once per centroid), NOT once per
     # candidate pair — sim = dot/(n_a·n_b) is float-identical to the
     # full cosine (same sequential folds, same division structure) at

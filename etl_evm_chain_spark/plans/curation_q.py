@@ -236,8 +236,6 @@ FROM cut
 # ---------------------------------------------------------------------------
 
 def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     card = (
         docs.groupBy("source", "lang")
@@ -246,10 +244,14 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.median(F.col("n_chars").cast("double")).alias("median_chars"),
              F.sum(token_count("text")).alias("total_tokens"))
     )
-    share = (F.col("n_docs").cast("double")
-             / F.sum("n_docs").over(Window.partitionBy()))
-    return card.withColumn("share_ppm",
-                           F.floor(share * 1e6).cast("long"))
+    # corpus share via a 1-row broadcast total (scalar-subquery shape)
+    # instead of an empty-partition window over the card rows — same
+    # values, no single-partition WindowExec
+    total = card.agg(F.sum("n_docs").alias("_total"))
+    share = F.col("n_docs").cast("double") / F.col("_total")
+    return (card.crossJoin(F.broadcast(total))
+            .withColumn("share_ppm", F.floor(share * 1e6).cast("long"))
+            .drop("_total"))
 
 
 ORACLE_DATASET_CARD = r"""

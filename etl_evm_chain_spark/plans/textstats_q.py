@@ -82,19 +82,26 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("tok") != "")
     freq = (toks.groupBy(F.lower("tok").alias("token"))
             .agg(F.count(F.lit(1)).alias("freq")))
-    topk = (freq.orderBy(F.desc("freq"), "token").limit(ZIPF_TOPK)
-            .withColumn("rank", F.row_number().over(
-                Window.orderBy(F.desc("freq"), "token"))))
-    lr, lf = F.log("rankd"), F.log("freqd")
-    fitted = (
-        topk.select("rank", "token", "freq",
-                    F.col("rank").cast("double").alias("rankd"),
-                    F.col("freq").cast("double").alias("freqd"))
-        .withColumn("slope", F.covar_pop(lr, lf).over(Window.partitionBy())
-                    / F.var_pop(lr).over(Window.partitionBy()))
-    )
-    return fitted.select(
-        "rank", "token", "freq", F.round("slope", 6).alias("zipf_slope"))
+    # TakeOrderedAndProject fetch + driver enumeration of ZIPF_TOPK
+    # rows (the centroid-pick pattern): numbering/aggregating the
+    # limited relation with empty-partition windows fired the
+    # single-partition WindowExec warning for a ≤100-row input. The
+    # regression aggregate runs as one plain agg over a single
+    # partition in rank order — the sequential fold the oracle's
+    # covar_pop/var_pop also computes.
+    topk_rows = (freq.orderBy(F.desc("freq"), "token")
+                 .limit(ZIPF_TOPK).collect())
+    topk = spark.createDataFrame(
+        [(i + 1, r["token"], int(r["freq"]))
+         for i, r in enumerate(topk_rows)],
+        "rank int, token string, freq long").coalesce(1)
+    lr = F.log(F.col("rank").cast("double"))
+    lf = F.log(F.col("freq").cast("double"))
+    fit = topk.agg(
+        (F.covar_pop(lr, lf) / F.var_pop(lr)).alias("slope"))
+    return (topk.crossJoin(F.broadcast(fit))
+            .select("rank", "token", "freq",
+                    F.round("slope", 6).alias("zipf_slope")))
 
 
 ORACLE_ZIPF = f"""

@@ -65,12 +65,14 @@ ALLOW: dict[str, set[str]] = {
     "q66_tfidf_keywords": {"nested_loop"},
     "q67_temperature_mix": {"nested_loop"},
     # n_cells-row broadcast centroid set for coarse assignment (the
-    # IVF shape); pair comparisons are cell-bounded equi-joins; the
-    # global window is the centroid numbering over limit(n_cells) rows
-    "q68_semantic_dedup": {"nested_loop", "global_window"},
-    # both global windows run over the limit(ZIPF_TOPK) relation —
-    # bounded beneath a limit, never the token table
-    "q76_zipf_slope": {"global_window"},
+    # IVF shape); pair comparisons are cell-bounded equi-joins
+    "q68_semantic_dedup": {"nested_loop"},
+    # 1-row regression-fit broadcast (the scalar-subquery shape, like
+    # q65/q66/q67) joined back to the ≤ZIPF_TOPK relation
+    "q76_zipf_slope": {"nested_loop"},
+    # 1-row corpus-total broadcast for the share column (scalar-
+    # subquery shape; replaced the empty-partition window)
+    "q81_dataset_card": {"nested_loop"},
     # ≤64-row (≤256 for q15) triangular prefix-sum self-join over the
     # bucket-counts relation + 1-row stats broadcasts — the two-phase
     # rank machinery that REPLACED these queries' global windows
