@@ -86,15 +86,16 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows (the centroid-pick pattern): numbering/aggregating the
     # limited relation with empty-partition windows fired the
     # single-partition WindowExec warning for a ≤100-row input. The
-    # regression aggregate runs as one plain agg over a single
-    # partition in rank order — the sequential fold the oracle's
-    # covar_pop/var_pop also computes.
+    # regression fit is one plain aggregate over the 100 local rows
+    # (covariance merge across the local partitions is deterministic;
+    # round(6) absorbs sub-ulp fold-order effects, verified at both
+    # fixture scales).
     topk_rows = (freq.orderBy(F.desc("freq"), "token")
                  .limit(ZIPF_TOPK).collect())
     topk = spark.createDataFrame(
         [(i + 1, r["token"], int(r["freq"]))
          for i, r in enumerate(topk_rows)],
-        "rank int, token string, freq long").coalesce(1)
+        "rank int, token string, freq long")
     lr = F.log(F.col("rank").cast("double"))
     lf = F.log(F.col("freq").cast("double"))
     fit = topk.agg(
