@@ -56,18 +56,25 @@ def pagerank(edges: DataFrame, *, iters: int = 5,
     billion-node graph anyway.
     """
     edges = edges.localCheckpoint()
+    sc = edges.sparkSession.sparkContext
+    # |V| rows spread across spark.sql.shuffle.partitions inflate
+    # every superstep by (iters × partitions) task overheads; at
+    # cluster scale AQE coalesces this automatically, but the
+    # localCheckpoint pins whatever partitioning exists here. The
+    # partition count is derived, not hardcoded: capped by cluster
+    # parallelism, floored at 8, and sized so each task holds a
+    # bounded node slice (~500k) — a billion-vertex graph gets the
+    # full cluster width, a toy graph doesn't pay 200 empty tasks.
+    cap = max(8, sc.defaultParallelism)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        # |V| rows spread across spark.sql.shuffle.partitions inflate
-        # every superstep by (iters × partitions) task overheads; at
-        # cluster scale AQE coalesces this automatically, but the
-        # localCheckpoint pins whatever partitioning exists here
-        .coalesce(8)
+        .coalesce(cap)
         .localCheckpoint()
     )
     n = nodes.count()
+    rank_parts = max(8, min(cap, 1 + n // 500_000))
     small = n <= BROADCAST_RANK_MAX
     hint = F.broadcast if small else (lambda df: df)
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
@@ -96,7 +103,7 @@ def pagerank(edges: DataFrame, *, iters: int = 5,
                  + F.lit(damping) * F.coalesce("mass", F.lit(0.0)))
                 .alias("rank"),
             )
-            .coalesce(8)  # |V|-sized; see nodes note
+            .coalesce(rank_parts)  # |V|-sized; see nodes note
             .localCheckpoint()
         )
     return ranks

@@ -150,11 +150,11 @@ def dequantize_error_micros(emb: DataFrame, *, vec_col: str = "embedding",
     )
 
 
-_PLANE_DIM_CAP = 256
+_PLANE_DIM_BASE = 256
 
 
 @lru_cache(maxsize=None)
-def _plane_signs(plane: int) -> tuple[float, ...]:
+def _plane_signs(plane: int, n: int = _PLANE_DIM_BASE) -> tuple[float, ...]:
     """±1 hyperplane components: sign(p,i) = +1 iff the 60-bit md5-prefix
     integer of ``pl:{p}:{i}`` is even — the exact hash15 arithmetic the
     SQL oracles use (``CAST('0x'||substr(md5(...),1,15) AS BIGINT) % 2``),
@@ -163,12 +163,29 @@ def _plane_signs(plane: int) -> tuple[float, ...]:
     vectorized ``_buckets_udf`` kernel (the round-2
     xxhash64-per-element expression form was both slower and
     DuckDB-inexpressible — VERDICT r2 "What's wrong" #2).
+
+    The formula extends to any component index, so there is no width
+    cap: callers ask for the ceiling they need (``_plane_ceiling``
+    doubles from 256 so ragged corpora share cache entries) and slice.
+    Components are prefix-stable — sign(p,i) never depends on how many
+    components were generated — so a 384-dim corpus and a 64-dim corpus
+    agree on their shared prefix, and the SQL oracles can generate
+    exactly ``max(len(embedding))`` components and still match.
     """
     out = []
-    for i in range(_PLANE_DIM_CAP):
+    for i in range(n):
         h = int(hashlib.md5(f"pl:{plane}:{i}".encode()).hexdigest()[:15], 16)
         out.append(1.0 if h % 2 == 0 else -1.0)
     return tuple(out)
+
+
+def _plane_ceiling(d: int) -> int:
+    """Smallest 256·2^k ≥ d — bounds distinct ``_plane_signs`` cache
+    keys to O(log dim) even when a corpus mixes many vector widths."""
+    n = _PLANE_DIM_BASE
+    while n < d:
+        n *= 2
+    return n
 
 
 def _buckets_udf(n_tables: int, planes_per_table: int,
@@ -205,10 +222,6 @@ def _buckets_udf(n_tables: int, planes_per_table: int,
         res: dict[int, list[int]] = {}
         w = (1 << np.arange(planes_per_table, dtype=np.int64))
         for d, idxs in idx_by_dim.items():
-            if d > _PLANE_DIM_CAP:
-                raise ValueError(
-                    f"vector dim {d} exceeds LSH plane cap "
-                    f"{_PLANE_DIM_CAP}")
             if d == 0:
                 # empty vector: every projection is the empty sum (0),
                 # 0 > 0 is false → all bits 0 (the expression form's
@@ -218,7 +231,8 @@ def _buckets_udf(n_tables: int, planes_per_table: int,
                 continue
             V = np.stack([np.asarray(vals[i], dtype=np.float64)
                           for i in idxs])
-            S = np.array([_plane_signs(plane_offset + p)[:d]
+            ceil_n = _plane_ceiling(d)
+            S = np.array([_plane_signs(plane_offset + p, ceil_n)[:d]
                           for p in range(total)])
             proj = np.empty((len(V), total))
             for p in range(total):
@@ -696,15 +710,17 @@ def knn_classify(emb: DataFrame, *, id_col: str = "vec_id",
     Beyond the broadcast guard the exact kernel stops being the right
     operator, so ``method="auto"`` (default) routes to
     ``knn_classify_bucketed`` — IVF cells, cogrouped per-cell kernel —
-    instead of raising. The size guard is FREE on the exact path: the
-    corpus materializes through ``limit(guard+1).toPandas()`` and the
-    guard checks the materialized length — one job, not a separate
-    count probe (the round-2 probe job doubled q72's wall time).
-    Callers who already know the corpus scale pass ``approx_rows``
-    (e.g. from catalog stats) to route with no job at all; an
-    over-guard corpus without the hint pays one guard-bounded
-    transfer before routing. ``method="exact"``/``"bucketed"`` force
-    a path.
+    instead of raising. The size guard probes ids-only through
+    ``limit(guard+1).count()`` — a column-pruned, limit-bounded job
+    with O(1) driver memory, unlike the round-2 full ``count()`` that
+    doubled q72's wall time, and unlike a guard-sized full-vector
+    ``toPandas()`` that would stage multi-GB on the driver just to
+    discard it when routing to the bucketed path. Vectors transfer
+    only once the exact path is confirmed (with a post-fetch length
+    re-check in case the corpus grew between the two jobs). Callers
+    who already know the corpus scale pass ``approx_rows`` (e.g. from
+    catalog stats) to route with no job at all.
+    ``method="exact"``/``"bucketed"`` force a path.
 
     Returns one row per label: n, n_correct, accuracy_micro
     (floor(accuracy·1e6) — integer, engine-portable).
@@ -726,6 +742,15 @@ def knn_classify(emb: DataFrame, *, id_col: str = "vec_id",
             "use method='bucketed'")
 
     spark = emb.sparkSession
+    n_probe = emb.select(id_col).limit(max_broadcast_rows + 1).count()
+    if n_probe > max_broadcast_rows:
+        if method == "auto":
+            return knn_classify_bucketed(
+                emb, id_col=id_col, vec_col=vec_col, label_col=label_col,
+                k=k)
+        raise ValueError(
+            f">{max_broadcast_rows} vectors exceed the broadcast guard; "
+            "use method='bucketed'")
     corpus = (emb.select(id_col, vec_col, label_col)
               .limit(max_broadcast_rows + 1).toPandas())
     if len(corpus) > max_broadcast_rows:
@@ -963,12 +988,15 @@ def cosine_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
     Beyond ``max_broadcast_rows`` exact all-pairs stops being the
     right operator, so ``method="auto"`` (default) routes to
     ``cosine_near_dup_pairs_bucketed`` — banded LSH buckets, exact
-    kernel per bucket — instead of raising. The size guard is free on
-    the exact path (the corpus materializes via limit(guard+1) and
-    the LENGTH is the guard — one job, no separate count probe);
-    callers with catalog knowledge pass ``approx_rows`` to route
-    jobless. ``method="exact"``/``"bucketed"`` force a path (exact
-    past the guard raises, preserving the old contract).
+    kernel per bucket — instead of raising. The size guard probes
+    ids-only (``limit(guard+1).count()`` — column-pruned, bounded,
+    O(1) driver memory); vectors transfer only once the exact path is
+    confirmed, so an over-guard corpus never stages GBs on the driver
+    just to route away (a post-fetch length re-check covers growth
+    between the two jobs). Callers with catalog knowledge pass
+    ``approx_rows`` to route jobless. ``method="exact"``/
+    ``"bucketed"`` force a path (exact past the guard raises,
+    preserving the old contract).
     """
     import numpy as np
 
@@ -985,6 +1013,15 @@ def cosine_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
             "use method='bucketed'")
 
     spark = df.sparkSession
+    n_probe = df.select(id_col).limit(max_broadcast_rows + 1).count()
+    if n_probe > max_broadcast_rows:
+        if method == "auto":
+            return cosine_near_dup_pairs_bucketed(
+                df, id_col=id_col, vec_col=vec_col, threshold=threshold,
+                n_tables=n_tables, planes_per_table=planes_per_table)
+        raise ValueError(
+            f">{max_broadcast_rows} vectors exceed the broadcast guard; "
+            "use method='bucketed'")
     corpus = (df.select(id_col, vec_col)
               .limit(max_broadcast_rows + 1).toPandas())
     if len(corpus) > max_broadcast_rows:

@@ -1253,11 +1253,17 @@ def _sql_banded_buckets(n_planes_total: int, planes_per_table: int) -> str:
     similarity._banded_buckets over the portable sign planes."""
     return f"""
 planes AS (
-  -- sign components up to the kernel's _PLANE_DIM_CAP (256), not the
-  -- current fixture dim: a wider embeddings table must keep matching
+  -- sign components up to the actual embedding width (≥256 floor, the
+  -- kernel's cache base): signs are prefix-stable in i, so a wider
+  -- embeddings table keeps matching the kernel, which has no width cap
   -- (the projection only reads sv[1..len(embedding)])
   SELECT p, list({_SQL_PLANE_SIGN} ORDER BY i) AS sv
-  FROM range(0, {n_planes_total}) t1(p), range(0, 256) t2(i)
+  FROM (
+    SELECT t1.p AS p, unnest(range(0, dd.nd)) AS i
+    FROM range(0, {n_planes_total}) t1(p),
+         (SELECT greatest(256, max(len(embedding))) AS nd
+          FROM embeddings) dd
+  )
   GROUP BY p
 ),
 proj AS (

@@ -281,6 +281,13 @@ def stream_near_dups(docs: DataFrame, *, index_path: str, pairs_dir: str,
     copy of its index rows and its pairs — no ledger table needed,
     the partition directory IS the ledger entry.
 
+    Exactly-once scope: the INDEX is exactly-once; pairs are
+    idempotent per batch_id directory but NOT globally unique — a
+    replayed epoch recomputes its pairs against an index that may
+    already hold later epochs, so its directory can come back a
+    superset and the same (id_a, id_b) can appear under more than one
+    batch_id. Downstream consumers must dedup on (id_a, id_b).
+
     State at 100 TB: the index is a parquet lake physically partitioned
     by band; per-batch cost is O(batch) + the (band, key)-pruned join —
     no unbounded executor state, unlike a dropDuplicates over all

@@ -311,6 +311,40 @@ def test_near_dup_bucketed_no_false_positives_and_recall(spark):
     assert recall >= 0.5, f"recall {recall:.2f}"
 
 
+def test_lsh_buckets_wide_dim_matches_reference_fold(spark):
+    # Realistic embedding widths (384/768/1536) exceed the old 256-plane
+    # cache base; the kernel must extend the md5 sign planes instead of
+    # raising (ADVICE r3), and the buckets must equal an independent
+    # pure-python recomputation of the sequential-fold formula.
+    import hashlib
+
+    import numpy as np
+
+    dim = 384
+    rng = [[((i * 31 + j * 7) % 17 - 8) / 8.0 for j in range(dim)]
+           for i in range(6)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rng)],
+        "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["bucket"]
+           for r in sim.lsh_buckets(emb, n_planes=8).collect()}
+
+    def sign(p, i):
+        h = int(hashlib.md5(f"pl:{p}:{i}".encode()).hexdigest()[:15], 16)
+        return 1.0 if h % 2 == 0 else -1.0
+
+    for vid, vec in enumerate(rng):
+        v32 = np.asarray(vec, dtype=np.float32).astype(np.float64)
+        want = 0
+        for p in range(8):
+            acc = 0.0
+            for i, x in enumerate(v32):
+                acc += x * sign(p, i)
+            if acc > 0:
+                want |= 1 << p
+        assert got[vid] == want
+
+
 def test_near_dup_exact_method_still_raises_past_guard(spark):
     import pytest
 
