@@ -109,12 +109,36 @@ def temperature_sample(df: DataFrame, *, key: str, id_col: str,
 def topk_per_group(df: DataFrame, *, group: str, order: list[Column],
                    k: int, rank_col: str = "rank") -> DataFrame:
     """Top-k rows per group by a deterministic ordering (include a
-    unique tiebreaker in ``order``). One window per group — at scale
-    this is the standard shuffle-once selection; for tiny k over huge
-    groups, partial top-k happens map-side inside the sort."""
+    unique tiebreaker in ``order``).
+
+    Scale shape (round-4 rework): group keys like source/lang are
+    intrinsically low-cardinality, so ONE window per group funnels the
+    whole relation into a handful of tasks (the audit's
+    low_card_window disease). Two phases instead:
+
+    1. local top-k per (group, input-partition): the window key adds
+       ``spark_partition_id()`` — a derived high-cardinality column —
+       so each task sorts only its own scan slice, in parallel with
+       the scan's width; at most k rows per (group, partition)
+       survive;
+    2. the exact per-group window over the pre-truncated relation,
+       whose size is ≤ k × partitions per group — bounded by
+       parallelism, independent of data size.
+
+    Any row in the true global top-k is in the top-k of its own
+    partition slice, so phase 2 sees every winner: answers are
+    identical to the one-window form for any deterministic order.
+    """
+    w_local = Window.partitionBy(group, "_tpk_pid").orderBy(*order)
+    pre = (
+        df.withColumn("_tpk_pid", F.spark_partition_id())
+        .withColumn("_tpk_lr", F.row_number().over(w_local))
+        .filter(F.col("_tpk_lr") <= k)
+        .drop("_tpk_pid", "_tpk_lr")
+    )
     w = Window.partitionBy(group).orderBy(*order)
     return (
-        df.withColumn(rank_col, F.row_number().over(w))
+        pre.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
 
@@ -126,16 +150,42 @@ def pack_sequences(df: DataFrame, *, group: str, order: str, length: str,
     pretraining shard layout).
 
     ``pack_id = floor(start_offset / context)`` where start_offset is
-    the running sum of lengths before this row — one window sum per
-    group, no sequential state. A document that straddles a boundary
-    belongs to the pack it starts in (the downstream tokenizer splits
-    it); utilization accounting per pack then follows from a groupBy.
+    the running sum of lengths before this row — no sequential state.
+    A document that straddles a boundary belongs to the pack it starts
+    in (the downstream tokenizer splits it); utilization accounting
+    per pack then follows from a groupBy.
+
+    Scale shape (round-4 rework): the running sum goes through
+    ``functions/ranking.bucketed_prefix_sum`` — per-(group,
+    order-range-bucket) local window sums plus a broadcast prefix-sum
+    join — instead of one cumulative window per group, because group
+    keys (source/split) are intrinsically low-cardinality and a
+    per-group window would funnel 100 TB of documents into a handful
+    of tasks. ``order`` must be unique within a group (doc ids are).
     """
-    w = (Window.partitionBy(group).orderBy(order)
-         .rowsBetween(Window.unboundedPreceding, -1))
-    start = F.coalesce(F.sum(length).over(w), F.lit(0)).cast("long")
-    return df.withColumn(pack_col, F.floor(start / context).cast("long")) \
-             .withColumn("start_offset", start)
+    from ..functions.ranking import bucketed_prefix_sum, scaled_buckets
+
+    dtype = dict(df.dtypes).get(order, "")
+    numeric = dtype in ("tinyint", "smallint", "int", "bigint", "float",
+                        "double") or dtype.startswith("decimal")
+    if numeric:
+        cum = bucketed_prefix_sum(
+            df, order, [order], length, part_cols=(group,),
+            n_buckets=scaled_buckets(df.sparkSession), out_name="_incl")
+        start = (F.col("_incl") - F.col(length)).cast("long")
+    else:
+        # non-numeric order keys can't range-bucket; fall back to the
+        # per-group window (callers with string ids at 100 TB should
+        # rank on a numeric surrogate first)
+        w = (Window.partitionBy(group).orderBy(order)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        start = F.coalesce(F.sum(length).over(w), F.lit(0)).cast("long")
+    return (df.withColumn("_start", start) if not numeric else
+            cum.withColumn("_start", start).drop("_incl")) \
+        .withColumn(pack_col, F.floor(F.col("_start") / context)
+                    .cast("long")) \
+        .withColumn("start_offset", F.col("_start").cast("long")) \
+        .drop("_start")
 
 
 def chunk_documents(df: DataFrame, *, id_col: str = "doc_id",

@@ -355,57 +355,37 @@ GROUP BY o.o_custkey
 # reference lacks entirely; SURVEY §2.D notes "no ranking functions").
 # Total order includes the unique key so both engines tile identically.
 #
-# Scale shape (round-3 rework of the r2 scale-killer): the naive form is
-# one global ntile window = a single-partition sort of the whole fact
-# table. This form computes the identical tiling in two phases with no
-# unbounded window:
+# Scale shape (round-3 rework of the r2 scale-killer; round-4 moved the
+# machinery into the shared functions/ranking.bucketed_rank kit): the
+# naive form is one global ntile window = a single-partition sort of the
+# whole fact table. This form computes the identical tiling in two
+# phases with no unbounded window:
 #   1. deterministic value-range bucketing on (min,max) price bounds
-#      (64 buckets; bounds broadcast from a 1-row aggregate — no sampled
-#      RangePartitioner, so both downstream branches see the same
-#      assignment);
-#   2. per-bucket counts (≤64 rows) → prefix-sum offsets on the TINY
-#      counts relation → per-bucket row_number + offset = exact global
-#      rank → ntile arithmetic: decile = (rank-1)*10 div total + 1,
-#      which reproduces ntile(10)'s first-(N%10)-buckets-get-one-extra
-#      distribution exactly.
-# Heavy sorts are per-bucket and partition-parallel; the only
-# unpartitioned window runs over the ≤64-row counts relation. Skewed
-# value distributions concentrate buckets — at 100 TB pick bucket edges
+#      (bucket count derived from spark.sql.shuffle.partitions via
+#      scaled_buckets — per-bucket sort width tracks cluster
+#      parallelism, not data size; bounds broadcast from a 1-row
+#      aggregate — no sampled RangePartitioner, so both downstream
+#      branches see the same assignment);
+#   2. per-bucket counts (a tiny relation) → prefix-sum offsets →
+#      per-bucket row_number + offset = exact global rank → ntile
+#      arithmetic reproducing ntile(10)'s
+#      first-(N%10)-buckets-get-one-extra distribution exactly.
+# Heavy sorts are per-bucket and partition-parallel. Skewed value
+# distributions concentrate buckets — at 100 TB pick bucket edges
 # from an equi-depth histogram (catalog stats) instead of equi-width.
 # ---------------------------------------------------------------------------
 
-_DECILE_BUCKETS = 64
-
 
 def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ranking import bucketed_rank, scaled_buckets
     from .relational import _dsum
 
     orders = load_table(spark, sf_dir, "orders")
     o = orders.select("o_orderkey", "o_totalprice")
-    stats = o.agg(F.min("o_totalprice").alias("_lo"),
-                  F.max("o_totalprice").alias("_hi"))
-    width = F.greatest(
-        (F.col("_hi") - F.col("_lo")) / _DECILE_BUCKETS, F.lit(1e-9))
-    b = (o.crossJoin(F.broadcast(stats))
-         .withColumn("_bkt", F.least(
-             F.lit(_DECILE_BUCKETS - 1),
-             F.floor((F.col("o_totalprice") - F.col("_lo")) / width))
-             .cast("int"))
-         .drop("_lo", "_hi"))
-    counts = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
-    # Prefix-sum offsets over the ≤64-row counts relation via a tiny
-    # triangular self-join (not an unpartitioned window — keeps every
-    # plan in this query free of single-partition WindowExec).
-    ca, cb = counts.alias("ca"), counts.alias("cb")
-    prefix = (
-        ca.join(F.broadcast(cb),
-                F.col("cb._bkt") < F.col("ca._bkt"), "left")
-        .groupBy(F.col("ca._bkt").alias("_bkt"))
-        .agg(F.coalesce(F.sum("cb._cnt"), F.lit(0)).alias("_off"))
-    )
-    total = counts.agg(F.sum("_cnt").alias("_total"))
-    offs = prefix.crossJoin(F.broadcast(total))
-    w_loc = Window.partitionBy("_bkt").orderBy("o_totalprice", "o_orderkey")
+    ranked = bucketed_rank(
+        o, "o_totalprice", ["o_totalprice", "o_orderkey"],
+        n_buckets=scaled_buckets(spark),
+        rank_name="_rank", total_name="_total")
     # Exact ntile(10) arithmetic: the first (N mod 10) tiles hold
     # ceil(N/10) CONTIGUOUS rows, the rest floor(N/10). The simpler
     # floor((rank-1)*10/N)+1 spreads the remainder Bresenham-style and
@@ -415,9 +395,7 @@ def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tile = ("CAST(CASE WHEN _rank <= _b THEN (_rank - 1) DIV (_q + 1) "
             "ELSE _rem + (_rank - 1 - _b) DIV _q END AS INT) + 1")
     tiled = (
-        b.withColumn("_rn", F.row_number().over(w_loc))
-        .join(F.broadcast(offs), "_bkt")
-        .withColumn("_rank", F.col("_off") + F.col("_rn"))
+        ranked
         .withColumn("_q", F.expr("_total DIV 10"))
         .withColumn("_rem", F.expr("_total % 10"))
         .withColumn("_b", F.expr("_rem * (_q + 1)"))

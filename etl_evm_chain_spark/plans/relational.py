@@ -483,25 +483,30 @@ ORDER BY y, m, d, h, etype
 #
 # Scale shape: per-second counts → equi-width second-bucketing on
 # broadcast (min,max) bounds → per-bucket prefix sums (the only
-# unbounded-ish structures are the ≤256-row bucket-counts relations,
-# prefix-summed via a tiny triangular join) → broadcast 1-row cut.
-# No unpartitioned window, no driver-side count.
+# unbounded-ish structures are the tiny bucket-counts relations,
+# prefix-summed via a triangular join) → broadcast 1-row cut.
+# No unpartitioned window, no driver-side count. The bucket count is
+# derived from spark.sql.shuffle.partitions (functions/ranking.
+# scaled_buckets) so per-bucket cumulative-sum width is bounded by
+# cluster parallelism, not data size (the input here is already the
+# per-SECOND count relation, so buckets hold seconds, not raw rows).
 # ---------------------------------------------------------------------------
-
-_SPLIT_BUCKETS = 256
 
 
 def q_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ranking import scaled_buckets
+
+    n_buckets = scaled_buckets(spark, mult=8)
     ev = load_table(spark, sf_dir, "events").select(
         F.unix_timestamp("ts").alias("sec"))
     per_sec = ev.groupBy("sec").agg(F.count(F.lit(1)).alias("c"))
     stats = per_sec.agg(F.min("sec").alias("_lo"), F.max("sec").alias("_hi"),
                         F.sum("c").alias("_total"))
     width = F.greatest(
-        (F.col("_hi") - F.col("_lo")) / _SPLIT_BUCKETS, F.lit(1e-9))
+        (F.col("_hi") - F.col("_lo")) / n_buckets, F.lit(1e-9))
     b = (per_sec.crossJoin(F.broadcast(stats))
          .withColumn("_bkt", F.least(
-             F.lit(_SPLIT_BUCKETS - 1),
+             F.lit(n_buckets - 1),
              F.floor((F.col("sec") - F.col("_lo")) / width)).cast("int")))
     bcounts = b.groupBy("_bkt").agg(F.sum("c").alias("_cnt"))
     ca, cb = bcounts.alias("ca"), bcounts.alias("cb")

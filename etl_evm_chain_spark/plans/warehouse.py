@@ -201,17 +201,21 @@ UNPIVOT (value FOR metric IN (
 #     of rows — actual data values picked by integer rank, so no
 #     interpolation-float divergence between engines.
 # Engine-native sketches stay pytest-bounded (tests/test_warehouse.py).
-# Scale: the only window is partitioned by l_returnflag over the 1/16
-# SAMPLE (sample rate bounds the per-group sort); everything else is
-# hash-partitioned groupBy with map-side partials.
+# Scale (round-4 rework of the r3 "weak" item): the sampled quantile
+# ranks run through functions/ranking.bucketed_rank — per-(returnflag,
+# value-bucket) local windows + a broadcast prefix-sum join — so no
+# window partitions on the 3-value l_returnflag alone. A 1/16 sample
+# of a 100 TB fact table no longer funnels ~1/48th of it through one
+# task per flag; per-bucket sort width is bounded by scaled_buckets
+# (shuffle-partitions-derived). Everything else is hash-partitioned
+# groupBy with map-side partials.
 # ---------------------------------------------------------------------------
 
 _SQL_H15 = "CAST('0x' || substr(md5({e}), 1, 15) AS BIGINT)"
 
 
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    from ..functions.ranking import bucketed_rank, scaled_buckets
     from ..functions.text import hash15
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -229,11 +233,12 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     samp = (li.filter(row_h % 16 == 0)
             .select("l_returnflag", "l_extendedprice",
                     "l_orderkey", "l_linenumber"))
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber")
-    counts = samp.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("m"))
-    ranked = (samp.withColumn("rn", F.row_number().over(w))
-              .join(F.broadcast(counts), "l_returnflag"))
+    ranked = bucketed_rank(
+        samp, "l_extendedprice",
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        part_cols=("l_returnflag",),
+        n_buckets=scaled_buckets(spark),
+        rank_name="rn", total_name="m")
 
     def pick(p: float, name: str):
         return F.max(F.when(

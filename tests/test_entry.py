@@ -48,8 +48,8 @@ def test_explain_audit_flags_global_windows(spark):
 
     seeded = df.withColumn(
         "t", F.ntile(10).over(Window.orderBy("id")))
-    assert ea._has_global_window(plan_of(seeded))
+    assert "global_window" in ea.window_flags(plan_of(seeded), None)
 
     partitioned = df.withColumn(
         "rn", F.row_number().over(Window.partitionBy("g").orderBy("id")))
-    assert not ea._has_global_window(plan_of(partitioned))
+    assert not ea.window_flags(plan_of(partitioned), None)

@@ -152,8 +152,7 @@ def test_two_phase_time_split_matches_naive_cut(spark, secs):
 
     from pyspark.sql import functions as F
 
-    from etl_evm_chain_spark.plans.relational import (_SPLIT_BUCKETS,
-                                                      q_time_split)
+    from etl_evm_chain_spark.plans.relational import q_time_split
     import os
     import tempfile
 

@@ -17,6 +17,16 @@ flags scale red-flags:
   single-partition sort of the window's whole input. Allowed only
   where the input is provably bounded (beneath a limit or a
   small-group aggregate) and documented.
+- Window whose partition key is a LOW-CARDINALITY base column
+  (catalog-measured distinct counts; VERDICT r3 blind spot): a window
+  partitioned by, say, l_returnflag (3 values) funnels the input into
+  three tasks — the same disease as an empty spec, just hidden behind
+  a non-empty partition list. Flagged when every partition column
+  resolves to a known base-table column and the product of their
+  distinct counts is ≤ LOW_CARD_MAX; derived columns (bucket ids,
+  bands, cells) are unknowable from the plan text and skip the check
+  — the two-phase ranking kit exists precisely to put a derived
+  high-cardinality key next to the low one.
 
 Usage: python tools/explain_audit.py [sf_dir] [query ...]
 Exit 1 if an unexpected red flag appears (ALLOW list documents the
@@ -26,6 +36,7 @@ accepted ones).
 from __future__ import annotations
 
 import io
+import os
 import re
 import sys
 from contextlib import redirect_stdout
@@ -38,13 +49,35 @@ from etl_evm_chain_spark.session import get_spark  # noqa: E402
 # Query → flags that are intentional there (with the reason documented
 # in the query/operator docstring).
 ALLOW: dict[str, set[str]] = {
+    # ---- low_card_window allowances -------------------------------------
+    # The flag means "window partitioned by an intrinsically-low-card
+    # key"; it is ALLOWED only where the window's INPUT is bounded by
+    # something other than data volume, so the per-key task never sees
+    # 1/k of a 100 TB table:
+    #  - resampled time-series queries (q17/q20/q21/q23/q94): the
+    #    window input is the per-(event_type, time-bucket) resampled
+    #    series — rows are bounded by calendar span × bucket
+    #    granularity, not by fact-table size; the rolling/ffill/lead
+    #    semantics are inherently sequential per series.
+    #  - backtest/ML-plane queries (q24–q29): same per-bar series
+    #    input; the FSM/EWM grouped-map state is the operator itself.
+    #  - q58 top-k: phase-1 local truncation bounds the final per-group
+    #    window input to ≤ k × partitions rows (operators/curation.
+    #    topk_per_group docstring).
+    "q17_asof_ffill": {"low_card_window"},
+    "q20_rolling_zscore": {"low_card_window"},
+    "q21_lead_label": {"low_card_window"},
+    "q23_signal_gate": {"low_card_window"},
+    "q94_range_frame_hourly": {"low_card_window"},
+    "q58_topk_quality": {"low_card_window"},
+    # ---------------------------------------------------------------------
     # grouped-map pandas state is the operator itself
-    "q24_ewm_bias": {"pandas"},
-    "q25_backtest_pct": {"pandas"},
-    "q26_backtest_zscore": {"pandas"},
-    "q27_calendar_returns": {"pandas"},
+    "q24_ewm_bias": {"pandas", "low_card_window"},
+    "q25_backtest_pct": {"pandas", "low_card_window"},
+    "q26_backtest_zscore": {"pandas", "low_card_window"},
+    "q27_calendar_returns": {"pandas", "low_card_window"},
     "q28_ml_dataset": {"pandas"},
-    "q29_ml_signals": {"pandas"},
+    "q29_ml_signals": {"pandas", "low_card_window"},
     "q39_embedding_near_dups": {"pandas"},  # broadcast-matrix BLAS kernel
     "q61_media_stats": {"pandas"},  # mapInPandas media decode IS the operator
     "q72_knn_classify": {"pandas"},  # broadcast-matrix BLAS kernel
@@ -101,48 +134,158 @@ FLAGS = {
 
 _WSD = re.compile(r"windowspecdefinition\(")
 
+# A window partitioned by base columns whose combined distinct count
+# is at or below this funnels the input into that many tasks — too few
+# for any real cluster. Derived keys (buckets/bands/cells) don't
+# resolve and skip the check.
+LOW_CARD_MAX = 1000
 
-def _top_level_first_arg(s: str) -> str:
-    """First comma-separated argument of s at paren depth 0."""
+# Base tables whose column cardinalities seed the low-card check.
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+_COLREF = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)#\d+$")
+
+
+def _top_level_args(s: str) -> list[str]:
+    """Comma-separated arguments of s at paren depth 0, up to the
+    closing paren of the enclosing call."""
     depth = 0
+    args, start = [], 0
     for i, ch in enumerate(s):
         if ch == "(":
             depth += 1
         elif ch == ")":
             if depth == 0:
-                return s[:i]
+                args.append(s[start:i])
+                return args
             depth -= 1
         elif ch == "," and depth == 0:
-            return s[:i]
-    return s
+            args.append(s[start:i])
+            start = i + 1
+    args.append(s[start:])
+    return args
 
 
-def _has_global_window(plan: str) -> bool:
-    """True if any windowspecdefinition has an empty partition spec.
+def _window_partition_specs(plan: str):
+    """For each windowspecdefinition: its list of partition-column
+    argument strings (possibly empty).
 
     In plan text the spec prints partition columns first (bare, no
     sort direction), then order columns (each tagged ASC/DESC), then
-    the frame — so a spec whose FIRST argument already carries a sort
-    direction has no partition columns: the runtime's "No Partition
-    Defined for Window" case, which funnels the window's entire input
-    through one partition.
+    the frame — so partition columns are the leading arguments that
+    carry no sort direction.
     """
     for m in _WSD.finditer(plan):
-        first = _top_level_first_arg(plan[m.end():])
-        if re.search(r"\b(ASC|DESC)\b", first):
-            return True
-    return False
+        parts = []
+        for a in _top_level_args(plan[m.end():]):
+            a = a.strip()
+            if (re.search(r"\b(ASC|DESC)\b", a)
+                    or a.startswith("specifiedwindowframe")):
+                break
+            parts.append(a)
+        yield parts
 
 
-def audit(spec, spark, sf_dir: str) -> tuple[set[str], str]:
-    df = spec.fn(spark, sf_dir)
+def _distinct_counts(spark, sf_dir: str) -> dict[str, int]:
+    from pyspark.sql import functions as F
+
+    from etl_evm_chain_spark.catalog import load_table
+
+    card: dict[str, int] = {}
+    for t in TABLES:
+        try:
+            df = load_table(spark, sf_dir, t)
+        except Exception:
+            continue
+        cols = [c for c, dt in df.dtypes
+                if not dt.startswith(("array", "map", "struct", "binary"))]
+        if not cols:
+            continue
+        row = df.agg(*[F.approx_count_distinct(c).alias(c)
+                       for c in cols]).first()
+        for c in cols:
+            card[c] = max(card.get(c, 0), int(row[c]))
+    return card
+
+
+def column_cardinalities(spark, sf_dir: str) -> dict[str, int]:
+    """name → approx distinct count for base-table columns that are
+    INTRINSICALLY low-cardinality (max across tables when a name
+    repeats — conservative: prefer missing a flag to crying wolf).
+
+    "Intrinsic" is the point: at a small fixture SF, even doc_id looks
+    low-card, but its distinct count GROWS with the data — windows
+    partitioned by it are fine at 100 TB. A column whose distinct
+    count stays flat across sibling scale factors (l_returnflag: 3 at
+    every SF; event_type: 5) will still be 3 at 100 TB — that's the
+    funnel. Both the 10×-smaller and 10×-larger siblings are
+    consulted when present (some fixture tables only start scaling
+    above a floor size — documents is 500 rows at sf0.001 AND sf0.01);
+    a column must be flat in EVERY available comparison to count as
+    intrinsic. With no sibling at all, the plain threshold applies.
+    """
+    card = {c: n for c, n in _distinct_counts(spark, sf_dir).items()
+            if n <= LOW_CARD_MAX}
+    base = os.path.basename(os.path.normpath(sf_dir))
+    m = re.match(r"sf([0-9.]+)$", base)
+    if m:
+        parent = os.path.dirname(os.path.normpath(sf_dir))
+        sf = float(m.group(1))
+        for sibling in (sf / 10, sf * 10):
+            sib_dir = os.path.join(parent, f"sf{sibling:g}")
+            if not os.path.isdir(sib_dir):
+                continue
+            sib = _distinct_counts(spark, sib_dir)
+            lo, hi = ((sib, card) if sibling < sf else (card, sib))
+            card = {c: n for c, n in card.items()
+                    if c in sib and hi.get(c, 0) <= 1.3 * lo.get(c, 0) + 5}
+    return card
+
+
+def window_flags(plan: str, card: dict[str, int] | None) -> set[str]:
+    """global_window / low_card_window flags for a formatted plan."""
+    found: set[str] = set()
+    for parts in _window_partition_specs(plan):
+        if not parts:
+            found.add("global_window")
+            continue
+        if card is None:
+            continue
+        prod = 1
+        for p in parts:
+            m = _COLREF.match(p)
+            if not m or m.group(1) not in card:
+                prod = None          # derived/unknown key → unknowable
+                break
+            prod *= max(1, card[m.group(1)])
+        if prod is not None and prod <= LOW_CARD_MAX:
+            found.add("low_card_window")
+    return found
+
+
+def _plan_text(df) -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")
-    plan = buf.getvalue()
+    return buf.getvalue()
+
+
+def df_flags(df, card: dict[str, int] | None = None) -> set[str]:
+    """All audit flags for a DataFrame's physical plan (importable —
+    tests seed synthetic bad plans through this)."""
+    plan = _plan_text(df)
     found = {name for name, rx in FLAGS.items() if rx.search(plan)}
-    if _has_global_window(plan):
-        found.add("global_window")
+    found |= window_flags(plan, card)
+    return found
+
+
+def audit(spec, spark, sf_dir: str,
+          card: dict[str, int] | None = None) -> tuple[set[str], str]:
+    df = spec.fn(spark, sf_dir)
+    plan = _plan_text(df)
+    found = {name for name, rx in FLAGS.items() if rx.search(plan)}
+    found |= window_flags(plan, card)
     return found, plan
 
 
@@ -150,11 +293,12 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark("explain_audit")
+    card = column_cardinalities(spark, sf_dir)
     bad = 0
     for spec in all_specs():
         if only and spec.name not in only:
             continue
-        found, plan = audit(spec, spark, sf_dir)
+        found, plan = audit(spec, spark, sf_dir, card)
         allowed = ALLOW.get(spec.name, set())
         # "pandas" is never a failure by itself when allowed; row-UDFs never pass
         unexpected = {f for f in found if f not in allowed}
