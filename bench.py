@@ -52,6 +52,7 @@ def main() -> None:
     # repeatable compute; the warm-up pays all one-time builds.
     from etl_evm_chain_spark.plans.analytics_ext import _resolved_landed
     from etl_evm_chain_spark.plans.evm import (synthetic_leg_logs,
+                                               synthetic_matrix_logs,
                                                synthetic_memo_logs,
                                                synthetic_trade_logs,
                                                synthetic_transfer_logs)
@@ -62,7 +63,8 @@ def main() -> None:
     for mixed in (False, True):
         synthetic_transfer_logs(spark, sf_dir, mixed=mixed) \
             .select("block_number").limit(1).collect()
-    for landed in (synthetic_memo_logs, synthetic_trade_logs, synthetic_leg_logs,
+    for landed in (synthetic_memo_logs, synthetic_trade_logs,
+                   synthetic_leg_logs, synthetic_matrix_logs,
                    _ml_dataset_landed, _simhash_landed, _resolved_landed,
                    _bpe_merges_landed):
         landed(spark, sf_dir).limit(1).collect()

@@ -762,6 +762,121 @@ FROM dec
 
 
 # ---------------------------------------------------------------------------
+# Q110: the last ABI decode edges (VERDICT r3 "What's missing" #1) —
+# a NESTED static fixed array (uint16[2][2]: four inline words, outer
+# dimension striding by the inner array's width) and a dynamic array
+# of wide SIGNED ints (int256[], negatives included — decoded by the
+# round-4 native two-limb two's-complement path, which runs inside
+# higher-order-function lambdas where the old pandas-UDF decode could
+# not). Round-trip oracle in the q109 style: DuckDB recomputes the
+# expected values from the same source columns, so Spark's
+# encode→decode must invert exactly. Reference decodes every ABI type
+# via go-ethereum abi.UnpackIntoMap
+# (/root/reference/internal/parser/parser.go:74-77).
+# ---------------------------------------------------------------------------
+
+MATRIX = AbiEvent("Matrix", (
+    AbiInput("who", "address", False),
+    AbiInput("grid", "uint16[2][2]", False),
+    AbiInput("deltas", "int256[]", False),
+))
+T_MATRIX = MATRIX.topic0
+
+
+def _wh_signed(c: Column) -> Column:
+    """64-hex ABI word from a signed 64-bit integral column: hex() of
+    a negative long is already its 16-hex two's complement, so the
+    sign extension is 48 'f's; non-negatives zero-pad as usual."""
+    return F.when(c < 0, F.concat(F.lit("f" * 48), F.lower(F.hex(c)))) \
+            .otherwise(F.lpad(F.lower(F.hex(c)), 64, "0"))
+
+
+def synthetic_matrix_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import landed_parquet
+
+    key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return landed_parquet(
+        spark, name="matrixlogs",
+        src_paths=[os.path.join(sf_dir, "lineitem.parquet")],
+        build=lambda: _synth_matrix_logs(spark, sf_dir),
+        params=key,
+    )
+
+
+def _synth_matrix_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = (F.col("l_partkey") % 65536).cast("long")
+    b = ((F.col("l_partkey") + 7) % 65536).cast("long")
+    c = ((F.col("l_suppkey") * 3) % 65536).cast("long")
+    d = (F.col("l_orderkey") % 65536).cast("long")
+    n = (F.col("l_linenumber") % 3).cast("int")          # 0..2 deltas
+    base = ((F.col("l_orderkey") % 2001) - 1000).cast("long")
+    elems = [F.when(F.lit(i) < n,
+                    _wh_signed(base + 37 * i)).otherwise(F.lit(""))
+             for i in range(2)]
+    data = F.concat(
+        F.lit("0x"),
+        _wh(F.col("l_suppkey")),             # who
+        _wh(a), _wh(b), _wh(c), _wh(d),      # grid = [[a, b], [c, d]]
+        _wh(F.lit(6 * 32)),                  # deltas tail offset (0xC0)
+        _wh(n.cast("long")), *elems,
+    )
+    return li.select(
+        F.concat(F.lit("0x"),
+                 F.lpad(F.lower(F.hex(F.col("l_suppkey"))), 40, "0"))
+        .alias("address"),
+        F.array(F.lit(T_MATRIX)).alias("topics"),
+        data.alias("data"),
+        F.expr("l_orderkey div 10").alias("block_number"),
+        F.concat(F.lit("0x"),
+                 F.md5(F.concat_ws(":", "l_orderkey", "l_linenumber")))
+        .alias("tx_hash"),
+        F.col("l_linenumber").alias("log_index"),
+    )
+
+
+def q_matrix_abi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = synthetic_matrix_logs(spark, sf_dir)
+    decoded = decode_event(raw, MATRIX, contract_name="Matrix")
+    g = F.col("grid")
+    return decoded.select(
+        "block_number", "tx_hash", "log_index", "who",
+        g[0][0].alias("g00"), g[0][1].alias("g01"),
+        g[1][0].alias("g10"), g[1][1].alias("g11"),
+        F.size("deltas").alias("n_deltas"),
+        F.try_element_at("deltas", F.lit(1)).cast("long").alias("delta0"),
+        F.aggregate("deltas", F.lit(0).cast("long"),
+                    lambda acc, v: acc + v.cast("long"))
+        .alias("delta_sum"),
+    )
+
+
+ORACLE_MATRIX_ABI = """
+WITH src AS (
+  SELECT CAST(l_partkey % 65536 AS INTEGER) AS a,
+         CAST((l_partkey + 7) % 65536 AS INTEGER) AS b,
+         CAST((l_suppkey * 3) % 65536 AS INTEGER) AS c,
+         CAST(l_orderkey % 65536 AS INTEGER) AS d,
+         CAST(l_linenumber % 3 AS INTEGER) AS n,
+         (l_orderkey % 2001) - 1000 AS base,
+         '0x' || lpad(lower(hex(l_suppkey)), 40, '0') AS who,
+         l_orderkey // 10 AS block_number,
+         '0x' || md5(concat_ws(':', l_orderkey, l_linenumber)) AS tx_hash,
+         l_linenumber AS log_index
+  FROM lineitem
+)
+SELECT block_number, tx_hash, log_index, who,
+       a AS g00, b AS g01, c AS g10, d AS g11,
+       n AS n_deltas,
+       CASE WHEN n > 0 THEN CAST(base AS BIGINT) END AS delta0,
+       CAST(CASE WHEN n = 0 THEN 0
+                 WHEN n = 1 THEN base
+                 ELSE 2 * base + 37 END AS BIGINT) AS delta_sum
+FROM src
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q98: ECDSA sender recovery (G5) — the reference's types.Sender
 # (`internal/parser/parser.go:152-159`) over a deterministic signed
 # fixture: 64 signatures generated driver-side from keys 1..64 (sign
@@ -840,6 +955,9 @@ SPECS = [
     QuerySpec("q107_tuple_abi", q_tuple_abi, ORACLE_TUPLE_ABI,
               "tuple/struct ABI decode: static tuple inline slots + "
               "dynamic tuple with tuple-relative offsets", ("G2", "G3")),
+    QuerySpec("q110_matrix_abi", q_matrix_abi, ORACLE_MATRIX_ABI,
+              "nested fixed array (uint16[2][2]) + signed wide-int "
+              "array (int256[]) ABI decode", ("G2",)),
     QuerySpec("q98_sender_recovery", q_sender_recovery,
               _oracle_sender_recovery,  # lazy: 64 EC scalar-mults
               "pure-Python secp256k1 sender recovery (golden-tested; "

@@ -11,38 +11,42 @@ _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
             warehouse, joins_ext, curation_q, multimodal_q, graph_q,
             textstats_q, skew_q]
 
-# The correctness driver samples the FIRST 50 registry entries. Round 3
-# (VERDICT r2 "Next round" #1) front-loads everything that has never been
-# driver-hash-green: the three slots that could not turn green in r2 and
-# now carry oracles (q53 portable sketches, q96/q40 portable LSH planes,
-# q98 literal ground truth), the r2 additions that sat outside the window
-# (q101-q106 where oracle-backed), the two queries whose scale rework
-# changed their plans this round (q87, q15), and the new tuple-ABI query
-# (q107). Rows-only-by-design queries (q25-q29, q73, q102, q103) stay
-# OUTSIDE the window so every window row can be value-hash green.
+# The correctness driver samples the FIRST 50 registry entries. Round 4
+# (VERDICT r3 "Next round" #5) front-loads every query whose PLAN or
+# ORACLE changed since its last driver-green row: the ranking-kit
+# rework (q53/q87/q15/q58/q59), the LSH plane-generation change
+# (q40/q96), the guard-probe change (q72), the native wide-int decode
+# (q44/q46/q70/q95/q107/q109), the new nested-array/signed-array query
+# (q110), the pagerank partitioning change (q74), and q76 (changed in
+# commit 6bb002c after its last driver row). Rows-only-by-design
+# queries (q25-q29, q73, q102, q103) stay OUTSIDE the window so every
+# window row can be value-hash green.
 _PRIORITY = [
     # ---- EXACTLY the driver's 50-slot window, all oracle-backed ----
-    # never driver-hash-green, oracle-backed as of round 3:
-    "q53_approx_stats", "q96_bucketed_near_dups", "q98_sender_recovery",
-    "q40_ann_topk", "q42_ivf_topk", "q101_dup_spans", "q104_snapshot_diff",
-    "q105_redact_contaminated", "q106_weighted_sample", "q107_tuple_abi",
-    "q108_shard_manifest", "q109_tuple_array_abi",
-    # reworked this round (global-window removal — re-prove under driver):
-    "q87_value_deciles", "q15_time_split",
-    # proven sentinels fill the remaining 36 slots (driver-green in
-    # CORRECTNESS_r01/r02), diverse across operator families:
+    # changed since their last driver-green row (round-4 work):
+    "q53_approx_stats", "q87_value_deciles", "q15_time_split",
+    "q58_topk_quality", "q59_pack_sequences", "q110_matrix_abi",
+    "q76_zipf_slope", "q40_ann_topk", "q96_bucketed_near_dups",
+    "q72_knn_classify", "q74_pagerank", "q107_tuple_abi",
+    "q109_tuple_array_abi", "q44_decode_transfers", "q46_transfer_rollup",
+    "q70_balance_ledger", "q95_dynamic_abi",
+    # driver-green exactly once (r3) — keep under the driver's eye:
+    "q98_sender_recovery", "q42_ivf_topk", "q101_dup_spans",
+    "q104_snapshot_diff", "q105_redact_contaminated",
+    "q106_weighted_sample", "q108_shard_manifest",
+    # proven sentinels fill the remaining slots (driver-green in
+    # CORRECTNESS_r01-r03), diverse across operator families:
     "q68_semantic_dedup", "q69_span_dedup", "q83_bigram_surprisal",
-    "q71_unigram_surprisal", "q72_knn_classify", "q44_decode_transfers",
-    "q45_topic_routing", "q46_transfer_rollup", "q70_balance_ledger",
-    "q41_dedup_resolve", "q47_sessionize", "q48_rollup", "q49_unpivot",
+    "q71_unigram_surprisal", "q45_topic_routing",
+    "q41_dedup_resolve", "q47_sessionize", "q48_rollup",
     "q77_mad_outliers", "q82_dup_cluster_histogram",
-    "q88_rolling_active_users", "q91_cube_totals", "q92_above_avg_orders",
+    "q88_rolling_active_users", "q92_above_avg_orders",
     "q93_customer_segments", "q94_range_frame_hourly", "q51_merge_upsert",
     "q52_profile_columns", "q54_asof_join", "q55_range_join",
     "q86_nation_trade", "q56_hash_split", "q57_stratified_sample",
-    "q58_topk_quality", "q59_pack_sequences", "q67_temperature_mix",
+    "q67_temperature_mix",
     "q80_chunk_documents", "q81_dataset_card", "q61_media_stats",
-    "q74_pagerank", "q95_dynamic_abi", "q97_bucketed_knn",
+    "q97_bucketed_knn",
 ]
 
 assert len(_PRIORITY) == 50, "driver window must be exactly 50 entries"

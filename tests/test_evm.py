@@ -839,3 +839,107 @@ def test_tuple_abi_randomized_roundtrip(spark):
         assert [int(t) for t in r["meta"]["tags"]] == tags
         assert [(leg["venue"], leg["label"]) for leg in r["legs"]] == legs
         assert r["fee"] == fee
+
+
+# ---- round-4 decode edges: nested fixed arrays + signed wide ints ------
+
+
+def _raw1(spark, ev, data):
+    return spark.createDataFrame(
+        [("0x" + "11" * 20, [ev.topic0], data, 1, "0xtx", 0)],
+        RAW_LOG_SCHEMA)
+
+
+def test_decode_nested_fixed_array(spark):
+    ev = AbiEvent("Grid", (
+        AbiInput("grid", "uint16[2][2]", False),
+        AbiInput("tail", "uint32", False),
+    ))
+    data = _spec_encode_data(ev, [[[1, 2], [65535, 4]], 99])
+    r = decode_event(_raw1(spark, ev, data), ev).collect()[0]
+    assert [list(x) for x in r["grid"]] == [[1, 2], [65535, 4]]
+    assert r["tail"] == 99
+
+
+def test_decode_three_level_fixed_array(spark):
+    ev = AbiEvent("Cube", (AbiInput("c", "uint8[2][1][2]", False),))
+    v = [[[1, 2]], [[3, 4]]]
+    r = decode_event(
+        _raw1(spark, ev, _spec_encode_data(ev, [v])), ev).collect()[0]
+    assert [[list(y) for y in x] for x in r["c"]] == v
+
+
+def test_decode_signed_wide_array_negatives_and_saturation(spark):
+    ev = AbiEvent("Deltas", (AbiInput("xs", "int256[]", False),))
+    xs = [-1, -(10 ** 20), 10 ** 37, -(10 ** 38), 10 ** 38 - 1]
+    r = decode_event(
+        _raw1(spark, ev, _spec_encode_data(ev, [xs])), ev).collect()[0]
+    got = [None if x is None else int(x) for x in r["xs"]]
+    # |v| ≥ 1e38 NULL-saturates (Decimal(38,0) cap); raw blob lossless
+    assert got == [-1, -(10 ** 20), 10 ** 37, None, 10 ** 38 - 1]
+
+
+def test_decode_signed_wide_static_fixed_array(spark):
+    ev = AbiEvent("Pair", (AbiInput("p", "int256[2]", False),))
+    r = decode_event(
+        _raw1(spark, ev, _spec_encode_data(ev, [[-7, 10 ** 18]])),
+        ev).collect()[0]
+    assert [int(x) for x in r["p"]] == [-7, 10 ** 18]
+
+
+def test_decode_dynamic_array_of_fixed_arrays(spark):
+    ev = AbiEvent("Rows", (AbiInput("m", "uint256[2][]", False),))
+    v = [[1, 2 ** 100], [3, 4]]
+    r = decode_event(
+        _raw1(spark, ev, _spec_encode_data(ev, [v])), ev).collect()[0]
+    assert [[int(y) for y in x] for x in r["m"]] == v
+
+
+def test_decode_nested_dynamic_array(spark):
+    ev = AbiEvent("Jag", (AbiInput("j", "uint32[][]", False),
+                          AbiInput("z", "uint32", False)))
+    v = [[1, 2, 3], [], [4]]
+    r = decode_event(
+        _raw1(spark, ev, _spec_encode_data(ev, [v, 9])), ev).collect()[0]
+    assert [list(x) for x in r["j"]] == v
+    assert r["z"] == 9
+
+
+def test_decode_signed_wide_scalar_extremes_native(spark):
+    # the round-4 native two-limb decode must reproduce the old
+    # pandas-UDF semantics bit-for-bit: exact in (−1e38, 1e38), NULL
+    # beyond (the _hex twin stays lossless)
+    ev = AbiEvent("W", (AbiInput("x", "int256", False),))
+    cases = [
+        (-1, -1),
+        (10 ** 38 - 1, 10 ** 38 - 1),
+        (-(10 ** 38) + 1, -(10 ** 38) + 1),
+        (-(10 ** 38), None),
+        (10 ** 38, None),
+        (2 ** 255 - 1, None),          # top 128 bits mixed
+        (-(2 ** 128) - 5, None),       # top 128 bits not all-F
+        (0, 0),
+    ]
+    rows = [("0x" + "11" * 20, [ev.topic0],
+             _spec_encode_data(ev, [v]), i, f"0xt{i}", 0)
+            for i, (v, _) in enumerate(cases)]
+    got = {r["block_number"]: r
+           for r in decode_event(
+               spark.createDataFrame(rows, RAW_LOG_SCHEMA), ev).collect()}
+    for i, (v, want) in enumerate(cases):
+        r = got[i]
+        assert (None if r["x"] is None else int(r["x"])) == want, (i, v)
+        assert int(r["x_hex"], 16) == v % (1 << 256)
+
+
+def test_decode_int128_in_tuple_array(spark):
+    # wide signed ints inside tuple[] lambdas — the exact combination
+    # the old UDF path had to raise on
+    ev = AbiEvent("TA", (AbiInput("ts", "tuple[]", False, (
+        AbiInput("a", "int128", False),
+        AbiInput("b", "uint16", False),
+    )),))
+    v = [(-(10 ** 30), 7), (42, 65535)]
+    r = decode_event(
+        _raw1(spark, ev, _spec_encode_data(ev, [v])), ev).collect()[0]
+    assert [(int(t["a"]), t["b"]) for t in r["ts"]] == v
