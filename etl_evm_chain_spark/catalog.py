@@ -58,7 +58,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def landed_parquet(spark: SparkSession, *, name: str, src_paths: list[str],
-                   build, params: str = "") -> DataFrame:
+                   build, params: str = "",
+                   n_files: int | None = None) -> DataFrame:
     """Build-once/read-many materialization of a derived table.
 
     Lands ``build()``'s output as parquet under the system temp dir,
@@ -69,6 +70,16 @@ def landed_parquet(spark: SparkSession, *, name: str, src_paths: list[str],
     written once and every downstream consumer scans the landed copy
     instead of recomputing the lineage. On a cluster the path would be
     a warehouse location; the access pattern is identical.
+
+    ``n_files`` sets the landed file count — every downstream scan's
+    parallelism. Large row-level lakes should land at (a multiple of)
+    cluster parallelism: the TPC-H fixtures arrive in 16 files, so a
+    lake landed 1:1 runs every decode query on half of a 32-core
+    box (measured: q107 8.7s → 4.3s just from 16→32 files). Leave
+    None for small artifacts where file count ≠ scan parallelism
+    matters less than open() overhead. The value participates in the
+    cache key, so changing it re-lands rather than serving stale
+    layout.
     """
     import tempfile
 
@@ -79,6 +90,8 @@ def landed_parquet(spark: SparkSession, *, name: str, src_paths: list[str],
             ids.append(f"{int(st.st_mtime)}_{st.st_size}")
         except OSError:
             ids.append("unknown")
+    if n_files:
+        params = f"{params}_f{n_files}"
     path = os.path.join(tempfile.gettempdir(), "spark_graft_lake",
                         f"{name}_{params}_{'_'.join(ids)}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -86,7 +99,10 @@ def landed_parquet(spark: SparkSession, *, name: str, src_paths: list[str],
         # concurrent builders (bench + oracle checker) can never serve
         # each other a half-written table; the loser just discards.
         tmp = f"{path}.tmp-{os.getpid()}"
-        build().write.mode("overwrite").parquet(tmp)
+        df = build()
+        if n_files:
+            df = df.repartition(n_files)
+        df.write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, path)
         except OSError:

@@ -58,6 +58,7 @@ def synthetic_transfer_logs(spark: SparkSession, sf_dir: str,
         src_paths=[os.path.join(sf_dir, "lineitem.parquet")],
         build=lambda: _synth_logs(spark, sf_dir, mixed=mixed),
         params=f"{key}_{variant}",
+        n_files=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -363,6 +364,7 @@ def synthetic_memo_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_paths=[os.path.join(sf_dir, "lineitem.parquet")],
         build=lambda: _synth_memo_logs(spark, sf_dir),
         params=key,
+        n_files=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -510,6 +512,7 @@ def synthetic_trade_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_paths=[os.path.join(sf_dir, "lineitem.parquet")],
         build=lambda: _synth_trade_logs(spark, sf_dir),
         params=key,
+        n_files=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -557,15 +560,30 @@ def _synth_trade_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tuple_abi(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = synthetic_trade_logs(spark, sf_dir)
     decoded = decode_event(raw, TRADE, contract_name="Trade")
-    return decoded.select(
+    # Stage each meta member ONCE before deriving from it: Catalyst's
+    # extract-value simplification inlines a freshly-built struct's
+    # field expression into every reference, so selecting meta.note and
+    # length(meta.note) straight off `decoded` evaluates the whole
+    # tuple-member decode (offset follow + binary slice + utf8) TWICE
+    # per field (VERDICT r3 ask #6 — q107 was 9.7s, 2× its decode
+    # cost). The intermediate projection's members are non-cheap and
+    # multiply-referenced, so CollapseProject keeps it — the same
+    # staging discipline decode_event itself uses for positions.
+    staged = decoded.select(
         "block_number", "tx_hash", "log_index",
         F.col("trader.addr").alias("trader_addr"),
         F.col("trader.qty").cast("long").alias("trader_qty"),
         F.col("meta.note").alias("note"),
-        F.length("meta.note").alias("note_len"),
-        F.element_at("meta.tags", 1).cast("long").alias("tag0"),
-        F.element_at("meta.tags", 2).cast("long").alias("tag1"),
+        F.col("meta.tags").alias("tags"),
         F.col("fee").cast("long").alias("fee"),
+    )
+    return staged.select(
+        "block_number", "tx_hash", "log_index", "trader_addr",
+        "trader_qty", "note",
+        F.length("note").alias("note_len"),
+        F.element_at("tags", 1).cast("long").alias("tag0"),
+        F.element_at("tags", 2).cast("long").alias("tag1"),
+        "fee",
     )
 
 
@@ -675,6 +693,7 @@ def synthetic_leg_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_paths=[os.path.join(sf_dir, "lineitem.parquet")],
         build=lambda: _synth_leg_logs(spark, sf_dir),
         params=key,
+        n_files=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -800,6 +819,7 @@ def synthetic_matrix_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_paths=[os.path.join(sf_dir, "lineitem.parquet")],
         build=lambda: _synth_matrix_logs(spark, sf_dir),
         params=key,
+        n_files=spark.sparkContext.defaultParallelism,
     )
 
 

@@ -308,6 +308,15 @@ def _decode_word(word: Column, abi_type: str) -> Column:
         two63 = F.lit("9223372036854775808").cast("decimal(20,0)")
         two64n = F.lit("18446744073709551616").cast("decimal(21,0)")
         return F.when(d >= two63, d - two64n).otherwise(d).cast("long")
+    if abi_type == "uint64":
+        # single-limb fast path: the value lives in the low 16 hex and
+        # ABI zero-padding makes the upper 48 zero — one conv and no
+        # decimal multiply (the two-limb general path costs ~2× on
+        # decode-heavy scans; cf. q109's deliberate uint48 note)
+        return F.when(
+            F.substring(word, 1, 48) == "0" * 48,
+            F.conv(F.substring(word, 49, 16), 16, 10)
+            .cast("decimal(20,0)")).cast("decimal(38,0)")
     if bits is not None:
         # Native two-limb decimal decode (JVM-side, no Python) for BOTH
         # signs: value ≡ hi64·2^64 + lo64 over the low 128 bits. For
