@@ -230,9 +230,17 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     row_h = hash15(F.concat(F.lit("qs:"), F.col("l_orderkey").cast("string"),
                             F.lit(":"), F.col("l_linenumber").cast("string")))
+    # Materialize the 1/16 sample once: bucketed_rank consumes its
+    # input three times (bucket bounds, bucket counts, final rank) and
+    # the sample's lineage is a full-lineitem md5 filter — without the
+    # checkpoint each consumer re-scans and re-hashes the whole fact
+    # table (measured 5.0s → 2.4s at sf0.1). On a cluster this is the
+    # landed-sample pattern: pay the fact-table pass once, rank the
+    # 16×-smaller sample from its materialized copy.
     samp = (li.filter(row_h % 16 == 0)
             .select("l_returnflag", "l_extendedprice",
-                    "l_orderkey", "l_linenumber"))
+                    "l_orderkey", "l_linenumber")
+            .localCheckpoint(eager=False))
     ranked = bucketed_rank(
         samp, "l_extendedprice",
         ["l_extendedprice", "l_orderkey", "l_linenumber"],
