@@ -81,6 +81,32 @@ def landed_parquet(spark: SparkSession, *, name: str, src_paths: list[str],
     cache key, so changing it re-lands rather than serving stale
     layout.
     """
+    if n_files:
+        params = f"{params}_f{n_files}"
+
+    def write(tmp: str) -> None:
+        df = build()
+        if n_files:
+            df = df.repartition(n_files)
+        df.write.mode("overwrite").parquet(tmp)
+
+    path = landed_artifact(name=name, src_paths=src_paths, params=params,
+                           write=write)
+    return spark.read.parquet(path)
+
+
+def landed_artifact(*, name: str, src_paths: list[str], params: str,
+                    write) -> str:
+    """Path-level core of :func:`landed_parquet` — build-once/read-many
+    for ANY on-disk artifact format. Computes the identity-keyed lake
+    path; if unpublished, calls ``write(tmp_dir)`` and publishes with an
+    atomic rename so concurrent builders (bench + oracle checker) can
+    never serve each other a half-written artifact; the loser discards.
+    ``write`` must leave a ``_SUCCESS`` marker (every Spark
+    ``df.write`` does). Returns the published path. Format-specific
+    landings (JSONL/ORC exports in ``sources/files.py``) reuse this so
+    the keying and publish semantics stay in one place.
+    """
     import tempfile
 
     ids = []
@@ -90,26 +116,18 @@ def landed_parquet(spark: SparkSession, *, name: str, src_paths: list[str],
             ids.append(f"{int(st.st_mtime)}_{st.st_size}")
         except OSError:
             ids.append("unknown")
-    if n_files:
-        params = f"{params}_f{n_files}"
     path = os.path.join(tempfile.gettempdir(), "spark_graft_lake",
                         f"{name}_{params}_{'_'.join(ids)}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        # Build into a private dir and publish with an atomic rename so
-        # concurrent builders (bench + oracle checker) can never serve
-        # each other a half-written table; the loser just discards.
         tmp = f"{path}.tmp-{os.getpid()}"
-        df = build()
-        if n_files:
-            df = df.repartition(n_files)
-        df.write.mode("overwrite").parquet(tmp)
+        write(tmp)
         try:
             os.rename(tmp, path)
         except OSError:
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
-    return spark.read.parquet(path)
+    return path
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -3,13 +3,13 @@
 from __future__ import annotations
 
 from . import QuerySpec
-from . import (analytics_ext, curation_q, evm, graph_q, joins_ext, llmdata,
-               multimodal_q, relational, skew_q, stateful, textstats_q,
-               timeseries_q, warehouse)
+from . import (analytics_ext, curation_q, evm, graph_q, ingest_q, joins_ext,
+               llmdata, multimodal_q, relational, skew_q, stateful,
+               textstats_q, timeseries_q, warehouse)
 
 _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
             warehouse, joins_ext, curation_q, multimodal_q, graph_q,
-            textstats_q, skew_q]
+            textstats_q, skew_q, ingest_q]
 
 # The correctness driver samples the FIRST 50 registry entries. Round 4
 # (VERDICT r3 "Next round" #5) front-loads every query whose PLAN or
@@ -17,15 +17,18 @@ _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
 # rework (q53/q87/q15/q58/q59), the LSH plane-generation change
 # (q40/q96), the guard-probe change (q72), the native wide-int decode
 # (q44/q46/q70/q95/q107/q109), the new nested-array/signed-array query
-# (q110), the pagerank partitioning change (q74), and q76 (changed in
-# commit 6bb002c after its last driver row). Rows-only-by-design
-# queries (q25-q29, q73, q102, q103) stay OUTSIDE the window so every
-# window row can be value-hash green.
+# (q110), the new ingest round-trips (q111/q112), the pagerank
+# partitioning change (q74), and q76 (changed in commit 6bb002c after
+# its last driver row). Rows-only-by-design queries (q25-q29, q73,
+# q102, q103) stay OUTSIDE the window so every window row can be
+# value-hash green. (q92/q93 rotated out this round — driver-green in
+# r01-r03 — to make room for q111/q112.)
 _PRIORITY = [
     # ---- EXACTLY the driver's 50-slot window, all oracle-backed ----
     # changed since their last driver-green row (round-4 work):
     "q53_approx_stats", "q87_value_deciles", "q15_time_split",
     "q58_topk_quality", "q59_pack_sequences", "q110_matrix_abi",
+    "q111_jsonl_roundtrip", "q112_orc_roundtrip",
     "q76_zipf_slope", "q40_ann_topk", "q96_bucketed_near_dups",
     "q72_knn_classify", "q74_pagerank", "q107_tuple_abi",
     "q109_tuple_array_abi", "q44_decode_transfers", "q46_transfer_rollup",
@@ -40,8 +43,8 @@ _PRIORITY = [
     "q71_unigram_surprisal", "q45_topic_routing",
     "q41_dedup_resolve", "q47_sessionize", "q48_rollup",
     "q77_mad_outliers", "q82_dup_cluster_histogram",
-    "q88_rolling_active_users", "q92_above_avg_orders",
-    "q93_customer_segments", "q94_range_frame_hourly", "q51_merge_upsert",
+    "q88_rolling_active_users",
+    "q94_range_frame_hourly", "q51_merge_upsert",
     "q52_profile_columns", "q54_asof_join", "q55_range_join",
     "q86_nation_trade", "q56_hash_split", "q57_stratified_sample",
     "q67_temperature_mix",
