@@ -351,3 +351,75 @@ def stream_export_shards(docs: DataFrame, *, out_dir: str, checkpoint: str,
     if trigger_once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_jsonl(spark: SparkSession, src_dir: str, schema, *,
+                 corrupt_col: str = "_corrupt",
+                 max_files: int | None = None) -> DataFrame:
+    """Streaming JSONL corpus ingest: tail a drop directory of
+    newline-JSON shards (the standard web-scrape delivery shape) as a
+    file-source stream. Same parser discipline as the batch reader
+    (``sources/files.py``): explicit schema — NEVER inference, which
+    a stream cannot do consistently anyway — and a ``corrupt_col``
+    capture column via ``from_json``, so malformed lines are routable
+    rows. ``max_files`` caps files per micro-batch
+    (``maxFilesPerTrigger``) to bound batch size during catch-up on a
+    large backlog.
+    """
+    from pyspark.sql import types as T
+
+    full = schema
+    if corrupt_col not in schema.names:
+        full = T.StructType(
+            list(schema.fields) + [T.StructField(corrupt_col,
+                                                 T.StringType())])
+    r = spark.readStream
+    if max_files:
+        r = r.option("maxFilesPerTrigger", int(max_files))
+    raw = r.text(src_dir)
+    return raw.select(
+        F.from_json("value", full,
+                    {"mode": "PERMISSIVE",
+                     "columnNameOfCorruptRecord": corrupt_col})
+        .alias("_j")).select("_j.*")
+
+
+def stream_jsonl_ingest(parsed: DataFrame, *, out_dir: str,
+                        quarantine_dir: str, checkpoint: str,
+                        corrupt_col: str = "_corrupt",
+                        trigger_once: bool = True):
+    """Land a :func:`stream_jsonl` stream as parquet, splitting clean
+    rows from malformed lines: clean rows (corrupt capture NULL) land
+    under ``out_dir/batch_id=<epoch>/``, the raw text of bad lines
+    under ``quarantine_dir/batch_id=<epoch>/`` — nothing is dropped,
+    and the quarantine is greppable evidence for upstream bug reports.
+
+    Exactly-once via the same epoch-directory ledger as
+    ``stream_export_shards``: foreachBatch is at-least-once, so each
+    epoch OVERWRITES its own ``batch_id`` partition on replay. Two
+    sinks from one micro-batch is exactly the case the native file
+    sink can't express (one sink per query) — foreachBatch is the
+    documented escape hatch.
+    """
+    import os
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # one pass, two filtered writes; the micro-batch source is
+        # re-read per action but it is a bounded file slice
+        clean = batch_df.filter(F.col(corrupt_col).isNull()) \
+            .drop(corrupt_col)
+        clean.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={int(batch_id)}"))
+        bad = batch_df.filter(F.col(corrupt_col).isNotNull()) \
+            .select(F.col(corrupt_col).alias("raw_line"))
+        if not bad.isEmpty():
+            bad.write.mode("overwrite").parquet(
+                os.path.join(quarantine_dir, f"batch_id={int(batch_id)}"))
+
+    w = (parsed.writeStream.foreachBatch(per_batch)
+         .option("checkpointLocation", checkpoint))
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -505,3 +505,51 @@ def test_stream_export_shards_soak_replay_and_crash(spark, tmp_path):
     again = {r["shard"]: (r["n_docs"], r["checksum"])
              for r in shard_manifest(spark.read.parquet(out)).collect()}
     assert again == one_shot
+
+
+def test_stream_jsonl_ingest_incremental_with_quarantine(spark, tmp_path):
+    """Streaming JSONL ingest: incremental shard drops land exactly
+    the clean rows a batch read would, malformed lines are quarantined
+    verbatim, and a no-new-data restart is a no-op."""
+    import os
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    src = tmp_path / "drop"
+    src.mkdir()
+    out = str(tmp_path / "clean")
+    quar = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt_jsonl")
+
+    def run():
+        parsed = sp.stream_jsonl(spark, str(src), schema, max_files=1)
+        q = sp.stream_jsonl_ingest(parsed, out_dir=out,
+                                   quarantine_dir=quar, checkpoint=ckpt)
+        q.awaitTermination(120)
+
+    (src / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "uni \\u00e9\\n ok"}\n'
+        'garbage line one\n'
+        '{"doc_id": 2, "text": null}\n')
+    run()
+    (src / "b.jsonl").write_text('{"doc_id": 3, "text": "late shard"}\n')
+    run()
+
+    clean = spark.read.parquet(out)
+    got = {(r.doc_id, r.text) for r in clean.collect()}
+    assert got == {(1, "uni é\n ok"), (2, None), (3, "late shard")}
+    bad = spark.read.parquet(quar)
+    assert [r.raw_line for r in bad.collect()] == ["garbage line one"]
+
+    # restart with no new files: nothing changes
+    before = sorted(str(p) for p in
+                    __import__("pathlib").Path(out).rglob("*.parquet"))
+    run()
+    after = sorted(str(p) for p in
+                   __import__("pathlib").Path(out).rglob("*.parquet"))
+    assert before == after
+    assert spark.read.parquet(out).count() == 3
