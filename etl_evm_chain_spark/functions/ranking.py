@@ -89,8 +89,8 @@ def bucketed_rank(df: DataFrame, value_col: str,
     prefix = _prefix_offsets(counts, part_cols, total_name)
     w_loc = Window.partitionBy(*part_cols, "_bkt").orderBy(*order_cols)
     return (
-        b.withColumn("_rn", F.row_number().over(w_loc))
-        .join(F.broadcast(prefix), part_cols + ["_bkt"])
+        _join_groups(b.withColumn("_rn", F.row_number().over(w_loc)),
+                     prefix, part_cols + ["_bkt"])
         .withColumn(rank_name, (F.col("_off") + F.col("_rn")).cast("long"))
         .drop("_bkt", "_off", "_rn")
     )
@@ -124,12 +124,34 @@ def bucketed_prefix_sum(df: DataFrame, value_col: str,
     prefix = _prefix_offsets(sums, part_cols, None)
     w_loc = (Window.partitionBy(*part_cols, "_bkt").orderBy(*order_cols)
              .rowsBetween(Window.unboundedPreceding, 0))
+    # no cast: sum() already yields long for integral weights and the
+    # window-sum's own type for fractional ones (a long cast would
+    # silently truncate double weights)
     return (
-        b.withColumn("_lc", F.sum(weight_col).over(w_loc))
-        .join(F.broadcast(prefix), part_cols + ["_bkt"])
-        .withColumn(out_name, (F.col("_off") + F.col("_lc")).cast("long"))
+        _join_groups(b.withColumn("_lc", F.sum(weight_col).over(w_loc)),
+                     prefix, part_cols + ["_bkt"])
+        .withColumn(out_name, F.col("_off") + F.col("_lc"))
         .drop("_bkt", "_off", "_lc")
     )
+
+
+def _join_groups(left: DataFrame, right: DataFrame,
+                 on: list) -> DataFrame:
+    """Broadcast inner join on group keys with NULL-SAFE equality —
+    ``row_number() OVER (PARTITION BY g ...)`` treats a NULL ``g`` as
+    its own group, so the kit's internal joins must match NULL keys
+    too or NULL-group rows silently vanish from the ranked output.
+    ``right``'s join columns are dropped after the match (same shape
+    as the name-list join the null-safe form replaces)."""
+    r = right
+    for c in on:
+        r = r.withColumnRenamed(c, f"_r_{c}")
+    cond = None
+    for c in on:
+        eq = F.col(c).eqNullSafe(F.col(f"_r_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    out = left.join(F.broadcast(r), cond)
+    return out.drop(*[f"_r_{c}" for c in on])
 
 
 def _bucketize(df: DataFrame, value_col: str, part_cols: list,
@@ -141,7 +163,7 @@ def _bucketize(df: DataFrame, value_col: str, part_cols: list,
     if part_cols:
         stats = df.groupBy(*part_cols).agg(
             F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi"))
-        b = df.join(F.broadcast(stats), part_cols)
+        b = _join_groups(df, stats, part_cols)
     else:
         stats = df.agg(
             F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi"))
@@ -165,7 +187,8 @@ def _prefix_offsets(sums: DataFrame, part_cols: list,
     ca, cb = sums.alias("ca"), sums.alias("cb")
     cond = F.col("cb._bkt") < F.col("ca._bkt")
     for c in part_cols:
-        cond = cond & (F.col(f"ca.{c}") == F.col(f"cb.{c}"))
+        # null-safe: a NULL group key is a real window partition
+        cond = cond & F.col(f"ca.{c}").eqNullSafe(F.col(f"cb.{c}"))
     prefix = (
         ca.join(F.broadcast(cb), cond, "left")
         .groupBy(*[F.col(f"ca.{c}").alias(c) for c in part_cols],
@@ -176,7 +199,7 @@ def _prefix_offsets(sums: DataFrame, part_cols: list,
         if part_cols:
             tot = sums.groupBy(*part_cols).agg(
                 F.sum("_cnt").alias(total_name))
-            prefix = prefix.join(F.broadcast(tot), part_cols)
+            prefix = _join_groups(prefix, tot, part_cols)
         else:
             tot = sums.agg(F.sum("_cnt").alias(total_name))
             prefix = prefix.crossJoin(F.broadcast(tot))

@@ -742,15 +742,20 @@ def knn_classify(emb: DataFrame, *, id_col: str = "vec_id",
             "use method='bucketed'")
 
     spark = emb.sparkSession
-    n_probe = emb.select(id_col).limit(max_broadcast_rows + 1).count()
-    if n_probe > max_broadcast_rows:
-        if method == "auto":
-            return knn_classify_bucketed(
-                emb, id_col=id_col, vec_col=vec_col, label_col=label_col,
-                k=k)
-        raise ValueError(
-            f">{max_broadcast_rows} vectors exceed the broadcast guard; "
-            "use method='bucketed'")
+    # an under-guard hint already routed us exact — honor the
+    # docstring's "no probe job with a hint" promise and go straight
+    # to the fetch (the post-fetch length re-check below still guards
+    # a wrong hint)
+    if approx_rows is None:
+        n_probe = emb.select(id_col).limit(max_broadcast_rows + 1).count()
+        if n_probe > max_broadcast_rows:
+            if method == "auto":
+                return knn_classify_bucketed(
+                    emb, id_col=id_col, vec_col=vec_col,
+                    label_col=label_col, k=k)
+            raise ValueError(
+                f">{max_broadcast_rows} vectors exceed the broadcast "
+                "guard; use method='bucketed'")
     corpus = (emb.select(id_col, vec_col, label_col)
               .limit(max_broadcast_rows + 1).toPandas())
     if len(corpus) > max_broadcast_rows:
@@ -1013,15 +1018,19 @@ def cosine_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
             "use method='bucketed'")
 
     spark = df.sparkSession
-    n_probe = df.select(id_col).limit(max_broadcast_rows + 1).count()
-    if n_probe > max_broadcast_rows:
-        if method == "auto":
-            return cosine_near_dup_pairs_bucketed(
-                df, id_col=id_col, vec_col=vec_col, threshold=threshold,
-                n_tables=n_tables, planes_per_table=planes_per_table)
-        raise ValueError(
-            f">{max_broadcast_rows} vectors exceed the broadcast guard; "
-            "use method='bucketed'")
+    # under-guard hint → no probe job (post-fetch re-check still
+    # guards a wrong hint)
+    if approx_rows is None:
+        n_probe = df.select(id_col).limit(max_broadcast_rows + 1).count()
+        if n_probe > max_broadcast_rows:
+            if method == "auto":
+                return cosine_near_dup_pairs_bucketed(
+                    df, id_col=id_col, vec_col=vec_col,
+                    threshold=threshold, n_tables=n_tables,
+                    planes_per_table=planes_per_table)
+            raise ValueError(
+                f">{max_broadcast_rows} vectors exceed the broadcast "
+                "guard; use method='bucketed'")
     corpus = (df.select(id_col, vec_col)
               .limit(max_broadcast_rows + 1).toPandas())
     if len(corpus) > max_broadcast_rows:

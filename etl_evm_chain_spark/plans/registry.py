@@ -21,8 +21,8 @@ _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
 # partitioning change (q74), and q76 (changed in commit 6bb002c after
 # its last driver row). Rows-only-by-design queries (q25-q29, q73,
 # q102, q103) stay OUTSIDE the window so every window row can be
-# value-hash green. (q92/q93 rotated out this round — driver-green in
-# r01-r03 — to make room for q111/q112.)
+# value-hash green. Rotated OUT this round (all driver-green in
+# r01-r03): q49/q91 (for q110/q76) and q92/q93 (for q111/q112).
 _PRIORITY = [
     # ---- EXACTLY the driver's 50-slot window, all oracle-backed ----
     # changed since their last driver-green row (round-4 work):

@@ -66,11 +66,37 @@ def read_jsonl(spark: SparkSession, path: str, schema: T.StructType, *,
                                                  T.StringType())])
     else:
         full = schema
-    parsed = spark.read.text(path).select(
+    return _parse_jsonl_lines(spark.read.text(path), full, mode,
+                              corrupt_col)
+
+
+def _parse_jsonl_lines(raw: DataFrame, full: T.StructType, mode: str,
+                       corrupt_col: str) -> DataFrame:
+    """Shared parse for the batch and streaming JSONL readers.
+
+    Two non-record line shapes that ``from_json`` does NOT route to
+    the corrupt capture (it returns a NULL struct instead, which a
+    bare ``_j.*`` would surface as a phantom all-NULL "clean" row):
+
+    - whitespace-only lines: skipped entirely — the JSONL convention
+      treats blank lines as separators, not records;
+    - lines whose JSON value is not an object (a literal ``null``,
+      a bare scalar): captured verbatim into ``corrupt_col`` so they
+      quarantine like any other malformed line.
+    """
+    lines = raw.filter(F.trim("value") != "")
+    parsed = lines.select(
+        "value",
         F.from_json("value", full,
-                     {"mode": mode, "columnNameOfCorruptRecord": corrupt_col}
-                     ).alias("_j"))
-    return parsed.select("_j.*")
+                    {"mode": mode, "columnNameOfCorruptRecord": corrupt_col}
+                    ).alias("_j"))
+    cols = [F.col(f"_j.{f.name}").alias(f.name) for f in full.fields
+            if f.name != corrupt_col]
+    if corrupt_col in full.names:
+        cols.append(
+            F.when(F.col("_j").isNull(), F.col("value"))
+            .otherwise(F.col(f"_j.{corrupt_col}")).alias(corrupt_col))
+    return parsed.select(*cols)
 
 
 def write_jsonl(df: DataFrame, path: str, *, n_files: int | None = None,

@@ -368,6 +368,8 @@ def stream_jsonl(spark: SparkSession, src_dir: str, schema, *,
     """
     from pyspark.sql import types as T
 
+    from ..sources.files import _parse_jsonl_lines
+
     full = schema
     if corrupt_col not in schema.names:
         full = T.StructType(
@@ -376,12 +378,10 @@ def stream_jsonl(spark: SparkSession, src_dir: str, schema, *,
     r = spark.readStream
     if max_files:
         r = r.option("maxFilesPerTrigger", int(max_files))
-    raw = r.text(src_dir)
-    return raw.select(
-        F.from_json("value", full,
-                    {"mode": "PERMISSIVE",
-                     "columnNameOfCorruptRecord": corrupt_col})
-        .alias("_j")).select("_j.*")
+    # shared parse with the batch reader: blank lines skipped,
+    # non-object JSON values (literal null / bare scalars) quarantined
+    return _parse_jsonl_lines(r.text(src_dir), full, "PERMISSIVE",
+                              corrupt_col)
 
 
 def stream_jsonl_ingest(parsed: DataFrame, *, out_dir: str,

@@ -91,3 +91,16 @@ def test_registry_priority_queries_pass_audit(spark):
         if "pandas" in allowed:
             unexpected.discard("pandas")
         assert not unexpected, (spec.name, unexpected)
+
+
+def test_flag_fires_on_long_typed_low_card_key(spark):
+    """bigint attribute refs print as name#123L — the colref match
+    must include the type suffix or every long-typed enum/status key
+    is a systematic blind spot (round-4 review fix)."""
+    li = load_table(spark, SF_SMALL, "lineitem")
+    bad = li.withColumn("flag3", (F.col("l_orderkey") % 3).cast("long"))
+    w = Window.partitionBy("flag3").orderBy("l_extendedprice")
+    bad = bad.withColumn("rn", F.row_number().over(w))
+    card = dict(ea.column_cardinalities(spark, SF_SMALL))
+    card["flag3"] = 3
+    assert "low_card_window" in ea.df_flags(bad, card)

@@ -105,3 +105,24 @@ def test_ingest_queries_match_duckdb(spark, duck):
         for c in got.columns:
             a, b = got[c].tolist(), exp[c].tolist()
             assert a == b, (fn.__name__, c, a[:3], b[:3])
+
+
+def test_jsonl_blank_and_nonobject_lines(spark, tmp_path):
+    """Blank lines are separators (skipped); a literal `null` or bare
+    scalar line is NOT a record and must quarantine, never surface as
+    a phantom all-NULL clean row (round-4 review fix)."""
+    path = tmp_path / "edge"
+    path.mkdir()
+    (path / "p.json").write_text(
+        '{"id": 1, "text": "ok", "score": 2.0}\n'
+        '   \n'
+        '\n'
+        'null\n'
+        '42\n'
+        '{"id": 2, "text": null, "score": null}\n')
+    back = read_jsonl(spark, str(path), _SCHEMA)
+    clean = back.filter(F.col("_corrupt").isNull())
+    assert clean.count() == 2
+    bad = sorted(r["_corrupt"] for r in
+                 back.filter(F.col("_corrupt").isNotNull()).collect())
+    assert bad == ["42", "null"]

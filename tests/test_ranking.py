@@ -99,3 +99,42 @@ def test_rank_queries_invariant_to_shuffle_partitions(spark):
         with shuffle_partitions(spark, 7):
             alt = sorted(map(tuple, fn(spark, SF_SMALL).collect()))
         assert alt == base, fn.__name__
+
+
+def test_bucketed_rank_null_group_key(spark):
+    """NULL part_cols values are a real window partition — rows must
+    rank within the NULL group, never vanish (round-4 review fix: the
+    kit's internal joins are null-safe)."""
+    from etl_evm_chain_spark.functions.ranking import bucketed_prefix_sum
+
+    rows = [(1, "a", 2.0), (2, "a", 1.0),
+            (3, None, 3.0), (4, None, 1.5), (5, None, 2.5)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = bucketed_rank(df, "v", ["v", "id"], part_cols=("g",),
+                        n_buckets=4, rank_name="rk", total_name="tot")
+    want = _window_rank(df, ["v", "id"], part_cols=("g",)) \
+        .withColumnRenamed("_want", "rk")
+    assert got.count() == 5
+    g = {r.id: (r.rk, r.tot) for r in got.collect()}
+    w = {r.id: r.rk for r in want.collect()}
+    assert {i: rk for i, (rk, _) in g.items()} == w
+    assert g[3][1] == 3 and g[1][1] == 2  # per-group totals incl. NULL
+
+    cum = bucketed_prefix_sum(df, "v", ["v", "id"], "v",
+                              part_cols=("g",), n_buckets=4,
+                              out_name="c")
+    by_id = {r.id: r.c for r in cum.collect()}
+    assert by_id[4] == 1.5 and by_id[5] == 4.0 and by_id[3] == 7.0
+
+
+def test_bucketed_prefix_sum_double_weights_exact(spark):
+    """Fractional weights must accumulate as doubles — the old long
+    cast truncated them (round-4 review fix)."""
+    from etl_evm_chain_spark.functions.ranking import bucketed_prefix_sum
+
+    rows = [(i, float(i), 0.5) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "id long, v double, w double")
+    cum = bucketed_prefix_sum(df, "v", ["v", "id"], "w", n_buckets=3,
+                              out_name="c")
+    got = {r.id: r.c for r in cum.collect()}
+    assert got == {i: 0.5 * i for i in range(1, 7)}

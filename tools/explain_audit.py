@@ -144,7 +144,10 @@ LOW_CARD_MAX = 1000
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
-_COLREF = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)#\d+$")
+# Attribute references print as name#<exprId> with an optional type
+# suffix — bigint columns print as name#123L (matching them matters:
+# enum/status keys are commonly long-typed).
+_COLREF = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)#\d+L?$")
 
 
 def _top_level_args(s: str) -> list[str]:
