@@ -184,3 +184,32 @@ def test_two_phase_time_split_matches_naive_cut(spark, secs):
         assert got["test"] == (len(test), min(test), max(test))
     else:
         assert "test" not in got
+
+
+# JSON strings may carry any unicode except unpaired surrogates
+# (which cannot round-trip through UTF-8 files at all)
+_jsonable_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=120)
+
+
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=2**40),
+                          st.one_of(st.none(), _jsonable_text)),
+                min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_jsonl_roundtrip_property(spark, rows):
+    """write_jsonl → read_jsonl is the identity for arbitrary unicode
+    (control chars, quotes, newlines, astral planes) and NULLs."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from etl_evm_chain_spark.sources.files import read_jsonl, write_jsonl
+
+    data = [(i, t) for i, (k, t) in enumerate(rows)]
+    schema = "id long, text string"
+    df = spark.createDataFrame(data, schema)
+    d = tempfile.mkdtemp()
+    write_jsonl(df, d, n_files=2)
+    back = read_jsonl(spark, d, df.schema)
+    assert back.filter(F.col("_corrupt").isNotNull()).count() == 0
+    got = sorted((r.id, r.text) for r in back.collect())
+    assert got == sorted(data)
