@@ -58,6 +58,11 @@ STATIC = {
     "P2-sim": "incremental: similarity.update_ann_index (frozen-quantizer IVF, cell-partitioned parquet index); equivalence-tested vs one-shot assignment",
     "P2-text": "exact BPE: functions/bpe.py (merges trained on the word-frequency table, batch=k disjoint variant; q103)",
     "P2-curation": "mlplane.train_quality_filter model-based filter (q102); merge.snapshot_diff corpus versioning (q104)",
+    "A12": "sources/files.read_jsonl/write_jsonl (schema'd PERMISSIVE, corrupt-line quarantine; blank lines skipped, non-object lines quarantined); streaming twin streaming/pipeline.stream_jsonl[_ingest] (epoch-ledger clean/quarantine split); tests/test_ingest.py + property round-trip",
+    "A13": "sources/files.read_orc/write_orc (native pushdown, parallelism-landed export); tests/test_ingest.py",
+    "A14": "sources/files.read_text_lines (raw corpus lines + source-file lineage)",
+    "P1-ingest": "non-parquet ingest plane round-trips (q111 JSONL, q112 ORC) — lossless vs the parquet fixtures by driver hash",
+    "P2-ranking": "functions/ranking.py bucketed_rank/bucketed_prefix_sum two-phase kit (scaled_buckets derives bucket count from shuffle parallelism; null-safe group joins; q53/q87/q15/q59 consume it); tests/test_ranking.py incl. non-default shuffle.partitions",
 }
 
 
