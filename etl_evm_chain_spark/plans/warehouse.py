@@ -234,7 +234,7 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input three times (bucket bounds, bucket counts, final rank) and
     # the sample's lineage is a full-lineitem md5 filter — without the
     # checkpoint each consumer re-scans and re-hashes the whole fact
-    # table (measured 5.0s → 2.4s at sf0.1). On a cluster this is the
+    # table (measured 5.0s → 0.9s warm at sf0.1). On a cluster this is the
     # landed-sample pattern: pay the fact-table pass once, rank the
     # 16×-smaller sample from its materialized copy.
     samp = (li.filter(row_h % 16 == 0)
