@@ -70,6 +70,11 @@ def _banded(sig: DataFrame, *, id_col: str = "doc_id",
     """Explode signatures into (id, h0..h{k-1}, band, key) rows — the
     join unit for both one-shot pair generation and the landed
     incremental index."""
+    if k % bands:
+        raise ValueError(
+            f"k={k} must divide into bands={bands}: the trailing "
+            f"{k % bands} min-hashes would be computed but never "
+            "participate in candidate generation (silent recall loss)")
     rows_per_band = k // bands
     band_cols = [
         F.struct(
@@ -130,9 +135,15 @@ def verified_near_dups(docs: DataFrame, *, id_col: str = "doc_id",
     The exact Jaccard join touches only LSH candidates — at 100 TB the
     candidate set is orders of magnitude smaller than the pair space.
     """
-    sig = minhash_signatures(docs, id_col=id_col, text_col=text_col)
+    # Materialize both multi-consumed relations (same rationale as
+    # ngram_jaccard_pairs below): sig feeds both self-join sides of
+    # the candidate generation, sh both sides of the verification
+    # join — lazy, each consumer re-tokenizes/md5s the whole corpus.
+    sig = minhash_signatures(docs, id_col=id_col, text_col=text_col) \
+        .localCheckpoint()
     cands = lsh_candidate_pairs(sig, id_col=id_col)
-    sh = docs.select(F.col(id_col), shingles(text_col, SHINGLE_K).alias("sh"))
+    sh = (docs.select(F.col(id_col), shingles(text_col, SHINGLE_K).alias("sh"))
+          .localCheckpoint())
     j = (
         cands.join(sh.withColumnRenamed(id_col, "id_a")
                      .withColumnRenamed("sh", "sh_a"), "id_a")
@@ -144,9 +155,15 @@ def verified_near_dups(docs: DataFrame, *, id_col: str = "doc_id",
         .withColumn("jaccard",
                     F.col("n_common").cast("double") / F.col("n_union"))
     )
+    # floor-truncate, not round(): engines disagree on ties — e.g.
+    # n_common/n_union = 1/128 is EXACTLY 7812.5 millionths, where
+    # Spark's HALF_UP and another engine's half-even diverge (the
+    # same portability rule ngram_jaccard_pairs and quality_score
+    # already follow)
     return (
         j.filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b",
+                (F.floor(F.col("jaccard") * 1e6) / 1e6).alias("jaccard"))
     )
 
 
@@ -339,6 +356,14 @@ def update_near_dup_index(spark, docs: DataFrame, index_path: str, *,
 
     sig = minhash_signatures(docs, id_col=id_col, text_col=text_col, k=k)
     new_banded = _banded(sig, id_col=id_col, k=k, bands=bands)
+    if new_banded.isEmpty():
+        # Empty micro-batch (or every doc shorter than the shingle
+        # width): nothing to land, no new pairs. Skipping the write
+        # also keeps the index free of footer-less empty batch
+        # directories that would break schema inference on read.
+        return new_banded.select(
+            F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b"),
+            F.lit(0.0).alias("est_jaccard")).limit(0)
     if batch_id is None:
         batch_id = uuid.uuid4().hex
     # "b" prefix pins the inferred partition type to string — an
@@ -347,6 +372,12 @@ def update_near_dup_index(spark, docs: DataFrame, index_path: str, *,
     # conflict across directories.
     batch_dir = os.path.join(index_path, f"batch_id=b{batch_id}")
     new_banded.write.mode("overwrite").partitionBy("band").parquet(batch_dir)
+    # Re-read the just-landed copy as the batch side: the lazy
+    # minhash/banding lineage has three consumers (the write above,
+    # the touched-keys projection, the a-side of the pair join) and
+    # would otherwise tokenize + md5 the batch three times; the landed
+    # parquet is also by construction the exact rows the index holds.
+    new_banded = spark.read.parquet(batch_dir)
     index = spark.read.parquet(index_path).drop("batch_id")
     # Semi-join prune the landed side to the batch's touched buckets
     # BEFORE the pair join: with a small increment AQE broadcasts the
@@ -414,12 +445,19 @@ def resolve_duplicates(ids: DataFrame, pairs: DataFrame, *,
     )
     labels = (edges.select("src").distinct()
               .withColumn("canonical", F.col("src")).localCheckpoint())
-    # Convergence check: labels are monotone non-increasing, so the
-    # global label sum strictly decreases iff any label changed — one
-    # scalar agg per round instead of a self-join + count.
-    prev_sum = labels.agg(
-        F.sum(F.col("canonical").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
+    # Convergence check: labels are monotone non-increasing, so any
+    # round that changes a label changes the label multiset — one
+    # scalar agg per round instead of a self-join + count. The
+    # fingerprint is a decimal sum of per-label xxhash64 (works for
+    # ANY id type — a numeric cast would be NULL for string/UUID ids
+    # and a NULL==NULL comparison would declare convergence after one
+    # round; decimal accumulation can't overflow below 10^19 rows).
+    def _label_fp(lb):
+        return lb.agg(
+            F.sum(F.xxhash64("canonical").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_fp(labels)
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("src", "dst2"),
@@ -439,9 +477,7 @@ def resolve_duplicates(ids: DataFrame, pairs: DataFrame, *,
                     F.least("canonical", F.coalesce("pcan", "canonical"))
                     .alias("canonical"))
         ).localCheckpoint()
-        cur_sum = updated.agg(
-            F.sum(F.col("canonical").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        cur_sum = _label_fp(updated)
         labels = updated
         if cur_sum == prev_sum:
             break
@@ -462,6 +498,13 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id",
     Integer-only arithmetic → bit-identical in any engine. One explode
     + one groupBy(id) with `bits` sum() aggregates (map-side combined).
     """
+    if not 1 <= bits <= 60:
+        # 61..63 would conv() a 16-hex prefix that can exceed
+        # Long.MAX: the cast('long') NULLs and every bit-test then
+        # falls to the negative branch — a silently garbage sketch
+        raise ValueError(f"bits={bits} must be in 1..60 "
+                         "(15 hex chars is the widest signed-long-safe "
+                         "md5 prefix)")
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),

@@ -33,6 +33,8 @@ from ..functions.vectors import cosine
 
 N_PLANES = 8
 PROBE_RADIUS = 2
+IVF_CELLS = 16
+IVF_PROBE = 4
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, *,
@@ -425,7 +427,7 @@ def kmeans_centroids(corpus: DataFrame, *, id_col: str = "vec_id",
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, *,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             k: int = 5, n_cells: int = 16, n_probe: int = 4,
+             k: int = 5, n_cells: int = IVF_CELLS, n_probe: int = IVF_PROBE,
              centroids: str = "hash", kmeans_iter: int = 10,
              seed: int = 7) -> DataFrame:
     """IVF (inverted-file) approximate top-k.

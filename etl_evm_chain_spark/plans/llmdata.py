@@ -228,7 +228,7 @@ j AS (
   JOIN shl sa ON sa.doc_id = id_a
   JOIN shl sb ON sb.doc_id = id_b
 )
-SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+SELECT id_a, id_b, floor(jaccard * 1000000.0) / 1000000.0 AS jaccard
 FROM j WHERE jaccard >= 0.5
 ORDER BY id_a, id_b
 """
@@ -525,7 +525,10 @@ def q_bloom_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_bloom_candidates() -> str:
-    m, k = 1 << 15, 5
+    # same constants as the implementation — a tuned BLOOM_M/BLOOM_K
+    # must never leave this oracle stale
+    from ..operators.cleaning import BLOOM_K as k
+    from ..operators.cleaning import BLOOM_M as m
     h2 = f"((((sh >> 15) % {m}) * 2 + 1) % {m})"
     return f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
@@ -706,13 +709,17 @@ def _oracle_ann_topk() -> str:
         d=_SQL_DOT.format(a="{a}", b="{b}"),
         na=_SQL_DOT.format(a="{a}", b="{a}"),
         nb=_SQL_DOT.format(a="{b}", b="{b}"))
-    # n_planes=8 single-table sketch: _sql_banded_buckets(8, 8) yields
-    # tbl=0 rows whose bucket matches similarity.lsh_buckets exactly.
+    # single-table sketch: _sql_banded_buckets(N_PLANES, N_PLANES)
+    # yields tbl=0 rows whose bucket matches similarity.lsh_buckets
+    # exactly; the Hamming radius mirrors similarity.PROBE_RADIUS —
+    # imported so a tuned library constant can't leave this stale
+    from ..operators.similarity import N_PLANES, PROBE_RADIUS
     return f"""
-WITH {_sql_banded_buckets(8, 8)},
+WITH {_sql_banded_buckets(N_PLANES, N_PLANES)},
 cand AS (
   SELECT q.vec_id AS qid, c.vec_id AS cid
-  FROM bk q JOIN bk c ON bit_count(xor(q.bucket, c.bucket)) <= 2
+  FROM bk q JOIN bk c
+    ON bit_count(xor(q.bucket, c.bucket)) <= {PROBE_RADIUS}
   WHERE q.vec_id < 5 AND q.vec_id != c.vec_id
 ),
 scored AS (
@@ -748,11 +755,13 @@ def _oracle_ivf_topk() -> str:
         d=_SQL_DOT.format(a="{a}", b="{b}"),
         na=_SQL_DOT.format(a="{a}", b="{a}"),
         nb=_SQL_DOT.format(a="{b}", b="{b}"))
+    # library defaults, imported so a tuned constant can't go stale
+    from ..operators.similarity import IVF_CELLS, IVF_PROBE
     h = _sql_hash15("'ivf:' || CAST(vec_id AS VARCHAR)")
     return f"""
 WITH cent_rows AS (
   SELECT vec_id, embedding, {h} AS h
-  FROM embeddings ORDER BY h, vec_id LIMIT 16
+  FROM embeddings ORDER BY h, vec_id LIMIT {IVF_CELLS}
 ),
 cents AS (
   SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cell,
@@ -775,7 +784,7 @@ assigned AS (
 ),
 probed AS (
   SELECT vec_id AS qid, embedding AS qv, cell
-  FROM ranked_cells WHERE cr <= 4 AND vec_id < 5
+  FROM ranked_cells WHERE cr <= {IVF_PROBE} AND vec_id < 5
 ),
 cand AS (
   SELECT qid, cid, {cos.format(a="qv", b="cv")} AS sim
@@ -1386,15 +1395,21 @@ pred AS (
          row_number() OVER (PARTITION BY qid
                             ORDER BY v DESC, rlabel ASC) AS pr
   FROM votes
-)
-SELECT qlabel AS label,
+),
+-- every embedding is a query; one whose probed cells held no other
+-- reference has no pred row and must still count in n (never in
+-- n_correct) — the Spark side left-joins predictions onto all rows
+all_q AS (SELECT vec_id AS qid, label AS qlabel FROM embeddings),
+best AS (SELECT qid, p FROM pred WHERE pr = 1)
+SELECT q.qlabel AS label,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CASE WHEN p = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(sum(CASE WHEN b.p = q.qlabel THEN 1 ELSE 0 END) AS BIGINT)
          AS n_correct,
-       CAST(floor(CAST(sum(CASE WHEN p = qlabel THEN 1 ELSE 0 END) AS DOUBLE)
-                  / count(*) * 1e6) AS BIGINT) AS accuracy_micro
-FROM pred WHERE pr = 1
-GROUP BY qlabel
+       CAST(floor(CAST(sum(CASE WHEN b.p = q.qlabel THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(*) * 1e6) AS BIGINT)
+         AS accuracy_micro
+FROM all_q q LEFT JOIN best b ON b.qid = q.qid
+GROUP BY q.qlabel
 """
 
 

@@ -22,14 +22,16 @@ _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
 # its last driver row). Rows-only-by-design queries (q25-q29, q73,
 # q102, q103) stay OUTSIDE the window so every window row can be
 # value-hash green. Rotated OUT this round (all driver-green in
-# r01-r03): q49/q91 (for q110/q76) and q92/q93 (for q111/q112).
+# r01-r03): q49/q91 (for q110/q76), q92/q93 (for q111/q112), and q55
+# (for q35, whose jaccard output switched to floor-truncation).
 _PRIORITY = [
     # ---- EXACTLY the driver's 50-slot window, all oracle-backed ----
     # changed since their last driver-green row (round-4 work):
     "q53_approx_stats", "q87_value_deciles", "q15_time_split",
     "q58_topk_quality", "q59_pack_sequences", "q110_matrix_abi",
     "q111_jsonl_roundtrip", "q112_orc_roundtrip",
-    "q76_zipf_slope", "q40_ann_topk", "q96_bucketed_near_dups",
+    "q76_zipf_slope", "q35_lsh_near_dups",
+    "q40_ann_topk", "q96_bucketed_near_dups",
     "q72_knn_classify", "q74_pagerank", "q107_tuple_abi",
     "q109_tuple_array_abi", "q44_decode_transfers", "q46_transfer_rollup",
     "q70_balance_ledger", "q95_dynamic_abi",
@@ -45,7 +47,7 @@ _PRIORITY = [
     "q77_mad_outliers", "q82_dup_cluster_histogram",
     "q88_rolling_active_users",
     "q94_range_frame_hourly", "q51_merge_upsert",
-    "q52_profile_columns", "q54_asof_join", "q55_range_join",
+    "q52_profile_columns", "q54_asof_join",
     "q86_nation_trade", "q56_hash_split", "q57_stratified_sample",
     "q67_temperature_mix",
     "q80_chunk_documents", "q81_dataset_card", "q61_media_stats",

@@ -538,3 +538,47 @@ def test_incremental_ann_index_matches_one_shot(spark, tmp_path):
             .filter(F.col("rank") <= 3).collect()}
     got = {(r["qid"], r["cid"], r["rank"]) for r in r2}
     assert got == want
+
+
+def test_resolve_duplicates_string_ids_converge(spark):
+    """The convergence fingerprint must work for non-numeric ids — a
+    decimal cast of a string label is NULL and NULL==NULL would stop
+    propagation after one round (round-4 review fix). Chain a-b-c-d-e
+    needs >1 round to collapse to 'a'."""
+    ids = spark.createDataFrame(
+        [(x,) for x in "abcdef"], "doc_id string")
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "id_a string, id_b string")
+    out = {r.doc_id: r.canonical
+           for r in dd.resolve_duplicates(ids, pairs).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "a",
+                   "f": "f"}
+
+
+def test_update_near_dup_index_empty_first_batch(spark, tmp_path):
+    """An empty micro-batch must return an empty pair set, not crash
+    schema inference on a data-less index directory (round-4 review
+    fix), and must not poison the index for later batches."""
+    idx = str(tmp_path / "idx")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = dd.update_near_dup_index(spark, empty, idx, batch_id="e0")
+    assert out.count() == 0
+    docs = _docs(spark)
+    out2 = dd.update_near_dup_index(spark, docs, idx, batch_id="b1")
+    assert out2.count() > 0
+
+
+def test_simhash_rejects_unsafe_bits(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="bits"):
+        dd.simhash(_docs(spark), bits=62)
+
+
+def test_banded_rejects_indivisible_bands(spark):
+    import pytest
+
+    sig = dd.minhash_signatures(_docs(spark))
+    with pytest.raises(ValueError, match="divide"):
+        dd.lsh_candidate_pairs(sig, k=8, bands=3)
