@@ -35,6 +35,76 @@ def weighted_edges(df: DataFrame, *, src: str, dst: str) -> DataFrame:
     )
 
 
+def triangle_counts(edges: DataFrame, *, a_col: str = "a",
+                    b_col: str = "b") -> DataFrame:
+    """Exact per-node triangle counts over an undirected graph.
+
+    ``edges`` must be the canonical distinct undirected edge relation:
+    one row per edge, ``a < b``, no self-loops (callers dedup/orient
+    first — ``q114``'s co-purchase builder shows the shape).
+
+    Plan: the standard degree-oriented wedge join. Each edge is
+    directed from its lower-(degree, id) endpoint to the higher one, a
+    self-join on the oriented source enumerates wedges (u→v, u→w with
+    (deg_v, v) < (deg_w, w)), and a final equi-join back onto the edge
+    relation closes them. Orientation is what makes this survive a
+    100 TB edge list: oriented out-degree is bounded by O(sqrt(E))
+    [every node of degree d > sqrt(2E) has most neighbors of equal or
+    higher rank], so the wedge fan-out per node is O(E) total instead
+    of sum(deg^2), and every step is a shuffle-parallel equi-join — no
+    windows, no driver-side adjacency. Skewed hubs are exactly the
+    nodes orientation demotes to wedge *targets*, not sources.
+
+    Returns (node, n_triangles), one row per node that participates in
+    at least one triangle.
+    """
+    # Three consumers (degree count, orientation join, closing join):
+    # materialize once or each re-runs the caller's edge derivation —
+    # same rule as the dedup tier's multi-consumed relations.
+    e = (edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+         .localCheckpoint())
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("a"),
+                          F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"),
+                         F.col("deg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    orient = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).localCheckpoint()  # consumed twice (both wedge sides); the
+    # lineage above re-runs the two degree joins per consumer otherwise
+    e1 = orient.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    e2 = orient.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedges = (
+        e1.join(e2, "u")
+        .filter((F.col("d1") < F.col("d2")) |
+                ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2"))))
+        .select("u", "v1", "v2")
+    )
+    tri = wedges.join(
+        e.select(F.col("a").alias("ea"), F.col("b").alias("eb")),
+        (F.col("ea") == F.least("v1", "v2")) &
+        (F.col("eb") == F.greatest("v1", "v2")),
+        "inner",
+    ).select("u", "v1", "v2")
+    members = (
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("v1").alias("node")))
+        .unionByName(tri.select(F.col("v2").alias("node")))
+    )
+    return members.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles"))
+
+
 BROADCAST_RANK_MAX = 5_000_000  # |V| under which the rank relation broadcasts
 
 

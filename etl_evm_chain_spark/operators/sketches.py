@@ -1,0 +1,145 @@
+"""K-minimum-values (KMV) distinct-count sketches — deterministic,
+engine-portable, mergeable.
+
+The reference's only distinct-count surface is pandas ``unique()``
+(SURVEY §2 D15); at 100 TB the interesting form is the *sketch*: a
+bounded summary per group/shard that (a) estimates the distinct count
+and (b) merges across shards/epochs without rescanning, so a daily
+landed sketch table answers "distinct users last quarter" by folding
+90 tiny arrays. HyperLogLog (Spark's approx_count_distinct, DuckDB's
+approx_distinct) has exactly those properties but engine-specific
+register layouts — the two engines' estimates can never hash-match.
+KMV over a shared md5-derived 60-bit hash is deterministic in ANY
+engine that can md5: the sketch is literally the k smallest distinct
+hash values, and the classic order-statistic estimator
+
+    D_hat = (k - 1) / (h_k / 2^60)        [Bar-Yossef et al. 2002]
+
+is a pure function of the k-th value. Every arithmetic step below is
+written identically in the q115 DuckDB oracle.
+
+Scale shape: one dedup shuffle on (group, hash) with map-side combine,
+then the two-phase bucketed ranking kit (functions/ranking.py) takes
+the k smallest per group — no low-cardinality-partition window. The
+sketches themselves are arrays of ≤ k longs; ``kmv_merge_expr`` folds
+two sketches with pure array expressions (concat → distinct → sort →
+slice), so incremental maintenance is an expression over a landed
+sketch table, not a re-scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.ranking import bucketed_rank, scaled_buckets
+
+__all__ = ["KMV_K", "kmv_hash", "kmv_sketch", "kmv_sketch_many",
+           "kmv_estimate_expr", "kmv_merge_expr"]
+
+KMV_K = 64  # relative stderr ≈ 1/sqrt(k-2) ≈ 12.7%
+
+# 2^60 as an exact double (60 < 53 zero mantissa bits — the literal is
+# a power of two, exactly representable; mirrored in the SQL oracle)
+_TWO_60 = float(1 << 60)
+
+
+def kmv_hash(col: Column, *, salt: str = "kmv") -> Column:
+    """60-bit uniform hash, portable: md5 of the salted string form,
+    first 15 hex chars as a long (the repo-wide hash15 convention)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"),
+                                   col.cast("string"))), 1, 15),
+        16, 10).cast("long")
+
+
+def kmv_sketch(df: DataFrame, key_col: str, *,
+               group_cols: Sequence[str] = (), k: int = KMV_K,
+               salt: str = "kmv", out_col: str = "sketch") -> DataFrame:
+    """Per-group KMV sketch: the sorted array of the k smallest
+    DISTINCT 60-bit hashes of ``key_col`` (fewer if the group has
+    fewer distinct keys). NULL keys are excluded (COUNT DISTINCT
+    semantics).
+
+    Two shuffles: the (group, hash) dedup and the bucketed-rank
+    phase; the output relation is |groups| rows of ≤ k longs.
+    """
+    groups = list(group_cols)
+    dist = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*groups, kmv_hash(F.col(key_col), salt=salt).alias("_h"))
+        .distinct()
+    )
+    ranked = bucketed_rank(
+        dist, "_h", ["_h"], part_cols=groups,
+        n_buckets=scaled_buckets(df.sparkSession), rank_name="_r")
+    return (
+        ranked.filter(F.col("_r") <= k)
+        .groupBy(*groups)
+        .agg(F.array_sort(F.collect_list("_h")).alias(out_col))
+    )
+
+
+def kmv_sketch_many(df: DataFrame, keys: "dict[str, str]", *,
+                    group_cols: Sequence[str] = (), k: int = KMV_K,
+                    salts: "dict[str, str] | None" = None) -> DataFrame:
+    """Sketch SEVERAL key columns in one ranking pass.
+
+    ``keys`` maps output column name → key column; the per-key hash
+    relations are unioned under a ``_kind`` discriminator that joins
+    the ranking kit's partition key, so N sketches cost one dedup
+    shuffle + one bucketed-rank pass instead of N of each (the
+    fixed-cost jobs — bounds, counts, prefix offsets — dominate for
+    sketch-sized outputs). Returns one row per group with an
+    ``array<long>`` sketch column per key.
+    """
+    groups = list(group_cols)
+    salts = salts or {}
+    part: DataFrame | None = None
+    for name, col in keys.items():
+        rel = (
+            df.filter(F.col(col).isNotNull())
+            .select(*groups, F.lit(name).alias("_kind"),
+                    kmv_hash(F.col(col),
+                             salt=salts.get(name, f"kmv-{name}"))
+                    .alias("_h"))
+        )
+        part = rel if part is None else part.unionByName(rel)
+    dist = part.distinct()
+    ranked = bucketed_rank(
+        dist, "_h", ["_h"], part_cols=groups + ["_kind"],
+        n_buckets=scaled_buckets(df.sparkSession), rank_name="_r")
+    kept = (
+        ranked.filter(F.col("_r") <= k)
+        .groupBy(*groups, "_kind")
+        .agg(F.array_sort(F.collect_list("_h")).alias("_sk"))
+    )
+    return (kept.groupBy(*groups)
+            .pivot("_kind", list(keys))
+            .agg(F.first("_sk")))
+
+
+def kmv_estimate_expr(sketch: Column, *, k: int = KMV_K) -> Column:
+    """Distinct-count estimate from a sketch array (BIGINT).
+
+    A sketch shorter than k saw every distinct value — its size IS the
+    exact count. Otherwise (k-1) * 2^60 / h_k, floored. (k-1) * 2^60
+    is exact in a double for k ≤ 2^52; the division and floor are
+    IEEE-deterministic, so any engine computes the identical estimate.
+    """
+    h_k = F.greatest(F.element_at(sketch, k), F.lit(1).cast("long"))
+    est = F.floor(F.lit(float(k - 1) * _TWO_60) / h_k.cast("double"))
+    return (F.when(F.size(sketch) < k, F.size(sketch).cast("long"))
+            .otherwise(est.cast("long")))
+
+
+def kmv_merge_expr(a: Column, b: Column, *, k: int = KMV_K) -> Column:
+    """Fold two sketches into the sketch of the UNION of their key
+    sets: concat → distinct → sort → first k. Exact by construction
+    (the k smallest of a union are among the union of each side's k
+    smallest), which the equivalence test asserts against a one-shot
+    sketch of the concatenated input.
+    """
+    return F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)

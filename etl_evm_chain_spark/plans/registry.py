@@ -22,8 +22,9 @@ _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
 # its last driver row). Rows-only-by-design queries (q25-q29, q73,
 # q102, q103) stay OUTSIDE the window so every window row can be
 # value-hash green. Rotated OUT this round (all driver-green in
-# r01-r03): q49/q91 (for q110/q76), q92/q93 (for q111/q112), and q55
-# (for q35, whose jaccard output switched to floor-truncation).
+# r01-r03): q49/q91 (for q110/q76), q92/q93 (for q111/q112), q55
+# (for q35, whose jaccard output switched to floor-truncation), and
+# q47/q48/q88 (for the new q113 SCD2 / q114 triangles / q115 KMV).
 _PRIORITY = [
     # ---- EXACTLY the driver's 50-slot window, all oracle-backed ----
     # changed since their last driver-green row (round-4 work):
@@ -31,6 +32,7 @@ _PRIORITY = [
     "q58_topk_quality", "q59_pack_sequences", "q110_matrix_abi",
     "q111_jsonl_roundtrip", "q112_orc_roundtrip",
     "q76_zipf_slope", "q35_lsh_near_dups",
+    "q113_scd2_history", "q114_copurchase_triangles", "q115_kmv_distinct",
     "q40_ann_topk", "q96_bucketed_near_dups",
     "q72_knn_classify", "q74_pagerank", "q107_tuple_abi",
     "q109_tuple_array_abi", "q44_decode_transfers", "q46_transfer_rollup",
@@ -43,9 +45,8 @@ _PRIORITY = [
     # CORRECTNESS_r01-r03), diverse across operator families:
     "q68_semantic_dedup", "q69_span_dedup", "q83_bigram_surprisal",
     "q71_unigram_surprisal", "q45_topic_routing",
-    "q41_dedup_resolve", "q47_sessionize", "q48_rollup",
+    "q41_dedup_resolve",
     "q77_mad_outliers", "q82_dup_cluster_histogram",
-    "q88_rolling_active_users",
     "q94_range_frame_hourly", "q51_merge_upsert",
     "q52_profile_columns", "q54_asof_join",
     "q86_nation_trade", "q56_hash_split", "q57_stratified_sample",

@@ -303,6 +303,183 @@ ORDER BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# Q113: SCD2 dimension history (operators/merge.merge_scd2) — the
+# customer dimension versioned by a synthesized change set: customers
+# with orders on/after the cutoff get their open row closed at the
+# change date and a new version appended (segment bumped to PREMIUM,
+# balance grown by their recent spend). All money math in
+# DECIMAL(18,6) so the two engines' sums are bit-identical; dates are
+# emitted as formatted strings (the comparator's timestamp bridge
+# never sees a naked DATE). Scale: one broadcast of the (bounded)
+# change-key set against the dimension — the reference's MySQL-sink
+# aspiration (README.md:168-172) implies exactly this maintenance op.
+# ---------------------------------------------------------------------------
+
+_SCD2_CUTOFF = "2001-01-01"
+_SCD2_EPOCH = "1992-01-01"
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_scd2
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    upd_src = (
+        orders.filter(F.col("o_orderdate")
+                      >= F.lit(_SCD2_CUTOFF).cast("timestamp"))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.max(F.to_date("o_orderdate")).alias("chg_date"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+             .alias("spend"))
+    )
+    current = cust.select(
+        "c_custkey", "c_mktsegment",
+        F.col("c_acctbal").cast("decimal(18,6)").alias("bal"),
+        F.lit(_SCD2_EPOCH).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    updates = (
+        upd_src.join(cust.select("c_custkey",
+                                 F.col("c_acctbal").cast("decimal(18,6)")
+                                 .alias("_old_bal")), "c_custkey")
+        .select("c_custkey", F.lit("PREMIUM").alias("c_mktsegment"),
+                (F.col("_old_bal") + F.col("spend"))
+                .cast("decimal(18,6)").alias("bal"),
+                "chg_date")
+    )
+    hist = merge_scd2(current, updates, key="c_custkey",
+                      ts_col="chg_date")
+    return hist.select(
+        "c_custkey", "c_mktsegment",
+        F.col("bal").cast("double").alias("acctbal"),
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+    )
+
+
+ORACLE_SCD2_HISTORY = f"""
+WITH upd AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(max(o_orderdate) AS DATE) AS chg_date,
+         sum(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{_SCD2_CUTOFF}'
+  GROUP BY 1
+),
+cur AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(c_acctbal AS DECIMAL(18,6)) AS bal
+  FROM customer
+),
+closed AS (
+  SELECT c.c_custkey, c.c_mktsegment, c.bal,
+         DATE '{_SCD2_EPOCH}' AS vf, u.chg_date AS vt
+  FROM cur c JOIN upd u USING (c_custkey)
+),
+untouched AS (
+  SELECT c_custkey, c_mktsegment, bal,
+         DATE '{_SCD2_EPOCH}' AS vf, CAST(NULL AS DATE) AS vt
+  FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+),
+opened AS (
+  SELECT u.c_custkey, 'PREMIUM' AS c_mktsegment,
+         CAST(c.bal + u.spend AS DECIMAL(18,6)) AS bal,
+         u.chg_date AS vf, CAST(NULL AS DATE) AS vt
+  FROM upd u JOIN cur c USING (c_custkey)
+),
+hist AS (
+  SELECT * FROM closed UNION ALL
+  SELECT * FROM untouched UNION ALL
+  SELECT * FROM opened
+)
+SELECT c_custkey, c_mktsegment, CAST(bal AS DOUBLE) AS acctbal,
+       strftime(vf, '%Y-%m-%d') AS valid_from,
+       strftime(vt, '%Y-%m-%d') AS valid_to
+FROM hist
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q115: KMV distinct sketches (operators/sketches.py) — per event_type,
+# the k-minimum-values estimate of distinct users and distinct events
+# next to the exact counts. The estimator is a pure function of the
+# k-th smallest md5-derived hash, so DuckDB reproduces it bit-for-bit
+# (unlike HLL, whose register layout is engine-private). The low- and
+# high-cardinality keys exercise both estimator branches: user_id
+# (≈150 distinct at sf0.01) stays exact below k at sf0.001, event_id
+# is estimated everywhere.
+# ---------------------------------------------------------------------------
+
+_KMV_2_60 = float(1 << 60)
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmv_estimate_expr, kmv_sketch_many
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch_many(ev, {"users": "user_id", "events": "event_id"},
+                         group_cols=["event_type"],
+                         salts={"users": "kmvu", "events": "kmve"})
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.countDistinct("event_id").alias("exact_events"))
+    return (
+        exact.join(sk, "event_type")
+        .select("event_type", "exact_users",
+                kmv_estimate_expr(F.col("users")).alias("est_users"),
+                "exact_events",
+                kmv_estimate_expr(F.col("events")).alias("est_events"))
+        .orderBy("event_type")
+    )
+
+
+def _oracle_kmv_distinct() -> str:
+    from ..operators.sketches import KMV_K
+
+    c = repr(float(KMV_K - 1) * _KMV_2_60)
+
+    def est(key_expr: str, salt: str, out: str) -> str:
+        h = _SQL_H15.format(
+            e=f"'{salt}:' || CAST({key_expr} AS VARCHAR)")
+        return f"""
+h_{out} AS (
+  SELECT DISTINCT event_type, {h} AS h
+  FROM events WHERE {key_expr} IS NOT NULL
+),
+r_{out} AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS r,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM h_{out}
+),
+e_{out} AS (
+  SELECT event_type,
+         CASE WHEN max(m) < {KMV_K} THEN max(m)
+              ELSE CAST(floor({c} / CAST(greatest(
+                     max(CASE WHEN r = {KMV_K} THEN h END), 1)
+                     AS DOUBLE)) AS BIGINT) END AS est_{out}
+  FROM r_{out} GROUP BY 1
+)"""
+
+    return f"""
+WITH {est("user_id", "kmvu", "users")},
+{est("event_id", "kmve", "events")},
+exact AS (
+  SELECT event_type,
+         count(DISTINCT user_id) AS exact_users,
+         count(DISTINCT event_id) AS exact_events
+  FROM events GROUP BY 1
+)
+SELECT x.event_type, x.exact_users, u.est_users,
+       x.exact_events, e.est_events
+FROM exact x
+JOIN e_users u USING (event_type)
+JOIN e_events e USING (event_type)
+ORDER BY event_type
+"""
+
+
 SPECS = [
     QuerySpec("q104_snapshot_diff", q_snapshot_diff, ORACLE_SNAPSHOT_DIFF,
               "corpus snapshot diff: added/removed/changed/unchanged "
@@ -314,4 +491,10 @@ SPECS = [
     QuerySpec("q53_approx_stats", q_approx_stats, ORACLE_APPROX_STATS,
               "approximate distincts + quantile sketches "
               "(portable deterministic estimators)", ("D15",)),
+    QuerySpec("q113_scd2_history", q_scd2_history, ORACLE_SCD2_HISTORY,
+              "SCD2 dimension versioning: close changed rows, append "
+              "new versions with validity ranges", ("F3", "C4", "A7")),
+    QuerySpec("q115_kmv_distinct", q_kmv_distinct, _oracle_kmv_distinct,
+              "mergeable KMV distinct-count sketches, exact vs "
+              "estimate per group", ("D15", "P2-sketch")),
 ]

@@ -34,3 +34,36 @@ def test_pagerank_edge_weights_shift_mass(spark):
     rows = [("a", "b"), ("a", "b"), ("a", "b"), ("a", "c")]
     r = _ranks(spark, rows)
     assert r["b"] > r["c"]
+
+
+# --------------------------- triangle_counts ---------------------------
+
+def _tris(spark, pairs):
+    from etl_evm_chain_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    return {r["node"]: r["n_triangles"]
+            for r in triangle_counts(df).collect()}
+
+
+def test_triangles_k4_every_node_in_three(spark):
+    # K4: 4 triangles total; every node sits in exactly C(3,2) = 3.
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    t = _tris(spark, k4)
+    assert t == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangles_single_and_pendant(spark):
+    # one triangle {1,2,3} plus a pendant edge 3-4: node 4 absent.
+    t = _tris(spark, [(1, 2), (1, 3), (2, 3), (3, 4)])
+    assert t == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangles_none_in_a_path(spark):
+    assert _tris(spark, [(1, 2), (2, 3), (3, 4)]) == {}
+
+
+def test_triangles_two_sharing_an_edge(spark):
+    # {1,2,3} and {1,2,4} share edge 1-2: nodes 1,2 in two each.
+    t = _tris(spark, [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)])
+    assert t == {1: 2, 2: 2, 3: 1, 4: 1}

@@ -53,7 +53,7 @@ STATIC = {
     "P2-jobs": "jobs.py + api.py REST lifecycle; tests/test_multimodal_jobs.py, test_pipelines_cli.py",
     "C5": "operators/asof.py asof_join (true event-time form; q54) + timeseries kit grid form (q17)",
     "P2-bucketing": "functions/bucketing.py write_bucketed/colocated_join (0-Exchange joins); tests/test_bucketing.py",
-    "P2-graph": "operators/graph.py pagerank (Pregel-by-join, checkpointed supersteps) (q74)",
+    "P2-graph": "operators/graph.py pagerank (Pregel-by-join, checkpointed supersteps) (q74); triangle_counts (degree-oriented wedge join, q114)",
     "P2-dedup": "incremental: dedup.update_near_dup_index (landed LSH band index) + streaming/pipeline.stream_near_dups (foreachBatch ingest-time dedup); tests prove increment-union == one-shot",
     "P2-sim": "incremental: similarity.update_ann_index (frozen-quantizer IVF, cell-partitioned parquet index); equivalence-tested vs one-shot assignment",
     "P2-text": "exact BPE: functions/bpe.py (merges trained on the word-frequency table, batch=k disjoint variant; q103)",
@@ -62,6 +62,7 @@ STATIC = {
     "A13": "sources/files.read_orc/write_orc (native pushdown, parallelism-landed export); tests/test_ingest.py",
     "A14": "sources/files.read_text_lines (raw corpus lines + source-file lineage)",
     "P1-ingest": "non-parquet ingest plane round-trips (q111 JSONL, q112 ORC) — lossless vs the parquet fixtures by driver hash",
+    "P2-sketch": "operators/sketches.py KMV distinct sketches (portable order-statistic estimator, expression-level merge; q115)",
     "P2-ranking": "functions/ranking.py bucketed_rank/bucketed_prefix_sum two-phase kit (scaled_buckets derives bucket count from shuffle parallelism; null-safe group joins; q53/q87/q15/q59 consume it); tests/test_ranking.py incl. non-default shuffle.partitions",
 }
 
