@@ -135,15 +135,17 @@ def verified_near_dups(docs: DataFrame, *, id_col: str = "doc_id",
     The exact Jaccard join touches only LSH candidates — at 100 TB the
     candidate set is orders of magnitude smaller than the pair space.
     """
-    # Materialize both multi-consumed relations (same rationale as
-    # ngram_jaccard_pairs below): sig feeds both self-join sides of
-    # the candidate generation, sh both sides of the verification
-    # join — lazy, each consumer re-tokenizes/md5s the whole corpus.
-    sig = minhash_signatures(docs, id_col=id_col, text_col=text_col) \
-        .localCheckpoint()
+    # No localCheckpoint here, deliberately (measured: checkpointing
+    # sig+sh costs 4.1s vs 2.8s plain at sf0.1): the candidate
+    # self-join's two sides canonicalize to identical exchanges, which
+    # Spark deduplicates via ReusedExchange, and the remaining
+    # re-scans are column-pruned parquet reads — cheaper than eagerly
+    # materializing wide signature arrays. At 100 TB the one-shot
+    # form is the wrong tool anyway: land the signatures once and
+    # join against the landed index (update_near_dup_index).
+    sig = minhash_signatures(docs, id_col=id_col, text_col=text_col)
     cands = lsh_candidate_pairs(sig, id_col=id_col)
-    sh = (docs.select(F.col(id_col), shingles(text_col, SHINGLE_K).alias("sh"))
-          .localCheckpoint())
+    sh = docs.select(F.col(id_col), shingles(text_col, SHINGLE_K).alias("sh"))
     j = (
         cands.join(sh.withColumnRenamed(id_col, "id_a")
                      .withColumnRenamed("sh", "sh_a"), "id_a")
