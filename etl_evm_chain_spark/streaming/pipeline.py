@@ -261,6 +261,46 @@ def write_jdbc_exactly_once(decoded: DataFrame, url: str, *,
     return w.start()
 
 
+def stream_interval_join(left: DataFrame, right: DataFrame, *,
+                         key: str, left_ts: str, right_ts: str,
+                         within: str = "10 minutes",
+                         watermark: str = "10 minutes",
+                         how: str = "inner") -> DataFrame:
+    """Watermarked stream-stream interval join — the canonical
+    attribution shape: a right-stream event matches a left-stream
+    event with the same ``key`` when it lands in
+    ``[left_ts, left_ts + within]`` (clicks within N minutes of the
+    impression; fills within N seconds of the order).
+
+    Both inputs get event-time watermarks and the join predicate
+    carries the time bound, which is exactly what Spark's state store
+    needs to EVICT: buffered rows age out once the watermark passes
+    their join window, so state is O(traffic within the interval), not
+    O(history) — the property that makes a stream-stream join run
+    forever at 100 TB/day. Without the interval predicate Spark would
+    (rightly) refuse an inner stream-stream join as unbounded.
+
+    Returns the joined stream (left columns prefixed ``l_``, right
+    ``r_`` where names collide); same plan runs in batch for backfill
+    — the equivalence test asserts identical results.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}")
+           <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
+    )
+    joined = lw.join(rw, cond, how)
+    # disambiguate colliding names so the result is sink-able
+    lcols = [F.col(f"l.{c}").alias(f"l_{c}" if c in right.columns else c)
+             for c in left.columns]
+    rcols = [F.col(f"r.{c}").alias(f"r_{c}" if c in left.columns else c)
+             for c in right.columns]
+    return joined.select(*lcols, *rcols)
+
+
 def stream_near_dups(docs: DataFrame, *, index_path: str, pairs_dir: str,
                      checkpoint: str, id_col: str = "doc_id",
                      text_col: str = "text", trigger_once: bool = True):

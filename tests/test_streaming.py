@@ -553,3 +553,45 @@ def test_stream_jsonl_ingest_incremental_with_quarantine(spark, tmp_path):
                    __import__("pathlib").Path(out).rglob("*.parquet"))
     assert before == after
     assert spark.read.parquet(out).count() == 3
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    # clicks attribute to impressions with the same key within 10
+    # minutes; the same code path must produce identical rows in
+    # streaming (availableNow) and batch (backfill) form.
+    imp_dir = str(tmp_path / "imp")
+    clk_dir = str(tmp_path / "clk")
+    imp = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1),
+         ("a", "2024-01-01 01:00:00", 2),
+         ("b", "2024-01-01 00:05:00", 3)],
+        "key string, its string, imp_id long",
+    ).withColumn("its", F.to_timestamp("its"))
+    clk = spark.createDataFrame(
+        [("a", "2024-01-01 00:04:00", 10),   # within 10m of imp 1
+         ("a", "2024-01-01 00:20:00", 11),   # matches neither window
+         ("a", "2024-01-01 01:09:59", 12),   # within 10m of imp 2
+         ("b", "2024-01-01 00:04:00", 13),   # BEFORE b's impression
+         ("c", "2024-01-01 00:00:00", 14)],  # unknown key
+        "key string, cts string, clk_id long",
+    ).withColumn("cts", F.to_timestamp("cts"))
+    imp.write.parquet(imp_dir)
+    clk.write.parquet(clk_dir)
+
+    out = sp.stream_interval_join(
+        spark.readStream.schema(imp.schema).parquet(imp_dir),
+        spark.readStream.schema(clk.schema).parquet(clk_dir),
+        key="key", left_ts="its", right_ts="cts", within="10 minutes")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("sij").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["l_key"], r["imp_id"], r["clk_id"])
+           for r in spark.sql("SELECT * FROM sij").collect()}
+    assert got == {("a", 1, 10), ("a", 2, 12)}
+
+    # batch backfill: identical plan, identical rows
+    batch = sp.stream_interval_join(
+        spark.read.parquet(imp_dir), spark.read.parquet(clk_dir),
+        key="key", left_ts="its", right_ts="cts", within="10 minutes")
+    bgot = {(r["l_key"], r["imp_id"], r["clk_id"]) for r in batch.collect()}
+    assert bgot == got
