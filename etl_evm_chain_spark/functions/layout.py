@@ -86,12 +86,21 @@ def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 16,
             .cast("long")
         idx_cols.append(F.greatest(F.lit(0), F.least(idx,
                                                      F.lit(n_buckets - 1))))
+    return df.withColumn(out_col, interleave_bits(idx_cols, bits=bits))
+
+
+def interleave_bits(idx_cols: list, *, bits: int):
+    """Morton interleave of ``bits``-bit bucket indices (Column
+    expression): bit b of column i lands at position
+    ``b·len(cols) + i`` (column 0 owns the most significant bit of
+    each round). Pure shifts and ORs — any engine with integer
+    bitwise ops reproduces it exactly (q116's DuckDB oracle does)."""
     z = F.lit(0).cast("long")
     for b in range(bits - 1, -1, -1):
         for idx in idx_cols:
             z = F.shiftleft(z, 1).bitwiseOR(
                 F.shiftright(idx, b).bitwiseAND(F.lit(1).cast("long")))
-    return df.withColumn(out_col, z)
+    return z
 
 
 def land_zordered(df: DataFrame, path: str, *, by: list[str],

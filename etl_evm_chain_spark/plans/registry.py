@@ -24,7 +24,8 @@ _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
 # value-hash green. Rotated OUT this round (all driver-green in
 # r01-r03): q49/q91 (for q110/q76), q92/q93 (for q111/q112), q55
 # (for q35, whose jaccard output switched to floor-truncation), and
-# q47/q48/q88 (for the new q113 SCD2 / q114 triangles / q115 KMV).
+# q47/q48/q88/q94 (for the new q113 SCD2 / q114 triangles /
+# q115 KMV / q116 Z-order).
 _PRIORITY = [
     # ---- EXACTLY the driver's 50-slot window, all oracle-backed ----
     # changed since their last driver-green row (round-4 work):
@@ -33,6 +34,7 @@ _PRIORITY = [
     "q111_jsonl_roundtrip", "q112_orc_roundtrip",
     "q76_zipf_slope", "q35_lsh_near_dups",
     "q113_scd2_history", "q114_copurchase_triangles", "q115_kmv_distinct",
+    "q116_zorder_cells",
     "q40_ann_topk", "q96_bucketed_near_dups",
     "q72_knn_classify", "q74_pagerank", "q107_tuple_abi",
     "q109_tuple_array_abi", "q44_decode_transfers", "q46_transfer_rollup",
@@ -47,7 +49,7 @@ _PRIORITY = [
     "q71_unigram_surprisal", "q45_topic_routing",
     "q41_dedup_resolve",
     "q77_mad_outliers", "q82_dup_cluster_histogram",
-    "q94_range_frame_hourly", "q51_merge_upsert",
+    "q51_merge_upsert",
     "q52_profile_columns", "q54_asof_join",
     "q86_nation_trade", "q56_hash_split", "q57_stratified_sample",
     "q67_temperature_mix",

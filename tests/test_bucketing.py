@@ -135,3 +135,18 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     files = glob.glob(f"{path}/*.parquet")
     assert len(files) == n == 1                      # tiny table → 1 file
     assert spark.read.parquet(path).agg(F.sum("id")).collect()[0][0] == before
+
+
+def test_interleave_bits_positions(spark):
+    # bit b of dim i lands at position 2b + 1 - i (dim 0 higher).
+    from etl_evm_chain_spark.functions.layout import interleave_bits
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0b10, 0b01), (0b11, 0b11), (0, 0), (0b11, 0)],
+        "x long, y long")
+    got = [r["z"] for r in df.select(
+        interleave_bits([F.col("x"), F.col("y")], bits=2)
+        .alias("z")).collect()]
+    # x=10,y=01 → z bits (x1 y1 x0 y0) = 1001; 11/11 → 1111; 11/00 → 1010
+    assert got == [0b1001, 0b1111, 0, 0b1010]

@@ -62,6 +62,7 @@ STATIC = {
     "A13": "sources/files.read_orc/write_orc (native pushdown, parallelism-landed export); tests/test_ingest.py",
     "A14": "sources/files.read_text_lines (raw corpus lines + source-file lineage)",
     "P1-ingest": "non-parquet ingest plane round-trips (q111 JSONL, q112 ORC) — lossless vs the parquet fixtures by driver hash",
+    "P2-layout": "functions/layout.py range-sorted + Morton (Z-order) clustered parquet layout, interleave_bits oracle-proven (q116); scan_metrics prune proofs in tests/test_bucketing.py; compact_parquet maintenance",
     "P2-sketch": "operators/sketches.py KMV distinct sketches (portable order-statistic estimator, expression-level merge; q115)",
     "P2-ranking": "functions/ranking.py bucketed_rank/bucketed_prefix_sum two-phase kit (scaled_buckets derives bucket count from shuffle parallelism; null-safe group joins; q53/q87/q15/q59 consume it); tests/test_ranking.py incl. non-default shuffle.partitions",
 }
