@@ -96,11 +96,10 @@ def triangle_counts(edges: DataFrame, *, a_col: str = "a",
         (F.col("eb") == F.greatest("v1", "v2")),
         "inner",
     ).select("u", "v1", "v2")
-    members = (
-        tri.select(F.col("u").alias("node"))
-        .unionByName(tri.select(F.col("v1").alias("node")))
-        .unionByName(tri.select(F.col("v2").alias("node")))
-    )
+    # single-pass credit: one explode, NOT a 3-way self-union (each
+    # union branch would re-run the wedge close join)
+    members = tri.select(
+        F.explode(F.array("u", "v1", "v2")).alias("node"))
     return members.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles"))
 
