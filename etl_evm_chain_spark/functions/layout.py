@@ -92,9 +92,10 @@ def zorder_key(df: DataFrame, cols: list[str], *, bits: int = 16,
 def interleave_bits(idx_cols: list, *, bits: int):
     """Morton interleave of ``bits``-bit bucket indices (Column
     expression): bit b of column i lands at position
-    ``b·len(cols) + i`` (column 0 owns the most significant bit of
-    each round). Pure shifts and ORs — any engine with integer
-    bitwise ops reproduces it exactly (q116's DuckDB oracle does)."""
+    ``b·len(cols) + (len(cols) − 1 − i)`` — column 0 owns the most
+    significant bit of each round (for 2 columns: ``2b + 1 − i``,
+    matching the q116 oracle). Pure shifts and ORs — any engine with
+    integer bitwise ops reproduces it exactly."""
     z = F.lit(0).cast("long")
     for b in range(bits - 1, -1, -1):
         for idx in idx_cols:

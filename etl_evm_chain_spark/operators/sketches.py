@@ -35,24 +35,29 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.ranking import bucketed_rank, scaled_buckets
+from ..functions.text import hash15
 
-__all__ = ["KMV_K", "kmv_hash", "kmv_sketch", "kmv_sketch_many",
-           "kmv_estimate_expr", "kmv_merge_expr"]
+__all__ = ["KMV_K", "kmv_estimator_constant", "kmv_hash", "kmv_sketch",
+           "kmv_sketch_many", "kmv_estimate_expr", "kmv_merge_expr"]
 
 KMV_K = 64  # relative stderr ≈ 1/sqrt(k-2) ≈ 12.7%
 
-# 2^60 as an exact double (60 < 53 zero mantissa bits — the literal is
-# a power of two, exactly representable; mirrored in the SQL oracle)
+# 2^60 as an exact double (a power of two is exactly representable;
+# mirrored in the SQL oracle via kmv_estimator_constant)
 _TWO_60 = float(1 << 60)
 
 
+def kmv_estimator_constant(k: int = KMV_K) -> float:
+    """(k-1)·2^60 as the exact double both engines must use — the
+    q115 oracle embeds repr() of THIS value so a tuned k can never
+    leave the SQL stale."""
+    return float(k - 1) * _TWO_60
+
+
 def kmv_hash(col: Column, *, salt: str = "kmv") -> Column:
-    """60-bit uniform hash, portable: md5 of the salted string form,
-    first 15 hex chars as a long (the repo-wide hash15 convention)."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + ":"),
-                                   col.cast("string"))), 1, 15),
-        16, 10).cast("long")
+    """60-bit uniform hash: the repo-wide hash15 convention (md5 hex
+    prefix) over the salted string form of the key."""
+    return hash15(F.concat(F.lit(salt + ":"), col.cast("string")))
 
 
 def kmv_sketch(df: DataFrame, key_col: str, *,
@@ -95,6 +100,9 @@ def kmv_sketch_many(df: DataFrame, keys: "dict[str, str]", *,
     sketch-sized outputs). Returns one row per group with an
     ``array<long>`` sketch column per key.
     """
+    if not keys:
+        raise ValueError("keys must map at least one output name to a "
+                         "key column")
     groups = list(group_cols)
     salts = salts or {}
     part: DataFrame | None = None
@@ -116,22 +124,31 @@ def kmv_sketch_many(df: DataFrame, keys: "dict[str, str]", *,
         .groupBy(*groups, "_kind")
         .agg(F.array_sort(F.collect_list("_h")).alias("_sk"))
     )
-    return (kept.groupBy(*groups)
-            .pivot("_kind", list(keys))
-            .agg(F.first("_sk")))
+    out = (kept.groupBy(*groups)
+           .pivot("_kind", list(keys))
+           .agg(F.first("_sk")))
+    # a group whose key column is ALL NULL has no hash rows for that
+    # kind → the pivot fills NULL; canonicalize to the empty sketch
+    # (0 distinct) so estimate/merge expressions never see NULL
+    empty = F.array().cast("array<long>")
+    for name in keys:
+        out = out.withColumn(name, F.coalesce(F.col(name), empty))
+    return out
 
 
 def kmv_estimate_expr(sketch: Column, *, k: int = KMV_K) -> Column:
     """Distinct-count estimate from a sketch array (BIGINT).
 
     A sketch shorter than k saw every distinct value — its size IS the
-    exact count. Otherwise (k-1) * 2^60 / h_k, floored. (k-1) * 2^60
-    is exact in a double for k ≤ 2^52; the division and floor are
-    IEEE-deterministic, so any engine computes the identical estimate.
+    exact count (a NULL/empty sketch is 0). Otherwise
+    (k-1) * 2^60 / h_k, floored. (k-1) * 2^60 is exact in a double for
+    k ≤ 2^52; the division and floor are IEEE-deterministic, so any
+    engine computes the identical estimate.
     """
     h_k = F.greatest(F.element_at(sketch, k), F.lit(1).cast("long"))
-    est = F.floor(F.lit(float(k - 1) * _TWO_60) / h_k.cast("double"))
-    return (F.when(F.size(sketch) < k, F.size(sketch).cast("long"))
+    est = F.floor(F.lit(kmv_estimator_constant(k)) / h_k.cast("double"))
+    return (F.when(sketch.isNull() | (F.size(sketch) < k),
+                   F.coalesce(F.size(sketch), F.lit(0)).cast("long"))
             .otherwise(est.cast("long")))
 
 
@@ -140,6 +157,9 @@ def kmv_merge_expr(a: Column, b: Column, *, k: int = KMV_K) -> Column:
     sets: concat → distinct → sort → first k. Exact by construction
     (the k smallest of a union are among the union of each side's k
     smallest), which the equivalence test asserts against a one-shot
-    sketch of the concatenated input.
+    sketch of the concatenated input. A NULL side folds as empty.
     """
-    return F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+    empty = F.array().cast("array<long>")
+    return F.slice(
+        F.array_sort(F.array_distinct(F.concat(
+            F.coalesce(a, empty), F.coalesce(b, empty)))), 1, k)

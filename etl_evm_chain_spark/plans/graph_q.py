@@ -269,7 +269,7 @@ FROM stats WHERE sd > 0 AND abs((n - mu) / sd) > {ANOM_Z}
 # ---------------------------------------------------------------------------
 
 TRI_TOPN = 20
-# Every-3rd-order subset: the UNFILTERED sf0.1 co-purchase graph packs
+# Every-4th-order subset: the UNFILTERED sf0.1 co-purchase graph packs
 # ~1.1M edges onto only 20k parts (avg degree >100 — far denser than
 # any real co-occurrence graph), which exists only because the fixture
 # reuses partkeys so heavily. The modulus keeps the fixture's density

@@ -411,9 +411,6 @@ FROM hist
 # is estimated everywhere.
 # ---------------------------------------------------------------------------
 
-_KMV_2_60 = float(1 << 60)
-
-
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import kmv_estimate_expr, kmv_sketch_many
 
@@ -435,9 +432,11 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_kmv_distinct() -> str:
-    from ..operators.sketches import KMV_K
+    from ..operators.sketches import KMV_K, kmv_estimator_constant
 
-    c = repr(float(KMV_K - 1) * _KMV_2_60)
+    # the estimator constant comes from the operator itself — a tuned
+    # k (or hash width) can never leave this oracle stale
+    c = repr(kmv_estimator_constant(KMV_K))
 
     def est(key_expr: str, salt: str, out: str) -> str:
         h = _SQL_H15.format(

@@ -281,8 +281,14 @@ def stream_interval_join(left: DataFrame, right: DataFrame, *,
     (rightly) refuse an inner stream-stream join as unbounded.
 
     Returns the joined stream (left columns prefixed ``l_``, right
-    ``r_`` where names collide); same plan runs in batch for backfill
-    — the equivalence test asserts identical results.
+    ``r_`` where names collide). For the default ``how='inner'`` the
+    same plan runs in batch for backfill with identical results (the
+    equivalence test asserts it). Outer modes are supported but NOT
+    batch-equivalent on a bounded input: Spark emits an unmatched
+    row's NULL side only once the watermark passes its join window,
+    and the watermark never advances past the last observed event
+    time, so rows near the end of input can terminate still buffered
+    — standard stream-stream outer-join semantics.
     """
     lw = left.withWatermark(left_ts, watermark).alias("l")
     rw = right.withWatermark(right_ts, watermark).alias("r")

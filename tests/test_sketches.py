@@ -79,3 +79,42 @@ def test_kmv_null_keys_excluded(spark):
     out = sk.select(kmv_estimate_expr(F.col("sketch"))
                     .alias("e")).collect()
     assert out[0]["e"] == 5
+
+
+def test_kmv_sketch_many_all_null_group_is_empty_sketch(spark):
+    # g2's x is entirely NULL: the fused pass must emit an EMPTY
+    # sketch (0 distinct), never a NULL that the estimator would turn
+    # into a saturated Long.
+    from pyspark.sql import types as T
+    df = spark.createDataFrame(
+        [("g1", 1, 10), ("g1", 2, 11), ("g2", None, 12)],
+        T.StructType([
+            T.StructField("g", T.StringType()),
+            T.StructField("x", T.LongType()),
+            T.StructField("y", T.LongType())]))
+    out = {r["g"]: r for r in kmv_sketch_many(
+        df, {"xs": "x", "ys": "y"}, group_cols=["g"]).collect()}
+    assert out["g2"]["xs"] == []
+    est = out["g2"]
+    got = spark.createDataFrame([(est["xs"],)], "s array<bigint>").select(
+        kmv_estimate_expr(F.col("s")).alias("e")).collect()[0]["e"]
+    assert got == 0
+    # single-key form: a group with zero non-null keys drops entirely
+    # (kmv_sketch COUNT-DISTINCT semantics), it never emits NULL
+    single = kmv_sketch_many(df, {"xs": "x"}, group_cols=["g"])
+    assert {r["g"] for r in single.collect()} == {"g1"}
+
+
+def test_kmv_estimate_and_merge_tolerate_null_sketch(spark):
+    df = spark.createDataFrame([(None,)], "s array<bigint>")
+    got = df.select(
+        kmv_estimate_expr(F.col("s")).alias("e"),
+        kmv_merge_expr(F.col("s"), F.array(F.lit(7)).cast("array<long>"))
+        .alias("m")).collect()[0]
+    assert got["e"] == 0 and got["m"] == [7]
+
+
+def test_kmv_sketch_many_rejects_empty_keys(spark):
+    import pytest
+    with pytest.raises(ValueError, match="at least one"):
+        kmv_sketch_many(spark.range(1), {})
