@@ -79,6 +79,33 @@ SHOWCASE = {
         "(RANGE BETWEEN 3600 PRECEDING) over the irregular stream — "
         "specified_window_frame(RangeFrame) in the Window operator, "
         "one Exchange on event_type, no resample/grid stage at all."),
+    "q114_copurchase_triangles": (
+        "Degree-oriented triangle census",
+        "Every step is an equi-join: degrees attach by key, the wedge "
+        "enumeration is a self-join of the ORIENTED edge relation on "
+        "its source (out-degree bounded by O(sqrt E), so wedge "
+        "fan-out is bounded no matter how skewed the hubs), and the "
+        "close is a join back onto the edge relation on computed "
+        "(least, greatest) keys — Catalyst extracts them as join "
+        "keys, so there is no cartesian anywhere. Per-node credit is "
+        "one explode, one aggregation."),
+    "q115_kmv_distinct": (
+        "Mergeable sketch via the ranking kit",
+        "The k smallest distinct hashes per (group, kind) come from "
+        "the two-phase bucketed-rank machinery — per-bucket local "
+        "sorts plus a broadcast prefix join, NO window whose "
+        "partition count is O(1) in the input — and both key columns "
+        "share one dedup shuffle and one ranking pass under a kind "
+        "discriminator. The estimator itself is pure arithmetic on "
+        "the k-th array element."),
+    "q116_zorder_cells": (
+        "Z-order key census (multi-dim clustering math)",
+        "Integer quantization against broadcast (min, max) bounds, "
+        "then the Morton interleave as pure shifts/ORs inside the "
+        "scan's own codegen stage — one exchange for the final cell "
+        "aggregation and nothing else. land_zordered writes this key "
+        "as the file/row-group order, which is what makes range "
+        "predicates on EITHER dimension prunable from footer stats."),
     "q65_quantize_embeddings": (
         "Scalar-subquery broadcast (corpus re-encoded in place)",
         "The per-dimension stats reduce to d rows (posexplode + "
