@@ -213,3 +213,62 @@ def test_jsonl_roundtrip_property(spark, rows):
     assert back.filter(F.col("_corrupt").isNotNull()).count() == 0
     got = sorted((r.id, r.text) for r in back.collect())
     assert got == sorted(data)
+
+
+# --------------------- bucketed ranking kit vs window ---------------------
+
+rank_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["g1", "g2", None]),            # group (incl NULL)
+        st.integers(min_value=-1000, max_value=1000),   # value
+        st.integers(min_value=0, max_value=10**6),      # tiebreak id
+    ),
+    min_size=1, max_size=80, unique_by=lambda t: t[2],
+)
+
+
+@given(rank_rows, st.integers(min_value=1, max_value=7))
+@settings(**SETTINGS)
+def test_bucketed_rank_matches_window_on_random_data(spark, rows, nb):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_evm_chain_spark.functions.ranking import bucketed_rank
+
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    got = bucketed_rank(df, "v", ["v", "id"], part_cols=["g"],
+                        n_buckets=nb, rank_name="r", total_name="m")
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = (df.withColumn("r", F.row_number().over(w))
+            .withColumn("m", F.count(F.lit(1)).over(
+                Window.partitionBy("g"))))
+    a = {(x["g"], x["id"]): (x["r"], x["m"]) for x in got.collect()}
+    b = {(x["g"], x["id"]): (x["r"], x["m"]) for x in want.collect()}
+    assert a == b
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**6),
+                min_size=1, max_size=200, unique=True),
+       st.integers(min_value=0, max_value=200))
+@settings(**SETTINGS)
+def test_kmv_merge_is_union_sketch_on_random_splits(spark, keys, cut):
+    from pyspark.sql import functions as F
+
+    from etl_evm_chain_spark.operators.sketches import (
+        kmv_merge_expr, kmv_sketch)
+
+    cut = min(cut, len(keys))
+    left, right = keys[:cut] or [keys[0]], keys[cut:] or [keys[-1]]
+
+    def sk(vals):
+        df = spark.createDataFrame([(v,) for v in vals], "k long") \
+            .withColumn("g", F.lit("g"))
+        return kmv_sketch(df, "k", group_cols=["g"], k=16) \
+            .collect()[0]["sketch"]
+
+    both = spark.createDataFrame([(sk(left), sk(right))],
+                                 "a array<bigint>, b array<bigint>")
+    merged = both.select(
+        kmv_merge_expr(F.col("a"), F.col("b"), k=16).alias("m")
+    ).collect()[0]["m"]
+    assert merged == sk(list(dict.fromkeys(left + right)))
