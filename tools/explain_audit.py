@@ -123,6 +123,9 @@ ALLOW: dict[str, set[str]] = {
     # Arrow-batched — the sequential merge scan IS the operator; the
     # corpus only ever sees a hash join on the word column
     "q103_bpe_tokens": {"pandas"},
+    # 1-row global min/max stats broadcast for the Morton quantizers
+    # (scalar-subquery shape, like q65/q66/q67 — no pair explosion)
+    "q116_zorder_cells": {"nested_loop"},
 }
 
 FLAGS = {
