@@ -38,7 +38,9 @@ from ..functions.ranking import bucketed_rank, scaled_buckets
 from ..functions.text import hash15
 
 __all__ = ["KMV_K", "kmv_estimator_constant", "kmv_hash", "kmv_sketch",
-           "kmv_sketch_many", "kmv_estimate_expr", "kmv_merge_expr"]
+           "kmv_sketch_many", "kmv_estimate_expr", "kmv_merge_expr",
+           "CM_DEPTH", "CM_WIDTH", "cm_cells", "cm_sketch", "cm_estimate",
+           "cm_merge"]
 
 KMV_K = 64  # relative stderr ≈ 1/sqrt(k-2) ≈ 12.7%
 
@@ -163,3 +165,96 @@ def kmv_merge_expr(a: Column, b: Column, *, k: int = KMV_K) -> Column:
     return F.slice(
         F.array_sort(F.array_distinct(F.concat(
             F.coalesce(a, empty), F.coalesce(b, empty)))), 1, k)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — the FREQUENCY companion to KMV's distinct count.
+#
+# KMV answers "how many distinct keys"; count-min answers "about how
+# often does key x occur" from a summary of fixed size d·w counters,
+# no matter how many distinct keys the corpus has [Cormode &
+# Muthukrishnan 2005]. Cell (i, h_i(x) mod w) accumulates the weight
+# of every x that lands there; the estimate min_i cell(i, h_i(x)) is
+# NEVER below the true count (counters only over-count on collision)
+# and exceeds it by > 2N/w with probability ≤ 2^-d. Counters are
+# plain sums, so the sketch relation merges across shards/epochs by
+# cell-wise addition — union + re-aggregate — making incremental
+# maintenance over a landed sketch table exact, not approximate.
+#
+# Scale shape: ONE projection fans each input row into d (depth,
+# cell) pairs, and one shuffle with map-side combine folds them into
+# ≤ d·w rows — the reduce side is bounded by the sketch size, not the
+# data. The hash is the repo-wide md5 hash15 convention, so the q117
+# DuckDB oracle computes bit-identical cells.
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 4     # error probability factor 2^-4
+CM_WIDTH = 1024  # over-count ≤ 2·N/1024 w.p. ≥ 1 - 2^-depth
+
+
+def cm_cells(key: Column, *, depth: int = CM_DEPTH, width: int = CM_WIDTH,
+             salt: str = "cm") -> Column:
+    """array<struct<depth,cell>> — the d cells ``key`` touches. Each
+    row of the depth axis uses an independently salted hash15
+    (md5("cm<i>:" || key)); hash15 is non-negative, so plain ``%``
+    agrees between Spark and the SQL oracle."""
+    s = key.cast("string")
+    return F.array(*[
+        F.struct(
+            F.lit(i).alias("depth"),
+            (hash15(F.concat(F.lit(f"{salt}{i}:"), s)) % width)
+            .alias("cell"))
+        for i in range(depth)])
+
+
+def cm_sketch(df: DataFrame, key_col: str, *, weight_col: str | None = None,
+              depth: int = CM_DEPTH, width: int = CM_WIDTH,
+              salt: str = "cm") -> DataFrame:
+    """Build the sketch relation (depth int, cell bigint, cnt bigint),
+    ≤ depth·width rows. NULL keys are excluded. ``weight_col`` lets a
+    pre-aggregated (key, count) relation stand in for raw occurrences
+    — the cell sums are identical, and sketching the aggregate skips a
+    second pass over the corpus."""
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.explode(cm_cells(F.col(key_col), depth=depth,
+                                   width=width, salt=salt)).alias("dc"),
+                w.alias("_w"))
+        .groupBy(F.col("dc.depth").alias("depth"),
+                 F.col("dc.cell").alias("cell"))
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cm_estimate(sketch: DataFrame, probes: DataFrame, key_col: str, *,
+                depth: int = CM_DEPTH, width: int = CM_WIDTH,
+                salt: str = "cm", out_col: str = "est_cnt") -> DataFrame:
+    """Estimate each probe key's count: min over the d cells it
+    hashes to. The sketch (≤ d·w rows) broadcasts to the probe side;
+    a cell no key ever touched is absent from the relation and reads
+    as 0. Returns (key_col, out_col) — distinct probe keys."""
+    pe = (
+        probes.select(F.col(key_col))
+        .filter(F.col(key_col).isNotNull()).distinct()
+        .select(key_col,
+                F.explode(cm_cells(F.col(key_col), depth=depth,
+                                   width=width, salt=salt)).alias("dc"))
+        .select(key_col, "dc.depth", "dc.cell")
+    )
+    return (
+        pe.join(F.broadcast(sketch), ["depth", "cell"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+             .alias(out_col))
+    )
+
+
+def cm_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Sketch of the combined input: cell-wise counter addition.
+    Exact (counters are sums), which the merge-law test asserts
+    against a one-shot sketch of the unioned input."""
+    return (a.unionByName(b)
+            .groupBy("depth", "cell")
+            .agg(F.sum("cnt").alias("cnt")))

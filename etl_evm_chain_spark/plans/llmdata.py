@@ -1413,6 +1413,73 @@ GROUP BY q.qlabel
 """
 
 
+# ---------------------------------------------------------------------------
+# Q117: count-min heavy hitters — bounded-memory token-frequency
+# estimation (operators/sketches.cm_sketch). The sketch is d·w
+# counters regardless of vocabulary size; the query builds it from
+# the token-count relation (weighted form — identical cells, one
+# corpus pass), takes the exact top-15 tokens, and reports true vs
+# sketch-estimated count per token. The CM guarantee est ≥ true is
+# pytest-pinned; the oracle recomputes the identical md5-derived
+# cells so the estimates hash-match bit-for-bit.
+# Reference parity: the reference's only frequency surface is pandas
+# value_counts (stable_eth_trend_bot.py uses full materialization);
+# this is its bounded-summary scale form.
+# ---------------------------------------------------------------------------
+
+_CM_TOPK = 15
+
+
+def q_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+    from ..operators.sketches import cm_estimate, cm_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (docs.select(F.explode(tokens("text")).alias("tok"))
+          .groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt")))
+    sk = cm_sketch(tc, "tok", weight_col="true_cnt")
+    top = tc.orderBy(F.desc("true_cnt"), "tok").limit(_CM_TOPK)
+    est = cm_estimate(sk, top, "tok")
+    return (top.join(est, "tok")
+            .select("tok", "true_cnt", "est_cnt")
+            .orderBy(F.desc("true_cnt"), "tok"))
+
+
+def _oracle_cm_heavy_hitters() -> str:
+    from ..operators.sketches import CM_DEPTH, CM_WIDTH
+
+    # constants come from the operator — a retuned depth/width can
+    # never leave this oracle stale
+    def cell(tok_expr: str) -> str:
+        h = _sql_hash15(
+            f"'cm' || CAST(d.i AS VARCHAR) || ':' || {tok_expr}")
+        return f"{h} % {CM_WIDTH}"
+
+    return f"""
+WITH toks AS (SELECT unnest({_SQL_TOKS}) AS tok FROM documents),
+tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt
+       FROM toks GROUP BY tok),
+depths AS (SELECT unnest(range(0, {CM_DEPTH})) AS i),
+cells AS (
+  SELECT d.i AS depth, {cell("tok")} AS cell,
+         CAST(sum(true_cnt) AS BIGINT) AS cnt
+  FROM tc CROSS JOIN depths d GROUP BY 1, 2
+),
+top AS (SELECT tok, true_cnt FROM tc
+        ORDER BY true_cnt DESC, tok LIMIT {_CM_TOPK}),
+probe AS (
+  SELECT t.tok, t.true_cnt, d.i AS depth, {cell("t.tok")} AS cell
+  FROM top t CROSS JOIN depths d
+)
+SELECT p.tok, p.true_cnt,
+       CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_cnt
+FROM probe p LEFT JOIN cells c
+  ON c.depth = p.depth AND c.cell = p.cell
+GROUP BY p.tok, p.true_cnt
+ORDER BY p.true_cnt DESC, p.tok
+"""
+
+
 SPECS = [
     QuerySpec("q30_doc_stats", q_doc_stats, ORACLE_DOC_STATS,
               "per-document token/punct/stopword stats + quality score", ("P2-text",)),
@@ -1496,4 +1563,8 @@ SPECS = [
     QuerySpec("q97_bucketed_knn", q_bucketed_knn, _oracle_bucketed_knn(),
               "IVF-bucketed LOO k-NN label probe (scale path of q72)",
               ("P2-sim", "E7")),
+    QuerySpec("q117_cm_heavy_hitters", q_cm_heavy_hitters,
+              _oracle_cm_heavy_hitters,
+              "count-min sketch token-frequency estimate vs exact top-k",
+              ("P2-text", "D15")),
 ]

@@ -23,9 +23,9 @@ _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
 # q102, q103) stay OUTSIDE the window so every window row can be
 # value-hash green. Rotated OUT this round (all driver-green in
 # r01-r03): q49/q91 (for q110/q76), q92/q93 (for q111/q112), q55
-# (for q35, whose jaccard output switched to floor-truncation), and
+# (for q35, whose jaccard output switched to floor-truncation),
 # q47/q48/q88/q94 (for the new q113 SCD2 / q114 triangles /
-# q115 KMV / q116 Z-order).
+# q115 KMV / q116 Z-order), and q67 (for the new q117 count-min).
 _PRIORITY = [
     # ---- EXACTLY the driver's 50-slot window, all oracle-backed ----
     # changed since their last driver-green row (round-4 work):
@@ -52,7 +52,7 @@ _PRIORITY = [
     "q51_merge_upsert",
     "q52_profile_columns", "q54_asof_join",
     "q86_nation_trade", "q56_hash_split", "q57_stratified_sample",
-    "q67_temperature_mix",
+    "q117_cm_heavy_hitters",
     "q80_chunk_documents", "q81_dataset_card", "q61_media_stats",
     "q97_bucketed_knn",
 ]

@@ -118,3 +118,86 @@ def test_kmv_sketch_many_rejects_empty_keys(spark):
     import pytest
     with pytest.raises(ValueError, match="at least one"):
         kmv_sketch_many(spark.range(1), {})
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+from etl_evm_chain_spark.operators.sketches import (  # noqa: E402
+    CM_DEPTH, CM_WIDTH, cm_estimate, cm_merge, cm_sketch)
+
+
+def _occurrences(spark, counts: dict):
+    rows = [(k,) for k, n in counts.items() for _ in range(n)]
+    return spark.createDataFrame(rows, "k string")
+
+
+def test_cm_estimate_never_undercounts(spark):
+    # the CM guarantee: est >= true for EVERY key, even with a tiny
+    # width forcing heavy collisions
+    counts = {f"w{i}": (i % 7) + 1 for i in range(500)}
+    occ = _occurrences(spark, counts)
+    sk = cm_sketch(occ, "k", width=32)
+    probes = occ.select("k").distinct()
+    est = {r["k"]: r["est_cnt"]
+           for r in cm_estimate(sk, probes, "k", width=32).collect()}
+    assert len(est) == 500
+    assert all(est[k] >= n for k, n in counts.items())
+
+
+def test_cm_exact_without_collisions(spark):
+    # few keys, default width: whp no collisions → estimates exact
+    counts = {"alpha": 5, "beta": 3, "gamma": 11}
+    occ = _occurrences(spark, counts)
+    sk = cm_sketch(occ, "k")
+    est = {r["k"]: r["est_cnt"]
+           for r in cm_estimate(sk, occ, "k").collect()}
+    assert est == counts
+
+
+def test_cm_weighted_equals_occurrences(spark):
+    # sketching the (key, count) aggregate must equal sketching the
+    # raw occurrence stream — identical cell sums
+    counts = {f"t{i}": i + 1 for i in range(50)}
+    occ = _occurrences(spark, counts)
+    agg = occ.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    s1 = {(r["depth"], r["cell"]): r["cnt"]
+          for r in cm_sketch(occ, "k").collect()}
+    s2 = {(r["depth"], r["cell"]): r["cnt"]
+          for r in cm_sketch(agg, "k", weight_col="n").collect()}
+    assert s1 == s2
+
+
+def test_cm_merge_equals_oneshot(spark):
+    a = _occurrences(spark, {"x": 3, "y": 2})
+    b = _occurrences(spark, {"y": 4, "z": 1})
+    merged = {(r["depth"], r["cell"]): r["cnt"]
+              for r in cm_merge(cm_sketch(a, "k"),
+                                cm_sketch(b, "k")).collect()}
+    oneshot = {(r["depth"], r["cell"]): r["cnt"]
+               for r in cm_sketch(a.unionByName(b), "k").collect()}
+    assert merged == oneshot
+
+
+def test_cm_sketch_bounded_and_null_free(spark):
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",), ("a",)], "k string")
+    sk = cm_sketch(df, "k")
+    rows = sk.collect()
+    # NULL keys excluded: total mass = 3 occurrences × depth rows
+    assert sum(r["cnt"] for r in rows) == 3 * CM_DEPTH
+    assert sk.count() <= CM_DEPTH * CM_WIDTH
+    assert all(0 <= r["cell"] < CM_WIDTH and 0 <= r["depth"] < CM_DEPTH
+               for r in rows)
+
+
+def test_cm_probe_of_unseen_key_is_zero(spark):
+    occ = _occurrences(spark, {"seen": 4})
+    sk = cm_sketch(occ, "k")
+    probes = spark.createDataFrame([("nope",)], "k string")
+    est = cm_estimate(sk, probes, "k").collect()
+    # an unseen key may collide into a counted cell, but with one key
+    # in a 4×1024 sketch a collision across all 4 depths is
+    # deterministic-hash-impossible here
+    assert est[0]["est_cnt"] == 0
