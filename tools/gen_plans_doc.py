@@ -106,6 +106,16 @@ SHOWCASE = {
         "aggregation and nothing else. land_zordered writes this key "
         "as the file/row-group order, which is what makes range "
         "predicates on EITHER dimension prunable from footer stats."),
+    "q117_cm_heavy_hitters": (
+        "Count-min sketch (bounded-memory frequency summary)",
+        "One Expand/explode fans each token-count row into depth "
+        "(depth, cell) pairs and ONE map-side-combined shuffle folds "
+        "them to <= depth*width counter rows — the reduce side is "
+        "bounded by the sketch size, never the vocabulary. The probe "
+        "side broadcasts that tiny counter relation back onto the "
+        "exact top-k (TakeOrderedAndProject), so the estimate join "
+        "moves 60 rows. Merging sketches across shards/epochs is "
+        "cell-wise addition: union + the same bounded re-aggregate."),
     "q65_quantize_embeddings": (
         "Scalar-subquery broadcast (corpus re-encoded in place)",
         "The per-dimension stats reduce to d rows (posexplode + "
