@@ -469,3 +469,58 @@ def stream_jsonl_ingest(parsed: DataFrame, *, out_dir: str,
     if trigger_once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_token_sketch(docs: DataFrame, *, sketch_dir: str,
+                        checkpoint: str, text_col: str = "text",
+                        depth: int | None = None, width: int | None = None,
+                        trigger_once: bool = True):
+    """Corpus frequency statistics AT INGEST TIME: each micro-batch of
+    documents folds into a count-min sketch (operators/sketches.
+    cm_sketch over the batch's tokens) landed under
+    ``sketch_dir/batch_id=<epoch>/``. Because CM counters are plain
+    sums, the GLOBAL sketch is the cell-wise sum of every epoch's
+    sketch — :func:`read_token_sketch` — and incremental == one-shot
+    exactly (merge law, tested), with no rescan of history ever.
+
+    Exactly-once via the same epoch-directory ledger as
+    ``stream_export_shards``: a batch's sketch is a pure function of
+    the batch's rows, so a replayed epoch overwrites its directory
+    with identical counters. Per-batch state is O(depth·width), the
+    landed lake is O(epochs · depth·width) tiny counter rows — at
+    100 TB this is the only way "how often does token x occur in the
+    whole corpus so far" stays answerable without a vocabulary-sized
+    shuffle per question.
+    """
+    import os
+
+    from ..functions.text import tokens
+    from ..operators.sketches import CM_DEPTH, CM_WIDTH, cm_sketch
+
+    d = depth or CM_DEPTH
+    w_ = width or CM_WIDTH
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        occ = batch_df.select(
+            F.explode(tokens(text_col)).alias("tok"))
+        sk = cm_sketch(occ, "tok", depth=d, width=w_)
+        sk.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(sketch_dir, f"batch_id={int(batch_id)}"))
+
+    w = (docs.writeStream.foreachBatch(per_batch)
+         .option("checkpointLocation", checkpoint))
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def read_token_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """Fold every landed epoch sketch into the global one: cell-wise
+    addition over O(epochs · depth·width) counter rows — bounded by
+    sketch geometry, never by corpus or vocabulary size. Feed the
+    result to ``operators.sketches.cm_estimate``."""
+    return (spark.read.parquet(sketch_dir)
+            .groupBy("depth", "cell")
+            .agg(F.sum("cnt").alias("cnt")))

@@ -595,3 +595,57 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
         key="key", left_ts="its", right_ts="cts", within="10 minutes")
     bgot = {(r["l_key"], r["imp_id"], r["clk_id"]) for r in batch.collect()}
     assert bgot == got
+
+
+def test_stream_token_sketch_incremental_equals_one_shot(spark, tmp_path):
+    """The landed per-epoch CM sketches must fold (read_token_sketch)
+    into exactly the one-shot sketch of the full corpus — the CM merge
+    law through the streaming path — and estimates from the folded
+    sketch must carry the CM >= guarantee against true counts."""
+    from etl_evm_chain_spark.functions.text import tokens
+    from etl_evm_chain_spark.operators.sketches import (cm_estimate,
+                                                        cm_sketch)
+
+    src = str(tmp_path / "docs")
+    skd = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt_sketch")
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string") \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        q = sp.stream_token_sketch(stream, sketch_dir=skd,
+                                   checkpoint=ckpt)
+        q.awaitTermination(120)
+
+    rows1 = [(i, f"alpha beta w{i % 7} gamma") for i in range(30)]
+    rows2 = [(100 + i, f"beta delta w{i % 5}") for i in range(20)]
+    spark.createDataFrame(rows1, "doc_id long, text string") \
+        .write.mode("append").parquet(src)
+    run()
+    spark.createDataFrame(rows2, "doc_id long, text string") \
+        .write.mode("append").parquet(src)
+    run()
+
+    folded = {(r["depth"], r["cell"]): r["cnt"]
+              for r in sp.read_token_sketch(spark, skd).collect()}
+    all_docs = spark.createDataFrame(rows1 + rows2,
+                                     "doc_id long, text string")
+    occ = all_docs.select(F.explode(tokens("text")).alias("tok"))
+    oneshot = {(r["depth"], r["cell"]): r["cnt"]
+               for r in cm_sketch(occ, "tok").collect()}
+    assert folded == oneshot
+
+    # estimates from the folded sketch: never below true counts
+    truth = {r["tok"]: r["n"] for r in
+             occ.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    folded_df = sp.read_token_sketch(spark, skd)
+    est = {r["tok"]: r["est_cnt"] for r in
+           cm_estimate(folded_df, occ.distinct(), "tok").collect()}
+    assert all(est[t] >= n for t, n in truth.items())
+
+    # replay idempotence: re-running with no new data changes nothing
+    run()
+    again = {(r["depth"], r["cell"]): r["cnt"]
+             for r in sp.read_token_sketch(spark, skd).collect()}
+    assert again == folded
