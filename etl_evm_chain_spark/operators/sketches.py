@@ -210,11 +210,18 @@ def cm_cells(key: Column, *, depth: int = CM_DEPTH, width: int = CM_WIDTH,
 def cm_sketch(df: DataFrame, key_col: str, *, weight_col: str | None = None,
               depth: int = CM_DEPTH, width: int = CM_WIDTH,
               salt: str = "cm") -> DataFrame:
-    """Build the sketch relation (depth int, cell bigint, cnt bigint),
-    ≤ depth·width rows. NULL keys are excluded. ``weight_col`` lets a
-    pre-aggregated (key, count) relation stand in for raw occurrences
-    — the cell sums are identical, and sketching the aggregate skips a
-    second pass over the corpus."""
+    """Build the sketch relation (depth int, cell bigint, cnt bigint,
+    geom string), ≤ depth·width rows. NULL keys are excluded.
+    ``weight_col`` lets a pre-aggregated (key, count) relation stand
+    in for raw occurrences — the cell sums are identical, and
+    sketching the aggregate skips a second pass over the corpus.
+
+    ``geom`` stamps the build geometry ("depth/width/salt") on every
+    counter row: estimates against a sketch built with different
+    parameters would silently undercount (probe cells land in the
+    wrong counter space), so :func:`cm_estimate` and :func:`cm_merge`
+    ASSERT geometry agreement at execution time instead.
+    """
     w = (F.col(weight_col).cast("long") if weight_col
          else F.lit(1).cast("long"))
     return (
@@ -225,7 +232,12 @@ def cm_sketch(df: DataFrame, key_col: str, *, weight_col: str | None = None,
         .groupBy(F.col("dc.depth").alias("depth"),
                  F.col("dc.cell").alias("cell"))
         .agg(F.sum("_w").alias("cnt"))
+        .withColumn("geom", F.lit(_cm_geom(depth, width, salt)))
     )
+
+
+def _cm_geom(depth: int, width: int, salt: str) -> str:
+    return f"{depth}/{width}/{salt}"
 
 
 def cm_estimate(sketch: DataFrame, probes: DataFrame, key_col: str, *,
@@ -234,27 +246,70 @@ def cm_estimate(sketch: DataFrame, probes: DataFrame, key_col: str, *,
     """Estimate each probe key's count: min over the d cells it
     hashes to. The sketch (≤ d·w rows) broadcasts to the probe side;
     a cell no key ever touched is absent from the relation and reads
-    as 0. Returns (key_col, out_col) — distinct probe keys."""
+    as 0. Returns (key_col, out_col) — distinct probe keys.
+
+    The sketch's geometry stamp is verified by a 1-row assertion
+    relation crossJoined into the plan (the scalar-subquery shape) —
+    a sketch built with different depth/width/salt would otherwise
+    read as zeros and silently break the est ≥ true guarantee. The
+    checked bit multiplies into the output expression, so column
+    pruning can never elide the assertion. ``key_col`` may be any
+    name except the sketch columns'.
+    """
+    if key_col in ("depth", "cell", "cnt", "geom"):
+        raise ValueError(f"probe key column {key_col!r} collides with a "
+                         "sketch column; rename the probe column")
+    expected = _cm_geom(depth, width, salt)
     pe = (
         probes.select(F.col(key_col))
         .filter(F.col(key_col).isNotNull()).distinct()
         .select(key_col,
                 F.explode(cm_cells(F.col(key_col), depth=depth,
-                                   width=width, salt=salt)).alias("dc"))
-        .select(key_col, "dc.depth", "dc.cell")
+                                   width=width, salt=salt)).alias("_dc"))
+        .select(key_col, F.col("_dc.depth").alias("depth"),
+                F.col("_dc.cell").alias("cell"))
     )
+    # an EMPTY sketch (no input rows) is valid for any geometry
+    geom_ok = F.coalesce(
+        (F.min("geom") == expected) & (F.max("geom") == expected),
+        F.lit(True))
+    chk = sketch.agg(
+        F.when(
+            F.assert_true(
+                geom_ok,
+                F.concat(
+                    F.lit("count-min geometry mismatch: sketch built "
+                          "with "),
+                    F.coalesce(F.min("geom"), F.lit("<empty>")),
+                    F.lit(f", probed with {expected}"))).isNull(),
+            F.lit(1).cast("long")).alias("_geom_ok"))
     return (
         pe.join(F.broadcast(sketch), ["depth", "cell"], "left")
+        .crossJoin(F.broadcast(chk))
         .groupBy(key_col)
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
-             .alias(out_col))
+        .agg((F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+              * F.first("_geom_ok")).alias(out_col))
     )
 
 
 def cm_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Sketch of the combined input: cell-wise counter addition.
     Exact (counters are sums), which the merge-law test asserts
-    against a one-shot sketch of the unioned input."""
-    return (a.unionByName(b)
+    against a one-shot sketch of the unioned input. Folding sketches
+    of different geometry is meaningless — a 1-row assertion over the
+    union's geometry stamps crossJoins into the plan (as in
+    :func:`cm_estimate`), and its checked bit multiplies into the
+    counters so column pruning can never elide it."""
+    u = a.unionByName(b)
+    chk = u.agg(
+        F.when(
+            F.assert_true(
+                F.coalesce(F.min("geom") == F.max("geom"), F.lit(True)),
+                F.concat(F.lit("count-min geometry mismatch: "),
+                         F.concat_ws(" vs ", F.min("geom"),
+                                     F.max("geom")))).isNull(),
+            F.lit(1).cast("long")).alias("_geom_ok"))
+    return (u.crossJoin(F.broadcast(chk))
             .groupBy("depth", "cell")
-            .agg(F.sum("cnt").alias("cnt")))
+            .agg((F.sum("cnt") * F.first("_geom_ok")).alias("cnt"),
+                 F.min("geom").alias("geom")))

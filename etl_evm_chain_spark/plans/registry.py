@@ -34,7 +34,7 @@ _PRIORITY = [
     "q111_jsonl_roundtrip", "q112_orc_roundtrip",
     "q76_zipf_slope", "q35_lsh_near_dups",
     "q113_scd2_history", "q114_copurchase_triangles", "q115_kmv_distinct",
-    "q116_zorder_cells",
+    "q116_zorder_cells", "q117_cm_heavy_hitters",
     "q40_ann_topk", "q96_bucketed_near_dups",
     "q72_knn_classify", "q74_pagerank", "q107_tuple_abi",
     "q109_tuple_array_abi", "q44_decode_transfers", "q46_transfer_rollup",
@@ -52,7 +52,6 @@ _PRIORITY = [
     "q51_merge_upsert",
     "q52_profile_columns", "q54_asof_join",
     "q86_nation_trade", "q56_hash_split", "q57_stratified_sample",
-    "q117_cm_heavy_hitters",
     "q80_chunk_documents", "q81_dataset_card", "q61_media_stats",
     "q97_bucketed_knn",
 ]

@@ -497,8 +497,11 @@ def stream_token_sketch(docs: DataFrame, *, sketch_dir: str,
     from ..functions.text import tokens
     from ..operators.sketches import CM_DEPTH, CM_WIDTH, cm_sketch
 
-    d = depth or CM_DEPTH
-    w_ = width or CM_WIDTH
+    d = CM_DEPTH if depth is None else depth
+    w_ = CM_WIDTH if width is None else width
+    if d < 1 or w_ < 1:
+        raise ValueError(f"sketch geometry must be positive, got "
+                         f"depth={d} width={w_}")
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -519,8 +522,15 @@ def stream_token_sketch(docs: DataFrame, *, sketch_dir: str,
 def read_token_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
     """Fold every landed epoch sketch into the global one: cell-wise
     addition over O(epochs · depth·width) counter rows — bounded by
-    sketch geometry, never by corpus or vocabulary size. Feed the
-    result to ``operators.sketches.cm_estimate``."""
+    sketch geometry, never by corpus or vocabulary size. Epochs
+    landed with mismatched geometry fail the fold's assertion (the
+    geom stamp rides every counter row). Feed the result to
+    ``operators.sketches.cm_estimate``."""
+    checked_geom = F.when(
+        F.assert_true(
+            F.min("geom") == F.max("geom"),
+            F.concat_ws(" vs ", F.min("geom"), F.max("geom"))).isNull(),
+        F.min("geom")).alias("geom")
     return (spark.read.parquet(sketch_dir)
             .groupBy("depth", "cell")
-            .agg(F.sum("cnt").alias("cnt")))
+            .agg(F.sum("cnt").alias("cnt"), checked_geom))

@@ -201,3 +201,40 @@ def test_cm_probe_of_unseen_key_is_zero(spark):
     # in a 4×1024 sketch a collision across all 4 depths is
     # deterministic-hash-impossible here
     assert est[0]["est_cnt"] == 0
+
+
+def test_cm_geometry_mismatch_raises(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    occ = _occurrences(spark, {"a": 3, "b": 2})
+    sk_narrow = cm_sketch(occ, "k", width=32)
+    # estimating with the default width against a width-32 sketch
+    # must FAIL LOUDLY, not silently undercount
+    with pytest.raises(Exception) as ei:
+        cm_estimate(sk_narrow, occ, "k").collect()
+    assert "geometry mismatch" in str(ei.value)
+    # merging sketches of different geometry likewise
+    sk_wide = cm_sketch(occ, "k")
+    with pytest.raises((Py4JJavaError, Exception)):
+        cm_merge(sk_narrow, sk_wide).collect()
+
+
+def test_cm_estimate_rejects_colliding_key_name(spark):
+    import pytest
+
+    occ = _occurrences(spark, {"a": 1})
+    sk = cm_sketch(occ, "k")
+    probes = occ.select(F.col("k").alias("cell"))
+    with pytest.raises(ValueError, match="collides"):
+        cm_estimate(sk, probes, "cell")
+
+
+def test_stream_token_sketch_rejects_zero_geometry(spark):
+    import pytest
+
+    from etl_evm_chain_spark.streaming import pipeline as sp
+
+    with pytest.raises(ValueError, match="positive"):
+        sp.stream_token_sketch(spark.range(1), sketch_dir="/tmp/x",
+                               checkpoint="/tmp/y", depth=0)

@@ -126,6 +126,10 @@ ALLOW: dict[str, set[str]] = {
     # 1-row global min/max stats broadcast for the Morton quantizers
     # (scalar-subquery shape, like q65/q66/q67 — no pair explosion)
     "q116_zorder_cells": {"nested_loop"},
+    # 1-row sketch-geometry assertion crossJoined into the estimate
+    # (scalar-subquery shape; the sketch itself broadcasts as a
+    # normal hash join on (depth, cell))
+    "q117_cm_heavy_hitters": {"nested_loop"},
 }
 
 FLAGS = {

@@ -114,8 +114,11 @@ SHOWCASE = {
         "bounded by the sketch size, never the vocabulary. The probe "
         "side broadcasts that tiny counter relation back onto the "
         "exact top-k (TakeOrderedAndProject), so the estimate join "
-        "moves 60 rows. Merging sketches across shards/epochs is "
-        "cell-wise addition: union + the same bounded re-aggregate."),
+        "moves 60 rows; a 1-row geometry assertion crossJoins in as "
+        "a scalar subquery so a sketch built with other parameters "
+        "fails loudly instead of undercounting. Merging sketches "
+        "across shards/epochs is cell-wise addition: union + the "
+        "same bounded re-aggregate."),
     "q65_quantize_embeddings": (
         "Scalar-subquery broadcast (corpus re-encoded in place)",
         "The per-dimension stats reduce to d rows (posexplode + "
