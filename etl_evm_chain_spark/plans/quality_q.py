@@ -1,0 +1,177 @@
+"""Data-quality gate + incremental materialized-aggregate queries.
+
+q118 — the declarative expectations suite (operators/expectations.py)
+run as an ingest gate over ``orders``: six rules (not-null, range,
+domain, a deliberately-tight range rule that FAILS, tuple uniqueness,
+referential integrity into ``customer``) compiled into one fact scan
+plus one broadcast anti-join scan. The report is the long-form
+(rule, violations, total, passed) relation a pipeline would land next
+to every ingested batch.
+
+q119 — incremental materialized-view maintenance (operators/
+matview.py): ``orders`` arrives as three disjoint epochs (date-cut
+splits, the arrival order of a real feed); each epoch folds into the
+algebraic state ``(n, sum, min, max)`` per (status, year) group, the
+three states merge pairwise (monoid law — tested exhaustively in
+tests/test_matview.py), and the finalize projection derives avg. The
+DuckDB oracle computes the same aggregate in ONE shot over the whole
+table — the hash match proves incremental == one-shot end-to-end, not
+just in unit tests.
+
+Reference parity: the reference's bots recompute every aggregate from
+full CSV reloads per run (/root/reference/bots/*.py); these queries
+are the maintained-state replacements that survive 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.expectations import (expect, expect_foreign_key,
+                                      expect_in_set, expect_not_null,
+                                      expect_unique, run_expectations)
+from ..operators.matview import aggregate_state, finalize_state, merge_states
+from . import QuerySpec
+
+
+# ---------------------------------------------------------------------------
+# Q118: expectations suite as an ingest gate.
+# ---------------------------------------------------------------------------
+
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    report = run_expectations(orders, [
+        expect_not_null("orderdate_not_null", "o_orderdate"),
+        expect("totalprice_positive", F.col("o_totalprice") > 0),
+        # deliberately tight bound — violations>0 proves the gate trips
+        expect("totalprice_under_100k", F.col("o_totalprice") < 100_000),
+        expect_in_set("status_domain", "o_orderstatus", ["O", "F", "P"]),
+        expect_unique("orderkey_unique", "o_orderkey"),
+        expect_foreign_key("custkey_fk_customer", "o_custkey",
+                           customer, "c_custkey"),
+    ])
+    return (report.withColumnRenamed("check", "check_name")
+                  .orderBy("check_name"))
+
+
+ORACLE_EXPECTATIONS = """
+WITH scan AS (
+  SELECT
+    count(*) AS total,
+    count(*) FILTER (WHERE NOT coalesce(o_orderdate IS NOT NULL, FALSE))
+        AS v_orderdate_not_null,
+    count(*) FILTER (WHERE NOT coalesce(o_totalprice > 0, FALSE))
+        AS v_totalprice_positive,
+    count(*) FILTER (WHERE NOT coalesce(o_totalprice < 100000, FALSE))
+        AS v_totalprice_under_100k,
+    count(*) FILTER (WHERE NOT coalesce(o_orderstatus IN ('O','F','P'),
+                                        FALSE)) AS v_status_domain,
+    count(*) - count(DISTINCT o_orderkey) AS v_orderkey_unique
+  FROM orders
+), fk AS (
+  SELECT count(*) AS total,
+         count(*) FILTER (WHERE c.c_custkey IS NULL) AS violations
+  FROM orders o
+  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o.o_custkey = c.c_custkey
+), long AS (
+  SELECT 'orderdate_not_null' AS check_name,
+         CAST(v_orderdate_not_null AS BIGINT) AS violations,
+         CAST(total AS BIGINT) AS total FROM scan
+  UNION ALL
+  SELECT 'totalprice_positive', CAST(v_totalprice_positive AS BIGINT),
+         CAST(total AS BIGINT) FROM scan
+  UNION ALL
+  SELECT 'totalprice_under_100k', CAST(v_totalprice_under_100k AS BIGINT),
+         CAST(total AS BIGINT) FROM scan
+  UNION ALL
+  SELECT 'status_domain', CAST(v_status_domain AS BIGINT),
+         CAST(total AS BIGINT) FROM scan
+  UNION ALL
+  SELECT 'orderkey_unique', CAST(v_orderkey_unique AS BIGINT),
+         CAST(total AS BIGINT) FROM scan
+  UNION ALL
+  SELECT 'custkey_fk_customer', CAST(violations AS BIGINT),
+         CAST(total AS BIGINT) FROM fk
+)
+SELECT check_name, violations, total,
+       CAST(violations = 0 AS INT) AS passed
+FROM long
+ORDER BY check_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q119: incremental materialized aggregate == one-shot oracle.
+# ---------------------------------------------------------------------------
+
+_EPOCH_CUTS = ("1997-01-01", "1999-01-01")
+
+
+def _prepared_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderstatus").alias("status"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate"),
+    )
+
+
+def q_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _prepared_orders(spark, sf_dir)
+    c1 = F.lit(_EPOCH_CUTS[0]).cast("timestamp")
+    c2 = F.lit(_EPOCH_CUTS[1]).cast("timestamp")
+    epochs = [
+        base.filter(F.col("o_orderdate") < c1),
+        base.filter((F.col("o_orderdate") >= c1)
+                    & (F.col("o_orderdate") < c2)),
+        base.filter(F.col("o_orderdate") >= c2),
+    ]
+    keys = ["status", "yr"]
+    state = aggregate_state(epochs[0].drop("o_orderdate"), keys, "price")
+    for ep in epochs[1:]:
+        state = merge_states(
+            state, aggregate_state(ep.drop("o_orderdate"), keys, "price"),
+            keys)
+    return (finalize_state(state)
+            .select("status", "yr",
+                    F.col("n").alias("n_orders"),
+                    F.col("sum").cast("double").alias("sum_price"),
+                    F.col("min").alias("min_price"),
+                    F.col("max").alias("max_price"),
+                    F.col("avg").alias("avg_price"))
+            .orderBy("status", "yr"))
+
+
+ORACLE_INCREMENTAL_MV = """
+SELECT o_orderstatus AS status,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(count(o_totalprice) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           / count(o_totalprice) AS avg_price
+FROM orders
+GROUP BY o_orderstatus, year(o_orderdate)
+ORDER BY status, yr
+"""
+
+
+SPECS = [
+    QuerySpec("q118_expectations", q_expectations, ORACLE_EXPECTATIONS,
+              "declarative data-quality gate: 5 rules in one fact scan "
+              "+ broadcast FK anti-check; long-form violations report",
+              ("B4", "P2-quality")),
+    QuerySpec("q119_incremental_mv", q_incremental_mv,
+              ORACLE_INCREMENTAL_MV,
+              "incremental materialized aggregate: 3 epoch states merged "
+              "via the (n,sum,min,max) monoid == one-shot DuckDB aggregate",
+              ("D13", "P2-quality")),
+]

@@ -4,12 +4,12 @@ from __future__ import annotations
 
 from . import QuerySpec
 from . import (analytics_ext, curation_q, evm, graph_q, ingest_q, joins_ext,
-               llmdata, multimodal_q, relational, skew_q, stateful,
+               llmdata, multimodal_q, quality_q, relational, skew_q, stateful,
                textstats_q, timeseries_q, warehouse)
 
 _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
             warehouse, joins_ext, curation_q, multimodal_q, graph_q,
-            textstats_q, skew_q, ingest_q]
+            textstats_q, skew_q, ingest_q, quality_q]
 
 # The correctness driver samples the FIRST 50 registry entries. Round 4
 # (VERDICT r3 "Next round" #5) front-loads every query whose PLAN or
@@ -25,7 +25,8 @@ _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
 # r01-r03): q49/q91 (for q110/q76), q92/q93 (for q111/q112), q55
 # (for q35, whose jaccard output switched to floor-truncation),
 # q47/q48/q88/q94 (for the new q113 SCD2 / q114 triangles /
-# q115 KMV / q116 Z-order), and q67 (for the new q117 count-min).
+# q115 KMV / q116 Z-order), q67 (for the new q117 count-min), and
+# q77/q82 (for the new q118 expectations / q119 incremental matview).
 _PRIORITY = [
     # ---- EXACTLY the driver's 50-slot window, all oracle-backed ----
     # changed since their last driver-green row (round-4 work):
@@ -35,6 +36,7 @@ _PRIORITY = [
     "q76_zipf_slope", "q35_lsh_near_dups",
     "q113_scd2_history", "q114_copurchase_triangles", "q115_kmv_distinct",
     "q116_zorder_cells", "q117_cm_heavy_hitters",
+    "q118_expectations", "q119_incremental_mv",
     "q40_ann_topk", "q96_bucketed_near_dups",
     "q72_knn_classify", "q74_pagerank", "q107_tuple_abi",
     "q109_tuple_array_abi", "q44_decode_transfers", "q46_transfer_rollup",
@@ -48,7 +50,6 @@ _PRIORITY = [
     "q68_semantic_dedup", "q69_span_dedup", "q83_bigram_surprisal",
     "q71_unigram_surprisal", "q45_topic_routing",
     "q41_dedup_resolve",
-    "q77_mad_outliers", "q82_dup_cluster_histogram",
     "q51_merge_upsert",
     "q52_profile_columns", "q54_asof_join",
     "q86_nation_trade", "q56_hash_split", "q57_stratified_sample",

@@ -1,0 +1,91 @@
+"""Tests for operators/expectations.py and operators/matview.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_evm_chain_spark.operators.expectations import (
+    expect, expect_foreign_key, expect_in_set, expect_not_null,
+    expect_unique, run_expectations)
+from etl_evm_chain_spark.operators.matview import (
+    aggregate_state, finalize_state, merge_states)
+
+
+def _report(df, checks):
+    rows = run_expectations(df, checks).collect()
+    return {r["check"]: (r["violations"], r["total"], r["passed"])
+            for r in rows}
+
+
+def test_expectations_expr_unique_fk(spark):
+    fact = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", -5.0), (3, None, 3.0),
+         (3, "a", None), (4, "z", 7.0)],
+        "id long, code string, val double")
+    dim = spark.createDataFrame([("a",), ("b",), ("c",)], "code string")
+    rep = _report(fact, [
+        expect_not_null("code_not_null", "code"),
+        expect("val_positive", F.col("val") > 0),      # NULL val → violation
+        expect_in_set("code_domain", "code", ["a", "b", "c"]),
+        expect_unique("id_unique", "id"),
+        expect_foreign_key("code_fk", "code", dim, "code"),
+    ])
+    assert rep["code_not_null"] == (1, 5, 0)
+    assert rep["val_positive"] == (2, 5, 0)            # -5 and NULL
+    assert rep["code_domain"] == (2, 5, 0)             # None and 'z'
+    assert rep["id_unique"] == (1, 5, 0)               # id=3 twice
+    assert rep["code_fk"] == (2, 5, 0)                 # None and 'z' orphans
+
+
+def test_expectations_all_pass(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, c string")
+    rep = _report(df, [expect_not_null("nn", "c"),
+                       expect_unique("uq", ["id", "c"])])
+    assert rep == {"nn": (0, 2, 1), "uq": (0, 2, 1)}
+
+
+def test_expectations_validation_errors(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="no expectations"):
+        run_expectations(df, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        run_expectations(df, [expect_not_null("a", "id"),
+                              expect_unique("a", "id")])
+    with pytest.raises(ValueError, match="arity"):
+        expect_foreign_key("fk", ["id"], df, ["a", "b"])
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_matview_monoid_merge_orders(spark):
+    df = spark.createDataFrame(
+        [("a", 1.5), ("a", 2.5), ("b", -1.0), ("b", None),
+         ("c", None), ("a", 4.0), ("b", 0.25)],
+        "k string, v double")
+    one_shot = aggregate_state(df, "k", "v")
+    parts = [df.filter(F.crc32(F.concat_ws("|", "k", "v")) % 3 == i)
+             for i in range(3)]
+    states = [aggregate_state(p, "k", "v") for p in parts]
+    # two different fold orders, both must equal the one-shot state
+    left = merge_states(merge_states(states[0], states[1], "k"),
+                        states[2], "k")
+    right = merge_states(states[0],
+                         merge_states(states[2], states[1], "k"), "k")
+    assert _rows(left) == _rows(one_shot)
+    assert _rows(right) == _rows(one_shot)
+
+
+def test_matview_empty_identity_and_nulls(spark):
+    df = spark.createDataFrame([("a", 1.0), ("n", None)],
+                               "k string, v double")
+    state = aggregate_state(df, "k", "v")
+    empty = aggregate_state(df.limit(0), "k", "v")
+    assert _rows(merge_states(state, empty, "k")) == _rows(state)
+    fin = {r["k"]: r for r in finalize_state(state).collect()}
+    assert fin["a"]["n"] == 1 and fin["a"]["avg"] == 1.0
+    # all-NULL group: n=0, measures NULL, avg NULL (no divide-by-zero)
+    assert fin["n"]["n"] == 0 and fin["n"]["sum"] is None
+    assert fin["n"]["avg"] is None
