@@ -534,3 +534,56 @@ def read_token_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
     return (spark.read.parquet(sketch_dir)
             .groupBy("depth", "cell")
             .agg(F.sum("cnt").alias("cnt"), checked_geom))
+
+
+def stream_matview(events: DataFrame, *, state_dir: str, checkpoint: str,
+                   keys: str | list[str], value: str,
+                   trigger_once: bool = True):
+    """Maintained aggregate AT INGEST TIME: each micro-batch folds into
+    its own algebraic state partition (operators/matview.
+    aggregate_state → ``state_dir/batch_id=<epoch>/``); the live view
+    is :func:`read_matview`'s fold over all epochs. Incremental ==
+    one-shot exactly, by the matview monoid (decimal sums — no
+    fold-order drift), so the view answers "group totals over the
+    whole history" without ever rescanning history.
+
+    Exactly-once via the epoch-directory ledger (same contract as
+    ``stream_export_shards``/``stream_token_sketch``): a batch's state
+    is a pure function of its rows, so a replayed epoch overwrites its
+    directory with an identical partition. Per-epoch cost is one hash
+    aggregate over the batch; the landed lake is O(epochs · |groups|)
+    state rows.
+    """
+    import os
+
+    from ..operators.matview import aggregate_state
+
+    ks = [keys] if isinstance(keys, str) else list(keys)
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        st = aggregate_state(batch_df, ks, value)
+        st.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch_id={int(batch_id)}"))
+
+    w = (events.writeStream.foreachBatch(per_batch)
+         .option("checkpointLocation", checkpoint))
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def read_matview(spark: SparkSession, state_dir: str,
+                 keys: str | list[str]) -> DataFrame:
+    """Fold every landed epoch state into the current view — the same
+    combine as operators/matview.merge_states, over O(epochs·|groups|)
+    state rows. Feed the result to ``matview.finalize_state`` for
+    derived measures (avg); the fold output stays re-mergeable."""
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    return (spark.read.parquet(state_dir)
+            .groupBy(*ks)
+            .agg(F.sum("n").cast("long").alias("n"),
+                 F.sum("sum").cast("decimal(38,6)").alias("sum"),
+                 F.min("min").alias("min"),
+                 F.max("max").alias("max")))

@@ -649,3 +649,39 @@ def test_stream_token_sketch_incremental_equals_one_shot(spark, tmp_path):
     again = {(r["depth"], r["cell"]): r["cnt"]
              for r in sp.read_token_sketch(spark, skd).collect()}
     assert again == folded
+
+
+def test_stream_matview_incremental_equals_one_shot(spark, tmp_path):
+    """Per-epoch landed aggregate states must fold (read_matview) into
+    exactly the one-shot state of the full history — the matview
+    monoid through the streaming path — and finalize on the folded
+    view must equal finalize on the one-shot state."""
+    from etl_evm_chain_spark.operators.matview import (aggregate_state,
+                                                       finalize_state)
+
+    src = str(tmp_path / "mv_src")
+    std = str(tmp_path / "mv_state")
+    ckpt = str(tmp_path / "mv_ckpt")
+
+    def run():
+        stream = spark.readStream.schema("k string, v double") \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        q = sp.stream_matview(stream, state_dir=std, checkpoint=ckpt,
+                              keys="k", value="v")
+        q.awaitTermination(120)
+
+    rows1 = [(f"g{i % 3}", float(i)) for i in range(40)]
+    rows2 = [("g1", 2.5), ("g3", None), ("g0", -7.25)]
+    spark.createDataFrame(rows1, "k string, v double") \
+        .write.mode("append").parquet(src)
+    run()
+    spark.createDataFrame(rows2, "k string, v double") \
+        .write.mode("append").parquet(src)
+    run()
+
+    folded = sp.read_matview(spark, std, "k")
+    all_rows = spark.createDataFrame(rows1 + rows2, "k string, v double")
+    oneshot = aggregate_state(all_rows, "k", "v")
+    as_set = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert as_set(folded) == as_set(oneshot)
+    assert as_set(finalize_state(folded)) == as_set(finalize_state(oneshot))

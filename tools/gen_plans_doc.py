@@ -119,6 +119,29 @@ SHOWCASE = {
         "fails loudly instead of undercounting. Merging sketches "
         "across shards/epochs is cell-wise addition: union + the "
         "same bounded re-aggregate."),
+    "q118_expectations": (
+        "Compiled data-quality gate (rules → one scan)",
+        "All five row-level/uniqueness rules compile into ONE "
+        "HashAggregate pass over orders — the plan shows a single "
+        "parquet scan feeding count(1) plus one conditional sum per "
+        "rule (and an Expand for the distinct-tuple rule), partial "
+        "map-side combine, 1-row result exploded to long form. The "
+        "referential rule is its own scan: BroadcastHashJoin "
+        "LeftOuter against the deduped customer keys with the miss "
+        "count and total folded in the SAME aggregate. Adding rules "
+        "adds expressions, not scans: a k-rule gate costs "
+        "1 + |FK rules| fact scans at any data size."),
+    "q119_incremental_mv": (
+        "Incremental matview fold (state rows cross the shuffle)",
+        "Each arrival epoch is one partially-aggregated "
+        "HashAggregate of its own slice (the three date-cut scans "
+        "stand in for three real ingest batches); what the merge "
+        "union + re-fold shuffles afterwards is |groups|-sized "
+        "STATE rows, never fact rows. Decimal sums make the monoid "
+        "combine order-insensitive bit-for-bit, so AQE/Catalyst can "
+        "re-associate the folds freely — and the DuckDB oracle "
+        "computing the same answer in one shot proves "
+        "incremental == one-shot at every driver round."),
     "q65_quantize_embeddings": (
         "Scalar-subquery broadcast (corpus re-encoded in place)",
         "The per-dimension stats reduce to d rows (posexplode + "
