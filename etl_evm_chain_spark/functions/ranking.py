@@ -22,10 +22,21 @@ key's value, so bucket order + within-bucket order is the total order.
 Bucket counts are DERIVED from ``spark.sql.shuffle.partitions``
 (``scaled_buckets``), not hardcoded: per-bucket sort width then tracks
 cluster parallelism instead of growing linearly with data (the round-3
-verdict's "fixed bucket constants" weakness). Skewed value
-distributions concentrate buckets — at 100 TB feed equi-depth edges
-from catalog stats instead of equi-width (the phase-1 bucketing is the
-only piece to swap).
+verdict's "fixed bucket constants" weakness).
+
+``edges="depth"`` additionally makes the bucketing EQUI-DEPTH:
+``repartitionByRange(n_buckets, *order_cols)`` — Spark's
+RangePartitioner reservoir-samples the FULL order tuple
+(deterministic seeds, ``byteswap32(partitionId)``) and places
+boundaries at sampled quantiles, so buckets are balanced under
+arbitrary value skew, and even a single repeated value splits safely
+because boundaries include the tiebreak columns. ``_bkt`` is then the
+physical partition id: monotone in the total order by the range
+guarantee, so phase 2 is unchanged and the ranks are bit-for-bit
+identical to the equi-width mode — only the physical balance
+changes. The explicit partition count pins the exchange
+(REPARTITION_BY_NUM), which AQE does not re-coalesce — the census
+and the ranked output must see the same assignment.
 
 Reference parity: the reference engine has no ranking functions at all
 (SURVEY §2.D); these back q53/q87/q15's rank/ntile/split semantics.
@@ -65,7 +76,8 @@ def bucketed_rank(df: DataFrame, value_col: str,
                   part_cols: Sequence[str] = (),
                   n_buckets: int = 64,
                   rank_name: str = "_rank",
-                  total_name: str | None = None) -> DataFrame:
+                  total_name: str | None = None,
+                  edges: str = "width") -> DataFrame:
     """``df`` + an exact 1-based ``rank_name`` column equal to
     ``row_number() OVER (PARTITION BY part_cols ORDER BY order_cols)``
     — computed without any window whose partition count is O(1) in the
@@ -83,7 +95,8 @@ def bucketed_rank(df: DataFrame, value_col: str,
         raise ValueError("value_col must lead order_cols "
                          f"({value_col!r} vs {order_cols!r})")
 
-    b = _bucketize(df, value_col, part_cols, n_buckets)
+    b = _assign_buckets(df, value_col, part_cols, n_buckets,
+                        edges, order_cols)
     counts = b.groupBy(*part_cols, "_bkt").agg(
         F.count(F.lit(1)).alias("_cnt"))
     prefix = _prefix_offsets(counts, part_cols, total_name)
@@ -100,7 +113,8 @@ def bucketed_prefix_sum(df: DataFrame, value_col: str,
                         order_cols: Sequence[str], weight_col: str, *,
                         part_cols: Sequence[str] = (),
                         n_buckets: int = 64,
-                        out_name: str = "_cum") -> DataFrame:
+                        out_name: str = "_cum",
+                        edges: str = "width") -> DataFrame:
     """``df`` + the INCLUSIVE running sum of ``weight_col`` in
     ``(part_cols, order_cols)`` order — i.e. ``sum(weight) OVER
     (PARTITION BY part_cols ORDER BY order_cols ROWS UNBOUNDED
@@ -118,7 +132,8 @@ def bucketed_prefix_sum(df: DataFrame, value_col: str,
         raise ValueError("value_col must lead order_cols "
                          f"({value_col!r} vs {order_cols!r})")
 
-    b = _bucketize(df, value_col, part_cols, n_buckets)
+    b = _assign_buckets(df, value_col, part_cols, n_buckets,
+                        edges, order_cols)
     sums = b.groupBy(*part_cols, "_bkt").agg(
         F.sum(weight_col).alias("_cnt"))
     prefix = _prefix_offsets(sums, part_cols, None)
@@ -152,6 +167,29 @@ def _join_groups(left: DataFrame, right: DataFrame,
         cond = eq if cond is None else (cond & eq)
     out = left.join(F.broadcast(r), cond)
     return out.drop(*[f"_r_{c}" for c in on])
+
+
+def _assign_buckets(df: DataFrame, value_col: str, part_cols: list,
+                    n_buckets: int, edges: str,
+                    order_cols: list) -> DataFrame:
+    """Dispatch on ``edges``: ``"width"`` = one-pass deterministic
+    equi-width value ranges (bucket = function of the leading value,
+    ties share a bucket); ``"depth"`` = sampled-quantile range
+    partitioning on the FULL order tuple (balanced under arbitrary
+    skew; ties may split because the boundary includes the
+    tiebreaks). Both produce a ``_bkt`` that is monotone w.r.t. the
+    total (part-local) order, which is all phase 2 needs."""
+    if edges == "width":
+        return _bucketize(df, value_col, part_cols, n_buckets)
+    if edges != "depth":
+        raise ValueError(f"edges must be 'width' or 'depth', got {edges!r}")
+    # RangePartitioner's reservoir sampling uses deterministic
+    # per-partition seeds, so re-executions of this exchange (the
+    # census job and the ranked-output job) assign identically; the
+    # explicit count pins the exchange against AQE coalescing.
+    ranged = df.repartitionByRange(n_buckets,
+                                   *[F.col(c) for c in order_cols])
+    return ranged.withColumn("_bkt", F.spark_partition_id())
 
 
 def _bucketize(df: DataFrame, value_col: str, part_cols: list,

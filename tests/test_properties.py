@@ -227,9 +227,11 @@ rank_rows = st.lists(
 )
 
 
-@given(rank_rows, st.integers(min_value=1, max_value=7))
+@given(rank_rows, st.integers(min_value=1, max_value=7),
+       st.sampled_from(["width", "depth"]))
 @settings(**SETTINGS)
-def test_bucketed_rank_matches_window_on_random_data(spark, rows, nb):
+def test_bucketed_rank_matches_window_on_random_data(spark, rows, nb,
+                                                     edges):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -237,7 +239,8 @@ def test_bucketed_rank_matches_window_on_random_data(spark, rows, nb):
 
     df = spark.createDataFrame(rows, "g string, v long, id long")
     got = bucketed_rank(df, "v", ["v", "id"], part_cols=["g"],
-                        n_buckets=nb, rank_name="r", total_name="m")
+                        n_buckets=nb, rank_name="r", total_name="m",
+                        edges=edges)
     w = Window.partitionBy("g").orderBy("v", "id")
     want = (df.withColumn("r", F.row_number().over(w))
             .withColumn("m", F.count(F.lit(1)).over(

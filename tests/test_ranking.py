@@ -138,3 +138,72 @@ def test_bucketed_prefix_sum_double_weights_exact(spark):
                               out_name="c")
     got = {r.id: r.c for r in cum.collect()}
     assert got == {i: 0.5 * i for i in range(1, 7)}
+
+
+def _bucket_sizes(df, value_col, part_cols, n_buckets, edges,
+                  order_cols):
+    from etl_evm_chain_spark.functions.ranking import _assign_buckets
+    b = _assign_buckets(df, value_col, list(part_cols), n_buckets,
+                        edges, list(order_cols))
+    return [r["n"] for r in
+            b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("n")).collect()]
+
+
+def test_equi_depth_ranks_match_window_on_skewed_values(spark):
+    # doubly-nested skew: 90% of rows crowd a tiny range (13 tied
+    # values), outliers span 7 decades — equi-width funnels the crowd
+    # into one bucket; sampled-quantile range boundaries on the full
+    # (v, id) tuple split even the ties
+    rows = [(i, float(i % 13) / 1000.0) for i in range(900)]
+    rows += [(1000 + i, float(2 ** (i % 20))) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = bucketed_rank(df, "v", ["v", "id"], n_buckets=16,
+                        edges="depth", rank_name="_rank")
+    want = _window_rank(df, ["v", "id"])
+    joined = got.join(want.select("id", "_want"), "id")
+    assert joined.filter(F.col("_rank") != F.col("_want")).count() == 0
+
+    depth_sizes = _bucket_sizes(df, "v", [], 16, "depth", ["v", "id"])
+    width_sizes = _bucket_sizes(df, "v", [], 16, "width", ["v", "id"])
+    ideal = 1000 / 16
+    assert max(width_sizes) >= 0.9 * 1000  # the skew disease, visible
+    # sampled boundaries: balanced within a small factor of ideal,
+    # no tie floor (boundaries include the id tiebreak)
+    assert max(depth_sizes) <= 4 * ideal
+
+
+def test_equi_depth_grouped_with_null_key(spark):
+    rows = [("a", i, float(i % 7)) for i in range(200)]
+    rows += [(None, 10_000 + i, float(i) ** 2) for i in range(80)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = bucketed_rank(df, "v", ["v", "id"], part_cols=["g"],
+                        n_buckets=8, edges="depth", rank_name="_rank",
+                        total_name="_tot")
+    want = _window_rank(df, ["v", "id"], part_cols=["g"])
+    joined = got.join(want.select("g", "id", "_want"),
+                      ["id"])  # id unique per row
+    assert joined.filter(F.col("_rank") != F.col("_want")).count() == 0
+    tots = {r["g"]: r["_tot"] for r in
+            got.select("g", "_tot").distinct().collect()}
+    assert tots == {"a": 200, None: 80}
+
+
+def test_equi_depth_prefix_sum_matches_window(spark):
+    from etl_evm_chain_spark.functions.ranking import bucketed_prefix_sum
+    rows = [(i, float(i % 5), (i % 11) + 0.5) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v double, w double")
+    got = bucketed_prefix_sum(df, "v", ["v", "id"], "w", n_buckets=8,
+                              edges="depth", out_name="_cum")
+    w = (Window.orderBy("v", "id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    want = df.withColumn("_want", F.sum("w").over(w))
+    joined = got.join(want.select("id", "_want"), "id")
+    bad = joined.filter(
+        F.abs(F.col("_cum") - F.col("_want")) > 1e-9).count()
+    assert bad == 0
+
+
+def test_equi_depth_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    with pytest.raises(ValueError, match="width.*depth|depth.*width"):
+        bucketed_rank(df, "v", ["v"], edges="median")
