@@ -322,3 +322,47 @@ def shard_manifest(assigned: DataFrame, *, key: str = "doc_id",
         F.pmod(fsum, F.lit(1 << 60).cast("decimal(38,0)"))
         .cast("long").alias("checksum"))
         .orderBy("shard"))
+
+
+def budget_mix(df: DataFrame, *, part_col: str, cost_col: str,
+               rate_col: Column, key: str,
+               n_buckets: int = 64) -> DataFrame:
+    """Per-source budgeted corpus mixing: within each ``part_col``
+    group, take rows in deterministic md5-of-``key`` order until the
+    cumulative ``cost_col`` reaches that group's budget —
+    ``floor(rate × group_total_cost / 10)`` with ``rate_col`` in
+    tenths (integer-exact in any engine; a 0.1 float literal would be
+    DECIMAL in DuckDB but DOUBLE in Spark and disagree at floor
+    boundaries). This is the token/char-budget data-mixing step of a
+    training pipeline: rates boost or flatten sources, the hash order
+    makes the selection a pure function of the data (re-runs, late
+    arrivals, and engines all agree).
+
+    The running cost uses the two-phase ranking kit with
+    ``edges="depth"`` — the order key is a HASH STRING, so equi-width
+    numeric ranges can't bucket it, and sampled-quantile range
+    boundaries keep the per-bucket sort bounded regardless of corpus
+    skew. No window partitioned by the (low-cardinality) source ever
+    sees the corpus.
+
+    Returns the selected rows plus ``_cum`` (running cost) and
+    ``_budget``. Groups whose first row already exceeds the budget
+    select nothing (strict ``cum <= budget``).
+    """
+    from ..functions.ranking import bucketed_prefix_sum
+
+    hk = F.md5(F.col(key).cast("string"))
+    with_key = df.withColumn("_hk", hk).withColumn("_rate", rate_col)
+    budgets = (with_key.groupBy(part_col)
+               .agg(F.max("_rate").alias("_r"),
+                    F.sum(cost_col).cast("long").alias("_tot"))
+               .select(part_col,
+                       F.floor(F.col("_r") * F.col("_tot") / 10)
+                        .cast("long").alias("_budget")))
+    cum = bucketed_prefix_sum(
+        with_key, "_hk", ["_hk", key], cost_col,
+        part_cols=[part_col], n_buckets=n_buckets, edges="depth",
+        out_name="_cum")
+    return (cum.join(F.broadcast(budgets), part_col)
+            .filter(F.col("_cum") <= F.col("_budget"))
+            .drop("_hk", "_rate"))

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.text import quality_score, token_count
 from ..operators.curation import (
+    budget_mix,
     hash_split,
     pack_sequences,
     stratified_sample,
@@ -378,6 +379,55 @@ FROM assigned GROUP BY shard ORDER BY shard
 """
 
 
+# ---------------------------------------------------------------------------
+# Q120: char-budget corpus mixing — per-source budgets (rate in
+# tenths x the source's own char total), selection in deterministic
+# md5(doc_id) order via the depth-mode prefix-sum kit. The mixing
+# step of a training pipeline: boost/flatten sources to a target
+# composition without randomness. Reference has no curation plane;
+# this extends the bots' pandas-side sampling (SURVEY P2-curation).
+# ---------------------------------------------------------------------------
+
+def q_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ranking import scaled_buckets
+    docs = load_table(spark, sf_dir, "documents")
+    # rate in tenths derived from the source name: src<k> -> 1 + k%3
+    # (10/20/30% of each source's chars) — portable to the oracle
+    rate = F.substring("source", 4, 10).cast("int") % 3 + 1
+    sel = budget_mix(docs, part_col="source", cost_col="n_chars",
+                     rate_col=rate, key="doc_id",
+                     n_buckets=scaled_buckets(spark))
+    return (sel.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sel_chars"),
+                 F.max("_budget").alias("budget"))
+            .orderBy("source"))
+
+
+ORACLE_BUDGET_MIX = """
+WITH b AS (
+  SELECT source,
+         CAST(floor((1 + CAST(substr(source, 4) AS INT) % 3)
+                    * sum(n_chars) / 10) AS BIGINT) AS budget
+  FROM documents GROUP BY source
+), ordered AS (
+  SELECT source, doc_id, n_chars,
+         sum(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
+  FROM documents
+)
+SELECT o.source,
+       count(*) AS n_docs,
+       CAST(sum(o.n_chars) AS BIGINT) AS sel_chars,
+       b.budget AS budget
+FROM ordered o JOIN b ON o.source = b.source
+WHERE o.cum <= b.budget
+GROUP BY o.source, b.budget
+ORDER BY o.source
+"""
+
+
 SPECS = [
     QuerySpec("q108_shard_manifest", q_shard_manifest,
               ORACLE_SHARD_MANIFEST,
@@ -412,4 +462,8 @@ SPECS = [
     QuerySpec("q81_dataset_card", q_dataset_card, ORACLE_DATASET_CARD,
               "per-(source, lang) corpus release report",
               ("P2-curation", "D13")),
+    QuerySpec("q120_budget_mix", q_budget_mix, ORACLE_BUDGET_MIX,
+              "char-budget source mixing: hash-ordered prefix-sum cut "
+              "per source (depth-mode two-phase kit, no source-"
+              "partitioned corpus window)", ("P2-curation", "P2-ranking")),
 ]

@@ -25,8 +25,9 @@ _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
 # r01-r03): q49/q91 (for q110/q76), q92/q93 (for q111/q112), q55
 # (for q35, whose jaccard output switched to floor-truncation),
 # q47/q48/q88/q94 (for the new q113 SCD2 / q114 triangles /
-# q115 KMV / q116 Z-order), q67 (for the new q117 count-min), and
-# q77/q82 (for the new q118 expectations / q119 incremental matview).
+# q115 KMV / q116 Z-order), q67 (for the new q117 count-min),
+# q77/q82 (for the new q118 expectations / q119 incremental matview),
+# and q61 (for the new q120 budget mix).
 _PRIORITY = [
     # ---- EXACTLY the driver's 50-slot window, all oracle-backed ----
     # changed since their last driver-green row (round-4 work):
@@ -36,7 +37,7 @@ _PRIORITY = [
     "q76_zipf_slope", "q35_lsh_near_dups",
     "q113_scd2_history", "q114_copurchase_triangles", "q115_kmv_distinct",
     "q116_zorder_cells", "q117_cm_heavy_hitters",
-    "q118_expectations", "q119_incremental_mv",
+    "q118_expectations", "q119_incremental_mv", "q120_budget_mix",
     "q40_ann_topk", "q96_bucketed_near_dups",
     "q72_knn_classify", "q74_pagerank", "q107_tuple_abi",
     "q109_tuple_array_abi", "q44_decode_transfers", "q46_transfer_rollup",
@@ -53,7 +54,7 @@ _PRIORITY = [
     "q51_merge_upsert",
     "q52_profile_columns", "q54_asof_join",
     "q86_nation_trade", "q56_hash_split", "q57_stratified_sample",
-    "q80_chunk_documents", "q81_dataset_card", "q61_media_stats",
+    "q80_chunk_documents", "q81_dataset_card",
     "q97_bucketed_knn",
 ]
 

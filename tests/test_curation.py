@@ -170,3 +170,25 @@ def test_export_shards_layout_and_manifest(spark, tmp_path):
         docs.repartition(13), key="doc_id", n_shards=8)).collect()
     assert {r["shard"]: (r["n_docs"], r["checksum"]) for r in m2} == \
         {r["shard"]: (r["n_docs"], r["checksum"]) for r in manifest}
+
+
+def test_budget_mix_strict_budgets_and_order(spark):
+    from etl_evm_chain_spark.operators.curation import budget_mix
+
+    rows = [("a", i, 100) for i in range(10)]          # tot=1000
+    rows += [("b", 100 + i, 400) for i in range(3)]    # tot=1200
+    df = spark.createDataFrame(rows, "src string, doc_id long, cost long")
+    # rate 2 tenths => budgets: a=200 (2 docs), b=240 (0 docs: first
+    # row alone costs 400 > 240 — strict cut selects nothing)
+    sel = budget_mix(df, part_col="src", cost_col="cost",
+                     rate_col=F.lit(2), key="doc_id", n_buckets=4)
+    got = sel.groupBy("src").count().collect()
+    assert {r["src"]: r["count"] for r in got} == {"a": 2}
+    picked = sorted(r["doc_id"] for r in sel.collect())
+    # selection = the 2 lowest md5(doc_id) keys of group a
+    import hashlib
+    want = sorted(range(10),
+                  key=lambda i: hashlib.md5(str(i).encode()).hexdigest())[:2]
+    assert picked == sorted(want)
+    # _cum carries the running cost; max selected cum <= budget
+    assert sel.agg(F.max("_cum")).first()[0] <= 200
