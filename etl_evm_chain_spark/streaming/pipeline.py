@@ -587,3 +587,40 @@ def read_matview(spark: SparkSession, state_dir: str,
                  F.sum("sum").cast("decimal(38,6)").alias("sum"),
                  F.min("min").alias("min"),
                  F.max("max").alias("max")))
+
+
+def stream_expectations(events: DataFrame, checks, *, report_dir: str,
+                        checkpoint: str, trigger_once: bool = True):
+    """Data-quality gate AT INGEST TIME: each micro-batch runs the
+    compiled expectations suite (operators/expectations.
+    run_expectations — one conditional-aggregate pass per batch plus
+    one scan per FK rule) and lands the |rules|-row violations report
+    under ``report_dir/batch_id=<epoch>/``. The report is a pure
+    function of the batch's rows, so a replayed epoch overwrites its
+    directory with an identical report (epoch-directory ledger, same
+    contract as the sketch/matview/shard exports). Downstream a
+    gate-keeper reads the per-epoch reports and quarantines or admits
+    the corresponding data epochs — the violation history itself is
+    the audit trail.
+
+    ``checks`` must be batch-evaluable: row-level / uniqueness /
+    FK-vs-static-dim rules. Uniqueness is per-epoch (cross-epoch
+    uniqueness is a maintained-state problem — pair with
+    ``stream_matview`` keyed on the tuple if needed).
+    """
+    import os
+
+    from ..operators.expectations import run_expectations
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        rep = run_expectations(batch_df, checks)
+        rep.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(report_dir, f"batch_id={int(batch_id)}"))
+
+    w = (events.writeStream.foreachBatch(per_batch)
+         .option("checkpointLocation", checkpoint))
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -685,3 +685,43 @@ def test_stream_matview_incremental_equals_one_shot(spark, tmp_path):
     as_set = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
     assert as_set(folded) == as_set(oneshot)
     assert as_set(finalize_state(folded)) == as_set(finalize_state(oneshot))
+
+
+def test_stream_expectations_per_epoch_reports(spark, tmp_path):
+    """Each micro-batch lands its own violations report; counts must
+    equal the batch-mode suite run on the same slice."""
+    from etl_evm_chain_spark.operators.expectations import (
+        expect, expect_not_null, run_expectations)
+
+    src = str(tmp_path / "ex_src")
+    rpd = str(tmp_path / "ex_reports")
+    ckpt = str(tmp_path / "ex_ckpt")
+    checks = [expect_not_null("c_not_null", "c"),
+              expect("v_positive", F.col("v") > 0)]
+
+    def run():
+        stream = spark.readStream.schema("c string, v double") \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        q = sp.stream_expectations(stream, checks, report_dir=rpd,
+                                   checkpoint=ckpt)
+        q.awaitTermination(120)
+
+    rows1 = [("x", 1.0), (None, -2.0), ("y", 3.0)]
+    rows2 = [("z", -1.0), ("w", 2.0)]
+    # one file per write => one micro-batch per epoch
+    spark.createDataFrame(rows1, "c string, v double") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run()
+    spark.createDataFrame(rows2, "c string, v double") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    hist = spark.read.parquet(rpd)
+    assert hist.count() == 4  # 2 epochs x 2 rules
+    got = {(r["batch_id"], r["check"]): (r["violations"], r["total"])
+           for r in hist.collect()}
+    for bid, rows in ((0, rows1), (1, rows2)):
+        want = run_expectations(
+            spark.createDataFrame(rows, "c string, v double"), checks)
+        for r in want.collect():
+            assert got[(bid, r["check"])] == (r["violations"], r["total"])
