@@ -34,9 +34,12 @@ because boundaries include the tiebreak columns. ``_bkt`` is then the
 physical partition id: monotone in the total order by the range
 guarantee, so phase 2 is unchanged and the ranks are bit-for-bit
 identical to the equi-width mode — only the physical balance
-changes. The explicit partition count pins the exchange
-(REPARTITION_BY_NUM), which AQE does not re-coalesce — the census
-and the ranked output must see the same assignment.
+changes. The assignment is localCheckpoint-materialized so the census
+job and the ranked-output job consume the SAME assignment (a
+re-executed exchange fed by a nondeterministic upstream stage could
+otherwise sample different boundaries per branch); the explicit
+partition count additionally pins the exchange (REPARTITION_BY_NUM),
+which AQE does not re-coalesce.
 
 Reference parity: the reference engine has no ranking functions at all
 (SURVEY §2.D); these back q53/q87/q15's rank/ntile/split semantics.
@@ -114,7 +117,8 @@ def bucketed_prefix_sum(df: DataFrame, value_col: str,
                         part_cols: Sequence[str] = (),
                         n_buckets: int = 64,
                         out_name: str = "_cum",
-                        edges: str = "width") -> DataFrame:
+                        edges: str = "width",
+                        total_name: str | None = None) -> DataFrame:
     """``df`` + the INCLUSIVE running sum of ``weight_col`` in
     ``(part_cols, order_cols)`` order — i.e. ``sum(weight) OVER
     (PARTITION BY part_cols ORDER BY order_cols ROWS UNBOUNDED
@@ -122,6 +126,9 @@ def bucketed_prefix_sum(df: DataFrame, value_col: str,
     ``bucketed_rank`` (per-bucket sums instead of counts), so a
     100 TB cumulative sum never runs through a window whose partition
     count is O(1). Exclusive prefixes are ``out_name − weight_col``.
+    With ``total_name`` set, also attaches the per-group grand total
+    of ``weight_col`` — free from the bucket-sums relation, no second
+    scan (mirrors ``bucketed_rank``'s total_name).
 
     Same preconditions: ``value_col`` leads ``order_cols`` and is
     non-null; ``weight_col`` must be non-null.
@@ -136,7 +143,7 @@ def bucketed_prefix_sum(df: DataFrame, value_col: str,
                         edges, order_cols)
     sums = b.groupBy(*part_cols, "_bkt").agg(
         F.sum(weight_col).alias("_cnt"))
-    prefix = _prefix_offsets(sums, part_cols, None)
+    prefix = _prefix_offsets(sums, part_cols, total_name)
     w_loc = (Window.partitionBy(*part_cols, "_bkt").orderBy(*order_cols)
              .rowsBetween(Window.unboundedPreceding, 0))
     # no cast: sum() already yields long for integral weights and the
@@ -183,13 +190,22 @@ def _assign_buckets(df: DataFrame, value_col: str, part_cols: list,
         return _bucketize(df, value_col, part_cols, n_buckets)
     if edges != "depth":
         raise ValueError(f"edges must be 'width' or 'depth', got {edges!r}")
-    # RangePartitioner's reservoir sampling uses deterministic
-    # per-partition seeds, so re-executions of this exchange (the
-    # census job and the ranked-output job) assign identically; the
-    # explicit count pins the exchange against AQE coalescing.
+    # The assignment is MATERIALIZED (localCheckpoint) because it is
+    # execution-dependent: RangePartitioner's reservoir seeds are
+    # deterministic per input partition, but the census job and the
+    # ranked-output job would otherwise each re-execute this exchange,
+    # and an upstream nondeterministic stage (AQE-coalesced shuffle,
+    # sampled source) could feed the two executions differently —
+    # different boundaries in the two branches silently corrupt the
+    # offsets. One materialization makes _bkt a fact, not a recipe.
+    # (localCheckpoint trades fault-tolerance for no-checkpoint-dir
+    # convenience: on executor loss the job fails and retries whole —
+    # acceptable for a deterministic batch plan; use edges="width"
+    # where lineage-based recovery matters more than balance.)
     ranged = df.repartitionByRange(n_buckets,
                                    *[F.col(c) for c in order_cols])
-    return ranged.withColumn("_bkt", F.spark_partition_id())
+    return ranged.withColumn("_bkt", F.spark_partition_id()) \
+                 .localCheckpoint()
 
 
 def _bucketize(df: DataFrame, value_col: str, part_cols: list,

@@ -338,12 +338,19 @@ def budget_mix(df: DataFrame, *, part_col: str, cost_col: str,
     makes the selection a pure function of the data (re-runs, late
     arrivals, and engines all agree).
 
+    ``rate_col`` must be an expression over ``part_col`` ONLY (e.g.
+    a lookup keyed on the source name): it is evaluated per row
+    against the group value, so anything referencing non-group
+    columns would make the budget row-dependent — not a group budget.
+
     The running cost uses the two-phase ranking kit with
     ``edges="depth"`` — the order key is a HASH STRING, so equi-width
     numeric ranges can't bucket it, and sampled-quantile range
     boundaries keep the per-bucket sort bounded regardless of corpus
     skew. No window partitioned by the (low-cardinality) source ever
-    sees the corpus.
+    sees the corpus, and the group totals ride the kit's own census
+    (``total_name``) — the corpus is scanned once, with no budgets
+    side-relation to join (NULL groups therefore work for free).
 
     Returns the selected rows plus ``_cum`` (running cost) and
     ``_budget``. Groups whose first row already exceeds the budget
@@ -352,17 +359,13 @@ def budget_mix(df: DataFrame, *, part_col: str, cost_col: str,
     from ..functions.ranking import bucketed_prefix_sum
 
     hk = F.md5(F.col(key).cast("string"))
-    with_key = df.withColumn("_hk", hk).withColumn("_rate", rate_col)
-    budgets = (with_key.groupBy(part_col)
-               .agg(F.max("_rate").alias("_r"),
-                    F.sum(cost_col).cast("long").alias("_tot"))
-               .select(part_col,
-                       F.floor(F.col("_r") * F.col("_tot") / 10)
-                        .cast("long").alias("_budget")))
+    with_key = df.withColumn("_hk", hk)
     cum = bucketed_prefix_sum(
         with_key, "_hk", ["_hk", key], cost_col,
         part_cols=[part_col], n_buckets=n_buckets, edges="depth",
-        out_name="_cum")
-    return (cum.join(F.broadcast(budgets), part_col)
+        out_name="_cum", total_name="_tot")
+    return (cum.withColumn(
+                "_budget",
+                F.floor(rate_col * F.col("_tot") / 10).cast("long"))
             .filter(F.col("_cum") <= F.col("_budget"))
-            .drop("_hk", "_rate"))
+            .drop("_hk", "_tot"))

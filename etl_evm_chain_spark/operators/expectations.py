@@ -96,6 +96,13 @@ def run_expectations(df: DataFrame, checks: Sequence[Expectation],
     names = [c.name for c in checks]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate expectation names: {names}")
+    for n in names:
+        # names become column aliases re-resolved via F.col — a dot or
+        # backtick would parse as struct access / break quoting (the
+        # same reserved-name trap the sketch tier guards against)
+        if "." in n or "`" in n:
+            raise ValueError(f"expectation name {n!r} must not contain "
+                             "'.' or '`'")
 
     scan_aggs: list[Column] = [F.count(F.lit(1)).alias("__total")]
     scan_names: list[str] = []
@@ -104,8 +111,11 @@ def run_expectations(df: DataFrame, checks: Sequence[Expectation],
         if c.kind == "expr":
             # NULL predicate counts as a violation: NOT coalesce(p, false)
             bad = ~F.coalesce(c.cond, F.lit(False))
+            # coalesce: sum over ZERO rows is NULL — an empty ingest
+            # must report 0 violations / passed, not NULLs
             scan_aggs.append(
-                F.sum(bad.cast("long")).alias(f"__v_{c.name}"))
+                F.coalesce(F.sum(bad.cast("long")), F.lit(0))
+                 .alias(f"__v_{c.name}"))
             scan_names.append(c.name)
         elif c.kind == "unique":
             tup = F.struct(*[F.col(x) for x in c.cols])
@@ -142,7 +152,8 @@ def run_expectations(df: DataFrame, checks: Sequence[Expectation],
         joined = df.select(*c.cols).join(dim, on=list(c.cols), how="left")
         parts.append(
             joined.agg(
-                F.sum(F.col("__hit").isNull().cast("long"))
+                F.coalesce(F.sum(F.col("__hit").isNull().cast("long")),
+                           F.lit(0))
                  .cast("long").alias("violations"),
                 F.count(F.lit(1)).cast("long").alias("total"))
             .select(F.lit(c.name).alias("check"), "violations", "total"))

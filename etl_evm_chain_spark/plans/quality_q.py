@@ -13,7 +13,7 @@ matview.py): ``orders`` arrives as three disjoint epochs (date-cut
 splits, the arrival order of a real feed); each epoch folds into the
 algebraic state ``(n, sum, min, max)`` per (status, year) group, the
 three states merge pairwise (monoid law — tested exhaustively in
-tests/test_matview.py), and the finalize projection derives avg. The
+tests/test_quality.py), and the finalize projection derives avg. The
 DuckDB oracle computes the same aggregate in ONE shot over the whole
 table — the hash match proves incremental == one-shot end-to-end, not
 just in unit tests.
@@ -24,8 +24,6 @@ are the maintained-state replacements that survive 100 TB.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -192,3 +192,18 @@ def test_budget_mix_strict_budgets_and_order(spark):
     assert picked == sorted(want)
     # _cum carries the running cost; max selected cum <= budget
     assert sel.agg(F.max("_cum")).first()[0] <= 200
+
+
+def test_budget_mix_null_group_key(spark):
+    from etl_evm_chain_spark.operators.curation import budget_mix
+
+    rows = [("a", i, 100) for i in range(4)]
+    rows += [(None, 100 + i, 100) for i in range(4)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, cost long")
+    # rate 5 tenths => each group's budget 200 => 2 docs per group,
+    # including the NULL-source group (a real window partition)
+    sel = budget_mix(df, part_col="src", cost_col="cost",
+                     rate_col=F.lit(5), key="doc_id", n_buckets=4)
+    got = {r["src"]: r["n"] for r in
+           sel.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {"a": 2, None: 2}

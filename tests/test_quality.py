@@ -89,3 +89,23 @@ def test_matview_empty_identity_and_nulls(spark):
     # all-NULL group: n=0, measures NULL, avg NULL (no divide-by-zero)
     assert fin["n"]["n"] == 0 and fin["n"]["sum"] is None
     assert fin["n"]["avg"] is None
+
+
+def test_expectations_empty_input_reports_zero_violations(spark):
+    df = spark.createDataFrame([], "id long, c string")
+    dim = spark.createDataFrame([(1,)], "id long")
+    rep = _report(df, [
+        expect_not_null("nn", "c"),
+        expect_unique("uq", "id"),
+        expect_foreign_key("fk", "id", dim, "id"),
+    ])
+    # an empty ingest is vacuously valid: 0 violations, passed=1, no NULLs
+    assert rep == {"nn": (0, 0, 1), "uq": (0, 0, 1), "fk": (0, 0, 1)}
+
+
+def test_expectations_reject_dotted_names(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="must not contain"):
+        run_expectations(df, [expect_not_null("a.b", "id")])
+    with pytest.raises(ValueError, match="must not contain"):
+        run_expectations(df, [expect_not_null("a`b", "id")])
