@@ -520,20 +520,162 @@ def stream_token_sketch(docs: DataFrame, *, sketch_dir: str,
 
 
 def read_token_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
-    """Fold every landed epoch sketch into the global one: cell-wise
-    addition over O(epochs · depth·width) counter rows — bounded by
-    sketch geometry, never by corpus or vocabulary size. Epochs
-    landed with mismatched geometry fail the fold's assertion (the
-    geom stamp rides every counter row). Feed the result to
-    ``operators.sketches.cm_estimate``."""
+    """Fold the LIVE landed epoch sketches into the global one:
+    cell-wise addition over O(live epochs · depth·width) counter rows
+    — bounded by sketch geometry, never by corpus or vocabulary size.
+    Live = the newest compacted baseline (if any) plus every epoch
+    newer than it (:func:`compact_epoch_ledger` bounds the epoch
+    count). Epochs landed with mismatched geometry fail the fold's
+    assertion (the geom stamp rides every counter row). Feed the
+    result to ``operators.sketches.cm_estimate``."""
     checked_geom = F.when(
         F.assert_true(
             F.min("geom") == F.max("geom"),
             F.concat_ws(" vs ", F.min("geom"), F.max("geom"))).isNull(),
         F.min("geom")).alias("geom")
-    return (spark.read.parquet(sketch_dir)
+    return (spark.read.parquet(*_live_paths(sketch_dir))
             .groupBy("depth", "cell")
             .agg(F.sum("cnt").alias("cnt"), checked_geom))
+
+
+# ---------------------------------------------------------------------------
+# Epoch-ledger log compaction: fold-on-read costs O(live epochs); at
+# one epoch per micro-batch that grows without bound, so periodically
+# fold old epochs into a compacted baseline (Kafka-style log
+# compaction, legal because every ledger state is a commutative
+# monoid — the same law that makes incremental == one-shot).
+#
+# Crash-safe protocol: the folded baseline is WRITTEN FIRST under
+# _compacted/upto=<N>/ (parquet's _SUCCESS commit marker makes the
+# write atomic-at-read); readers ignore epochs <= the newest committed
+# baseline, so deleting the superseded epoch dirs afterwards is pure
+# garbage collection — a crash between write and delete double-stores
+# but never double-COUNTS. A replayed epoch <= upto recreating its
+# directory is likewise ignored (its contribution is already in the
+# baseline).
+# ---------------------------------------------------------------------------
+
+def _epoch_ids(state_dir: str) -> list[int]:
+    import os
+    import re as _re
+    if not os.path.isdir(state_dir):
+        return []
+    out = []
+    for d in os.listdir(state_dir):
+        m = _re.fullmatch(r"batch_id=(\d+)", d)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _max_compact(state_dir: str):
+    import os
+    import re as _re
+    root = os.path.join(state_dir, "_compacted")
+    if not os.path.isdir(root):
+        return None
+    best = None
+    for d in os.listdir(root):
+        m = _re.fullmatch(r"upto=(\d+)", d)
+        # only COMMITTED baselines count (crash mid-write leaves no
+        # _SUCCESS and the reader keeps using the raw epochs)
+        if m and os.path.exists(os.path.join(root, d, "_SUCCESS")):
+            n = int(m.group(1))
+            best = n if best is None else max(best, n)
+    return best
+
+
+def _live_paths(state_dir: str) -> list[str]:
+    """The newest committed baseline (if any) + epochs newer than it.
+    Local-FS directory listing; on an object store / HDFS swap the
+    listdir calls for the FileSystem API — the protocol is unchanged."""
+    import os
+    c = _max_compact(state_dir)
+    paths = []
+    if c is not None:
+        paths.append(os.path.join(state_dir, "_compacted", f"upto={c}"))
+    floor = -1 if c is None else c
+    paths += [os.path.join(state_dir, f"batch_id={e}")
+              for e in _epoch_ids(state_dir) if e > floor]
+    if not paths:
+        # surface the same error a direct read of an empty dir would
+        paths = [state_dir]
+    return paths
+
+
+def compact_epoch_ledger(spark: SparkSession, state_dir: str,
+                         fold, *, keep_last: int = 0,
+                         gc: bool = True) -> int | None:
+    """Fold all live epochs except the newest ``keep_last`` into a new
+    compacted baseline; returns the new baseline's ``upto`` epoch (or
+    None when there is nothing to compact). ``fold`` maps the raw
+    union of live state rows to the folded state (the same combine
+    the ledger's reader uses — pass ``read_matview``/
+    ``read_token_sketch`` style folds via the wrappers below).
+
+    With ``gc=True`` the superseded epoch directories and older
+    baselines are deleted after the new baseline commits; correctness
+    never depends on the deletes (readers already ignore them).
+    """
+    import os
+    import shutil
+
+    c = _max_compact(state_dir)
+    floor = -1 if c is None else c
+    live = [e for e in _epoch_ids(state_dir) if e > floor]
+    if len(live) <= keep_last or not live:
+        return None
+    upto = live[-1] if keep_last == 0 else live[-(keep_last + 1)]
+    srcs = ([os.path.join(state_dir, "_compacted", f"upto={c}")]
+            if c is not None else [])
+    srcs += [os.path.join(state_dir, f"batch_id={e}")
+             for e in live if e <= upto]
+    dst = os.path.join(state_dir, "_compacted", f"upto={upto}")
+    fold(spark.read.parquet(*srcs)).write.mode("overwrite").parquet(dst)
+    if gc:
+        for e in live:
+            if e <= upto:
+                shutil.rmtree(os.path.join(state_dir, f"batch_id={e}"),
+                              ignore_errors=True)
+        if c is not None:
+            shutil.rmtree(os.path.join(state_dir, "_compacted",
+                                       f"upto={c}"), ignore_errors=True)
+    return upto
+
+
+def compact_matview(spark: SparkSession, state_dir: str,
+                    keys: str | list[str], *, keep_last: int = 0,
+                    gc: bool = True) -> int | None:
+    """Log-compact a ``stream_matview`` ledger (matview monoid fold)."""
+    ks = [keys] if isinstance(keys, str) else list(keys)
+
+    def fold(df: DataFrame) -> DataFrame:
+        return (df.groupBy(*ks)
+                .agg(F.sum("n").cast("long").alias("n"),
+                     F.sum("sum").cast("decimal(38,6)").alias("sum"),
+                     F.min("min").alias("min"),
+                     F.max("max").alias("max")))
+
+    return compact_epoch_ledger(spark, state_dir, fold,
+                                keep_last=keep_last, gc=gc)
+
+
+def compact_token_sketch(spark: SparkSession, sketch_dir: str, *,
+                         keep_last: int = 0, gc: bool = True) -> int | None:
+    """Log-compact a ``stream_token_sketch`` ledger (cell-wise CM sum,
+    geometry re-checked across the folded epochs)."""
+
+    def fold(df: DataFrame) -> DataFrame:
+        checked_geom = F.when(
+            F.assert_true(
+                F.min("geom") == F.max("geom"),
+                F.concat_ws(" vs ", F.min("geom"), F.max("geom"))).isNull(),
+            F.min("geom")).alias("geom")
+        return (df.groupBy("depth", "cell")
+                .agg(F.sum("cnt").alias("cnt"), checked_geom))
+
+    return compact_epoch_ledger(spark, sketch_dir, fold,
+                                keep_last=keep_last, gc=gc)
 
 
 def stream_matview(events: DataFrame, *, state_dir: str, checkpoint: str,
@@ -576,12 +718,13 @@ def stream_matview(events: DataFrame, *, state_dir: str, checkpoint: str,
 
 def read_matview(spark: SparkSession, state_dir: str,
                  keys: str | list[str]) -> DataFrame:
-    """Fold every landed epoch state into the current view — the same
-    combine as operators/matview.merge_states, over O(epochs·|groups|)
-    state rows. Feed the result to ``matview.finalize_state`` for
+    """Fold the LIVE landed epoch states into the current view — the
+    same combine as operators/matview.merge_states, over
+    O(live epochs·|groups|) state rows (``compact_matview`` bounds the
+    live count). Feed the result to ``matview.finalize_state`` for
     derived measures (avg); the fold output stays re-mergeable."""
     ks = [keys] if isinstance(keys, str) else list(keys)
-    return (spark.read.parquet(state_dir)
+    return (spark.read.parquet(*_live_paths(state_dir))
             .groupBy(*ks)
             .agg(F.sum("n").cast("long").alias("n"),
                  F.sum("sum").cast("decimal(38,6)").alias("sum"),

@@ -725,3 +725,92 @@ def test_stream_expectations_per_epoch_reports(spark, tmp_path):
             spark.createDataFrame(rows, "c string, v double"), checks)
         for r in want.collect():
             assert got[(bid, r["check"])] == (r["violations"], r["total"])
+
+
+def test_compact_matview_preserves_view_and_survives_ghosts(spark, tmp_path):
+    """Log compaction must leave the folded view IDENTICAL: after
+    compacting, after new epochs arrive on top of a baseline, after a
+    second compaction folds baseline+new, and even when a superseded
+    epoch directory reappears (crash-between-write-and-GC, or a replay
+    of an already-compacted epoch) — readers ignore epochs <= upto."""
+    import shutil
+
+    from etl_evm_chain_spark.operators.matview import aggregate_state
+
+    std = str(tmp_path / "cmv_state")
+
+    def land(bid, rows):
+        aggregate_state(
+            spark.createDataFrame(rows, "k string, v double"), "k", "v"
+        ).write.mode("overwrite").parquet(f"{std}/batch_id={bid}")
+
+    all_rows = []
+    for bid in range(3):
+        rows = [(f"g{i % 3}", float(bid * 10 + i)) for i in range(12)]
+        land(bid, rows)
+        all_rows += rows
+
+    want = sorted(tuple(r) for r in aggregate_state(
+        spark.createDataFrame(all_rows, "k string, v double"),
+        "k", "v").collect())
+
+    def view():
+        return sorted(tuple(r)
+                      for r in sp.read_matview(spark, std, "k").collect())
+
+    assert view() == want
+    upto = sp.compact_matview(spark, std, "k")
+    assert upto == 2
+    assert view() == want                       # baseline only
+    assert sp.compact_matview(spark, std, "k") is None  # nothing live
+
+    # ghost: a superseded epoch reappears — must NOT double-count
+    land(1, [("g0", 999.0)])
+    assert view() == want
+
+    # new epochs on top of the baseline, then a second compaction
+    rows3 = [("g1", 77.0), ("g3", 5.0)]
+    land(3, rows3)
+    all_rows += rows3
+    want2 = sorted(tuple(r) for r in aggregate_state(
+        spark.createDataFrame(all_rows, "k string, v double"),
+        "k", "v").collect())
+    assert view() == want2
+    assert sp.compact_matview(spark, std, "k") == 3
+    assert view() == want2
+    # old baseline GC'd, new one committed
+    import os
+    assert os.listdir(f"{std}/_compacted") == ["upto=3"]
+
+    # uncommitted baseline (no _SUCCESS) is ignored by readers
+    os.makedirs(f"{std}/_compacted/upto=9")
+    assert view() == want2
+    shutil.rmtree(f"{std}/_compacted/upto=9")
+
+
+def test_compact_token_sketch_equals_one_shot(spark, tmp_path):
+    """Compacting the CM ledger must not change any estimate: folded
+    baseline + fresh epochs == the one-shot sketch of all tokens."""
+    from etl_evm_chain_spark.functions.text import tokens
+    from etl_evm_chain_spark.operators.sketches import cm_sketch
+
+    skd = str(tmp_path / "cts_sketch")
+    corpora = [[(i, f"alpha w{i % 5}") for i in range(20)],
+               [(i, f"beta w{i % 3} gamma") for i in range(15)],
+               [(i, "alpha beta") for i in range(9)]]
+    for bid, rows in enumerate(corpora):
+        occ = spark.createDataFrame(rows, "doc_id long, text string") \
+            .select(F.explode(tokens("text")).alias("tok"))
+        cm_sketch(occ, "tok").coalesce(1).write.mode("overwrite") \
+            .parquet(f"{skd}/batch_id={bid}")
+
+    assert sp.compact_token_sketch(spark, skd, keep_last=1) == 1
+
+    all_rows = [r for c in corpora for r in c]
+    occ_all = spark.createDataFrame(all_rows, "doc_id long, text string") \
+        .select(F.explode(tokens("text")).alias("tok"))
+    oneshot = {(r["depth"], r["cell"]): r["cnt"]
+               for r in cm_sketch(occ_all, "tok").collect()}
+    folded = {(r["depth"], r["cell"]): r["cnt"]
+              for r in sp.read_token_sketch(spark, skd).collect()}
+    assert folded == oneshot
