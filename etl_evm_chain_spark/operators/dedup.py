@@ -580,3 +580,63 @@ def simhash_pairs(docs: DataFrame, *, id_col: str = "doc_id",
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def update_exact_dedup_index(spark, docs: DataFrame, index_path: str, *,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             n_bands: int = 256,
+                             batch_id: str | None = None) -> DataFrame:
+    """Cross-HISTORY exact dedup against a landed fingerprint index —
+    the companion of :func:`update_near_dup_index` for byte-identical
+    content. The watermark dedup (streaming/pipeline.dedup_stream)
+    only suppresses duplicates inside the watermark window; a crawl
+    re-fetching a page weeks later needs the ingest to remember every
+    fingerprint ever admitted. Per increment:
+
+    1. fingerprint the batch (functions.text.fingerprint — the same
+       normalization as exact_dedup/q33) and keep the min-id row per
+       within-batch group;
+    2. anti-join the batch's fingerprints against the landed index,
+       with the INDEX side pruned to the batch's touched ``band``
+       partitions (band = pmod(fp, n_bands), a physical partition key
+       — the scan reads only directories a batch fingerprint could
+       live in, not the whole history);
+    3. land the SURVIVORS' fingerprints under
+       ``batch_id=b<id>/band=<b>/`` — replays overwrite their own
+       partition directory (exactly-once, same contract as the LSH
+       index).
+
+    Returns the surviving (first-seen) rows of the batch. The
+    concatenation of survivors over any epoch split equals one-shot
+    exact_dedup keep-rows on the full corpus, provided batches arrive
+    in id order (the keep-smallest-id rule needs the smaller id to
+    arrive first; a re-crawl arriving later loses to history — which
+    is the semantics an ingest wants).
+    """
+    import os
+    import uuid
+
+    band = F.pmod(F.col("fp"), F.lit(n_bands)).cast("int")
+    fps = (docs.withColumn("fp", fingerprint(text_col))
+           .withColumn("_rn", F.row_number().over(
+               Window.partitionBy("fp").orderBy(id_col)))
+           .filter(F.col("_rn") == 1).drop("_rn")
+           .withColumn("band", band))
+    seen_bands = [r["band"] for r in
+                  fps.select("band").distinct().collect()]
+    if not seen_bands:
+        return docs.limit(0)
+    fresh = fps
+    if os.path.isdir(index_path) and any(
+            d.startswith("batch_id=") for d in os.listdir(index_path)):
+        idx = (spark.read.parquet(index_path)
+               .filter(F.col("band").isin(seen_bands))
+               .select("fp", "band"))
+        fresh = fps.join(idx, ["fp", "band"], "left_anti")
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex
+    batch_dir = os.path.join(index_path, f"batch_id=b{batch_id}")
+    (fresh.select("fp", "band").write.mode("overwrite")
+     .partitionBy("band").parquet(batch_dir))
+    return fresh.drop("fp", "band")

@@ -767,3 +767,39 @@ def stream_expectations(events: DataFrame, checks, *, report_dir: str,
     if trigger_once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_exact_dedup(docs: DataFrame, *, index_dir: str, out_dir: str,
+                       checkpoint: str, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       trigger_once: bool = True):
+    """Cross-HISTORY exact dedup at ingest: each micro-batch keeps only
+    content never admitted before (operators/dedup.
+    update_exact_dedup_index — band-pruned anti-join against the
+    landed fingerprint history) and lands the survivors under
+    ``out_dir/batch_id=<epoch>/``. The fingerprint index itself is
+    epoch-partitioned with overwrite-on-replay, so both the index and
+    the survivor lake are exactly-once; unlike ``dedup_stream``'s
+    watermarked state, the memory of seen content is unbounded IN THE
+    LAKE but never in executor state — re-fetching a page months
+    later still deduplicates.
+    """
+    import os
+
+    from ..operators.dedup import update_exact_dedup_index
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fresh = update_exact_dedup_index(
+            batch_df.sparkSession, batch_df, index_dir,
+            id_col=id_col, text_col=text_col,
+            batch_id=str(int(batch_id)))
+        fresh.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={int(batch_id)}"))
+
+    w = (docs.writeStream.foreachBatch(per_batch)
+         .option("checkpointLocation", checkpoint))
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -814,3 +814,41 @@ def test_compact_token_sketch_equals_one_shot(spark, tmp_path):
     folded = {(r["depth"], r["cell"]): r["cnt"]
               for r in sp.read_token_sketch(spark, skd).collect()}
     assert folded == oneshot
+
+
+def test_stream_exact_dedup_remembers_all_history(spark, tmp_path):
+    """A duplicate arriving epochs later (far outside any watermark)
+    must still be dropped; within-batch dups keep the min id; the
+    survivor union equals one-shot exact dedup keep-rows."""
+    from etl_evm_chain_spark.operators.dedup import exact_dedup
+
+    src = str(tmp_path / "xd_src")
+    idx = str(tmp_path / "xd_index")
+    out = str(tmp_path / "xd_out")
+    ckpt = str(tmp_path / "xd_ckpt")
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string") \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        q = sp.stream_exact_dedup(stream, index_dir=idx, out_dir=out,
+                                  checkpoint=ckpt)
+        q.awaitTermination(120)
+
+    rows1 = [(1, "alpha"), (2, "beta"), (3, "alpha")]   # 3 dups 1
+    rows2 = [(10, "alpha"), (11, "gamma"), (12, "beta")]  # re-crawls + new
+    spark.createDataFrame(rows1, "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run()
+    spark.createDataFrame(rows2, "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    survivors = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert survivors == {1, 2, 11}  # 3/10/12 deduped, 11 is new content
+
+    # equals one-shot exact dedup keep-ids over the full history
+    # (batches arrived in id order, so keep-min == first-seen)
+    all_docs = spark.createDataFrame(rows1 + rows2,
+                                     "doc_id long, text string")
+    keep = {r["keep_id"] for r in exact_dedup(all_docs).collect()}
+    assert survivors == keep
