@@ -54,7 +54,7 @@ STATIC = {
     "C5": "operators/asof.py asof_join (true event-time form; q54) + timeseries kit grid form (q17)",
     "P2-bucketing": "functions/bucketing.py write_bucketed/colocated_join (0-Exchange joins); tests/test_bucketing.py",
     "P2-graph": "operators/graph.py pagerank (Pregel-by-join, checkpointed supersteps) (q74); triangle_counts (degree-oriented wedge join, q114)",
-    "P2-dedup": "incremental: dedup.update_near_dup_index (landed LSH band index) + streaming/pipeline.stream_near_dups (foreachBatch ingest-time dedup); tests prove increment-union == one-shot",
+    "P2-dedup": "incremental: dedup.update_near_dup_index (landed LSH band index) + stream_near_dups (foreachBatch ingest-time near-dedup) + dedup.update_exact_dedup_index / stream_exact_dedup (cross-history EXACT dedup vs a band-partitioned landed fingerprint index); tests prove increment-union == one-shot for both",
     "P2-sim": "incremental: similarity.update_ann_index (frozen-quantizer IVF, cell-partitioned parquet index); equivalence-tested vs one-shot assignment",
     "P2-text": "exact BPE: functions/bpe.py (merges trained on the word-frequency table, batch=k disjoint variant; q103)",
     "P2-curation": "mlplane.train_quality_filter model-based filter (q102); merge.snapshot_diff corpus versioning (q104)",
@@ -65,7 +65,7 @@ STATIC = {
     "P2-layout": "functions/layout.py range-sorted + Morton (Z-order) clustered parquet layout, interleave_bits oracle-proven (q116); scan_metrics prune proofs in tests/test_bucketing.py; compact_parquet maintenance",
     "P2-sketch": "operators/sketches.py KMV distinct sketches (portable order-statistic estimator, expression-level merge; q115)",
     "P2-ranking": "functions/ranking.py bucketed_rank/bucketed_prefix_sum two-phase kit (scaled_buckets derives bucket count from shuffle parallelism; null-safe group joins; q53/q87/q15/q59 consume it); tests/test_ranking.py incl. non-default shuffle.partitions",
-    "P2-quality": "operators/expectations.py declarative rules compiled to ONE fact scan + broadcast FK anti-checks (q118); operators/matview.py incremental materialized aggregate — (n,sum,min,max) monoid state, merge == one-shot proven by the q119 DuckDB hash + tests/test_quality.py fold-order property",
+    "P2-quality": "operators/expectations.py declarative rules compiled to ONE fact scan + broadcast FK anti-checks (q118) + stream_expectations per-epoch reports; operators/matview.py incremental materialized aggregate — (n,sum,min,max) monoid state, merge == one-shot proven by the q119 DuckDB hash + fold-order property tests; epoch ledgers bounded by compact_epoch_ledger log compaction",
 }
 
 
