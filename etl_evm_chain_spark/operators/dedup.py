@@ -617,12 +617,23 @@ def update_exact_dedup_index(spark, docs: DataFrame, index_path: str, *,
     import os
     import uuid
 
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex
+    # NULL text fingerprints to a sentinel OUTSIDE hash15's 60-bit
+    # range so null-content docs form one dedup group (exact_dedup's
+    # groupBy semantics) instead of null join keys that never match —
+    # a null fp would survive every batch.
+    fp_expr = F.coalesce(fingerprint(text_col), F.lit(-1).cast("long"))
     band = F.pmod(F.col("fp"), F.lit(n_bands)).cast("int")
-    fps = (docs.withColumn("fp", fingerprint(text_col))
+    # one evaluation per batch: the fingerprint/window/band lineage has
+    # three consumers (bands collect, index write, survivor return) —
+    # same reuse discipline as update_near_dup_index's landed re-read
+    fps = (docs.withColumn("fp", fp_expr)
            .withColumn("_rn", F.row_number().over(
                Window.partitionBy("fp").orderBy(id_col)))
            .filter(F.col("_rn") == 1).drop("_rn")
-           .withColumn("band", band))
+           .withColumn("band", band)
+           .localCheckpoint())
     seen_bands = [r["band"] for r in
                   fps.select("band").distinct().collect()]
     if not seen_bands:
@@ -630,13 +641,31 @@ def update_exact_dedup_index(spark, docs: DataFrame, index_path: str, *,
     fresh = fps
     if os.path.isdir(index_path) and any(
             d.startswith("batch_id=") for d in os.listdir(index_path)):
-        idx = (spark.read.parquet(index_path)
-               .filter(F.col("band").isin(seen_bands))
+        idx_all = (spark.read.parquet(index_path)
+                   # REPLAY: a crashed-after-index-write epoch re-runs
+                   # with its own fingerprints already landed — joining
+                   # against them would erase the whole batch (empty
+                   # overwrite of both index and survivor lake)
+                   .filter(F.col("batch_id") != f"b{batch_id}"))
+        # geometry guard (cf. the CM sketch stamp): an index built
+        # with a different n_bands would prune the wrong partitions
+        # and silently re-admit known duplicates — fail loudly. The
+        # 1-row guard rides the survivor filter so pruning can't
+        # elide it. An EMPTY prior index (first epoch replayed) is
+        # fine: min/max are NULL, the coalesce passes.
+        guard = idx_all.agg(
+            F.assert_true(
+                F.coalesce((F.min("nb") == n_bands)
+                           & (F.max("nb") == n_bands), F.lit(True)),
+                F.concat_ws(" vs ", F.lit(n_bands),
+                            F.min("nb"), F.max("nb"))).alias("_nb_ok"))
+        idx = (idx_all.filter(F.col("band").isin(seen_bands))
                .select("fp", "band"))
-        fresh = fps.join(idx, ["fp", "band"], "left_anti")
-    if batch_id is None:
-        batch_id = uuid.uuid4().hex
+        fresh = (fps.join(idx, ["fp", "band"], "left_anti")
+                 .crossJoin(F.broadcast(guard))
+                 .filter(F.col("_nb_ok").isNull()).drop("_nb_ok"))
+    fresh = fresh.localCheckpoint()
     batch_dir = os.path.join(index_path, f"batch_id=b{batch_id}")
-    (fresh.select("fp", "band").write.mode("overwrite")
-     .partitionBy("band").parquet(batch_dir))
+    (fresh.select("fp", "band").withColumn("nb", F.lit(n_bands))
+     .write.mode("overwrite").partitionBy("band").parquet(batch_dir))
     return fresh.drop("fp", "band")

@@ -555,7 +555,7 @@ def read_token_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
 # baseline).
 # ---------------------------------------------------------------------------
 
-def _epoch_ids(state_dir: str) -> list[int]:
+def _epoch_ids(state_dir: str, *, committed_only: bool = True) -> list[int]:
     import os
     import re as _re
     if not os.path.isdir(state_dir):
@@ -563,8 +563,16 @@ def _epoch_ids(state_dir: str) -> list[int]:
     out = []
     for d in os.listdir(state_dir):
         m = _re.fullmatch(r"batch_id=(\d+)", d)
-        if m:
-            out.append(int(m.group(1)))
+        if not m:
+            continue
+        # an epoch mid-write (crash before the parquet _SUCCESS
+        # commit) must not be read — and above all must never be
+        # FOLDED into a baseline: the full replay that recreates it
+        # would then be ignored as a ghost, a permanent undercount
+        if committed_only and not os.path.exists(
+                os.path.join(state_dir, d, "_SUCCESS")):
+            continue
+        out.append(int(m.group(1)))
     return sorted(out)
 
 
@@ -626,6 +634,17 @@ def compact_epoch_ledger(spark: SparkSession, state_dir: str,
     if len(live) <= keep_last or not live:
         return None
     upto = live[-1] if keep_last == 0 else live[-(keep_last + 1)]
+    # never compact PAST a partial (uncommitted) epoch: its eventual
+    # replay must stay a live epoch, not an ignored ghost. A
+    # sequential stream can't produce committed epochs above a
+    # crashed one, but the ledger shouldn't bet on single-writer.
+    partial = [e for e in _epoch_ids(state_dir, committed_only=False)
+               if e > floor and e not in set(live)]
+    if partial:
+        upto = min(upto, min(partial) - 1)
+    live = [e for e in live if e <= upto]
+    if not live:
+        return None
     srcs = ([os.path.join(state_dir, "_compacted", f"upto={c}")]
             if c is not None else [])
     srcs += [os.path.join(state_dir, f"batch_id={e}")
@@ -633,13 +652,21 @@ def compact_epoch_ledger(spark: SparkSession, state_dir: str,
     dst = os.path.join(state_dir, "_compacted", f"upto={upto}")
     fold(spark.read.parquet(*srcs)).write.mode("overwrite").parquet(dst)
     if gc:
-        for e in live:
+        # sweep EVERYTHING superseded, not just this round's inputs:
+        # ghost epochs recreated by replays after an earlier
+        # compaction, epochs folded by previous baselines, stale
+        # uncommitted baselines — all invisible to readers, all pure
+        # garbage (committed_only=False: an uncommitted dir <= upto
+        # is a crashed write of an already-folded epoch)
+        for e in _epoch_ids(state_dir, committed_only=False):
             if e <= upto:
                 shutil.rmtree(os.path.join(state_dir, f"batch_id={e}"),
                               ignore_errors=True)
-        if c is not None:
-            shutil.rmtree(os.path.join(state_dir, "_compacted",
-                                       f"upto={c}"), ignore_errors=True)
+        comp_root = os.path.join(state_dir, "_compacted")
+        for d in os.listdir(comp_root):
+            if d != f"upto={upto}":
+                shutil.rmtree(os.path.join(comp_root, d),
+                              ignore_errors=True)
     return upto
 
 

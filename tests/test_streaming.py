@@ -852,3 +852,104 @@ def test_stream_exact_dedup_remembers_all_history(spark, tmp_path):
                                      "doc_id long, text string")
     keep = {r["keep_id"] for r in exact_dedup(all_docs).collect()}
     assert survivors == keep
+
+
+def test_exact_dedup_index_replay_is_idempotent(spark, tmp_path):
+    """A replayed epoch (crash after the index write) must return the
+    SAME survivors — not anti-join against its own landed
+    fingerprints and erase the batch from index + lake."""
+    from etl_evm_chain_spark.operators.dedup import (
+        update_exact_dedup_index)
+
+    idx = str(tmp_path / "ridx")
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string")
+    first = {r["doc_id"] for r in update_exact_dedup_index(
+        spark, docs, idx, batch_id="7").collect()}
+    replay = {r["doc_id"] for r in update_exact_dedup_index(
+        spark, docs, idx, batch_id="7").collect()}
+    assert first == replay == {1, 2}
+    # and a LATER batch still dedups against the (single) landed copy
+    later = {r["doc_id"] for r in update_exact_dedup_index(
+        spark, spark.createDataFrame([(9, "alpha"), (10, "delta")],
+                                     "doc_id long, text string"),
+        idx, batch_id="8").collect()}
+    assert later == {10}
+
+
+def test_exact_dedup_index_band_mismatch_raises(spark, tmp_path):
+    from etl_evm_chain_spark.operators.dedup import (
+        update_exact_dedup_index)
+
+    idx = str(tmp_path / "bidx")
+    docs = spark.createDataFrame([(1, "alpha")], "doc_id long, text string")
+    update_exact_dedup_index(spark, docs, idx, n_bands=256, batch_id="0")
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="128|256"):
+        update_exact_dedup_index(
+            spark, spark.createDataFrame([(2, "beta")],
+                                         "doc_id long, text string"),
+            idx, n_bands=128, batch_id="1").collect()
+
+
+def test_exact_dedup_index_null_text_groups(spark, tmp_path):
+    """NULL content forms ONE dedup group across batches (exact_dedup
+    groupBy semantics), not an un-joinable null key that survives
+    every epoch."""
+    from etl_evm_chain_spark.operators.dedup import (
+        update_exact_dedup_index)
+
+    idx = str(tmp_path / "nidx")
+    b1 = spark.createDataFrame([(1, None), (2, "x")],
+                               "doc_id long, text string")
+    b2 = spark.createDataFrame([(9, None), (10, "y")],
+                               "doc_id long, text string")
+    s1 = {r["doc_id"] for r in update_exact_dedup_index(
+        spark, b1, idx, batch_id="0").collect()}
+    s2 = {r["doc_id"] for r in update_exact_dedup_index(
+        spark, b2, idx, batch_id="1").collect()}
+    assert s1 == {1, 2} and s2 == {10}  # 9's null content deduped
+
+
+def test_compact_matview_never_folds_partial_epochs(spark, tmp_path):
+    """An epoch mid-write (no _SUCCESS) must clamp the compaction
+    horizon: folding a partial epoch would make its full replay an
+    ignored ghost — a permanent undercount."""
+    import os
+
+    from etl_evm_chain_spark.operators.matview import aggregate_state
+
+    std = str(tmp_path / "pmv_state")
+
+    def land(bid, rows, committed=True):
+        aggregate_state(
+            spark.createDataFrame(rows, "k string, v double"), "k", "v"
+        ).write.mode("overwrite").parquet(f"{std}/batch_id={bid}")
+        if not committed:
+            os.remove(f"{std}/batch_id={bid}/_SUCCESS")
+
+    land(0, [("a", 1.0)])
+    land(1, [("a", 2.0), ("b", 5.0)])
+    land(2, [("b", 100.0)], committed=False)   # crashed mid-write
+    land(3, [("c", 7.0)])
+
+    # horizon clamps below the partial epoch 2 (epoch 3 NOT folded)
+    assert sp.compact_matview(spark, std, "k") == 1
+    assert os.path.isdir(f"{std}/batch_id={2}")   # partial preserved
+    assert os.path.isdir(f"{std}/batch_id={3}")   # above horizon
+
+    # the stream replays epoch 2 in full; the view must include it
+    land(2, [("b", 100.0), ("b", 1.0)])
+    want = sorted(tuple(r) for r in aggregate_state(
+        spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", 100.0),
+             ("b", 1.0), ("c", 7.0)], "k string, v double"),
+        "k", "v").collect())
+    got = sorted(tuple(r)
+                 for r in sp.read_matview(spark, std, "k").collect())
+    assert got == want
+    # now everything is committed — the next compaction takes it all
+    assert sp.compact_matview(spark, std, "k") == 3
+    got2 = sorted(tuple(r)
+                  for r in sp.read_matview(spark, std, "k").collect())
+    assert got2 == want
