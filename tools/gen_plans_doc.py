@@ -142,6 +142,19 @@ SHOWCASE = {
         "re-associate the folds freely — and the DuckDB oracle "
         "computing the same answer in one shot proves "
         "incremental == one-shot at every driver round."),
+    "q120_budget_mix": (
+        "Sampled-quantile (equi-depth) two-phase prefix sum",
+        "The running-cost order key is a HASH STRING, so the "
+        "equi-width numeric bucketing can't apply: phase 1 is "
+        "repartitionByRange on the full (hash, id) order tuple — "
+        "sampled-quantile boundaries keep buckets balanced under any "
+        "corpus skew — materialized once (localCheckpoint) so the "
+        "census job and the output job consume the SAME assignment. "
+        "The per-source totals ride the census's own prefix relation "
+        "(total_name), so the corpus is scanned once and the budget "
+        "comparison is a row-local expression — no budgets "
+        "side-relation, no window partitioned by the 20-value "
+        "source column ever sees the corpus."),
     "q65_quantize_embeddings": (
         "Scalar-subquery broadcast (corpus re-encoded in place)",
         "The per-dimension stats reduce to d rows (posexplode + "
