@@ -275,3 +275,50 @@ def test_kmv_merge_is_union_sketch_on_random_splits(spark, keys, cut):
         kmv_merge_expr(F.col("a"), F.col("b"), k=16).alias("m")
     ).collect()[0]["m"]
     assert merged == sk(list(dict.fromkeys(left + right)))
+
+
+# --------------------- budget mix: maximal-prefix law ---------------------
+
+mix_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2", None]),          # source (incl NULL)
+        st.integers(min_value=0, max_value=10**6),    # doc id (unique)
+        st.integers(min_value=1, max_value=500),      # cost
+    ),
+    min_size=1, max_size=60, unique_by=lambda t: t[1],
+)
+
+
+@given(mix_rows, st.integers(min_value=1, max_value=9))
+@settings(**SETTINGS)
+def test_budget_mix_selects_maximal_hash_prefix(spark, rows, rate):
+    """For every group: the selection is exactly the LONGEST prefix of
+    the md5(doc_id) order whose cumulative cost fits the budget —
+    computed independently in Python from first principles."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from etl_evm_chain_spark.operators.curation import budget_mix
+
+    df = spark.createDataFrame(rows, "src string, doc_id long, cost long")
+    sel = budget_mix(df, part_col="src", cost_col="cost",
+                     rate_col=F.lit(rate), key="doc_id", n_buckets=5)
+    got = {}
+    for r in sel.collect():
+        got.setdefault(r["src"], set()).add(r["doc_id"])
+
+    by_src = {}
+    for src, did, cost in rows:
+        by_src.setdefault(src, []).append((did, cost))
+    for src, docs in by_src.items():
+        budget = (rate * sum(c for _, c in docs)) // 10
+        docs.sort(key=lambda t: (hashlib.md5(str(t[0]).encode())
+                                 .hexdigest(), t[0]))
+        want, cum = set(), 0
+        for did, cost in docs:
+            if cum + cost > budget:
+                break
+            cum += cost
+            want.add(did)
+        assert got.get(src, set()) == want, (src, budget)
