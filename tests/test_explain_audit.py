@@ -104,3 +104,16 @@ def test_flag_fires_on_long_typed_low_card_key(spark):
     card = dict(ea.column_cardinalities(spark, SF_SMALL))
     card["flag3"] = 3
     assert "low_card_window" in ea.df_flags(bad, card)
+
+
+def test_rdd_scan_flagged_on_checkpointed_plan(spark):
+    """An accidental localCheckpoint (full materialization, lineage
+    gone) inside a query plan must raise the rdd_scan flag."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from explain_audit import df_flags
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    assert "rdd_scan" not in df_flags(df.groupBy("v").count())
+    pinned = df.localCheckpoint()
+    assert "rdd_scan" in df_flags(pinned.groupBy("v").count())

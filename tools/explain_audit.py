@@ -132,11 +132,46 @@ ALLOW: dict[str, set[str]] = {
     "q117_cm_heavy_hitters": {"nested_loop"},
 }
 
+# rdd_scan allowances: every localCheckpoint in a registry plan, with
+# why the materialization is deliberate and what bounds its size.
+_RDD_ALLOW = {
+    # 1/16 md5 sample of lineitem, consumed 3x by the bucketed ranks —
+    # bounded by the sampling modulus
+    "q53_approx_stats",
+    # ZIPF_TOPK-row frequency head pinned before the regression fit
+    "q76_zipf_slope",
+    # oriented edge list pinned before the wedge self-join (consumed
+    # by both sides; |E|-bounded, the wedge fan-out happens after)
+    "q114_copurchase_triangles",
+    # depth-mode range assignment pinned so the census job and the
+    # output job see the SAME sampled boundaries (corpus-sized, the
+    # documented cost of equi-depth balance)
+    "q120_budget_mix",
+    # Pregel supersteps: |V|-sized rank relations pinned per iteration
+    # to cut the 10-iteration lineage
+    "q74_pagerank",
+    # 64-row capped recovery slice pinned before ECDSA verification
+    "q98_sender_recovery",
+    # cluster-assignment relation pinned before cell-bounded pairing
+    "q68_semantic_dedup",
+    # doc-bounded gram set pinned before the jaccard pair join
+    "q60_ngram_jaccard",
+}
+for _q in _RDD_ALLOW:
+    ALLOW.setdefault(_q, set()).add("rdd_scan")
+
 FLAGS = {
     "cartesian": re.compile(r"CartesianProduct"),
     "nested_loop": re.compile(r"BroadcastNestedLoopJoin"),
     "python_udf_row": re.compile(r"BatchEvalPython"),
     "pandas": re.compile(r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas"),
+    # a localCheckpoint/cache materialization inside a query plan: the
+    # checkpointed relation is written to executor storage in full and
+    # its lineage is gone (no recompute on executor loss). Legitimate
+    # when a bounded or multi-consumed relation must be pinned (the
+    # ALLOW entries); a red flag when a query accidentally
+    # materializes the fact table it should stream through.
+    "rdd_scan": re.compile(r"Scan ExistingRDD"),
 }
 
 _WSD = re.compile(r"windowspecdefinition\(")
