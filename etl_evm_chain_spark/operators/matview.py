@@ -4,15 +4,20 @@ The reference recomputes its analytics from full CSV scans every run
 (``/root/reference/bots`` reload ``data/*.csv`` per invocation); at
 100 TB a pipeline instead maintains a MATERIALIZED aggregate and folds
 each new batch into it. The classic warehouse treatment: keep the
-aggregate's ALGEBRAIC state — per group ``(n, sum, min, max)`` — which
-forms a commutative monoid under ``merge_states``, so
+aggregate's ALGEBRAIC state — per group ``(n, sum, sumsq, min, max)``
+— which forms a commutative monoid under ``merge_states``, so
 
     state(A ∪ B) == merge(state(A), state(B))
 
 for any partitioning of the input into batches, in any order, with
-empty batches as the identity. Derived measures (avg) are computed
-only at ``finalize_state`` time, never stored — finalizing is a pure
-projection, so the landed state stays mergeable forever.
+empty batches as the identity. Derived measures (avg, population
+variance/stddev) are computed only at ``finalize_state`` time, never
+stored — finalizing is a pure projection, so the landed state stays
+mergeable forever. ``sumsq`` is an exact decimal too (values squared
+at ``decimal(18,6)`` so the product stays inside 38 digits in any
+engine): variance from float-accumulated engine aggregates would be
+fold-order-dependent, but ``(sumsq − sum²/n)/n`` over exact decimal
+inputs is one deterministic double expression.
 
 Scale shape:
 - ``aggregate_state`` is a plain hash aggregate (map-side partials);
@@ -37,19 +42,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _SUM_TYPE = "decimal(38,6)"
+# squares computed at (18,6)x(18,6) -> scale 12, well inside 38 digits
+# in both Spark and DuckDB; the sum then holds ~1e26 of headroom
+_SQ_IN_TYPE = "decimal(18,6)"
+_SUMSQ_TYPE = "decimal(38,12)"
 
 
 def aggregate_state(df: DataFrame, keys: str | Sequence[str],
                     value: str) -> DataFrame:
     """Algebraic aggregate state of ``value`` per ``keys``:
-    ``(*keys, n, sum, min, max)``. NULL values count toward no
+    ``(*keys, n, sum, sumsq, min, max)``. NULL values count toward no
     measure (SQL aggregate semantics) but rows still exist: groups
     whose values are all NULL get n=0 and NULL sum/min/max."""
     ks = [keys] if isinstance(keys, str) else list(keys)
     v = F.col(value)
+    sq = v.cast(_SQ_IN_TYPE) * v.cast(_SQ_IN_TYPE)
     return df.groupBy(*ks).agg(
         F.count(v).cast("long").alias("n"),
         F.sum(v.cast(_SUM_TYPE)).alias("sum"),
+        F.sum(sq).cast(_SUMSQ_TYPE).alias("sumsq"),
         F.min(v).alias("min"),
         F.max(v).alias("max"),
     )
@@ -65,17 +76,26 @@ def merge_states(a: DataFrame, b: DataFrame,
     return a.unionByName(b).groupBy(*ks).agg(
         F.sum("n").cast("long").alias("n"),
         F.sum(F.col("sum").cast(_SUM_TYPE)).alias("sum"),
+        F.sum(F.col("sumsq")).cast(_SUMSQ_TYPE).alias("sumsq"),
         F.min("min").alias("min"),
         F.max("max").alias("max"),
     )
 
 
 def finalize_state(state: DataFrame) -> DataFrame:
-    """Pure projection adding derived measures (avg as double; NULL
-    for all-NULL groups). The input state is untouched/re-mergeable."""
+    """Pure projection adding derived measures (avg, population
+    var/std as doubles; NULL for all-NULL groups). The input state is
+    untouched/re-mergeable. The variance expression is written the
+    same way as the DuckDB oracle's — identical double operation
+    order over identical decimal inputs means bit-identical output."""
+    sum_d = F.col("sum").cast("double")
+    var = (F.col("sumsq").cast("double")
+           - sum_d * sum_d / F.col("n")) / F.col("n")
+    # guard tiny negative float residue so std's sqrt never NaNs
+    var = F.greatest(var, F.lit(0.0))
     return state.select(
         *[c for c in state.columns],
-        F.when(F.col("n") > 0,
-               F.col("sum").cast("double") / F.col("n"))
-         .alias("avg"),
+        F.when(F.col("n") > 0, sum_d / F.col("n")).alias("avg"),
+        F.when(F.col("n") > 0, var).alias("var"),
+        F.when(F.col("n") > 0, F.sqrt(var)).alias("std"),
     )

@@ -11,7 +11,7 @@ to every ingested batch.
 q119 — incremental materialized-view maintenance (operators/
 matview.py): ``orders`` arrives as three disjoint epochs (date-cut
 splits, the arrival order of a real feed); each epoch folds into the
-algebraic state ``(n, sum, min, max)`` per (status, year) group, the
+algebraic state ``(n, sum, sumsq, min, max)`` per (status, year) group, the
 three states merge pairwise (monoid law — tested exhaustively in
 tests/test_quality.py), and the finalize projection derives avg. The
 DuckDB oracle computes the same aggregate in ONE shot over the whole
@@ -143,21 +143,45 @@ def q_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("sum").cast("double").alias("sum_price"),
                     F.col("min").alias("min_price"),
                     F.col("max").alias("max_price"),
-                    F.col("avg").alias("avg_price"))
+                    F.col("avg").alias("avg_price"),
+                    F.floor(F.col("std") * 100).cast("double")
+                     .alias("std_cents"))
             .orderBy("status", "yr"))
 
 
+# std mirrors finalize_state's expression ((sumsq - sum*sum/n)/n over
+# decimal-exact inputs, clamped, sqrt) — engine variance aggregates
+# are float-accumulated/fold-order-dependent, so neither side uses
+# them. The hashed column is floor(std*100) (cents, the repo's
+# floor-truncation convention): DuckDB's int128 decimal->double cast
+# can be 1 ulp off Spark's correctly-rounded conversion on scale-12
+# sumsq values, and the variance cancellation amplifies that to
+# ~1e-5 absolute — sqrt compresses it back to ~3e-11, far inside the
+# floor grid. Raw var/std stay finalize-level measures (exact-state
+# parity is pytest-proven at the decimal layer).
 ORACLE_INCREMENTAL_MV = """
-SELECT o_orderstatus AS status,
-       CAST(year(o_orderdate) AS BIGINT) AS yr,
-       CAST(count(o_totalprice) AS BIGINT) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
-       min(o_totalprice) AS min_price,
-       max(o_totalprice) AS max_price,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
-           / count(o_totalprice) AS avg_price
-FROM orders
-GROUP BY o_orderstatus, year(o_orderdate)
+WITH s AS (
+  SELECT o_orderstatus AS status,
+         CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(count(o_totalprice) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_price,
+         -- (19,6): hugeint multiply (int64 at (18,6) overflows);
+         -- result (38,12) is exact, same value as Spark's (37,12)
+         CAST(sum(CAST(o_totalprice AS DECIMAL(19,6))
+                  * CAST(o_totalprice AS DECIMAL(19,6))) AS DOUBLE)
+             AS sumsq_price,
+         min(o_totalprice) AS min_price,
+         max(o_totalprice) AS max_price
+  FROM orders
+  GROUP BY o_orderstatus, year(o_orderdate)
+)
+SELECT status, yr, n_orders, sum_price, min_price, max_price,
+       sum_price / n_orders AS avg_price,
+       CAST(floor(sqrt(greatest(
+           (sumsq_price - sum_price * sum_price / n_orders) / n_orders,
+           0.0)) * 100) AS DOUBLE) AS std_cents
+FROM s
 ORDER BY status, yr
 """
 

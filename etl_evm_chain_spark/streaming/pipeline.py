@@ -680,6 +680,7 @@ def compact_matview(spark: SparkSession, state_dir: str,
         return (df.groupBy(*ks)
                 .agg(F.sum("n").cast("long").alias("n"),
                      F.sum("sum").cast("decimal(38,6)").alias("sum"),
+                     F.sum("sumsq").cast("decimal(38,12)").alias("sumsq"),
                      F.min("min").alias("min"),
                      F.max("max").alias("max")))
 
@@ -755,6 +756,7 @@ def read_matview(spark: SparkSession, state_dir: str,
             .groupBy(*ks)
             .agg(F.sum("n").cast("long").alias("n"),
                  F.sum("sum").cast("decimal(38,6)").alias("sum"),
+                 F.sum("sumsq").cast("decimal(38,12)").alias("sumsq"),
                  F.min("min").alias("min"),
                  F.max("max").alias("max")))
 

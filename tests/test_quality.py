@@ -109,3 +109,21 @@ def test_expectations_reject_dotted_names(spark):
         run_expectations(df, [expect_not_null("a.b", "id")])
     with pytest.raises(ValueError, match="must not contain"):
         run_expectations(df, [expect_not_null("a`b", "id")])
+
+
+def test_matview_var_std_match_population_stats(spark):
+    import math
+    vals = [3.25, 7.5, 7.5, 11.0, 42.125, 0.5]
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "k string, v double")
+    fin = finalize_state(aggregate_state(df, "k", "v")).first()
+    mean = sum(vals) / len(vals)
+    var = sum((v - mean) ** 2 for v in vals) / len(vals)
+    assert fin["avg"] == pytest.approx(mean, rel=1e-12)
+    assert fin["var"] == pytest.approx(var, rel=1e-9)
+    assert fin["std"] == pytest.approx(math.sqrt(var), rel=1e-9)
+    # single value: exact zero variance (the clamp guards residue)
+    one = finalize_state(aggregate_state(
+        spark.createDataFrame([("g", 5.5)], "k string, v double"),
+        "k", "v")).first()
+    assert one["var"] == 0.0 and one["std"] == 0.0

@@ -65,7 +65,7 @@ STATIC = {
     "P2-layout": "functions/layout.py range-sorted + Morton (Z-order) clustered parquet layout, interleave_bits oracle-proven (q116); scan_metrics prune proofs in tests/test_bucketing.py; compact_parquet maintenance",
     "P2-sketch": "operators/sketches.py KMV distinct sketches (portable order-statistic estimator, expression-level merge; q115)",
     "P2-ranking": "functions/ranking.py bucketed_rank/bucketed_prefix_sum two-phase kit (scaled_buckets derives bucket count from shuffle parallelism; null-safe group joins; q53/q87/q15/q59 consume it); tests/test_ranking.py incl. non-default shuffle.partitions",
-    "P2-quality": "operators/expectations.py declarative rules compiled to ONE fact scan + broadcast FK anti-checks (q118) + stream_expectations per-epoch reports; operators/matview.py incremental materialized aggregate — (n,sum,min,max) monoid state, merge == one-shot proven by the q119 DuckDB hash + fold-order property tests; epoch ledgers bounded by compact_epoch_ledger log compaction",
+    "P2-quality": "operators/expectations.py declarative rules compiled to ONE fact scan + broadcast FK anti-checks (q118) + stream_expectations per-epoch reports; operators/matview.py incremental materialized aggregate — (n,sum,sumsq,min,max) monoid state (finalize derives avg/var/std), merge == one-shot proven by the q119 DuckDB hash + fold-order property tests; epoch ledgers bounded by compact_epoch_ledger log compaction",
 }
 
 
