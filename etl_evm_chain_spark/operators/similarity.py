@@ -1074,7 +1074,8 @@ def cosine_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
 def update_ann_index(spark, batch: DataFrame, index_path: str, *,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      k: int = 5, n_cells: int = 16, n_probe: int = 4,
-                     centroids: str = "hash") -> DataFrame:
+                     centroids: str = "hash",
+                     batch_id: str | None = None) -> DataFrame:
     """Incremental IVF index — the embedding twin of
     dedup.update_near_dup_index, the daily-increment shape of a 100 TB
     similarity pipeline: cell assignments are computed for the NEW
@@ -1093,10 +1094,19 @@ def update_ann_index(spark, batch: DataFrame, index_path: str, *,
     services.
 
     Returns (qid, cid, sim, rank) for the new batch vs everything
-    ingested so far (self-matches excluded). Batch commits are the
-    caller's exactly-once boundary (pair with sources/progress).
+    ingested so far (self-matches excluded).
+
+    Exactly-once: pass a stable ``batch_id`` and a replayed batch
+    OVERWRITES its own ``batch_id=b<id>/cell=<n>/`` partition
+    directory instead of appending a duplicate copy — the same
+    epoch-ledger contract as dedup.update_near_dup_index (whose
+    round-2 append-only form this layout replaced: duplicated index
+    rows return every neighbor twice and crowd real results out of
+    top-k). Without a caller batch id a fresh UUID is used — correct
+    results, but replays then append.
     """
     import os
+    import uuid
 
     if centroids not in ("hash", "kmeans"):
         # validate BEFORE anything persists: a typo silently frozen
@@ -1136,9 +1146,14 @@ def update_ann_index(spark, batch: DataFrame, index_path: str, *,
               .filter(F.col("_cr") <= n_probe))
     assigned = ranked.filter(F.col("_cr") == 1).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), "cell")
-    assigned.write.mode("append").partitionBy("cell").parquet(cells_path)
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex
+    # "b" prefix pins the inferred partition type to string (mixed
+    # digit/hex ids across directories would conflict otherwise)
+    batch_dir = os.path.join(cells_path, f"batch_id=b{batch_id}")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(batch_dir)
 
-    index = spark.read.parquet(cells_path)
+    index = spark.read.parquet(cells_path).drop("batch_id")
     probed = ranked.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"), "cell")
     # plain equi-join: the batch is unbounded (a forced broadcast of

@@ -582,3 +582,26 @@ def test_banded_rejects_indivisible_bands(spark):
     sig = dd.minhash_signatures(_docs(spark))
     with pytest.raises(ValueError, match="divide"):
         dd.lsh_candidate_pairs(sig, k=8, bands=3)
+
+
+def test_ann_index_replay_is_idempotent(spark, tmp_path):
+    """A replayed batch (same batch_id) must overwrite its own epoch
+    partition, not append a duplicate copy that returns every
+    neighbor twice and crowds real results out of top-k."""
+    idx = str(tmp_path / "ann_replay")
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+
+    sim.update_ann_index(spark, b1, idx, k=3, batch_id="0")
+    first = {(r["qid"], r["cid"], r["rank"]) for r in
+             sim.update_ann_index(spark, b2, idx, k=3,
+                                  batch_id="1").collect()}
+    n_rows = spark.read.parquet(idx + "/cells").count()
+    replay = {(r["qid"], r["cid"], r["rank"]) for r in
+              sim.update_ann_index(spark, b2, idx, k=3,
+                                   batch_id="1").collect()}
+    assert replay == first
+    assert spark.read.parquet(idx + "/cells").count() == n_rows
+    # no duplicate (qid, cid) pairs anywhere in the probe output
+    assert len({(q, c) for q, c, _ in replay}) == len(replay)
