@@ -6,12 +6,14 @@ The reference documents resume-from-last-block (`README.md:60,176-178`,
 checkpoints (streaming/pipeline.write_decoded); this module is the
 batch twin: a tiny parquet high-watermark log next to the output.
 
-Semantics: at-least-once on the boundary (a crash between data commit
-and cursor commit re-processes the last range), made effectively
-exactly-once by idempotent downstream writes — dedup on
-(tx_hash, log_index) or deterministic overwrite of block-partitioned
-output. This is strictly stronger than the at-most-once the reference
-README promises (`README.md:178`).
+Semantics: exactly-once. A crash between data commit and cursor
+commit re-processes the last range, but each increment lands in its
+own ``inc=<from>-<to>/`` directory keyed by the (watermark-stable)
+resume bounds — the replay overwrites the same directory, and any
+leftover directory past the committed watermark (a crashed increment
+whose upper bound has since moved) is swept before the write. This is
+strictly stronger than the at-most-once the reference README promises
+(`README.md:178`).
 
 The cursor is a parquet *directory* (append-only, max() on read) so
 concurrent/failed writers can never corrupt it the way a rewritten
@@ -55,8 +57,12 @@ def resume_bounds(spark: SparkSession, progress_path: str, *,
 def incremental_decode(spark: SparkSession, *, raw: DataFrame,
                        progress_path: str, out_dir: str,
                        decode, latest: int, start: int = 0) -> int:
-    """One batch increment: decode blocks past the watermark, append,
-    commit the cursor. Returns rows written (0 when caught up).
+    """One batch increment: decode blocks past the watermark into the
+    increment's own ``inc=<from>-<to>/`` partition, commit the cursor.
+    Returns rows written (0 when caught up). Replays overwrite their
+    own directory (exactly-once — see the module docstring); readers
+    of ``out_dir`` see an extra ``inc`` string partition column, the
+    increment lineage.
 
     ``decode`` maps a raw-log DataFrame → decoded DataFrame (e.g.
     ``lambda df: decode_event(df, TRANSFER)``). The block filter lands
@@ -64,14 +70,31 @@ def incremental_decode(spark: SparkSession, *, raw: DataFrame,
     scales with NEW data only — the property the reference's full
     rescan lacked.
     """
+    import os
+    import re
+    import shutil
+
     bounds = resume_bounds(spark, progress_path, start=start, latest=latest)
     if bounds is None:
         return 0
     frm, to = bounds
+    # sweep uncommitted leftovers: every COMMITTED increment ends at
+    # or below the watermark (= frm-1), so any inc dir starting at or
+    # past frm is a crashed write of the range being redone now —
+    # possibly with a different upper bound (latest moved between the
+    # crash and the replay), which a plain same-dir overwrite would
+    # leave behind as duplicate rows
+    if os.path.isdir(out_dir):
+        for d in os.listdir(out_dir):
+            m = re.fullmatch(r"inc=(\d+)-(\d+)", d)
+            if m and int(m.group(1)) >= frm:
+                shutil.rmtree(os.path.join(out_dir, d),
+                              ignore_errors=True)
     fresh = raw.filter((F.col("block_number") >= frm)
                        & (F.col("block_number") <= to))
     decoded = decode(fresh)
-    decoded.write.mode("append").parquet(out_dir)
+    decoded.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"inc={frm}-{to}"))
     commit_watermark(spark, progress_path, to)
     # re-derives the count from the (small) increment plan; metrics-only
     return decoded.count()

@@ -72,3 +72,36 @@ def test_partitioned_write_prunes_scan(spark, tmp_path):
 
     full = spark.read.parquet(path)
     assert partition_filters(full) == ""         # nothing to prune
+
+
+def test_incremental_decode_replay_is_idempotent(spark, tmp_path):
+    """Crash between the data write and the cursor commit: the replay
+    must overwrite its own increment directory — even when `latest`
+    moved in between — never append a duplicate copy."""
+    prog = str(tmp_path / "p_replay")
+    out = str(tmp_path / "d_replay")
+    decode = lambda df: decode_event(df, SWAPISH, contract_name="Pool")  # noqa: E731
+
+    pg.incremental_decode(spark, raw=_raw(spark, [1, 2, 3]),
+                          progress_path=prog, out_dir=out,
+                          decode=decode, latest=3)
+
+    # crash-sim: run the increment for 4-6 but skip the cursor commit
+    real_commit = pg.commit_watermark
+    try:
+        pg.commit_watermark = lambda *a, **k: None
+        pg.incremental_decode(spark, raw=_raw(spark, [1, 2, 3, 4, 5, 6]),
+                              progress_path=prog, out_dir=out,
+                              decode=decode, latest=6)
+    finally:
+        pg.commit_watermark = real_commit
+    assert pg.read_watermark(spark, prog) == 3   # cursor never moved
+
+    # replay with MORE data available (latest moved 6 -> 7)
+    n = pg.incremental_decode(spark, raw=_raw(spark, list(range(1, 8))),
+                              progress_path=prog, out_dir=out,
+                              decode=decode, latest=7)
+    assert n == 4
+    got = spark.read.parquet(out)
+    assert got.count() == 7                      # no duplicates
+    assert got.select("block_number").distinct().count() == 7
