@@ -19,6 +19,15 @@ engine): variance from float-accumulated engine aggregates would be
 fold-order-dependent, but ``(sumsq − sum²/n)/n`` over exact decimal
 inputs is one deterministic double expression.
 
+DOMAIN: the exact square bounds ``|value| < 1e12`` (beyond that the
+(18,6) cast overflows — loudly under ANSI mode, the session default).
+``n/sum/min/max/avg`` keep the full decimal(38,6) domain. For
+wider-domain values (wei-scale integers), pre-scale the column to the
+unit that matters before aggregating. State schema v2: ledgers landed
+before the sumsq column need a one-time rewrite (merge_states and the
+ledger folds fail loudly on the missing column rather than silently
+computing partial squares).
+
 Scale shape:
 - ``aggregate_state`` is a plain hash aggregate (map-side partials);
   each incremental batch touches only ITS groups.
@@ -57,10 +66,15 @@ def aggregate_state(df: DataFrame, keys: str | Sequence[str],
     ks = [keys] if isinstance(keys, str) else list(keys)
     v = F.col(value)
     sq = v.cast(_SQ_IN_TYPE) * v.cast(_SQ_IN_TYPE)
+    # count(sq)==count(v) guard: under non-ANSI an out-of-domain value
+    # squares to NULL and a plain sum would silently hold a PARTIAL
+    # sum of squares — null the whole cell instead (var/std become
+    # NULL-unknown); under ANSI the cast already fails loudly
     return df.groupBy(*ks).agg(
         F.count(v).cast("long").alias("n"),
         F.sum(v.cast(_SUM_TYPE)).alias("sum"),
-        F.sum(sq).cast(_SUMSQ_TYPE).alias("sumsq"),
+        F.when(F.count(sq) == F.count(v), F.sum(sq))
+         .cast(_SUMSQ_TYPE).alias("sumsq"),
         F.min(v).alias("min"),
         F.max(v).alias("max"),
     )
@@ -76,7 +90,13 @@ def merge_states(a: DataFrame, b: DataFrame,
     return a.unionByName(b).groupBy(*ks).agg(
         F.sum("n").cast("long").alias("n"),
         F.sum(F.col("sum").cast(_SUM_TYPE)).alias("sum"),
-        F.sum(F.col("sumsq")).cast(_SUMSQ_TYPE).alias("sumsq"),
+        # NULL-poisoned sumsq (out-of-domain input, n>0) must stay
+        # NULL through merges, not be skipped into a partial sum — but
+        # an n=0 state's NULL sumsq is the monoid identity and folds
+        # away freely (all-NULL-value epochs must not poison a group)
+        F.when(F.sum(((F.col("n") > 0) & F.col("sumsq").isNull())
+                     .cast("int")) == 0, F.sum("sumsq"))
+         .cast(_SUMSQ_TYPE).alias("sumsq"),
         F.min("min").alias("min"),
         F.max("max").alias("max"),
     )
@@ -93,9 +113,13 @@ def finalize_state(state: DataFrame) -> DataFrame:
            - sum_d * sum_d / F.col("n")) / F.col("n")
     # guard tiny negative float residue so std's sqrt never NaNs
     var = F.greatest(var, F.lit(0.0))
+    # sumsq NULL with n>0 = out-of-domain values squared under
+    # non-ANSI (cast returned NULL): var must be NULL (unknown), not
+    # the greatest() clamp's confident 0.0
+    has_sq = (F.col("n") > 0) & F.col("sumsq").isNotNull()
     return state.select(
         *[c for c in state.columns],
         F.when(F.col("n") > 0, sum_d / F.col("n")).alias("avg"),
-        F.when(F.col("n") > 0, var).alias("var"),
-        F.when(F.col("n") > 0, F.sqrt(var)).alias("std"),
+        F.when(has_sq, var).alias("var"),
+        F.when(has_sq, F.sqrt(var)).alias("std"),
     )

@@ -1153,7 +1153,26 @@ def update_ann_index(spark, batch: DataFrame, index_path: str, *,
     batch_dir = os.path.join(cells_path, f"batch_id=b{batch_id}")
     assigned.write.mode("overwrite").partitionBy("cell").parquet(batch_dir)
 
-    index = spark.read.parquet(cells_path).drop("batch_id")
+    # committed epochs only: a torn batch write (crash mid-write, no
+    # _SUCCESS) must stay invisible to other batches' probes until its
+    # replay overwrites it — same rule as the streaming epoch ledgers
+    jcells = spark._jvm.org.apache.hadoop.fs.Path(cells_path)
+    jfs = jcells.getFileSystem(spark._jsc.hadoopConfiguration())
+    committed = []
+    for st_ in jfs.listStatus(jcells):
+        name = st_.getPath().getName()
+        if name.startswith("batch_id=") and jfs.exists(
+                spark._jvm.org.apache.hadoop.fs.Path(
+                    st_.getPath(), "_SUCCESS")):
+            committed.append(str(st_.getPath().toString()))
+    # this batch's own (just-committed) dir is always in the list, so
+    # `committed` is never empty; the fallback keeps the empty case
+    # structurally safe anyway
+    # basePath keeps partition discovery rooted at cells_path while
+    # only the committed epoch dirs are actually read
+    index = (spark.read.option("basePath", cells_path)
+             .parquet(*committed).drop("batch_id")
+             if committed else assigned.limit(0))
     probed = ranked.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"), "cell")
     # plain equi-join: the batch is unbounded (a forced broadcast of

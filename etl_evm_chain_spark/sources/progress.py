@@ -72,7 +72,6 @@ def incremental_decode(spark: SparkSession, *, raw: DataFrame,
     """
     import os
     import re
-    import shutil
 
     bounds = resume_bounds(spark, progress_path, start=start, latest=latest)
     if bounds is None:
@@ -83,13 +82,18 @@ def incremental_decode(spark: SparkSession, *, raw: DataFrame,
     # past frm is a crashed write of the range being redone now —
     # possibly with a different upper bound (latest moved between the
     # crash and the replay), which a plain same-dir overwrite would
-    # leave behind as duplicate rows
-    if os.path.isdir(out_dir):
-        for d in os.listdir(out_dir):
-            m = re.fullmatch(r"inc=(\d+)-(\d+)", d)
+    # leave behind as duplicate rows. Hadoop FS API, not os.listdir:
+    # the lake may be HDFS/object-store (same discipline as
+    # reorg._delete_buckets — a silent local-only no-op here would
+    # leave exactly the duplicates this sweep exists to prevent).
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        for st_ in fs.listStatus(jpath):
+            name = st_.getPath().getName()
+            m = re.fullmatch(r"inc=(\d+)-(\d+)", name)
             if m and int(m.group(1)) >= frm:
-                shutil.rmtree(os.path.join(out_dir, d),
-                              ignore_errors=True)
+                fs.delete(st_.getPath(), True)
     fresh = raw.filter((F.col("block_number") >= frm)
                        & (F.col("block_number") <= to))
     decoded = decode(fresh)

@@ -680,7 +680,10 @@ def compact_matview(spark: SparkSession, state_dir: str,
         return (df.groupBy(*ks)
                 .agg(F.sum("n").cast("long").alias("n"),
                      F.sum("sum").cast("decimal(38,6)").alias("sum"),
-                     F.sum("sumsq").cast("decimal(38,12)").alias("sumsq"),
+                     F.when(F.sum(((F.col("n") > 0)
+                                   & F.col("sumsq").isNull())
+                                  .cast("int")) == 0, F.sum("sumsq"))
+                      .cast("decimal(38,12)").alias("sumsq"),
                      F.min("min").alias("min"),
                      F.max("max").alias("max")))
 
@@ -756,7 +759,10 @@ def read_matview(spark: SparkSession, state_dir: str,
             .groupBy(*ks)
             .agg(F.sum("n").cast("long").alias("n"),
                  F.sum("sum").cast("decimal(38,6)").alias("sum"),
-                 F.sum("sumsq").cast("decimal(38,12)").alias("sumsq"),
+                 F.when(F.sum(((F.col("n") > 0)
+                               & F.col("sumsq").isNull()).cast("int"))
+                        == 0, F.sum("sumsq"))
+                  .cast("decimal(38,12)").alias("sumsq"),
                  F.min("min").alias("min"),
                  F.max("max").alias("max")))
 

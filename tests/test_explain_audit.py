@@ -109,11 +109,22 @@ def test_flag_fires_on_long_typed_low_card_key(spark):
 def test_rdd_scan_flagged_on_checkpointed_plan(spark):
     """An accidental localCheckpoint (full materialization, lineage
     gone) inside a query plan must raise the rdd_scan flag."""
-    import sys
-    sys.path.insert(0, "/root/repo/tools")
-    from explain_audit import df_flags
-
     df = spark.range(100).withColumn("v", F.col("id") * 2)
-    assert "rdd_scan" not in df_flags(df.groupBy("v").count())
+    assert "rdd_scan" not in ea.df_flags(df.groupBy("v").count())
     pinned = df.localCheckpoint()
-    assert "rdd_scan" in df_flags(pinned.groupBy("v").count())
+    assert "rdd_scan" in ea.df_flags(pinned.groupBy("v").count())
+
+
+def test_cached_scan_flagged_on_cached_plan(spark):
+    """An accidental .cache() prints InMemoryTableScan (not
+    ExistingRDD) — it needs its own audit pattern."""
+    df = spark.range(64).withColumn("v", F.col("id") % 4)
+    # structurally different plan: cache substitution matches by plan
+    # equality, so the negative case must not be the cached plan's twin
+    other = spark.range(65).withColumn("v", F.col("id") % 4)
+    try:
+        cached = df.cache()
+        assert "cached_scan" in ea.df_flags(cached.groupBy("v").count())
+        assert "cached_scan" not in ea.df_flags(other.groupBy("v").count())
+    finally:
+        df.unpersist()

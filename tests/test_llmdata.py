@@ -605,3 +605,32 @@ def test_ann_index_replay_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(idx + "/cells").count() == n_rows
     # no duplicate (qid, cid) pairs anywhere in the probe output
     assert len({(q, c) for q, c, _ in replay}) == len(replay)
+
+
+def test_ann_index_ignores_torn_batch_dirs(spark, tmp_path):
+    """A crashed batch write (cell files landed, no _SUCCESS) must be
+    invisible to other batches' probes until its replay commits it."""
+    import os
+    import shutil
+
+    idx = str(tmp_path / "ann_torn")
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    sim.update_ann_index(spark, b1, idx, k=3, batch_id="0")
+
+    # simulate the torn write: land batch 1's assignments then strip
+    # the commit marker
+    sim.update_ann_index(spark, b2, idx, k=3, batch_id="1")
+    torn = f"{idx}/cells/batch_id=b1"
+    os.remove(os.path.join(torn, "_SUCCESS"))
+
+    b3 = emb.filter(F.col("vec_id") % 2 == 0).limit(20)
+    r3 = sim.update_ann_index(spark, b3, idx, k=3, batch_id="2").collect()
+    assert all(r["cid"] % 2 == 0 for r in r3)   # torn odd ids invisible
+
+    # replay of batch 1 re-commits it; now its vectors are probe-able
+    shutil.rmtree(torn)
+    sim.update_ann_index(spark, b2, idx, k=3, batch_id="1")
+    r4 = sim.update_ann_index(spark, b3, idx, k=3, batch_id="2").collect()
+    assert any(r["cid"] % 2 == 1 for r in r4)

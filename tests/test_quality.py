@@ -127,3 +127,30 @@ def test_matview_var_std_match_population_stats(spark):
         spark.createDataFrame([("g", 5.5)], "k string, v double"),
         "k", "v")).first()
     assert one["var"] == 0.0 and one["std"] == 0.0
+
+
+def test_matview_out_of_domain_var_is_null_not_zero(spark):
+    """Values past the (18,6) square domain: ANSI raises loudly; with
+    ANSI off the squares are NULL and var/std must be NULL-unknown —
+    never the clamp's confident 0.0 — and merging must not turn a
+    poisoned cell into a partial sum, while n=0 identity states must
+    not poison good groups."""
+    df = spark.createDataFrame(
+        [("big", 2.0e12), ("big", 5.0), ("ok", 3.0), ("nul", None)],
+        "k string, v double")
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        st = aggregate_state(df, "k", "v")
+        fin = {r["k"]: r for r in finalize_state(st).collect()}
+        assert fin["big"]["n"] == 2 and fin["big"]["sumsq"] is None
+        assert fin["big"]["var"] is None and fin["big"]["std"] is None
+        assert fin["ok"]["var"] == 0.0
+        # merge: poisoned stays poisoned; identity (n=0) never poisons
+        merged = {r["k"]: r for r in merge_states(
+            st, aggregate_state(df.filter("v is null"), "k", "v"),
+            "k").collect()}
+        assert merged["big"]["sumsq"] is None
+        assert merged["ok"]["sumsq"] is not None
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)

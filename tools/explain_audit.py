@@ -160,18 +160,27 @@ _RDD_ALLOW = {
 for _q in _RDD_ALLOW:
     ALLOW.setdefault(_q, set()).add("rdd_scan")
 
+# cached_scan allowances: deliberate .cache() sites, each bounded.
+# media fixture relation cached across the stats fan-out (bounded by
+# the synthetic media table, consumed by every per-kind branch)
+ALLOW.setdefault("q61_media_stats", set()).add("cached_scan")
+
 FLAGS = {
     "cartesian": re.compile(r"CartesianProduct"),
     "nested_loop": re.compile(r"BroadcastNestedLoopJoin"),
     "python_udf_row": re.compile(r"BatchEvalPython"),
     "pandas": re.compile(r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas"),
-    # a localCheckpoint/cache materialization inside a query plan: the
+    # a localCheckpoint materialization inside a query plan: the
     # checkpointed relation is written to executor storage in full and
     # its lineage is gone (no recompute on executor loss). Legitimate
     # when a bounded or multi-consumed relation must be pinned (the
     # ALLOW entries); a red flag when a query accidentally
     # materializes the fact table it should stream through.
     "rdd_scan": re.compile(r"Scan ExistingRDD"),
+    # .cache()/.persist() materializations print as InMemory scans,
+    # NOT ExistingRDD — the same accidental-materialization disease
+    # needs its own pattern or cache misuse sails past the audit.
+    "cached_scan": re.compile(r"InMemory(TableScan|Relation)"),
 }
 
 _WSD = re.compile(r"windowspecdefinition\(")
