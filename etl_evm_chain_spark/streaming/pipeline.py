@@ -711,7 +711,8 @@ def compact_token_sketch(spark: SparkSession, sketch_dir: str, *,
 
 def stream_matview(events: DataFrame, *, state_dir: str, checkpoint: str,
                    keys: str | list[str], value: str,
-                   trigger_once: bool = True):
+                   trigger_once: bool = True,
+                   compact_every: int | None = None):
     """Maintained aggregate AT INGEST TIME: each micro-batch folds into
     its own algebraic state partition (operators/matview.
     aggregate_state → ``state_dir/batch_id=<epoch>/``); the live view
@@ -724,14 +725,20 @@ def stream_matview(events: DataFrame, *, state_dir: str, checkpoint: str,
     ``stream_export_shards``/``stream_token_sketch``): a batch's state
     is a pure function of its rows, so a replayed epoch overwrites its
     directory with an identical partition. Per-epoch cost is one hash
-    aggregate over the batch; the landed lake is O(epochs · |groups|)
-    state rows.
+    aggregate over the batch; the landed lake is O(live epochs ·
+    |groups|) state rows — with ``compact_every=N`` the ledger
+    self-compacts whenever N live epochs accumulate (the single
+    stream is the only writer, so compacting inside foreachBatch
+    can't race; a replayed already-folded epoch is ignored as a ghost
+    by the readers, so the fold stays exact across restarts).
     """
     import os
 
     from ..operators.matview import aggregate_state
 
     ks = [keys] if isinstance(keys, str) else list(keys)
+    if compact_every is not None and compact_every < 2:
+        raise ValueError(f"compact_every must be >= 2, got {compact_every}")
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -739,6 +746,12 @@ def stream_matview(events: DataFrame, *, state_dir: str, checkpoint: str,
         st = aggregate_state(batch_df, ks, value)
         st.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"batch_id={int(batch_id)}"))
+        if compact_every is not None:
+            c = _max_compact(state_dir)
+            floor = -1 if c is None else c
+            live = [e for e in _epoch_ids(state_dir) if e > floor]
+            if len(live) >= compact_every:
+                compact_matview(batch_df.sparkSession, state_dir, ks)
 
     w = (events.writeStream.foreachBatch(per_batch)
          .option("checkpointLocation", checkpoint))

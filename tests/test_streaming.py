@@ -953,3 +953,40 @@ def test_compact_matview_never_folds_partial_epochs(spark, tmp_path):
     got2 = sorted(tuple(r)
                   for r in sp.read_matview(spark, std, "k").collect())
     assert got2 == want
+
+
+def test_stream_matview_self_compacts(spark, tmp_path):
+    """With compact_every=2 the ledger folds itself as epochs land:
+    the directory count stays bounded and the view stays exact."""
+    import os
+
+    from etl_evm_chain_spark.operators.matview import aggregate_state
+
+    src = str(tmp_path / "smc_src")
+    std = str(tmp_path / "smc_state")
+    ckpt = str(tmp_path / "smc_ckpt")
+
+    def run():
+        stream = spark.readStream.schema("k string, v double") \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        q = sp.stream_matview(stream, state_dir=std, checkpoint=ckpt,
+                              keys="k", value="v", compact_every=2)
+        q.awaitTermination(120)
+
+    all_rows = []
+    for i in range(4):
+        rows = [(f"g{j % 2}", float(i * 10 + j)) for j in range(6)]
+        all_rows += rows
+        spark.createDataFrame(rows, "k string, v double") \
+            .coalesce(1).write.mode("append").parquet(src)
+        run()
+
+    live = [d for d in os.listdir(std) if d.startswith("batch_id=")]
+    assert len(live) < 2                       # folded away as they land
+    assert os.path.isdir(f"{std}/_compacted")
+    want = sorted(tuple(r) for r in aggregate_state(
+        spark.createDataFrame(all_rows, "k string, v double"),
+        "k", "v").collect())
+    got = sorted(tuple(r)
+                 for r in sp.read_matview(spark, std, "k").collect())
+    assert got == want
