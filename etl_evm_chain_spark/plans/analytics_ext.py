@@ -370,9 +370,15 @@ GROUP BY o.o_custkey
 #      per-bucket row_number + offset = exact global rank → ntile
 #      arithmetic reproducing ntile(10)'s
 #      first-(N%10)-buckets-get-one-extra distribution exactly.
-# Heavy sorts are per-bucket and partition-parallel. Skewed value
-# distributions concentrate buckets — at 100 TB pick bucket edges
-# from an equi-depth histogram (catalog stats) instead of equi-width.
+# Heavy sorts are per-bucket and partition-parallel. edges="depth"
+# places bucket boundaries at sampled quantiles of the full order
+# tuple (RangePartitioner), so buckets stay balanced under arbitrary
+# value skew — a zipf-shaped price column would concentrate most rows
+# into a few equi-width buckets and re-grow the per-bucket sort toward
+# the single-task funnel this plan exists to kill. Ranks are
+# bit-identical between modes (bucket order is monotone in the total
+# order either way); tests/test_ranking.py pins the balance claim on
+# a zipf fixture.
 # ---------------------------------------------------------------------------
 
 
@@ -385,7 +391,7 @@ def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = bucketed_rank(
         o, "o_totalprice", ["o_totalprice", "o_orderkey"],
         n_buckets=scaled_buckets(spark),
-        rank_name="_rank", total_name="_total")
+        rank_name="_rank", total_name="_total", edges="depth")
     # Exact ntile(10) arithmetic: the first (N mod 10) tiles hold
     # ceil(N/10) CONTIGUOUS rows, the rest floor(N/10). The simpler
     # floor((rank-1)*10/N)+1 spreads the remainder Bresenham-style and

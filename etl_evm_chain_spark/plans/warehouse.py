@@ -207,8 +207,11 @@ UNPIVOT (value FOR metric IN (
 # window partitions on the 3-value l_returnflag alone. A 1/16 sample
 # of a 100 TB fact table no longer funnels ~1/48th of it through one
 # task per flag; per-bucket sort width is bounded by scaled_buckets
-# (shuffle-partitions-derived). Everything else is hash-partitioned
-# groupBy with map-side partials.
+# (shuffle-partitions-derived) and stays bounded under value skew via
+# edges="depth" (sampled-quantile boundaries — an equi-width split of
+# a zipf-shaped price column would re-concentrate the sample into a
+# few buckets). Everything else is hash-partitioned groupBy with
+# map-side partials.
 # ---------------------------------------------------------------------------
 
 _SQL_H15 = "CAST('0x' || substr(md5({e}), 1, 15) AS BIGINT)"
@@ -246,7 +249,7 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_extendedprice", "l_orderkey", "l_linenumber"],
         part_cols=("l_returnflag",),
         n_buckets=scaled_buckets(spark),
-        rank_name="rn", total_name="m")
+        rank_name="rn", total_name="m", edges="depth")
 
     def pick(p: float, name: str):
         return F.max(F.when(

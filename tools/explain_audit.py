@@ -156,6 +156,16 @@ _RDD_ALLOW = {
     "q68_semantic_dedup",
     # doc-bounded gram set pinned before the jaccard pair join
     "q60_ngram_jaccard",
+    # depth-mode range assignment pinned (same reason as q120); the
+    # ranked relation is the orders fact — the documented cost of
+    # equi-depth balance under value skew (round-5 q87 rework)
+    "q87_value_deciles",
+    # ranking-kit phase-2 counts relation pinned for the broadcast
+    # cardinality probe — bounded by groups × n_buckets rows
+    "q59_pack_sequences",
+    # same: kmv_sketch ranks per-(group, salt) hashes through the kit,
+    # whose pinned counts relation is groups × n_buckets-bounded
+    "q115_kmv_distinct",
 }
 for _q in _RDD_ALLOW:
     ALLOW.setdefault(_q, set()).add("rdd_scan")
