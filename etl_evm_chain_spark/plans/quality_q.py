@@ -188,7 +188,7 @@ ORDER BY status, yr
 
 SPECS = [
     QuerySpec("q118_expectations", q_expectations, ORACLE_EXPECTATIONS,
-              "declarative data-quality gate: 5 rules in one fact scan "
+              "declarative data-quality gate: 6 rules in one fact scan "
               "+ broadcast FK anti-check; long-form violations report",
               ("B4", "P2-quality")),
     QuerySpec("q119_incremental_mv", q_incremental_mv,

@@ -91,6 +91,22 @@ def incremental_decode(spark: SparkSession, *, raw: DataFrame,
     if fs.exists(jpath):
         for st_ in fs.listStatus(jpath):
             name = st_.getPath().getName()
+            # a root-level parquet file is the pre-inc= FLAT APPEND
+            # layout (or a foreign dataset): mixing it with inc=
+            # partition dirs breaks Spark partition discovery and
+            # would silently double-count rows already decoded under
+            # the old layout — refuse loudly instead of migrating
+            # (the caller decides whether to move the legacy files
+            # into an inc=0-<watermark> dir or re-decode fresh)
+            if st_.isFile() and (name.endswith(".parquet")
+                                 or name.endswith(".orc")):
+                raise ValueError(
+                    f"out_dir {out_dir} holds root-level data files "
+                    f"(e.g. {name}) from a flat-append layout; "
+                    "incremental_decode writes inc=<from>-<to>/ "
+                    "partitions and cannot mix with it — move the "
+                    "legacy files aside (or into inc=0-<watermark>/) "
+                    "first")
             m = re.fullmatch(r"inc=(\d+)-(\d+)", name)
             if m and int(m.group(1)) >= frm:
                 fs.delete(st_.getPath(), True)

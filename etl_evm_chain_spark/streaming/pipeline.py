@@ -519,6 +519,29 @@ def stream_token_sketch(docs: DataFrame, *, sketch_dir: str,
     return w.start()
 
 
+def _cm_epoch_fold(df: DataFrame) -> DataFrame:
+    """Cell-wise CM fold with the geometry check asserted GLOBALLY
+    (cm_merge's pattern): a per-(depth, cell)-group assertion misses
+    two epochs of different geometry whose populated cells never share
+    a group — sparse sketches with different widths would fold
+    silently into wrong counters. The 1-row aggregate sees every row;
+    its checked bit multiplies into the counters so pruning can never
+    elide it; the coalesce keeps an empty ledger a no-op."""
+    chk = df.agg(
+        F.when(
+            F.assert_true(
+                F.coalesce(F.min("geom") == F.max("geom"), F.lit(True)),
+                F.concat(F.lit("count-min geometry mismatch across "
+                               "epochs: "),
+                         F.concat_ws(" vs ", F.min("geom"),
+                                     F.max("geom")))).isNull(),
+            F.lit(1).cast("long")).alias("_geom_ok"))
+    return (df.crossJoin(F.broadcast(chk))
+            .groupBy("depth", "cell")
+            .agg((F.sum("cnt") * F.first("_geom_ok")).alias("cnt"),
+                 F.min("geom").alias("geom")))
+
+
 def read_token_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
     """Fold the LIVE landed epoch sketches into the global one:
     cell-wise addition over O(live epochs · depth·width) counter rows
@@ -526,16 +549,11 @@ def read_token_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
     Live = the newest compacted baseline (if any) plus every epoch
     newer than it (:func:`compact_epoch_ledger` bounds the epoch
     count). Epochs landed with mismatched geometry fail the fold's
-    assertion (the geom stamp rides every counter row). Feed the
-    result to ``operators.sketches.cm_estimate``."""
-    checked_geom = F.when(
-        F.assert_true(
-            F.min("geom") == F.max("geom"),
-            F.concat_ws(" vs ", F.min("geom"), F.max("geom"))).isNull(),
-        F.min("geom")).alias("geom")
-    return (spark.read.parquet(*_live_paths(sketch_dir))
-            .groupBy("depth", "cell")
-            .agg(F.sum("cnt").alias("cnt"), checked_geom))
+    GLOBAL assertion (the geom stamp rides every counter row; the
+    check aggregates over all rows, not per output group, so disjoint
+    cell populations cannot dodge it). Feed the result to
+    ``operators.sketches.cm_estimate``."""
+    return _cm_epoch_fold(spark.read.parquet(*_live_paths(sketch_dir)))
 
 
 # ---------------------------------------------------------------------------
@@ -606,6 +624,17 @@ def _live_paths(state_dir: str) -> list[str]:
     paths += [os.path.join(state_dir, f"batch_id={e}")
               for e in _epoch_ids(state_dir) if e > floor]
     if not paths:
+        # Nothing committed. If a torn epoch dir exists (crash during
+        # the very first epoch's write — no _SUCCESS anywhere), the
+        # old fallback of reading state_dir directly would fold the
+        # torn files, violating the committed-only contract the rest
+        # of the ledger enforces. Fail loudly instead; the stream's
+        # replay of that epoch will commit it.
+        if _epoch_ids(state_dir, committed_only=False):
+            raise ValueError(
+                f"ledger at {state_dir} contains only uncommitted "
+                "(torn, no _SUCCESS) epoch writes — refusing to read "
+                "partial state; replay the stream to commit the epoch")
         # surface the same error a direct read of an empty dir would
         paths = [state_dir]
     return paths
@@ -693,19 +722,10 @@ def compact_matview(spark: SparkSession, state_dir: str,
 
 def compact_token_sketch(spark: SparkSession, sketch_dir: str, *,
                          keep_last: int = 0, gc: bool = True) -> int | None:
-    """Log-compact a ``stream_token_sketch`` ledger (cell-wise CM sum,
-    geometry re-checked across the folded epochs)."""
-
-    def fold(df: DataFrame) -> DataFrame:
-        checked_geom = F.when(
-            F.assert_true(
-                F.min("geom") == F.max("geom"),
-                F.concat_ws(" vs ", F.min("geom"), F.max("geom"))).isNull(),
-            F.min("geom")).alias("geom")
-        return (df.groupBy("depth", "cell")
-                .agg(F.sum("cnt").alias("cnt"), checked_geom))
-
-    return compact_epoch_ledger(spark, sketch_dir, fold,
+    """Log-compact a ``stream_token_sketch`` ledger (cell-wise CM sum;
+    geometry re-checked GLOBALLY across the folded epochs — see
+    :func:`_cm_epoch_fold`)."""
+    return compact_epoch_ledger(spark, sketch_dir, _cm_epoch_fold,
                                 keep_last=keep_last, gc=gc)
 
 

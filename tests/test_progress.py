@@ -105,3 +105,21 @@ def test_incremental_decode_replay_is_idempotent(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 7                      # no duplicates
     assert got.select("block_number").distinct().count() == 7
+
+
+def test_incremental_decode_refuses_legacy_flat_layout(spark, tmp_path):
+    """Round-4 advice: an out_dir populated by the pre-round-4 flat
+    append layout (root-level parquet files) must fail loudly — mixing
+    it with inc= partition dirs breaks partition discovery and would
+    double-count the already-decoded rows."""
+    import pytest
+
+    prog = str(tmp_path / "progress_legacy")
+    out = str(tmp_path / "decoded_legacy")
+    # simulate the old layout: data files directly under out_dir
+    spark.range(3).coalesce(1).write.parquet(out)
+    decode = lambda df: decode_event(df, SWAPISH, contract_name="Pool")  # noqa: E731
+    with pytest.raises(ValueError, match="flat-append layout"):
+        pg.incremental_decode(spark, raw=_raw(spark, [1, 2, 3]),
+                              progress_path=prog, out_dir=out,
+                              decode=decode, latest=3)

@@ -990,3 +990,46 @@ def test_stream_matview_self_compacts(spark, tmp_path):
     got = sorted(tuple(r)
                  for r in sp.read_matview(spark, std, "k").collect())
     assert got == want
+
+
+def test_token_sketch_geometry_mismatch_disjoint_cells_trips(spark, tmp_path):
+    """Round-4 advice: two landed epochs with DIFFERENT geometry whose
+    populated cells never collide in a (depth, cell) group must still
+    fail the fold — the check is a global aggregate over all rows, not
+    a per-group one that sparse sketches could dodge."""
+    import pytest
+
+    skd = str(tmp_path / "sketch_geo")
+    e0 = [(0, 1, 5, "d2w16s=cm")]
+    e1 = [(0, 9, 3, "d2w32s=cm")]   # different width, disjoint cell
+    spark.createDataFrame(e0, "depth int, cell int, cnt long, geom string") \
+        .coalesce(1).write.parquet(skd + "/batch_id=0")
+    spark.createDataFrame(e1, "depth int, cell int, cnt long, geom string") \
+        .coalesce(1).write.parquet(skd + "/batch_id=1")
+    with pytest.raises(Exception, match="geometry mismatch"):
+        sp.read_token_sketch(spark, skd).collect()
+    # and compaction refuses to fold them for the same reason
+    with pytest.raises(Exception, match="geometry mismatch"):
+        sp.compact_token_sketch(spark, skd)
+
+
+def test_ledger_with_only_torn_epochs_refuses_to_read(spark, tmp_path):
+    """Round-4 advice: a crash during the very FIRST epoch write
+    leaves a torn dir and no committed state anywhere; the old
+    fallback read state_dir directly and folded the partial files."""
+    import os
+
+    import pytest
+
+    skd = str(tmp_path / "torn_ledger")
+    d = os.path.join(skd, "batch_id=0")
+    os.makedirs(d)
+    # half-written parquet, no _SUCCESS
+    with open(os.path.join(d, "part-00000.parquet"), "wb") as f:
+        f.write(b"PAR1torn")
+    with pytest.raises(ValueError, match="uncommitted"):
+        sp._live_paths(skd)
+    # an empty/missing ledger still surfaces the normal read error,
+    # not the torn-state one
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|Path does not exist"):
+        sp.read_token_sketch(spark, str(tmp_path / "missing_ledger"))
