@@ -234,6 +234,7 @@ def spark_type_i(inp: AbiInput, *, indexed: bool = False) -> T.DataType:
 
 
 def spark_type(abi_type: str, *, indexed: bool = False) -> T.DataType:
+    _reject_reserved(abi_type)
     m = _ARRAY_RE.match(abi_type)
     if indexed and (m or _is_dynamic(abi_type)):
         # indexed arrays/strings/bytes arrive as their keccak hash topic
@@ -278,9 +279,28 @@ def _word(col: Column, slot: int) -> Column:
     return F.substring(col, 3 + 64 * slot, 64)
 
 
+def _reject_reserved(abi_type: str) -> None:
+    """``fixed``/``ufixed`` are reserved-unimplemented even in
+    go-ethereum (the reference's decode path, `abi.NewType`, rejects
+    them); fail at plan-build time with a clear message instead of
+    silently emitting a raw-hex column a caller would mistake for a
+    decoded value."""
+    base = abi_type
+    m = _ARRAY_RE.match(base)
+    while m:
+        base = m.group(1)
+        m = _ARRAY_RE.match(base)
+    if base.startswith(("fixed", "ufixed")):
+        raise NotImplementedError(
+            f"ABI type {abi_type!r}: fixed/ufixed are reserved and not "
+            "implemented (go-ethereum rejects them too); re-encode the "
+            "value as intN/uintN with an off-chain scale factor")
+
+
 def _decode_word(word: Column, abi_type: str) -> Column:
     """Native decode of one 32-byte hex word for ≤63-bit static types;
     falls back to the pandas UDF for wide integers."""
+    _reject_reserved(abi_type)
     bits = _int_bits(abi_type)
     if abi_type == "address":
         return F.concat(F.lit("0x"), F.lower(F.substring(word, 25, 40)))
@@ -360,6 +380,13 @@ def _decode_word(word: Column, abi_type: str) -> Column:
         if n.isdigit():
             return F.concat(F.lit("0x"), F.lower(F.substring(word, 1, 2 * int(n))))
         return F.concat(F.lit("0x"), F.lower(word))
+    if abi_type == "function":
+        # `function` = 24 bytes (20-byte address ++ 4-byte selector),
+        # left-aligned exactly like bytes24 (solidity ABI spec;
+        # go-ethereum decodes it as a [24]byte value through the same
+        # abi.UnpackIntoMap path the reference relies on,
+        # `internal/parser/parser.go:74-77`)
+        return F.concat(F.lit("0x"), F.lower(F.substring(word, 1, 48)))
     return F.concat(F.lit("0x"), F.lower(word))
 
 

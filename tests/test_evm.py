@@ -1001,3 +1001,35 @@ def test_mysql_ddl_golden_every_engine_type(spark):
     arr = spark.createDataFrame([(1, [1, 2])], "id long, xs array<int>")
     with pytest.raises(NotImplementedError, match="project complex"):
         mysql_ddl(arr, "bad")
+
+
+def test_decode_function_type_is_bytes24_shaped(spark):
+    """ABI `function` = 20-byte address ++ 4-byte selector, left-
+    aligned like bytes24 (go-ethereum decodes it as [24]byte through
+    abi.UnpackIntoMap — reference internal/parser/parser.go:74-77)."""
+    ev = AbiEvent("Hook", (
+        AbiInput("callback", "function", False),
+        AbiInput("n", "uint32", False),
+    ))
+    addr_sel = "11" * 20 + "aabbccdd"            # 24 bytes
+    log = _mklog([ev.topic0], [addr_sel + "0" * 16, _word(7)])
+    df = spark.createDataFrame([log], RAW_LOG_SCHEMA)
+    out = decode_event(df, ev).collect()[0]
+    assert out["callback"] == "0x" + "11" * 20 + "aabbccdd"
+    assert out["n"] == 7
+
+
+def test_fixed_ufixed_rejected_loudly(spark):
+    import pytest
+
+    from etl_evm_chain_spark.sources.abi import spark_type
+
+    for t in ("fixed", "ufixed", "fixed128x18", "ufixed128x18",
+              "fixed128x18[2]", "ufixed[]"):
+        with pytest.raises(NotImplementedError, match="reserved"):
+            spark_type(t)
+    ev = AbiEvent("Bad", (AbiInput("x", "ufixed128x18", False),))
+    log = _mklog([ev.topic0], [_word(1)])
+    df = spark.createDataFrame([log], RAW_LOG_SCHEMA)
+    with pytest.raises(NotImplementedError, match="reserved"):
+        decode_event(df, ev)
