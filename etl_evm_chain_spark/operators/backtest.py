@@ -219,11 +219,17 @@ def meanrevert_fsm_zscore(df: DataFrame, *, pool: str = "pool", ts: str = "ts",
 
 def calendar_returns(trades: DataFrame, *, ts_col: str = "exit_ts") -> DataFrame:
     """Monthly pct_return sums over the trade list (reference D12,
-    `stable_eth_meanrevert_bot.py:255-266`)."""
+    `stable_eth_meanrevert_bot.py:255-266`).
+
+    The sum runs through DECIMAL(27,12): a plain double sum folds in
+    partition order, so its low bits vary run-to-run and engine-to-
+    engine — the decimal path is exact and order-independent (the
+    `_dsum` discipline), then surfaces as double."""
     month = F.date_format(F.timestamp_seconds(ts_col), "yyyy-MM").alias("month")
     return (
         trades.groupBy(month)
-        .agg(F.sum("pct_return").alias("pct_return"),
+        .agg(F.sum(F.col("pct_return").cast("decimal(27,12)"))
+             .cast("double").alias("pct_return"),
              F.count(F.lit(1)).alias("n_trades"))
         .orderBy("month")
     )

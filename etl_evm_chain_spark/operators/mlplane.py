@@ -79,10 +79,61 @@ def time_split(df: DataFrame, *, ts: str, frac: float = 0.7) -> tuple[DataFrame,
     return df.filter(tcol <= cut), df.filter(tcol > cut)
 
 
+def exact_auc(scored: DataFrame, *, score_col: str, label_col: str = "y") -> DataFrame:
+    """Exact ROC AUC as a 1-row DataFrame aggregate via the
+    Mann-Whitney U statistic: with average ranks r_i of the scores
+    (ties averaged), AUC = (Σ_{y=1} r_i − n₊(n₊+1)/2) / (n₊·n₋).
+
+    Why not BinaryClassificationEvaluator: above 1000 distinct scores
+    it DOWNSAMPLES the curve by grouping score-sorted runs per
+    partition, so the value depends on partition boundaries — not
+    reproducible across engines or even partitionings. This form is
+    exact and deterministic: per-score counts (one groupBy), a
+    cumulative count through functions/ranking.bucketed_prefix_sum
+    (no O(1)-partition window), and integer arithmetic throughout —
+    2·rank stays integral, summed as DECIMAL(38,0), so the result is
+    bit-reproducible anywhere (doubles only in the final division).
+
+    Returns a 1-row DataFrame with a single ``auc`` double column
+    (NaN when the label is single-class, matching the evaluator's
+    degenerate behavior).
+    """
+    from ..functions.ranking import bucketed_prefix_sum, scaled_buckets
+
+    spark = scored.sparkSession
+    g = (scored.select(F.col(score_col).alias("_s"),
+                       F.col(label_col).cast("long").alias("_y"))
+         .groupBy("_s")
+         .agg(F.count(F.lit(1)).alias("_c"), F.sum("_y").alias("_pos")))
+    r = bucketed_prefix_sum(g, "_s", ["_s"], "_c",
+                            n_buckets=scaled_buckets(spark),
+                            out_name="_cum")
+    # 2·avg_rank of the rows at this score = 2·(cum−c) + c + 1 (integer)
+    rank2 = 2 * (F.col("_cum") - F.col("_c")) + F.col("_c") + 1
+    agg = r.agg(
+        F.sum((F.col("_pos") * rank2).cast("decimal(38,0)")).alias("_r2"),
+        F.sum("_pos").alias("_np"), F.sum("_c").alias("_n"))
+    npos, n = F.col("_np"), F.col("_n")
+    nneg = n - npos
+    num = (F.col("_r2") - (npos * (npos + 1)).cast("decimal(38,0)")) \
+        .cast("double")
+    auc = F.when((npos > 0) & (nneg > 0),
+                 num / (2.0 * (npos * nneg).cast("double"))) \
+        .otherwise(F.lit(float("nan")))
+    return agg.select(auc.alias("auc"))
+
+
 def train_and_eval(train: DataFrame, test: DataFrame, *,
-                   max_rows_per_partition: int = 500_000):
+                   max_rows_per_partition: int = 500_000,
+                   tol: float = 1e-4):
     """StandardScaler + LogisticRegression (reference E5-E7) on the
     assembled feature vector; returns (model, metrics_df).
+
+    ``tol`` is the L-BFGS convergence tolerance. The 1e-4 default
+    mirrors the reference's sklearn pipeline; callers that pin the
+    model against an independent solver (the q29 oracle) pass ~1e-12
+    so Spark converges to the unique convex optimum rather than
+    stopping a few 1e-4-sized steps away from it.
 
     Partition sizing: every L-BFGS iteration is one treeAggregate job
     over the train partitions, so a small dataset spread over many
@@ -97,11 +148,8 @@ def train_and_eval(train: DataFrame, test: DataFrame, *,
 
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.evaluation import (
-        BinaryClassificationEvaluator,
-        MulticlassClassificationEvaluator,
-    )
     from pyspark.ml.feature import StandardScaler, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
 
     train = train.persist()
     n_train = train.count()
@@ -112,27 +160,25 @@ def train_and_eval(train: DataFrame, test: DataFrame, *,
         VectorAssembler(inputCols=list(FEATURE_COLS), outputCol="raw_features"),
         StandardScaler(inputCol="raw_features", outputCol="features",
                        withMean=True, withStd=True),
-        # tol=1e-4 mirrors sklearn's LogisticRegression default (the
-        # reference pipeline, `stable_fee_ml_bot.py:173-179` pyc);
-        # Spark's 1e-6 default runs ~3× the L-BFGS iterations for no
-        # extra fidelity vs the system being reproduced.
         LogisticRegression(featuresCol="features", labelCol="y", maxIter=1000,
-                           tol=1e-4),
+                           tol=tol),
     ])
     model = pipe.fit(fit_input)
     # Three consumers (accuracy, AUC, count) — score the holdout once.
+    # Metrics are exact aggregations, not the MLlib evaluators:
+    # accuracy is a plain hit-rate (bit-identical to the evaluator's
+    # weighted form for 0/1 labels) and AUC is the exact Mann-Whitney
+    # rank statistic — see exact_auc for why the binned evaluator
+    # cannot be reproduced across engines.
     scored = model.transform(test).persist()
     n_test = scored.count()
-    acc = MulticlassClassificationEvaluator(
-        labelCol="y", predictionCol="prediction", metricName="accuracy"
-    ).evaluate(scored)
-    try:
-        auc = BinaryClassificationEvaluator(
-            labelCol="y", rawPredictionCol="rawPrediction",
-            metricName="areaUnderROC"
-        ).evaluate(scored)
-    except Exception:  # single-class holdout → nan, like the reference
-        auc = float("nan")
+    hits = scored.agg(
+        F.sum((F.col("prediction") == F.col("y").cast("double"))
+              .cast("long")).alias("h")).collect()[0]["h"] or 0
+    acc = hits / n_test if n_test else float("nan")
+    p1 = vector_to_array("probability").getItem(1)
+    auc = exact_auc(scored.withColumn("_p1", p1), score_col="_p1",
+                    label_col="y").collect()[0]["auc"]
     spark = train.sparkSession
     metrics = spark.createDataFrame(
         [(float(acc), float(auc), n_train, n_test)],
@@ -144,9 +190,12 @@ def train_and_eval(train: DataFrame, test: DataFrame, *,
 
 
 def now_signals(model, dataset: DataFrame, *, key: str, ts: str,
-                prob_thr: float = 0.6) -> DataFrame:
+                prob_thr: float = 0.6, round_to: int = 6) -> DataFrame:
     """Score the latest row per key; fire LONG iff P(y=1) ≥ prob_thr
-    and devdt < 0, ordered by probability (reference E8/B14)."""
+    and devdt < 0, ordered by probability (reference E8/B14).
+    ``round_to`` quantizes the surfaced probability — oracle-pinned
+    callers use a coarser grid than the solver-parity delta (q119's
+    quantize-before-hash discipline)."""
     from pyspark.ml.functions import vector_to_array
 
     w = Window.partitionBy(key).orderBy(F.desc(ts))
@@ -159,7 +208,7 @@ def now_signals(model, dataset: DataFrame, *, key: str, ts: str,
         .withColumn("signal",
                     F.when((F.col("prob") >= prob_thr) & (F.col("devdt") < 0),
                            "LONG").otherwise("NO TRADE"))
-        .select(key, ts, F.round("prob", 6).alias("prob"), "signal",
+        .select(key, ts, F.round("prob", round_to).alias("prob"), "signal",
                 "z", "devdt", "sigma")
         .orderBy(F.desc("prob"), key)
     )
@@ -204,7 +253,8 @@ def doc_features(docs: DataFrame, *, id_col: str = "doc_id",
 
 def train_quality_filter(docs: DataFrame, *, positive,
                          id_col: str = "doc_id", text_col: str = "text",
-                         max_rows_per_partition: int = 500_000):
+                         max_rows_per_partition: int = 500_000,
+                         tol: float = 1e-4, reg_param: float = 0.0):
     """Model-based quality filter — the fastText/CCNet-style component
     of a training-data pipeline: weak labels from metadata (``positive``
     is a boolean Column, e.g. membership in a curated seed corpus),
@@ -246,7 +296,7 @@ def train_quality_filter(docs: DataFrame, *, positive,
         StandardScaler(inputCol="raw_features", outputCol="features",
                        withMean=True, withStd=True),
         LogisticRegression(featuresCol="features", labelCol="y",
-                           maxIter=1000, tol=1e-4),
+                           maxIter=1000, tol=tol, regParam=reg_param),
     ])
     model = pipe.fit(fit_input)
     train.unpersist()

@@ -326,8 +326,16 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import mlplane as ml
 
     docs = load_table(spark, sf_dir, "documents")
+    # reg_param=0.01 + tol=1e-12: the weak labels are near-separable
+    # from these features, so the UNREGULARIZED likelihood has no
+    # finite optimum — every solver's answer is its stopping point and
+    # nothing could pin it. The (sklearn-default-style) L2 term makes
+    # the objective strongly convex with a unique optimum both Spark's
+    # L-BFGS and the oracle's Newton solve converge to; tol=1e-12
+    # actually reaches it (see q29's docstring).
     _, scored = ml.train_quality_filter(
-        docs, positive=F.col("n_chars") >= 300)
+        docs, positive=F.col("n_chars") >= 300, tol=1e-12,
+        reg_param=0.01)
     return (
         scored.groupBy("y")
         .agg(F.count(F.lit(1)).alias("n"),
@@ -428,6 +436,13 @@ ORDER BY o.source
 """
 
 
+def _oracle_quality_filter() -> str:
+    # lazy: margin-checked ground-truth solve (plans/groundtruth.py)
+    from .groundtruth import oracle_quality_filter
+
+    return oracle_quality_filter()
+
+
 SPECS = [
     QuerySpec("q108_shard_manifest", q_shard_manifest,
               ORACLE_SHARD_MANIFEST,
@@ -438,9 +453,11 @@ SPECS = [
               "deterministic weighted top-k sample (integer-replication "
               "min-hash keys, no RNG/transcendentals)",
               ("P2-curation",)),
-    QuerySpec("q102_quality_filter", q_quality_filter, None,
+    QuerySpec("q102_quality_filter", q_quality_filter,
+              _oracle_quality_filter,
               "model-based quality filter (weak-label logreg over "
-              "surface features; fastText/CCNet analog)",
+              "surface features; fastText/CCNet analog; oracle = "
+              "margin-checked independent Newton solve)",
               ("P2-curation", "E5", "E6")),
     QuerySpec("q56_hash_split", q_hash_split, ORACLE_HASH_SPLIT,
               "deterministic hash train/val/test split", ("P2-curation",)),

@@ -1,0 +1,663 @@
+"""Independent ground truth for the sequential operators (FSM
+backtests, BPE) — the machinery behind their literal-VALUES oracles.
+
+The trade FSMs and BPE training are order-dependent loops with state
+feedback: no window/aggregate SQL expresses them, which is why
+q25/q26/q27/q103 were rows-only checks through round 4. The round-4
+verdict's ask: their outputs are deterministic functions of the
+fixture, so pin them the way q98 pins ECDSA recovery — a literal
+ground truth the driver's DuckDB gate can value-hash.
+
+Independence: everything here is a from-scratch single-process
+reimplementation — plain Python loops over series that DUCKDB
+computes (the same dense-grid/consensus/rolling CTEs that back the
+oracle-proven q16-q24), never a re-export of Spark output. The
+literal part of each oracle is only the DISCRETE DECISIONS (trade
+entry/exit buckets, per-source token counts); prices, returns and
+z-values are recomputed by DuckDB from its own CTEs and joined to the
+decisions, so the float surface is still cross-engine-checked, not
+copied. Spark's distributed FSM (applyInPandas kernels,
+operators/backtest.py) and the distributed BPE (functions/bpe.py)
+must independently land on the same decisions for the hash to match.
+
+Engine parity notes: the FSM inputs (consensus, dev, z) are built
+from exact decimal sums cast to double — bit-identical between Spark
+and DuckDB (the q16-q24 oracles prove this family hash-matches), so
+threshold comparisons agree everywhere and (exit/entry − 1)·100 is
+the same correctly-rounded IEEE arithmetic in both engines.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+from . import oracle_ctx
+from .timeseries_q import _SQL_DENSE, _SQL_ROLL
+
+# ---------------------------------------------------------------------------
+# FSM inputs — the exact series the Spark queries feed their kernels
+# (plans/stateful.q_backtest_pct / q_backtest_zscore), computed by
+# DuckDB from the shared oracle CTEs.
+# ---------------------------------------------------------------------------
+
+_SQL_PCT_INPUT = _SQL_DENSE + """
+, cons AS (
+  SELECT event_type, bucket, value,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY bucket) AS DOUBLE)
+           / count(value) OVER (PARTITION BY bucket) AS consensus
+  FROM dense
+)
+SELECT event_type, bucket, value, consensus
+FROM cons ORDER BY event_type, bucket
+"""
+
+_SQL_Z_INPUT = _SQL_DENSE + _SQL_ROLL + """
+SELECT event_type, bucket, value,
+       CASE WHEN roll_std != 0 THEN (dev - roll_mean) / roll_std END AS z
+FROM z ORDER BY event_type, bucket
+"""
+
+
+def _series(sql: str) -> dict[str, list[tuple]]:
+    """{pool: [(bucket, value, signal), ...]} in bucket order."""
+    con = oracle_ctx.connect()  # named: a relation does not keep its
+    rows = con.sql(sql).fetchall()  # connection alive past the expr
+    out: dict[str, list[tuple]] = {}
+    for pool, bucket, value, sig in rows:
+        out.setdefault(pool, []).append((int(bucket), value, sig))
+    return out
+
+
+@lru_cache(maxsize=4)
+def fsm_pct_decisions(sf_dir: str, threshold: float = 30.0) -> list[tuple]:
+    """(pool, side, entry_ts, exit_ts) per closed trade — the pct FSM
+    (operators/backtest.meanrevert_fsm_pct semantics, reference
+    `stable_eth_meanrevert_bot.py:131-178`) rerun as a plain loop:
+    open long at dev ≤ −thr / short at dev ≥ +thr, close on the zero
+    crossing, one position per pool, open tail dropped."""
+    assert sf_dir == oracle_ctx.sf_dir()
+    trades = []
+    for pool, rows in sorted(_series(_SQL_PCT_INPUT).items()):
+        side, entry_ts = None, None
+        for bucket, value, consensus in rows:
+            if value is None or consensus is None:
+                continue
+            d = (value / consensus - 1.0) * 100.0
+            if d != d:
+                continue
+            if side is None:
+                if d <= -threshold:
+                    side, entry_ts = "long", bucket
+                elif d >= threshold:
+                    side, entry_ts = "short", bucket
+            elif side == "long" and d >= 0:
+                trades.append((pool, side, entry_ts, bucket))
+                side = None
+            elif side == "short" and d <= 0:
+                trades.append((pool, side, entry_ts, bucket))
+                side = None
+    return trades
+
+
+@lru_cache(maxsize=4)
+def fsm_z_decisions(sf_dir: str, entry_z: float = 1.5, exit_z: float = 0.5,
+                    max_hold: int = 60) -> list[tuple]:
+    """(pool, side, entry_ts, exit_ts) per closed trade — the z-score
+    FSM with time stop (operators/backtest.meanrevert_fsm_zscore,
+    reference `stable_eth_meanrevert_bot.py:182-251`). ``held_rows``
+    needs no pinning: the grid is dense, so it equals
+    (exit_ts − entry_ts) / 300 and the oracle derives it."""
+    assert sf_dir == oracle_ctx.sf_dir()
+    trades = []
+    for pool, rows in sorted(_series(_SQL_Z_INPUT).items()):
+        side, entry_i = None, -1
+        for i, (bucket, value, z) in enumerate(rows):
+            if z is None or z != z:
+                continue
+            if side is None:
+                if z <= -entry_z:
+                    side, entry_i = "long", i
+                elif z >= entry_z:
+                    side, entry_i = "short", i
+            else:
+                held = i - entry_i
+                if abs(z) <= exit_z or held >= max_hold:
+                    trades.append((pool, side, rows[entry_i][0], bucket))
+                    side = None
+    return trades
+
+
+def _sq(s: str) -> str:
+    return "'" + str(s).replace("'", "''") + "'"
+
+
+def _decisions_cte(decisions: list[tuple]) -> str:
+    if not decisions:
+        # typed empty relation: VALUES needs ≥1 row
+        return ("decisions AS (SELECT '' AS pool, '' AS side, "
+                "CAST(0 AS BIGINT) AS entry_ts, CAST(0 AS BIGINT) AS exit_ts "
+                "WHERE FALSE)")
+    vals = ",\n  ".join(
+        f"({_sq(p)},{_sq(s)},{e},{x})" for p, s, e, x in decisions)
+    return (f"decisions(pool, side, entry_ts, exit_ts) AS (VALUES\n  {vals})")
+
+
+def oracle_backtest_pct() -> str:
+    dec = fsm_pct_decisions(oracle_ctx.sf_dir())
+    return _SQL_DENSE + f"""
+, {_decisions_cte(dec)}
+SELECT dec.pool, dec.side,
+       CAST(dec.entry_ts AS BIGINT) AS entry_ts,
+       CAST(dec.exit_ts AS BIGINT) AS exit_ts,
+       e.value AS entry_price, x.value AS exit_price,
+       CASE WHEN dec.side = 'short'
+            THEN -((x.value / e.value - 1.0) * 100.0)
+            ELSE (x.value / e.value - 1.0) * 100.0 END AS pct_return
+FROM decisions dec
+JOIN dense e ON e.event_type = dec.pool AND e.bucket = dec.entry_ts
+JOIN dense x ON x.event_type = dec.pool AND x.bucket = dec.exit_ts
+ORDER BY dec.pool, dec.entry_ts
+"""
+
+
+_SQL_ZZ = _SQL_DENSE + _SQL_ROLL + """
+, zz AS (
+  SELECT event_type, bucket, value,
+         CASE WHEN roll_std != 0 THEN (dev - roll_mean) / roll_std END AS zv
+  FROM z
+)"""
+
+
+def oracle_backtest_zscore() -> str:
+    dec = fsm_z_decisions(oracle_ctx.sf_dir())
+    return _SQL_ZZ + f"""
+, {_decisions_cte(dec)}
+SELECT dec.pool, dec.side,
+       CAST(dec.entry_ts AS BIGINT) AS entry_ts,
+       CAST(dec.exit_ts AS BIGINT) AS exit_ts,
+       e.value AS entry_price, x.value AS exit_price,
+       CASE WHEN dec.side = 'short'
+            THEN -((x.value / e.value - 1.0) * 100.0)
+            ELSE (x.value / e.value - 1.0) * 100.0 END AS pct_return,
+       round(e.zv, 6) AS entry_z, round(x.zv, 6) AS exit_z,
+       CAST((dec.exit_ts - dec.entry_ts) // 300 AS BIGINT) AS held_rows
+FROM decisions dec
+JOIN zz e ON e.event_type = dec.pool AND e.bucket = dec.entry_ts
+JOIN zz x ON x.event_type = dec.pool AND x.bucket = dec.exit_ts
+ORDER BY dec.pool, dec.entry_ts
+"""
+
+
+def oracle_calendar_returns() -> str:
+    """q27 = monthly aggregation over the z-FSM trades; the sums run
+    through DECIMAL(27,12) in both engines (exact, order-independent)
+    and surface as double — same `_dsum` discipline as the relational
+    oracles."""
+    dec = fsm_z_decisions(oracle_ctx.sf_dir())
+    return _SQL_ZZ + f"""
+, {_decisions_cte(dec)}
+, trades AS (
+  SELECT CAST(dec.exit_ts AS BIGINT) AS exit_ts,
+         CASE WHEN dec.side = 'short'
+              THEN -((x.value / e.value - 1.0) * 100.0)
+              ELSE (x.value / e.value - 1.0) * 100.0 END AS pct_return
+  FROM decisions dec
+  JOIN zz e ON e.event_type = dec.pool AND e.bucket = dec.entry_ts
+  JOIN zz x ON x.event_type = dec.pool AND x.bucket = dec.exit_ts
+)
+SELECT strftime(make_timestamp(exit_ts * 1000000), '%Y-%m') AS month,
+       CAST(sum(CAST(pct_return AS DECIMAL(27,12))) AS DOUBLE) AS pct_return,
+       count(*) AS n_trades
+FROM trades GROUP BY 1 ORDER BY month
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE ground truth: classic single-process Sennrich training + encode
+# (word-frequency table, count-desc/pair-asc tie break, left-to-right
+# merge scan, min_pair_count=2 early stop) — the algorithm
+# functions/bpe.py distributes. Outputs are integers; the oracle is a
+# tiny per-source VALUES relation.
+# ---------------------------------------------------------------------------
+
+# Java's \s (ASCII-only) — functions/text.TOKEN_RE through Spark's
+# Java regex engine; DuckDB's RE2 \s matches the same class.
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _words(text: str) -> list[str]:
+    return _WS.split(text.lower().strip())
+
+
+def _merge_once(syms: list[str], a: str, b: str) -> list[str]:
+    out: list[str] = []
+    for s in syms:
+        if out and out[-1] == a and s == b:
+            out[-1] = a + b
+        else:
+            out.append(s)
+    return out
+
+
+def _train_merges(word_counts: dict[str, int], num_merges: int,
+                  min_pair_count: int = 2) -> list[tuple[str, str]]:
+    table = {w: (n, list(w) + ["</w>"]) for w, n in word_counts.items()}
+    merges: list[tuple[str, str]] = []
+    while len(merges) < num_merges:
+        pairs: dict[tuple[str, str], int] = {}
+        for n, syms in table.values():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        table = {w: (n, _merge_once(syms, a, b))
+                 for w, (n, syms) in table.items()}
+    return merges
+
+
+def _encode(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Token count of one word under rank-greedy encoding — the
+    independent twin of functions/bpe._encode_word."""
+    syms = list(word) + ["</w>"]
+    while len(syms) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return len(syms)
+
+
+@lru_cache(maxsize=4)
+def bpe_source_stats(sf_dir: str, num_merges: int) -> list[tuple]:
+    """(source, n_docs, n_words, n_bpe_tokens, max_word_toks) — the
+    q103 output recomputed end-to-end in one process."""
+    assert sf_dir == oracle_ctx.sf_dir()
+    con = oracle_ctx.connect()
+    docs = con.sql("SELECT doc_id, source, text FROM documents").fetchall()
+    counts: dict[str, int] = {}
+    for _, _, text in docs:
+        for w in _words(text):
+            counts[w] = counts.get(w, 0) + 1
+    ranks = {m: i for i, m in
+             enumerate(_train_merges(counts, num_merges))}
+    tok_len = {w: _encode(w, ranks) for w in counts}
+    agg: dict[str, list[int]] = {}
+    for _, source, text in docs:
+        ws = _words(text)
+        a = agg.setdefault(source, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(ws)
+        a[2] += sum(tok_len[w] for w in ws)
+        a[3] = max(a[3], max(tok_len[w] for w in ws) if ws else 0)
+    return [(s, *vals) for s, vals in sorted(agg.items())]
+
+
+def oracle_bpe_tokens() -> str:
+    from .textstats_q import BPE_MERGES
+
+    stats = bpe_source_stats(oracle_ctx.sf_dir(), BPE_MERGES)
+    vals = ",\n  ".join(
+        f"({_sq(s)},{d},{w},{t},{m})" for s, d, w, t, m in stats)
+    return f"""
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+       CAST(max_word_toks AS INTEGER) AS max_word_toks
+FROM (VALUES
+  {vals}) AS t(source, n_docs, n_words, n_bpe_tokens, max_word_toks)
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# ML ground truth (q29/q102): the convex logistic-regression optimum
+# is engine-independent — Spark's L-BFGS (run to tol=1e-12) and this
+# Newton solver land on the same coefficients to ~1e-9, probabilities
+# to ~2e-8. The oracle pins the DISCRETE surface (signals, predicted
+# counts, quantized probabilities) with build-time margin assertions:
+# if any decision ever sits closer to its threshold than the solver-
+# parity budget, the build fails loudly instead of hash-flaking.
+# ---------------------------------------------------------------------------
+
+_PARITY_BUDGET = 1e-6  # >> observed 2e-8 solver delta, << margins
+
+
+def _sigmoid(v):
+    import numpy as np
+
+    return 1.0 / (1.0 + np.exp(-v))
+
+
+def _newton_logreg(X, y, max_iter: int = 200, l2: float = 0.0):
+    """Logistic regression (intercept last, unpenalized) by Newton
+    iteration to machine precision. ``l2`` matches Spark's
+    LogisticRegression ``regParam`` exactly: the objective is
+    (1/n)·Σ logloss + l2·½·‖w‖² — n-normalized loss, intercept
+    excluded from the penalty, features pre-standardized so Spark's
+    internal standardization is the identity."""
+    import numpy as np
+
+    n = len(X)
+    Xb = np.hstack([X, np.ones((n, 1))])
+    pen = np.full(Xb.shape[1], l2)
+    pen[-1] = 0.0
+    w = np.zeros(Xb.shape[1])
+    for _ in range(max_iter):
+        p = _sigmoid(Xb @ w)
+        g = Xb.T @ (p - y) / n + pen * w
+        h = (Xb * (p * (1 - p))[:, None]).T @ Xb / n + np.diag(pen)
+        step = np.linalg.solve(h + 1e-12 * np.eye(len(w)), g)
+        w -= step
+        if np.max(np.abs(step)) < 1e-14:
+            return w
+    raise RuntimeError("ground-truth Newton solve did not converge")
+
+
+def _standardize(X, Xtrain):
+    """StandardScaler(withMean, withStd) semantics: center, then scale
+    by the sample std — a ZERO-variance feature scales to 0.0 (MLlib's
+    std==0 guard), leaving its coefficient pinned at the origin."""
+    import numpy as np
+
+    mu = Xtrain.mean(axis=0)
+    sd = Xtrain.std(axis=0, ddof=1)
+    zero = sd == 0
+    sd = np.where(zero, 1.0, sd)
+    out = (X - mu) / sd
+    out[:, zero] = 0.0
+    return out
+
+
+def _margin(arr, thr: float) -> float:
+    import numpy as np
+
+    return float(np.min(np.abs(arr - thr))) if len(arr) else float("inf")
+
+
+def _assert_margin(m: float, what: str,
+                   budget: float = _PARITY_BUDGET) -> None:
+    if m < budget:
+        raise RuntimeError(
+            f"ground-truth {what} margin {m:.3g} is inside the solver-"
+            f"parity budget {budget:g}; the pinned oracle would "
+            "be a knife edge — refusing to emit it")
+
+
+def _round_half_up(x: float, digits: int) -> float:
+    """Spark's Round(double, n): HALF_UP on the shortest decimal
+    representation (BigDecimal.valueOf == repr round-trip)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _auc_mann_whitney(scores, labels) -> float:
+    """Exact average-rank AUC — the independent twin of
+    operators/mlplane.exact_auc (same integer arithmetic)."""
+    import numpy as np
+
+    order = np.argsort(scores, kind="mergesort")
+    s, y = np.asarray(scores)[order], np.asarray(labels)[order]
+    n = len(s)
+    npos = int(y.sum())
+    nneg = n - npos
+    if not npos or not nneg:
+        return float("nan")
+    r2 = 0
+    i = 0
+    below = 0
+    while i < n:
+        j = i
+        while j < n and s[j] == s[i]:
+            j += 1
+        c = j - i
+        rank2 = 2 * below + c + 1          # 2 × average rank of the tie run
+        r2 += rank2 * int(y[i:j].sum())
+        below += c
+        i = j
+    return (r2 - npos * (npos + 1)) / (2.0 * npos * nneg)
+
+
+_SQL_ML_RAW_TAIL = """
+SELECT event_type, bucket, devdt / sigma AS z, devdt, bias, sigma, y
+FROM scored ORDER BY event_type, bucket
+"""
+
+
+@lru_cache(maxsize=4)
+def ml_signals_truth(sf_dir: str) -> dict:
+    """q29's discrete surface from an independent Newton solve over
+    the DuckDB-computed dataset: {(event_type, bucket): (prob4,
+    signal)}, plus accuracy/auc (round-6)."""
+    import numpy as np
+
+    from .stateful import _SQL_ML_SCORED  # lazy: stateful imports us
+
+    assert sf_dir == oracle_ctx.sf_dir()
+    con = oracle_ctx.connect()
+    rows = con.sql(_SQL_ML_SCORED + _SQL_ML_RAW_TAIL).fetchall()
+    et = np.array([r[0] for r in rows])
+    bucket = np.array([int(r[1]) for r in rows], dtype=np.int64)
+    X = np.array([[r[2], r[3], r[4], r[5]] for r in rows], dtype=np.float64)
+    y = np.array([r[6] for r in rows], dtype=np.float64)
+
+    # percentile_approx(bucket, 0.7, 100000): with n << accuracy the
+    # GK sketch is exact — the element at rank floor(0.7·(n−1))+1
+    cut = np.sort(bucket)[int(0.7 * (len(bucket) - 1))]
+    tr = bucket <= cut
+    w = _newton_logreg(_standardize(X[tr], X[tr]), y[tr])
+    p_all = _sigmoid(_standardize(X, X[tr]) @ w[:4] + w[4])
+
+    te = ~tr
+    p_test = p_all[te]
+    _assert_margin(_margin(p_test, 0.5), "test-set prediction")
+    hits = int(((p_test >= 0.5) == (y[te] == 1)).sum())
+    accuracy = hits / int(te.sum())
+    auc = _auc_mann_whitney(p_test, y[te].astype(int))
+
+    out = {}
+    probs = []
+    for t in sorted(set(et)):
+        m = et == t
+        i = np.flatnonzero(m)[np.argmax(bucket[m])]
+        p = float(p_all[i])
+        probs.append(p)
+        # devdt < 0 holds for every dataset row by construction
+        sig = "LONG" if p >= 0.6 else "NO TRADE"
+        out[(t, int(bucket[i]))] = (_round_half_up(p, 4), sig)
+    probs = np.array(probs)
+    _assert_margin(_margin(probs, 0.6), "signal threshold")
+    # distance to the 1e-4 quantization ties the literal pins; the
+    # budget here is the solver-parity delta itself (measured 2.2e-8
+    # Newton-vs-converged-L-BFGS at sf0.01, ×5 headroom) — unlike the
+    # decision thresholds, a quantization tie only perturbs the 4th
+    # decimal of a reported probability, so the tighter bound is the
+    # honest one rather than a laxer copy of the threshold budget
+    frac = np.abs(probs * 1e4 - np.floor(probs * 1e4) - 0.5) / 1e4
+    _assert_margin(float(frac.min()), "probability quantization",
+                   budget=1e-7)
+    return {"signals": out,
+            "accuracy": _round_half_up(accuracy, 6),
+            "auc": _round_half_up(auc, 6)}
+
+
+def oracle_ml_signals() -> str:
+    from .stateful import _SQL_ML_SCORED
+
+    t = ml_signals_truth(oracle_ctx.sf_dir())
+    vals = ",\n  ".join(
+        f"({_sq(et)},{b},{repr(p)},{_sq(sig)})"
+        for (et, b), (p, sig) in sorted(t["signals"].items()))
+    return _SQL_ML_SCORED + f"""
+, pinned(event_type, bucket, prob, signal) AS (VALUES
+  {vals})
+SELECT p.event_type, CAST(p.bucket AS BIGINT) AS bucket,
+       p.prob, p.signal,
+       round(s.devdt / s.sigma, 6) AS z, round(s.devdt, 6) AS devdt,
+       round(s.sigma, 6) AS sigma,
+       {repr(t["accuracy"])} AS accuracy, {repr(t["auc"])} AS auc
+FROM pinned p
+JOIN scored s ON s.event_type = p.event_type AND s.bucket = p.bucket
+ORDER BY p.prob DESC, p.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q102: model-based quality filter — same Newton twin over the doc
+# features (functions/text.py expressions re-derived in plain
+# Python), hash15-split train set, integer keep-counts pinned.
+# ---------------------------------------------------------------------------
+
+_PUNCT = set(".,!?;:")
+
+
+def _hash15(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _doc_features_py(text: str) -> list[float]:
+    from ..functions.text import LANG_MARKERS, STOPWORDS
+
+    toks = _WS.split(text.strip())
+    n = len(toks)
+    feats = [
+        float(n),
+        (sum(len(t) for t in toks) / n) if n else 0.0,
+        (sum(c in _PUNCT for c in text) / len(text)) if text else 0.0,
+        (sum(t.lower() in STOPWORDS for t in toks) / n) if n else 0.0,
+    ]
+    for markers in LANG_MARKERS.values():
+        ms = set(markers)
+        feats.append((sum(t.lower() in ms for t in toks) / n) if n else 0.0)
+    return feats
+
+
+@lru_cache(maxsize=4)
+def quality_filter_truth(sf_dir: str) -> list[tuple]:
+    """q102's (y, n, n_pred_keep) rows from an independent solve."""
+    import numpy as np
+
+    assert sf_dir == oracle_ctx.sf_dir()
+    con = oracle_ctx.connect()
+    docs = con.sql(
+        "SELECT doc_id, text, CAST(n_chars >= 300 AS INT) AS y "
+        "FROM documents ORDER BY doc_id").fetchall()
+    X = np.array([_doc_features_py(t) for _, t, _ in docs])
+    y = np.array([r[2] for r in docs], dtype=np.float64)
+    tr = np.array([_hash15(f"qf:{d}") % 100 < 70 for d, _, _ in docs])
+    # l2 mirrors q102's reg_param (near-separable labels need the
+    # penalty for a finite, unique, pinnable optimum)
+    w = _newton_logreg(_standardize(X[tr], X[tr]), y[tr], l2=0.01)
+    p = _sigmoid(_standardize(X, X[tr]) @ w[:-1] + w[-1])
+    _assert_margin(_margin(p, 0.5), "keep prediction")
+    pred = p > 0.5
+    out = []
+    for label in (0, 1):
+        m = y == label
+        out.append((label, int(m.sum()), int(pred[m].sum())))
+    return out
+
+
+def oracle_quality_filter() -> str:
+    rows = quality_filter_truth(oracle_ctx.sf_dir())
+    vals = ", ".join(f"({a},{b},{c})" for a, b, c in rows)
+    return f"""
+SELECT CAST(y AS INTEGER) AS y, CAST(n AS BIGINT) AS n,
+       CAST(n_pred_keep AS BIGINT) AS n_pred_keep
+FROM (VALUES {vals}) AS t(y, n, n_pred_keep)
+ORDER BY y
+"""
+
+
+# ---------------------------------------------------------------------------
+# q73: PQ-ADC top-k — no training at all (hash-picked codebooks), so
+# the ground truth is the same deterministic float pipeline run once
+# in-process over the DuckDB-fetched vectors; sims are already
+# floor-quantized at 1e-6 by the operator. The build asserts the
+# rank-k boundary is strict so partition-local candidate selection
+# can never reorder the quantized result.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=4)
+def pq_topk_truth(sf_dir: str, k: int = 5, n_sub: int = 8,
+                  n_cents: int = 64) -> list[tuple]:
+    import numpy as np
+
+    assert sf_dir == oracle_ctx.sf_dir()
+    con = oracle_ctx.connect()
+    rows = con.sql(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    d = mat.shape[1]
+    sub_d = d // n_sub
+    hs = np.array([_hash15(f"pq:{i}") for i in ids])
+    order = np.argsort(hs, kind="mergesort")[:n_cents]
+    books = mat[order].reshape(n_cents, n_sub, sub_d).transpose(1, 0, 2)
+
+    qm = ids < 5
+    qids = ids[qm]
+    qmat = mat[qm]
+    qnorms = np.sqrt((qmat * qmat).sum(axis=1))
+    tables = np.einsum("qsd,scd->qsc",
+                       qmat.reshape(len(qids), n_sub, sub_d), books)
+
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    subs = mat.reshape(len(mat), n_sub, sub_d)
+    codes = np.empty((len(mat), n_sub), dtype=np.int64)
+    for s in range(n_sub):
+        d2 = ((subs[:, s, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d2.argmin(axis=1)
+    approx = np.zeros((len(qids), len(mat)))
+    for s in range(n_sub):
+        approx += tables[:, s, codes[:, s]]
+    sims = approx / (qnorms[:, None] * norms[None, :])
+
+    out = []
+    for qi, qid in enumerate(qids):
+        row = sims[qi].copy()
+        row[ids == qid] = -np.inf
+        top = np.lexsort((ids, -row))
+        qsim = np.floor(row * 1e6) / 1e6
+        # the leading k+1 QUANTIZED sims must be strictly decreasing:
+        # then the quantized order equals the raw order in the top-k
+        # region, so the operator's partition-local raw top-k passes
+        # and its global quantized re-rank agree with this full view
+        # (a tie there would make the result partitioning-dependent)
+        lead = [qsim[j] for j in top[:k + 1]]
+        if sorted(set(lead), reverse=True) != lead:
+            raise RuntimeError(
+                "q73 ground truth: quantized sim ties inside the "
+                "rank-k region — pinned top-k would be ambiguous")
+        for r, j in enumerate(top[:k], start=1):
+            out.append((int(qid), int(ids[j]), float(qsim[j]), r))
+    return out
+
+
+def oracle_pq_topk() -> str:
+    rows = pq_topk_truth(oracle_ctx.sf_dir())
+    vals = ",\n  ".join(
+        f"({q},{c},{repr(s)},{r})" for q, c, s, r in rows)
+    return f"""
+SELECT CAST(qid AS BIGINT) AS qid, CAST(cid AS BIGINT) AS cid,
+       sim, CAST(rank AS INTEGER) AS rank
+FROM (VALUES
+  {vals}) AS t(qid, cid, sim, rank)
+ORDER BY qid, rank
+"""

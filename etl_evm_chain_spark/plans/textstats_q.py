@@ -180,10 +180,19 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+def _oracle_bpe_tokens() -> str:
+    # lazy: replays BPE training driver-side (plans/groundtruth.py)
+    from .groundtruth import oracle_bpe_tokens
+
+    return oracle_bpe_tokens()
+
+
 SPECS = [
-    QuerySpec("q103_bpe_tokens", q_bpe_tokens, None,
+    QuerySpec("q103_bpe_tokens", q_bpe_tokens,
+              _oracle_bpe_tokens,
               "exact BPE tokenization (trained merges, distinct-word "
-              "encoder)", ("P2-text",)),
+              "encoder; oracle = independent single-process train+"
+              "encode, integer stats pinned as VALUES)", ("P2-text",)),
     QuerySpec("q75_char_entropy", q_char_entropy, ORACLE_CHAR_ENTROPY,
               "Shannon char-entropy quality gate (bits/char)",
               ("P2-text",)),

@@ -18,6 +18,11 @@ from check_oracle import compare  # noqa: E402
 
 from conftest import SF_SMALL  # noqa: E402
 
+from etl_evm_chain_spark.plans import oracle_ctx  # noqa: E402
+
+# ground-truth (literal-VALUES) oracles are fixture-specific
+oracle_ctx.set_sf_dir(SF_SMALL)
+
 SPECS = [s for s in all_specs() if s.oracle is not None]
 
 

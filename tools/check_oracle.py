@@ -70,6 +70,10 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # literal-VALUES ground-truth oracles are fixture-specific — point
+    # their builders at the directory being checked
+    from etl_evm_chain_spark.plans import oracle_ctx
+    oracle_ctx.set_sf_dir(sf_dir)
     spark = get_spark("check_oracle")
     con = duck_connection(sf_dir)
     failures = 0
