@@ -380,7 +380,12 @@ def update_near_dup_index(spark, docs: DataFrame, index_path: str, *,
     # would otherwise tokenize + md5 the batch three times; the landed
     # parquet is also by construction the exact rows the index holds.
     new_banded = spark.read.parquet(batch_dir)
-    index = spark.read.parquet(index_path).drop("batch_id")
+    # live = newest compacted baseline + unfolded committed batch dirs
+    # (compact_near_dup_index bounds the directory count); a replayed
+    # ALREADY-FOLDED batch reads its own rows from the baseline — the
+    # recreated directory is manifest-excluded, never double-counted
+    from .index_ledger import read_live_index
+    index = read_live_index(spark, index_path).drop("batch_id")
     # Semi-join prune the landed side to the batch's touched buckets
     # BEFORE the pair join: with a small increment AQE broadcasts the
     # touched-keys set and dynamic partition pruning skips untouched
@@ -638,15 +643,17 @@ def update_exact_dedup_index(spark, docs: DataFrame, index_path: str, *,
                   fps.select("band").distinct().collect()]
     if not seen_bands:
         return docs.limit(0)
+    from .index_ledger import read_live_index
+
     fresh = fps
-    if os.path.isdir(index_path) and any(
-            d.startswith("batch_id=") for d in os.listdir(index_path)):
-        idx_all = (spark.read.parquet(index_path)
-                   # REPLAY: a crashed-after-index-write epoch re-runs
-                   # with its own fingerprints already landed — joining
-                   # against them would erase the whole batch (empty
-                   # overwrite of both index and survivor lake)
-                   .filter(F.col("batch_id") != f"b{batch_id}"))
+    live = read_live_index(spark, index_path)
+    if live is not None:
+        # REPLAY: a crashed-after-index-write epoch re-runs with its
+        # own fingerprints already landed — joining against them would
+        # erase the whole batch (empty overwrite of both index and
+        # survivor lake). The exclusion works even after compaction
+        # because the baseline keeps batch_id as a data column.
+        idx_all = live.filter(F.col("batch_id") != f"b{batch_id}")
         # geometry guard (cf. the CM sketch stamp): an index built
         # with a different n_bands would prune the wrong partitions
         # and silently re-admit known duplicates — fail loudly. The
@@ -669,3 +676,30 @@ def update_exact_dedup_index(spark, docs: DataFrame, index_path: str, *,
     (fresh.select("fp", "band").withColumn("nb", F.lit(n_bands))
      .write.mode("overwrite").partitionBy("band").parquet(batch_dir))
     return fresh.drop("fp", "band")
+
+
+def compact_near_dup_index(spark, index_path: str, *,
+                           keep_last: int = 0, gc: bool = True) -> int | None:
+    """Fold the LSH index's accumulated ``batch_id=`` directories into
+    a compacted generation (operators/index_ledger protocol): results
+    are bit-identical (the baseline re-lands the same rows, batch_id
+    preserved), directory count drops to O(1) + keep_last, and the
+    ``band`` physical partitioning survives so the touched-bucket
+    semi-join keeps pruning. Returns the new generation number."""
+    from .index_ledger import compact_batch_index
+
+    return compact_batch_index(spark, index_path, part_col="band",
+                               keep_last=keep_last, gc=gc)
+
+
+def compact_exact_dedup_index(spark, index_path: str, *,
+                              keep_last: int = 0,
+                              gc: bool = True) -> int | None:
+    """Fold the exact-dedup fingerprint index's batch directories into
+    a compacted generation. batch_id stays a data column, so the
+    replay self-exclusion filter (the round-4 self-erasure fix) keeps
+    working against the baseline."""
+    from .index_ledger import compact_batch_index
+
+    return compact_batch_index(spark, index_path, part_col="band",
+                               keep_last=keep_last, gc=gc)

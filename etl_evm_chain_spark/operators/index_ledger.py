@@ -1,0 +1,205 @@
+"""Compaction ledger for the BATCH landed indexes (LSH near-dup,
+exact-dedup fingerprints, IVF cells) — the batch analog of the
+streaming ``_compacted/upto=N`` protocol (streaming/pipeline.py).
+
+Why: every increment lands its own ``batch_id=b<id>/<part>=N/``
+partition directory, so a long-lived index accumulates directories
+(and small files) without bound — the round-4 verdict's last open
+ledger item. Unlike the streaming ledgers, these rows are immutable
+FACTS (fingerprints, band keys, cell assignments), not monoid states,
+and batch ids are arbitrary strings, not ordered epochs. Two
+consequences shape the protocol:
+
+1. **Folding keeps ``batch_id`` as a data column.** The exact-dedup
+   reader must exclude the CURRENT batch's own rows on replay (a
+   crashed-after-write epoch re-runs with its fingerprints already
+   landed; anti-joining against them would erase the whole batch —
+   the round-4 self-erasure bug). If compaction dropped the labels,
+   a replay of a folded batch could never be excluded. So a baseline
+   is a re-land of the same rows — directory consolidation, not
+   aggregation — and every reader filter keeps working.
+2. **A manifest, not a watermark.** String ids have no "≤ upto"
+   order, so each generation carries the SET of folded ids in a
+   ``_folded/`` parquet inside the generation directory (the
+   underscore prefix hides it from the data read). A replayed folded
+   batch recreating its directory is ignored by readers (id ∈
+   manifest — its rows already live in the baseline) and swept by the
+   next compaction's GC.
+
+Crash-safe commit order: baseline data first (parquet ``_SUCCESS``
+root marker), manifest second (own ``_SUCCESS``); a generation counts
+only when BOTH are committed, so a crash between the two leaves the
+raw batch directories authoritative. GC (folded dirs + older
+generations) runs only after the new generation is fully committed
+and is pure garbage collection — readers already ignore everything it
+deletes. All listings go through the Hadoop FileSystem API (HDFS /
+object stores, same discipline as sources/progress.py).
+
+No reference analog (the reference has no incremental index at all);
+this backs SURVEY H1/H2's exactly-once increments at unbounded
+increment counts.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_GEN_RE = re.compile(r"^gen=(\d+)$")
+
+
+def _fs(spark: SparkSession, path: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _jp(spark: SparkSession, *parts: str):
+    p = spark._jvm.org.apache.hadoop.fs.Path(parts[0])
+    for q in parts[1:]:
+        p = spark._jvm.org.apache.hadoop.fs.Path(p, q)
+    return p
+
+
+def committed_batch_dirs(spark: SparkSession, root: str) -> dict[str, str]:
+    """{batch_id (with the "b" prefix): path} for every COMMITTED
+    (_SUCCESS-marked) ``batch_id=`` directory under ``root``. Torn
+    writes stay invisible until their replay overwrites them."""
+    fs, jroot = _fs(spark, root)
+    if not fs.exists(jroot):
+        return {}
+    out: dict[str, str] = {}
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        if fs.exists(_jp(spark, str(st.getPath().toString()), "_SUCCESS")):
+            out[name[len("batch_id="):]] = str(st.getPath().toString())
+    return out
+
+
+def _newest_gen(spark: SparkSession, root: str):
+    """(gen, baseline_path, folded_ids) of the newest FULLY committed
+    generation (data + manifest), or None."""
+    fs, _ = _fs(spark, root)
+    comp = _jp(spark, root, "_compacted")
+    if not fs.exists(comp):
+        return None
+    best = None
+    for st in fs.listStatus(comp):
+        m = _GEN_RE.fullmatch(st.getPath().getName())
+        if not m:
+            continue
+        g = int(m.group(1))
+        base = str(st.getPath().toString())
+        if not fs.exists(_jp(spark, base, "_SUCCESS")):
+            continue
+        if not fs.exists(_jp(spark, base, "_folded", "_SUCCESS")):
+            continue
+        if best is None or g > best[0]:
+            best = (g, base)
+    if best is None:
+        return None
+    g, base = best
+    folded = {r["batch_id"] for r in
+              spark.read.parquet(base + "/_folded").collect()}
+    return g, base, folded
+
+
+def read_live_index(spark: SparkSession, root: str) -> DataFrame | None:
+    """The index's live rows: newest committed baseline (if any) plus
+    every committed batch directory whose id is NOT in the baseline's
+    manifest. ``batch_id`` is a real column in both sources, so caller
+    filters (e.g. replay self-exclusion) apply uniformly. Returns
+    None for an empty/missing index."""
+    gen = _newest_gen(spark, root)
+    batches = committed_batch_dirs(spark, root)
+    parts = []
+    if gen is not None:
+        _, base, folded = gen
+        parts.append(spark.read.parquet(base))
+        live = {b: p for b, p in batches.items() if b not in folded}
+    else:
+        live = batches
+    if live:
+        # basePath keeps partition discovery rooted at the index root
+        # so batch_id/part columns parse identically across the
+        # explicit directory list
+        parts.append(
+            spark.read.option("basePath", root).parquet(*live.values()))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compact_batch_index(spark: SparkSession, root: str, *,
+                        part_col: str, keep_last: int = 0,
+                        gc: bool = True) -> int | None:
+    """Fold the live batch directories (all but the ``keep_last``
+    most-recently-modified) plus the previous baseline into a new
+    generation; returns its number, or None when there is nothing to
+    fold. Results are bit-identical before and after: the baseline
+    re-lands the same rows, ``batch_id`` preserved as a column,
+    partitioned by ``part_col`` so partition-pruned probes keep
+    working against the baseline."""
+    fs, _ = _fs(spark, root)
+    prev = _newest_gen(spark, root)
+    batches = committed_batch_dirs(spark, root)
+    if prev is not None:
+        prev_g, prev_base, prev_folded = prev
+        live = {b: p for b, p in batches.items() if b not in prev_folded}
+    else:
+        prev_g, prev_base, prev_folded = -1, None, set()
+        live = batches
+    if keep_last > 0 and live:
+        by_mtime = sorted(
+            live.items(),
+            key=lambda kv: fs.getFileStatus(
+                _jp(spark, kv[1])).getModificationTime())
+        live = dict(by_mtime[:len(by_mtime) - keep_last])
+    if not live:
+        return None
+
+    fold_ids = sorted(prev_folded | set(live))
+    srcs = [spark.read.option("basePath", root).parquet(*live.values())]
+    if prev_base is not None:
+        srcs.append(spark.read.parquet(prev_base))
+    data = srcs[0] if len(srcs) == 1 else srcs[0].unionByName(srcs[1])
+
+    g = prev_g + 1
+    base = f"{root}/_compacted/gen={g}"
+    # commit order: data first, manifest second — the generation is
+    # invisible to readers until both _SUCCESS markers exist
+    data.write.mode("overwrite").partitionBy(part_col).parquet(base)
+    spark.createDataFrame([(b,) for b in fold_ids], "batch_id string") \
+        .coalesce(1).write.mode("overwrite").parquet(base + "/_folded")
+
+    if gc:
+        # pure garbage: folded batch dirs (including ghosts recreated
+        # by replays after earlier compactions), torn dirs for folded
+        # ids, and superseded generations
+        folded_set = set(fold_ids)
+        jroot = _jp(spark, root)
+        for st in fs.listStatus(jroot):
+            name = st.getPath().getName()
+            if name.startswith("batch_id=") and \
+                    name[len("batch_id="):] in folded_set:
+                fs.delete(st.getPath(), True)
+        comp = _jp(spark, root, "_compacted")
+        for st in fs.listStatus(comp):
+            if st.getPath().getName() != f"gen={g}":
+                fs.delete(st.getPath(), True)
+    return g
+
+
+def assert_live_batch_count(spark: SparkSession, root: str) -> int:
+    """Observable for tests/monitoring: number of live (committed,
+    unfolded) batch directories a reader would touch."""
+    gen = _newest_gen(spark, root)
+    folded = gen[2] if gen is not None else set()
+    return len([b for b in committed_batch_dirs(spark, root)
+                if b not in folded])

@@ -1153,29 +1153,39 @@ def update_ann_index(spark, batch: DataFrame, index_path: str, *,
     batch_dir = os.path.join(cells_path, f"batch_id=b{batch_id}")
     assigned.write.mode("overwrite").partitionBy("cell").parquet(batch_dir)
 
-    # committed epochs only: a torn batch write (crash mid-write, no
-    # _SUCCESS) must stay invisible to other batches' probes until its
-    # replay overwrites it — same rule as the streaming epoch ledgers
-    jcells = spark._jvm.org.apache.hadoop.fs.Path(cells_path)
-    jfs = jcells.getFileSystem(spark._jsc.hadoopConfiguration())
-    committed = []
-    for st_ in jfs.listStatus(jcells):
-        name = st_.getPath().getName()
-        if name.startswith("batch_id=") and jfs.exists(
-                spark._jvm.org.apache.hadoop.fs.Path(
-                    st_.getPath(), "_SUCCESS")):
-            committed.append(str(st_.getPath().toString()))
-    # this batch's own (just-committed) dir is always in the list, so
-    # `committed` is never empty; the fallback keeps the empty case
-    # structurally safe anyway
-    # basePath keeps partition discovery rooted at cells_path while
-    # only the committed epoch dirs are actually read
-    index = (spark.read.option("basePath", cells_path)
-             .parquet(*committed).drop("batch_id")
-             if committed else assigned.limit(0))
+    # committed epochs only (torn batch writes stay invisible until
+    # their replay overwrites them), now routed through the batch
+    # ledger: live = newest compacted baseline + unfolded committed
+    # dirs (compact_ann_index bounds the directory count). A replayed
+    # already-folded batch reads its rows from the baseline; the
+    # recreated directory is manifest-excluded — never double-counted
+    # (duplicate neighbors were exactly the round-4 replay hole).
+    from .index_ledger import read_live_index
+
+    live = read_live_index(spark, cells_path)
+    # this batch's own (just-committed) dir or its baseline copy is
+    # always live, so the None fallback is structural safety only
+    index = (live.drop("batch_id") if live is not None
+             else assigned.limit(0))
     probed = ranked.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"), "cell")
     # plain equi-join: the batch is unbounded (a forced broadcast of
     # the ingest side caps at Spark's 8 GB table limit) — AQE picks
     # broadcast on its own when the batch is actually small.
     return _probe_score_topk(index, probed, k)
+
+
+def compact_ann_index(spark, index_path: str, *,
+                      keep_last: int = 0, gc: bool = True) -> int | None:
+    """Fold the IVF index's accumulated ``cells/batch_id=``
+    directories into a compacted generation (operators/index_ledger
+    protocol). The frozen quantizer under ``<index_path>/centroids``
+    is untouched; the ``cell`` physical partitioning survives, so
+    probe-side partition pruning keeps reading only touched cells."""
+    from .index_ledger import compact_batch_index
+
+    import os
+
+    return compact_batch_index(spark, os.path.join(index_path, "cells"),
+                               part_col="cell",
+                               keep_last=keep_last, gc=gc)

@@ -1,0 +1,225 @@
+"""Batch landed-index compaction (operators/index_ledger): directory
+consolidation with bit-identical results, replay-after-compact safety
+(the round-4 self-erasure / duplicate-neighbor classes), torn
+baselines, and ghost-directory GC — the adversarial battery the
+round-4 verdict asked to budget for every fresh ledger protocol."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from etl_evm_chain_spark.catalog import load_table
+from etl_evm_chain_spark.operators import dedup as dd
+from etl_evm_chain_spark.operators import similarity as sim
+from etl_evm_chain_spark.operators.index_ledger import (
+    assert_live_batch_count,
+    read_live_index,
+)
+
+from conftest import SF_SMALL
+
+BASE = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima mike november oscar papa quebec romeo "
+        "sierra tango uniform victor whiskey xray yankee")
+
+
+def _doc_rows(lo, hi, mutate=""):
+    return [(i, f"{BASE} {mutate} {'zulu' if i % 3 == 0 else 'tango'} "
+             f"row{i % 4}") for i in range(lo, hi)]
+
+
+def _mkdocs(spark, lo, hi, mutate=""):
+    return spark.createDataFrame(_doc_rows(lo, hi, mutate),
+                                 "doc_id long, text string")
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"], r["est_jaccard"]) for r in df.collect()}
+
+
+def test_near_dup_compact_preserves_next_increment(spark, tmp_path):
+    """Same docs through a compacted and an uncompacted index must
+    produce identical pair sets for the next increment, while the
+    compacted side's live directory count collapses to one baseline."""
+    plain = str(tmp_path / "plain")
+    comp = str(tmp_path / "comp")
+    b1, b2, b3 = (_mkdocs(spark, 0, 6), _mkdocs(spark, 6, 12),
+                  _mkdocs(spark, 12, 18))
+    for idx in (plain, comp):
+        dd.update_near_dup_index(spark, b1, idx, batch_id="d1").collect()
+        dd.update_near_dup_index(spark, b2, idx, batch_id="d2").collect()
+    g = dd.compact_near_dup_index(spark, comp)
+    assert g == 0
+    assert assert_live_batch_count(spark, comp) == 0
+    assert assert_live_batch_count(spark, plain) == 2
+    # folded batch dirs are gone; the baseline keeps band partitioning
+    assert not any(d.startswith("batch_id=") for d in os.listdir(comp))
+    gen_dir = os.path.join(comp, "_compacted", "gen=0")
+    assert any(d.startswith("band=") for d in os.listdir(gen_dir))
+    # live rows identical (batch_id column preserved through the fold)
+    lp = read_live_index(spark, plain)
+    lc = read_live_index(spark, comp)
+    key = ["batch_id", "band", "key", "doc_id"]
+    assert sorted(map(tuple, lp.select(*key).collect())) == \
+        sorted(map(tuple, lc.select(*key).collect()))
+    # next increment: identical pairs either way
+    p_plain = _pairs(dd.update_near_dup_index(spark, b3, plain,
+                                              batch_id="d3"))
+    p_comp = _pairs(dd.update_near_dup_index(spark, b3, comp,
+                                             batch_id="d3"))
+    assert p_plain == p_comp and p_comp
+
+
+def test_near_dup_replay_after_compact_not_duplicated(spark, tmp_path):
+    """Replaying a batch whose directory was folded away must neither
+    double its rows nor change the pair set: the recreated directory
+    is manifest-excluded and the baseline copy is authoritative."""
+    idx = str(tmp_path / "idx")
+    docs = _mkdocs(spark, 0, 8)
+    before = _pairs(dd.update_near_dup_index(spark, docs, idx,
+                                             batch_id="d1"))
+    dd.compact_near_dup_index(spark, idx)
+    n_live = read_live_index(spark, idx).count()
+    after = _pairs(dd.update_near_dup_index(spark, docs, idx,
+                                            batch_id="d1"))
+    assert after == before
+    assert read_live_index(spark, idx).count() == n_live
+    # the ghost directory exists on disk but is invisible to readers
+    assert any(d == "batch_id=bd1" for d in os.listdir(idx))
+    # ... and the next compaction sweeps it
+    g2 = dd.compact_near_dup_index(spark, idx)
+    assert g2 is None or not any(
+        d.startswith("batch_id=") for d in os.listdir(idx))
+
+
+def test_exact_dedup_replay_after_compact_no_self_erasure(spark, tmp_path):
+    """The round-4 self-erasure class, now across a compaction: a
+    replayed batch must still exclude its OWN (folded) fingerprints
+    and return the same survivors, and cross-history dedup must keep
+    working against the baseline."""
+    idx = str(tmp_path / "fp_idx")
+    b1 = spark.createDataFrame(
+        [(1, "one fish"), (2, "two fish"), (3, "one fish")],
+        "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(10, "one fish"), (11, "red fish")],
+        "doc_id long, text string")
+    s1 = {r["doc_id"] for r in dd.update_exact_dedup_index(
+        spark, b1, idx, batch_id="e1").collect()}
+    assert s1 == {1, 2}
+    s2 = {r["doc_id"] for r in dd.update_exact_dedup_index(
+        spark, b2, idx, batch_id="e2").collect()}
+    assert s2 == {11}                      # 10 is a known duplicate
+    assert dd.compact_exact_dedup_index(spark, idx) == 0
+    # replay e2 after its rows were folded into the baseline: its own
+    # fingerprints must be excluded (no self-erasure), history kept
+    s2r = {r["doc_id"] for r in dd.update_exact_dedup_index(
+        spark, b2, idx, batch_id="e2").collect()}
+    assert s2r == {11}
+    # new history still dedups against the folded baseline
+    b3 = spark.createDataFrame(
+        [(20, "red fish"), (21, "blue fish")], "doc_id long, text string")
+    s3 = {r["doc_id"] for r in dd.update_exact_dedup_index(
+        spark, b3, idx, batch_id="e3").collect()}
+    assert s3 == {21}
+
+
+def test_ann_compact_preserves_topk_and_replay(spark, tmp_path):
+    idx_plain = str(tmp_path / "ann_plain")
+    idx_comp = str(tmp_path / "ann_comp")
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    b1 = emb.filter(F.col("vec_id") % 3 == 0)
+    b2 = emb.filter(F.col("vec_id") % 3 == 1)
+    b3 = emb.filter(F.col("vec_id") % 3 == 2)
+    for idx in (idx_plain, idx_comp):
+        sim.update_ann_index(spark, b1, idx, k=3, batch_id="a1").collect()
+        sim.update_ann_index(spark, b2, idx, k=3, batch_id="a2").collect()
+    assert sim.compact_ann_index(spark, idx_comp) == 0
+    cells = os.path.join(idx_comp, "cells")
+    assert not any(d.startswith("batch_id=")
+                   for d in os.listdir(cells))
+    gen_dir = os.path.join(cells, "_compacted", "gen=0")
+    assert any(d.startswith("cell=") for d in os.listdir(gen_dir))
+    # frozen quantizer untouched
+    assert os.path.isdir(os.path.join(idx_comp, "centroids"))
+
+    def topk(df):
+        return {(r["qid"], r["rank"]): (r["cid"], r["sim"])
+                for r in df.collect()}
+
+    t_plain = topk(sim.update_ann_index(spark, b3, idx_plain, k=3,
+                                        batch_id="a3"))
+    t_comp = topk(sim.update_ann_index(spark, b3, idx_comp, k=3,
+                                       batch_id="a3"))
+    assert t_plain == t_comp and t_comp
+    # replay a FOLDED batch: top-k unchanged, no duplicate neighbors
+    t_replay = topk(sim.update_ann_index(spark, b2, idx_comp, k=3,
+                                         batch_id="a2"))
+    cids = {}
+    for r in sim.update_ann_index(spark, b2, idx_comp, k=3,
+                                  batch_id="a2").collect():
+        cids.setdefault(r["qid"], []).append(r["cid"])
+    assert all(len(v) == len(set(v)) for v in cids.values())
+    assert t_replay  # non-empty, ran against baseline + live dirs
+
+
+def test_torn_baseline_is_invisible(spark, tmp_path):
+    """A crash between the baseline data write and the manifest write
+    leaves a half-committed generation; readers must keep using the
+    raw batch directories (which GC has not touched)."""
+    idx = str(tmp_path / "torn")
+    docs = _mkdocs(spark, 0, 6)
+    before = _pairs(dd.update_near_dup_index(spark, docs, idx,
+                                             batch_id="t1"))
+    live_before = read_live_index(spark, idx).count()
+    # half-committed generation: data yes, manifest missing
+    gen = os.path.join(idx, "_compacted", "gen=0")
+    spark.read.parquet(os.path.join(idx, "batch_id=bt1")) \
+        .withColumn("batch_id", F.lit("bt1")) \
+        .write.partitionBy("band").parquet(gen)
+    assert read_live_index(spark, idx).count() == live_before
+    # ... and a data dir without _SUCCESS is equally invisible
+    os.remove(os.path.join(gen, "_SUCCESS"))
+    os.makedirs(os.path.join(gen, "_folded"), exist_ok=True)
+    with open(os.path.join(gen, "_folded", "_SUCCESS"), "w"):
+        pass
+    assert read_live_index(spark, idx).count() == live_before
+    after = _pairs(dd.update_near_dup_index(spark, docs, idx,
+                                            batch_id="t1"))
+    assert after == before
+    shutil.rmtree(os.path.join(idx, "_compacted"))
+    # a fresh compaction over the same state still works
+    assert dd.compact_near_dup_index(spark, idx) == 0
+
+
+def test_second_generation_folds_new_batches(spark, tmp_path):
+    """gen=1 folds the gen=0 baseline plus the batches landed since;
+    older generations are GC'd; manifests accumulate."""
+    idx = str(tmp_path / "gens")
+    dd.update_exact_dedup_index(
+        spark, spark.createDataFrame([(1, "a a")], "doc_id long, text string"),
+        idx, batch_id="g1").collect()
+    assert dd.compact_exact_dedup_index(spark, idx) == 0
+    dd.update_exact_dedup_index(
+        spark, spark.createDataFrame([(2, "b b")], "doc_id long, text string"),
+        idx, batch_id="g2").collect()
+    assert dd.compact_exact_dedup_index(spark, idx) == 1
+    comp = os.path.join(idx, "_compacted")
+    assert os.listdir(comp) == ["gen=1"]
+    live = read_live_index(spark, idx)
+    assert {r["batch_id"] for r in live.select("batch_id").collect()} == \
+        {"bg1", "bg2"}
+    # nothing left to fold → no new generation
+    assert dd.compact_exact_dedup_index(spark, idx) is None
+    # keep_last leaves the newest batches unfolded
+    dd.update_exact_dedup_index(
+        spark, spark.createDataFrame([(3, "c c")], "doc_id long, text string"),
+        idx, batch_id="g3").collect()
+    dd.update_exact_dedup_index(
+        spark, spark.createDataFrame([(4, "d d")], "doc_id long, text string"),
+        idx, batch_id="g4").collect()
+    assert dd.compact_exact_dedup_index(spark, idx, keep_last=1) == 2
+    assert assert_live_batch_count(spark, idx) == 1
