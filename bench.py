@@ -92,6 +92,28 @@ def main() -> None:
     for edges in ("width", "depth"):
         bucketed_rank(rank_warm, "v", ["v", "id"], n_buckets=8,
                       edges=edges).agg(F.sum("_rank")).collect()
+    # JIT the pyspark.ml stack (Pipeline/StandardScaler/LR class
+    # loading, netlib BLAS probe, treeAggregate path, vector UDT
+    # serde): the first ML query in registry order otherwise absorbs
+    # ~3-5 s of pure one-time init (measured cold 15.2 s vs warm
+    # 7.0 s on q29 at sf0.1).
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+    ml_warm = spark.range(64).select(
+        (F.col("id") % 2).cast("int").alias("y"),
+        (F.col("id") % 7).cast("double").alias("f1"),
+        (F.col("id") % 5).cast("double").alias("f2"))
+    ml_pipe = Pipeline(stages=[
+        VectorAssembler(inputCols=["f1", "f2"], outputCol="raw_features"),
+        StandardScaler(inputCol="raw_features", outputCol="features",
+                       withMean=True, withStd=True),
+        LogisticRegression(featuresCol="features", labelCol="y",
+                           maxIter=3)])
+    ml_model = ml_pipe.fit(ml_warm)
+    ml_model.transform(ml_warm).select(
+        vector_to_array("probability").getItem(1)).count()
 
     timings: dict[str, float] = {}
     for spec in all_specs():
