@@ -65,17 +65,27 @@ def build_ml_dataset(dense: DataFrame, *, key: str, ts: str, value: str,
 def time_split(df: DataFrame, *, ts: str, frac: float = 0.7) -> tuple[DataFrame, DataFrame]:
     """Time-ordered split (reference E4): first `frac` of rows train.
 
-    Uses a timestamp-quantile cutoff — a single lightweight agg —
-    instead of a global row_number (which would funnel every row
-    through one window partition at scale).
+    The cut is EXACT: the smallest timestamp whose cumulative row
+    count reaches ceil(frac·n), computed from per-timestamp counts
+    through functions/ranking.bucketed_prefix_sum (q15's two-phase
+    shape — no global window, relation size = distinct timestamps).
+    percentile_approx was abandoned here on purpose: its Greenwald-
+    Khanna sketch is only exact while n ≤ accuracy, so past 100k rows
+    the chosen element could wobble by a few ranks between runs —
+    unpinnable against the q29 ground-truth oracle, and a split that
+    silently depends on data size is wrong anyway.
     """
-    cut = df.agg(
-        F.percentile_approx(F.unix_timestamp(ts) if dict(df.dtypes)[ts].startswith("timestamp")
-                            else F.col(ts).cast("long"),
-                            frac, 100000).alias("cut")
-    ).collect()[0]["cut"]
+    from ..functions.ranking import bucketed_prefix_sum, scaled_buckets
+
     tcol = (F.unix_timestamp(ts) if dict(df.dtypes)[ts].startswith("timestamp")
             else F.col(ts).cast("long"))
+    per_t = df.select(tcol.alias("_t")).groupBy("_t").agg(
+        F.count(F.lit(1)).alias("_c"))
+    cum = bucketed_prefix_sum(per_t, "_t", ["_t"], "_c",
+                              n_buckets=scaled_buckets(df.sparkSession),
+                              out_name="_cum", total_name="_n")
+    cut = cum.filter(F.col("_cum") >= F.ceil(F.col("_n") * frac)) \
+        .agg(F.min("_t").alias("cut")).collect()[0]["cut"]
     return df.filter(tcol <= cut), df.filter(tcol > cut)
 
 

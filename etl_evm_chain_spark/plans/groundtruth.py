@@ -151,9 +151,11 @@ SELECT dec.pool, dec.side,
        CAST(dec.entry_ts AS BIGINT) AS entry_ts,
        CAST(dec.exit_ts AS BIGINT) AS exit_ts,
        e.value AS entry_price, x.value AS exit_price,
-       CASE WHEN dec.side = 'short'
-            THEN -((x.value / e.value - 1.0) * 100.0)
-            ELSE (x.value / e.value - 1.0) * 100.0 END AS pct_return
+       -- _close() semantics verbatim incl. zero-entry (a synthetic
+       -- sf0.1 price is exactly 0.0): nan for 0/0, signed inf
+       -- otherwise — engines disagree on x/0.0, so spell it out
+       CASE WHEN dec.side = 'short' THEN -(CASE WHEN e.value = 0.0 THEN (CASE WHEN x.value = 0.0 THEN CAST('nan' AS DOUBLE) ELSE CAST('infinity' AS DOUBLE) * x.value END) ELSE (x.value / e.value - 1.0) * 100.0 END)
+            ELSE CASE WHEN e.value = 0.0 THEN (CASE WHEN x.value = 0.0 THEN CAST('nan' AS DOUBLE) ELSE CAST('infinity' AS DOUBLE) * x.value END) ELSE (x.value / e.value - 1.0) * 100.0 END END AS pct_return
 FROM decisions dec
 JOIN dense e ON e.event_type = dec.pool AND e.bucket = dec.entry_ts
 JOIN dense x ON x.event_type = dec.pool AND x.bucket = dec.exit_ts
@@ -177,9 +179,11 @@ SELECT dec.pool, dec.side,
        CAST(dec.entry_ts AS BIGINT) AS entry_ts,
        CAST(dec.exit_ts AS BIGINT) AS exit_ts,
        e.value AS entry_price, x.value AS exit_price,
-       CASE WHEN dec.side = 'short'
-            THEN -((x.value / e.value - 1.0) * 100.0)
-            ELSE (x.value / e.value - 1.0) * 100.0 END AS pct_return,
+       -- _close() semantics verbatim incl. zero-entry (a synthetic
+       -- sf0.1 price is exactly 0.0): nan for 0/0, signed inf
+       -- otherwise — engines disagree on x/0.0, so spell it out
+       CASE WHEN dec.side = 'short' THEN -(CASE WHEN e.value = 0.0 THEN (CASE WHEN x.value = 0.0 THEN CAST('nan' AS DOUBLE) ELSE CAST('infinity' AS DOUBLE) * x.value END) ELSE (x.value / e.value - 1.0) * 100.0 END)
+            ELSE CASE WHEN e.value = 0.0 THEN (CASE WHEN x.value = 0.0 THEN CAST('nan' AS DOUBLE) ELSE CAST('infinity' AS DOUBLE) * x.value END) ELSE (x.value / e.value - 1.0) * 100.0 END END AS pct_return,
        round(e.zv, 6) AS entry_z, round(x.zv, 6) AS exit_z,
        CAST((dec.exit_ts - dec.entry_ts) // 300 AS BIGINT) AS held_rows
 FROM decisions dec
@@ -199,9 +203,8 @@ def oracle_calendar_returns() -> str:
 , {_decisions_cte(dec)}
 , trades AS (
   SELECT CAST(dec.exit_ts AS BIGINT) AS exit_ts,
-         CASE WHEN dec.side = 'short'
-              THEN -((x.value / e.value - 1.0) * 100.0)
-              ELSE (x.value / e.value - 1.0) * 100.0 END AS pct_return
+         CASE WHEN dec.side = 'short' THEN -(CASE WHEN e.value = 0.0 THEN (CASE WHEN x.value = 0.0 THEN CAST('nan' AS DOUBLE) ELSE CAST('infinity' AS DOUBLE) * x.value END) ELSE (x.value / e.value - 1.0) * 100.0 END)
+              ELSE CASE WHEN e.value = 0.0 THEN (CASE WHEN x.value = 0.0 THEN CAST('nan' AS DOUBLE) ELSE CAST('infinity' AS DOUBLE) * x.value END) ELSE (x.value / e.value - 1.0) * 100.0 END END AS pct_return
   FROM decisions dec
   JOIN zz e ON e.event_type = dec.pool AND e.bucket = dec.entry_ts
   JOIN zz x ON x.event_type = dec.pool AND x.bucket = dec.exit_ts
@@ -453,9 +456,12 @@ def ml_signals_truth(sf_dir: str) -> dict:
     X = np.array([[r[2], r[3], r[4], r[5]] for r in rows], dtype=np.float64)
     y = np.array([r[6] for r in rows], dtype=np.float64)
 
-    # percentile_approx(bucket, 0.7, 100000): with n << accuracy the
-    # GK sketch is exact — the element at rank floor(0.7·(n−1))+1
-    cut = np.sort(bucket)[int(0.7 * (len(bucket) - 1))]
+    # mlplane.time_split's exact cut: smallest timestamp whose
+    # cumulative count reaches ceil(0.7·n) — i.e. the sorted element
+    # at that rank
+    import math
+
+    cut = np.sort(bucket)[math.ceil(0.7 * len(bucket)) - 1]
     tr = bucket <= cut
     w = _newton_logreg(_standardize(X[tr], X[tr]), y[tr])
     p_all = _sigmoid(_standardize(X, X[tr]) @ w[:4] + w[4])
