@@ -36,6 +36,34 @@ TRADES_SCHEMA = (
 TRADES_Z_SCHEMA = TRADES_SCHEMA + ", entry_z double, exit_z double, held_rows long"
 
 
+def pow2_frac_table(halflife: int, sign: int) -> list[float]:
+    """The ``h`` fractional powers ``2^(sign·r/h)``, r = 0..h−1, as
+    plain floats — the shared literal table behind the exact EWM
+    rescale (both the Spark expression and the DuckDB oracle SQL embed
+    these same literals, so the decomposition is engine-identical by
+    construction)."""
+    return [2.0 ** (sign * r / halflife) for r in range(halflife)]
+
+
+def _pow2_exact(i, halflife: int, sign: int):
+    """``2^(sign·i/h)`` for integer ``i ≥ 0`` and INTEGRAL ``h``,
+    decomposed as ``2^(sign·(i div h)) · 2^(sign·(i mod h)/h)``.
+
+    Why: ``pow(2.0, i/h)`` routes through libm, whose last bit differs
+    between the JVM and other engines — a 1-ulp wobble that surfaces
+    as round-6 knife edges in the EWM family's oracles at larger
+    fixtures. In this form the first factor is an exact power of two
+    (integral exponent — representable, returned exactly) and the
+    second is one of ``h`` literals shared verbatim with the oracle
+    SQL, so the product is the same correctly-rounded double in every
+    engine."""
+    frac = pow2_frac_table(halflife, sign)
+    whole = F.pow(F.lit(2.0), (sign * F.floor(i / halflife)).cast("double"))
+    part = F.element_at(F.array(*[F.lit(v) for v in frac]),
+                        (i % halflife).cast("int") + 1)
+    return whole * part
+
+
 def ewm_mean(df: DataFrame, *, value: str, key: str, order: str,
              halflife: float, min_periods: int,
              out_col: str = "ewm", method: str = "native") -> DataFrame:
@@ -68,11 +96,22 @@ def ewm_mean(df: DataFrame, *, value: str, key: str, order: str,
         wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         i = F.row_number().over(w) - 1
         df = df.withColumn("__i", i)
+        # integral halflife (the shipped configs): exact power-of-two
+        # decomposition — engine-identical rescale, no libm pow of a
+        # fractional exponent (see _pow2_exact); fractional halflife
+        # keeps the plain pow (no oracle pins those)
+        if float(halflife).is_integer():
+            h = int(halflife)
+            up = _pow2_exact(F.col("__i"), h, 1)
+            down = _pow2_exact(F.col("__i"), h, -1)
+        else:
+            up = F.pow(F.lit(2.0), F.col("__i") / halflife)
+            down = F.pow(F.lit(2.0), -F.col("__i") / halflife)
         term = (
             F.when(F.col("__i") == 0, 1.0).otherwise(alpha)
-            * F.col(value) * F.pow(F.lit(2.0), F.col("__i") / halflife)
+            * F.col(value) * up
         )
-        y = F.pow(F.lit(2.0), -F.col("__i") / halflife) * F.sum(term).over(wcum)
+        y = down * F.sum(term).over(wcum)
         # Domain guard: the 2^(i/h) rescale overflows double past
         # i/h ≈ 1024, turning the result into silent NaN (Inf·0).
         # assert_true is NULL on success (coalesced to +0.0) and raises

@@ -40,9 +40,23 @@ def build_ml_dataset(dense: DataFrame, *, key: str, ts: str, value: str,
     min_p = max(5, std_win // 3)
     cnt = F.count(value).over(wstd)
     devdt = F.col(value) - F.col(ewm_col)
+    # sigma via exact decimal window sums (the _with_rolling/_dsum
+    # discipline): stddev_samp's streaming moments accumulate in
+    # engine-specific order, so its last bit is not reproducible —
+    # DECIMAL(18,6) sums are exact and order-free, and every op after
+    # the double cast is correctly rounded. Semantics: sample std of
+    # devdt quantized at 1e-6 — indistinguishable from the reference's
+    # pandas rolling std at the 1e-6 precision everything downstream
+    # rounds to.
+    xd = F.col("devdt").cast("decimal(18,6)")
+    s1 = F.sum(xd).over(wstd).cast("double")
+    s2 = F.sum(xd * xd).over(wstd).cast("double")
+    c2 = F.count("devdt").over(wstd)
+    var = (s2 - s1 * s1 / c2) / (c2 - 1)
+    std = F.when(c2 >= 2, F.sqrt(F.greatest(var, F.lit(0.0))))
     df = (
         dense.withColumn("devdt", devdt)
-        .withColumn("sigma_raw", F.when(cnt >= min_p, F.stddev_samp("devdt").over(wstd)))
+        .withColumn("sigma_raw", F.when(cnt >= min_p, std))
         .withColumn("sigma", F.greatest(F.coalesce("sigma_raw", F.lit(sigma_min)),
                                         F.lit(sigma_min)))
         .withColumn("z", F.col("devdt") / F.col("sigma"))

@@ -22,8 +22,20 @@ from .timeseries_q import _SQL_DENSE, _dense, _with_consensus, _with_rolling
 # operators/backtest.ewm_mean(method="native") runs in Spark:
 #   y_t = 2^(−t/h) · Σ_{i≤t} c_i·x_i·2^(i/h),  c_0 = 1, c_i = α,
 # with α inlined at full double precision so both engines fold the
-# same literal. min_periods=5 masks the first four rows per key.
+# same literal. The 2^(±i/h) rescale uses the same exact power-of-two
+# decomposition as the Spark side (bt._pow2_exact): libm pow of a
+# fractional exponent differs by 1 ulp between engines, which showed
+# up as a round-6 sigma knife edge at sf0.1. min_periods=5 masks the
+# first four rows per key.
 _EWM_ALPHA = repr(1.0 - 0.5 ** (1.0 / 10.0))
+
+
+def _sql_pow2(i_expr: str, h: int, sign: int) -> str:
+    lits = ", ".join(repr(v) for v in bt.pow2_frac_table(h, sign))
+    s = "-" if sign < 0 else ""
+    return (f"(pow(2.0, CAST({s}(({i_expr}) // {h}) AS DOUBLE)) * "
+            f"(LIST_VALUE({lits}))[(({i_expr}) % {h}) + 1])")
+
 
 _SQL_EWM = _SQL_DENSE + f"""
 , idx AS (
@@ -32,9 +44,9 @@ _SQL_EWM = _SQL_DENSE + f"""
   FROM dense
 ), ewm AS (
   SELECT event_type, bucket, value, i,
-         pow(2.0, -i / 10.0) * sum(
+         {_sql_pow2('i', 10, -1)} * sum(
            (CASE WHEN i = 0 THEN 1.0 ELSE {_EWM_ALPHA} END)
-           * value * pow(2.0, i / 10.0)
+           * value * {_sql_pow2('i', 10, 1)}
          ) OVER (PARTITION BY event_type ORDER BY bucket
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y
   FROM idx
@@ -134,10 +146,13 @@ def _ml_dataset_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
             dense, key="event_type", ts="bucket", value="value",
             std_win=30, sigma_min=0.5, horizon=12, target=25.0)
 
+    # params carry a build-semantics version: v2 = exact-decimal sigma
+    # + exact power-of-two EWM rescale (round 5) — bumping it is what
+    # invalidates the landed copy built by the previous arithmetic
     return landed_parquet(
         spark, name="mldataset",
         src_paths=[os.path.join(sf_dir, "events.parquet")],
-        build=build, params=f"{key}_h10mp5w30s05hz12t25")
+        build=build, params=f"{key}_h10mp5w30s05hz12t25v2")
 
 
 def q_ml_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,7 +178,12 @@ _SQL_ML_SCORED = _SQL_EWM + """
 , feat AS (
   SELECT event_type, bucket, bias, value - bias AS devdt,
          count(value) OVER wstd AS cnt,
-         stddev_samp(value - bias) OVER wstd AS sigma_raw,
+         count(value - bias) OVER wstd AS c2,
+         CAST(sum(CAST(value - bias AS DECIMAL(18,6))) OVER wstd AS DOUBLE)
+           AS s1,
+         CAST(sum(CAST(value - bias AS DECIMAL(19,6))
+                  * CAST(value - bias AS DECIMAL(19,6))) OVER wstd AS DOUBLE)
+           AS s2,
          max(value - bias) OVER wlead AS lead_max
   FROM biased
   WINDOW
@@ -171,12 +191,20 @@ _SQL_ML_SCORED = _SQL_EWM + """
              ROWS BETWEEN 29 PRECEDING AND CURRENT ROW),
     wlead AS (PARTITION BY event_type ORDER BY bucket
               ROWS BETWEEN 1 FOLLOWING AND 12 FOLLOWING)
+), sigrows AS (
+  -- exact decimal window sums (mirrors mlplane.build_ml_dataset's
+  -- non-streaming sigma; DECIMAL(19,6) forces hugeint so the square
+  -- cannot overflow DuckDB's int64 decimal); ddof=1
+  SELECT *, CASE WHEN c2 >= 2 THEN
+              sqrt(greatest((s2 - s1 * s1 / c2) / (c2 - 1), 0.0)) END
+            AS sigma_raw
+  FROM feat
 ), scored AS (
   SELECT event_type, bucket, bias, devdt,
          greatest(coalesce(CASE WHEN cnt >= 10 THEN sigma_raw END, 0.5), 0.5)
            AS sigma,
          CAST(lead_max - devdt >= 25.0 AS INT) AS y
-  FROM feat
+  FROM sigrows
   WHERE round(devdt, 6) < 0 AND lead_max IS NOT NULL AND bias IS NOT NULL
 )
 """
