@@ -112,8 +112,12 @@ def main() -> None:
         LogisticRegression(featuresCol="features", labelCol="y",
                            maxIter=3)])
     ml_model = ml_pipe.fit(ml_warm)
+    # agg over the projected column, NOT count(): Catalyst prunes a
+    # projection under count(), which would skip the vector-UDT /
+    # vector_to_array serde this warm exists to JIT
     ml_model.transform(ml_warm).select(
-        vector_to_array("probability").getItem(1)).count()
+        vector_to_array("probability").getItem(1).alias("p")).agg(
+        F.sum("p")).collect()
 
     timings: dict[str, float] = {}
     for spec in all_specs():

@@ -263,12 +263,20 @@ def calendar_returns(trades: DataFrame, *, ts_col: str = "exit_ts") -> DataFrame
     The sum runs through DECIMAL(27,12): a plain double sum folds in
     partition order, so its low bits vary run-to-run and engine-to-
     engine — the decimal path is exact and order-independent (the
-    `_dsum` discipline), then surfaces as double."""
+    `_dsum` discipline), then surfaces as double. Non-finite returns
+    (a trade entered at a 0.0 price yields ±inf/nan — reachable on the
+    synthetic sf0.1 prices) are EXCLUDED from the sum and surfaced in
+    their own count instead: casting them to decimal would throw under
+    ANSI and silently NULL otherwise, both worse than an explicit
+    ledger line. ``n_trades`` still counts every trade."""
     month = F.date_format(F.timestamp_seconds(ts_col), "yyyy-MM").alias("month")
+    p = F.col("pct_return")
+    finite = ~F.isnan(p) & (F.abs(p) != F.lit(float("inf")))
     return (
         trades.groupBy(month)
-        .agg(F.sum(F.col("pct_return").cast("decimal(27,12)"))
+        .agg(F.sum(F.when(finite, p).cast("decimal(27,12)"))
              .cast("double").alias("pct_return"),
-             F.count(F.lit(1)).alias("n_trades"))
+             F.count(F.lit(1)).alias("n_trades"),
+             F.sum((~finite).cast("long")).alias("n_nonfinite"))
         .orderBy("month")
     )

@@ -156,6 +156,12 @@ def compact_batch_index(spark: SparkSession, root: str, *,
         prev_g, prev_base, prev_folded = -1, None, set()
         live = batches
     if keep_last > 0 and live:
+        if len(live) <= keep_last:
+            # nothing older than the keep window — same no-op contract
+            # as the streaming compact_epoch_ledger (a negative slice
+            # here would wrap around and fold the OLDEST batch, the
+            # exact opposite of keep-the-newest)
+            return None
         by_mtime = sorted(
             live.items(),
             key=lambda kv: fs.getFileStatus(

@@ -81,7 +81,9 @@ def fsm_pct_decisions(sf_dir: str, threshold: float = 30.0) -> list[tuple]:
     for pool, rows in sorted(_series(_SQL_PCT_INPUT).items()):
         side, entry_ts = None, None
         for bucket, value, consensus in rows:
-            if value is None or consensus is None:
+            if value is None or consensus is None or consensus == 0.0:
+                # try_divide semantics: a zero consensus has no
+                # defined deviation -> NULL -> the FSM skips the row
                 continue
             d = (value / consensus - 1.0) * 100.0
             if d != d:
@@ -143,6 +145,21 @@ def _decisions_cte(decisions: list[tuple]) -> str:
     return (f"decisions(pool, side, entry_ts, exit_ts) AS (VALUES\n  {vals})")
 
 
+def _pct_return_sql() -> str:
+    """The _close() return arithmetic as one shared SQL snippet —
+    q25/q26/q27 are only mutually consistent while they aggregate the
+    byte-identical expression (q27 sums exactly q26's trade returns).
+    Zero-entry semantics spelled out (a synthetic sf0.1 price is
+    exactly 0.0; engines disagree on x / 0.0): nan for 0/0, signed
+    inf otherwise."""
+    ret = ("CASE WHEN e.value = 0.0 THEN "
+           "(CASE WHEN x.value = 0.0 THEN CAST('nan' AS DOUBLE) "
+           "ELSE CAST('infinity' AS DOUBLE) * x.value END) "
+           "ELSE (x.value / e.value - 1.0) * 100.0 END")
+    return (f"CASE WHEN dec.side = 'short' THEN -({ret})\n"
+            f"            ELSE {ret} END")
+
+
 def oracle_backtest_pct() -> str:
     dec = fsm_pct_decisions(oracle_ctx.sf_dir())
     return _SQL_DENSE + f"""
@@ -151,11 +168,7 @@ SELECT dec.pool, dec.side,
        CAST(dec.entry_ts AS BIGINT) AS entry_ts,
        CAST(dec.exit_ts AS BIGINT) AS exit_ts,
        e.value AS entry_price, x.value AS exit_price,
-       -- _close() semantics verbatim incl. zero-entry (a synthetic
-       -- sf0.1 price is exactly 0.0): nan for 0/0, signed inf
-       -- otherwise — engines disagree on x/0.0, so spell it out
-       CASE WHEN dec.side = 'short' THEN -(CASE WHEN e.value = 0.0 THEN (CASE WHEN x.value = 0.0 THEN CAST('nan' AS DOUBLE) ELSE CAST('infinity' AS DOUBLE) * x.value END) ELSE (x.value / e.value - 1.0) * 100.0 END)
-            ELSE CASE WHEN e.value = 0.0 THEN (CASE WHEN x.value = 0.0 THEN CAST('nan' AS DOUBLE) ELSE CAST('infinity' AS DOUBLE) * x.value END) ELSE (x.value / e.value - 1.0) * 100.0 END END AS pct_return
+       {_pct_return_sql()} AS pct_return
 FROM decisions dec
 JOIN dense e ON e.event_type = dec.pool AND e.bucket = dec.entry_ts
 JOIN dense x ON x.event_type = dec.pool AND x.bucket = dec.exit_ts
@@ -179,11 +192,7 @@ SELECT dec.pool, dec.side,
        CAST(dec.entry_ts AS BIGINT) AS entry_ts,
        CAST(dec.exit_ts AS BIGINT) AS exit_ts,
        e.value AS entry_price, x.value AS exit_price,
-       -- _close() semantics verbatim incl. zero-entry (a synthetic
-       -- sf0.1 price is exactly 0.0): nan for 0/0, signed inf
-       -- otherwise — engines disagree on x/0.0, so spell it out
-       CASE WHEN dec.side = 'short' THEN -(CASE WHEN e.value = 0.0 THEN (CASE WHEN x.value = 0.0 THEN CAST('nan' AS DOUBLE) ELSE CAST('infinity' AS DOUBLE) * x.value END) ELSE (x.value / e.value - 1.0) * 100.0 END)
-            ELSE CASE WHEN e.value = 0.0 THEN (CASE WHEN x.value = 0.0 THEN CAST('nan' AS DOUBLE) ELSE CAST('infinity' AS DOUBLE) * x.value END) ELSE (x.value / e.value - 1.0) * 100.0 END END AS pct_return,
+       {_pct_return_sql()} AS pct_return,
        round(e.zv, 6) AS entry_z, round(x.zv, 6) AS exit_z,
        CAST((dec.exit_ts - dec.entry_ts) // 300 AS BIGINT) AS held_rows
 FROM decisions dec
@@ -194,24 +203,28 @@ ORDER BY dec.pool, dec.entry_ts
 
 
 def oracle_calendar_returns() -> str:
-    """q27 = monthly aggregation over the z-FSM trades; the sums run
-    through DECIMAL(27,12) in both engines (exact, order-independent)
-    and surface as double — same `_dsum` discipline as the relational
-    oracles."""
+    """q27 = monthly aggregation over the z-FSM trades; the FINITE
+    returns sum through DECIMAL(27,12) in both engines (exact,
+    order-independent — `_dsum` discipline) and surface as double;
+    non-finite returns (zero-entry trades) are excluded from the sum
+    and counted in n_nonfinite, mirroring bt.calendar_returns."""
     dec = fsm_z_decisions(oracle_ctx.sf_dir())
     return _SQL_ZZ + f"""
 , {_decisions_cte(dec)}
 , trades AS (
   SELECT CAST(dec.exit_ts AS BIGINT) AS exit_ts,
-         CASE WHEN dec.side = 'short' THEN -(CASE WHEN e.value = 0.0 THEN (CASE WHEN x.value = 0.0 THEN CAST('nan' AS DOUBLE) ELSE CAST('infinity' AS DOUBLE) * x.value END) ELSE (x.value / e.value - 1.0) * 100.0 END)
-              ELSE CASE WHEN e.value = 0.0 THEN (CASE WHEN x.value = 0.0 THEN CAST('nan' AS DOUBLE) ELSE CAST('infinity' AS DOUBLE) * x.value END) ELSE (x.value / e.value - 1.0) * 100.0 END END AS pct_return
+         {_pct_return_sql()} AS pct_return
   FROM decisions dec
   JOIN zz e ON e.event_type = dec.pool AND e.bucket = dec.entry_ts
   JOIN zz x ON x.event_type = dec.pool AND x.bucket = dec.exit_ts
 )
 SELECT strftime(make_timestamp(exit_ts * 1000000), '%Y-%m') AS month,
-       CAST(sum(CAST(pct_return AS DECIMAL(27,12))) AS DOUBLE) AS pct_return,
-       count(*) AS n_trades
+       CAST(sum(CASE WHEN isfinite(pct_return)
+                     THEN CAST(pct_return AS DECIMAL(27,12)) END)
+            AS DOUBLE) AS pct_return,
+       count(*) AS n_trades,
+       CAST(count(*) FILTER (NOT isfinite(pct_return)) AS BIGINT)
+         AS n_nonfinite
 FROM trades GROUP BY 1 ORDER BY month
 """
 
@@ -230,7 +243,10 @@ _WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def _words(text: str) -> list[str]:
-    return _WS.split(text.lower().strip())
+    # strip(" "): Spark/DuckDB trim() removes SPACES only — Python's
+    # bare strip() would also eat \t/\n and desynchronize the token
+    # boundaries from the engines this twin pins
+    return _WS.split(text.lower().strip(" "))
 
 
 def _merge_once(syms: list[str], a: str, b: str) -> list[str]:
@@ -472,6 +488,28 @@ def ml_signals_truth(sf_dir: str) -> dict:
     hits = int(((p_test >= 0.5) == (y[te] == 1)).sum())
     accuracy = hits / int(te.sum())
     auc = _auc_mann_whitney(p_test, y[te].astype(int))
+    # AUC depends on the relative ORDER of test probabilities: any
+    # cross-label adjacent pair closer than the solver-parity delta
+    # can legitimately swap between Spark's converged L-BFGS and this
+    # Newton solve (treeAggregate fold order wobbles the low bits),
+    # each swap moving AUC by 1/(n₊·n₋). Bound the total wobble from
+    # the data and require the quantization grid to dominate it —
+    # measured: 42 swappable pairs at sf0.01 (wobble ≈ 3.5e-6) and a
+    # 6.5e-6 wobble at sf0.1 — which is why auc pins at 1e-3
+    # (round-6 sat 2e-7 from a midpoint; 1e-4 failed the 10×
+    # bound at sf0.1).
+    ys = y[te].astype(int)
+    order = np.argsort(p_test, kind="mergesort")
+    ps, yo = p_test[order], ys[order]
+    gaps = np.diff(ps)
+    cross = yo[1:] != yo[:-1]
+    npos, nneg = int(ys.sum()), int(len(ys) - ys.sum())
+    n_swappable = int(((gaps < 1e-7) & cross).sum())
+    wobble = (n_swappable / (npos * nneg)) if npos and nneg else 0.0
+    if auc == auc:  # skip the margin math for a single-class nan
+        to_mid = abs(auc * 1e3 - np.floor(auc * 1e3) - 0.5) / 1e3
+        _assert_margin(float(to_mid), "AUC quantization",
+                       budget=max(10.0 * wobble, 1e-6))
 
     out = {}
     probs = []
@@ -496,7 +534,7 @@ def ml_signals_truth(sf_dir: str) -> dict:
                    budget=1e-7)
     return {"signals": out,
             "accuracy": _round_half_up(accuracy, 6),
-            "auc": _round_half_up(auc, 6)}
+            "auc": _round_half_up(auc, 3)}
 
 
 def oracle_ml_signals() -> str:
@@ -538,7 +576,7 @@ def _hash15(s: str) -> int:
 def _doc_features_py(text: str) -> list[float]:
     from ..functions.text import LANG_MARKERS, STOPWORDS
 
-    toks = _WS.split(text.strip())
+    toks = _WS.split(text.strip(" "))  # trim() = spaces only
     n = len(toks)
     feats = [
         float(n),

@@ -89,7 +89,11 @@ def incremental_decode(spark: SparkSession, *, raw: DataFrame,
     jpath = spark._jvm.org.apache.hadoop.fs.Path(out_dir)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(jpath):
-        for st_ in fs.listStatus(jpath):
+        # validate the WHOLE listing before any delete: the legacy
+        # check must refuse with the dataset untouched, not after this
+        # loop already swept some replay partitions
+        listing = list(fs.listStatus(jpath))
+        for st_ in listing:
             name = st_.getPath().getName()
             # a root-level parquet file is the pre-inc= FLAT APPEND
             # layout (or a foreign dataset): mixing it with inc=
@@ -107,7 +111,8 @@ def incremental_decode(spark: SparkSession, *, raw: DataFrame,
                     "partitions and cannot mix with it — move the "
                     "legacy files aside (or into inc=0-<watermark>/) "
                     "first")
-            m = re.fullmatch(r"inc=(\d+)-(\d+)", name)
+        for st_ in listing:
+            m = re.fullmatch(r"inc=(\d+)-(\d+)", st_.getPath().getName())
             if m and int(m.group(1)) >= frm:
                 fs.delete(st_.getPath(), True)
     fresh = raw.filter((F.col("block_number") >= frm)

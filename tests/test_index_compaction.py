@@ -223,3 +223,18 @@ def test_second_generation_folds_new_batches(spark, tmp_path):
         idx, batch_id="g4").collect()
     assert dd.compact_exact_dedup_index(spark, idx, keep_last=1) == 2
     assert assert_live_batch_count(spark, idx) == 1
+
+
+def test_keep_last_exceeding_live_count_is_noop(spark, tmp_path):
+    """Review catch: keep_last > live batch count must be a no-op, not
+    a negative-slice wraparound that folds the OLDEST batch."""
+    idx = str(tmp_path / "kl")
+    dd.update_exact_dedup_index(
+        spark, spark.createDataFrame([(1, "x")], "doc_id long, text string"),
+        idx, batch_id="k1").collect()
+    dd.update_exact_dedup_index(
+        spark, spark.createDataFrame([(2, "y")], "doc_id long, text string"),
+        idx, batch_id="k2").collect()
+    assert dd.compact_exact_dedup_index(spark, idx, keep_last=3) is None
+    assert assert_live_batch_count(spark, idx) == 2
+    assert not os.path.isdir(os.path.join(idx, "_compacted"))
