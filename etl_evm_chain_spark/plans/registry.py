@@ -4,12 +4,12 @@ from __future__ import annotations
 
 from . import QuerySpec
 from . import (analytics_ext, curation_q, evm, graph_q, ingest_q, joins_ext,
-               llmdata, multimodal_q, quality_q, relational, skew_q, stateful,
-               textstats_q, timeseries_q, warehouse)
+               ledger_q, llmdata, multimodal_q, quality_q, relational, skew_q,
+               stateful, textstats_q, timeseries_q, warehouse)
 
 _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
             warehouse, joins_ext, curation_q, multimodal_q, graph_q,
-            textstats_q, skew_q, ingest_q, quality_q]
+            textstats_q, skew_q, ingest_q, quality_q, ledger_q]
 
 # The correctness driver samples the FIRST 50 registry entries.
 # Round 5 front-loads the headline work — the SEVEN formerly
@@ -49,7 +49,9 @@ _PRIORITY = [
     "q51_merge_upsert",
     "q52_profile_columns", "q54_asof_join",
     "q86_nation_trade", "q56_hash_split", "q57_stratified_sample",
-    "q80_chunk_documents", "q81_dataset_card",
+    # new round-5 lifecycle queries (first-ever driver rows; replace
+    # the q80/q81 sentinels, driver-green in r01-r03):
+    "q121_compacted_lsh_pairs", "q122_compacted_exact_survivors",
     "q97_bucketed_knn",
 ]
 

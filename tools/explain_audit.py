@@ -166,6 +166,10 @@ _RDD_ALLOW = {
     # same: kmv_sketch ranks per-(group, salt) hashes through the kit,
     # whose pinned counts relation is groups × n_buckets-bounded
     "q115_kmv_distinct",
+    # update_exact_dedup_index pins the batch fingerprint relation
+    # (localCheckpoint) because three consumers share it — bounded by
+    # the increment, the documented ledger reuse discipline
+    "q122_compacted_exact_survivors",
 }
 for _q in _RDD_ALLOW:
     ALLOW.setdefault(_q, set()).add("rdd_scan")
