@@ -95,6 +95,21 @@ def landed_parquet(spark: SparkSession, *, name: str, src_paths: list[str],
     return spark.read.parquet(path)
 
 
+def source_ident(src_paths: list[str]) -> str:
+    """(mtime, size) identity string for a set of source files — THE
+    cache-keying convention of the lake. Shared by landed_artifact's
+    one-shot artifacts and the mutable index ledgers (plans/ledger_q)
+    so hardening the keying (e.g. mtime_ns) happens in one place."""
+    ids = []
+    for p in src_paths:
+        try:
+            st = os.stat(p)
+            ids.append(f"{int(st.st_mtime)}_{st.st_size}")
+        except OSError:
+            ids.append("unknown")
+    return "_".join(ids)
+
+
 def landed_artifact(*, name: str, src_paths: list[str], params: str,
                     write) -> str:
     """Path-level core of :func:`landed_parquet` — build-once/read-many
@@ -109,15 +124,8 @@ def landed_artifact(*, name: str, src_paths: list[str], params: str,
     """
     import tempfile
 
-    ids = []
-    for p in src_paths:
-        try:
-            st = os.stat(p)
-            ids.append(f"{int(st.st_mtime)}_{st.st_size}")
-        except OSError:
-            ids.append("unknown")
     path = os.path.join(tempfile.gettempdir(), "spark_graft_lake",
-                        f"{name}_{params}_{'_'.join(ids)}")
+                        f"{name}_{params}_{source_ident(src_paths)}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = f"{path}.tmp-{os.getpid()}"
         write(tmp)

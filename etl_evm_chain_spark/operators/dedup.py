@@ -672,6 +672,15 @@ def update_exact_dedup_index(spark, docs: DataFrame, index_path: str, *,
                  .crossJoin(F.broadcast(guard))
                  .filter(F.col("_nb_ok").isNull()).drop("_nb_ok"))
     fresh = fresh.localCheckpoint()
+    if fresh.isEmpty():
+        # Fully-duplicated batch (every fingerprint already in
+        # history): land NOTHING. A partitionBy write of zero rows
+        # creates a _SUCCESS-only directory with no parquet footers,
+        # which breaks schema inference once it is the only live dir
+        # (same guard as update_near_dup_index's empty micro-batch).
+        # Replay stays consistent — recomputing against the unchanged
+        # history yields the same empty survivor set.
+        return fresh.drop("fp", "band")
     batch_dir = os.path.join(index_path, f"batch_id=b{batch_id}")
     (fresh.select("fp", "band").withColumn("nb", F.lit(n_bands))
      .write.mode("overwrite").partitionBy("band").parquet(batch_dir))

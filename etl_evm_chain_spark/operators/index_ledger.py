@@ -74,8 +74,17 @@ def committed_batch_dirs(spark: SparkSession, root: str) -> dict[str, str]:
         name = st.getPath().getName()
         if not name.startswith("batch_id="):
             continue
-        if fs.exists(_jp(spark, str(st.getPath().toString()), "_SUCCESS")):
-            out[name[len("batch_id="):]] = str(st.getPath().toString())
+        if not fs.exists(_jp(spark, str(st.getPath().toString()),
+                             "_SUCCESS")):
+            continue
+        # skip committed-but-EMPTY dirs (a zero-row partitionBy write
+        # leaves only _SUCCESS, no parquet footers — reading one as the
+        # only live path throws "Unable to infer schema"); data dirs
+        # always have at least one non-underscore child
+        if not any(not ch.getPath().getName().startswith("_")
+                   for ch in fs.listStatus(st.getPath())):
+            continue
+        out[name[len("batch_id="):]] = str(st.getPath().toString())
     return out
 
 

@@ -20,7 +20,12 @@ class QuerySpec:
     """One registry entry.
 
     - ``name``: stable key (shared between queries() and oracle_sql()).
-    - ``fn``: (spark, sf_dir) -> DataFrame, pure DataFrame-API impl.
+    - ``fn``: (spark, sf_dir) -> DataFrame. Usually a pure plan
+      builder; the ledger-lifecycle queries (plans/ledger_q) are the
+      documented exception — they execute index writes into a
+      process-scoped /tmp scratch root and return an eagerly-pinned
+      result, so plan-only consumers (tools/explain_audit) pay the
+      lifecycle's runtime when they call fn on those entries.
     - ``oracle``: equivalent DuckDB SQL over the pre-registered views —
       a string, or a zero-arg callable returning the string for oracles
       that are expensive to BUILD (e.g. q98 derives 64 secp256k1

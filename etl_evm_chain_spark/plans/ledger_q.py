@@ -9,13 +9,25 @@ increment's output against one-shot DuckDB semantics over the whole
 corpus. That is the incremental == one-shot union property, now
 asserted THROUGH a compaction by an external engine.
 
-Idempotency makes this registry-safe: the index root is keyed by the
-fixture file's identity (a changed fixture gets a fresh ledger), and
-re-running the whole query against an existing ledger is stable by
-the ledger's own exactly-once design — replayed batch ids overwrite
-or are manifest-ignored, and each run's compaction folds whatever is
-live. The queries therefore return identical rows on every
-invocation, which is exactly what the driver's hash requires.
+Unlike every other registry fn these are NOT pure plan builders: the
+lifecycle writes a scratch ledger under /tmp (see the purity note in
+plans/__init__.py). Two consequences are handled explicitly:
+
+- **Process-scoped roots.** The ledger is mutable and its compaction
+  GC deletes directories; a root shared between concurrent processes
+  (bench + oracle checker, the pairing catalog.landed_artifact
+  supports for its IMMUTABLE artifacts) would let one process's GC
+  delete paths the other is scanning. Each process gets its own root
+  (pid in the key); roots of dead pids are swept opportunistically.
+- **Eager results.** The returned DataFrame is localCheckpoint-pinned
+  so it cannot lazily reference ledger directories that a LATER fn()
+  invocation's compaction GC would delete.
+
+Idempotency across invocations within a process holds by the ledger's
+own exactly-once design — replayed batch ids overwrite or are
+manifest-ignored, and each run's compaction folds whatever is live —
+so the queries return identical rows on every invocation, which is
+exactly what the driver's hash requires.
 
 Reference parity: the reference has no incremental index (H1/H2 are
 a block cursor + a progress file); these back the 100 TB
@@ -25,31 +37,57 @@ daily-increment shape SURVEY §7 P2 calls for.
 from __future__ import annotations
 
 import os
+import re
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, source_ident
 from ..operators import dedup as dd
 from . import QuerySpec
-from .llmdata import _SQL_NORM, _SQL_SHINGLES, _SQL_TOKS, _sql_hash15
+from .llmdata import (_SQL_NORM, _SQL_SHINGLES, _SQL_TOKS, _sql_band_conds,
+                      _sql_hash15, _sql_minhash_mins)
+
+_PID_RE = re.compile(r"^(?P<stem>.+)_pid(?P<pid>\d+)$")
+
+
+def _sweep_dead_roots(base: str, stem: str) -> None:
+    """Best-effort GC of sibling ledger roots left by DEAD processes
+    (a live pid's root is never touched — that is the concurrent
+    process whose reads our GC must not race)."""
+    try:
+        names = os.listdir(base)
+    except OSError:
+        return
+    for n in names:
+        m = _PID_RE.fullmatch(n)
+        if not m or m.group("stem") != stem or \
+                int(m.group("pid")) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group("pid")), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(base, n), ignore_errors=True)
+        except OSError:
+            pass  # alive or not ours to probe — leave it
 
 
 def _index_root(sf_dir: str, name: str) -> str:
-    """Deterministic ledger root keyed by the documents fixture's
-    identity — same keying as catalog.landed_artifact, but WITHOUT
-    the one-shot publish protocol: a ledger is mutable by design and
-    carries its own commit markers (_SUCCESS per batch/generation)."""
-    src = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(src)
-        ident = f"{int(st.st_mtime)}_{st.st_size}"
-    except OSError:
-        ident = "unknown"
+    """Process-scoped mutable ledger root keyed by the documents
+    fixture's identity (catalog.source_ident — same keying as
+    landed_artifact, but WITHOUT the one-shot publish protocol: a
+    ledger is mutable by design and carries its own commit markers,
+    _SUCCESS per batch/generation). ``name`` must embed every
+    geometry constant the landed keys depend on, so a tuned constant
+    can never silently reuse a ledger built under the old geometry."""
+    ident = source_ident([os.path.join(sf_dir, "documents.parquet")])
     key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join(tempfile.gettempdir(), "spark_graft_lake",
-                        f"{name}_{key}_{ident}")
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_lake")
+    stem = f"{name}_{key}_{ident}"
+    _sweep_dead_roots(base, stem)
+    return os.path.join(base, f"{stem}_pid{os.getpid()}")
 
 
 def _batch(docs: DataFrame, r: int) -> DataFrame:
@@ -65,7 +103,7 @@ def _batch(docs: DataFrame, r: int) -> DataFrame:
 
 def q_compacted_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    root = _index_root(sf_dir, "ndidx")
+    root = _index_root(sf_dir, f"ndidx{dd.MINHASH_K}x{dd.LSH_BANDS}")
     # increments land eagerly inside update_near_dup_index (the write
     # is an action); the returned pair frames of the first two
     # increments are not needed here
@@ -76,19 +114,15 @@ def q_compacted_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd.compact_near_dup_index(spark, root)
     pairs = dd.update_near_dup_index(spark, _batch(docs, 2), root,
                                      batch_id="inc3")
-    return pairs.orderBy("id_a", "id_b")
+    # pin: the pair plan lazily scans ledger directories that a later
+    # invocation's compaction GC may delete — materialize now (the
+    # pair set is batch-bounded, audit rdd_scan ALLOW-listed)
+    return pairs.orderBy("id_a", "id_b").localCheckpoint()
 
 
 def _oracle_compacted_lsh_pairs() -> str:
-    rows = dd.MINHASH_K // dd.LSH_BANDS
-    mins = ",\n       ".join(
-        "min({h}) AS h{i}".format(h=_sql_hash15("'{}:' || sh".format(i)), i=i)
-        for i in range(dd.MINHASH_K))
-    band_conds = " OR ".join(
-        "(" + " AND ".join(
-            f"a.h{b * rows + r} = b.h{b * rows + r}" for r in range(rows)
-        ) + ")"
-        for b in range(dd.LSH_BANDS))
+    mins = _sql_minhash_mins()
+    band_conds = _sql_band_conds()
     matches = " + ".join(
         f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
         for i in range(dd.MINHASH_K))
@@ -135,6 +169,8 @@ def q_compacted_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd.compact_exact_dedup_index(spark, root)
     surv = dd.update_exact_dedup_index(spark, _batch(docs, 2), root,
                                        batch_id="e3", n_bands=N_FP_BANDS)
+    # surv is already localCheckpoint-pinned inside the operator — no
+    # ledger path survives in its plan
     return (surv.select("doc_id", "source", "n_chars")
             .orderBy("doc_id"))
 
@@ -162,7 +198,7 @@ FROM surv ORDER BY doc_id
 
 SPECS = [
     QuerySpec("q121_compacted_lsh_pairs", q_compacted_lsh_pairs,
-              _oracle_compacted_lsh_pairs(),
+              _oracle_compacted_lsh_pairs,
               "LSH index lifecycle: 2 increments -> compaction -> "
               "3rd increment; pairs == one-shot banded LSH restricted "
               "to batch-3-touching pairs", ("H1", "H6", "P2-dedup")),

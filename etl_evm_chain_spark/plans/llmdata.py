@@ -42,6 +42,31 @@ def _sql_hash15(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
 
 
+def _sql_minhash_mins() -> str:
+    """SELECT-list of the MINHASH_K per-slot minimum hashes (the SQL
+    twin of dedup.minhash_signatures) — single source for every oracle
+    that rebuilds signatures (q34, q35, q121)."""
+    import etl_evm_chain_spark.operators.dedup as dd
+
+    return ",\n       ".join(
+        "min({h}) AS h{i}".format(h=_sql_hash15("'{}:' || sh".format(i)), i=i)
+        for i in range(dd.MINHASH_K))
+
+
+def _sql_band_conds(a: str = "a", b: str = "b") -> str:
+    """OR-of-bands equality predicate over the h0..h{K-1} signature
+    columns — the SQL twin of dedup._banded's band keys."""
+    import etl_evm_chain_spark.operators.dedup as dd
+
+    rows = dd.MINHASH_K // dd.LSH_BANDS
+    return " OR ".join(
+        "(" + " AND ".join(
+            f"{a}.h{bd * rows + r} = {b}.h{bd * rows + r}"
+            for r in range(rows)
+        ) + ")"
+        for bd in range(dd.LSH_BANDS))
+
+
 # ---------------------------------------------------------------------------
 # Q30: per-document text statistics + quality score.
 # ---------------------------------------------------------------------------
@@ -171,10 +196,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_minhash() -> str:
-    mins = ",\n       ".join(
-        "min({h}) AS h{i}".format(h=_sql_hash15("'{}:' || sh".format(i)), i=i)
-        for i in range(dd.MINHASH_K)
-    )
+    mins = _sql_minhash_mins()
     return f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM toks)
@@ -196,17 +218,8 @@ def q_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_lsh_near_dups() -> str:
-    rows = dd.MINHASH_K // dd.LSH_BANDS
-    mins = ",\n       ".join(
-        "min({h}) AS h{i}".format(h=_sql_hash15("'{}:' || sh".format(i)), i=i)
-        for i in range(dd.MINHASH_K)
-    )
-    band_conds = " OR ".join(
-        "(" + " AND ".join(
-            f"a.h{b * rows + r} = b.h{b * rows + r}" for r in range(rows)
-        ) + ")"
-        for b in range(dd.LSH_BANDS)
-    )
+    mins = _sql_minhash_mins()
+    band_conds = _sql_band_conds()
     return f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
 shx AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM toks),

@@ -238,3 +238,51 @@ def test_keep_last_exceeding_live_count_is_noop(spark, tmp_path):
     assert dd.compact_exact_dedup_index(spark, idx, keep_last=3) is None
     assert assert_live_batch_count(spark, idx) == 2
     assert not os.path.isdir(os.path.join(idx, "_compacted"))
+
+
+def test_exact_dedup_fully_duplicated_batch_lands_nothing(spark, tmp_path):
+    """A batch whose every fingerprint already exists in history must
+    not land a footer-less _SUCCESS-only directory (zero-row
+    partitionBy writes have no parquet footers; as the only live dir
+    they would break schema inference on the next read). Survivors are
+    empty, no directory appears, and the index stays readable."""
+    idx = str(tmp_path / "fp")
+    b1 = _mkdocs(spark, 0, 6)
+    s1 = dd.update_exact_dedup_index(spark, b1, idx, batch_id="x1",
+                                     n_bands=8)
+    # rows 1 and 5 share a text, so within-batch dedup keeps 5 of 6
+    assert s1.count() == 5
+    # same texts under new ids: every fingerprint is already known
+    dup = _mkdocs(spark, 0, 6).withColumn(
+        "doc_id", F.col("doc_id") + 100)
+    s2 = dd.update_exact_dedup_index(spark, dup, idx, batch_id="x2",
+                                     n_bands=8)
+    assert s2.count() == 0
+    assert not os.path.isdir(os.path.join(idx, "batch_id=bx2"))
+    assert assert_live_batch_count(spark, idx) == 1
+    # the index remains fully functional for a later novel batch
+    b3 = _mkdocs(spark, 6, 9, mutate="novel")
+    s3 = dd.update_exact_dedup_index(spark, b3, idx, batch_id="x3",
+                                     n_bands=8)
+    assert s3.count() == 3
+
+
+def test_reader_skips_committed_but_empty_batch_dir(spark, tmp_path):
+    """Legacy ledgers may contain _SUCCESS-only batch directories from
+    the pre-guard writer — committed_batch_dirs must skip them so
+    read_live_index never hands Spark a footer-less path."""
+    idx = str(tmp_path / "fp2")
+    s1 = dd.update_exact_dedup_index(spark, _mkdocs(spark, 0, 4), idx,
+                                     batch_id="y1", n_bands=8)
+    assert s1.count() == 4
+    ghost = os.path.join(idx, "batch_id=bghost")
+    os.makedirs(ghost)
+    open(os.path.join(ghost, "_SUCCESS"), "w").close()
+    assert assert_live_batch_count(spark, idx) == 1
+    live = read_live_index(spark, idx)
+    assert live.count() == 4
+    # and as the ONLY live dir (everything else folded) it is ignored
+    # rather than read
+    assert dd.compact_exact_dedup_index(spark, idx) == 0
+    assert assert_live_batch_count(spark, idx) == 0
+    assert read_live_index(spark, idx).count() == 4

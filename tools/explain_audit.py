@@ -170,6 +170,10 @@ _RDD_ALLOW = {
     # (localCheckpoint) because three consumers share it — bounded by
     # the increment, the documented ledger reuse discipline
     "q122_compacted_exact_survivors",
+    # the lifecycle result is pinned so a later invocation's
+    # compaction GC can't delete directories a lazily-held plan still
+    # references — pair set bounded by the increment
+    "q121_compacted_lsh_pairs",
 }
 for _q in _RDD_ALLOW:
     ALLOW.setdefault(_q, set()).add("rdd_scan")
