@@ -58,6 +58,7 @@ def main() -> None:
                                                synthetic_transfer_logs)
     from etl_evm_chain_spark.plans.ingest_q import (documents_jsonl,
                                                     lineitem_orc)
+    from etl_evm_chain_spark.plans.curation_q import _funnel_landed
     from etl_evm_chain_spark.plans.llmdata import _simhash_landed
     from etl_evm_chain_spark.plans.textstats_q import _bpe_merges_landed
     from etl_evm_chain_spark.plans.stateful import _ml_dataset_landed
@@ -68,7 +69,8 @@ def main() -> None:
     for landed in (synthetic_memo_logs, synthetic_trade_logs,
                    synthetic_leg_logs, synthetic_matrix_logs,
                    _ml_dataset_landed, _simhash_landed, _resolved_landed,
-                   _bpe_merges_landed, documents_jsonl, lineitem_orc):
+                   _bpe_merges_landed, _funnel_landed, documents_jsonl,
+                   lineitem_orc):
         landed(spark, sf_dir).limit(1).collect()
     # JIT the two heavyweight execution paths the first queries in
     # registry order otherwise absorb (driver benches cold; r2 showed

@@ -369,3 +369,105 @@ def budget_mix(df: DataFrame, *, part_col: str, cost_col: str,
                 F.floor(rate_col * F.col("_tot") / 10).cast("long"))
             .filter(F.col("_cum") <= F.col("_budget"))
             .drop("_hk", "_tot"))
+
+
+def curation_funnel(docs: DataFrame, *, eval_docs: DataFrame,
+                    part_col: str, rate_col: Column,
+                    min_quality: float = 0.45,
+                    jaccard_threshold: float = 0.5,
+                    min_containment: float = 0.8,
+                    cost_col: str = "n_chars",
+                    id_col: str = "doc_id", text_col: str = "text",
+                    n_buckets: int = 64) -> DataFrame:
+    """End-to-end corpus curation with per-document dispositions — the
+    composition proof for the whole P2 tier: quality gate → exact
+    dedup → near-dup resolution → benchmark decontamination → char-
+    budget mixing, each stage narrowing the previous stage's
+    survivors, every document labeled with the FIRST stage that
+    dropped it (or ``kept``). The disposition ledger is what a real
+    pipeline audits ("why did 40% of source X die?") and what an
+    incremental re-run diffs against.
+
+    Stage semantics (order matters — each operates on the previous
+    survivors only, e.g. the exact-dedup min-id rule ignores docs the
+    quality gate already killed):
+
+    - ``quality``: heuristic quality_score < ``min_quality`` (NULL
+      text scores as 0 — dropped, never silently vanished).
+    - ``exact_dup``: not the min-id row of its normalized-text
+      fingerprint group among quality survivors.
+    - ``near_dup``: not the canonical (min-id connected-component
+      label) of its verified-Jaccard ≥ ``jaccard_threshold`` cluster.
+    - ``contaminated``: shingle containment of some ``eval_docs``
+      document ≥ ``min_containment`` (cleaning.contamination).
+    - ``over_budget``: cut by the per-``part_col`` char budget
+      (budget_mix md5-order prefix rule, rate from ``rate_col``).
+    - ``kept``: survived everything.
+
+    Scale shape: every stage is a filter, a high-cardinality-key
+    window (fingerprint groups), a banded equi-join, or the two-phase
+    ranking kit — no global windows, no driver materialization beyond
+    resolve_duplicates' bounded dup-candidate labels. The six output
+    branches re-derive the survivor chain declaratively; a 100 TB
+    deployment lands each stage's survivors (catalog.landed_artifact /
+    the landed indexes) instead of recomputing, exactly as the
+    registry query (plans/curation_q) lands the finished funnel.
+
+    No reference analog (the reference curates nothing); this is the
+    SURVEY §7 P2 capstone.
+    """
+    from ..functions.text import fingerprint, quality_score
+    from . import dedup as dd
+    from .cleaning import contamination
+
+    # NULL text scores 0 EXPLICITLY: quality_score's least() terms
+    # skip NULL operands (Spark and DuckDB both), so a NULL doc would
+    # otherwise score ~0.7 and sail through the gate
+    base = docs.select(
+        F.col(id_col), F.col(part_col), F.col(cost_col), F.col(text_col),
+        F.when(F.col(text_col).isNull(), F.lit(0.0))
+        .otherwise(F.coalesce(quality_score(text_col), F.lit(0.0)))
+        .alias("_q"))
+    out_cols = [id_col, part_col, cost_col]
+
+    def staged(df: DataFrame, stage: str) -> DataFrame:
+        return df.select(*out_cols, F.lit(stage).alias("stage"))
+
+    s1 = base.filter(F.col("_q") >= min_quality)
+    d_quality = staged(base.filter(F.col("_q") < min_quality), "quality")
+
+    # exact dedup: fingerprint groups are high-cardinality (≈ one per
+    # distinct document), so the min-id window partitions fine
+    s1 = s1.withColumn(
+        "_fp", F.coalesce(fingerprint(text_col), F.lit(-1).cast("long")))
+    rn = F.row_number().over(
+        Window.partitionBy("_fp").orderBy(id_col))
+    s1 = s1.withColumn("_rn", rn)
+    d_exact = staged(s1.filter(F.col("_rn") > 1), "exact_dup")
+    s2 = s1.filter(F.col("_rn") == 1).drop("_rn", "_fp", "_q")
+
+    pairs = dd.verified_near_dups(s2, id_col=id_col, text_col=text_col,
+                                  threshold=jaccard_threshold)
+    resolved = dd.resolve_duplicates(s2.select(id_col), pairs,
+                                     id_col=id_col)
+    s2 = s2.join(resolved, id_col)
+    d_near = staged(s2.filter(F.col(id_col) != F.col("canonical")),
+                    "near_dup")
+    s3 = s2.filter(F.col(id_col) == F.col("canonical")).drop("canonical")
+
+    hits = contamination(s3, eval_docs, id_col=id_col, text_col=text_col,
+                         min_containment=min_containment)
+    bad = hits.select(F.col("train_id").alias(id_col)).dropDuplicates()
+    d_cont = staged(s3.join(bad, id_col, "leftsemi"), "contaminated")
+    s4 = s3.join(bad, id_col, "left_anti").drop(text_col)
+
+    sel = budget_mix(s4, part_col=part_col, cost_col=cost_col,
+                     rate_col=rate_col, key=id_col, n_buckets=n_buckets)
+    kept = staged(sel, "kept")
+    d_budget = staged(
+        s4.join(sel.select(id_col), id_col, "left_anti"), "over_budget")
+
+    out = d_quality
+    for part in (d_exact, d_near, d_cont, d_budget, kept):
+        out = out.unionByName(part)
+    return out

@@ -484,3 +484,194 @@ SPECS = [
               "per source (depth-mode two-phase kit, no source-"
               "partitioned corpus window)", ("P2-curation", "P2-ranking")),
 ]
+
+
+# ---------------------------------------------------------------------------
+# Q123: the curation funnel — quality gate → exact dedup → near-dup
+# resolution → benchmark decontamination → char-budget mix, composed
+# end-to-end with per-document dispositions (operators/curation.
+# curation_funnel), reported as a per-(source, stage) funnel table.
+# The oracle recomputes ALL FIVE stages in one DuckDB CTE chain
+# (including the recursive-CTE connected components), so a green hash
+# proves the stages compose with exactly the narrowing semantics each
+# stage's standalone query (q30/q33/q41/q63/q120) already proved in
+# isolation. No reference analog; SURVEY §7 P2 capstone.
+# ---------------------------------------------------------------------------
+
+FUNNEL_QUALITY_MIN = 0.45
+FUNNEL_JACCARD = 0.5
+
+
+def _funnel_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disposition ledger landed once per fixture (silver artifact) —
+    the funnel re-derives the survivor chain for six output branches,
+    the priciest composite in the suite; q123 reads the landed copy
+    (same pattern as q41's dedup_resolve artifact)."""
+    import os
+
+    from ..catalog import landed_parquet
+    from ..functions.ranking import scaled_buckets
+    from ..operators.curation import curation_funnel
+    from .llmdata import EVAL_MOD
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        evalset = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+        train = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+        # rate in tenths from the source name (q120's convention)
+        rate = F.substring("source", 4, 10).cast("int") % 3 + 1
+        return curation_funnel(
+            train, eval_docs=evalset, part_col="source", rate_col=rate,
+            min_quality=FUNNEL_QUALITY_MIN,
+            jaccard_threshold=FUNNEL_JACCARD,
+            n_buckets=scaled_buckets(spark))
+
+    return landed_parquet(
+        spark, name="curation_funnel",
+        src_paths=[os.path.join(sf_dir, "documents.parquet")],
+        build=build, params="q45j50c80")
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    funnel = _funnel_landed(spark, sf_dir)
+    return (funnel.groupBy("source", "stage")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"))
+            .orderBy("source", "stage"))
+
+
+def _oracle_curation_funnel() -> str:
+    from ..functions.text import STOPWORDS
+    from .llmdata import (_SQL_NORM, _SQL_SHINGLES, _SQL_TOKS, EVAL_MOD,
+                          _sql_band_conds, _sql_hash15, _sql_in,
+                          _sql_minhash_mins)
+
+    qual = f"""floor((0.4 * least(length(text) / 500.0, 1.0)
+       + 0.3 * (1.0 - least((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+                            / length(text) * 10.0, 1.0))
+       + 0.3 * least(len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_sql_in(STOPWORDS)}))::DOUBLE
+                     / len({_SQL_TOKS}) * 5.0, 1.0)) * 1000000.0) / 1000000.0"""
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, source, n_chars, text,
+         CASE WHEN text IS NULL THEN 0.0
+              ELSE coalesce({qual}, 0.0) END AS qual
+  FROM documents WHERE doc_id % {EVAL_MOD} != 0
+),
+s1 AS (SELECT doc_id, source, n_chars, text FROM base
+       WHERE qual >= {FUNNEL_QUALITY_MIN}),
+d_quality AS (SELECT doc_id, source, n_chars, 'quality' AS stage
+              FROM base WHERE qual < {FUNNEL_QUALITY_MIN}),
+rnk AS (
+  SELECT doc_id, source, n_chars, text,
+         row_number() OVER (
+           PARTITION BY coalesce({_sql_hash15(_SQL_NORM)}, -1)
+           ORDER BY doc_id) AS rn
+  FROM s1
+),
+d_exact AS (SELECT doc_id, source, n_chars, 'exact_dup' AS stage
+            FROM rnk WHERE rn > 1),
+s2 AS (SELECT doc_id, source, n_chars, text FROM rnk WHERE rn = 1),
+toks2 AS (SELECT doc_id, {_SQL_TOKS} AS t FROM s2),
+sig2 AS (
+  SELECT doc_id,
+       {_sql_minhash_mins()}
+  FROM (SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM toks2)
+  GROUP BY doc_id
+),
+shl2 AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks2),
+ver AS (
+  SELECT c.id_a, c.id_b
+  FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig2 a JOIN sig2 b
+        ON a.doc_id < b.doc_id AND ({_sql_band_conds()})) c
+  JOIN shl2 sa ON sa.doc_id = c.id_a
+  JOIN shl2 sb ON sb.doc_id = c.id_b
+  WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+        / len(list_distinct(list_concat(sa.s, sb.s))) >= {FUNNEL_JACCARD}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM ver
+  UNION
+  SELECT id_b, id_a FROM ver
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+canon AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS canonical
+  FROM s2 d LEFT JOIN reach r ON r.src = d.doc_id
+  GROUP BY d.doc_id
+),
+d_near AS (SELECT s.doc_id, s.source, s.n_chars, 'near_dup' AS stage
+           FROM s2 s JOIN canon c ON s.doc_id = c.doc_id
+           WHERE s.doc_id != c.canonical),
+s3 AS (SELECT s.doc_id, s.source, s.n_chars, s.text
+       FROM s2 s JOIN canon c ON s.doc_id = c.doc_id
+       WHERE s.doc_id = c.canonical),
+evsh AS (
+  SELECT doc_id AS eval_id, {_sql_hash15("sh0")} AS sh
+  FROM (SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh0
+        FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+              WHERE doc_id % {EVAL_MOD} = 0))
+),
+trsh AS (
+  SELECT doc_id AS train_id, {_sql_hash15("sh0")} AS sh
+  FROM (SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh0
+        FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM s3))
+),
+sizes AS (SELECT eval_id, count(*) AS n_eval FROM evsh GROUP BY eval_id),
+bad AS (
+  SELECT DISTINCT train_id
+  FROM (SELECT train_id, eval_id, count(*) AS n_common
+        FROM trsh JOIN evsh USING (sh) GROUP BY 1, 2) m
+  JOIN sizes USING (eval_id)
+  WHERE n_common::DOUBLE / n_eval >= 0.8
+),
+d_cont AS (SELECT doc_id, source, n_chars, 'contaminated' AS stage
+           FROM s3 WHERE doc_id IN (SELECT train_id FROM bad)),
+s4 AS (SELECT doc_id, source, n_chars FROM s3
+       WHERE doc_id NOT IN (SELECT train_id FROM bad)),
+bgt AS (
+  SELECT source,
+         CAST(floor((1 + CAST(substr(source, 4) AS INT) % 3)
+                    * sum(n_chars) / 10) AS BIGINT) AS budget
+  FROM s4 GROUP BY source
+),
+ordered AS (
+  SELECT source, doc_id, n_chars,
+         sum(n_chars) OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
+  FROM s4
+),
+kept AS (SELECT o.doc_id, o.source, o.n_chars, 'kept' AS stage
+         FROM ordered o JOIN bgt USING (source) WHERE cum <= budget),
+d_budget AS (SELECT o.doc_id, o.source, o.n_chars,
+                    'over_budget' AS stage
+             FROM ordered o JOIN bgt USING (source) WHERE cum > budget),
+funnel AS (
+  SELECT * FROM d_quality
+  UNION ALL SELECT * FROM d_exact
+  UNION ALL SELECT * FROM d_near
+  UNION ALL SELECT * FROM d_cont
+  UNION ALL SELECT * FROM d_budget
+  UNION ALL SELECT * FROM kept
+)
+SELECT source, stage, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM funnel GROUP BY source, stage
+ORDER BY source, stage
+"""
+
+
+SPECS.append(
+    QuerySpec("q123_curation_funnel", q_curation_funnel,
+              _oracle_curation_funnel,
+              "end-to-end curation funnel (quality -> exact dedup -> "
+              "near-dup CC -> decontamination -> char budget) with "
+              "per-(source, stage) dispositions",
+              ("P2-curation", "P2-dedup", "P2-text")))

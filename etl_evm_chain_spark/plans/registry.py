@@ -49,10 +49,10 @@ _PRIORITY = [
     "q51_merge_upsert",
     "q52_profile_columns", "q54_asof_join",
     "q86_nation_trade", "q56_hash_split", "q57_stratified_sample",
-    # new round-5 lifecycle queries (first-ever driver rows; replace
-    # the q80/q81 sentinels, driver-green in r01-r03):
+    # new round-5 queries (first-ever driver rows; replace the
+    # q80/q81/q97 sentinels, all driver-green in r01-r03):
     "q121_compacted_lsh_pairs", "q122_compacted_exact_survivors",
-    "q97_bucketed_knn",
+    "q123_curation_funnel",
 ]
 
 assert len(_PRIORITY) == 50, "driver window must be exactly 50 entries"

@@ -207,3 +207,91 @@ def test_budget_mix_null_group_key(spark):
     got = {r["src"]: r["n"] for r in
            sel.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == {"a": 2, None: 2}
+
+
+# ---------------------------------------------------------------------------
+# curation_funnel: end-to-end disposition ledger. The registry fixture
+# never exercises exact_dup or NULL text, so this synthetic corpus
+# drives every stage and the first-stage-wins precedence rule.
+# ---------------------------------------------------------------------------
+
+_FB = ("the quick brown fox jumps over the lazy dog and the sleepy "
+       "cat of the old town walks to the green river in the quiet "
+       "night while the birds of the valley sing and the wind of "
+       "the hills blows softly over the fields near the farm")
+_FE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+_FC = ("the story of the morning begins and the light of the sun "
+       "rises to the top of the hill in the cold air " + _FE)
+
+
+def _funnel_rows():
+    return [
+        (1, "srcA", _FB + " one"),
+        # same normalized text as 1 (case + whitespace differences)
+        (2, "srcA", "  " + (_FB + " one").upper().replace(" ", "  ")),
+        # shares the long base prefix with 1: near-dup, not exact
+        (3, "srcA", _FB + " two three four five six"),
+        (4, "srcA", "!!! ??? ;;; ,,, ..."),          # punct soup
+        (5, "srcA", None),                             # NULL text
+        (6, "srcA", _FC),                              # embeds eval doc
+        (7, "srcA", _FB.replace("fox", "owl").replace("dog", "hen")
+                        .replace("cat", "bee").replace("town", "port")
+                        .replace("river", "ridge").replace("night", "noon")
+                        .replace("birds", "goats").replace("valley", "plain")
+                        .replace("wind", "rain").replace("hills", "dunes")
+                        .replace("fields", "yards").replace("farm", "mill")
+                        .replace("quick", "small").replace("brown", "plump")
+                        .replace("lazy", "tall").replace("sleepy", "proud")
+                        .replace("old", "new").replace("green", "grey")
+                        .replace("quiet", "loud") + " seven"),
+        # exact copy of the quality-failing 4: precedence — labeled
+        # quality, never reaches the exact-dedup stage
+        (11, "srcA", "!!! ??? ;;; ,,, ..."),
+    ]
+
+
+def test_curation_funnel_dispositions(spark):
+    from etl_evm_chain_spark.operators.curation import curation_funnel
+
+    docs = spark.createDataFrame(
+        [(i, s, t, len(t) if t else 0) for i, s, t in _funnel_rows()],
+        "doc_id long, source string, text string, n_chars long")
+    evaldf = spark.createDataFrame([(100, "eval", _FE, len(_FE))],
+                                   docs.schema)
+    out = curation_funnel(docs, eval_docs=evaldf, part_col="source",
+                          rate_col=F.lit(5), min_quality=0.45,
+                          n_buckets=8)
+    got = {r["doc_id"]: r["stage"] for r in out.collect()}
+    # every input doc appears exactly once
+    assert sorted(got) == [r[0] for r in _funnel_rows()]
+    assert got[2] == "exact_dup"
+    assert got[3] == "near_dup"
+    assert got[4] == "quality"
+    assert got[5] == "quality"          # NULL text scores 0
+    assert got[11] == "quality"         # precedence over exact_dup
+    assert got[6] == "contaminated"
+    # rate 5 → budget is 50% of surviving chars: docs 1 and 7 split
+    # into exactly one kept + one over_budget (md5 order decides which)
+    assert sorted([got[1], got[7]]) == ["kept", "over_budget"]
+    # stage column is exhaustive
+    assert set(got.values()) <= {"quality", "exact_dup", "near_dup",
+                                 "contaminated", "over_budget", "kept"}
+
+
+def test_curation_funnel_conservation(spark):
+    """Disposition is a PARTITION of the input: n_docs and n_chars per
+    source are conserved across stages (no doc lost or double-counted
+    by the six union branches)."""
+    from etl_evm_chain_spark.operators.curation import curation_funnel
+
+    docs = spark.createDataFrame(
+        [(i, s, t, len(t) if t else 0) for i, s, t in _funnel_rows()],
+        "doc_id long, source string, text string, n_chars long")
+    evaldf = spark.createDataFrame([(100, "eval", _FE, len(_FE))],
+                                   docs.schema)
+    out = curation_funnel(docs, eval_docs=evaldf, part_col="source",
+                          rate_col=F.lit(5), min_quality=0.45,
+                          n_buckets=8)
+    a = out.agg(F.count("*"), F.sum("n_chars")).collect()[0]
+    b = docs.agg(F.count("*"), F.sum("n_chars")).collect()[0]
+    assert tuple(a) == tuple(b)
