@@ -500,6 +500,7 @@ SPECS = [
 
 FUNNEL_QUALITY_MIN = 0.45
 FUNNEL_JACCARD = 0.5
+FUNNEL_CONTAINMENT = 0.8
 
 
 def _funnel_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,6 +525,7 @@ def _funnel_landed(spark: SparkSession, sf_dir: str) -> DataFrame:
             train, eval_docs=evalset, part_col="source", rate_col=rate,
             min_quality=FUNNEL_QUALITY_MIN,
             jaccard_threshold=FUNNEL_JACCARD,
+            min_containment=FUNNEL_CONTAINMENT,
             n_buckets=scaled_buckets(spark))
 
     return landed_parquet(
@@ -541,16 +543,13 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_curation_funnel() -> str:
-    from ..functions.text import STOPWORDS
+    # the near-dup/LSH fragments, the quality formula, and EVERY
+    # threshold are shared with their standalone-query sources — no
+    # hand-copied twin can go stale alone
     from .llmdata import (_SQL_NORM, _SQL_SHINGLES, _SQL_TOKS, EVAL_MOD,
-                          _sql_band_conds, _sql_hash15, _sql_in,
-                          _sql_minhash_mins)
+                          _sql_band_conds, _sql_hash15, _sql_minhash_mins)
 
-    qual = f"""floor((0.4 * least(length(text) / 500.0, 1.0)
-       + 0.3 * (1.0 - least((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
-                            / length(text) * 10.0, 1.0))
-       + 0.3 * least(len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_sql_in(STOPWORDS)}))::DOUBLE
-                     / len({_SQL_TOKS}) * 5.0, 1.0)) * 1000000.0) / 1000000.0"""
+    qual = _SQL_QUALITY.strip()
     return f"""
 WITH RECURSIVE base AS (
   SELECT doc_id, source, n_chars, text,
@@ -629,7 +628,7 @@ bad AS (
   FROM (SELECT train_id, eval_id, count(*) AS n_common
         FROM trsh JOIN evsh USING (sh) GROUP BY 1, 2) m
   JOIN sizes USING (eval_id)
-  WHERE n_common::DOUBLE / n_eval >= 0.8
+  WHERE n_common::DOUBLE / n_eval >= {FUNNEL_CONTAINMENT}
 ),
 d_cont AS (SELECT doc_id, source, n_chars, 'contaminated' AS stage
            FROM s3 WHERE doc_id IN (SELECT train_id FROM bad)),

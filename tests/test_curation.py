@@ -270,9 +270,13 @@ def test_curation_funnel_dispositions(spark):
     assert got[5] == "quality"          # NULL text scores 0
     assert got[11] == "quality"         # precedence over exact_dup
     assert got[6] == "contaminated"
-    # rate 5 → budget is 50% of surviving chars: docs 1 and 7 split
-    # into exactly one kept + one over_budget (md5 order decides which)
-    assert sorted([got[1], got[7]]) == ["kept", "over_budget"]
+    # rate 5 → budget = floor((230+226)/2) = 228 chars, and the FIXED
+    # md5 order puts doc 7 (226 chars, md5("7") < md5("1")) first:
+    # cum 226 <= 228 keeps it, doc 1's cum 456 is over. NOTE the strict
+    # prefix rule is order-sensitive — resizing either text can
+    # legitimately change BOTH labels (e.g. first doc already > budget
+    # → zero kept), so pin the exact expected dispositions:
+    assert got[7] == "kept" and got[1] == "over_budget"
     # stage column is exhaustive
     assert set(got.values()) <= {"quality", "exact_dup", "near_dup",
                                  "contaminated", "over_budget", "kept"}
