@@ -95,6 +95,34 @@ def landed_parquet(spark: SparkSession, *, name: str, src_paths: list[str],
     return spark.read.parquet(path)
 
 
+def literal_df(spark: SparkSession, rows: list[tuple], schema):
+    # schema: DDL string or StructType
+    """Tiny driver-literal relation built JVM-SIDE. A local-list
+    ``spark.createDataFrame`` becomes a Python-RDD whose every action
+    spins the Python worker machinery — measured ~5 s PER WRITE even
+    for a 2-row manifest, which dominated the ledger compactions.
+    Literal expressions never leave the JVM, so the same write is
+    ~0.3 s. Use for watermarks, manifests, and other O(1) control rows
+    (bounded by what already sits on the driver)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    st = schema if isinstance(schema, StructType) \
+        else _parse_datatype_string(schema)
+    if not rows:
+        return spark.range(0).select(
+            *[F.lit(None).cast(f.dataType).alias(f.name)
+              for f in st.fields])
+    structs = [
+        F.struct(*[F.lit(v).cast(f.dataType).alias(f.name)
+                   for v, f in zip(r, st.fields)])
+        for r in rows
+    ]
+    return (spark.range(1)
+            .select(F.explode(F.array(*structs)).alias("_r"))
+            .select("_r.*"))
+
+
 def source_ident(src_paths: list[str]) -> str:
     """(mtime, size) identity string for a set of source files — THE
     cache-keying convention of the lake. Shared by landed_artifact's

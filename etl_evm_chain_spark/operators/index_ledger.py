@@ -190,7 +190,8 @@ def compact_batch_index(spark: SparkSession, root: str, *,
     # commit order: data first, manifest second — the generation is
     # invisible to readers until both _SUCCESS markers exist
     data.write.mode("overwrite").partitionBy(part_col).parquet(base)
-    spark.createDataFrame([(b,) for b in fold_ids], "batch_id string") \
+    from ..catalog import literal_df
+    literal_df(spark, [(b,) for b in fold_ids], "batch_id string") \
         .coalesce(1).write.mode("overwrite").parquet(base + "/_folded")
 
     if gc:

@@ -204,8 +204,9 @@ def train_and_eval(train: DataFrame, test: DataFrame, *,
     auc = exact_auc(scored.withColumn("_p1", p1), score_col="_p1",
                     label_col="y").collect()[0]["auc"]
     spark = train.sparkSession
-    metrics = spark.createDataFrame(
-        [(float(acc), float(auc), n_train, n_test)],
+    from ..catalog import literal_df
+    metrics = literal_df(
+        spark, [(float(acc), float(auc), n_train, n_test)],
         "accuracy double, auc double, n_train long, n_test long",
     )
     train.unpersist()

@@ -340,7 +340,9 @@ def _ivf_centroids(corpus: DataFrame, id_col: str, vec_col: str,
         T.StructField("cell", T.IntegerType(), False),
         T.StructField("cvec_cent", vec_type, False),
     ])
-    return corpus.sparkSession.createDataFrame(
+    from ..catalog import literal_df
+    return literal_df(
+        corpus.sparkSession,
         [(i, list(r[vec_col])) for i, r in enumerate(cent_rows)], schema)
 
 
@@ -420,7 +422,9 @@ def kmeans_centroids(corpus: DataFrame, *, id_col: str = "vec_id",
         T.StructField("cell", T.IntegerType(), False),
         T.StructField("cvec_cent", vec_type, False),
     ])
-    return spark.createDataFrame(
+    from ..catalog import literal_df
+    return literal_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in
          enumerate(model.clusterCenters())], schema)
 
@@ -842,7 +846,9 @@ def semantic_dedup(df: DataFrame, *, id_col: str = "vec_id",
         .collect()
     )
     vec_type = df.schema[vec_col].dataType
-    cents = df.sparkSession.createDataFrame(
+    from ..catalog import literal_df
+    cents = literal_df(
+        df.sparkSession,
         [(i, list(r[vec_col])) for i, r in enumerate(cent_collected)],
         T.StructType([T.StructField("cell", T.IntegerType(), False),
                       T.StructField("_cent", vec_type, False)]),

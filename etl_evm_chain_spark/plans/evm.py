@@ -934,8 +934,9 @@ def q_sender_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         h = keccak256(str(k).encode())
         r, s, v = ec.sign(h, priv, nonce)
         rows.append((k, "0x" + h.hex(), format(r, "x"), format(s, "x"), v))
-    sigs = spark.createDataFrame(
-        rows, "okey long, sig_hash string, r string, s string, v int"
+    from ..catalog import literal_df
+    sigs = literal_df(
+        spark, rows, "okey long, sig_hash string, r string, s string, v int"
     ).coalesce(4)   # 64 rows ≠ 32 tasks
     return (recover_sender(sigs)
             .select("okey", "tx_from")

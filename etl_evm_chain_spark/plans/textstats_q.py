@@ -92,7 +92,9 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture scales).
     topk_rows = (freq.orderBy(F.desc("freq"), "token")
                  .limit(ZIPF_TOPK).collect())
-    topk = spark.createDataFrame(
+    from ..catalog import literal_df
+    topk = literal_df(
+        spark,
         [(i + 1, r["token"], int(r["freq"]))
          for i, r in enumerate(topk_rows)],
         "rank int, token string, freq long")
@@ -150,8 +152,9 @@ def _bpe_merges_landed(spark: SparkSession, sf_dir: str):
     def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         merges = bpe.train_bpe_merges(docs, num_merges=BPE_MERGES)
-        return spark.createDataFrame(
-            [(i, a, b) for i, (a, b) in enumerate(merges)],
+        from ..catalog import literal_df
+        return literal_df(
+            spark, [(i, a, b) for i, (a, b) in enumerate(merges)],
             "rank int, a string, b string")
 
     return landed_parquet(

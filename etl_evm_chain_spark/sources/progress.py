@@ -40,7 +40,8 @@ def commit_watermark(spark: SparkSession, progress_path: str,
                      to_block: int) -> None:
     """Append one cursor row. Called AFTER the data write commits, so
     a crash in between only ever re-processes, never skips."""
-    spark.createDataFrame([(int(to_block),)], "to_block long") \
+    from ..catalog import literal_df
+    literal_df(spark, [(int(to_block),)], "to_block long") \
         .coalesce(1).write.mode("append").parquet(progress_path)
 
 

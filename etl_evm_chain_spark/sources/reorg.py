@@ -74,8 +74,9 @@ def commit_cursor(spark: SparkSession, progress_path: str, *, gen: int,
     """Append one anchor row AFTER the data write commits (crash in
     between re-processes, never skips — same at-least-once boundary as
     progress.commit_watermark)."""
-    spark.createDataFrame([(int(gen), int(to_block), tip_hash)],
-                          CURSOR_SCHEMA) \
+    from ..catalog import literal_df
+    literal_df(spark, [(int(gen), int(to_block), tip_hash)],
+               CURSOR_SCHEMA) \
         .coalesce(1).write.mode("append").parquet(progress_path)
 
 
