@@ -358,14 +358,6 @@ def update_near_dup_index(spark, docs: DataFrame, index_path: str, *,
 
     sig = minhash_signatures(docs, id_col=id_col, text_col=text_col, k=k)
     new_banded = _banded(sig, id_col=id_col, k=k, bands=bands)
-    if new_banded.isEmpty():
-        # Empty micro-batch (or every doc shorter than the shingle
-        # width): nothing to land, no new pairs. Skipping the write
-        # also keeps the index free of footer-less empty batch
-        # directories that would break schema inference on read.
-        return new_banded.select(
-            F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b"),
-            F.lit(0.0).alias("est_jaccard")).limit(0)
     if batch_id is None:
         batch_id = uuid.uuid4().hex
     # "b" prefix pins the inferred partition type to string — an
@@ -373,7 +365,21 @@ def update_near_dup_index(spark, docs: DataFrame, index_path: str, *,
     # uuid in another would otherwise make partition-type inference
     # conflict across directories.
     batch_dir = os.path.join(index_path, f"batch_id=b{batch_id}")
+    # The write IS the one evaluation of the minhash lineage (an
+    # isEmpty pre-check would run the whole groupBy agg a second
+    # time); emptiness is read off the written directory instead.
     new_banded.write.mode("overwrite").partitionBy("band").parquet(batch_dir)
+    from .index_ledger import _fs, _has_data
+    fs, jdir = _fs(spark, batch_dir)
+    if not _has_data(fs, jdir):
+        # Empty micro-batch (or every doc shorter than the shingle
+        # width): a zero-row partitionBy write leaves a footer-less
+        # _SUCCESS-only directory — readers skip those, but delete it
+        # so the ledger listing stays clean. No new pairs.
+        fs.delete(jdir, True)
+        return new_banded.select(
+            F.col(id_col).alias("id_a"), F.col(id_col).alias("id_b"),
+            F.lit(0.0).alias("est_jaccard")).limit(0)
     # Re-read the just-landed copy as the batch side: the lazy
     # minhash/banding lineage has three consumers (the write above,
     # the touched-keys projection, the a-side of the pair join) and

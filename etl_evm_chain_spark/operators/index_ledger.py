@@ -62,6 +62,13 @@ def _jp(spark: SparkSession, *parts: str):
     return p
 
 
+def _has_data(fs, jdir) -> bool:
+    """True when the directory holds at least one non-underscore child
+    (a zero-row partitionBy write leaves only _SUCCESS, no footers)."""
+    return any(not st.getPath().getName().startswith("_")
+               for st in fs.listStatus(jdir))
+
+
 def committed_batch_dirs(spark: SparkSession, root: str) -> dict[str, str]:
     """{batch_id (with the "b" prefix): path} for every COMMITTED
     (_SUCCESS-marked) ``batch_id=`` directory under ``root``. Torn
@@ -77,12 +84,9 @@ def committed_batch_dirs(spark: SparkSession, root: str) -> dict[str, str]:
         if not fs.exists(_jp(spark, str(st.getPath().toString()),
                              "_SUCCESS")):
             continue
-        # skip committed-but-EMPTY dirs (a zero-row partitionBy write
-        # leaves only _SUCCESS, no parquet footers — reading one as the
-        # only live path throws "Unable to infer schema"); data dirs
-        # always have at least one non-underscore child
-        if not any(not ch.getPath().getName().startswith("_")
-                   for ch in fs.listStatus(st.getPath())):
+        # skip committed-but-EMPTY dirs — reading one as the only live
+        # path throws "Unable to infer schema"
+        if not _has_data(fs, st.getPath()):
             continue
         out[name[len("batch_id="):]] = str(st.getPath().toString())
     return out
