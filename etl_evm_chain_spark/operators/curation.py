@@ -471,3 +471,27 @@ def curation_funnel(docs: DataFrame, *, eval_docs: DataFrame,
     for part in (d_exact, d_near, d_cont, d_budget, kept):
         out = out.unionByName(part)
     return out
+
+
+def leakage_safe_split(df: DataFrame, *, resolved: DataFrame,
+                       key: str = "doc_id", salt: str = "split",
+                       train_pct: int = 80, val_pct: int = 10,
+                       out_col: str = "split") -> DataFrame:
+    """Near-dup-aware train/val/test split: assignment hashes the
+    near-dup CLUSTER's canonical id (dedup.resolve_duplicates output),
+    not the document id, so no cluster ever straddles splits — the
+    leakage mode where a test document's near-duplicate sits in train
+    and the eval silently measures memorization. ``resolved`` is the
+    (key, canonical) mapping; the join is key-to-key (canonical is a
+    plain data column), so the split stays a pure function of content
+    clusters under re-runs, new data, and cluster-size changes — the
+    same determinism contract as hash_split.
+    """
+    joined = df.join(resolved.select(key, "canonical"), key)
+    b = hash_bucket("canonical", salt=salt, buckets=100)
+    return joined.withColumn(
+        out_col,
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )

@@ -674,3 +674,55 @@ SPECS.append(
               "near-dup CC -> decontamination -> char budget) with "
               "per-(source, stage) dispositions",
               ("P2-curation", "P2-dedup", "P2-text")))
+
+
+# ---------------------------------------------------------------------------
+# Q124: leakage-safe split — assignment hashes the near-dup cluster's
+# canonical id (q41's resolution artifact), so a near-duplicate pair
+# can never straddle train/test (the memorization-leak eval bug).
+# Reported per (split, source) with a distinct-cluster count; the
+# oracle recomputes the connected components (recursive CTE) AND the
+# salted md5 bucket rule.
+# ---------------------------------------------------------------------------
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import leakage_safe_split
+    from .analytics_ext import _resolved_landed
+
+    docs = load_table(spark, sf_dir, "documents")
+    resolved = _resolved_landed(spark, sf_dir)
+    out = leakage_safe_split(docs, resolved=resolved)
+    return (out.groupBy("split", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("canonical").alias("n_clusters"),
+                 F.sum("n_chars").cast("long").alias("total_chars"))
+            .orderBy("split", "source"))
+
+
+def _oracle_leakage_safe_split() -> str:
+    from .analytics_ext import _oracle_dedup_resolve
+
+    h = _SQL_HASH15.format(expr="'split:' || CAST(canonical AS VARCHAR)")
+    return f"""
+WITH resolved AS ({_oracle_dedup_resolve()}),
+assigned AS (
+  SELECT d.doc_id, d.source, d.n_chars, r.canonical,
+         CASE WHEN {h} % 100 < 80 THEN 'train'
+              WHEN {h} % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents d JOIN resolved r ON d.doc_id = r.doc_id
+)
+SELECT split, source, count(*) AS n_docs,
+       count(DISTINCT canonical) AS n_clusters,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM assigned GROUP BY split, source
+ORDER BY split, source
+"""
+
+
+SPECS.append(
+    QuerySpec("q124_leakage_safe_split", q_leakage_safe_split,
+              _oracle_leakage_safe_split,
+              "near-dup-cluster-aware train/val/test split (no cluster "
+              "straddles splits; oracle recomputes CC + salted bucket)",
+              ("P2-curation", "P2-dedup", "E4")))

@@ -299,3 +299,46 @@ def test_curation_funnel_conservation(spark):
     a = out.agg(F.count("*"), F.sum("n_chars")).collect()[0]
     b = docs.agg(F.count("*"), F.sum("n_chars")).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    """Property: every near-dup cluster lands wholly inside one split,
+    where the plain doc-id hash_split demonstrably straddles some
+    cluster on the same data (i.e. the operator changes the outcome,
+    not just relabels it)."""
+    from etl_evm_chain_spark.operators.curation import (hash_split,
+                                                        leakage_safe_split)
+    from etl_evm_chain_spark.operators.dedup import (resolve_duplicates,
+                                                     verified_near_dups)
+
+    # 40 clusters of 3 near-identical docs each: ids i, i+1000, i+2000
+    rows = []
+    for i in range(40):
+        t = _FB + f" cluster{i} marker{i} extra{i}"
+        rows.append((i, "s", t))
+        rows.append((i + 1000, "s", t + " tail"))
+        rows.append((i + 2000, "s", t + " coda end"))
+    docs = spark.createDataFrame(
+        [(i, s, t, len(t)) for i, s, t in rows],
+        "doc_id long, source string, text string, n_chars long")
+    pairs = verified_near_dups(docs, threshold=0.5)
+    resolved = resolve_duplicates(docs.select("doc_id"), pairs)
+
+    def straddles(assigned):
+        return (assigned.join(resolved, "doc_id")
+                .groupBy(F.col("canonical").alias("c"))
+                .agg(F.countDistinct("split").alias("ns"))
+                .filter(F.col("ns") > 1).count())
+
+    safe = leakage_safe_split(docs, resolved=resolved)
+    assert straddles(safe.select("doc_id", "split")) == 0
+    # members of one cluster differ in doc_id, so the id-hash split
+    # scatters at least one cluster across splits
+    naive = hash_split(docs, key="doc_id")
+    assert straddles(naive.select("doc_id", "split")) > 0
+    # and the split is a pure function of the cluster: every member
+    # carries its canonical's assignment
+    canon_split = {r["doc_id"]: r["split"]
+                   for r in safe.filter(F.col("doc_id") < 40).collect()}
+    for r in safe.collect():
+        assert r["split"] == canon_split[r["canonical"]]
