@@ -1107,3 +1107,67 @@ def test_stream_jsonl_ingest_roundtrip_property(spark, lines):
     else:
         import os
         assert not os.path.isdir(f"{root}/quar")
+
+
+def test_stream_ann_ingest_equals_manual_batches(spark, tmp_path):
+    """The streaming ANN ingest must land bit-identical index rows and
+    neighbor results to a manual update_ann_index loop over the same
+    batches — and a checkpoint-resumed second run must add epoch 1
+    without disturbing epoch 0's landed neighbors."""
+    import math
+
+    from etl_evm_chain_spark.operators.similarity import update_ann_index
+
+    def vec(i):
+        return [math.cos(i * 0.7) + 0.1 * j for j in range(4)]
+
+    rows1 = [(i, vec(i)) for i in range(12)]
+    rows2 = [(100 + i, vec(i + 3)) for i in range(8)]
+    schema = "vec_id long, embedding array<float>"
+
+    src = str(tmp_path / "ann_src")
+    idx_s = str(tmp_path / "ann_idx_stream")
+    out_s = str(tmp_path / "ann_out_stream")
+    ckpt = str(tmp_path / "ann_ckpt")
+
+    def run():
+        stream = spark.readStream.schema(schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        q = sp.stream_ann_ingest(stream, index_path=idx_s,
+                                 neighbors_dir=out_s, checkpoint=ckpt,
+                                 n_cells=4, n_probe=2, k=3)
+        q.awaitTermination(120)
+
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run()
+    epoch0 = sorted(map(tuple, spark.read.parquet(out_s)
+                        .select("qid", "cid", "rank").collect()))
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run()
+
+    # manual batch loop with the same epoch ids
+    idx_m = str(tmp_path / "ann_idx_manual")
+    m0 = update_ann_index(spark, spark.createDataFrame(rows1, schema),
+                          idx_m, n_cells=4, n_probe=2, k=3, batch_id="0")
+    m0 = sorted(map(tuple, m0.select("qid", "cid", "rank").collect()))
+    m1 = update_ann_index(spark, spark.createDataFrame(rows2, schema),
+                          idx_m, n_cells=4, n_probe=2, k=3, batch_id="1")
+    m1 = sorted(map(tuple, m1.select("qid", "cid", "rank").collect()))
+
+    streamed = spark.read.parquet(out_s)
+    s0 = sorted(map(tuple, streamed.filter("batch_id = 0")
+                    .select("qid", "cid", "rank").collect()))
+    s1 = sorted(map(tuple, streamed.filter("batch_id = 1")
+                    .select("qid", "cid", "rank").collect()))
+    assert s0 == m0 == epoch0   # epoch 0 untouched by epoch 1
+    assert s1 == m1 and s1
+    # the two index lakes hold identical live rows
+    from etl_evm_chain_spark.operators.index_ledger import read_live_index
+    key = ["batch_id", "cell", "cid"]
+    a = sorted(map(tuple, read_live_index(spark, idx_s + "/cells")
+                   .select(*key).collect()))
+    b = sorted(map(tuple, read_live_index(spark, idx_m + "/cells")
+                   .select(*key).collect()))
+    assert a == b and a
