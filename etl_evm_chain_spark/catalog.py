@@ -103,7 +103,11 @@ def literal_df(spark: SparkSession, rows: list[tuple], schema):
     for a 2-row manifest, which dominated the ledger compactions.
     Literal expressions never leave the JVM, so the same write is
     ~0.3 s. Use for watermarks, manifests, and other O(1) control rows
-    (bounded by what already sits on the driver)."""
+    (bounded by what already sits on the driver): the literal tree is
+    a driver-side expression, so row counts must stay small (callers
+    with growing lists fall back to createDataFrame past a threshold).
+    Output is ONE partition — repartition() after, if parallelism
+    matters (coalesce can only merge)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType, _parse_datatype_string
 
@@ -113,6 +117,11 @@ def literal_df(spark: SparkSession, rows: list[tuple], schema):
         return spark.range(0).select(
             *[F.lit(None).cast(f.dataType).alias(f.name)
               for f in st.fields])
+    for r in rows:
+        if len(r) != len(st.fields):
+            raise ValueError(
+                f"literal_df row arity {len(r)} != schema arity "
+                f"{len(st.fields)}")
     structs = [
         F.struct(*[F.lit(v).cast(f.dataType).alias(f.name)
                    for v, f in zip(r, st.fields)])

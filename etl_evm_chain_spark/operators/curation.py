@@ -487,7 +487,13 @@ def leakage_safe_split(df: DataFrame, *, resolved: DataFrame,
     clusters under re-runs, new data, and cluster-size changes — the
     same determinism contract as hash_split.
     """
-    joined = df.join(resolved.select(key, "canonical"), key)
+    # LEFT join + coalesce: a resolution built only over pair-touched
+    # ids must not silently drop singleton documents — hash_split's
+    # contract is a total partition of the input, so every row gets an
+    # assignment (a missing mapping means "its own cluster").
+    joined = (df.join(resolved.select(key, "canonical"), key, "left")
+              .withColumn("canonical",
+                          F.coalesce("canonical", F.col(key))))
     b = hash_bucket("canonical", salt=salt, buckets=100)
     return joined.withColumn(
         out_col,

@@ -194,9 +194,19 @@ def compact_batch_index(spark: SparkSession, root: str, *,
     # commit order: data first, manifest second — the generation is
     # invisible to readers until both _SUCCESS markers exist
     data.write.mode("overwrite").partitionBy(part_col).parquet(base)
-    from ..catalog import literal_df
-    literal_df(spark, [(b,) for b in fold_ids], "batch_id string") \
-        .coalesce(1).write.mode("overwrite").parquet(base + "/_folded")
+    # manifest: JVM literals while small (~0.3 s vs ~5 s through the
+    # Python-RDD path), but fold_ids grows monotonically across
+    # compactions and a Catalyst literal tree degrades super-linearly
+    # with expression count — past the threshold the flat-scaling
+    # createDataFrame path is the right tool despite its fixed cost
+    rows = [(b,) for b in fold_ids]
+    if len(rows) <= 1024:
+        from ..catalog import literal_df
+        ids_rel = literal_df(spark, rows, "batch_id string")
+    else:
+        ids_rel = spark.createDataFrame(rows, "batch_id string")
+    ids_rel.coalesce(1).write.mode("overwrite") \
+        .parquet(base + "/_folded")
 
     if gc:
         # pure garbage: folded batch dirs (including ghosts recreated

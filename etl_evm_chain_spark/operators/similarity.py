@@ -1121,6 +1121,19 @@ def update_ann_index(spark, batch: DataFrame, index_path: str, *,
 
     cent_path = os.path.join(index_path, "centroids")
     cells_path = os.path.join(index_path, "cells")
+    # NULL vectors can neither be indexed nor probed (cosine(NULL, x)
+    # is NULL and would pollute the landed index forever). Filtered
+    # BEFORE the quantizer gate: an all-NULL first batch must not
+    # freeze an EMPTY quantizer — that would brick the index (every
+    # later batch cross-joins zero centroids, assigns nothing, and
+    # the stream reports success forever).
+    batch = batch.filter(F.col(vec_col).isNotNull())
+    if batch.isEmpty():
+        # nothing to index OR the quantizer must not be trained on
+        # nothing — either way the batch contributes no rows/neighbors
+        return batch.select(
+            F.col(id_col).alias("qid"), F.col(id_col).alias("cid"),
+            F.lit(0.0).alias("sim"), F.lit(0).alias("rank")).limit(0)
     # Existence-checked, not try/except-everything: a transient read
     # failure on an EXISTING quantizer must surface, never silently
     # retrain and overwrite the frozen centroids (which would orphan
@@ -1138,10 +1151,6 @@ def update_ann_index(spark, batch: DataFrame, index_path: str, *,
                                    salt="ivfx:")
         cents.coalesce(1).write.mode("overwrite").parquet(cent_path)
         cents = spark.read.parquet(cent_path)
-
-    # NULL vectors can neither be indexed nor probed (cosine(NULL, x)
-    # is NULL and would pollute the landed index forever).
-    batch = batch.filter(F.col(vec_col).isNotNull())
     # One _nearest_cells pass serves both sides: rank 1 = the cell a
     # vector is indexed under, ranks 1..n_probe = the cells it probes.
     ww = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell"))

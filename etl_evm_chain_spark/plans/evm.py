@@ -937,7 +937,9 @@ def q_sender_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import literal_df
     sigs = literal_df(
         spark, rows, "okey long, sig_hash string, r string, s string, v int"
-    ).coalesce(4)   # 64 rows ≠ 32 tasks
+    ).repartition(4)   # literal_df emits ONE partition; the pure-Python
+    # secp256k1 recovery wants 4-way parallelism (coalesce can only
+    # merge, never split)
     return (recover_sender(sigs)
             .select("okey", "tx_from")
             .orderBy("okey"))

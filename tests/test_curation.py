@@ -342,3 +342,24 @@ def test_leakage_safe_split_never_straddles_clusters(spark):
                    for r in safe.filter(F.col("doc_id") < 40).collect()}
     for r in safe.collect():
         assert r["split"] == canon_split[r["canonical"]]
+
+
+def test_leakage_safe_split_keeps_singletons_not_in_resolution(spark):
+    """A resolution mapping covering only pair-touched ids must not
+    drop singleton documents: they inherit their own id as canonical
+    and the split stays a total partition of the input."""
+    from etl_evm_chain_spark.operators.curation import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, "s", f"text {i}", 10) for i in range(20)],
+        "doc_id long, source string, text string, n_chars long")
+    # mapping covers only ids 0-4 (a dup cluster); 5-19 are singletons
+    resolved = spark.createDataFrame(
+        [(i, 0) for i in range(5)], "doc_id long, canonical long")
+    out = leakage_safe_split(docs, resolved=resolved)
+    rows = out.collect()
+    assert len(rows) == 20                      # nothing dropped
+    got = {r["doc_id"]: (r["canonical"], r["split"]) for r in rows}
+    assert all(got[i][0] == 0 for i in range(5))        # cluster intact
+    assert all(got[i][0] == i for i in range(5, 20))    # own id fallback
+    assert len({got[i][1] for i in range(5)}) == 1      # one split

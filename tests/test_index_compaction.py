@@ -286,3 +286,29 @@ def test_reader_skips_committed_but_empty_batch_dir(spark, tmp_path):
     assert dd.compact_exact_dedup_index(spark, idx) == 0
     assert assert_live_batch_count(spark, idx) == 0
     assert read_live_index(spark, idx).count() == 4
+
+
+def test_ann_all_null_first_batch_does_not_freeze_empty_quantizer(
+        spark, tmp_path):
+    """An all-NULL first batch must not train and persist a 0-centroid
+    quantizer (which would brick the index: every later batch assigns
+    against zero cells and the ingest reports success forever)."""
+    idx = str(tmp_path / "annq")
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<float>")
+    out = sim.update_ann_index(spark, nulls, idx, n_cells=2, k=2,
+                               batch_id="z0")
+    assert out.count() == 0
+    assert not os.path.exists(os.path.join(idx, "centroids"))
+    # a later real batch trains the quantizer and indexes normally
+    real = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.9, 0.1]), (12, [0.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    sim.update_ann_index(spark, real, idx, n_cells=2, k=2, batch_id="z1")
+    assert os.path.exists(os.path.join(idx, "centroids"))
+    probe = sim.update_ann_index(
+        spark,
+        spark.createDataFrame([(20, [1.0, 0.05])],
+                              "vec_id long, embedding array<float>"),
+        idx, n_cells=2, k=2, batch_id="z2")
+    assert probe.count() > 0
