@@ -94,6 +94,25 @@ def main() -> None:
     for edges in ("width", "depth"):
         bucketed_rank(rank_warm, "v", ["v", "id"], n_buckets=8,
                       edges=edges).agg(F.sum("_rank")).collect()
+    # JIT the minhash/banding + index-ledger path (tokenize, md5 slot
+    # hashes, partitionBy batch write, committed-dir listing,
+    # compaction fold): q121/q122 sit in the driver window BEFORE the
+    # one-shot LSH queries in registry order and otherwise absorb the
+    # cold cost (measured ~3-5 s on the first lifecycle query).
+    import shutil as _sh
+    import tempfile as _tf
+
+    from etl_evm_chain_spark.operators import dedup as _dd
+    _jit_root = _tf.mkdtemp(prefix="bench_ndjit_")
+    _jit_docs = spark.range(16).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta eta theta "
+                       "iota kappa word"),
+                 F.col("id").cast("string")).alias("text"))
+    _dd.update_near_dup_index(spark, _jit_docs, _jit_root, batch_id="w1")
+    _dd.compact_near_dup_index(spark, _jit_root)
+    _sh.rmtree(_jit_root, ignore_errors=True)
+
     # JIT the pyspark.ml stack (Pipeline/StandardScaler/LR class
     # loading, netlib BLAS probe, treeAggregate path, vector UDT
     # serde): the first ML query in registry order otherwise absorbs
