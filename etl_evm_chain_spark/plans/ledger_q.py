@@ -74,15 +74,16 @@ def _sweep_dead_roots(base: str, stem: str) -> None:
             pass  # alive or not ours to probe — leave it
 
 
-def _index_root(sf_dir: str, name: str) -> str:
-    """Process-scoped mutable ledger root keyed by the documents
+def _index_root(sf_dir: str, name: str, *,
+                table: str = "documents") -> str:
+    """Process-scoped mutable ledger root keyed by the source
     fixture's identity (catalog.source_ident — same keying as
     landed_artifact, but WITHOUT the one-shot publish protocol: a
     ledger is mutable by design and carries its own commit markers,
     _SUCCESS per batch/generation). ``name`` must embed every
     geometry constant the landed keys depend on, so a tuned constant
     can never silently reuse a ledger built under the old geometry."""
-    ident = source_ident([os.path.join(sf_dir, "documents.parquet")])
+    ident = source_ident([os.path.join(sf_dir, f"{table}.parquet")])
     key = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     base = os.path.join(tempfile.gettempdir(), "spark_graft_lake")
     stem = f"{name}_{key}_{ident}"
@@ -196,6 +197,109 @@ FROM surv ORDER BY doc_id
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Q125: IVF/ANN index lifecycle — the embedding member of the ledger
+# trilogy (q121 LSH bands, q122 exact fingerprints). The coarse
+# quantizer freezes on the FIRST increment (md5-pick over batch-1
+# ids), batches 2-3 assign against it, the cell directories compact,
+# and the third increment's top-k must equal one-shot frozen-quantizer
+# IVF semantics over the whole corpus (batch-3 queries see every
+# earlier vector by as-of-arrival).
+# ---------------------------------------------------------------------------
+
+ANN_CELLS = 8
+ANN_PROBE = 3
+ANN_K = 5
+# the third increment is a THIN slice (1/48 of the corpus, within the
+# %3=2 residue so it is disjoint from increments 1-2): the lifecycle
+# property needs a representative increment, not a bulk one, and the
+# per-query probe scoring goes through the interpreted HOF cosine
+# (CodegenFallback) whose cost is queries x candidates — a full-third
+# batch costs ~26 s at sf0.1 for zero extra proof
+ANN_Q_MOD = 48
+
+
+def q_compacted_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as sim
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    root = _index_root(sf_dir, f"annidx{ANN_CELLS}p{ANN_PROBE}",
+                       table="embeddings")
+
+    def b(r: int) -> DataFrame:
+        return vecs.filter(F.pmod(F.col("vec_id"), F.lit(3)) == r)
+
+    sim.update_ann_index(spark, b(0), root, n_cells=ANN_CELLS,
+                         n_probe=ANN_PROBE, k=ANN_K, batch_id="a1")
+    sim.update_ann_index(spark, b(1), root, n_cells=ANN_CELLS,
+                         n_probe=ANN_PROBE, k=ANN_K, batch_id="a2")
+    sim.compact_ann_index(spark, root)
+    thin = vecs.filter(F.pmod(F.col("vec_id"), F.lit(ANN_Q_MOD)) == 2)
+    out = sim.update_ann_index(spark, thin, root, n_cells=ANN_CELLS,
+                               n_probe=ANN_PROBE, k=ANN_K, batch_id="a3")
+    # pin: the top-k plan lazily scans ledger cell directories a later
+    # invocation's compaction GC may delete (q121 discipline); k x
+    # |batch| rows, audit rdd_scan ALLOW-listed
+    return out.orderBy("qid", "rank").localCheckpoint()
+
+
+def _oracle_compacted_ann_topk() -> str:
+    from .llmdata import _SQL_DOT
+
+    cos = ("{d} / (sqrt({na}) * sqrt({nb}))").format(
+        d=_SQL_DOT.format(a="{a}", b="{b}"),
+        na=_SQL_DOT.format(a="{a}", b="{a}"),
+        nb=_SQL_DOT.format(a="{b}", b="{b}"))
+    h = _sql_hash15("'ivfx:' || CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH cent_rows AS (
+  SELECT vec_id, embedding, {h} AS h
+  FROM embeddings WHERE vec_id % 3 = 0
+  ORDER BY h, vec_id LIMIT {ANN_CELLS}
+),
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cell,
+         embedding AS cent
+  FROM cent_rows
+),
+scored_cells AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         {cos.format(a="e.embedding", b="c.cent")} AS csim
+  FROM embeddings e CROSS JOIN cents c
+),
+ranked_cells AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY csim DESC, cell ASC) AS cr
+  FROM scored_cells
+),
+assigned AS (
+  SELECT vec_id AS cid, embedding AS cv, cell
+  FROM ranked_cells
+  WHERE cr = 1
+    AND (vec_id % 3 IN (0, 1) OR vec_id % {ANN_Q_MOD} = 2)
+),
+probed AS (
+  SELECT vec_id AS qid, embedding AS qv, cell
+  FROM ranked_cells
+  WHERE cr <= {ANN_PROBE} AND vec_id % {ANN_Q_MOD} = 2
+),
+cand AS (
+  SELECT DISTINCT qid, cid, {cos.format(a="qv", b="cv")} AS sim
+  FROM assigned JOIN probed USING (cell)
+  WHERE qid != cid
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY sim DESC, cid ASC) AS rank
+  FROM cand
+)
+SELECT qid, cid, round(sim, 6) AS sim, rank
+FROM ranked WHERE rank <= {ANN_K}
+ORDER BY qid, rank
+"""
+
+
 SPECS = [
     QuerySpec("q121_compacted_lsh_pairs", q_compacted_lsh_pairs,
               _oracle_compacted_lsh_pairs,
@@ -207,4 +311,10 @@ SPECS = [
               "exact-dedup index lifecycle: survivors of the 3rd batch "
               "against a compacted fingerprint history "
               "(first-batch-wins)", ("H1", "H6", "P2-dedup")),
+    QuerySpec("q125_compacted_ann_topk", q_compacted_ann_topk,
+              _oracle_compacted_ann_topk,
+              "IVF index lifecycle: frozen quantizer from increment 1, "
+              "2 increments -> compaction -> 3rd increment; top-k == "
+              "one-shot frozen-quantizer IVF over the corpus",
+              ("H1", "H6", "P2-sim")),
 ]

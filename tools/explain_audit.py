@@ -174,6 +174,8 @@ _RDD_ALLOW = {
     # compaction GC can't delete directories a lazily-held plan still
     # references — pair set bounded by the increment
     "q121_compacted_lsh_pairs",
+    # same pin discipline; k x |batch| rows
+    "q125_compacted_ann_topk",
 }
 for _q in _RDD_ALLOW:
     ALLOW.setdefault(_q, set()).add("rdd_scan")
