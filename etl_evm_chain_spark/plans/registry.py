@@ -48,11 +48,12 @@ _PRIORITY = [
     "q41_dedup_resolve",
     "q51_merge_upsert",
     "q52_profile_columns", "q54_asof_join",
-    "q86_nation_trade", "q56_hash_split", "q57_stratified_sample",
+    "q57_stratified_sample",
     # new round-5 queries (first-ever driver rows; replace the
-    # q80/q81/q97 sentinels, all driver-green in r01-r03):
+    # q80/q81/q97/q86/q56 sentinels, all driver-green in r01-r04):
     "q121_compacted_lsh_pairs", "q122_compacted_exact_survivors",
-    "q123_curation_funnel",
+    "q123_curation_funnel", "q124_leakage_safe_split",
+    "q125_compacted_ann_topk",
 ]
 
 assert len(_PRIORITY) == 50, "driver window must be exactly 50 entries"
