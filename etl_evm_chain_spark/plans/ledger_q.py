@@ -224,8 +224,9 @@ def q_compacted_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity as sim
 
     vecs = load_table(spark, sf_dir, "embeddings")
-    root = _index_root(sf_dir, f"annidx{ANN_CELLS}p{ANN_PROBE}",
-                       table="embeddings")
+    root = _index_root(
+        sf_dir, f"annidx{ANN_CELLS}p{ANN_PROBE}q{ANN_Q_MOD}",
+        table="embeddings")
 
     def b(r: int) -> DataFrame:
         return vecs.filter(F.pmod(F.col("vec_id"), F.lit(3)) == r)
