@@ -886,6 +886,123 @@ def stream_expectations(events: DataFrame, checks, *, report_dir: str,
     return w.start()
 
 
+def stream_curation_funnel(docs: DataFrame, *, eval_docs: DataFrame,
+                           state_dir: str, out_dir: str,
+                           report_dir: str, checkpoint: str,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           min_quality: float = 0.45,
+                           est_jaccard_min: float = 0.5,
+                           min_containment: float = 0.8,
+                           n_fp_bands: int = 256,
+                           trigger_once: bool = True):
+    """INGEST-TIME curation funnel — the streaming twin of
+    operators/curation.curation_funnel (q123), with history supplied
+    by the landed indexes instead of a one-shot corpus scan. Per
+    micro-batch, in narrowing order:
+
+    1. ``quality``: heuristic quality_score < ``min_quality`` (NULL
+       text scores 0);
+    2. ``exact_dup``: fingerprint seen in ANY earlier epoch
+       (update_exact_dedup_index — band-pruned anti-join against the
+       landed history) or a smaller-id twin in the same batch;
+    3. ``near_dup``: an index-resident near-dup (update_near_dup_index
+       pairs with estimated Jaccard ≥ ``est_jaccard_min``) against
+       history — FIRST-ARRIVAL-WINS, the only causal rule an ingest
+       can implement — or against a smaller-id batch sibling;
+    4. ``contaminated``: shingle containment of an ``eval_docs``
+       document ≥ ``min_containment`` (broadcast eval index).
+
+    Survivors land under ``out_dir/batch_id=<epoch>/``; a 5-row stage-
+    count report lands under ``report_dir/batch_id=<epoch>/``. Both
+    ledger indexes are epoch-keyed overwrite-on-replay (their round-4
+    exactly-once contracts), and both output directories overwrite on
+    replay, so a crashed-and-replayed epoch converges to one copy.
+    Unlike the batch funnel there is no budget stage: a char budget is
+    a property of a finished corpus snapshot (q120/q123), not of an
+    unbounded ingest.
+
+    State at 100 TB: no executor state — history is two partitioned
+    parquet ledgers, per-batch cost is O(batch) plus band/cell-pruned
+    equi-joins, eval set broadcasts.
+    """
+    import os
+
+    from ..catalog import literal_df
+    from ..functions.text import quality_score
+    from ..operators.cleaning import contamination
+    from ..operators.dedup import (update_exact_dedup_index,
+                                   update_near_dup_index)
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        epoch = str(int(batch_id))
+        n_in = batch_df.count()
+
+        q = F.when(F.col(text_col).isNull(), F.lit(0.0)) \
+            .otherwise(F.coalesce(quality_score(text_col), F.lit(0.0)))
+        s1 = batch_df.filter(q >= min_quality).localCheckpoint()
+        n_q = s1.count()
+
+        s2 = update_exact_dedup_index(
+            spark, s1, os.path.join(state_dir, "fpidx"),
+            id_col=id_col, text_col=text_col, n_bands=n_fp_bands,
+            batch_id=epoch).localCheckpoint()
+        n_e = s2.count()
+
+        pairs = update_near_dup_index(
+            spark, s2, os.path.join(state_dir, "ndidx"),
+            id_col=id_col, text_col=text_col, batch_id=epoch)
+        pairs = pairs.filter(F.col("est_jaccard") >= est_jaccard_min)
+        batch_ids = s2.select(F.col(id_col).alias("_bid"))
+        # a batch doc loses to ANY history twin (first-arrival-wins)
+        # and to a smaller-id twin within its own batch (id_a < id_b
+        # by construction, so the batch-side loser is always id_b)
+        lose_hist = (
+            pairs.join(batch_ids, pairs["id_a"] == batch_ids["_bid"],
+                       "left_anti")
+            .select(F.col("id_b").alias(id_col))
+            .union(
+                pairs.join(batch_ids,
+                           pairs["id_b"] == batch_ids["_bid"],
+                           "left_anti")
+                .select(F.col("id_a").alias(id_col))))
+        lose_batch = (
+            pairs.join(batch_ids, pairs["id_a"] == batch_ids["_bid"],
+                       "leftsemi")
+            .join(batch_ids, pairs["id_b"] == batch_ids["_bid"],
+                  "leftsemi")
+            .select(F.col("id_b").alias(id_col)))
+        losers = lose_hist.union(lose_batch).dropDuplicates()
+        s3 = s2.join(losers, id_col, "left_anti").localCheckpoint()
+        n_n = s3.count()
+
+        hits = contamination(s3, eval_docs, id_col=id_col,
+                             text_col=text_col,
+                             min_containment=min_containment)
+        bad = hits.select(F.col("train_id").alias(id_col)) \
+            .dropDuplicates()
+        kept = s3.join(bad, id_col, "left_anti").localCheckpoint()
+        n_k = kept.count()
+
+        kept.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={int(batch_id)}"))
+        report = [("quality", n_in - n_q), ("exact_dup", n_q - n_e),
+                  ("near_dup", n_e - n_n), ("contaminated", n_n - n_k),
+                  ("kept", n_k)]
+        literal_df(spark, report, "stage string, n_docs long") \
+            .coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(report_dir, f"batch_id={int(batch_id)}"))
+
+    w = (docs.writeStream.foreachBatch(per_batch)
+         .option("checkpointLocation", checkpoint))
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def stream_exact_dedup(docs: DataFrame, *, index_dir: str, out_dir: str,
                        checkpoint: str, id_col: str = "doc_id",
                        text_col: str = "text",

@@ -1171,3 +1171,64 @@ def test_stream_ann_ingest_equals_manual_batches(spark, tmp_path):
     b = sorted(map(tuple, read_live_index(spark, idx_m + "/cells")
                    .select(*key).collect()))
     assert a == b and a
+
+
+def test_stream_curation_funnel_stages_across_epochs(spark, tmp_path):
+    """Ingest-time funnel: a later epoch's exact twin, near-dup, and
+    benchmark-contaminated docs are dropped against HISTORY (landed
+    indexes), low quality drops locally, and the per-epoch report
+    reconciles with the survivor lake."""
+    base = ("the quick brown fox jumps over the lazy dog and the "
+            "sleepy cat of the old town walks to the green river in "
+            "the quiet night while the birds of the valley sing and "
+            "the wind of the hills blows softly over the fields")
+    evt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    def mk(seed, n=26):
+        # stopword-rich text whose every 3-gram contains a seed-unique
+        # noun: passes the quality gate, shares NO shingle across seeds
+        return " ".join(f"the w{seed}n{i} of" for i in range(n))
+
+    src = str(tmp_path / "cf_src")
+    state = str(tmp_path / "cf_state")
+    out = str(tmp_path / "cf_out")
+    rep = str(tmp_path / "cf_rep")
+    ckpt = str(tmp_path / "cf_ckpt")
+    evaldf = spark.createDataFrame([(900, evt)], "doc_id long, text string")
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string") \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        q = sp.stream_curation_funnel(
+            stream, eval_docs=evaldf, state_dir=state, out_dir=out,
+            report_dir=rep, checkpoint=ckpt, n_fp_bands=8)
+        q.awaitTermination(180)
+
+    ep1 = [(1, base + " one"), (2, mk(2))]
+    spark.createDataFrame(ep1, "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} \
+        == {1, 2}
+
+    ep2 = [
+        (10, "  " + (base + " one").upper().replace(" ", "  ")),  # exact
+        (11, base + " one two three four"),                   # near-dup of 1
+        (12, mk(12, 12) + " " + evt),                         # contaminated
+        (13, "!!! ;;; ,,, ..."),                              # low quality
+        (14, mk(14)),                                         # fresh
+    ]
+    spark.createDataFrame(ep2, "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    lake = spark.read.parquet(out)
+    assert {r["doc_id"] for r in lake.collect()} == {1, 2, 14}
+    reports = spark.read.parquet(rep)
+    r2 = {r["stage"]: r["n_docs"] for r in
+          reports.filter("batch_id = 1").collect()}
+    assert r2 == {"quality": 1, "exact_dup": 1, "near_dup": 1,
+                  "contaminated": 1, "kept": 1}
+    # report reconciles with the lake per epoch
+    n_kept_ep2 = lake.filter("batch_id = 1").count()
+    assert r2["kept"] == n_kept_ep2
