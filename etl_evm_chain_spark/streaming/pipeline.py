@@ -892,7 +892,9 @@ def stream_curation_funnel(docs: DataFrame, *, eval_docs: DataFrame,
                            id_col: str = "doc_id",
                            text_col: str = "text",
                            min_quality: float = 0.45,
+                           jaccard_min: float = 0.5,
                            est_jaccard_min: float = 0.5,
+                           minhash_k: int = 64, lsh_bands: int = 16,
                            min_containment: float = 0.8,
                            n_fp_bands: int = 256,
                            trigger_once: bool = True):
@@ -906,10 +908,20 @@ def stream_curation_funnel(docs: DataFrame, *, eval_docs: DataFrame,
     2. ``exact_dup``: fingerprint seen in ANY earlier epoch
        (update_exact_dedup_index — band-pruned anti-join against the
        landed history) or a smaller-id twin in the same batch;
-    3. ``near_dup``: an index-resident near-dup (update_near_dup_index
-       pairs with estimated Jaccard ≥ ``est_jaccard_min``) against
-       history — FIRST-ARRIVAL-WINS, the only causal rule an ingest
-       can implement — or against a smaller-id batch sibling;
+    3. ``near_dup``, two rules with two evidence grades:
+       - vs HISTORY: index-resident ESTIMATE ≥ ``est_jaccard_min``
+         (the landed index holds signatures, not text, so exact
+         re-verification is impossible at ingest) — first-arrival
+         wins. The funnel indexes at ``minhash_k=64`` /
+         ``lsh_bands=16``, not the analytics default k=8: a drop
+         decision on a k=8 estimate false-positives ~19% at true
+         Jaccard 0.3, at k=64 that is ~0.1%.
+       - WITHIN the batch: both texts are present, so candidates are
+         EXACT-verified (shingle Jaccard ≥ ``jaccard_min``) and
+         resolved by connected components exactly as the batch twin
+         does (resolve_duplicates min-id rule); a component touching
+         a history-loser dies wholly, mirroring one-shot
+         transitivity through the historical twin.
     4. ``contaminated``: shingle containment of an ``eval_docs``
        document ≥ ``min_containment`` (broadcast eval index).
 
@@ -918,9 +930,11 @@ def stream_curation_funnel(docs: DataFrame, *, eval_docs: DataFrame,
     ledger indexes are epoch-keyed overwrite-on-replay (their round-4
     exactly-once contracts), and both output directories overwrite on
     replay, so a crashed-and-replayed epoch converges to one copy.
-    Unlike the batch funnel there is no budget stage: a char budget is
-    a property of a finished corpus snapshot (q120/q123), not of an
-    unbounded ingest.
+    The index geometry is embedded in the state subdirectory names, so
+    retuning k/bands can never silently join against an old-geometry
+    ledger. Unlike the batch funnel there is no budget stage: a char
+    budget is a property of a finished corpus snapshot (q120/q123),
+    not of an unbounded ingest.
 
     State at 100 TB: no executor state — history is two partitioned
     parquet ledgers, per-batch cost is O(batch) plus band/cell-pruned
@@ -929,17 +943,21 @@ def stream_curation_funnel(docs: DataFrame, *, eval_docs: DataFrame,
     import os
 
     from ..catalog import literal_df
-    from ..functions.text import quality_score
+    from ..functions.text import quality_score, shingles
     from ..operators.cleaning import contamination
-    from ..operators.dedup import (update_exact_dedup_index,
+    from ..operators.dedup import (SHINGLE_K, resolve_duplicates,
+                                   update_exact_dedup_index,
                                    update_near_dup_index)
 
+    fp_dir = os.path.join(state_dir, f"fpidx{n_fp_bands}")
+    nd_dir = os.path.join(state_dir, f"ndidx{minhash_k}x{lsh_bands}")
+
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
         spark = batch_df.sparkSession
         epoch = str(int(batch_id))
         n_in = batch_df.count()
+        if n_in == 0:
+            return
 
         q = F.when(F.col(text_col).isNull(), F.lit(0.0)) \
             .otherwise(F.coalesce(quality_score(text_col), F.lit(0.0)))
@@ -947,35 +965,62 @@ def stream_curation_funnel(docs: DataFrame, *, eval_docs: DataFrame,
         n_q = s1.count()
 
         s2 = update_exact_dedup_index(
-            spark, s1, os.path.join(state_dir, "fpidx"),
+            spark, s1, fp_dir,
             id_col=id_col, text_col=text_col, n_bands=n_fp_bands,
             batch_id=epoch).localCheckpoint()
         n_e = s2.count()
 
+        # one evaluation: three consumers below re-reference the
+        # band-pruned history join (dedup.py's reuse discipline)
         pairs = update_near_dup_index(
-            spark, s2, os.path.join(state_dir, "ndidx"),
-            id_col=id_col, text_col=text_col, batch_id=epoch)
-        pairs = pairs.filter(F.col("est_jaccard") >= est_jaccard_min)
+            spark, s2, nd_dir, k=minhash_k, bands=lsh_bands,
+            id_col=id_col, text_col=text_col, batch_id=epoch) \
+            .localCheckpoint()
         batch_ids = s2.select(F.col(id_col).alias("_bid"))
-        # a batch doc loses to ANY history twin (first-arrival-wins)
-        # and to a smaller-id twin within its own batch (id_a < id_b
-        # by construction, so the batch-side loser is always id_b)
+        # a batch doc loses to ANY history twin (first-arrival-wins);
+        # history sits on either side of the id_a < id_b pair
+        est = pairs.filter(F.col("est_jaccard") >= est_jaccard_min)
         lose_hist = (
-            pairs.join(batch_ids, pairs["id_a"] == batch_ids["_bid"],
-                       "left_anti")
+            est.join(batch_ids, est["id_a"] == batch_ids["_bid"],
+                     "left_anti")
             .select(F.col("id_b").alias(id_col))
             .union(
-                pairs.join(batch_ids,
-                           pairs["id_b"] == batch_ids["_bid"],
-                           "left_anti")
-                .select(F.col("id_a").alias(id_col))))
-        lose_batch = (
-            pairs.join(batch_ids, pairs["id_a"] == batch_ids["_bid"],
-                       "leftsemi")
-            .join(batch_ids, pairs["id_b"] == batch_ids["_bid"],
-                  "leftsemi")
-            .select(F.col("id_b").alias(id_col)))
-        losers = lose_hist.union(lose_batch).dropDuplicates()
+                est.join(batch_ids, est["id_b"] == batch_ids["_bid"],
+                         "left_anti")
+                .select(F.col("id_a").alias(id_col)))
+            .dropDuplicates().localCheckpoint())
+        # within-batch candidates (any estimate): exact-verify with
+        # the texts at hand, then resolve connected components with
+        # the batch twin's min-id rule
+        wb = (pairs.join(batch_ids, pairs["id_a"] == batch_ids["_bid"],
+                         "leftsemi")
+              .join(batch_ids, pairs["id_b"] == batch_ids["_bid"],
+                    "leftsemi")
+              .select("id_a", "id_b"))
+        sh = s2.select(F.col(id_col),
+                       shingles(text_col, SHINGLE_K).alias("_sh"))
+        wbv = (wb.join(sh.select(F.col(id_col).alias("id_a"),
+                                 F.col("_sh").alias("_sha")), "id_a")
+               .join(sh.select(F.col(id_col).alias("id_b"),
+                               F.col("_sh").alias("_shb")), "id_b")
+               .filter(F.size(F.array_intersect("_sha", "_shb"))
+                       .cast("double")
+                       / F.size(F.array_distinct(F.concat("_sha",
+                                                          "_shb")))
+                       >= jaccard_min)
+               .select("id_a", "id_b"))
+        resolved = resolve_duplicates(s2.select(id_col), wbv,
+                                      id_col=id_col)
+        # a component touching a history-loser dies wholly (one-shot
+        # transitivity through the historical twin); otherwise only
+        # the canonical member survives
+        dead_comp = (resolved.join(lose_hist, id_col, "leftsemi")
+                     .select("canonical").dropDuplicates())
+        losers = (resolved.filter(F.col(id_col) != F.col("canonical"))
+                  .select(id_col)
+                  .union(resolved.join(dead_comp, "canonical",
+                                       "leftsemi").select(id_col))
+                  .dropDuplicates())
         s3 = s2.join(losers, id_col, "left_anti").localCheckpoint()
         n_n = s3.count()
 

@@ -1217,6 +1217,9 @@ def test_stream_curation_funnel_stages_across_epochs(spark, tmp_path):
         (12, mk(12, 12) + " " + evt),                         # contaminated
         (13, "!!! ;;; ,,, ..."),                              # low quality
         (14, mk(14)),                                         # fresh
+        # within-batch near-dup of 14 (no history twin): the exact-
+        # verified CC keeps the min id, drops this one
+        (15, mk(14) + " the extra of the tail of"),
     ]
     spark.createDataFrame(ep2, "doc_id long, text string") \
         .coalesce(1).write.mode("append").parquet(src)
@@ -1227,7 +1230,7 @@ def test_stream_curation_funnel_stages_across_epochs(spark, tmp_path):
     reports = spark.read.parquet(rep)
     r2 = {r["stage"]: r["n_docs"] for r in
           reports.filter("batch_id = 1").collect()}
-    assert r2 == {"quality": 1, "exact_dup": 1, "near_dup": 1,
+    assert r2 == {"quality": 1, "exact_dup": 1, "near_dup": 2,
                   "contaminated": 1, "kept": 1}
     # report reconciles with the lake per epoch
     n_kept_ep2 = lake.filter("batch_id = 1").count()
