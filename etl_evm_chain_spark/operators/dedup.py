@@ -145,9 +145,34 @@ def verified_near_dups(docs: DataFrame, *, id_col: str = "doc_id",
     # join against the landed index (update_near_dup_index).
     sig = minhash_signatures(docs, id_col=id_col, text_col=text_col)
     cands = lsh_candidate_pairs(sig, id_col=id_col)
-    sh = docs.select(F.col(id_col), shingles(text_col, SHINGLE_K).alias("sh"))
+    return verify_pairs(docs, cands, id_col=id_col, text_col=text_col,
+                        threshold=threshold)
+
+
+def verify_pairs(docs: DataFrame, pairs: DataFrame, *,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 threshold: float = 0.5) -> DataFrame:
+    """Exact shingle-Jaccard verification of CANDIDATE pairs — the
+    shared tail of verified_near_dups, callable on any (id_a, id_b)
+    candidate relation (the streaming funnel verifies within-batch
+    index candidates this way). The shingle projection is semi-join
+    pruned to pair-touched ids first: candidates are a small fraction
+    of a typical corpus, so tokenizing everything for a handful of
+    pairs is the dominant waste.
+
+    Returns (id_a, id_b, jaccard) above ``threshold``, jaccard
+    floor-truncated to 6 decimals — not round(): engines disagree on
+    ties (n_common/n_union = 1/128 is EXACTLY 7812.5 millionths,
+    where Spark's HALF_UP and another engine's half-even diverge; the
+    portability rule ngram_jaccard_pairs and quality_score follow).
+    """
+    touched = (pairs.select(F.col("id_a").alias(id_col))
+               .union(pairs.select(F.col("id_b").alias(id_col)))
+               .dropDuplicates())
+    sh = (docs.join(touched, id_col, "leftsemi")
+          .select(F.col(id_col), shingles(text_col, SHINGLE_K).alias("sh")))
     j = (
-        cands.join(sh.withColumnRenamed(id_col, "id_a")
+        pairs.join(sh.withColumnRenamed(id_col, "id_a")
                      .withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b")
                 .withColumnRenamed("sh", "sh_b"), "id_b")
@@ -157,11 +182,6 @@ def verified_near_dups(docs: DataFrame, *, id_col: str = "doc_id",
         .withColumn("jaccard",
                     F.col("n_common").cast("double") / F.col("n_union"))
     )
-    # floor-truncate, not round(): engines disagree on ties — e.g.
-    # n_common/n_union = 1/128 is EXACTLY 7812.5 millionths, where
-    # Spark's HALF_UP and another engine's half-even diverge (the
-    # same portability rule ngram_jaccard_pairs and quality_score
-    # already follow)
     return (
         j.filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b",

@@ -943,14 +943,25 @@ def stream_curation_funnel(docs: DataFrame, *, eval_docs: DataFrame,
     import os
 
     from ..catalog import literal_df
-    from ..functions.text import quality_score, shingles
+    from ..functions.text import quality_score
     from ..operators.cleaning import contamination
-    from ..operators.dedup import (SHINGLE_K, resolve_duplicates,
+    from ..operators.dedup import (resolve_duplicates,
                                    update_exact_dedup_index,
-                                   update_near_dup_index)
+                                   update_near_dup_index, verify_pairs)
 
     fp_dir = os.path.join(state_dir, f"fpidx{n_fp_bands}")
     nd_dir = os.path.join(state_dir, f"ndidx{minhash_k}x{lsh_bands}")
+    for legacy in ("fpidx", "ndidx"):
+        if os.path.isdir(os.path.join(state_dir, legacy)):
+            # geometry-unstamped ledgers predate the stamped layout;
+            # silently ignoring them would re-admit every previously
+            # landed duplicate (same loud-failure precedent as
+            # progress.incremental_decode's legacy-layout rejection)
+            raise ValueError(
+                f"state_dir contains a legacy un-stamped ledger "
+                f"'{legacy}/' — migrate or remove it; the funnel now "
+                f"writes geometry-stamped state ({legacy} with k/band "
+                f"suffixes) and will not read the old layout")
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -997,18 +1008,8 @@ def stream_curation_funnel(docs: DataFrame, *, eval_docs: DataFrame,
               .join(batch_ids, pairs["id_b"] == batch_ids["_bid"],
                     "leftsemi")
               .select("id_a", "id_b"))
-        sh = s2.select(F.col(id_col),
-                       shingles(text_col, SHINGLE_K).alias("_sh"))
-        wbv = (wb.join(sh.select(F.col(id_col).alias("id_a"),
-                                 F.col("_sh").alias("_sha")), "id_a")
-               .join(sh.select(F.col(id_col).alias("id_b"),
-                               F.col("_sh").alias("_shb")), "id_b")
-               .filter(F.size(F.array_intersect("_sha", "_shb"))
-                       .cast("double")
-                       / F.size(F.array_distinct(F.concat("_sha",
-                                                          "_shb")))
-                       >= jaccard_min)
-               .select("id_a", "id_b"))
+        wbv = verify_pairs(s2, wb, id_col=id_col, text_col=text_col,
+                           threshold=jaccard_min).select("id_a", "id_b")
         resolved = resolve_duplicates(s2.select(id_col), wbv,
                                       id_col=id_col)
         # a component touching a history-loser dies wholly (one-shot

@@ -1201,7 +1201,11 @@ def test_stream_curation_funnel_stages_across_epochs(spark, tmp_path):
             .option("maxFilesPerTrigger", 1).parquet(src)
         q = sp.stream_curation_funnel(
             stream, eval_docs=evaldf, state_dir=state, out_dir=out,
-            report_dir=rep, checkpoint=ckpt, n_fp_bands=8)
+            report_dir=rep, checkpoint=ckpt, n_fp_bands=8,
+            # 2-row bands so mid-Jaccard fixtures are certain LSH
+            # candidates; thresholds lowered to match the bridge
+            # construction below (17 can't exceed 0.5 to both sides)
+            lsh_bands=32, jaccard_min=0.35, est_jaccard_min=0.35)
         q.awaitTermination(180)
 
     ep1 = [(1, base + " one"), (2, mk(2))]
@@ -1220,6 +1224,13 @@ def test_stream_curation_funnel_stages_across_epochs(spark, tmp_path):
         # within-batch near-dup of 14 (no history twin): the exact-
         # verified CC keeps the min id, drops this one
         (15, mk(14) + " the extra of the tail of"),
+        # transitivity through history: 16 near-dups ONLY 17 (their
+        # mk(61) block + half of mk(2)); 17 ALSO embeds all of mk(2),
+        # the epoch-1 history doc 2 — so 17 dies to history and 16's
+        # whole component dies with it (dead_comp rule), even though
+        # 16 itself is below the history estimate threshold
+        (16, mk(61, 8) + " " + mk(2, 13)),
+        (17, mk(61, 8) + " " + mk(2)),
     ]
     spark.createDataFrame(ep2, "doc_id long, text string") \
         .coalesce(1).write.mode("append").parquet(src)
@@ -1230,7 +1241,7 @@ def test_stream_curation_funnel_stages_across_epochs(spark, tmp_path):
     reports = spark.read.parquet(rep)
     r2 = {r["stage"]: r["n_docs"] for r in
           reports.filter("batch_id = 1").collect()}
-    assert r2 == {"quality": 1, "exact_dup": 1, "near_dup": 2,
+    assert r2 == {"quality": 1, "exact_dup": 1, "near_dup": 4,
                   "contaminated": 1, "kept": 1}
     # report reconciles with the lake per epoch
     n_kept_ep2 = lake.filter("batch_id = 1").count()
