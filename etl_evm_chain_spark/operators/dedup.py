@@ -145,20 +145,27 @@ def verified_near_dups(docs: DataFrame, *, id_col: str = "doc_id",
     # join against the landed index (update_near_dup_index).
     sig = minhash_signatures(docs, id_col=id_col, text_col=text_col)
     cands = lsh_candidate_pairs(sig, id_col=id_col)
+    # prune=False: the candidate lineage (signature agg + banded
+    # self-join) is the expensive part here, and the touched-ids
+    # semi-join would embed it a second time — the all-docs shingle
+    # projection is the cheaper side of that trade (measured at
+    # sf0.1: pruning cost q35 ~+0.7 s)
     return verify_pairs(docs, cands, id_col=id_col, text_col=text_col,
-                        threshold=threshold)
+                        threshold=threshold, prune=False)
 
 
 def verify_pairs(docs: DataFrame, pairs: DataFrame, *,
                  id_col: str = "doc_id", text_col: str = "text",
-                 threshold: float = 0.5) -> DataFrame:
+                 threshold: float = 0.5, prune: bool = True) -> DataFrame:
     """Exact shingle-Jaccard verification of CANDIDATE pairs — the
     shared tail of verified_near_dups, callable on any (id_a, id_b)
     candidate relation (the streaming funnel verifies within-batch
-    index candidates this way). The shingle projection is semi-join
-    pruned to pair-touched ids first: candidates are a small fraction
-    of a typical corpus, so tokenizing everything for a handful of
-    pairs is the dominant waste.
+    index candidates this way). With ``prune`` the shingle projection
+    is semi-join pruned to pair-touched ids first: right when
+    ``pairs`` is cheap to reference twice (e.g. already checkpointed)
+    and candidates are a small fraction of ``docs``; wrong when the
+    pair lineage itself is the expensive side (verified_near_dups
+    passes prune=False).
 
     Returns (id_a, id_b, jaccard) above ``threshold``, jaccard
     floor-truncated to 6 decimals — not round(): engines disagree on
@@ -166,11 +173,14 @@ def verify_pairs(docs: DataFrame, pairs: DataFrame, *,
     where Spark's HALF_UP and another engine's half-even diverge; the
     portability rule ngram_jaccard_pairs and quality_score follow).
     """
-    touched = (pairs.select(F.col("id_a").alias(id_col))
-               .union(pairs.select(F.col("id_b").alias(id_col)))
-               .dropDuplicates())
-    sh = (docs.join(touched, id_col, "leftsemi")
-          .select(F.col(id_col), shingles(text_col, SHINGLE_K).alias("sh")))
+    sh_src = docs
+    if prune:
+        touched = (pairs.select(F.col("id_a").alias(id_col))
+                   .union(pairs.select(F.col("id_b").alias(id_col)))
+                   .dropDuplicates())
+        sh_src = docs.join(touched, id_col, "leftsemi")
+    sh = sh_src.select(F.col(id_col),
+                       shingles(text_col, SHINGLE_K).alias("sh"))
     j = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a")
                      .withColumnRenamed("sh", "sh_a"), "id_a")
