@@ -268,10 +268,18 @@ def calendar_returns(trades: DataFrame, *, ts_col: str = "exit_ts") -> DataFrame
     synthetic sf0.1 prices) are EXCLUDED from the sum and surfaced in
     their own count instead: casting them to decimal would throw under
     ANSI and silently NULL otherwise, both worse than an explicit
-    ledger line. ``n_trades`` still counts every trade."""
+    ledger line. ``n_trades`` still counts every trade.
+
+    The bucket predicate is |p| < 1e15, not IEEE-finiteness: a
+    finite-but-huge return (near-zero nonzero entry price) overflows
+    decimal(27,12), where non-ANSI Spark NULLs it (silently vanishing
+    from the sum without a count) while DuckDB's identical cast
+    throws — bounding the predicate below the decimal's 15 integer
+    digits makes both engines classify the row identically, as
+    "non-finite" ledger lines."""
     month = F.date_format(F.timestamp_seconds(ts_col), "yyyy-MM").alias("month")
     p = F.col("pct_return")
-    finite = ~F.isnan(p) & (F.abs(p) != F.lit(float("inf")))
+    finite = ~F.isnan(p) & (F.abs(p) < F.lit(1e15))
     return (
         trades.groupBy(month)
         .agg(F.sum(F.when(finite, p).cast("decimal(27,12)"))

@@ -132,17 +132,21 @@ def exact_auc(scored: DataFrame, *, score_col: str, label_col: str = "y") -> Dat
     r = bucketed_prefix_sum(g, "_s", ["_s"], "_c",
                             n_buckets=scaled_buckets(spark),
                             out_name="_cum")
-    # 2·avg_rank of the rows at this score = 2·(cum−c) + c + 1 (integer)
+    # 2·avg_rank of the rows at this score = 2·(cum−c) + c + 1 (integer).
+    # Every product below is computed IN decimal (cast the left factor
+    # first): _pos·rank2, npos·(npos+1) and npos·nneg all exceed int64
+    # in the 100 TB regime (c·2n ≳ 9.2e18), and non-ANSI Spark would
+    # wrap the int64 product silently before a post-hoc cast could help.
     rank2 = 2 * (F.col("_cum") - F.col("_c")) + F.col("_c") + 1
     agg = r.agg(
-        F.sum((F.col("_pos") * rank2).cast("decimal(38,0)")).alias("_r2"),
+        F.sum(F.col("_pos").cast("decimal(38,0)") * rank2).alias("_r2"),
         F.sum("_pos").alias("_np"), F.sum("_c").alias("_n"))
     npos, n = F.col("_np"), F.col("_n")
     nneg = n - npos
-    num = (F.col("_r2") - (npos * (npos + 1)).cast("decimal(38,0)")) \
-        .cast("double")
+    num = (F.col("_r2").cast("decimal(38,0)")
+           - npos.cast("decimal(38,0)") * (npos + 1)).cast("double")
     auc = F.when((npos > 0) & (nneg > 0),
-                 num / (2.0 * (npos * nneg).cast("double"))) \
+                 num / (2.0 * npos.cast("double") * nneg.cast("double"))) \
         .otherwise(F.lit(float("nan")))
     return agg.select(auc.alias("auc"))
 

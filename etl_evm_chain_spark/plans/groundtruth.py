@@ -207,7 +207,11 @@ def oracle_calendar_returns() -> str:
     returns sum through DECIMAL(27,12) in both engines (exact,
     order-independent — `_dsum` discipline) and surface as double;
     non-finite returns (zero-entry trades) are excluded from the sum
-    and counted in n_nonfinite, mirroring bt.calendar_returns."""
+    and counted in n_nonfinite, mirroring bt.calendar_returns. The
+    bucket predicate is |p| < 1e15 (not bare isfinite) in BOTH
+    engines: a finite return at/above 1e15 overflows DECIMAL(27,12) —
+    DuckDB throws, non-ANSI Spark silently NULLs — so both classify
+    it as a non-finite ledger line instead (see calendar_returns)."""
     dec = fsm_z_decisions(oracle_ctx.sf_dir())
     return _SQL_ZZ + f"""
 , {_decisions_cte(dec)}
@@ -219,11 +223,12 @@ def oracle_calendar_returns() -> str:
   JOIN zz x ON x.event_type = dec.pool AND x.bucket = dec.exit_ts
 )
 SELECT strftime(make_timestamp(exit_ts * 1000000), '%Y-%m') AS month,
-       CAST(sum(CASE WHEN isfinite(pct_return)
+       CAST(sum(CASE WHEN isfinite(pct_return) AND abs(pct_return) < 1e15
                      THEN CAST(pct_return AS DECIMAL(27,12)) END)
             AS DOUBLE) AS pct_return,
        count(*) AS n_trades,
-       CAST(count(*) FILTER (NOT isfinite(pct_return)) AS BIGINT)
+       CAST(count(*) FILTER (NOT (isfinite(pct_return)
+                                  AND abs(pct_return) < 1e15)) AS BIGINT)
          AS n_nonfinite
 FROM trades GROUP BY 1 ORDER BY month
 """

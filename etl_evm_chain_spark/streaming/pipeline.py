@@ -951,8 +951,15 @@ def stream_curation_funnel(docs: DataFrame, *, eval_docs: DataFrame,
 
     fp_dir = os.path.join(state_dir, f"fpidx{n_fp_bands}")
     nd_dir = os.path.join(state_dir, f"ndidx{minhash_k}x{lsh_bands}")
+    # the existence probe goes through the Hadoop FileSystem API like
+    # every other ledger listing (index_ledger, progress) — a local-FS
+    # os.path check never fires on an HDFS/object-store state_dir, and
+    # a silently-ignored legacy ledger re-admits every landed duplicate
+    from ..operators.index_ledger import _fs as _hfs, _jp as _hjp
+    _guard_spark = docs.sparkSession
+    _guard_fs, _ = _hfs(_guard_spark, state_dir)
     for legacy in ("fpidx", "ndidx"):
-        if os.path.isdir(os.path.join(state_dir, legacy)):
+        if _guard_fs.exists(_hjp(_guard_spark, state_dir, legacy)):
             # geometry-unstamped ledgers predate the stamped layout;
             # silently ignoring them would re-admit every previously
             # landed duplicate (same loud-failure precedent as

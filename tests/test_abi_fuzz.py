@@ -1,0 +1,312 @@
+"""ABI decode∘encode == identity property fuzz (round-6 verdict ask).
+
+The decoder's recursive offset-staging grammar (sources/abi.py:
+tuples, tuple[], T[k][m], dynamic scalars, wide ints, bytesN /
+function) is fixture-tested but its edge-case space exceeds any
+fixture set — so this file builds an independent, from-first-
+principles ABI *encoder* (head/tail layout straight from the
+solidity ABI spec, sharing no code with the decoder beyond the
+AbiInput dataclass), generates seeded-random schemas and values,
+and asserts that decode_event returns exactly the encoded values.
+
+Expected-value conventions mirror the decoder's documented output
+mapping (sources/abi.py spark_type/_decode_word):
+  - int/uint ≤ 63 value bits  -> python int
+  - wider ints                -> Decimal, NULL once |v| ≥ 10^38
+                                 (the lossless _hex twin / raw blob
+                                 carries the full range)
+  - address / bytesN / bytes / function -> lower-case 0x hex
+  - string -> str, bool -> bool, tuple -> struct, arrays -> arrays
+
+Reference parity: the reference decodes via go-ethereum
+``abi.UnpackIntoMap`` (/root/reference/internal/parser/parser.go:74-77);
+this fuzz is the parity net for that whole grammar.
+"""
+
+from __future__ import annotations
+
+import random
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from etl_evm_chain_spark.sources.abi import (
+    RAW_LOG_SCHEMA,
+    AbiEvent,
+    AbiInput,
+    _ARRAY_RE,
+    _int_bits,
+    decode_event,
+)
+
+# ---------------------------------------------------------------------------
+# Independent encoder (solidity ABI spec, first principles)
+# ---------------------------------------------------------------------------
+
+
+def _is_dyn(inp: AbiInput) -> bool:
+    t = inp.type
+    if t in ("string", "bytes"):
+        return True
+    m = _ARRAY_RE.match(t)
+    if m:
+        if m.group(2) == "":
+            return True
+        return _is_dyn(_elem(inp))
+    if t == "tuple":
+        return any(_is_dyn(c) for c in inp.components)
+    return False
+
+
+def _elem(inp: AbiInput) -> AbiInput:
+    m = _ARRAY_RE.match(inp.type)
+    return AbiInput(inp.name, m.group(1), False, inp.components)
+
+
+def _pad32(b: bytes) -> bytes:
+    return b + bytes(-len(b) % 32)
+
+
+def _w(v: int) -> bytes:
+    return v.to_bytes(32, "big")
+
+
+def encode_value(inp: AbiInput, v) -> bytes:
+    """Tuple-encoding of one value (the tail bytes for dynamic types,
+    the inline words for static types)."""
+    t = inp.type
+    m = _ARRAY_RE.match(t)
+    if m:
+        e = _elem(inp)
+        if m.group(2) == "":
+            return _w(len(v)) + encode_components([e] * len(v), v)
+        assert len(v) == int(m.group(2))
+        return encode_components([e] * len(v), v)
+    if t == "tuple":
+        return encode_components(list(inp.components), v)
+    if t == "string":
+        b = v.encode("utf-8")
+        return _w(len(b)) + _pad32(b)
+    if t == "bytes":
+        return _w(len(v)) + _pad32(v)
+    if t == "address":
+        return bytes(12) + bytes.fromhex(v[2:])
+    if t == "bool":
+        return _w(1 if v else 0)
+    if t == "function":
+        return v + bytes(8)
+    if t.startswith("bytes"):
+        return v + bytes(32 - len(v))
+    bits = _int_bits(t)
+    assert bits is not None, t
+    # two's complement, sign-extended through the full word
+    return (v % (1 << 256)).to_bytes(32, "big")
+
+
+def encode_components(comps, values) -> bytes:
+    """Head/tail layout: static values inline, dynamic values as an
+    offset word pointing past the whole head section into their tail
+    (offsets relative to the start of this component block)."""
+    head_len = sum(32 * _slots(c) for c in comps)
+    heads, tails, offset = [], [], head_len
+    for c, v in zip(comps, values):
+        if _is_dyn(c):
+            tail = encode_value(c, v)
+            heads.append(_w(offset))
+            tails.append(tail)
+            offset += len(tail)
+        else:
+            heads.append(encode_value(c, v))
+    return b"".join(heads) + b"".join(tails)
+
+
+def _slots(inp: AbiInput) -> int:
+    if _is_dyn(inp):
+        return 1
+    m = _ARRAY_RE.match(inp.type)
+    if m:
+        return int(m.group(2)) * _slots(_elem(inp))
+    if inp.type == "tuple":
+        return sum(_slots(c) for c in inp.components)
+    return 1
+
+
+# ---------------------------------------------------------------------------
+# Seeded schema + value generation
+# ---------------------------------------------------------------------------
+
+_INT_BITS = [8, 16, 24, 32, 40, 48, 56, 64, 96, 128, 160, 192, 224, 256]
+
+
+def rand_type(rng: random.Random, depth: int) -> AbiInput:
+    pool = ["int", "uint", "address", "bool", "bytesN", "bytes",
+            "string", "function"]
+    if depth > 0:
+        pool += ["arr_dyn", "arr_fixed", "tuple", "tuple"]
+    kind = rng.choice(pool)
+    name = f"v{rng.randrange(1 << 30):x}"
+    if kind in ("int", "uint"):
+        return AbiInput(name, f"{kind}{rng.choice(_INT_BITS)}", False)
+    if kind == "bytesN":
+        return AbiInput(name, f"bytes{rng.randint(1, 32)}", False)
+    if kind in ("address", "bool", "bytes", "string", "function"):
+        return AbiInput(name, kind, False)
+    if kind == "tuple":
+        comps = tuple(rand_type(rng, depth - 1)
+                      for _ in range(rng.randint(1, 3)))
+        comps = tuple(AbiInput(f"m{i}", c.type, False, c.components)
+                      for i, c in enumerate(comps))
+        return AbiInput(name, "tuple", False, comps)
+    e = rand_type(rng, depth - 1)
+    suffix = "[]" if kind == "arr_dyn" else f"[{rng.randint(1, 3)}]"
+    return AbiInput(name, e.type + suffix, False, e.components)
+
+
+def rand_value(rng: random.Random, inp: AbiInput):
+    t = inp.type
+    m = _ARRAY_RE.match(t)
+    if m:
+        n = int(m.group(2)) if m.group(2) else rng.randint(0, 3)
+        return [rand_value(rng, _elem(inp)) for _ in range(n)]
+    if t == "tuple":
+        return [rand_value(rng, c) for c in inp.components]
+    if t == "string":
+        alpha = "ab cdé中!0"
+        return "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12)))
+    if t == "bytes":
+        return rng.randbytes(rng.randint(0, 70))
+    if t == "address":
+        return "0x" + rng.randbytes(20).hex()
+    if t == "bool":
+        return rng.random() < 0.5
+    if t == "function":
+        return rng.randbytes(24)
+    if t.startswith("bytes"):
+        return rng.randbytes(int(t[5:]))
+    bits = _int_bits(t)
+    signed = t.startswith("int")
+    lo, hi = (-(1 << (bits - 1)), (1 << (bits - 1)) - 1) if signed \
+        else (0, (1 << bits) - 1)
+    pick = rng.random()
+    if pick < 0.15:
+        return rng.choice([lo, hi, 0])
+    if pick < 0.3 and bits > 126:
+        # deliberately straddle the Decimal(38,0) NULL-saturation edge
+        v = rng.choice([10 ** 38 - 1, 10 ** 38, 10 ** 38 + 7,
+                        (1 << 127) - 1])
+        return max(lo, -v) if signed and rng.random() < 0.5 else min(hi, v)
+    return rng.randint(lo, hi)
+
+
+def expected(inp: AbiInput, v):
+    """What decode_event must return for encoded value ``v``."""
+    t = inp.type
+    m = _ARRAY_RE.match(t)
+    if m:
+        return [expected(_elem(inp), x) for x in v]
+    if t == "tuple":
+        return {c.name: expected(c, x) for c, x in zip(inp.components, v)}
+    if t == "address":
+        return v.lower()
+    if t in ("bool", "string"):
+        return v
+    if t == "bytes" or t == "function" or t.startswith("bytes"):
+        return "0x" + v.hex()
+    bits = _int_bits(t)
+    room = 0 if t.startswith("int") else 1
+    if bits + room <= 64:
+        return v
+    return Decimal(v) if abs(v) < 10 ** 38 else None
+
+
+def _norm(x):
+    """Spark Row/struct output -> plain dict/list for comparison."""
+    if hasattr(x, "asDict"):
+        return {k: _norm(v) for k, v in x.asDict().items()}
+    if isinstance(x, list):
+        return [_norm(e) for e in x]
+    return x
+
+
+# ---------------------------------------------------------------------------
+# The property
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip(spark, inputs: list[AbiInput], value_rows: list[list]):
+    ev = AbiEvent("Fuzz", tuple(inputs))
+    rows = []
+    for i, vals in enumerate(value_rows):
+        blob = "0x" + encode_components(inputs, vals).hex()
+        rows.append(("0x" + "11" * 20, [ev.topic0], blob, 1,
+                     f"0x{i:064x}", i))
+    got = decode_event(spark.createDataFrame(rows, RAW_LOG_SCHEMA), ev) \
+        .orderBy("log_index").collect()
+    assert len(got) == len(value_rows)
+    for r, vals in zip(got, value_rows):
+        for inp, v in zip(inputs, vals):
+            exp = expected(inp, v)
+            act = _norm(r[inp.name])
+            assert act == exp, (
+                f"param {inp.name} ({inp.type}): decoded {act!r} != "
+                f"encoded {exp!r}\nschema={[i.type for i in inputs]}")
+
+
+def test_abi_roundtrip_fuzz(spark):
+    """~60 random schemas (1-4 params each, composites nested to depth
+    3) x 3 independent value rows: decode(encode(v)) == v across the
+    whole grammar, seeded so failures replay exactly."""
+    rng = random.Random(0xAB16)
+    for _ in range(60):
+        inputs = [rand_type(rng, 3) for _ in range(rng.randint(1, 4))]
+        inputs = [AbiInput(f"p{i}", x.type, False, x.components)
+                  for i, x in enumerate(inputs)]
+        value_rows = [[rand_value(rng, inp) for inp in inputs]
+                      for _ in range(3)]
+        _roundtrip(spark, inputs, value_rows)
+
+
+def test_abi_roundtrip_adversarial_fixed(spark):
+    """Hand-picked worst cases: every-branch schema, empty dynamics,
+    a param literally named "data" (the reserved-alias collision the
+    decoder guards), deep nesting, and wide-int saturation edges."""
+    tup = AbiInput("p0", "tuple", False, (
+        AbiInput("m0", "string", False),
+        AbiInput("m1", "uint256[]", False),
+        AbiInput("m2", "tuple", False, (
+            AbiInput("m0", "bytes", False),
+            AbiInput("m1", "int24[2]", False),
+        )),
+    ))
+    cases = [
+        # empty string / empty bytes / empty arrays
+        ([AbiInput("p0", "string", False),
+          AbiInput("p1", "bytes", False),
+          AbiInput("p2", "address[]", False)],
+         [["", b"", []]]),
+        # dynamic tuple with nested dynamic tuple member
+        ([tup], [[["héllo", [0, 10 ** 38 - 1, 10 ** 38], [b"\x00\xff", [-4, 3]]]]]),
+        # param named "data" next to a dynamic sibling
+        ([AbiInput("data", "uint64[]", False),
+          AbiInput("p1", "string", False)],
+         [[[1, (1 << 64) - 1], "x"]]),
+        # tuple[] of dynamic tuples and string[2] fixed-of-dynamic
+        ([AbiInput("p0", "tuple[]", False, (
+            AbiInput("m0", "string", False),
+            AbiInput("m1", "int256", False))),
+          AbiInput("p1", "string[2]", False)],
+         [[[["a", -(10 ** 38) + 1], ["", 10 ** 37]], ["xy", ""]]]),
+        # nested static T[k][m] + bytes stride arrays
+        ([AbiInput("p0", "uint16[2][2]", False),
+          AbiInput("p1", "bytes32[3][]", False)],
+         [[[[1, 2], [3, 65535]],
+           [[b"\x01" * 32, b"\x02" * 32, b"\x03" * 32]]]]),
+        # int256/uint256 saturation edges incl. the _hex-twin scalars
+        ([AbiInput("p0", "int256", False),
+          AbiInput("p1", "uint256", False),
+          AbiInput("p2", "int128", False)],
+         [[-(1 << 255), (1 << 256) - 1, -(1 << 127)],
+          [-(10 ** 38 - 1), 10 ** 38 - 1, 10 ** 37]]),
+    ]
+    for inputs, value_rows in cases:
+        _roundtrip(spark, inputs, value_rows)
