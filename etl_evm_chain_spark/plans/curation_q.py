@@ -726,3 +726,234 @@ SPECS.append(
               "near-dup-cluster-aware train/val/test split (no cluster "
               "straddles splits; oracle recomputes CC + salted bucket)",
               ("P2-curation", "P2-dedup", "E4")))
+
+
+# ---------------------------------------------------------------------------
+# Q127: the STREAMING funnel's per-doc disposition lake, driven through
+# the driver's hash gate (round-5 verdict ask #1). Three epochs
+# (doc_id % 3) run through curation_funnel_epoch — the byte-identical
+# body of stream_curation_funnel's foreachBatch — against pid-scoped
+# scratch ledgers, landing one graded audit row per dropped doc:
+# (epoch, doc_id, stage, evidence exact|estimate, est_jaccard). The
+# oracle is a one-shot DuckDB twin of the whole epoch protocol:
+# first-epoch-wins exact dedup, k=64/16-band history estimates,
+# within-epoch exact-verified connected components with transitivity
+# through history-losers, and eval-set containment.
+# ---------------------------------------------------------------------------
+
+# the streaming funnel's drop geometry (k=64/16 bands — NOT the
+# analytics default k=8; see stream_curation_funnel's false-drop note)
+SFUNNEL_K = 64
+SFUNNEL_BANDS = 16
+SFUNNEL_FP_BANDS = 16  # q122's tiny-file lesson: 16 dirs, not 256
+SFUNNEL_EST_MIN = 0.5
+_SFUNNEL_EPOCHS = 3
+
+
+def q_stream_dispositions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..operators.index_ledger import _fs, _jp
+    from ..streaming.pipeline import curation_funnel_epoch
+    from .ledger_q import _index_root
+    from .llmdata import EVAL_MOD
+
+    docs = load_table(spark, sf_dir, "documents")
+    evalset = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    root = _index_root(
+        sf_dir,
+        f"sfunl_q45j50e50k{SFUNNEL_K}b{SFUNNEL_BANDS}"
+        f"fp{SFUNNEL_FP_BANDS}c80m{_SFUNNEL_EPOCHS}")
+    dispo_root = os.path.join(root, "dispo")
+    fs, _ = _fs(spark, root)
+    for e in range(_SFUNNEL_EPOCHS):
+        # resume/fast-forward: an epoch whose disposition dir is
+        # committed has fully landed (dispositions are written AFTER
+        # its index increments), and re-running it after LATER epochs
+        # landed would see the future as history — so skip committed
+        # epochs and only ever (re)run the suffix. A torn epoch
+        # replays safely: its own index rows self-exclude, and
+        # sequential ordering means no later epoch can have run.
+        if fs.exists(_jp(spark, dispo_root, f"batch_id={e}",
+                         "_SUCCESS")):
+            continue
+        curation_funnel_epoch(
+            train.filter(F.pmod(F.col("doc_id"), F.lit(3)) == e),
+            str(e), eval_docs=evalset,
+            fp_dir=os.path.join(root, f"fpidx{SFUNNEL_FP_BANDS}"),
+            nd_dir=os.path.join(root,
+                                f"ndidx{SFUNNEL_K}x{SFUNNEL_BANDS}"),
+            out_dir=os.path.join(root, "out"),
+            report_dir=os.path.join(root, "report"),
+            disposition_dir=dispo_root,
+            min_quality=FUNNEL_QUALITY_MIN,
+            jaccard_min=FUNNEL_JACCARD,
+            est_jaccard_min=SFUNNEL_EST_MIN,
+            minhash_k=SFUNNEL_K, lsh_bands=SFUNNEL_BANDS,
+            min_containment=FUNNEL_CONTAINMENT,
+            n_fp_bands=SFUNNEL_FP_BANDS)
+    dispo = spark.read.option("basePath", dispo_root).parquet(
+        *[os.path.join(dispo_root, f"batch_id={e}")
+          for e in range(_SFUNNEL_EPOCHS)])
+    # pin: a later invocation overwrites nothing (epochs are skipped
+    # once committed), but keep the lifecycle-query discipline of
+    # never returning a lazy plan over a mutable scratch ledger
+    return (dispo.select(F.col("batch_id").cast("int").alias("epoch"),
+                         "doc_id", "stage", "evidence", "est_jaccard")
+            .orderBy("epoch", "doc_id").localCheckpoint())
+
+
+def _oracle_stream_dispositions() -> str:
+    from .llmdata import (_SQL_NORM, _SQL_SHINGLES, _SQL_TOKS, EVAL_MOD,
+                          _sql_band_conds, _sql_hash15,
+                          _sql_minhash_mins)
+
+    qual = _SQL_QUALITY.strip()
+    mins = _sql_minhash_mins(SFUNNEL_K)
+    band_conds = _sql_band_conds("a", "b", k=SFUNNEL_K,
+                                 bands=SFUNNEL_BANDS)
+    matches = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+        for i in range(SFUNNEL_K))
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, text, doc_id % {_SFUNNEL_EPOCHS} AS e,
+         CASE WHEN text IS NULL THEN 0.0
+              ELSE coalesce({qual}, 0.0) END AS qual
+  FROM documents WHERE doc_id % {EVAL_MOD} != 0
+),
+s1 AS (SELECT doc_id, e, text FROM base
+       WHERE qual >= {FUNNEL_QUALITY_MIN}),
+d_quality AS (
+  SELECT e, doc_id, 'quality' AS stage, 'exact' AS evidence,
+         CAST(NULL AS DOUBLE) AS est_jaccard
+  FROM base WHERE qual < {FUNNEL_QUALITY_MIN}),
+-- first-epoch-wins + within-epoch min-id == one global rank over
+-- (epoch, doc_id) per fingerprint group: every s1 doc lands its
+-- fingerprint in the index, survivor or not
+rnk AS (
+  SELECT doc_id, e, text,
+         row_number() OVER (
+           PARTITION BY coalesce({_sql_hash15(_SQL_NORM)}, -1)
+           ORDER BY e, doc_id) AS rn
+  FROM s1
+),
+s2 AS (SELECT doc_id, e, text FROM rnk WHERE rn = 1),
+d_exact AS (
+  SELECT e, doc_id, 'exact_dup' AS stage, 'exact' AS evidence,
+         CAST(NULL AS DOUBLE) AS est_jaccard
+  FROM rnk WHERE rn > 1),
+toks2 AS (SELECT doc_id, e, {_SQL_TOKS} AS t FROM s2),
+sig AS (
+  SELECT doc_id,
+       {mins}
+  FROM (SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM toks2)
+  GROUP BY doc_id
+),
+-- every band-bucket candidate pair touching any epoch, carrying both
+-- epochs: at the later doc's ingest the earlier doc's signature is
+-- index-resident, so the pair is generated exactly once there
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, ea.e AS e_a, eb.e AS e_b,
+         ({matches})::DOUBLE / {SFUNNEL_K} AS est
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_conds})
+  JOIN s2 ea ON ea.doc_id = a.doc_id
+  JOIN s2 eb ON eb.doc_id = b.doc_id
+),
+hist_lose AS (
+  SELECT CASE WHEN e_a < e_b THEN id_b ELSE id_a END AS doc_id, est
+  FROM cand WHERE e_a != e_b AND est >= {SFUNNEL_EST_MIN}
+),
+direct AS (SELECT doc_id, max(est) AS max_est
+           FROM hist_lose GROUP BY doc_id),
+shl AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks2),
+-- within-epoch candidates (ANY estimate) are exact-verified with the
+-- texts at hand, then resolved by min-id connected components
+ver AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN shl sa ON sa.doc_id = c.id_a
+  JOIN shl sb ON sb.doc_id = c.id_b
+  WHERE c.e_a = c.e_b
+    AND len(list_intersect(sa.s, sb.s))::DOUBLE
+        / len(list_distinct(list_concat(sa.s, sb.s))) >= {FUNNEL_JACCARD}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM ver
+  UNION
+  SELECT id_b, id_a FROM ver
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+canon AS (
+  SELECT d.doc_id, d.e,
+         least(d.doc_id, coalesce(min(r.dst), d.doc_id)) AS canonical
+  FROM s2 d LEFT JOIN reach r ON r.src = d.doc_id
+  GROUP BY d.doc_id, d.e
+),
+-- a component touching a history-loser dies wholly
+dead AS (SELECT DISTINCT c.canonical
+         FROM canon c JOIN direct dr ON dr.doc_id = c.doc_id),
+losers AS (
+  SELECT doc_id FROM canon WHERE doc_id != canonical
+  UNION
+  SELECT doc_id FROM canon
+  WHERE canonical IN (SELECT canonical FROM dead)
+),
+d_near AS (
+  SELECT c.e, c.doc_id, 'near_dup' AS stage,
+         CASE WHEN c.doc_id != c.canonical
+              THEN 'exact' ELSE 'estimate' END AS evidence,
+         CASE WHEN c.doc_id = c.canonical
+              THEN dr.max_est END AS est_jaccard
+  FROM canon c LEFT JOIN direct dr ON dr.doc_id = c.doc_id
+  WHERE c.doc_id IN (SELECT doc_id FROM losers)
+),
+s3 AS (SELECT doc_id, e, text FROM s2
+       WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+evsh AS (
+  SELECT doc_id AS eval_id, {_sql_hash15("sh0")} AS sh
+  FROM (SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh0
+        FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+              WHERE doc_id % {EVAL_MOD} = 0))
+),
+trsh AS (
+  SELECT doc_id AS train_id, {_sql_hash15("sh0")} AS sh
+  FROM (SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh0
+        FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM s3))
+),
+sizes AS (SELECT eval_id, count(*) AS n_eval FROM evsh GROUP BY eval_id),
+bad AS (
+  SELECT DISTINCT train_id
+  FROM (SELECT train_id, eval_id, count(*) AS n_common
+        FROM trsh JOIN evsh USING (sh) GROUP BY 1, 2) m
+  JOIN sizes USING (eval_id)
+  WHERE n_common::DOUBLE / n_eval >= {FUNNEL_CONTAINMENT}
+),
+d_cont AS (
+  SELECT e, doc_id, 'contaminated' AS stage, 'exact' AS evidence,
+         CAST(NULL AS DOUBLE) AS est_jaccard
+  FROM s3 WHERE doc_id IN (SELECT train_id FROM bad)),
+dispo AS (
+  SELECT * FROM d_quality
+  UNION ALL SELECT * FROM d_exact
+  UNION ALL SELECT * FROM d_near
+  UNION ALL SELECT * FROM d_cont
+)
+SELECT CAST(e AS INT) AS epoch, doc_id, stage, evidence, est_jaccard
+FROM dispo ORDER BY epoch, doc_id
+"""
+
+
+SPECS.append(
+    QuerySpec("q127_stream_dispositions", q_stream_dispositions,
+              _oracle_stream_dispositions,
+              "streaming-funnel per-doc disposition lake over 3 ingest "
+              "epochs (evidence-graded drops: exact vs index-estimate "
+              "with est_jaccard), oracle = one-shot DuckDB twin of the "
+              "whole epoch protocol",
+              ("P2-curation", "P2-dedup", "H6")))

@@ -42,29 +42,37 @@ def _sql_hash15(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
 
 
-def _sql_minhash_mins() -> str:
-    """SELECT-list of the MINHASH_K per-slot minimum hashes (the SQL
-    twin of dedup.minhash_signatures) — single source for every oracle
-    that rebuilds signatures (q34, q35, q121)."""
+def _sql_minhash_mins(k: int | None = None) -> str:
+    """SELECT-list of the ``k`` per-slot minimum hashes (the SQL twin
+    of dedup.minhash_signatures) — single source for every oracle that
+    rebuilds signatures (q34, q35, q121; q127 at the streaming
+    funnel's k=64). Defaults to the library MINHASH_K."""
     import etl_evm_chain_spark.operators.dedup as dd
 
     return ",\n       ".join(
         "min({h}) AS h{i}".format(h=_sql_hash15("'{}:' || sh".format(i)), i=i)
-        for i in range(dd.MINHASH_K))
+        for i in range(k if k is not None else dd.MINHASH_K))
 
 
-def _sql_band_conds(a: str = "a", b: str = "b") -> str:
+def _sql_band_conds(a: str = "a", b: str = "b",
+                    k: int | None = None,
+                    bands: int | None = None) -> str:
     """OR-of-bands equality predicate over the h0..h{K-1} signature
-    columns — the SQL twin of dedup._banded's band keys."""
+    columns — the SQL twin of dedup._banded's band keys. Defaults to
+    the library MINHASH_K/LSH_BANDS geometry."""
     import etl_evm_chain_spark.operators.dedup as dd
 
-    rows = dd.MINHASH_K // dd.LSH_BANDS
+    if k is None:
+        k = dd.MINHASH_K
+    if bands is None:
+        bands = dd.LSH_BANDS
+    rows = k // bands
     return " OR ".join(
         "(" + " AND ".join(
             f"{a}.h{bd * rows + r} = {b}.h{bd * rows + r}"
             for r in range(rows)
         ) + ")"
-        for bd in range(dd.LSH_BANDS))
+        for bd in range(bands))
 
 
 # ---------------------------------------------------------------------------
@@ -822,6 +830,158 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q126: recall@k GATE for the three approximate retrieval paths (LSH
+# ANN / IVF / PQ-ADC) against the exact brute-force top-k — the
+# round-5 verdict's ask #5. The geometry constants (N_PLANES,
+# PROBE_RADIUS, IVF_CELLS, IVF_PROBE, PQ codebook size) could all be
+# retuned without any check that retrieval QUALITY held; this query
+# pins recall itself into the driver's hash gate, so a tuning commit
+# that silently degrades retrieval fails correctness, not just a
+# pytest threshold. Oracle = DuckDB recomputation of the same recall
+# from its own exact/LSH/IVF twins (q38/q40/q42 oracles) plus the
+# margin-checked PQ ground truth (plans/groundtruth.pq_topk_truth).
+# ---------------------------------------------------------------------------
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import literal_df
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    k = 5
+    # the exact pair set is consumed twice (hit join + denominator);
+    # it is k×|queries| rows, so pin it rather than re-running the
+    # brute-force scan (audit: rdd_scan ALLOW q126)
+    exact = (sim.brute_force_topk(emb, queries, k=k)
+             .select("qid", "cid").localCheckpoint())
+    approx = (
+        sim.ann_topk(emb, queries, k=k)
+        .select(F.lit("lsh").alias("method"), "qid", "cid")
+        .unionByName(sim.ivf_topk(emb, queries, k=k)
+                     .select(F.lit("ivf").alias("method"), "qid", "cid"))
+        .unionByName(sim.pq_topk(emb, queries, k=k)
+                     .select(F.lit("pq").alias("method"), "qid", "cid")))
+    hits = (approx.join(exact, ["qid", "cid"])
+            .groupBy("method").agg(F.count(F.lit(1)).alias("_h")))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    # literal method spine: a method with zero hits must still emit
+    # its (damning) recall row rather than vanish from the gate
+    base = literal_df(spark, [("ivf",), ("lsh",), ("pq",)],
+                      "method string")
+    hits_c = F.coalesce(F.col("_h"), F.lit(0)).cast("long")
+    return (base.join(hits, "method", "left")
+            .crossJoin(n_exact)
+            .select(F.col("method"), hits_c.alias("hits"),
+                    F.col("n_exact").cast("long").alias("n_exact"),
+                    (hits_c.cast("double")
+                     / F.col("n_exact").cast("double")).alias("recall"))
+            .orderBy("method"))
+
+
+def _oracle_ann_recall() -> str:
+    """Lazy (needs oracle_ctx for the PQ ground truth). CTE names are
+    namespaced to compose the q38/q40/q42 oracle bodies in one WITH
+    chain; recall = hits/n_exact is one IEEE double division of small
+    exact integers, identical bit pattern in both engines."""
+    from ..operators.similarity import (IVF_CELLS, IVF_PROBE, N_PLANES,
+                                        PROBE_RADIUS)
+    from .groundtruth import pq_topk_truth
+    from . import oracle_ctx
+
+    cos = ("{d} / (sqrt({na}) * sqrt({nb}))").format(
+        d=_SQL_DOT.format(a="{a}", b="{b}"),
+        na=_SQL_DOT.format(a="{a}", b="{a}"),
+        nb=_SQL_DOT.format(a="{b}", b="{b}"))
+    h = _sql_hash15("'ivf:' || CAST(vec_id AS VARCHAR)")
+    pq_vals = ",\n    ".join(
+        f"({q},{c})" for q, c, _, _ in pq_topk_truth(oracle_ctx.sf_dir()))
+    return f"""
+WITH ex_scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         {cos.format(a="q.embedding", b="c.embedding")} AS sim
+  FROM embeddings c
+  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+  WHERE q.vec_id != c.vec_id
+),
+ex AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                       ORDER BY sim DESC, cid ASC) AS rank
+    FROM ex_scored) WHERE rank <= 5
+),
+{_sql_banded_buckets(N_PLANES, N_PLANES)},
+lsh_cand AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid
+  FROM bk q JOIN bk c
+    ON bit_count(xor(q.bucket, c.bucket)) <= {PROBE_RADIUS}
+  WHERE q.vec_id < 5 AND q.vec_id != c.vec_id
+),
+lsh_top AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                       ORDER BY sim DESC, cid ASC) AS rank
+    FROM (SELECT qid, cid,
+                 {cos.format(a="eq.embedding", b="ec.embedding")} AS sim
+          FROM lsh_cand
+          JOIN embeddings eq ON eq.vec_id = qid
+          JOIN embeddings ec ON ec.vec_id = cid))
+  WHERE rank <= 5
+),
+ivf_cent_rows AS (
+  SELECT vec_id, embedding, {h} AS h
+  FROM embeddings ORDER BY h, vec_id LIMIT {IVF_CELLS}
+),
+ivf_cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cell,
+         embedding AS cent
+  FROM ivf_cent_rows
+),
+ivf_ranked_cells AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY csim DESC, cell ASC) AS cr
+  FROM (SELECT e.vec_id, e.embedding, c.cell,
+               {cos.format(a="e.embedding", b="c.cent")} AS csim
+        FROM embeddings e CROSS JOIN ivf_cents c)
+),
+ivf_top AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                       ORDER BY sim DESC, cid ASC) AS rank
+    FROM (SELECT p.vec_id AS qid, a.vec_id AS cid,
+                 {cos.format(a="p.embedding", b="a.embedding")} AS sim
+          FROM (SELECT * FROM ivf_ranked_cells WHERE cr = 1) a
+          JOIN (SELECT * FROM ivf_ranked_cells
+                WHERE cr <= {IVF_PROBE} AND vec_id < 5) p
+            USING (cell)
+          WHERE p.vec_id != a.vec_id))
+  WHERE rank <= 5
+),
+pq_top(qid, cid) AS (VALUES
+    {pq_vals}),
+meth AS (
+  SELECT 'lsh' AS method, qid, cid FROM lsh_top
+  UNION ALL SELECT 'ivf', qid, cid FROM ivf_top
+  UNION ALL SELECT 'pq', CAST(qid AS BIGINT), CAST(cid AS BIGINT)
+  FROM pq_top
+),
+hits AS (
+  SELECT method, count(*) AS hits
+  FROM meth JOIN ex USING (qid, cid) GROUP BY method
+),
+n AS (SELECT count(*) AS n_exact FROM ex)
+SELECT m.method,
+       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       CAST(n.n_exact AS BIGINT) AS n_exact,
+       CAST(coalesce(h.hits, 0) AS DOUBLE)
+         / CAST(n.n_exact AS DOUBLE) AS recall
+FROM (VALUES ('ivf'), ('lsh'), ('pq')) m(method)
+LEFT JOIN hits h ON h.method = m.method
+CROSS JOIN n
+ORDER BY m.method
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q50: winnowing fingerprints — the rolling-hash document
 # fingerprinting scheme (k-gram hashes, min per w-window, distinct).
 # ---------------------------------------------------------------------------
@@ -1550,6 +1710,10 @@ SPECS = [
               "(recall-tested; oracle = in-process replay of the "
               "deterministic codebook/ADC pipeline, tie-margin "
               "asserted)", ("P2-sim",)),
+    QuerySpec("q126_ann_recall", q_ann_recall, _oracle_ann_recall,
+              "recall@k gate: LSH/IVF/PQ retrieval vs exact brute-force "
+              "top-k, recall hash-pinned so geometry retunes cannot "
+              "silently degrade retrieval", ("P2-sim",)),
     QuerySpec("q50_winnow_fingerprints", q_winnow_fingerprints, ORACLE_WINNOW,
               "winnowing rolling-hash document fingerprints", ("P2-text",)),
     QuerySpec("q65_quantize_embeddings", q_quantize_embeddings, ORACLE_QUANTIZE,

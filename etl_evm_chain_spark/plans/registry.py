@@ -12,14 +12,13 @@ _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
             textstats_q, skew_q, ingest_q, quality_q, ledger_q]
 
 # The correctness driver samples the FIRST 50 registry entries.
-# Round 5 front-loads the headline work — the SEVEN formerly
-# rows-only queries that now carry ground-truth literal oracles
-# (q25/q26/q27 FSM backtests, q29 ML signals, q73 PQ, q102 quality
-# filter, q103 BPE — the r4 verdict's top ask) — plus every query
-# whose PLAN changed: the equi-depth rework (q53/q87) and the
-# ranking-kit pin/probe change (q59/q115/q120). Rotated OUT to make
-# room (all driver-green in CORRECTNESS_r04 with unchanged plans):
-# q15, q58, q110, q111, q112, q76, q35.
+# Round 6 keeps the round-5 lifecycle/funnel queries in for their
+# second green window (q121-q125, verdict ask #6), front-loads the
+# two NEW queries (q126 recall gate, q127 streaming-funnel
+# disposition lake) and every query whose plan changed this round
+# (q27 overflow-bucket predicate; q29/q102 via exact_auc's decimal
+# products; q121/q122/q125 fast-forward). Rotated OUT to make room
+# (driver-green r01-r05, plans unchanged): q69, q83.
 _PRIORITY = [
     # ---- EXACTLY the driver's 50-slot window, all oracle-backed ----
     # newly pinned this round (first-ever hash rows):
@@ -43,8 +42,11 @@ _PRIORITY = [
     "q106_weighted_sample", "q108_shard_manifest",
     # proven sentinels fill the remaining slots (driver-green in
     # CORRECTNESS_r01-r04), diverse across operator families:
-    "q68_semantic_dedup", "q69_span_dedup", "q83_bigram_surprisal",
+    "q68_semantic_dedup",
     "q71_unigram_surprisal", "q45_topic_routing",
+    # new round-6 queries (first-ever driver rows; replace the
+    # q69/q83 sentinels, driver-green in r01-r05):
+    "q126_ann_recall", "q127_stream_dispositions",
     "q41_dedup_resolve",
     "q51_merge_upsert",
     "q52_profile_columns", "q54_asof_join",

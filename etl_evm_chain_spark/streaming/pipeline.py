@@ -886,9 +886,169 @@ def stream_expectations(events: DataFrame, checks, *, report_dir: str,
     return w.start()
 
 
+def curation_funnel_epoch(batch_df: DataFrame, epoch: str, *,
+                          eval_docs: DataFrame, fp_dir: str, nd_dir: str,
+                          out_dir: str, report_dir: str,
+                          disposition_dir: str | None = None,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          min_quality: float = 0.45,
+                          jaccard_min: float = 0.5,
+                          est_jaccard_min: float = 0.5,
+                          minhash_k: int = 64, lsh_bands: int = 16,
+                          min_containment: float = 0.8,
+                          n_fp_bands: int = 256) -> None:
+    """ONE epoch of the ingest-time curation funnel — the shared body
+    of stream_curation_funnel's foreachBatch closure AND the q127
+    driver query (plans/curation_q.q_stream_dispositions), so the
+    registry query exercises byte-identical logic to the stream.
+
+    Stages and ledger semantics are documented on
+    stream_curation_funnel. When ``disposition_dir`` is given, every
+    DROPPED document also lands one audit row under
+    ``disposition_dir/batch_id=<epoch>/`` (overwrite-on-replay like
+    the other outputs):
+
+      (doc_id, stage, evidence, est_jaccard)
+
+    ``evidence`` grades the PROOF that doomed the doc — the round-5
+    verdict's gap (per-epoch reports recorded stage counts only, so a
+    dropped doc's grade was unqueryable afterward):
+
+    - ``exact``: text-level proof — quality score, fingerprint
+      equality, verified shingle Jaccard against a within-batch
+      cluster-mate (doc != canonical), or eval-set containment.
+    - ``estimate``: index-resident proof — the doc is its batch
+      cluster's canonical yet still dropped, which only happens
+      through history (the landed index holds signatures, not text):
+      ``est_jaccard`` carries the doc's own best history estimate
+      (exact i/k rational, engine-portable) when it matched history
+      directly, and stays NULL when the doc dies transitively
+      (its component touched a history-loser).
+    """
+    import os
+
+    from ..catalog import literal_df
+    from ..functions.text import quality_score
+    from ..operators.cleaning import contamination
+    from ..operators.dedup import (resolve_duplicates,
+                                   update_exact_dedup_index,
+                                   update_near_dup_index, verify_pairs)
+
+    spark = batch_df.sparkSession
+    n_in = batch_df.count()
+    if n_in == 0:
+        return
+
+    q = F.when(F.col(text_col).isNull(), F.lit(0.0)) \
+        .otherwise(F.coalesce(quality_score(text_col), F.lit(0.0)))
+    s1 = batch_df.filter(q >= min_quality).localCheckpoint()
+    n_q = s1.count()
+
+    s2 = update_exact_dedup_index(
+        spark, s1, fp_dir,
+        id_col=id_col, text_col=text_col, n_bands=n_fp_bands,
+        batch_id=epoch).localCheckpoint()
+    n_e = s2.count()
+
+    # one evaluation: three consumers below re-reference the
+    # band-pruned history join (dedup.py's reuse discipline)
+    pairs = update_near_dup_index(
+        spark, s2, nd_dir, k=minhash_k, bands=lsh_bands,
+        id_col=id_col, text_col=text_col, batch_id=epoch) \
+        .localCheckpoint()
+    batch_ids = s2.select(F.col(id_col).alias("_bid"))
+    # a batch doc loses to ANY history twin (first-arrival-wins);
+    # history sits on either side of the id_a < id_b pair — keep the
+    # estimate alongside the id so the disposition can grade it
+    est = pairs.filter(F.col("est_jaccard") >= est_jaccard_min)
+    be = (
+        est.join(batch_ids, est["id_a"] == batch_ids["_bid"],
+                 "left_anti")
+        .select(F.col("id_b").alias(id_col), "est_jaccard")
+        .union(
+            est.join(batch_ids, est["id_b"] == batch_ids["_bid"],
+                     "left_anti")
+            .select(F.col("id_a").alias(id_col), "est_jaccard"))
+        .localCheckpoint())
+    lose_hist = be.select(id_col).dropDuplicates()
+    # within-batch candidates (any estimate): exact-verify with
+    # the texts at hand, then resolve connected components with
+    # the batch twin's min-id rule
+    wb = (pairs.join(batch_ids, pairs["id_a"] == batch_ids["_bid"],
+                     "leftsemi")
+          .join(batch_ids, pairs["id_b"] == batch_ids["_bid"],
+                "leftsemi")
+          .select("id_a", "id_b"))
+    wbv = verify_pairs(s2, wb, id_col=id_col, text_col=text_col,
+                       threshold=jaccard_min).select("id_a", "id_b")
+    resolved = resolve_duplicates(s2.select(id_col), wbv,
+                                  id_col=id_col).localCheckpoint()
+    # a component touching a history-loser dies wholly (one-shot
+    # transitivity through the historical twin); otherwise only
+    # the canonical member survives
+    dead_comp = (resolved.join(lose_hist, id_col, "leftsemi")
+                 .select("canonical").dropDuplicates())
+    losers = (resolved.filter(F.col(id_col) != F.col("canonical"))
+              .select(id_col)
+              .union(resolved.join(dead_comp, "canonical",
+                                   "leftsemi").select(id_col))
+              .dropDuplicates())
+    s3 = s2.join(losers, id_col, "left_anti").localCheckpoint()
+    n_n = s3.count()
+
+    hits = contamination(s3, eval_docs, id_col=id_col,
+                         text_col=text_col,
+                         min_containment=min_containment)
+    bad = hits.select(F.col("train_id").alias(id_col)) \
+        .dropDuplicates()
+    kept = s3.join(bad, id_col, "left_anti").localCheckpoint()
+    n_k = kept.count()
+
+    kept.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch_id={int(epoch)}"))
+
+    if disposition_dir is not None:
+        ids = F.col(id_col)
+        ev = F.lit("exact")
+        no_est = F.lit(None).cast("double")
+
+        def flat(df: DataFrame, stage: str) -> DataFrame:
+            return df.select(ids, F.lit(stage).alias("stage"),
+                             ev.alias("evidence"),
+                             no_est.alias("est_jaccard"))
+
+        d_quality = flat(batch_df.filter(q < min_quality), "quality")
+        d_exact = flat(s1.join(s2, id_col, "left_anti"), "exact_dup")
+        direct = be.groupBy(id_col).agg(
+            F.max("est_jaccard").alias("_est"))
+        d_near = (
+            resolved.join(losers, id_col, "leftsemi")
+            .join(direct, id_col, "left")
+            .select(
+                ids, F.lit("near_dup").alias("stage"),
+                F.when(ids != F.col("canonical"), F.lit("exact"))
+                .otherwise(F.lit("estimate")).alias("evidence"),
+                F.when(ids == F.col("canonical"), F.col("_est"))
+                .otherwise(no_est).alias("est_jaccard")))
+        d_cont = flat(s3.join(kept, id_col, "left_anti"),
+                      "contaminated")
+        dispo = d_quality.unionByName(d_exact) \
+            .unionByName(d_near).unionByName(d_cont)
+        dispo.write.mode("overwrite").parquet(
+            os.path.join(disposition_dir, f"batch_id={int(epoch)}"))
+
+    report = [("quality", n_in - n_q), ("exact_dup", n_q - n_e),
+              ("near_dup", n_e - n_n), ("contaminated", n_n - n_k),
+              ("kept", n_k)]
+    literal_df(spark, report, "stage string, n_docs long") \
+        .coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(report_dir, f"batch_id={int(epoch)}"))
+
+
 def stream_curation_funnel(docs: DataFrame, *, eval_docs: DataFrame,
                            state_dir: str, out_dir: str,
                            report_dir: str, checkpoint: str,
+                           disposition_dir: str | None = None,
                            id_col: str = "doc_id",
                            text_col: str = "text",
                            min_quality: float = 0.45,
@@ -926,7 +1086,10 @@ def stream_curation_funnel(docs: DataFrame, *, eval_docs: DataFrame,
        document ≥ ``min_containment`` (broadcast eval index).
 
     Survivors land under ``out_dir/batch_id=<epoch>/``; a 5-row stage-
-    count report lands under ``report_dir/batch_id=<epoch>/``. Both
+    count report lands under ``report_dir/batch_id=<epoch>/``; with a
+    ``disposition_dir``, every dropped doc additionally lands one
+    graded audit row (see curation_funnel_epoch — the shared epoch
+    body, also driven directly by the q127 registry query). Both
     ledger indexes are epoch-keyed overwrite-on-replay (their round-4
     exactly-once contracts), and both output directories overwrite on
     replay, so a crashed-and-replayed epoch converges to one copy.
@@ -941,13 +1104,6 @@ def stream_curation_funnel(docs: DataFrame, *, eval_docs: DataFrame,
     equi-joins, eval set broadcasts.
     """
     import os
-
-    from ..catalog import literal_df
-    from ..functions.text import quality_score
-    from ..operators.cleaning import contamination
-    from ..operators.dedup import (resolve_duplicates,
-                                   update_exact_dedup_index,
-                                   update_near_dup_index, verify_pairs)
 
     fp_dir = os.path.join(state_dir, f"fpidx{n_fp_bands}")
     nd_dir = os.path.join(state_dir, f"ndidx{minhash_k}x{lsh_bands}")
@@ -971,83 +1127,14 @@ def stream_curation_funnel(docs: DataFrame, *, eval_docs: DataFrame,
                 f"suffixes) and will not read the old layout")
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        epoch = str(int(batch_id))
-        n_in = batch_df.count()
-        if n_in == 0:
-            return
-
-        q = F.when(F.col(text_col).isNull(), F.lit(0.0)) \
-            .otherwise(F.coalesce(quality_score(text_col), F.lit(0.0)))
-        s1 = batch_df.filter(q >= min_quality).localCheckpoint()
-        n_q = s1.count()
-
-        s2 = update_exact_dedup_index(
-            spark, s1, fp_dir,
-            id_col=id_col, text_col=text_col, n_bands=n_fp_bands,
-            batch_id=epoch).localCheckpoint()
-        n_e = s2.count()
-
-        # one evaluation: three consumers below re-reference the
-        # band-pruned history join (dedup.py's reuse discipline)
-        pairs = update_near_dup_index(
-            spark, s2, nd_dir, k=minhash_k, bands=lsh_bands,
-            id_col=id_col, text_col=text_col, batch_id=epoch) \
-            .localCheckpoint()
-        batch_ids = s2.select(F.col(id_col).alias("_bid"))
-        # a batch doc loses to ANY history twin (first-arrival-wins);
-        # history sits on either side of the id_a < id_b pair
-        est = pairs.filter(F.col("est_jaccard") >= est_jaccard_min)
-        lose_hist = (
-            est.join(batch_ids, est["id_a"] == batch_ids["_bid"],
-                     "left_anti")
-            .select(F.col("id_b").alias(id_col))
-            .union(
-                est.join(batch_ids, est["id_b"] == batch_ids["_bid"],
-                         "left_anti")
-                .select(F.col("id_a").alias(id_col)))
-            .dropDuplicates().localCheckpoint())
-        # within-batch candidates (any estimate): exact-verify with
-        # the texts at hand, then resolve connected components with
-        # the batch twin's min-id rule
-        wb = (pairs.join(batch_ids, pairs["id_a"] == batch_ids["_bid"],
-                         "leftsemi")
-              .join(batch_ids, pairs["id_b"] == batch_ids["_bid"],
-                    "leftsemi")
-              .select("id_a", "id_b"))
-        wbv = verify_pairs(s2, wb, id_col=id_col, text_col=text_col,
-                           threshold=jaccard_min).select("id_a", "id_b")
-        resolved = resolve_duplicates(s2.select(id_col), wbv,
-                                      id_col=id_col)
-        # a component touching a history-loser dies wholly (one-shot
-        # transitivity through the historical twin); otherwise only
-        # the canonical member survives
-        dead_comp = (resolved.join(lose_hist, id_col, "leftsemi")
-                     .select("canonical").dropDuplicates())
-        losers = (resolved.filter(F.col(id_col) != F.col("canonical"))
-                  .select(id_col)
-                  .union(resolved.join(dead_comp, "canonical",
-                                       "leftsemi").select(id_col))
-                  .dropDuplicates())
-        s3 = s2.join(losers, id_col, "left_anti").localCheckpoint()
-        n_n = s3.count()
-
-        hits = contamination(s3, eval_docs, id_col=id_col,
-                             text_col=text_col,
-                             min_containment=min_containment)
-        bad = hits.select(F.col("train_id").alias(id_col)) \
-            .dropDuplicates()
-        kept = s3.join(bad, id_col, "left_anti").localCheckpoint()
-        n_k = kept.count()
-
-        kept.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch_id={int(batch_id)}"))
-        report = [("quality", n_in - n_q), ("exact_dup", n_q - n_e),
-                  ("near_dup", n_e - n_n), ("contaminated", n_n - n_k),
-                  ("kept", n_k)]
-        literal_df(spark, report, "stage string, n_docs long") \
-            .coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(report_dir, f"batch_id={int(batch_id)}"))
+        curation_funnel_epoch(
+            batch_df, str(int(batch_id)), eval_docs=eval_docs,
+            fp_dir=fp_dir, nd_dir=nd_dir, out_dir=out_dir,
+            report_dir=report_dir, disposition_dir=disposition_dir,
+            id_col=id_col, text_col=text_col, min_quality=min_quality,
+            jaccard_min=jaccard_min, est_jaccard_min=est_jaccard_min,
+            minhash_k=minhash_k, lsh_bands=lsh_bands,
+            min_containment=min_containment, n_fp_bands=n_fp_bands)
 
     w = (docs.writeStream.foreachBatch(per_batch)
          .option("checkpointLocation", checkpoint))

@@ -384,3 +384,35 @@ def test_sweep_dead_roots_pid_reuse_ttl(tmp_path):
     os.utime(live_fresh, (old, old))
     lq._sweep_dead_roots(base, "s")
     assert not os.path.isdir(live_fresh)
+
+
+def test_two_process_concurrency_soak_on_shared_lake_base():
+    """Round-5 verdict ask #3: two concurrent processes drive the
+    full q121/q122/q125 lifecycle (each against its own pid-scoped
+    root under the SHARED /tmp/spark_graft_lake base, each sweeping
+    siblings on entry) — both must finish with 0 oracle failures, and
+    neither may sweep the other's live root mid-run (their roots must
+    both still exist afterwards; a swept root would also have failed
+    the victim's reads)."""
+    import glob
+    import subprocess
+    import sys
+
+    cmd = [sys.executable, "tools/check_oracle.py", SF_SMALL,
+           "q121_compacted_lsh_pairs", "q122_compacted_exact_survivors",
+           "q125_compacted_ann_topk"]
+    procs = [subprocess.Popen(cmd, cwd="/root/repo",
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.DEVNULL, text=True)
+             for _ in range(2)]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+        assert "0 failures" in out, out[-2000:]
+    # neither process swept the other's root while it was alive
+    for p in procs:
+        roots = glob.glob(f"/tmp/spark_graft_lake/*_pid{p.pid}")
+        assert len(roots) >= 3, (p.pid, roots)
+        # dead now: clean up what the next in-process sweep would
+        for r in roots:
+            shutil.rmtree(r, ignore_errors=True)

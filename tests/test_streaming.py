@@ -1246,3 +1246,164 @@ def test_stream_curation_funnel_stages_across_epochs(spark, tmp_path):
     # report reconciles with the lake per epoch
     n_kept_ep2 = lake.filter("batch_id = 1").count()
     assert r2["kept"] == n_kept_ep2
+
+
+# ---------------------------------------------------------------------------
+# Round 6: the per-doc disposition lake (curation_funnel_epoch) — the
+# graded audit rows the round-5 verdict asked for — and the
+# streaming↔batch funnel equivalence property.
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_disposition_lake_grades_and_reconciliation(spark, tmp_path):
+    """Two epochs through curation_funnel_epoch (the exact body the
+    stream runs): every dropped doc lands one graded disposition row,
+    per-epoch disposition counts reconcile with the stage-count
+    report, dispositions + survivors partition the batch, and the
+    evidence grades follow the documented rule (exact = text-level
+    proof; estimate = index-resident history proof, est_jaccard only
+    for direct history matches)."""
+    base = ("the quick brown fox jumps over the lazy dog and the "
+            "sleepy cat of the old town walks to the green river in "
+            "the quiet night while the birds of the valley sing and "
+            "the wind of the hills blows softly over the fields")
+    evt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    def mk(seed, n=26):
+        return " ".join(f"the w{seed}n{i} of" for i in range(n))
+
+    state = str(tmp_path / "st")
+    out = str(tmp_path / "out")
+    rep = str(tmp_path / "rep")
+    disp = str(tmp_path / "disp")
+    evaldf = spark.createDataFrame([(900, evt)], "doc_id long, text string")
+
+    def run_epoch(rows, epoch):
+        sp.curation_funnel_epoch(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            epoch, eval_docs=evaldf,
+            fp_dir=state + "/fpidx8", nd_dir=state + "/ndidx64x32",
+            out_dir=out, report_dir=rep, disposition_dir=disp,
+            n_fp_bands=8, lsh_bands=32,
+            jaccard_min=0.35, est_jaccard_min=0.35)
+
+    run_epoch([(1, base + " one"), (2, mk(2))], "0")
+    run_epoch([
+        (10, "  " + (base + " one").upper().replace(" ", "  ")),  # exact
+        (11, base + " one two three four"),                # near-dup of 1
+        (12, mk(12, 12) + " " + evt),                      # contaminated
+        (13, "!!! ;;; ,,, ..."),                           # low quality
+        (14, mk(14)),                                      # fresh
+        (15, mk(14) + " the extra of the tail of"),        # in-batch loser
+        (16, mk(61, 8) + " " + mk(2, 13)),                 # dead component
+        (17, mk(61, 8) + " " + mk(2)),                     # dies to history
+    ], "1")
+
+    d0 = spark.read.parquet(disp + "/batch_id=0")
+    assert d0.count() == 0  # epoch 0 dropped nothing
+    d1 = {r["doc_id"]: r for r in
+          spark.read.parquet(disp + "/batch_id=1").collect()}
+    assert sorted(d1) == [10, 11, 12, 13, 15, 16, 17]
+
+    assert (d1[13]["stage"], d1[13]["evidence"]) == ("quality", "exact")
+    assert (d1[10]["stage"], d1[10]["evidence"]) == ("exact_dup", "exact")
+    assert (d1[12]["stage"], d1[12]["evidence"]) == ("contaminated",
+                                                     "exact")
+    # 11: singleton canonical that matched history doc 1 directly —
+    # estimate evidence carrying its own best history estimate
+    assert (d1[11]["stage"], d1[11]["evidence"]) == ("near_dup",
+                                                     "estimate")
+    assert d1[11]["est_jaccard"] is not None
+    assert 0.35 <= d1[11]["est_jaccard"] <= 1.0
+    # 15: lost the within-batch exact-verified CC to 14 — text proof
+    assert (d1[15]["stage"], d1[15]["evidence"]) == ("near_dup", "exact")
+    assert d1[15]["est_jaccard"] is None
+    # 17: also non-canonical within {16,17} (min-id rule) — it would
+    # have died to 16 regardless of history, so the grade stays exact
+    assert (d1[17]["stage"], d1[17]["evidence"]) == ("near_dup", "exact")
+    # 16: canonical of a component that died only through 17's history
+    # match — estimate evidence, transitive (no direct est of its own)
+    assert (d1[16]["stage"], d1[16]["evidence"]) == ("near_dup",
+                                                     "estimate")
+    assert d1[16]["est_jaccard"] is None
+
+    # report <-> disposition reconciliation, and drops+kept partition
+    # the batch
+    r1 = {r["stage"]: r["n_docs"] for r in
+          spark.read.parquet(rep + "/batch_id=1").collect()}
+    from collections import Counter
+    stage_counts = Counter(r["stage"] for r in d1.values())
+    for stage in ("quality", "exact_dup", "near_dup", "contaminated"):
+        assert r1[stage] == stage_counts.get(stage, 0), stage
+    kept_ids = {r["doc_id"] for r in
+                spark.read.parquet(out + "/batch_id=1").collect()}
+    assert r1["kept"] == len(kept_ids)
+    assert kept_ids | set(d1) == {10, 11, 12, 13, 14, 15, 16, 17}
+    assert kept_ids.isdisjoint(d1)
+
+
+def test_funnel_streaming_matches_batch_on_collision_free_fixture(
+        spark, tmp_path):
+    """The round-5 verdict's equivalence property: the same corpus
+    through the one-shot batch funnel and through 3 contiguous-id
+    ingest epochs yields the SAME per-stage drop sets and the same
+    pre-budget survivor set, because on a collision-free fixture
+    (pair Jaccard ≈ 0.85 or ≈ 0, thresholds at 0.5) the history
+    ESTIMATE and the exact verification always agree, and contiguous
+    id ranges make first-epoch-wins coincide with the global min-id
+    rules."""
+    from etl_evm_chain_spark.operators.curation import curation_funnel
+
+    evt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    def mk(fam, extra=0):
+        toks = " ".join(f"the {fam}w{j} of" for j in range(20))
+        return toks + "".join(f" the x{fam}e{j} of" for j in range(extra))
+
+    rows = [
+        (1, mk("a")),                    # epoch 0: canonical of the chain
+        (2, mk("b")),
+        (3, "%%% ### @@@"),              # quality drop
+        (4, mk("c") + " " + evt),        # contaminated
+        (11, mk("a", 3)),                # epoch 1: near-dup of 1
+        (12, "  " + mk("b").upper()),    # exact dup of 2
+        (13, mk("d")),
+        (21, mk("a", 4)),                # epoch 2: near-dup of 1 and 11
+        (23, mk("e")),                   # within-epoch pair: keep 23
+        (24, mk("e", 3)),
+        (25, mk("f")),
+    ]
+    docs = spark.createDataFrame(
+        [(i, "src1", t, len(t)) for i, t in rows],
+        "doc_id long, source string, text string, n_chars long")
+    evaldf = spark.createDataFrame([(900, "eval", evt, len(evt))],
+                                   docs.schema)
+
+    batch = curation_funnel(docs, eval_docs=evaldf, part_col="source",
+                            rate_col=F.lit(5), min_quality=0.45,
+                            jaccard_threshold=0.5, n_buckets=8)
+    bstage = {r["doc_id"]: r["stage"] for r in batch.collect()}
+
+    state = str(tmp_path / "st")
+    out = str(tmp_path / "out")
+    rep = str(tmp_path / "rep")
+    disp = str(tmp_path / "disp")
+    epochs = [[r for r in rows if lo <= r[0] < lo + 10]
+              for lo in (0, 10, 20)]
+    for e, ep_rows in enumerate(epochs):
+        sp.curation_funnel_epoch(
+            spark.createDataFrame(ep_rows, "doc_id long, text string"),
+            str(e), eval_docs=evaldf.select("doc_id", "text"),
+            fp_dir=state + "/fpidx8", nd_dir=state + "/ndidx64x16",
+            out_dir=out, report_dir=rep, disposition_dir=disp,
+            n_fp_bands=8)
+
+    sdisp = {r["doc_id"]: r["stage"]
+             for r in spark.read.parquet(disp).collect()}
+    skept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # pre-budget survivors match (the stream has no budget stage)
+    assert skept == {d for d, s in bstage.items()
+                     if s in ("kept", "over_budget")}
+    # and every drop lands in the SAME stage in both engines
+    assert sdisp == {d: s for d, s in bstage.items()
+                     if s not in ("kept", "over_budget")}

@@ -92,6 +92,10 @@ ALLOW: dict[str, set[str]] = {
     # the Arrow kernel is the map-only cell assignment (exact
     # sequential-fold parity with the SQL oracle)
     "q42_ivf_topk": {"nested_loop", "pandas"},
+    # the recall gate COMPOSES the q38/q40/q42/q73 pipelines, so it
+    # inherits exactly their allowed shapes (broadcast-bounded NLJ,
+    # vectorized sketch/ADC kernels)
+    "q126_ann_recall": {"nested_loop", "pandas"},
     # single-row broadcast of per-dimension stats / corpus count —
     # the scalar-subquery shape (1-row build side, no pair explosion)
     "q65_quantize_embeddings": {"nested_loop"},
@@ -176,6 +180,15 @@ _RDD_ALLOW = {
     "q121_compacted_lsh_pairs",
     # same pin discipline; k x |batch| rows
     "q125_compacted_ann_topk",
+    # the recall gate pins the k x |queries|-row exact top-k set
+    # (consumed twice: hit join + denominator) instead of re-running
+    # the brute-force scan
+    "q126_ann_recall",
+    # the disposition lake is a scratch-ledger lifecycle query: the
+    # epoch bodies pin their stage survivors (ledger reuse
+    # discipline) and the result pins before returning (never hand a
+    # lazy plan over a mutable ledger to the caller)
+    "q127_stream_dispositions",
 }
 for _q in _RDD_ALLOW:
     ALLOW.setdefault(_q, set()).add("rdd_scan")
