@@ -761,10 +761,16 @@ def q_stream_dispositions(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     evalset = docs.filter(F.col("doc_id") % EVAL_MOD == 0)
     train = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    # every geometry/threshold constant is DERIVED into the root name
+    # (_index_root's contract): a retuned threshold can never inherit
+    # a ledger built under the old geometry
     root = _index_root(
         sf_dir,
-        f"sfunl_q45j50e50k{SFUNNEL_K}b{SFUNNEL_BANDS}"
-        f"fp{SFUNNEL_FP_BANDS}c80m{_SFUNNEL_EPOCHS}")
+        f"sfunl_q{int(FUNNEL_QUALITY_MIN * 100)}"
+        f"j{int(FUNNEL_JACCARD * 100)}"
+        f"e{int(SFUNNEL_EST_MIN * 100)}k{SFUNNEL_K}b{SFUNNEL_BANDS}"
+        f"fp{SFUNNEL_FP_BANDS}c{int(FUNNEL_CONTAINMENT * 100)}"
+        f"m{_SFUNNEL_EPOCHS}")
     dispo_root = os.path.join(root, "dispo")
     fs, _ = _fs(spark, root)
     for e in range(_SFUNNEL_EPOCHS):
@@ -779,7 +785,8 @@ def q_stream_dispositions(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "_SUCCESS")):
             continue
         curation_funnel_epoch(
-            train.filter(F.pmod(F.col("doc_id"), F.lit(3)) == e),
+            train.filter(
+                F.pmod(F.col("doc_id"), F.lit(_SFUNNEL_EPOCHS)) == e),
             str(e), eval_docs=evalset,
             fp_dir=os.path.join(root, f"fpidx{SFUNNEL_FP_BANDS}"),
             nd_dir=os.path.join(root,
@@ -793,9 +800,19 @@ def q_stream_dispositions(spark: SparkSession, sf_dir: str) -> DataFrame:
             minhash_k=SFUNNEL_K, lsh_bands=SFUNNEL_BANDS,
             min_containment=FUNNEL_CONTAINMENT,
             n_fp_bands=SFUNNEL_FP_BANDS)
-    dispo = spark.read.option("basePath", dispo_root).parquet(
-        *[os.path.join(dispo_root, f"batch_id={e}")
-          for e in range(_SFUNNEL_EPOCHS)])
+    # an EMPTY epoch slice writes nothing (curation_funnel_epoch's
+    # n_in==0 early return), so read only the dirs that exist — an
+    # all-empty corpus legitimately yields zero dispositions
+    dirs = [os.path.join(dispo_root, f"batch_id={e}")
+            for e in range(_SFUNNEL_EPOCHS)]
+    dirs = [d for d in dirs if fs.exists(_jp(spark, d))]
+    if not dirs:
+        from ..catalog import literal_df
+        return literal_df(
+            spark, [],
+            "epoch int, doc_id long, stage string, evidence string, "
+            "est_jaccard double")
+    dispo = spark.read.option("basePath", dispo_root).parquet(*dirs)
     # pin: a later invocation overwrites nothing (epochs are skipped
     # once committed), but keep the lifecycle-query discipline of
     # never returning a lazy plan over a mutable scratch ledger

@@ -112,7 +112,20 @@ def _index_root(sf_dir: str, name: str, *,
     base = os.path.join(tempfile.gettempdir(), "spark_graft_lake")
     stem = f"{name}_{key}_{ident}"
     _sweep_dead_roots(base, stem)
-    return os.path.join(base, f"{stem}_pid{os.getpid()}")
+    root = os.path.join(base, f"{stem}_pid{os.getpid()}")
+    # Refresh OUR root's mtime on every lookup: nested ledger layouts
+    # (the ANN index under root/cells/, the funnel's state/out/dispo
+    # subtrees) write batch dirs one level down, so the ROOT's own
+    # mtime would otherwise freeze at creation and a >TTL-lived
+    # process could have its live index swept by a sibling's
+    # staleness fallback. Every query invocation passes through here
+    # before touching the ledger, so the touch is exactly the
+    # liveness signal the TTL clause reads.
+    try:
+        os.utime(root, None)
+    except OSError:
+        pass  # not created yet (first invocation) — nothing to keep alive
+    return root
 
 
 def _batch(docs: DataFrame, r: int) -> DataFrame:

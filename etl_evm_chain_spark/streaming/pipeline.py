@@ -1034,7 +1034,10 @@ def curation_funnel_epoch(batch_df: DataFrame, epoch: str, *,
                       "contaminated")
         dispo = d_quality.unionByName(d_exact) \
             .unionByName(d_near).unionByName(d_cont)
-        dispo.write.mode("overwrite").parquet(
+        # coalesce(1): few audit rows per epoch, but the union inherits
+        # the full upstream partition count — same tiny-file discipline
+        # as the report write below (and q122's fp-band lesson)
+        dispo.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(disposition_dir, f"batch_id={int(epoch)}"))
 
     report = [("quality", n_in - n_q), ("exact_dup", n_q - n_e),

@@ -406,13 +406,16 @@ def test_two_process_concurrency_soak_on_shared_lake_base():
                               stderr=subprocess.DEVNULL, text=True)
              for _ in range(2)]
     outs = [p.communicate(timeout=900)[0] for p in procs]
+    # the property under test: a mid-run sweep of a LIVE sibling's
+    # root would have broken that sibling's ledger reads — so both
+    # finishing with 0 failures IS the assertion. (A post-mortem
+    # root-existence check would race legitimately-correct behavior:
+    # whichever process finishes FIRST becomes a dead pid the
+    # survivor may rightfully sweep.)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
         assert "0 failures" in out, out[-2000:]
-    # neither process swept the other's root while it was alive
+    # both dead now: clean up whatever the next in-process sweep would
     for p in procs:
-        roots = glob.glob(f"/tmp/spark_graft_lake/*_pid{p.pid}")
-        assert len(roots) >= 3, (p.pid, roots)
-        # dead now: clean up what the next in-process sweep would
-        for r in roots:
+        for r in glob.glob(f"/tmp/spark_graft_lake/*_pid{p.pid}"):
             shutil.rmtree(r, ignore_errors=True)
