@@ -429,6 +429,155 @@ def kmeans_centroids(corpus: DataFrame, *, id_col: str = "vec_id",
          enumerate(model.clusterCenters())], schema)
 
 
+def _lloyd_fit(corpus: DataFrame, *, id_col: str = "vec_id",
+               vec_col: str = "embedding", k: int = 8,
+               n_iter: int = 2, salt: str = "lloyd"):
+    """Deterministic distributed spherical k-means (Lloyd's) — the
+    ORACLE-CHECKABLE counterpart of ``kmeans_centroids`` (pyspark.ml
+    k-means|| is seed-reproducible only within Spark; this one is
+    bit-reproducible across engines and partitionings, so clustering
+    quality sits under the driver's hash gate like every other
+    operator). Returns ``(id_col, cell, cos)`` for every non-NULL,
+    nonzero-norm vector: its final cell and its cosine to that cell's
+    centroid.
+
+    Determinism protocol (the q73/q25 pinning discipline applied to
+    an iterative float algorithm):
+
+    - init: the k smallest ``hash15(salt:id)`` rows' unit vectors
+      (the _ivf_centroids pick — stable pseudo-random spread, no
+      training randomness);
+    - assignment: a pure MAP over COMPILED-LITERAL centroids — argmax
+      of an array of ``(cos, -cell)`` structs, so ties break to the
+      smallest cell; cosines are sequential HOF folds (cumsum parity
+      with the numpy twin, plans/groundtruth.lloyd_kmeans_truth). No
+      join, no shuffle;
+    - update: ONE shuffle keyed (cell, component): component sums go
+      through ``decimal(38,18)`` — exact and fold-order-free, so the
+      collected k·dim relation (the only driver materialization,
+      bounded) is identical however the cluster partitions the data.
+      Doubles enter the decimal domain via shortest-repr casts, which
+      the twin replicates exactly (``Decimal(repr(v))`` + HALF_UP
+      quantize == Spark's BigDecimal.valueOf + setScale). The new
+      centroid direction is normalized ON THE DRIVER from the
+      collected decimals (float(Decimal) both sides — literally the
+      same operation). An emptied cell keeps its previous centroid.
+
+    At 100 TB each round is one map pass + one (cell, component)-key
+    aggregation with map-side partial combine (k·dim groups), and the
+    driver holds only k·dim numbers — classical scalable Lloyd's; a
+    production deployment would additionally persist the unit-vector
+    relation once (done here with localCheckpoint) instead of
+    re-deriving it per round.
+    """
+    import math
+
+    from ..functions.text import hash15
+
+    dbl = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    base = (corpus.filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col).alias("_id"), dbl.alias("_x")))
+    nrm = F.sqrt(F.aggregate(
+        F.transform(F.col("_x"), lambda v: v * v),
+        F.lit(0.0), lambda a, b: a + b))
+    unit = (base.select("_id", "_x", nrm.alias("_n"))
+            .filter(F.col("_n") > 0)
+            .select("_id", F.transform(
+                F.col("_x"),
+                lambda v: v / F.col("_n")).alias("_u"))
+            .localCheckpoint())
+
+    seed_rows = (unit.select(
+        "_id", "_u",
+        hash15(F.concat(F.lit(f"{salt}:"),
+                        F.col("_id").cast("string"))).alias("_h"))
+        .orderBy("_h", "_id").limit(k).collect())
+    cents = [[float(v) for v in r["_u"]] for r in seed_rows]
+    dim = len(cents[0]) if cents else 0
+
+    def assign(cents_now):
+        arr = F.array(*[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("_u"),
+                               F.array(*[F.lit(c) for c in cvec]),
+                               lambda a, b: a * b),
+                    F.lit(0.0), lambda acc, v: acc + v).alias("cos"),
+                F.lit(-ci).alias("negcell"))
+            for ci, cvec in enumerate(cents_now)])
+        best = F.array_max(arr)
+        return unit.select(
+            "_id", "_u",
+            (-best["negcell"]).cast("int").alias("cell"),
+            best["cos"].alias("cos"))
+
+    adf = None
+    for t in range(n_iter):
+        adf = assign(cents)
+        if t == n_iter - 1:
+            break
+        agg = (adf.select("cell", F.posexplode("_u").alias("pos", "v"))
+               .groupBy("cell", "pos")
+               .agg(F.sum(F.col("v").cast("decimal(38,18)")).alias("s"))
+               .collect())
+        by_cell: dict[int, dict[int, object]] = {}
+        for r in agg:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["s"]
+        nxt = []
+        for ci, prev in enumerate(cents):
+            comp = by_cell.get(ci)
+            if not comp:
+                nxt.append(prev)  # emptied cell keeps its centroid
+                continue
+            vec = [float(comp[p]) for p in range(dim)]
+            nn = 0.0
+            for v in vec:  # sequential fold, like every norm here
+                nn += v * v
+            nn = math.sqrt(nn)
+            nxt.append([v / nn for v in vec] if nn > 0 else prev)
+        cents = nxt
+    return adf, cents
+
+
+def lloyd_kmeans(corpus: DataFrame, *, id_col: str = "vec_id",
+                 vec_col: str = "embedding", k: int = 8,
+                 n_iter: int = 2, salt: str = "lloyd") -> DataFrame:
+    """Final-round Lloyd assignments ``(id_col, cell, cos)`` — see
+    ``_lloyd_fit`` for the full determinism protocol."""
+    adf, _ = _lloyd_fit(corpus, id_col=id_col, vec_col=vec_col, k=k,
+                        n_iter=n_iter, salt=salt)
+    return adf.select(F.col("_id").alias(id_col), "cell", "cos")
+
+
+def lloyd_centroids(corpus: DataFrame, *, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    n_cells: int = IVF_CELLS, n_iter: int = 2,
+                    salt: str = "lloyd") -> DataFrame:
+    """Deterministic Lloyd centroids as a quantizer relation — the
+    same ``(cell, cvec_cent)`` shape as ``_ivf_centroids`` and
+    ``kmeans_centroids``, so it drops into ``ivf_topk`` (and any
+    other consumer) without touching the plan. Unlike
+    ``kmeans_centroids`` the training is bit-reproducible across
+    engines and partitionings (see ``lloyd_kmeans``); the final
+    assignment frame is never executed (lazy), only the k·dim
+    centroid constants leave the driver loop."""
+    from pyspark.sql import types as T
+
+    from ..catalog import literal_df
+
+    _, cents = _lloyd_fit(corpus, id_col=id_col, vec_col=vec_col,
+                          k=n_cells, n_iter=n_iter, salt=salt)
+    vec_type = corpus.schema[vec_col].dataType
+    schema = T.StructType([
+        T.StructField("cell", T.IntegerType(), False),
+        T.StructField("cvec_cent", vec_type, False),
+    ])
+    return literal_df(
+        corpus.sparkSession,
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        schema)
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, *,
              id_col: str = "vec_id", vec_col: str = "embedding",
              k: int = 5, n_cells: int = IVF_CELLS, n_probe: int = IVF_PROBE,
@@ -451,13 +600,22 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *,
 
     ``centroids="kmeans"`` swaps in trained spherical-k-means centers
     (``kmeans_centroids``) — classical IVF — leaving the rest of the
-    plan byte-identical; the default "hash" pick stays fully
+    plan byte-identical; ``centroids="lloyd"`` uses the deterministic
+    Lloyd trainer (``lloyd_centroids``, bit-reproducible across
+    engines — q128's operator); the default "hash" pick stays fully
     deterministic and training-free.
     """
     if centroids == "kmeans":
         cents = kmeans_centroids(corpus, id_col=id_col, vec_col=vec_col,
                                  n_cells=n_cells, max_iter=kmeans_iter,
                                  seed=seed)
+    elif centroids == "lloyd":
+        # bit-reproducible trained quantizer (lloyd_centroids) — the
+        # oracle-checkable middle ground between the hash pick and
+        # pyspark.ml k-means||
+        cents = lloyd_centroids(corpus, id_col=id_col, vec_col=vec_col,
+                                n_cells=n_cells,
+                                n_iter=max(2, min(kmeans_iter, 5)))
     elif centroids == "hash":
         cents = _ivf_centroids(corpus, id_col, vec_col, n_cells, salt="ivf:")
     else:

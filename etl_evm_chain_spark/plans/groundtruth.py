@@ -710,3 +710,105 @@ FROM (VALUES
   {vals}) AS t(qid, cid, sim, rank)
 ORDER BY qid, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Lloyd k-means ground truth (q128): a from-scratch single-process
+# replay of operators/similarity.lloyd_kmeans — same hash15 seed pick,
+# same sequential-fold cosines (numpy cumsum == Spark's HOF left
+# fold), same shortest-repr decimal(38,18) component sums (python
+# Decimal(repr(v)) + HALF_UP quantize == Spark's BigDecimal.valueOf +
+# setScale), same driver-side float(Decimal) normalization. Every
+# argmax decision is margin-asserted and every pinned output is an
+# integer (floor micro-units, boundary-margin asserted), so the
+# VALUES oracle is immune to sub-margin float wobble.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=4)
+def lloyd_kmeans_truth(sf_dir: str, k: int = 8, n_iter: int = 2,
+                       salt: str = "lloyd") -> list[tuple]:
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    assert sf_dir == oracle_ctx.sf_dir()
+    con = oracle_ctx.connect()
+    rows = con.sql(
+        "SELECT vec_id, embedding FROM embeddings "
+        "WHERE embedding IS NOT NULL ORDER BY vec_id").fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    sq = np.cumsum(mat * mat, axis=1)[:, -1]
+    keep = sq > 0
+    ids, mat, sq = ids[keep], mat[keep], sq[keep]
+    u = mat / np.sqrt(sq)[:, None]
+    dim = u.shape[1]
+
+    hs = np.array([_hash15(f"{salt}:{i}") for i in ids])
+    order = np.lexsort((ids, hs))[:k]
+    cents = u[order].copy()
+
+    q18 = Decimal("1e-18")
+    cos = None
+    best = None
+    for t in range(n_iter):
+        cos = np.cumsum(u[:, None, :] * cents[None, :, :],
+                        axis=2)[:, :, -1]
+        best = cos.argmax(axis=1)  # first max == smallest cell
+        srt = np.sort(cos, axis=1)
+        if k > 1 and (srt[:, -1] - srt[:, -2] < 1e-9).any():
+            raise RuntimeError(
+                "q128 ground truth: assignment margin < 1e-9 — the "
+                "pinned clustering would be float-wobble-ambiguous")
+        if t == n_iter - 1:
+            break
+        nxt = cents.copy()
+        for c in range(k):
+            m = best == c
+            if not m.any():
+                continue  # emptied cell keeps its centroid
+            comps = []
+            for p in range(dim):
+                s = Decimal(0)
+                for v in u[m, p]:
+                    s += Decimal(repr(float(v))).quantize(
+                        q18, rounding=ROUND_HALF_UP)
+                comps.append(float(s))
+            nn = 0.0
+            for v in comps:
+                nn += v * v
+            nn = math.sqrt(nn)
+            if nn > 0:
+                nxt[c] = np.array(comps) / nn
+        cents = nxt
+
+    bc = cos[np.arange(len(u)), best]
+    scaled = bc * 1e6
+    qv = np.floor(scaled)
+    frac = scaled - qv
+    if ((frac < 1e-6) | (frac > 1 - 1e-6)).any():
+        raise RuntimeError(
+            "q128 ground truth: a quantized cosine sits within 1e-6 "
+            "scaled units of its floor boundary — the pinned sums "
+            "would be float-wobble-ambiguous")
+    out = []
+    for c in range(k):
+        m = best == c
+        if not m.any():
+            continue
+        out.append((int(c), int(m.sum()), int(qv[m].sum())))
+    return out
+
+
+def oracle_lloyd_kmeans() -> str:
+    rows = lloyd_kmeans_truth(oracle_ctx.sf_dir())
+    vals = ",\n  ".join(f"({c},{n},{s})" for c, n, s in rows)
+    return f"""
+SELECT CAST(cell AS INT) AS cell, CAST(n_vecs AS BIGINT) AS n_vecs,
+       CAST(sum_cos_u6 AS BIGINT) AS sum_cos_u6
+FROM (VALUES
+  {vals}) AS t(cell, n_vecs, sum_cos_u6)
+ORDER BY cell
+"""

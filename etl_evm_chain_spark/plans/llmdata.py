@@ -878,6 +878,43 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("method"))
 
 
+# ---------------------------------------------------------------------------
+# Q128: deterministic distributed Lloyd k-means (spherical) under the
+# hash gate. kmeans_centroids (pyspark.ml k-means||) is seed-
+# reproducible only within Spark; this pins an actual 2-round Lloyd
+# run — init pick, every assignment decision, the decimal-exact
+# centroid update, and the final per-cell cosine mass — against a
+# from-scratch numpy/Decimal replay (margin-asserted, integer
+# outputs). Embedding clustering is the backbone of SemDeDup-style
+# curation; now its QUALITY is driver-checked, not just "it runs".
+# ---------------------------------------------------------------------------
+
+LLOYD_K = 8
+LLOYD_ITER = 2
+
+
+def q_lloyd_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = sim.lloyd_kmeans(emb, k=LLOYD_K, n_iter=LLOYD_ITER)
+    # floor micro-units -> integer sums: exact, order-free, and pinned
+    # against the twin's identical quantization (decimal sum so the
+    # per-cell mass can never wrap a long at corpus scale)
+    qcos = F.floor(F.col("cos") * 1e6).cast("long")
+    return (out.select("cell", qcos.alias("_q"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.sum(F.col("_q").cast("decimal(38,0)"))
+                 .cast("long").alias("sum_cos_u6"))
+            .orderBy("cell"))
+
+
+def _oracle_lloyd_kmeans() -> str:
+    # lazy: margin-checked ground-truth replay (plans/groundtruth.py)
+    from .groundtruth import oracle_lloyd_kmeans
+
+    return oracle_lloyd_kmeans()
+
+
 def _oracle_ann_recall() -> str:
     """Lazy (needs oracle_ctx for the PQ ground truth). CTE names are
     namespaced to compose the q38/q40/q42 oracle bodies in one WITH
@@ -1710,6 +1747,11 @@ SPECS = [
               "(recall-tested; oracle = in-process replay of the "
               "deterministic codebook/ADC pipeline, tie-margin "
               "asserted)", ("P2-sim",)),
+    QuerySpec("q128_lloyd_kmeans", q_lloyd_kmeans, _oracle_lloyd_kmeans,
+              "deterministic 2-round spherical Lloyd k-means over "
+              "embeddings (decimal-exact updates, margin-asserted "
+              "assignments); oracle = from-scratch numpy/Decimal "
+              "replay pinned as integer VALUES", ("P2-sim",)),
     QuerySpec("q126_ann_recall", q_ann_recall, _oracle_ann_recall,
               "recall@k gate: LSH/IVF/PQ retrieval vs exact brute-force "
               "top-k, recall hash-pinned so geometry retunes cannot "

@@ -43,10 +43,11 @@ _PRIORITY = [
     # proven sentinels fill the remaining slots (driver-green in
     # CORRECTNESS_r01-r04), diverse across operator families:
     "q68_semantic_dedup",
-    "q71_unigram_surprisal", "q45_topic_routing",
+    "q45_topic_routing",
     # new round-6 queries (first-ever driver rows; replace the
-    # q69/q83 sentinels, driver-green in r01-r05):
+    # q69/q83/q71 sentinels, driver-green in r01-r05):
     "q126_ann_recall", "q127_stream_dispositions",
+    "q128_lloyd_kmeans",
     "q41_dedup_resolve",
     "q51_merge_upsert",
     "q52_profile_columns", "q54_asof_join",

@@ -634,3 +634,47 @@ def test_ann_index_ignores_torn_batch_dirs(spark, tmp_path):
     sim.update_ann_index(spark, b2, idx, k=3, batch_id="1")
     r4 = sim.update_ann_index(spark, b3, idx, k=3, batch_id="2").collect()
     assert any(r["cid"] % 2 == 1 for r in r4)
+
+
+def test_lloyd_kmeans_partition_independent(spark):
+    """The q128 determinism claim, tested head-on: the SAME corpus
+    through Lloyd's under radically different partitionings yields
+    BIT-identical assignments and cosines (the decimal component sums
+    are fold-order-free; everything else is per-row IEEE) — the
+    property pyspark.ml's seeded k-means|| does not have."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    a = sim.lloyd_kmeans(emb.repartition(1), k=4, n_iter=2).collect()
+    b = sim.lloyd_kmeans(emb.repartition(13, "vec_id"), k=4,
+                         n_iter=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0 and len({r["cell"] for r in a}) > 1
+
+
+def test_lloyd_kmeans_excludes_null_and_zero_vectors(spark):
+    """NULL and zero-norm vectors can neither seed nor join a cluster
+    (cosine undefined); they are excluded, not NULL-poisoned."""
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, None),
+            (4, [0.0, 0.0]), (5, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.lloyd_kmeans(df, k=2, n_iter=2).collect()
+    assert sorted(r["vec_id"] for r in out) == [1, 2, 5]
+    # 1 and 2 cluster together, 5 apart (orthogonal)
+    cells = {r["vec_id"]: r["cell"] for r in out}
+    assert cells[1] == cells[2] != cells[5]
+
+
+def test_ivf_topk_lloyd_centroids(spark):
+    """ivf_topk(centroids='lloyd') plugs the deterministic Lloyd
+    quantizer into the unchanged IVF plan: proper top-k shape, every
+    query served, and repeat runs bit-identical (the trained-quantizer
+    property pyspark.ml's seeded path cannot give across engines)."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    a = sim.ivf_topk(emb, q, k=3, n_cells=4, n_probe=2,
+                     centroids="lloyd").collect()
+    b = sim.ivf_topk(emb.repartition(7), q, k=3, n_cells=4, n_probe=2,
+                     centroids="lloyd").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert {r["qid"] for r in a} == {0, 1, 2}
+    for r in a:
+        assert 1 <= r["rank"] <= 3 and r["qid"] != r["cid"]

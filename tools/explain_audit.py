@@ -184,6 +184,10 @@ _RDD_ALLOW = {
     # (consumed twice: hit join + denominator) instead of re-running
     # the brute-force scan
     "q126_ann_recall",
+    # Lloyd's pins the unit-vector relation once (consumed by every
+    # assignment round and every update scan) — the documented
+    # "persist the normalized corpus once" production shape
+    "q128_lloyd_kmeans",
     # the disposition lake is a scratch-ledger lifecycle query: the
     # epoch bodies pin their stage survivors (ledger reuse
     # discipline) and the result pins before returning (never hand a
