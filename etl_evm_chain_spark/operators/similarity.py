@@ -320,8 +320,6 @@ def _ivf_centroids(corpus: DataFrame, id_col: str, vec_col: str,
     no training step; swapping in k-means centroids changes only this
     tiny relation, not any consumer's plan.
     """
-    from pyspark.sql import types as T
-
     from ..functions.text import hash15
 
     cent_rows = (
@@ -335,15 +333,29 @@ def _ivf_centroids(corpus: DataFrame, id_col: str, vec_col: str,
         .orderBy("_h", id_col).limit(n_cells)
         .collect()                       # n_cells rows — always tiny
     )
+    return _centroid_relation(corpus, vec_col,
+                              [list(r[vec_col]) for r in cent_rows])
+
+
+def _centroid_relation(corpus: DataFrame, vec_col: str,
+                       cents: list) -> DataFrame:
+    """The shared (cell, cvec_cent) quantizer relation every centroid
+    source returns — one schema/literal construction so the three
+    trainers (_ivf_centroids, kmeans_centroids, lloyd_centroids) can
+    never drift in shape."""
+    from pyspark.sql import types as T
+
+    from ..catalog import literal_df
+
     vec_type = corpus.schema[vec_col].dataType
     schema = T.StructType([
         T.StructField("cell", T.IntegerType(), False),
         T.StructField("cvec_cent", vec_type, False),
     ])
-    from ..catalog import literal_df
     return literal_df(
         corpus.sparkSession,
-        [(i, list(r[vec_col])) for i, r in enumerate(cent_rows)], schema)
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        schema)
 
 
 def _nearest_cells(df: DataFrame, cents: DataFrame, id_col: str,
@@ -406,7 +418,6 @@ def kmeans_centroids(corpus: DataFrame, *, id_col: str = "vec_id",
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
-    from pyspark.sql import types as T
 
     nrm = F.sqrt(F.aggregate(
         F.transform(F.col(vec_col), lambda x: x.cast("double") * x),
@@ -416,17 +427,8 @@ def kmeans_centroids(corpus: DataFrame, *, id_col: str = "vec_id",
     feat = corpus.select(array_to_vector(unit).alias("features")) \
         .filter(F.col("features").isNotNull())
     model = KMeans(k=n_cells, maxIter=max_iter, seed=seed).fit(feat)
-    spark = corpus.sparkSession
-    vec_type = corpus.schema[vec_col].dataType
-    schema = T.StructType([
-        T.StructField("cell", T.IntegerType(), False),
-        T.StructField("cvec_cent", vec_type, False),
-    ])
-    from ..catalog import literal_df
-    return literal_df(
-        spark,
-        [(i, [float(x) for x in c]) for i, c in
-         enumerate(model.clusterCenters())], schema)
+    return _centroid_relation(corpus, vec_col,
+                              [list(c) for c in model.clusterCenters()])
 
 
 def _lloyd_fit(corpus: DataFrame, *, id_col: str = "vec_id",
@@ -480,8 +482,16 @@ def _lloyd_fit(corpus: DataFrame, *, id_col: str = "vec_id",
     nrm = F.sqrt(F.aggregate(
         F.transform(F.col("_x"), lambda v: v * v),
         F.lit(0.0), lambda a, b: a + b))
+    # finite positive norm ONLY: Spark's NaN-greatest semantics make
+    # `NaN > 0` TRUE, so a NaN-component vector would sail through a
+    # bare `> 0` filter, NULL its decimal casts, and either crash the
+    # update (all-NULL cell sums) or silently diverge from the numpy
+    # twin (where NaN > 0 is False); an inf norm likewise yields
+    # 0/NaN unit components. Both are excluded, matching the twin's
+    # isfinite(sq) & (sq > 0).
     unit = (base.select("_id", "_x", nrm.alias("_n"))
-            .filter(F.col("_n") > 0)
+            .filter((F.col("_n") > 0) & ~F.isnan(F.col("_n"))
+                    & (F.col("_n") != F.lit(float("inf"))))
             .select("_id", F.transform(
                 F.col("_x"),
                 lambda v: v / F.col("_n")).alias("_u"))
@@ -561,28 +571,16 @@ def lloyd_centroids(corpus: DataFrame, *, id_col: str = "vec_id",
     engines and partitionings (see ``lloyd_kmeans``); the final
     assignment frame is never executed (lazy), only the k·dim
     centroid constants leave the driver loop."""
-    from pyspark.sql import types as T
-
-    from ..catalog import literal_df
-
     _, cents = _lloyd_fit(corpus, id_col=id_col, vec_col=vec_col,
                           k=n_cells, n_iter=n_iter, salt=salt)
-    vec_type = corpus.schema[vec_col].dataType
-    schema = T.StructType([
-        T.StructField("cell", T.IntegerType(), False),
-        T.StructField("cvec_cent", vec_type, False),
-    ])
-    return literal_df(
-        corpus.sparkSession,
-        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-        schema)
+    return _centroid_relation(corpus, vec_col, cents)
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, *,
              id_col: str = "vec_id", vec_col: str = "embedding",
              k: int = 5, n_cells: int = IVF_CELLS, n_probe: int = IVF_PROBE,
              centroids: str = "hash", kmeans_iter: int = 10,
-             seed: int = 7) -> DataFrame:
+             lloyd_iter: int = 2, seed: int = 7) -> DataFrame:
     """IVF (inverted-file) approximate top-k.
 
     Coarse quantizer = ``n_cells`` centroid vectors sampled
@@ -612,10 +610,10 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *,
     elif centroids == "lloyd":
         # bit-reproducible trained quantizer (lloyd_centroids) — the
         # oracle-checkable middle ground between the hash pick and
-        # pyspark.ml k-means||
+        # pyspark.ml k-means||; rounds come from lloyd_iter, honestly
+        # (kmeans_iter stays the pyspark.ml knob)
         cents = lloyd_centroids(corpus, id_col=id_col, vec_col=vec_col,
-                                n_cells=n_cells,
-                                n_iter=max(2, min(kmeans_iter, 5)))
+                                n_cells=n_cells, n_iter=lloyd_iter)
     elif centroids == "hash":
         cents = _ivf_centroids(corpus, id_col, vec_col, n_cells, salt="ivf:")
     else:

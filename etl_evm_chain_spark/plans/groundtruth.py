@@ -741,7 +741,8 @@ def lloyd_kmeans_truth(sf_dir: str, k: int = 8, n_iter: int = 2,
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     sq = np.cumsum(mat * mat, axis=1)[:, -1]
-    keep = sq > 0
+    # finite positive norm only — the operator's NaN/inf exclusion
+    keep = np.isfinite(sq) & (sq > 0)
     ids, mat, sq = ids[keep], mat[keep], sq[keep]
     u = mat / np.sqrt(sq)[:, None]
     dim = u.shape[1]

@@ -14,11 +14,12 @@ _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
 # The correctness driver samples the FIRST 50 registry entries.
 # Round 6 keeps the round-5 lifecycle/funnel queries in for their
 # second green window (q121-q125, verdict ask #6), front-loads the
-# two NEW queries (q126 recall gate, q127 streaming-funnel
-# disposition lake) and every query whose plan changed this round
-# (q27 overflow-bucket predicate; q29/q102 via exact_auc's decimal
-# products; q121/q122/q125 fast-forward). Rotated OUT to make room
-# (driver-green r01-r05, plans unchanged): q69, q83.
+# three NEW queries (q126 recall gate, q127 streaming-funnel
+# disposition lake, q128 Lloyd k-means) and every query whose plan
+# changed this round (q27 overflow-bucket predicate; q29/q102 via
+# exact_auc's decimal products; q121/q122/q125 fast-forward).
+# Rotated OUT to make room (driver-green r01-r05, plans unchanged):
+# q69, q83, q71.
 _PRIORITY = [
     # ---- EXACTLY the driver's 50-slot window, all oracle-backed ----
     # newly pinned this round (first-ever hash rows):

@@ -651,10 +651,15 @@ def test_lloyd_kmeans_partition_independent(spark):
 
 
 def test_lloyd_kmeans_excludes_null_and_zero_vectors(spark):
-    """NULL and zero-norm vectors can neither seed nor join a cluster
-    (cosine undefined); they are excluded, not NULL-poisoned."""
+    """NULL, zero-norm, and NON-FINITE vectors can neither seed nor
+    join a cluster (cosine undefined); they are excluded, not
+    NULL-poisoned. The NaN case is load-bearing: Spark's NaN-greatest
+    ordering makes `NaN > 0` TRUE, so a bare norm filter would let a
+    NaN vector crash the decimal update or silently diverge from the
+    numpy oracle twin (where NaN > 0 is False)."""
     rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, None),
-            (4, [0.0, 0.0]), (5, [0.0, 1.0])]
+            (4, [0.0, 0.0]), (5, [0.0, 1.0]),
+            (6, [float("nan"), 1.0]), (7, [float("inf"), 0.0])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     out = sim.lloyd_kmeans(df, k=2, n_iter=2).collect()
     assert sorted(r["vec_id"] for r in out) == [1, 2, 5]
