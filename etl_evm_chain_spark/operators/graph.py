@@ -176,3 +176,54 @@ def pagerank(edges: DataFrame, *, iters: int = 5,
             .localCheckpoint()
         )
     return ranks
+
+
+def label_propagation(edges: DataFrame, *, a_col: str = "a",
+                      b_col: str = "b", n_iter: int = 3) -> DataFrame:
+    """Synchronous label propagation (community detection) over an
+    undirected edge relation — deterministic by construction, so the
+    whole algorithm sits under the oracle hash gate as pure integer
+    arithmetic (no float, no randomness, no partition sensitivity):
+
+    - labels start as the node's own id;
+    - each round, EVERY node simultaneously adopts the most frequent
+      label among its NEIGHBORS' current labels (its own label does
+      not vote — the classic synchronous variant), ties broken to the
+      smallest label;
+    - ``n_iter`` fixed rounds (no convergence test: a fixed round
+      count is what makes the result a pinnable value rather than an
+      oscillation-dependent one — synchronous LPA can 2-cycle on
+      bipartite structures, and a fixed horizon pins WHICH phase).
+
+    Each round is one shuffle: symmetrized edges join the (node,
+    label) relation on the source and aggregate votes by
+    (destination, label) with map-side partial counts; the argmax is
+    a ``max(struct(cnt, -label))`` — no window over the full node
+    set. The label relation is localCheckpoint-ed per round so plan
+    lineage stays O(1) in rounds (the resolve_duplicates loop
+    discipline). |V|-sized state only ever lives distributed.
+
+    Reference parity: no analog (the reference has no graph plane);
+    this extends the q74/q114/q41 graph tier with the standard
+    community primitive.
+    """
+    sym = (edges.select(F.col(a_col).alias("src"),
+                        F.col(b_col).alias("dst"))
+           .union(edges.select(F.col(b_col).alias("src"),
+                               F.col(a_col).alias("dst")))
+           .dropDuplicates().localCheckpoint())
+    labels = (sym.select(F.col("src").alias("node"))
+              .dropDuplicates()
+              .select("node", F.col("node").alias("lbl"))
+              .localCheckpoint())
+    for _ in range(n_iter):
+        votes = (sym.join(labels, sym["src"] == labels["node"])
+                 .groupBy(F.col("dst").alias("vnode"), "lbl")
+                 .agg(F.count(F.lit(1)).alias("c")))
+        best = (votes.groupBy("vnode")
+                .agg(F.max(F.struct(F.col("c"), (-F.col("lbl"))
+                                    .alias("neg"))).alias("_b"))
+                .select(F.col("vnode").alias("node"),
+                        (-F.col("_b.neg")).alias("lbl")))
+        labels = best.localCheckpoint()
+    return labels.select("node", F.col("lbl").alias("community"))

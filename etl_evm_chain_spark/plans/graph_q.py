@@ -348,6 +348,85 @@ LIMIT {TRI_TOPN}
 """
 
 
+# ---------------------------------------------------------------------------
+# Q129: synchronous label propagation over the co-purchase graph —
+# community detection as pure integer arithmetic (round-6 graph-tier
+# extension beside q74 PageRank / q114 triangles / q41 CC). Three
+# fixed synchronous rounds, neighbor-majority vote with min-label tie
+# break; the oracle unrolls the identical rounds in SQL, so every
+# label decision is hash-checked, not just the final sizes.
+# ---------------------------------------------------------------------------
+
+LPA_ITER = 3
+LPA_TOPN = 20
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") % TRI_ORDER_MOD == 0)
+          .select("l_orderkey", "l_partkey"))
+    x, y = li.alias("x"), li.alias("y")
+    pairs = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("a"),
+                F.col("y.l_partkey").alias("b"))
+        .distinct()
+    )
+    out = label_propagation(pairs, n_iter=LPA_ITER)
+    # membership checksum (sum of member ids) pins WHO is in each
+    # community, not just how many — integer-exact in both engines
+    return (out.groupBy("community")
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.sum(F.col("node").cast("decimal(38,0)"))
+                 .cast("long").alias("sum_nodes"))
+            .orderBy(F.desc("n_nodes"), "community").limit(LPA_TOPN))
+
+
+def _lpa_round(i: int) -> str:
+    return f"""
+v{i} AS (
+  SELECT e.dst AS node, l.lbl, count(*) AS c
+  FROM sym e JOIN l{i - 1} l ON l.node = e.src
+  GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, lbl ASC) AS rn
+    FROM v{i}) WHERE rn = 1
+)"""
+
+
+def _oracle_label_propagation() -> str:
+    rounds = ",".join(_lpa_round(i) for i in range(1, LPA_ITER + 1))
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_partkey < y.l_partkey
+    AND x.l_orderkey % {TRI_ORDER_MOD} = 0
+),
+sym AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION
+  SELECT b, a FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+{rounds}
+SELECT lbl AS community, count(*) AS n_nodes,
+       CAST(sum(node) AS BIGINT) AS sum_nodes
+FROM l{LPA_ITER}
+GROUP BY lbl
+ORDER BY n_nodes DESC, community
+LIMIT {LPA_TOPN}
+"""
+
+
+
 SPECS = [
     QuerySpec("q74_pagerank", q_pagerank, _oracle_pagerank(),
               "PageRank flow centrality of transfer addresses "
@@ -366,4 +445,10 @@ SPECS = [
               ORACLE_TRIANGLES,
               "per-node triangle census via degree-oriented wedge "
               "join", ("P2-graph", "C4")),
+    QuerySpec("q129_label_propagation", q_label_propagation,
+              _oracle_label_propagation,
+              "synchronous label-propagation communities (3 fixed "
+              "rounds, neighbor-majority min-label ties) with "
+              "membership checksums; oracle = identical rounds "
+              "unrolled in SQL", ("P2-graph", "C4")),
 ]

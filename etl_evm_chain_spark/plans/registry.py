@@ -14,12 +14,13 @@ _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
 # The correctness driver samples the FIRST 50 registry entries.
 # Round 6 keeps the round-5 lifecycle/funnel queries in for their
 # second green window (q121-q125, verdict ask #6), front-loads the
-# three NEW queries (q126 recall gate, q127 streaming-funnel
-# disposition lake, q128 Lloyd k-means) and every query whose plan
+# four NEW queries (q126 recall gate, q127 streaming-funnel
+# disposition lake, q128 Lloyd k-means, q129 label propagation) and
+# every query whose plan
 # changed this round (q27 overflow-bucket predicate; q29/q102 via
 # exact_auc's decimal products; q121/q122/q125 fast-forward).
 # Rotated OUT to make room (driver-green r01-r05, plans unchanged):
-# q69, q83, q71.
+# q69, q83, q71, q57.
 _PRIORITY = [
     # ---- EXACTLY the driver's 50-slot window, all oracle-backed ----
     # newly pinned this round (first-ever hash rows):
@@ -46,13 +47,12 @@ _PRIORITY = [
     "q68_semantic_dedup",
     "q45_topic_routing",
     # new round-6 queries (first-ever driver rows; replace the
-    # q69/q83/q71 sentinels, driver-green in r01-r05):
+    # q69/q83/q71/q57 sentinels, driver-green in r01-r05):
     "q126_ann_recall", "q127_stream_dispositions",
-    "q128_lloyd_kmeans",
+    "q128_lloyd_kmeans", "q129_label_propagation",
     "q41_dedup_resolve",
     "q51_merge_upsert",
     "q52_profile_columns", "q54_asof_join",
-    "q57_stratified_sample",
     # new round-5 queries (first-ever driver rows; replace the
     # q80/q81/q97/q86/q56 sentinels, all driver-green in r01-r04):
     "q121_compacted_lsh_pairs", "q122_compacted_exact_survivors",

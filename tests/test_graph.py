@@ -67,3 +67,23 @@ def test_triangles_two_sharing_an_edge(spark):
     # {1,2,3} and {1,2,4} share edge 1-2: nodes 1,2 in two each.
     t = _tris(spark, [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)])
     assert t == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_label_propagation_two_communities(spark):
+    """Two dense cliques joined by nothing: every node converges to
+    its clique's min id; the synchronous neighbor-majority vote with
+    min-label ties is deterministic across partitionings."""
+    from etl_evm_chain_spark.operators.graph import label_propagation
+
+    clique1 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    clique2 = [(a, b) for a in (10, 11, 12) for b in (10, 11, 12) if a < b]
+    edges = spark.createDataFrame(clique1 + clique2, "a long, b long")
+    out = {r["node"]: r["community"]
+           for r in label_propagation(edges, n_iter=3).collect()}
+    assert {out[n] for n in (1, 2, 3, 4)} == {1}
+    assert {out[n] for n in (10, 11, 12)} == {10}
+    # partition-independence (integer votes, no order sensitivity)
+    out2 = {r["node"]: r["community"]
+            for r in label_propagation(edges.repartition(7),
+                                       n_iter=3).collect()}
+    assert out == out2

@@ -188,6 +188,10 @@ _RDD_ALLOW = {
     # assignment round and every update scan) — the documented
     # "persist the normalized corpus once" production shape
     "q128_lloyd_kmeans",
+    # LPA pins the symmetrized edge relation and the per-round label
+    # relation (the resolve_duplicates / q74 loop discipline: O(1)
+    # lineage in rounds, |V|/|E|-bounded pins)
+    "q129_label_propagation",
     # the disposition lake is a scratch-ledger lifecycle query: the
     # epoch bodies pin their stage survivors (ledger reuse
     # discipline) and the result pins before returning (never hand a
