@@ -195,13 +195,20 @@ def label_propagation(edges: DataFrame, *, a_col: str = "a",
       oscillation-dependent one — synchronous LPA can 2-cycle on
       bipartite structures, and a fixed horizon pins WHICH phase).
 
-    Each round is one shuffle: symmetrized edges join the (node,
-    label) relation on the source and aggregate votes by
-    (destination, label) with map-side partial counts; the argmax is
-    a ``max(struct(cnt, -label))`` — no window over the full node
-    set. The label relation is localCheckpoint-ed per round so plan
-    lineage stays O(1) in rounds (the resolve_duplicates loop
-    discipline). |V|-sized state only ever lives distributed.
+    Self-loop edges are dropped here (a self-loop would let the node
+    vote for itself every round, silently biasing toward
+    self-retention) — callers need no precondition, unlike
+    triangle_counts' documented a < b contract.
+
+    Per-round cost: one |E|-scale shuffle (symmetrized edges join the
+    label relation on the source, votes aggregate by (destination,
+    label) with map-side partial counts) plus one re-exchange of the
+    much smaller (node, label, count) vote relation for the argmax —
+    which is a ``max(struct(cnt, -label))`` groupBy, never a window
+    over the full node set. The label relation is localCheckpoint-ed
+    per round so plan lineage stays O(1) in rounds (the
+    resolve_duplicates loop discipline). |V|-sized state only ever
+    lives distributed.
 
     Reference parity: no analog (the reference has no graph plane);
     this extends the q74/q114/q41 graph tier with the standard
@@ -211,6 +218,7 @@ def label_propagation(edges: DataFrame, *, a_col: str = "a",
                         F.col(b_col).alias("dst"))
            .union(edges.select(F.col(b_col).alias("src"),
                                F.col(a_col).alias("dst")))
+           .filter(F.col("src") != F.col("dst"))
            .dropDuplicates().localCheckpoint())
     labels = (sym.select(F.col("src").alias("node"))
               .dropDuplicates()

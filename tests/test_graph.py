@@ -77,7 +77,10 @@ def test_label_propagation_two_communities(spark):
 
     clique1 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
     clique2 = [(a, b) for a in (10, 11, 12) for b in (10, 11, 12) if a < b]
-    edges = spark.createDataFrame(clique1 + clique2, "a long, b long")
+    # self-loops are dropped by the operator (a self-vote would bias
+    # toward self-retention) — (2,2) must not change anything
+    edges = spark.createDataFrame(clique1 + clique2 + [(2, 2)],
+                                  "a long, b long")
     out = {r["node"]: r["community"]
            for r in label_propagation(edges, n_iter=3).collect()}
     assert {out[n] for n in (1, 2, 3, 4)} == {1}
