@@ -856,13 +856,28 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("qid", "cid").localCheckpoint())
     approx = (
         sim.ann_topk(emb, queries, k=k)
-        .select(F.lit("lsh").alias("method"), "qid", "cid")
+        .select(F.lit("lsh").alias("method"), "qid", "cid", "rank")
         .unionByName(sim.ivf_topk(emb, queries, k=k)
-                     .select(F.lit("ivf").alias("method"), "qid", "cid"))
+                     .select(F.lit("ivf").alias("method"), "qid", "cid",
+                             "rank"))
         .unionByName(sim.pq_topk(emb, queries, k=k)
-                     .select(F.lit("pq").alias("method"), "qid", "cid")))
-    hits = (approx.join(exact, ["qid", "cid"])
-            .groupBy("method").agg(F.count(F.lit(1)).alias("_h")))
+                     .select(F.lit("pq").alias("method"), "qid", "cid",
+                             "rank")))
+    rel = approx.join(exact, ["qid", "cid"]).localCheckpoint()
+    hits = rel.groupBy("method").agg(F.count(F.lit(1)).alias("_h"))
+    # ordering gate: reciprocal rank of each query's FIRST relevant
+    # retrieved item, in exact integer micro-units (floor(1e6/r) — r
+    # is a small integer, the double division is boundary-safe), so
+    # MRR pins as integers like every other gate here; a query with
+    # no relevant retrieval contributes 0 by absence
+    firsts = (rel.groupBy("method", "qid")
+              .agg(F.min("rank").alias("_r")))
+    mrr = (firsts.select("method",
+                         F.floor(F.lit(1000000.0) / F.col("_r"))
+                         .cast("long").alias("_rr"))
+           .groupBy("method")
+           .agg(F.sum(F.col("_rr").cast("decimal(38,0)"))
+                .cast("long").alias("_mrr")))
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     # literal method spine: a method with zero hits must still emit
     # its (damning) recall row rather than vanish from the gate
@@ -870,11 +885,14 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "method string")
     hits_c = F.coalesce(F.col("_h"), F.lit(0)).cast("long")
     return (base.join(hits, "method", "left")
+            .join(mrr, "method", "left")
             .crossJoin(n_exact)
             .select(F.col("method"), hits_c.alias("hits"),
                     F.col("n_exact").cast("long").alias("n_exact"),
                     (hits_c.cast("double")
-                     / F.col("n_exact").cast("double")).alias("recall"))
+                     / F.col("n_exact").cast("double")).alias("recall"),
+                    F.coalesce(F.col("_mrr"), F.lit(0)).cast("long")
+                    .alias("sum_rr_u6"))
             .orderBy("method"))
 
 
@@ -931,7 +949,7 @@ def _oracle_ann_recall() -> str:
         nb=_SQL_DOT.format(a="{b}", b="{b}"))
     h = _sql_hash15("'ivf:' || CAST(vec_id AS VARCHAR)")
     pq_vals = ",\n    ".join(
-        f"({q},{c})" for q, c, _, _ in pq_topk_truth(oracle_ctx.sf_dir()))
+        f"({q},{c},{r})" for q, c, _, r in pq_topk_truth(oracle_ctx.sf_dir()))
     return f"""
 WITH ex_scored AS (
   SELECT q.vec_id AS qid, c.vec_id AS cid,
@@ -954,7 +972,7 @@ lsh_cand AS (
   WHERE q.vec_id < 5 AND q.vec_id != c.vec_id
 ),
 lsh_top AS (
-  SELECT qid, cid FROM (
+  SELECT qid, cid, rank FROM (
     SELECT qid, cid, row_number() OVER (PARTITION BY qid
                        ORDER BY sim DESC, cid ASC) AS rank
     FROM (SELECT qid, cid,
@@ -981,7 +999,7 @@ ivf_ranked_cells AS (
         FROM embeddings e CROSS JOIN ivf_cents c)
 ),
 ivf_top AS (
-  SELECT qid, cid FROM (
+  SELECT qid, cid, rank FROM (
     SELECT qid, cid, row_number() OVER (PARTITION BY qid
                        ORDER BY sim DESC, cid ASC) AS rank
     FROM (SELECT p.vec_id AS qid, a.vec_id AS cid,
@@ -993,26 +1011,32 @@ ivf_top AS (
           WHERE p.vec_id != a.vec_id))
   WHERE rank <= 5
 ),
-pq_top(qid, cid) AS (VALUES
+pq_top(qid, cid, rank) AS (VALUES
     {pq_vals}),
 meth AS (
-  SELECT 'lsh' AS method, qid, cid FROM lsh_top
-  UNION ALL SELECT 'ivf', qid, cid FROM ivf_top
-  UNION ALL SELECT 'pq', CAST(qid AS BIGINT), CAST(cid AS BIGINT)
+  SELECT 'lsh' AS method, qid, cid, rank FROM lsh_top
+  UNION ALL SELECT 'ivf', qid, cid, rank FROM ivf_top
+  UNION ALL SELECT 'pq', CAST(qid AS BIGINT), CAST(cid AS BIGINT), rank
   FROM pq_top
 ),
-hits AS (
-  SELECT method, count(*) AS hits
-  FROM meth JOIN ex USING (qid, cid) GROUP BY method
+rel AS (SELECT method, qid, cid, rank FROM meth JOIN ex USING (qid, cid)),
+hits AS (SELECT method, count(*) AS hits FROM rel GROUP BY method),
+mrr AS (
+  SELECT method,
+         sum(CAST(floor(1000000.0 / r) AS BIGINT)) AS sum_rr
+  FROM (SELECT method, qid, min(rank) AS r FROM rel GROUP BY 1, 2)
+  GROUP BY method
 ),
 n AS (SELECT count(*) AS n_exact FROM ex)
 SELECT m.method,
        CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
        CAST(n.n_exact AS BIGINT) AS n_exact,
        CAST(coalesce(h.hits, 0) AS DOUBLE)
-         / CAST(n.n_exact AS DOUBLE) AS recall
+         / CAST(n.n_exact AS DOUBLE) AS recall,
+       CAST(coalesce(r.sum_rr, 0) AS BIGINT) AS sum_rr_u6
 FROM (VALUES ('ivf'), ('lsh'), ('pq')) m(method)
 LEFT JOIN hits h ON h.method = m.method
+LEFT JOIN mrr r ON r.method = m.method
 CROSS JOIN n
 ORDER BY m.method
 """
@@ -1753,9 +1777,10 @@ SPECS = [
               "assignments); oracle = from-scratch numpy/Decimal "
               "replay pinned as integer VALUES", ("P2-sim",)),
     QuerySpec("q126_ann_recall", q_ann_recall, _oracle_ann_recall,
-              "recall@k gate: LSH/IVF/PQ retrieval vs exact brute-force "
-              "top-k, recall hash-pinned so geometry retunes cannot "
-              "silently degrade retrieval", ("P2-sim",)),
+              "recall@k + MRR gate: LSH/IVF/PQ retrieval vs exact "
+              "brute-force top-k, recall and first-relevant reciprocal "
+              "rank hash-pinned so geometry retunes cannot silently "
+              "degrade retrieval or its ordering", ("P2-sim",)),
     QuerySpec("q50_winnow_fingerprints", q_winnow_fingerprints, ORACLE_WINNOW,
               "winnowing rolling-hash document fingerprints", ("P2-text",)),
     QuerySpec("q65_quantize_embeddings", q_quantize_embeddings, ORACLE_QUANTIZE,
