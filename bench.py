@@ -129,13 +129,23 @@ def main() -> None:
     # the already-compacted history; q127 re-reads its committed
     # disposition lake (plans/ledger_q._built_through,
     # plans/curation_q.q_stream_dispositions resume rule).
+    # The build cost is REPORTED, not hidden: each lifecycle build is
+    # timed here and lands in the JSON line as build_sec[qNNN], so the
+    # headline per-query figures (fast-forward/resume paths) and the
+    # one-time state-construction cost are separate metrics — the
+    # round-6 advice's ask (q127's 3-epoch protocol is ~60 s of build
+    # vs ~0.3 s of resume; folding it into the per-query number made
+    # totals non-comparable as measures of repeatable compute).
     from etl_evm_chain_spark.plans import curation_q as _cq
     from etl_evm_chain_spark.plans import ledger_q as _lq
-    for _lifecycle in (_lq.q_compacted_lsh_pairs,
-                       _lq.q_compacted_exact_survivors,
-                       _lq.q_compacted_ann_topk,
-                       _cq.q_stream_dispositions):
+    build_sec: dict[str, float] = {}
+    for _lifecycle, _bq in ((_lq.q_compacted_lsh_pairs, "q121"),
+                            (_lq.q_compacted_exact_survivors, "q122"),
+                            (_lq.q_compacted_ann_topk, "q125"),
+                            (_cq.q_stream_dispositions, "q127")):
+        _t0 = time.time()
         _lifecycle(spark, sf_dir).limit(1).collect()
+        build_sec[_bq] = round(time.time() - _t0, 2)
 
     from pyspark.ml import Pipeline
     from pyspark.ml.classification import LogisticRegression
@@ -236,6 +246,9 @@ def main() -> None:
         "sf": sf,
         "blocks_per_sec": bps,
         "events_per_sec": eps,
+        # one-time ledger/lake construction (warm-up), reported apart
+        # from the per-query resume/fast-forward figures above
+        "build_sec": build_sec,
     }, separators=(",", ":")))
 
 

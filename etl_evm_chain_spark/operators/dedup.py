@@ -399,7 +399,8 @@ def update_near_dup_index(spark, docs: DataFrame, index_path: str, *,
     # isEmpty pre-check would run the whole groupBy agg a second
     # time); emptiness is read off the written directory instead.
     new_banded.write.mode("overwrite").partitionBy("band").parquet(batch_dir)
-    from .index_ledger import _fs, _has_data
+    from .index_ledger import _fs, _has_data, touch_liveness
+    touch_liveness(index_path)  # scratch-root GC liveness (see helper)
     fs, jdir = _fs(spark, batch_dir)
     if not _has_data(fs, jdir):
         # Empty micro-batch (or every doc shorter than the shingle
@@ -720,6 +721,8 @@ def update_exact_dedup_index(spark, docs: DataFrame, index_path: str, *,
     batch_dir = os.path.join(index_path, f"batch_id=b{batch_id}")
     (fresh.select("fp", "band").withColumn("nb", F.lit(n_bands))
      .write.mode("overwrite").partitionBy("band").parquet(batch_dir))
+    from .index_ledger import touch_liveness
+    touch_liveness(index_path)  # scratch-root GC liveness (see helper)
     return fresh.drop("fp", "band")
 
 

@@ -198,7 +198,11 @@ def label_propagation(edges: DataFrame, *, a_col: str = "a",
     Self-loop edges are dropped here (a self-loop would let the node
     vote for itself every round, silently biasing toward
     self-retention) — callers need no precondition, unlike
-    triangle_counts' documented a < b contract.
+    triangle_counts' documented a < b contract. A node whose ONLY
+    edges are self-loops still appears in the output, as a singleton
+    community labeled with its own id (it has no neighbors, so it
+    participates in no propagation round) — it is never silently
+    dropped.
 
     Per-round cost: one |E|-scale shuffle (symmetrized edges join the
     label relation on the source, votes aggregate by (destination,
@@ -214,16 +218,24 @@ def label_propagation(edges: DataFrame, *, a_col: str = "a",
     this extends the q74/q114/q41 graph tier with the standard
     community primitive.
     """
-    sym = (edges.select(F.col(a_col).alias("src"),
-                        F.col(b_col).alias("dst"))
-           .union(edges.select(F.col(b_col).alias("src"),
-                               F.col(a_col).alias("dst")))
-           .filter(F.col("src") != F.col("dst"))
+    ends = (edges.select(F.col(a_col).alias("src"),
+                         F.col(b_col).alias("dst"))
+            .union(edges.select(F.col(b_col).alias("src"),
+                                F.col(a_col).alias("dst"))))
+    sym = (ends.filter(F.col("src") != F.col("dst"))
            .dropDuplicates().localCheckpoint())
     labels = (sym.select(F.col("src").alias("node"))
               .dropDuplicates()
               .select("node", F.col("node").alias("lbl"))
               .localCheckpoint())
+    # self-loop-only nodes: in the edge relation but not in sym after
+    # the self-loop drop — they take no part in any round and emit as
+    # singleton communities at the end (one extra |E|-distinct, paid
+    # once, no per-round cost)
+    singletons = (ends.select(F.col("src").alias("node")).dropDuplicates()
+                  .join(labels.select("node"), "node", "left_anti")
+                  .select("node", F.col("node").alias("lbl"))
+                  .localCheckpoint())
     for _ in range(n_iter):
         votes = (sym.join(labels, sym["src"] == labels["node"])
                  .groupBy(F.col("dst").alias("vnode"), "lbl")
@@ -234,4 +246,5 @@ def label_propagation(edges: DataFrame, *, a_col: str = "a",
                 .select(F.col("vnode").alias("node"),
                         (-F.col("_b.neg")).alias("lbl")))
         labels = best.localCheckpoint()
-    return labels.select("node", F.col("lbl").alias("community"))
+    return (labels.unionByName(singletons)
+            .select("node", F.col("lbl").alias("community")))

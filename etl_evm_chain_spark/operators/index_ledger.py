@@ -62,6 +62,45 @@ def _jp(spark: SparkSession, *parts: str):
     return p
 
 
+def touch_liveness(root: str) -> None:
+    """Refresh the LOCAL-FS mtime of a ledger root. The pid-scoped
+    scratch roots (plans/ledger_q._index_root) are GC'd by a sibling
+    process once their mtime exceeds a staleness TTL; ledger writes
+    land in SUBdirectories (``batch_id=``, ``cells/``, ``_compacted/``)
+    which do not refresh the root's own mtime, so a single build
+    outliving the TTL could have its live root swept mid-run. Calling
+    this from every index write/compaction makes the root's mtime
+    track actual ledger activity, not just query entry. Best-effort:
+    a non-local root (hdfs://, s3://) is not a /tmp scratch root and
+    has no sweeper, so the OSError is ignored. When ``root`` is itself
+    a SUBTREE of a pid-scoped root (the funnel's fpidx/ndidx/out
+    dirs), the enclosing ``*_pid<N>`` directory is refreshed too —
+    that is the directory whose mtime the sweeper actually reads."""
+    import os
+    import re
+
+    try:
+        os.utime(root, None)
+    except OSError:
+        pass
+    p = os.path.abspath(root)
+    if not os.path.isdir(p):  # non-local URI or not-yet-created root
+        return
+    while True:
+        parent = os.path.dirname(p)
+        if parent == p:
+            return
+        p = parent
+        if re.search(r"_pid\d+$", os.path.basename(p)):
+            try:
+                os.utime(p, None)
+            except OSError:
+                pass
+            return
+        if os.path.basename(p) == "spark_graft_lake":
+            return
+
+
 def _has_data(fs, jdir) -> bool:
     """True when the directory holds at least one non-underscore child
     (a zero-row partitionBy write leaves only _SUCCESS, no footers)."""
@@ -159,6 +198,7 @@ def compact_batch_index(spark: SparkSession, root: str, *,
     re-lands the same rows, ``batch_id`` preserved as a column,
     partitioned by ``part_col`` so partition-pruned probes keep
     working against the baseline."""
+    touch_liveness(root)
     fs, _ = _fs(spark, root)
     prev = _newest_gen(spark, root)
     batches = committed_batch_dirs(spark, root)

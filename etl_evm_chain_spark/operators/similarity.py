@@ -1323,6 +1323,8 @@ def update_ann_index(spark, batch: DataFrame, index_path: str, *,
     # digit/hex ids across directories would conflict otherwise)
     batch_dir = os.path.join(cells_path, f"batch_id=b{batch_id}")
     assigned.write.mode("overwrite").partitionBy("cell").parquet(batch_dir)
+    from .index_ledger import touch_liveness
+    touch_liveness(index_path)  # scratch-root GC liveness (see helper)
 
     # committed epochs only (torn batch writes stay invisible until
     # their replay overwrites them), now routed through the batch

@@ -805,6 +805,16 @@ def lloyd_kmeans_truth(sf_dir: str, k: int = 8, n_iter: int = 2,
 
 def oracle_lloyd_kmeans() -> str:
     rows = lloyd_kmeans_truth(oracle_ctx.sf_dir())
+    if not rows:
+        # degenerate fixture (every embedding NULL/zero/non-finite):
+        # "FROM (VALUES )" is a DuckDB syntax error, so emit an
+        # explicit empty relation with the same schema — the
+        # literal_df-fallback discipline of q127's Spark side
+        return """
+SELECT CAST(NULL AS INT) AS cell, CAST(NULL AS BIGINT) AS n_vecs,
+       CAST(NULL AS BIGINT) AS sum_cos_u6
+WHERE false
+"""
     vals = ",\n  ".join(f"({c},{n},{s})" for c, n, s in rows)
     return f"""
 SELECT CAST(cell AS INT) AS cell, CAST(n_vecs AS BIGINT) AS n_vecs,

@@ -90,3 +90,17 @@ def test_label_propagation_two_communities(spark):
             for r in label_propagation(edges.repartition(7),
                                        n_iter=3).collect()}
     assert out == out2
+
+
+def test_label_propagation_self_loop_only_node_is_singleton(spark):
+    """A node whose ONLY edges are self-loops has no neighbors after
+    the self-loop drop; it must still appear in the output as its own
+    singleton community (round-6 advice: it silently vanished)."""
+    from etl_evm_chain_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (7, 7)],
+                                  "a long, b long")
+    out = {r["node"]: r["community"]
+           for r in label_propagation(edges, n_iter=3).collect()}
+    assert out[7] == 7                      # singleton, own label
+    assert set(out) == {1, 2, 3, 7}         # nobody dropped
