@@ -31,10 +31,33 @@ from pyspark.sql.functions import pandas_udf
 
 from ..functions.vectors import cosine
 
-N_PLANES = 8
-PROBE_RADIUS = 2
+# Retrieval geometry — tuned in round 7 under the q126 recall@k gate
+# (the gate exists so these can move without silently degrading
+# retrieval; measured recall@5 on the uniform-random embeddings
+# fixture, the hardest ANN case, at sf0.001/sf0.01/sf0.1):
+#
+# - LSH: banded multi-table (16 tables x 4 planes, radius 0) —
+#   recall .80/.88/1.00 vs .12-.44 for the old single-table
+#   8-plane/radius-2 multiprobe. Same geometry family as
+#   cosine_near_dup_pairs_bucketed.
+# - IVF: 16 cells, probe 8 — recall .64/.80/.72 vs .40-.56 at probe
+#   4. Hash-sampled centroids KEPT: a Lloyd-trained quantizer was
+#   measured at equal-or-worse recall on this fixture (no cluster
+#   structure to learn in uniform-random vectors; lloyd stays
+#   available via ivf_topk(centroids="lloyd") for real corpora).
+# - PQ: 32 subquantizers x 256 centroids — recall .76/.80/.84 vs
+#   .12-.16 at 8x64.
+#
+# Recall floors are pinned per method in tests/test_llmdata.py, so a
+# future retune can never silently regress below these.
+N_PLANES = 8          # lsh_buckets default (single-sketch consumers)
+PROBE_RADIUS = 2      # per-table multiprobe radius of the LEGACY shape
+LSH_TABLES = 16       # ann_topk banded tables
+LSH_PLANES_PER_TABLE = 4
 IVF_CELLS = 16
-IVF_PROBE = 4
+IVF_PROBE = 8
+PQ_SUB = 32           # pq_topk subquantizers
+PQ_CENTS = 256        # pq_topk codebook size
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, *,
@@ -276,36 +299,60 @@ def _probe_masks(n_planes: int, radius: int) -> list[int]:
 
 def ann_topk(corpus: DataFrame, queries: DataFrame, *,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             k: int = 5, n_planes: int = N_PLANES,
-             probe_radius: int = PROBE_RADIUS) -> DataFrame:
-    """Approximate top-k: compare only (query, corpus) pairs whose LSH
-    buckets differ in ≤ probe_radius bits.
+             k: int = 5, n_tables: int = LSH_TABLES,
+             planes_per_table: int = LSH_PLANES_PER_TABLE,
+             probe_radius: int = 0) -> DataFrame:
+    """Approximate top-k via banded multi-table hyperplane LSH: a
+    (query, corpus) pair is a candidate iff the two vectors share a
+    bucket in ANY of the ``n_tables`` independent sign-bit tables
+    (optionally widened per table by probing buckets within Hamming
+    distance ``probe_radius``). Candidate recall for a pair with
+    per-plane agreement probability p = 1 − θ/π is
+    1 − (1 − p^b)^L (b = planes_per_table, L = n_tables) — the
+    classic AND-OR amplification, tuned UP in L for recall and UP in
+    b for bucket sparsity. The 16×4 default measures recall@5 of
+    .80/.88/1.00 on the sf0.001/0.01/0.1 uniform-random fixture (the
+    old single-table 8-plane radius-2 multiprobe measured .12-.44 —
+    one table cannot amplify recall, only widen its probe set).
 
-    With 8 planes / radius 2, each query probes 37 of 256 buckets
-    (~14% of the corpus in the uniform worst case). Real embedding
-    corpora are clustered, so recall is far higher than on the
-    uniform-random fixture; tune n_planes up as corpus density grows.
+    Scale shape: corpus sketches replicate L× (a long per table) and
+    candidates come from a bucket EQUI-join, never all-pairs; the
+    candidate (qid, cid) set dedups before the exact cosine so a pair
+    sharing several tables is scored once. The legacy single-table
+    multiprobe is the (n_tables=1, planes_per_table=8,
+    probe_radius=2) parameterization — same planes, same buckets.
     """
-    c = _sketch(corpus, id_col, vec_col, n_planes) \
+    c = _banded_buckets(corpus, id_col, vec_col,
+                        n_tables, planes_per_table) \
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"),
-                F.col("bucket").alias("cbucket"))
-    q = _sketch(queries, id_col, vec_col, n_planes) \
+                F.col("tbl").alias("ctbl"), F.col("bucket").alias("cbucket"))
+    q = _banded_buckets(queries, id_col, vec_col,
+                        n_tables, planes_per_table) \
         .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"),
-                F.col("bucket").alias("qbucket"))
-    probes = F.array(*[
-        F.col("qbucket").bitwiseXOR(F.lit(m).cast("long"))
-        for m in _probe_masks(n_planes, probe_radius)
-    ])
-    q = q.withColumn("probe", F.explode(probes))
+                "tbl", F.col("bucket").alias("qbucket"))
+    if probe_radius > 0:
+        probes = F.array(*[
+            F.col("qbucket").bitwiseXOR(F.lit(m).cast("long"))
+            for m in _probe_masks(planes_per_table, probe_radius)
+        ])
+        q = q.withColumn("probe", F.explode(probes))
+    else:
+        q = q.withColumn("probe", F.col("qbucket"))
     scored = (
-        c.join(F.broadcast(q), F.col("cbucket") == F.col("probe"))
+        c.join(F.broadcast(q),
+               (F.col("ctbl") == F.col("tbl"))
+               & (F.col("cbucket") == F.col("probe")))
         .filter(F.col("qid") != F.col("cid"))
+        # dedup BEFORE the cosine: a pair matching in several tables
+        # (or probes) must pay the HOF fold once, not L times; the
+        # carried vec columns are identical per (qid, cid), so which
+        # duplicate survives is immaterial
+        .dropDuplicates(["qid", "cid"])
         .withColumn("sim", cosine("qvec", "cvec"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
     return (
-        scored.dropDuplicates(["qid", "cid"])
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "cid", F.round("sim", 6).alias("sim"), "rank")
     )
@@ -646,14 +693,20 @@ def _probe_score_topk(assigned: DataFrame, probed: DataFrame,
 
 def pq_topk(corpus: DataFrame, queries: DataFrame, *,
             id_col: str = "vec_id", vec_col: str = "embedding",
-            k: int = 5, n_sub: int = 8, n_cents: int = 64) -> DataFrame:
+            k: int = 5, n_sub: int = PQ_SUB,
+            n_cents: int = PQ_CENTS) -> DataFrame:
     """Product-quantization ADC approximate top-k (Jégou et al. 2011,
     "Product Quantization for Nearest Neighbor Search"): vectors are
-    compressed to ``n_sub`` codebook indices (6 bits each at the
-    default 64 centroids — 64 float dims → 6 bytes of codes, a ~40×
-    compression), and queries score candidates straight off the codes
-    via per-subspace lookup tables, never touching the raw corpus
-    vectors.
+    compressed to ``n_sub`` codebook indices (8 bits each at the
+    default 256 centroids — 64 float dims → 32 bytes of codes, a ~13×
+    compression with the stored norm), and queries score candidates
+    straight off the codes via per-subspace lookup tables, never
+    touching the raw corpus vectors. The 32×256 default is the
+    round-7 recall retune (recall@5 .76/.80/.84 on the
+    sf0.001/0.01/0.1 fixture vs .12-.16 at the old 8×64 — finer
+    subspaces resolve far more of the dot product; the compression
+    ratio drops from ~40× to ~13×, the classic PQ accuracy/space
+    dial, pinned by the q126 gate and the tests' recall floors).
 
     Codebooks are deterministic sampled subvectors (the ``n_cents``
     corpus rows with smallest ``hash15('pq:'||id)``, as in
@@ -664,9 +717,9 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, *,
     by the true norms (stored at encode time, 8 more bytes).
 
     Scale shape — the point of PQ at 100 TB: after one encode pass the
-    working set is ~16 bytes/vector (codes + norm), so a billion-row
+    working set is ~40 bytes/vector (codes + norm), so a billion-row
     corpus fits where raw float vectors never would; each partition
-    builds the 8×16 lookup tables locally from the broadcast
+    builds the n_sub×n_cents lookup tables locally from the broadcast
     (codebooks, queries) and emits only its per-query local top-k, so
     the only shuffle is (queries × k × partitions) candidate rows into
     the final global top-k window. Compose with IVF cells for the full

@@ -643,9 +643,17 @@ ORDER BY y
 
 
 @lru_cache(maxsize=4)
-def pq_topk_truth(sf_dir: str, k: int = 5, n_sub: int = 8,
-                  n_cents: int = 64) -> list[tuple]:
+def pq_topk_truth(sf_dir: str, k: int = 5, n_sub: int | None = None,
+                  n_cents: int | None = None) -> list[tuple]:
     import numpy as np
+
+    # geometry defaults come FROM the operator module so a retuned
+    # constant can never leave this replay stale (same discipline as
+    # the IVF/LSH oracles' imports)
+    from ..operators.similarity import PQ_CENTS, PQ_SUB
+
+    n_sub = PQ_SUB if n_sub is None else n_sub
+    n_cents = PQ_CENTS if n_cents is None else n_cents
 
     assert sf_dir == oracle_ctx.sf_dir()
     con = oracle_ctx.connect()
