@@ -519,10 +519,33 @@ def _lloyd_fit(corpus: DataFrame, *, id_col: str = "vec_id",
     relation once (done here with localCheckpoint) instead of
     re-deriving it per round.
     """
-    import math
+    unit = _unit_vectors(corpus, id_col=id_col,
+                         vec_col=vec_col).localCheckpoint()
+    cents = _lloyd_seeds(unit, k, salt)
+    dim = len(cents[0]) if cents else 0
 
-    from ..functions.text import hash15
+    adf = None
+    for t in range(n_iter):
+        adf = _lloyd_assign(unit, cents)
+        if t == n_iter - 1:
+            break
+        agg = (adf.select("cell", F.posexplode("_u").alias("pos", "v"))
+               .groupBy("cell", "pos")
+               .agg(F.sum(F.col("v").cast("decimal(38,18)")).alias("s"))
+               .collect())
+        by_cell: dict[int, dict[int, object]] = {}
+        for r in agg:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["s"]
+        cents = _lloyd_update(cents, by_cell, dim)
+    return adf, cents
 
+
+def _unit_vectors(corpus: DataFrame, *, id_col: str,
+                  vec_col: str) -> DataFrame:
+    """``(_id, _u)`` unit-normalized double vectors — the shared entry
+    of every Lloyd path (batch ``_lloyd_fit`` and the per-epoch
+    streaming stats), so the normalization/exclusion rule can never
+    drift between the one-shot and incremental twins."""
     dbl = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     base = (corpus.filter(F.col(vec_col).isNotNull())
             .select(F.col(id_col).alias("_id"), dbl.alias("_x")))
@@ -536,64 +559,166 @@ def _lloyd_fit(corpus: DataFrame, *, id_col: str = "vec_id",
     # twin (where NaN > 0 is False); an inf norm likewise yields
     # 0/NaN unit components. Both are excluded, matching the twin's
     # isfinite(sq) & (sq > 0).
-    unit = (base.select("_id", "_x", nrm.alias("_n"))
+    return (base.select("_id", "_x", nrm.alias("_n"))
             .filter((F.col("_n") > 0) & ~F.isnan(F.col("_n"))
                     & (F.col("_n") != F.lit(float("inf"))))
             .select("_id", F.transform(
                 F.col("_x"),
-                lambda v: v / F.col("_n")).alias("_u"))
-            .localCheckpoint())
+                lambda v: v / F.col("_n")).alias("_u")))
+
+
+def _lloyd_seeds(unit: DataFrame, k: int, salt: str) -> list:
+    """The deterministic init pick: the k smallest ``hash15(salt:id)``
+    rows' unit vectors (the _ivf_centroids spread — no training
+    randomness; TakeOrderedAndProject, k rows to the driver)."""
+    from ..functions.text import hash15
 
     seed_rows = (unit.select(
         "_id", "_u",
         hash15(F.concat(F.lit(f"{salt}:"),
                         F.col("_id").cast("string"))).alias("_h"))
         .orderBy("_h", "_id").limit(k).collect())
-    cents = [[float(v) for v in r["_u"]] for r in seed_rows]
+    return [[float(v) for v in r["_u"]] for r in seed_rows]
+
+
+def _lloyd_assign(unit: DataFrame, cents_now: list) -> DataFrame:
+    """One Lloyd assignment pass: a pure MAP over COMPILED-LITERAL
+    centroids — argmax of ``(cos, -cell)`` structs (ties to the
+    smallest cell); cosines are sequential HOF folds (cumsum parity
+    with the numpy twin). No join, no shuffle."""
+    arr = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(F.col("_u"),
+                           F.array(*[F.lit(c) for c in cvec]),
+                           lambda a, b: a * b),
+                F.lit(0.0), lambda acc, v: acc + v).alias("cos"),
+            F.lit(-ci).alias("negcell"))
+        for ci, cvec in enumerate(cents_now)])
+    best = F.array_max(arr)
+    return unit.select(
+        "_id", "_u",
+        (-best["negcell"]).cast("int").alias("cell"),
+        best["cos"].alias("cos"))
+
+
+def _lloyd_update(cents: list, by_cell: dict, dim: int) -> list:
+    """Driver-side centroid update from exact decimal component sums:
+    float(Decimal) conversion + sequential-fold norm — bit-identical
+    between the one-shot fit and the streamed fold (decimal sums are
+    fold-order-free, so per-epoch partial sums summed again equal the
+    one-shot sum EXACTLY). An emptied cell keeps its previous
+    centroid."""
+    import math
+
+    nxt = []
+    for ci, prev in enumerate(cents):
+        comp = by_cell.get(ci)
+        if not comp:
+            nxt.append(prev)  # emptied cell keeps its centroid
+            continue
+        vec = [float(comp[p]) for p in range(dim)]
+        nn = 0.0
+        for v in vec:  # sequential fold, like every norm here
+            nn += v * v
+        nn = math.sqrt(nn)
+        nxt.append([v / nn for v in vec] if nn > 0 else prev)
+    return nxt
+
+
+def kmeans_seed_centroids(corpus: DataFrame, *, id_col: str = "vec_id",
+                          vec_col: str = "embedding", k: int = 8,
+                          salt: str = "lloyd") -> list:
+    """Public seed pick for the streaming k-means tier: the SAME init
+    `_lloyd_fit` uses (hash15 spread over the unit-vector relation),
+    exposed so a streamed run can start from the identical generation
+    0 as the batch twin."""
+    unit = _unit_vectors(corpus, id_col=id_col, vec_col=vec_col)
+    return _lloyd_seeds(unit, k, salt)
+
+
+def _kmeans_sig(cents: list) -> str:
+    """Geometry stamp for landed k-means epoch stats: a generation is
+    identified by its exact centroid floats (repr round-trips
+    doubles), so stats computed against different centroids can never
+    fold together silently — the count-min ``geom`` discipline."""
+    body = ";".join(",".join(repr(float(v)) for v in c) for c in cents)
+    return hashlib.sha256(
+        f"k={len(cents)}|{body}".encode()).hexdigest()[:16]
+
+
+def kmeans_epoch_stats(batch: DataFrame, cents: list, *,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Sufficient statistics of ONE mini-batch against a pinned
+    centroid generation — the per-epoch unit of the streaming k-means
+    ledger (streaming/pipeline.stream_kmeans).
+
+    Output: one row per (cell, pos) with
+      - ``s``        exact decimal(38,18) sum of unit-vector components,
+      - ``n``        vectors assigned to the cell (same value at every
+                     pos — replicated so the relation stays a plain
+                     (cell, pos)-keyed monoid),
+      - ``sum_qcos`` per-cell sum of floor(cos·1e6) micro-unit
+                     cosines (integer, fold-exact — q128's pinned
+                     output quantization),
+      - ``sig``      the generation stamp (_kmeans_sig) asserted
+                     globally at fold time.
+
+    Because assignment is a pure map over compiled-literal centroids
+    and the sums are decimals, the stats are a pure function of the
+    batch's rows — replay-idempotent — and their fold over any epoch
+    partitioning equals the one-shot statistics of the union: the
+    incremental == one-shot law the equivalence tests pin.
+    """
+    unit = _unit_vectors(batch, id_col=id_col, vec_col=vec_col)
+    adf = _lloyd_assign(unit, cents)
+    qcos = F.floor(F.col("cos") * 1e6).cast("long")
+    return (adf.select("cell", F.posexplode("_u").alias("pos", "v"),
+                       qcos.alias("_q"))
+            .groupBy("cell", "pos")
+            .agg(F.sum(F.col("v").cast("decimal(38,18)")).alias("s"),
+                 F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("_q").cast("decimal(38,0)"))
+                 .alias("sum_qcos"))
+            .withColumn("sig", F.lit(_kmeans_sig(cents))))
+
+
+def kmeans_fold_stats(df: DataFrame) -> DataFrame:
+    """Fold landed epoch stats into generation totals — exact decimal
+    monoid per (cell, pos), with the generation stamp asserted
+    GLOBALLY (the _cm_epoch_fold pattern: a per-group check would
+    miss two epochs of different generations whose populated cells
+    never share a group). The checked bit multiplies into ``n`` so
+    pruning can never elide it; the coalesce keeps an empty ledger a
+    no-op."""
+    chk = df.agg(
+        F.when(
+            F.assert_true(
+                F.coalesce(F.min("sig") == F.max("sig"), F.lit(True)),
+                F.concat(F.lit("k-means generation mismatch across "
+                               "epochs: "),
+                         F.concat_ws(" vs ", F.min("sig"),
+                                     F.max("sig")))).isNull(),
+            F.lit(1).cast("long")).alias("_sig_ok"))
+    return (df.crossJoin(F.broadcast(chk))
+            .groupBy("cell", "pos")
+            .agg(F.sum("s").cast("decimal(38,18)").alias("s"),
+                 (F.sum("n") * F.first("_sig_ok")).cast("long").alias("n"),
+                 F.sum("sum_qcos").cast("decimal(38,0)").alias("sum_qcos"),
+                 F.min("sig").alias("sig")))
+
+
+def kmeans_refine(cents: list, folded_rows) -> list:
+    """One exact Lloyd centroid update from FOLDED ledger stats — the
+    same driver math as ``_lloyd_fit``'s in-loop update
+    (_lloyd_update), so a generation refined from streamed epochs is
+    bit-identical to the batch fit over the union of those epochs."""
     dim = len(cents[0]) if cents else 0
-
-    def assign(cents_now):
-        arr = F.array(*[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(F.col("_u"),
-                               F.array(*[F.lit(c) for c in cvec]),
-                               lambda a, b: a * b),
-                    F.lit(0.0), lambda acc, v: acc + v).alias("cos"),
-                F.lit(-ci).alias("negcell"))
-            for ci, cvec in enumerate(cents_now)])
-        best = F.array_max(arr)
-        return unit.select(
-            "_id", "_u",
-            (-best["negcell"]).cast("int").alias("cell"),
-            best["cos"].alias("cos"))
-
-    adf = None
-    for t in range(n_iter):
-        adf = assign(cents)
-        if t == n_iter - 1:
-            break
-        agg = (adf.select("cell", F.posexplode("_u").alias("pos", "v"))
-               .groupBy("cell", "pos")
-               .agg(F.sum(F.col("v").cast("decimal(38,18)")).alias("s"))
-               .collect())
-        by_cell: dict[int, dict[int, object]] = {}
-        for r in agg:
-            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["s"]
-        nxt = []
-        for ci, prev in enumerate(cents):
-            comp = by_cell.get(ci)
-            if not comp:
-                nxt.append(prev)  # emptied cell keeps its centroid
-                continue
-            vec = [float(comp[p]) for p in range(dim)]
-            nn = 0.0
-            for v in vec:  # sequential fold, like every norm here
-                nn += v * v
-            nn = math.sqrt(nn)
-            nxt.append([v / nn for v in vec] if nn > 0 else prev)
-        cents = nxt
-    return adf, cents
+    by_cell: dict[int, dict[int, object]] = {}
+    for r in folded_rows:
+        by_cell.setdefault(r["cell"], {})[r["pos"]] = r["s"]
+    return _lloyd_update(cents, by_cell, dim)
 
 
 def lloyd_kmeans(corpus: DataFrame, *, id_col: str = "vec_id",

@@ -974,3 +974,100 @@ SPECS.append(
               "with est_jaccard), oracle = one-shot DuckDB twin of the "
               "whole epoch protocol",
               ("P2-curation", "P2-dedup", "H6")))
+
+
+# ---------------------------------------------------------------------------
+# Q131: near-dup ESTIMATE-ENVELOPE gate (VERDICT r6 ask #6). The
+# streaming funnel's vs-history drops are estimate-only by design
+# (k=64/16-band minhash, SFUNNEL_EST_MIN); this pins the REALIZED
+# confusion of that rule against exact shingle Jaccard at
+# FUNNEL_JACCARD over the whole corpus — false drops (estimate says
+# dup, exact disagrees) and false keeps (exact dup the estimate
+# misses) become driver-hashed integers, the q126 recall-gate
+# discipline applied to the dedup estimate path. A geometry retune
+# that degrades the envelope now fails loudly (floor assertions in
+# tests/test_curation.py) instead of silently shipping worse dedup.
+# ---------------------------------------------------------------------------
+
+def q_neardup_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dd.minhash_signatures(docs, k=SFUNNEL_K)
+    est = (dd.lsh_candidate_pairs(sig, k=SFUNNEL_K, bands=SFUNNEL_BANDS)
+           .filter(F.col("est_jaccard") >= SFUNNEL_EST_MIN)
+           .select("id_a", "id_b", F.lit(1).alias("_e")))
+    exact = (dd.ngram_jaccard_pairs(docs, threshold=FUNNEL_JACCARD)
+             .select("id_a", "id_b", F.lit(1).alias("_x")))
+    j = est.join(exact, ["id_a", "id_b"], "full_outer")
+    e, x = F.col("_e").isNotNull(), F.col("_x").isNotNull()
+
+    def c(cond, name):
+        # count(when) not sum(cast): an empty corpus must yield 0s,
+        # not NULLs (sum over zero rows is NULL)
+        return F.count(F.when(cond, F.lit(1))).alias(name)
+
+    return j.agg(c(e, "n_est_dup"), c(x, "n_exact_dup"),
+                 c(e & x, "n_both"), c(e & ~x, "false_drop"),
+                 c(x & ~e, "false_keep"))
+
+
+def _oracle_neardup_envelope() -> str:
+    from .llmdata import (_SQL_SHINGLES, _SQL_TOKS, _sql_band_conds,
+                          _sql_hash15, _sql_minhash_mins)
+
+    mins = _sql_minhash_mins(SFUNNEL_K)
+    band_conds = _sql_band_conds("a", "b", k=SFUNNEL_K,
+                                 bands=SFUNNEL_BANDS)
+    matches = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+        for i in range(SFUNNEL_K))
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+shs AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM toks),
+sig AS (
+  SELECT doc_id,
+       {mins}
+  FROM shs GROUP BY doc_id
+),
+est AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({band_conds})
+  WHERE ({matches})::DOUBLE / {SFUNNEL_K} >= {SFUNNEL_EST_MIN}
+),
+shx AS (SELECT doc_id, {_sql_hash15("sh")} AS h FROM shs),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM shx a JOIN shx b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+ex AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common)
+        >= {FUNNEL_JACCARD}
+),
+u AS (
+  SELECT e.id_a IS NOT NULL AS is_e, x.id_a IS NOT NULL AS is_x
+  FROM est e FULL OUTER JOIN ex x
+    ON e.id_a = x.id_a AND e.id_b = x.id_b
+)
+SELECT count(CASE WHEN is_e THEN 1 END)::BIGINT AS n_est_dup,
+       count(CASE WHEN is_x THEN 1 END)::BIGINT AS n_exact_dup,
+       count(CASE WHEN is_e AND is_x THEN 1 END)::BIGINT AS n_both,
+       count(CASE WHEN is_e AND NOT is_x THEN 1 END)::BIGINT AS false_drop,
+       count(CASE WHEN is_x AND NOT is_e THEN 1 END)::BIGINT AS false_keep
+FROM u
+"""
+
+
+SPECS.append(
+    QuerySpec("q131_neardup_envelope", q_neardup_envelope,
+              _oracle_neardup_envelope,
+              "estimate-envelope gate for the funnel's k=64/16-band "
+              "minhash drop rule: confusion counts (false drops / "
+              "false keeps) vs exact shingle Jaccard, driver-hashed",
+              ("P2-dedup", "B11")))

@@ -849,6 +849,125 @@ def read_matview(spark: SparkSession, state_dir: str,
                  F.max("max").alias("max")))
 
 
+def kmeans_epoch(batch_df: DataFrame, batch_id: int, *, state_dir: str,
+                 centroids: list, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> None:
+    """One streaming k-means epoch: sufficient statistics of the batch
+    against the PINNED centroid generation, landed under
+    ``state_dir/batch_id=<epoch>/`` (epoch-directory ledger). Exposed
+    at module level (curation_funnel_epoch's pattern) so lifecycle
+    registry queries can drive epochs directly with the exact
+    foreachBatch body the stream runs.
+
+    The stats are a pure function of (batch rows, pinned centroids) —
+    operators/similarity.kmeans_epoch_stats — so a replayed epoch
+    overwrites its directory with identical rows (exactly-once), and
+    the generation stamp riding every row lets the fold reject a
+    restart that resumed with the wrong centroids."""
+    import os
+
+    from ..operators.similarity import kmeans_epoch_stats
+
+    if batch_df.isEmpty():
+        return
+    st = kmeans_epoch_stats(batch_df, centroids, id_col=id_col,
+                            vec_col=vec_col)
+    st.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"batch_id={int(batch_id)}"))
+
+
+def stream_kmeans(vecs: DataFrame, *, state_dir: str, checkpoint: str,
+                  centroids: list, id_col: str = "vec_id",
+                  vec_col: str = "embedding", trigger_once: bool = True,
+                  compact_every: int | None = None):
+    """Mini-batch spherical k-means AT INGEST TIME — the streaming
+    twin of ``operators/similarity.lloyd_kmeans`` (VERDICT r6 ask #2),
+    under the same epoch-directory ledger as ``stream_matview``.
+
+    Each micro-batch lands the exact decimal sufficient statistics of
+    its vectors against a PINNED centroid generation
+    (``kmeans_epoch``); :func:`read_kmeans_centroids` folds the live
+    epochs and performs one exact Lloyd update. Because the decimal
+    component sums are a commutative monoid, the refined generation is
+    BIT-IDENTICAL to a one-shot ``_lloyd_fit`` update over the union
+    of all streamed epochs — incremental == one-shot, the law every
+    ledger tier here obeys, proven for this one by
+    tests/test_streaming.py's equivalence suite and driver-checked by
+    q130 (which replays the full 2-generation protocol and hashes the
+    final assignment against q128's ground-truth oracle).
+
+    Advancing a generation is the caller's move: refine → start a new
+    ``state_dir`` (generation roots are sibling directories) with the
+    refined centroids. Per-epoch cost is one map pass (compiled-
+    literal assignment, no join/shuffle) + one (cell, pos)-keyed
+    aggregate with map-side combine; landed state is O(live epochs ·
+    k·dim) tiny rows — with ``compact_every=N`` the ledger
+    self-compacts (single writer, so compacting inside foreachBatch
+    can't race)."""
+    if compact_every is not None and compact_every < 2:
+        raise ValueError(f"compact_every must be >= 2, got {compact_every}")
+    if not centroids:
+        raise ValueError("stream_kmeans needs a non-empty centroid "
+                         "generation (kmeans_seed_centroids)")
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        kmeans_epoch(batch_df, batch_id, state_dir=state_dir,
+                     centroids=centroids, id_col=id_col, vec_col=vec_col)
+        if compact_every is not None:
+            c = _max_compact(state_dir)
+            floor = -1 if c is None else c
+            live = [e for e in _epoch_ids(state_dir) if e > floor]
+            if len(live) >= compact_every:
+                compact_kmeans(batch_df.sparkSession, state_dir)
+
+    w = (vecs.writeStream.foreachBatch(per_batch)
+         .option("checkpointLocation", checkpoint))
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def read_kmeans_stats(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Fold the LIVE landed k-means epochs into generation totals
+    (exact decimal monoid per (cell, pos); generation stamp asserted
+    globally — see operators/similarity.kmeans_fold_stats)."""
+    from ..operators.similarity import kmeans_fold_stats
+
+    return kmeans_fold_stats(spark.read.parquet(*_live_paths(state_dir)))
+
+
+def read_kmeans_centroids(spark: SparkSession, state_dir: str,
+                          centroids: list) -> list:
+    """The refined NEXT generation: fold the ledger, one exact Lloyd
+    update from the folded decimal sums (same driver math as the
+    batch fit — operators/similarity.kmeans_refine). ``centroids``
+    must be the generation the ledger was built against (the fold's
+    stamp check rejects a mismatch); cells that saw no vectors keep
+    their previous centroid. Only k·dim decimals reach the driver."""
+    from ..operators.similarity import _kmeans_sig, kmeans_refine
+
+    rows = read_kmeans_stats(spark, state_dir).collect()
+    want = _kmeans_sig(centroids)
+    got = {r["sig"] for r in rows}
+    if got and got != {want}:
+        raise ValueError(
+            f"k-means ledger at {state_dir} was built against a "
+            f"different centroid generation (sig {sorted(got)} != "
+            f"{want}) — refusing to refine")
+    return kmeans_refine(centroids, rows)
+
+
+def compact_kmeans(spark: SparkSession, state_dir: str, *,
+                   keep_last: int = 0, gc: bool = True) -> int | None:
+    """Log-compact a ``stream_kmeans`` ledger (the (cell, pos) decimal
+    fold — legal because the stats are a commutative monoid; the
+    generation stamp survives the fold and stays asserted)."""
+    from ..operators.similarity import kmeans_fold_stats
+
+    return compact_epoch_ledger(spark, state_dir, kmeans_fold_stats,
+                                keep_last=keep_last, gc=gc)
+
+
 def stream_expectations(events: DataFrame, checks, *, report_dir: str,
                         checkpoint: str, trigger_once: bool = True):
     """Data-quality gate AT INGEST TIME: each micro-batch runs the

@@ -363,3 +363,62 @@ def test_leakage_safe_split_keeps_singletons_not_in_resolution(spark):
     assert all(got[i][0] == 0 for i in range(5))        # cluster intact
     assert all(got[i][0] == i for i in range(5, 20))    # own id fallback
     assert len({got[i][1] for i in range(5)}) == 1      # one split
+
+
+def test_neardup_estimate_envelope_is_pinned(spark):
+    """The funnel's estimate-only drop rule (k=64/16-band minhash at
+    SFUNNEL_EST_MIN) must stay inside its documented envelope against
+    exact shingle Jaccard at FUNNEL_JACCARD: on the fixture corpus the
+    realized confusion is ZERO in both directions (measured r7 at
+    sf0.001/0.01/0.1 — 28/25/256 dup pairs, no false drops, no false
+    keeps). A geometry retune that introduces confusion fails here
+    loudly instead of silently shipping worse dedup — the q126
+    recall-floor discipline applied to the estimate path."""
+    from etl_evm_chain_spark.plans.curation_q import q_neardup_envelope
+
+    r = q_neardup_envelope(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_exact_dup"] >= 28   # fixture really exercises the gate
+    assert r["n_both"] == r["n_exact_dup"] == r["n_est_dup"]
+    assert r["false_drop"] == 0
+    assert r["false_keep"] == 0
+
+
+def test_neardup_envelope_diverging_corpus(spark):
+    """On a corpus built to sit NEAR the threshold the gate must count
+    honestly: pairs whose exact Jaccard is just under FUNNEL_JACCARD
+    but whose 64-slot estimate crosses SFUNNEL_EST_MIN land in
+    false_drop (and vice versa in false_keep), never silently in
+    n_both. Construct overlap ratios straddling 0.5 and check the
+    identity n_est_dup = n_both + false_drop, n_exact_dup = n_both +
+    false_keep, plus conservation against independent exact pairs."""
+    from etl_evm_chain_spark.operators.dedup import ngram_jaccard_pairs
+    from etl_evm_chain_spark.plans.curation_q import (FUNNEL_JACCARD,
+                                                      q_neardup_envelope)
+
+    base = [f"w{i}" for i in range(40)]
+    rows = []
+    # doc 2k and 2k+1 share a prefix of growing length: exact Jaccard
+    # of their shingle sets sweeps through the 0.5 threshold
+    for k in range(12):
+        shared = base[: 10 + 2 * k]
+        a = " ".join(shared + [f"a{k}x{j}" for j in range(10)])
+        b = " ".join(shared + [f"b{k}y{j}" for j in range(10)])
+        rows += [(2 * k, a), (2 * k + 1, b)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import etl_evm_chain_spark.plans.curation_q as cq
+    real_load = cq.load_table
+    cq.load_table = lambda sp, d, t: docs
+    try:
+        r = q_neardup_envelope(spark, "/unused").collect()[0]
+    finally:
+        cq.load_table = real_load
+    exact = ngram_jaccard_pairs(docs, threshold=FUNNEL_JACCARD)
+    assert r["n_exact_dup"] == exact.count()
+    assert r["n_est_dup"] == r["n_both"] + r["false_drop"]
+    assert r["n_exact_dup"] == r["n_both"] + r["false_keep"]
+    # the sweep must genuinely exercise BOTH confusion classes
+    # (measured: 15 est / 30 exact / 12 both -> 3 false drops,
+    # 18 false keeps from threshold-straddling overlap ratios)
+    assert r["false_drop"] > 0
+    assert r["false_keep"] > 0

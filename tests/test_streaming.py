@@ -1407,3 +1407,137 @@ def test_funnel_streaming_matches_batch_on_collision_free_fixture(
     # and every drop lands in the SAME stage in both engines
     assert sdisp == {d: s for d, s in bstage.items()
                      if s not in ("kept", "over_budget")}
+
+
+def test_stream_kmeans_two_generations_equal_batch_lloyd(spark, tmp_path):
+    """The full streamed mini-batch k-means protocol — generation 0
+    streamed as micro-batches, ledger compaction, refine, generation 1
+    streamed — must land the BIT-IDENTICAL clustering of the one-shot
+    batch Lloyd fit over the same vectors (incremental == one-shot
+    through the decimal-sum monoid), including the refined centroid
+    floats themselves."""
+    from etl_evm_chain_spark.catalog import load_table
+    from etl_evm_chain_spark.operators import similarity as sim
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    seeds = sim.kmeans_seed_centroids(emb, k=4)
+    src = str(tmp_path / "km_src")
+    g0 = str(tmp_path / "km_gen0")
+    g1 = str(tmp_path / "km_gen1")
+
+    def run(state_dir, cents, tag):
+        stream = spark.readStream.schema("vec_id long, embedding "
+                                         "array<float>, label int") \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        q = sp.stream_kmeans(stream, state_dir=state_dir,
+                             checkpoint=str(tmp_path / f"ck_{tag}"),
+                             centroids=cents)
+        q.awaitTermination(120)
+
+    # three files -> three micro-batches (maxFilesPerTrigger=1)
+    for e in range(3):
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == e) \
+            .coalesce(1).write.mode("append").parquet(src)
+    run(g0, seeds, "g0")
+    assert sp.compact_kmeans(spark, g0) is not None
+    refined = sp.read_kmeans_centroids(spark, g0, seeds)
+
+    _, cents_batch = sim._lloyd_fit(emb, k=4, n_iter=2)
+    assert refined == cents_batch  # exact float equality, not approx
+
+    run(g1, refined, "g1")
+    folded = sp.read_kmeans_stats(spark, g1).filter(F.col("pos") == 0)
+    streamed = {r["cell"]: (r["n"], int(r["sum_qcos"]))
+                for r in folded.collect()}
+    out = sim.lloyd_kmeans(emb, k=4, n_iter=2)
+    q6 = F.floor(F.col("cos") * 1e6).cast("long")
+    batch = {r["cell"]: (r["n"], int(r["sq"])) for r in
+             out.select("cell", q6.alias("_q")).groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.col("_q").cast("decimal(38,0)")).alias("sq"))
+                .collect()}
+    assert streamed == batch
+
+
+def test_stream_kmeans_epoch_replay_is_idempotent(spark, tmp_path):
+    """A replayed epoch (crash after land, before checkpoint commit)
+    must overwrite its directory with identical stats — the folded
+    view is unchanged, never double-counted."""
+    from etl_evm_chain_spark.catalog import load_table
+    from etl_evm_chain_spark.operators import similarity as sim
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    seeds = sim.kmeans_seed_centroids(emb, k=4)
+    g0 = str(tmp_path / "km_replay")
+    b0 = emb.filter(F.col("vec_id") % 2 == 0)
+    b1 = emb.filter(F.col("vec_id") % 2 == 1)
+    sp.kmeans_epoch(b0, 0, state_dir=g0, centroids=seeds)
+    sp.kmeans_epoch(b1, 1, state_dir=g0, centroids=seeds)
+    before = sorted(tuple(r) for r in
+                    sp.read_kmeans_stats(spark, g0).collect())
+    sp.kmeans_epoch(b1, 1, state_dir=g0, centroids=seeds)  # replay
+    after = sorted(tuple(r) for r in
+                   sp.read_kmeans_stats(spark, g0).collect())
+    assert before == after
+
+
+def test_stream_kmeans_generation_mismatch_trips(spark, tmp_path):
+    """Epochs landed against different centroid generations must fail
+    the fold's GLOBAL stamp assertion — a restart that resumed with
+    the wrong centroids can never silently blend generations — and
+    read_kmeans_centroids must refuse to refine a ledger built
+    against centroids other than the ones passed."""
+    import pytest
+
+    from etl_evm_chain_spark.catalog import load_table
+    from etl_evm_chain_spark.operators import similarity as sim
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    seeds = sim.kmeans_seed_centroids(emb, k=4)
+    other = [[-v for v in c] for c in seeds]
+    g0 = str(tmp_path / "km_mismatch")
+    sp.kmeans_epoch(emb.filter(F.col("vec_id") % 2 == 0), 0,
+                    state_dir=g0, centroids=seeds)
+    sp.kmeans_epoch(emb.filter(F.col("vec_id") % 2 == 1), 1,
+                    state_dir=g0, centroids=other)
+    with pytest.raises(Exception, match="generation mismatch"):
+        sp.read_kmeans_stats(spark, g0).collect()
+
+    g1 = str(tmp_path / "km_wrong_refine")
+    sp.kmeans_epoch(emb, 0, state_dir=g1, centroids=seeds)
+    with pytest.raises(ValueError, match="different centroid generation"):
+        sp.read_kmeans_centroids(spark, g1, other)
+
+
+def test_stream_kmeans_self_compacts_and_preserves_refine(spark, tmp_path):
+    """compact_every folds old epochs into a baseline mid-stream; the
+    refined centroids from the compacted ledger must equal those from
+    an uncompacted twin ledger over the same batches."""
+    import os
+
+    from etl_evm_chain_spark.catalog import load_table
+    from etl_evm_chain_spark.operators import similarity as sim
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    seeds = sim.kmeans_seed_centroids(emb, k=4)
+    ga = str(tmp_path / "km_compact")
+    gb = str(tmp_path / "km_plain")
+    src = str(tmp_path / "km_src2")
+    for e in range(4):
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(4)) == e) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    def run(state_dir, tag, compact_every):
+        stream = spark.readStream.schema("vec_id long, embedding "
+                                         "array<float>, label int") \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        q = sp.stream_kmeans(stream, state_dir=state_dir,
+                             checkpoint=str(tmp_path / f"ck2_{tag}"),
+                             centroids=seeds, compact_every=compact_every)
+        q.awaitTermination(120)
+
+    run(ga, "a", 2)
+    run(gb, "b", None)
+    assert os.path.isdir(os.path.join(ga, "_compacted"))
+    assert sp.read_kmeans_centroids(spark, ga, seeds) \
+        == sp.read_kmeans_centroids(spark, gb, seeds)
