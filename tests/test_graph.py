@@ -104,3 +104,142 @@ def test_label_propagation_self_loop_only_node_is_singleton(spark):
            for r in label_propagation(edges, n_iter=3).collect()}
     assert out[7] == 7                      # singleton, own label
     assert set(out) == {1, 2, 3, 7}         # nobody dropped
+
+
+# --------------------------- power-law skew soak ---------------------------
+# VERDICT r6 ask #3: q74/q129 were proven on benign fixtures; a
+# scale-free graph concentrates both the per-round label join and the
+# vote aggregation on hub keys. This soak builds a deterministic
+# zipf-flavored graph (top hub degree ~40% of |V|, second-tier hubs,
+# a degree-3 background) and proves both iterative operators EXACT
+# against independent pure-Python replays, then pins the plan shape
+# that makes the skew survivable at 100x: map-side-combined hash
+# aggregation (never a window over the node set) and AQE skew-join
+# splitting available on the shuffle join.
+
+def _zipf_graph(spark, n=20000, hub_deg=8000):
+    """Deterministic skewed undirected edge list (a long, b long):
+    node 0 is a hub of degree ``hub_deg``; nodes 1-4 are second-tier
+    hubs (degree ~n/64 each); every node carries a degree-3 arithmetic
+    background so the tail is connected. Built with spark.range —
+    never a driver-side list."""
+    hub = spark.range(1, hub_deg + 1).select(
+        F.lit(0).cast("long").alias("a"), F.col("id").alias("b"))
+    tiers = []
+    for h in range(1, 5):
+        deg = n // 64
+        tiers.append(spark.range(1, deg + 1).select(
+            F.lit(h).cast("long").alias("a"),
+            ((F.col("id") * 97 + h * 31) % n).alias("b")))
+    back = spark.range(n).select(
+        F.col("id").alias("a"), ((F.col("id") * 7 + 1) % n).alias("b"))
+    edges = hub
+    for t in tiers:
+        edges = edges.unionByName(t)
+    edges = edges.unionByName(back).filter(F.col("a") != F.col("b"))
+    return edges.dropDuplicates().localCheckpoint()
+
+
+def test_label_propagation_zipf_skew_soak_exact(spark):
+    from collections import Counter
+
+    from etl_evm_chain_spark.operators.graph import label_propagation
+
+    edges = _zipf_graph(spark)
+    got = {r["node"]: r["community"]
+           for r in label_propagation(edges, n_iter=3).collect()}
+
+    # independent synchronous replay on the driver
+    nbrs: dict[int, set] = {}
+    for r in edges.collect():
+        a, b = r["a"], r["b"]
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    lbl = {v: v for v in nbrs}
+    for _ in range(3):
+        nxt = {}
+        for v, ns in nbrs.items():
+            cnt = Counter(lbl[u] for u in ns)
+            top = max(cnt.values())
+            nxt[v] = min(l for l, c in cnt.items() if c == top)
+        lbl = nxt
+    assert got == lbl
+    # the hub must have actually concentrated a community (the skew
+    # is real, not degenerate): its label wins a large share
+    hub_share = sum(1 for v in lbl.values() if v == lbl[0])
+    assert hub_share > 1000
+
+
+def test_pagerank_zipf_skew_soak_matches_replay(spark):
+    from etl_evm_chain_spark.operators.graph import (pagerank,
+                                                     weighted_edges)
+
+    raw = _zipf_graph(spark).select(
+        F.col("a").cast("string").alias("s"),
+        F.col("b").cast("string").alias("d"))
+    edges = weighted_edges(raw, src="s", dst="d")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(edges, iters=3, damping=0.85).collect()}
+
+    # driver replay of the exact superstep semantics
+    rows = edges.collect()
+    outw: dict[str, float] = {}
+    for r in rows:
+        outw[r["src"]] = outw.get(r["src"], 0.0) + r["w"]
+    nodes = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        mass: dict[str, float] = {}
+        for r in rows:
+            mass[r["dst"]] = (mass.get(r["dst"], 0.0)
+                              + rank[r["src"]] * r["w"] / outw[r["src"]])
+        rank = {v: (1 - 0.85) / n + 0.85 * mass.get(v, 0.0)
+                for v in nodes}
+    assert set(got) == set(rank)
+    assert all(abs(got[v] - rank[v]) < 1e-9 for v in nodes)
+    # the skew is real ON THE JOIN KEY: node 0 is a hot ``src`` whose
+    # out-degree dwarfs the median (the shares⋈ranks join must cope)
+    degs = {}
+    for r in rows:
+        degs[r["src"]] = degs.get(r["src"], 0) + 1
+    med = sorted(degs.values())[len(degs) // 2]
+    assert degs["0"] >= 1000 * med
+
+
+def test_graph_skew_plan_shape_survives_scale(spark):
+    """The per-round LPA vote pipeline on the skewed graph must be a
+    shuffle join + partially-combined hash aggregate — never a window
+    over the node set, never a nested-loop join — and the session
+    must have AQE skew-join splitting enabled (the runtime lever that
+    bounds per-task input when a hub key outgrows a partition)."""
+    import io
+    from contextlib import redirect_stdout
+
+    # label_propagation localCheckpoints per round (lineage must stay
+    # O(1) in rounds), which hides the round plan from the returned
+    # frame — so reconstruct ONE round's vote pipeline with the
+    # operator's own expressions and audit that
+    edges = _zipf_graph(spark, n=2000, hub_deg=800)
+    ends = edges.select("a", "b").union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = ends.filter(F.col("a") != F.col("b")).dropDuplicates() \
+        .withColumnRenamed("a", "src").withColumnRenamed("b", "dst")
+    labels = sym.select(F.col("src").alias("node")).dropDuplicates() \
+        .select("node", F.col("node").alias("lbl"))
+    votes = (sym.join(labels, sym["src"] == labels["node"])
+             .groupBy(F.col("dst").alias("vnode"), "lbl")
+             .agg(F.count(F.lit(1)).alias("c")))
+    out = (votes.groupBy("vnode")
+           .agg(F.max(F.struct(F.col("c"),
+                               (-F.col("lbl")).alias("neg"))).alias("_b")))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get(
+        "spark.sql.adaptive.skewJoin.enabled", "true") == "true"
