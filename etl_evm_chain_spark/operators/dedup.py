@@ -21,6 +21,8 @@ oracle reproduces every value bit-for-bit.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -29,6 +31,55 @@ from ..functions.text import fingerprint, hash15, shingles
 MINHASH_K = 8          # signature length
 LSH_BANDS = 4          # bands of MINHASH_K // LSH_BANDS rows each
 SHINGLE_K = 3
+# Universal slot-hash family (round 7): per-slot hashes are
+# h_i(x) = (a_i·x + b_i) mod (2^61-1) over ONE 60-bit md5-prefix hash
+# x per shingle — one md5 per shingle occurrence instead of k (at
+# k=64 the old per-slot md5s were ~21 s of the sf0.1 signature pass).
+# This is the classical minwise implementation (the same family
+# pyspark.ml's MinHashLSH uses); per-slot multipliers are INDEPENDENT
+# constants, not the Kirsch-Mitzenmacher linear-in-i form — KM was
+# tried first and the q131 envelope gate caught it inflating
+# mid-similarity estimates (false-drop 230/485 at sf0.1: linear slot
+# hashes share argmin structure across slots, a known minhash
+# pathology; with this family the gate reads 0 false drops again).
+# a_i is capped at 30 bits so the mod-p multiply decomposes into
+# signed-64-safe pieces in BOTH engines (see _slot_hash); "uh" tags
+# ledger root names so an index landed under another family can never
+# be silently extended.
+MINHASH_FAMILY = "uh"
+MINHASH_P = (1 << 61) - 1
+_MINHASH_K_MAX = 64
+
+
+@lru_cache(maxsize=8)
+def minhash_ab(k: int) -> tuple:
+    """The k (a_i, b_i) slot constants, derived from md5 so both
+    engines (and the SQL twin generator) share one definition:
+    a_i in [1, 2^30), b_i in [0, p)."""
+    import hashlib
+
+    out = []
+    for i in range(k):
+        a = (int(hashlib.md5(f"mha:{i}".encode()).hexdigest()[:8], 16)
+             % ((1 << 30) - 1)) + 1
+        b = int(hashlib.md5(f"mhb:{i}".encode()).hexdigest()[:15],
+                16) % MINHASH_P
+        out.append((a, b))
+    return tuple(out)
+
+
+def _slot_hash(x, a: int, b: int):
+    """(a·x + b) mod p for p = 2^61-1, x < 2^60, a < 2^30 — with the
+    multiply decomposed so no intermediate exceeds 2^63 (Spark runs
+    ANSI; DuckDB BIGINT doesn't wrap either): x = hi·2^30 + lo, and
+    (a·hi)·2^30 mod p folds via the Mersenne identity
+    t·2^30 ≡ ((t & (2^31-1)) << 30) + (t >> 31) (mod p)."""
+    lo = x.bitwiseAND(F.lit((1 << 30) - 1))
+    hi = F.shiftright(x, 30)
+    t2 = F.lit(a) * hi
+    t2m = (F.shiftleft(t2.bitwiseAND(F.lit((1 << 31) - 1)), 30)
+           + F.shiftright(t2, 31))
+    return (F.lit(a) * lo + t2m + F.lit(b)) % F.lit(MINHASH_P)
 
 
 def exact_dedup(docs: DataFrame, *, id_col: str = "doc_id",
@@ -45,24 +96,54 @@ def exact_dedup(docs: DataFrame, *, id_col: str = "doc_id",
     )
 
 
+def shingle_hashes(docs: DataFrame, *, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   k: int = SHINGLE_K) -> DataFrame:
+    """``(id, sh)`` — the hashed-shingle relation every shingle
+    consumer derives from: one explode + ONE md5 per distinct
+    k-shingle. ``sh`` is the 60-bit md5-prefix hash (identical to
+    functions.text.hash15 of the shingle — the inverted-index key
+    ngram_jaccard_pairs always used, and the ``x`` the minhash slot
+    family mixes). Callers composing BOTH pipelines over one corpus
+    (q131's envelope gate) compute this once, pin it, and pass it
+    down via the operators' ``base`` parameter."""
+    exploded = docs.select(
+        F.col(id_col),
+        F.explode(shingles(text_col, k)).alias("_sh"),
+    )
+    return exploded.select(F.col(id_col),
+                           hash15(F.col("_sh")).alias("sh"))
+
+
 def minhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
                        text_col: str = "text",
-                       k: int = MINHASH_K) -> DataFrame:
+                       k: int = MINHASH_K,
+                       base: DataFrame | None = None) -> DataFrame:
     """K min-hashes over distinct 3-token shingles.
 
     One explode + one groupBy(id) with K min() aggregates — min() is
     associative, so map-side partial aggregation keeps the shuffle to
-    one row per (doc, k) group regardless of shingle count.
+    one row per (doc, k) group regardless of shingle count. The k
+    slot hashes are the universal family (a_i·x + b_i) mod 2^61-1
+    over ONE md5-prefix hash per shingle (see MINHASH_FAMILY) — the
+    SQL twin is plans/llmdata._sql_minhash_mins, and the realized
+    estimate quality sits under the q131 envelope gate. ``base`` lets
+    a caller share an already-computed (and pinned)
+    :func:`shingle_hashes` relation instead of re-shingling the
+    corpus.
     """
-    exploded = docs.select(
-        F.col(id_col),
-        F.explode(shingles(text_col, SHINGLE_K)).alias("sh"),
-    )
+    if not 1 <= k <= _MINHASH_K_MAX:
+        raise ValueError(
+            f"k={k} outside [1, {_MINHASH_K_MAX}]: the pinned slot-"
+            "constant table (minhash_ab) and its SQL twin stop at "
+            f"{_MINHASH_K_MAX}")
+    if base is None:
+        base = shingle_hashes(docs, id_col=id_col, text_col=text_col)
     aggs = [
-        F.min(hash15(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
-        for i in range(k)
+        F.min(_slot_hash(F.col("sh"), a, b)).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_ab(k))
     ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return base.groupBy(id_col).agg(*aggs)
 
 
 def _banded(sig: DataFrame, *, id_col: str = "doc_id",
@@ -202,7 +283,8 @@ def verify_pairs(docs: DataFrame, pairs: DataFrame, *,
 def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
                         text_col: str = "text", k: int = SHINGLE_K,
                         threshold: float = 0.5,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = None,
+                        base: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted shingle
     index — no sketching, no crossJoin.
 
@@ -226,11 +308,16 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     """
     # Materialized once (localCheckpoint): the index feeds three
     # consumers (set sizes + both self-join sides); lazy evaluation
-    # would tokenize/shingle/md5 the corpus three times.
-    sh = (docs.select(F.col(id_col),
-                      F.explode(shingles(text_col, k)).alias("_sh"))
-          .select(F.col(id_col), hash15(F.col("_sh")).alias("sh"))
-          .localCheckpoint())
+    # would tokenize/shingle/md5 the corpus three times. A caller-
+    # provided ``base`` (shingle_hashes, already pinned) skips the
+    # re-shingling AND the pin — ``sh`` here is exactly base's sh.
+    if base is not None:
+        sh = base.select(F.col(id_col), "sh")
+    else:
+        sh = (docs.select(F.col(id_col),
+                          F.explode(shingles(text_col, k)).alias("_sh"))
+              .select(F.col(id_col), hash15(F.col("_sh")).alias("sh"))
+              .localCheckpoint())
     if max_df is not None:
         keep = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
                 .filter(F.col("df") <= max_df).select("sh"))

@@ -547,7 +547,8 @@ def _oracle_curation_funnel() -> str:
     # threshold are shared with their standalone-query sources — no
     # hand-copied twin can go stale alone
     from .llmdata import (_SQL_NORM, _SQL_SHINGLES, _SQL_TOKS, EVAL_MOD,
-                          _sql_band_conds, _sql_hash15, _sql_minhash_mins)
+                          _sql_band_conds, _sql_hash15,
+                          _sql_minhash_mins, _sql_shingle_hash)
 
     qual = _SQL_QUALITY.strip()
     return f"""
@@ -572,10 +573,11 @@ d_exact AS (SELECT doc_id, source, n_chars, 'exact_dup' AS stage
             FROM rnk WHERE rn > 1),
 s2 AS (SELECT doc_id, source, n_chars, text FROM rnk WHERE rn = 1),
 toks2 AS (SELECT doc_id, {_SQL_TOKS} AS t FROM s2),
-sig2 AS (
+sig2 AS MATERIALIZED (
   SELECT doc_id,
        {_sql_minhash_mins()}
-  FROM (SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM toks2)
+  FROM (SELECT doc_id, {_sql_shingle_hash()} FROM
+        (SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM toks2))
   GROUP BY doc_id
 ),
 shl2 AS (SELECT doc_id, {_SQL_SHINGLES} AS s FROM toks2),
@@ -753,6 +755,7 @@ _SFUNNEL_EPOCHS = 3
 def q_stream_dispositions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
+    from ..operators.dedup import MINHASH_FAMILY
     from ..operators.index_ledger import _fs, _jp
     from ..streaming.pipeline import curation_funnel_epoch
     from .ledger_q import _index_root
@@ -766,7 +769,7 @@ def q_stream_dispositions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a ledger built under the old geometry
     root = _index_root(
         sf_dir,
-        f"sfunl_q{int(FUNNEL_QUALITY_MIN * 100)}"
+        f"sfunl{MINHASH_FAMILY}_q{int(FUNNEL_QUALITY_MIN * 100)}"
         f"j{int(FUNNEL_JACCARD * 100)}"
         f"e{int(SFUNNEL_EST_MIN * 100)}k{SFUNNEL_K}b{SFUNNEL_BANDS}"
         f"fp{SFUNNEL_FP_BANDS}c{int(FUNNEL_CONTAINMENT * 100)}"
@@ -824,7 +827,7 @@ def q_stream_dispositions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_stream_dispositions() -> str:
     from .llmdata import (_SQL_NORM, _SQL_SHINGLES, _SQL_TOKS, EVAL_MOD,
                           _sql_band_conds, _sql_hash15,
-                          _sql_minhash_mins)
+                          _sql_minhash_mins, _sql_shingle_hash)
 
     qual = _SQL_QUALITY.strip()
     mins = _sql_minhash_mins(SFUNNEL_K)
@@ -862,10 +865,11 @@ d_exact AS (
          CAST(NULL AS DOUBLE) AS est_jaccard
   FROM rnk WHERE rn > 1),
 toks2 AS (SELECT doc_id, e, {_SQL_TOKS} AS t FROM s2),
-sig AS (
+sig AS MATERIALIZED (
   SELECT doc_id,
        {mins}
-  FROM (SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM toks2)
+  FROM (SELECT doc_id, {_sql_shingle_hash()} FROM
+        (SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM toks2))
   GROUP BY doc_id
 ),
 -- every band-bucket candidate pair touching any epoch, carrying both
@@ -993,11 +997,16 @@ def q_neardup_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as dd
 
     docs = load_table(spark, sf_dir, "documents")
-    sig = dd.minhash_signatures(docs, k=SFUNNEL_K)
+    # ONE tokenize+shingle+md5 pass feeds both sides of the confusion
+    # matrix (pinned: the estimate side references it through the
+    # banded self-join twice, the exact side three times)
+    base = dd.shingle_hashes(docs).localCheckpoint()
+    sig = dd.minhash_signatures(docs, k=SFUNNEL_K, base=base)
     est = (dd.lsh_candidate_pairs(sig, k=SFUNNEL_K, bands=SFUNNEL_BANDS)
            .filter(F.col("est_jaccard") >= SFUNNEL_EST_MIN)
            .select("id_a", "id_b", F.lit(1).alias("_e")))
-    exact = (dd.ngram_jaccard_pairs(docs, threshold=FUNNEL_JACCARD)
+    exact = (dd.ngram_jaccard_pairs(docs, threshold=FUNNEL_JACCARD,
+                                    base=base)
              .select("id_a", "id_b", F.lit(1).alias("_x")))
     j = est.join(exact, ["id_a", "id_b"], "full_outer")
     e, x = F.col("_e").isNotNull(), F.col("_x").isNotNull()
@@ -1014,7 +1023,8 @@ def q_neardup_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_neardup_envelope() -> str:
     from .llmdata import (_SQL_SHINGLES, _SQL_TOKS, _sql_band_conds,
-                          _sql_hash15, _sql_minhash_mins)
+                          _sql_hash15, _sql_minhash_mins,
+                          _sql_shingle_hash)
 
     mins = _sql_minhash_mins(SFUNNEL_K)
     band_conds = _sql_band_conds("a", "b", k=SFUNNEL_K,
@@ -1025,10 +1035,10 @@ def _oracle_neardup_envelope() -> str:
     return f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
 shs AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM toks),
-sig AS (
+sig AS MATERIALIZED (
   SELECT doc_id,
        {mins}
-  FROM shs GROUP BY doc_id
+  FROM (SELECT doc_id, {_sql_shingle_hash()} FROM shs) GROUP BY doc_id
 ),
 est AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b

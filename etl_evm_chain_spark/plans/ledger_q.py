@@ -48,7 +48,8 @@ from ..catalog import load_table, source_ident
 from ..operators import dedup as dd
 from . import QuerySpec
 from .llmdata import (_SQL_NORM, _SQL_SHINGLES, _SQL_TOKS, _sql_band_conds,
-                      _sql_hash15, _sql_minhash_mins)
+                      _sql_hash15, _sql_minhash_mins,
+                      _sql_shingle_hash)
 
 _PID_RE = re.compile(r"^(?P<stem>.+)_pid(?P<pid>\d+)$")
 
@@ -162,7 +163,8 @@ def _built_through(spark: SparkSession, ledger_root: str,
 
 def q_compacted_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    root = _index_root(sf_dir, f"ndidx{dd.MINHASH_K}x{dd.LSH_BANDS}")
+    root = _index_root(
+        sf_dir, f"ndidx{dd.MINHASH_FAMILY}{dd.MINHASH_K}x{dd.LSH_BANDS}")
     # increments land eagerly inside update_near_dup_index (the write
     # is an action); the returned pair frames of the first two
     # increments are not needed here. On a fully-built process-scoped
@@ -191,10 +193,10 @@ def _oracle_compacted_lsh_pairs() -> str:
     return f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
 shx AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM toks),
-sig AS (
+sig AS MATERIALIZED (
   SELECT doc_id,
        {mins}
-  FROM shx GROUP BY doc_id
+  FROM (SELECT doc_id, {_sql_shingle_hash()} FROM shx) GROUP BY doc_id
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        ({matches})::DOUBLE / {dd.MINHASH_K} AS est_jaccard
@@ -403,12 +405,18 @@ def q_stream_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded = None
     for gen in range(LLOYD_ITER):
         gdir = os.path.join(root, f"gen={gen}")
+        # resume/fast-forward: epochs at or below a committed
+        # compaction baseline were folded and their dirs GC'd —
+        # re-running them would land ignored ghosts (pure waste)
+        base = sp._max_compact(gdir)
+        floor = -1 if base is None else base
         for e in range(_EPOCHS):
-            # resume/fast-forward: a committed epoch's stats are a
-            # pure function of (slice rows, pinned generation) — the
-            # replay would overwrite byte-identical rows, so skip it.
-            # An EMPTY slice lands nothing and harmlessly re-runs.
-            if fs.exists(_jp(spark, gdir, f"batch_id={e}", "_SUCCESS")):
+            # a committed epoch's stats are a pure function of
+            # (slice rows, pinned generation) — the replay would
+            # overwrite byte-identical rows, so skip it. An EMPTY
+            # slice lands nothing and harmlessly re-runs.
+            if e <= floor or fs.exists(
+                    _jp(spark, gdir, f"batch_id={e}", "_SUCCESS")):
                 continue
             sp.kmeans_epoch(
                 vecs.filter(F.pmod(F.col("vec_id"), F.lit(_EPOCHS)) == e),

@@ -45,13 +45,36 @@ def _sql_hash15(expr: str) -> str:
 def _sql_minhash_mins(k: int | None = None) -> str:
     """SELECT-list of the ``k`` per-slot minimum hashes (the SQL twin
     of dedup.minhash_signatures) — single source for every oracle that
-    rebuilds signatures (q34, q35, q121; q127 at the streaming
-    funnel's k=64). Defaults to the library MINHASH_K."""
+    rebuilds signatures (q34, q35, q121, q131; q127 at the streaming
+    funnel's k=64). Universal family (a_i·x + b_i) mod 2^61-1 over
+    one md5-prefix hash per shingle, constants imported from the
+    operator (dedup.minhash_ab) so the twin can never drift; the
+    multiply decomposes exactly as dedup._slot_hash does (DuckDB
+    BIGINT doesn't wrap either).
+
+    CALLERS: the relation under the select list must already expose
+    ``sh`` as the 60-bit BIGINT hash — wrap the raw shingle strings
+    with ``_sql_shingle_hash()`` first (one md5 per row; inlining the
+    md5 into all k slot expressions measured 1.7x slower on the q127
+    twin because the engine re-evaluates it inside the aggregates)."""
     import etl_evm_chain_spark.operators.dedup as dd
 
-    return ",\n       ".join(
-        "min({h}) AS h{i}".format(h=_sql_hash15("'{}:' || sh".format(i)), i=i)
-        for i in range(k if k is not None else dd.MINHASH_K))
+    exprs = []
+    for i, (a, b) in enumerate(
+            dd.minhash_ab(k if k is not None else dd.MINHASH_K)):
+        t2 = f"({a} * (sh >> 30))"
+        exprs.append(
+            f"min((({a} * (sh & 1073741823)) + "
+            f"(({t2} & 2147483647) << 30) + ({t2} >> 31) + {b}) "
+            f"% {dd.MINHASH_P}) AS h{i}")
+    return ",\n       ".join(exprs)
+
+
+def _sql_shingle_hash() -> str:
+    """``sh`` (string shingle) -> 60-bit BIGINT hash, the SQL twin of
+    dedup.shingle_hashes — splice as a projection UNDER
+    ``_sql_minhash_mins`` so the md5 runs once per shingle row."""
+    return _sql_hash15("sh") + " AS sh"
 
 
 def _sql_band_conds(a: str = "a", b: str = "b",
@@ -207,10 +230,11 @@ def _oracle_minhash() -> str:
     mins = _sql_minhash_mins()
     return f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
-sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM toks)
+sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM toks),
+shb AS (SELECT doc_id, {_sql_shingle_hash()} FROM sh)
 SELECT doc_id,
        {mins}
-FROM sh
+FROM shb
 GROUP BY doc_id
 ORDER BY doc_id
 """
@@ -231,10 +255,10 @@ def _oracle_lsh_near_dups() -> str:
     return f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
 shx AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM toks),
-sig AS (
+sig AS MATERIALIZED (
   SELECT doc_id,
        {mins}
-  FROM shx GROUP BY doc_id
+  FROM (SELECT doc_id, {_sql_shingle_hash()} FROM shx) GROUP BY doc_id
 ),
 cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b

@@ -333,7 +333,9 @@ def test_lifecycle_fast_forward_parity(spark):
 
     cases = [
         (lq.q_compacted_lsh_pairs,
-         lq._index_root(SF_SMALL, f"ndidx{dd.MINHASH_K}x{dd.LSH_BANDS}"),
+         lq._index_root(
+             SF_SMALL,
+             f"ndidx{dd.MINHASH_FAMILY}{dd.MINHASH_K}x{dd.LSH_BANDS}"),
          "", {"binc1", "binc2"}),
         (lq.q_compacted_exact_survivors,
          lq._index_root(SF_SMALL, f"fpidx{lq.N_FP_BANDS}"),
@@ -419,3 +421,33 @@ def test_two_process_concurrency_soak_on_shared_lake_base():
     for p in procs:
         for r in glob.glob(f"/tmp/spark_graft_lake/*_pid{p.pid}"):
             shutil.rmtree(r, ignore_errors=True)
+
+
+def test_stream_kmeans_lifecycle_fast_forward_parity(spark):
+    """q130 run twice in-process: identical rows, and the second run
+    must fast-forward — generation 0's epochs were folded and GC'd by
+    its compaction, so a missed fast-forward would re-land them as
+    ghost batch_id dirs; generation 1's committed epochs must be
+    skipped, not overwritten (mtimes unchanged)."""
+    from etl_evm_chain_spark.plans import ledger_q as lq
+    from etl_evm_chain_spark.plans.llmdata import LLOYD_ITER, LLOYD_K
+
+    root = lq._index_root(SF_SMALL, f"kmeans{LLOYD_K}i{LLOYD_ITER}m3",
+                          table="embeddings")
+    shutil.rmtree(root, ignore_errors=True)
+    r1 = lq.q_stream_kmeans(spark, SF_SMALL).collect()
+    g0 = os.path.join(root, "gen=0")
+    g1 = os.path.join(root, "gen=1")
+    assert os.path.isdir(os.path.join(g0, "_compacted"))
+    assert not [d for d in os.listdir(g0) if d.startswith("batch_id=")]
+    mt1 = {d: os.path.getmtime(os.path.join(g1, d))
+           for d in os.listdir(g1) if d.startswith("batch_id=")}
+    assert len(mt1) == 3
+    r2 = lq.q_stream_kmeans(spark, SF_SMALL).collect()
+    assert r1 == r2
+    assert not [d for d in os.listdir(g0) if d.startswith("batch_id=")], \
+        "fast-forward missed: gen-0 epochs were re-landed as ghosts"
+    mt2 = {d: os.path.getmtime(os.path.join(g1, d))
+           for d in os.listdir(g1) if d.startswith("batch_id=")}
+    assert mt1 == mt2, "committed gen-1 epochs were rewritten"
+    shutil.rmtree(root, ignore_errors=True)

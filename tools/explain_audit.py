@@ -197,6 +197,13 @@ _RDD_ALLOW = {
     # discipline) and the result pins before returning (never hand a
     # lazy plan over a mutable ledger to the caller)
     "q127_stream_dispositions",
+    # streamed k-means lifecycle: the folded result pins before
+    # returning (q121 discipline — never hand a lazy plan over a
+    # mutable scratch ledger to the caller); k·dim-bounded rows
+    "q130_stream_kmeans",
+    # exact-Jaccard side reuses ngram_jaccard_pairs' pinned
+    # doc-bounded gram index (the q60 allowance, one tier up)
+    "q131_neardup_envelope",
 }
 for _q in _RDD_ALLOW:
     ALLOW.setdefault(_q, set()).add("rdd_scan")

@@ -155,6 +155,16 @@ SHOWCASE = {
         "comparison is a row-local expression — no budgets "
         "side-relation, no window partitioned by the 20-value "
         "source column ever sees the corpus."),
+    "q131_neardup_envelope": (
+        "Estimate-envelope gate: two candidate joins, never all-pairs",
+        "Both sides of the confusion matrix stay equi-joins: the "
+        "ESTIMATE side explodes signatures into banded keys and "
+        "self-joins on (band, key); the EXACT side self-joins the "
+        "inverted shingle-hash index (pairs only inside posting "
+        "lists). The full-outer join of the two pair relations "
+        "collapses into one 5-counter aggregate row — at 100 TB the "
+        "pair space is never materialized, only the two candidate "
+        "sets are."),
     "q65_quantize_embeddings": (
         "Scalar-subquery broadcast (corpus re-encoded in place)",
         "The per-dimension stats reduce to d rows (posexplode + "
