@@ -12,52 +12,46 @@ _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
             textstats_q, skew_q, ingest_q, quality_q, ledger_q]
 
 # The correctness driver samples the FIRST 50 registry entries.
-# Round 6 keeps the round-5 lifecycle/funnel queries in for their
-# second green window (q121-q125, verdict ask #6), front-loads the
-# four NEW queries (q126 recall gate, q127 streaming-funnel
-# disposition lake, q128 Lloyd k-means, q129 label propagation) and
-# every query whose plan
-# changed this round (q27 overflow-bucket predicate; q29/q102 via
-# exact_auc's decimal products; q121/q122/q125 fast-forward).
-# Rotated OUT to make room (driver-green r01-r05, plans unchanged):
-# q69, q83, q71, q57.
+# Round 7 executes the verdict's rotation ask (#5): with no backlog
+# of new-feature queries competing for slots, the window front-loads
+# (a) the queries whose PLANS changed this round — the two new
+# lifecycle/gate queries q130/q131 (first-ever hash rows) and the
+# retrieval queries retuned under the q126 gate (q40 banded
+# multi-table LSH, q42 IVF_PROBE 4->8, q73 PQ 32x256 — retuned AFTER
+# their r6 green, so the driver has never hashed the new geometry),
+# (b) the round-6 newcomers q126-q129 until twice-green (standing
+# discipline), and (c) the ENTIRE 40-query longest-stale set (last
+# driver-checked in r01 — q24_ewm_bias's plan was hardened in r5 and
+# never re-hashed since) plus the oldest r02 query, the q01 flagship.
+# Rotated OUT (all driver-green in r6, plans unchanged since):
+# q25-q27, q29, q44-q46, q51-q54, q59, q68, q70, q72, q74, q87,
+# q95, q96, q98, q101-q125.
 _PRIORITY = [
     # ---- EXACTLY the driver's 50-slot window, all oracle-backed ----
-    # newly pinned this round (first-ever hash rows):
-    "q25_backtest_pct", "q26_backtest_zscore", "q27_calendar_returns",
-    "q29_ml_signals", "q73_pq_topk", "q102_quality_filter",
-    "q103_bpe_tokens",
-    # plans changed this round (equi-depth edges, kit pin/probe):
-    "q53_approx_stats", "q87_value_deciles", "q59_pack_sequences",
-    "q115_kmv_distinct", "q120_budget_mix",
-    # r4-new surface, keep under the driver's eye:
-    "q113_scd2_history", "q114_copurchase_triangles",
-    "q116_zorder_cells", "q117_cm_heavy_hitters",
-    "q118_expectations", "q119_incremental_mv",
-    "q40_ann_topk", "q96_bucketed_near_dups",
-    "q72_knn_classify", "q74_pagerank", "q107_tuple_abi",
-    "q109_tuple_array_abi", "q44_decode_transfers", "q46_transfer_rollup",
-    "q70_balance_ledger", "q95_dynamic_abi",
-    # driver-green exactly once (r3/r4) — keep under the driver's eye:
-    "q98_sender_recovery", "q42_ivf_topk", "q101_dup_spans",
-    "q104_snapshot_diff", "q105_redact_contaminated",
-    "q106_weighted_sample", "q108_shard_manifest",
-    # proven sentinels fill the remaining slots (driver-green in
-    # CORRECTNESS_r01-r04), diverse across operator families:
-    "q68_semantic_dedup",
-    "q45_topic_routing",
-    # new round-6 queries (first-ever driver rows; replace the
-    # q69/q83/q71/q57 sentinels, driver-green in r01-r05):
+    # plans changed this round (first hash of the new surface):
+    "q130_stream_kmeans", "q131_neardup_envelope",
+    "q40_ann_topk", "q42_ivf_topk", "q73_pq_topk",
+    # round-6 newcomers: keep until twice-green:
     "q126_ann_recall", "q127_stream_dispositions",
     "q128_lloyd_kmeans", "q129_label_propagation",
-    "q41_dedup_resolve",
-    "q51_merge_upsert",
-    "q52_profile_columns", "q54_asof_join",
-    # new round-5 queries (first-ever driver rows; replace the
-    # q80/q81/q97/q86/q56 sentinels, all driver-green in r01-r04):
-    "q121_compacted_lsh_pairs", "q122_compacted_exact_survivors",
-    "q123_curation_funnel", "q124_leakage_safe_split",
-    "q125_compacted_ann_topk",
+    # longest-stale (last driver-checked r01), complete set:
+    "q02_top_revenue_customers", "q03_local_supplier_revenue",
+    "q04_order_priority_semi", "q05_customers_without_orders",
+    "q06_dedup_by_key", "q07_coerce_props", "q08_derived_price",
+    "q09_polarity_normalize", "q10_calendar_agg", "q11_global_summary",
+    "q12_topk_orders", "q13_union_concat", "q14_regex_dateparts",
+    "q16_resample_last", "q17_asof_ffill", "q18_pivot_wide",
+    "q19_consensus_rowwise", "q20_rolling_zscore", "q21_lead_label",
+    "q22_multiway_ts_join", "q23_signal_gate", "q24_ewm_bias",
+    "q28_ml_dataset", "q30_doc_stats", "q31_lang_id",
+    "q32_fingerprint", "q33_exact_dedup", "q34_minhash_signatures",
+    "q36_simhash", "q37_simhash_pairs", "q38_embedding_topk",
+    "q39_embedding_near_dups", "q50_winnow_fingerprints",
+    "q60_ngram_jaccard", "q62_pii_scrub", "q63_decontaminate",
+    "q64_repetition_filter", "q65_quantize_embeddings",
+    "q66_tfidf_keywords", "q79_bloom_candidates",
+    # oldest r02 entry, the flagship relational query:
+    "q01_pricing_summary",
 ]
 
 assert len(_PRIORITY) == 50, "driver window must be exactly 50 entries"
