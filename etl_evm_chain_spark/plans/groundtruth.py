@@ -734,12 +734,20 @@ ORDER BY qid, rank
 
 
 @lru_cache(maxsize=4)
-def lloyd_kmeans_truth(sf_dir: str, k: int = 8, n_iter: int = 2,
+def lloyd_kmeans_truth(sf_dir: str, k: int | None = None,
+                       n_iter: int | None = None,
                        salt: str = "lloyd") -> list[tuple]:
     import math
     from decimal import ROUND_HALF_UP, Decimal
 
     import numpy as np
+
+    if k is None or n_iter is None:
+        # geometry follows the query constants (the pq_topk_truth
+        # rule: a retuned constant can never leave this replay stale)
+        from .llmdata import LLOYD_ITER, LLOYD_K
+        k = LLOYD_K if k is None else k
+        n_iter = LLOYD_ITER if n_iter is None else n_iter
 
     assert sf_dir == oracle_ctx.sf_dir()
     con = oracle_ctx.connect()

@@ -120,12 +120,12 @@ def _index_root(sf_dir: str, name: str, *,
     # mtime would otherwise freeze at creation and a >TTL-lived
     # process could have its live index swept by a sibling's
     # staleness fallback. Every query invocation passes through here
-    # before touching the ledger, so the touch is exactly the
-    # liveness signal the TTL clause reads.
-    try:
-        os.utime(root, None)
-    except OSError:
-        pass  # not created yet (first invocation) — nothing to keep alive
+    # before touching the ledger; the writers themselves call the
+    # same helper on every land/compaction (ONE liveness rule — the
+    # sweeper reads whatever touch_liveness refreshes).
+    from ..operators.index_ledger import touch_liveness
+
+    touch_liveness(root)
     return root
 
 
@@ -469,5 +469,5 @@ SPECS = [
               "x 3 epochs of decimal sufficient stats with a "
               "compaction between; final clustering == one-shot "
               "batch Lloyd (q128's ground truth)",
-              ("H1", "H4", "H6", "P2-sim")),
+              ("H1", "H6", "P2-sim")),
 ]

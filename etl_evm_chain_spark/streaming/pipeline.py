@@ -866,6 +866,7 @@ def kmeans_epoch(batch_df: DataFrame, batch_id: int, *, state_dir: str,
     restart that resumed with the wrong centroids."""
     import os
 
+    from ..operators.index_ledger import touch_liveness
     from ..operators.similarity import kmeans_epoch_stats
 
     if batch_df.isEmpty():
@@ -874,6 +875,10 @@ def kmeans_epoch(batch_df: DataFrame, batch_id: int, *, state_dir: str,
                             vec_col=vec_col)
     st.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(state_dir, f"batch_id={int(batch_id)}"))
+    # the epochs land two levels under a pid-scoped scratch root when
+    # driven from q130 — keep the root's GC-liveness mtime tracking
+    # actual ledger activity (touch_liveness walks up to *_pid<N>)
+    touch_liveness(state_dir)
 
 
 def stream_kmeans(vecs: DataFrame, *, state_dir: str, checkpoint: str,
@@ -962,8 +967,10 @@ def compact_kmeans(spark: SparkSession, state_dir: str, *,
     """Log-compact a ``stream_kmeans`` ledger (the (cell, pos) decimal
     fold — legal because the stats are a commutative monoid; the
     generation stamp survives the fold and stays asserted)."""
+    from ..operators.index_ledger import touch_liveness
     from ..operators.similarity import kmeans_fold_stats
 
+    touch_liveness(state_dir)
     return compact_epoch_ledger(spark, state_dir, kmeans_fold_stats,
                                 keep_last=keep_last, gc=gc)
 
