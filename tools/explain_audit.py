@@ -334,12 +334,23 @@ def column_cardinalities(spark, sf_dir: str) -> dict[str, int]:
     if m:
         parent = os.path.dirname(os.path.normpath(sf_dir))
         sf = float(m.group(1))
-        for sibling in (sf / 10, sf * 10):
-            sib_dir = os.path.join(parent, f"sf{sibling:g}")
-            if not os.path.isdir(sib_dir):
-                continue
+        # consult EVERY available sibling SF, not just the adjacent
+        # ones: documents holds 500 rows at BOTH sf0.001 and sf0.01
+        # (fixture floor size), so an sf0.001 audit comparing only
+        # against sf0.01 called doc_id "intrinsically flat" and
+        # false-flagged every doc-partitioned window — the sf0.1
+        # sibling shows it scaling
+        sibs = []
+        for d in os.listdir(parent) if os.path.isdir(parent) else []:
+            sm = re.match(r"sf([0-9.]+)$", d)
+            if sm and float(sm.group(1)) != sf and \
+                    os.path.isdir(os.path.join(parent, d)):
+                sibs.append((float(sm.group(1)), os.path.join(parent, d)))
+        for ssf, sib_dir in sorted(sibs):
+            if not card:
+                break
             sib = _distinct_counts(spark, sib_dir)
-            lo, hi = ((sib, card) if sibling < sf else (card, sib))
+            lo, hi = ((sib, card) if ssf < sf else (card, sib))
             card = {c: n for c, n in card.items()
                     if c in sib and hi.get(c, 0) <= 1.3 * lo.get(c, 0) + 5}
     return card
