@@ -186,6 +186,84 @@ ORDER BY status, yr
 """
 
 
+# ---------------------------------------------------------------------------
+# Q132: distribution-drift monitor — fixed-bin quality histograms per
+# ingest epoch + EXACT integer total-variation drift vs the baseline
+# epoch. The standard "did this crawl batch's quality distribution
+# shift?" gate a training-data pipeline runs beside the expectations
+# suite: the histogram is a count monoid (lands under the epoch
+# ledger, streaming twin = stream_matview keyed (epoch, bin) —
+# equivalence-tested), and the drift statistic is the rational
+# TV numerator sum|n_i*M - m_i*N| — pure integers, no engine wobble,
+# so the whole monitor sits under the driver's hash like everything
+# else. The reference has no analog (its bots recompute aggregates
+# blindly per run); this extends the q118/q119 quality tier.
+# ---------------------------------------------------------------------------
+
+DRIFT_BINS = 16
+DRIFT_EPOCHS = 3
+
+
+def q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import quality_score
+    from ..operators.expectations import histogram_counts, tv_drift
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("text").isNotNull())
+    scored = docs.select(
+        F.pmod(F.col("doc_id"), F.lit(DRIFT_EPOCHS)).cast("int")
+        .alias("epoch"),
+        quality_score("text").alias("q"))
+    hist = histogram_counts(scored, "q", n_bins=DRIFT_BINS,
+                            keys=("epoch",))
+    out = tv_drift(hist, key="epoch", baseline=0)
+    return (out.select(F.col("epoch"),
+                       F.col("n_rows").cast("long").alias("n_docs"),
+                       F.col("tv_num").cast("long").alias("tv_num_vs_e0"))
+            .orderBy("epoch"))
+
+
+def _oracle_quality_drift() -> str:
+    from .curation_q import _SQL_QUALITY
+
+    qual = _SQL_QUALITY.strip()
+    return f"""
+WITH scored AS (
+  SELECT CAST(doc_id % {DRIFT_EPOCHS} AS INT) AS epoch, {qual} AS q
+  FROM documents WHERE text IS NOT NULL
+),
+h AS (
+  SELECT epoch,
+         least(greatest(CAST(floor(q * {DRIFT_BINS}) AS INT), 0),
+               {DRIFT_BINS - 1}) AS bin,
+         count(*) AS n
+  FROM scored WHERE q IS NOT NULL AND NOT isnan(q)
+  GROUP BY 1, 2
+),
+spine AS (
+  SELECT e.epoch, b.bin
+  FROM (SELECT DISTINCT epoch FROM h) e
+  CROSS JOIN (SELECT DISTINCT bin FROM h) b
+),
+full_h AS (
+  SELECT s.epoch, s.bin, coalesce(h.n, 0) AS n
+  FROM spine s LEFT JOIN h USING (epoch, bin)
+),
+tot AS (SELECT epoch, sum(n) AS nn FROM full_h GROUP BY epoch),
+base AS (SELECT bin, n AS m FROM full_h WHERE epoch = 0),
+basen AS (SELECT nn AS mm FROM tot WHERE epoch = 0)
+SELECT f.epoch, CAST(max(t.nn) AS BIGINT) AS n_docs,
+       CAST(sum(abs(f.n * bn.mm - b.m * t.nn)) AS BIGINT)
+         AS tv_num_vs_e0
+FROM full_h f
+JOIN base b USING (bin)
+JOIN tot t USING (epoch)
+CROSS JOIN basen bn
+GROUP BY f.epoch
+ORDER BY f.epoch
+"""
+
+
 SPECS = [
     QuerySpec("q118_expectations", q_expectations, ORACLE_EXPECTATIONS,
               "declarative data-quality gate: 6 rules in one fact scan "
@@ -196,4 +274,10 @@ SPECS = [
               "incremental materialized aggregate: 3 epoch states merged "
               "via the (n,sum,min,max) monoid == one-shot DuckDB aggregate",
               ("D13", "P2-quality")),
+    QuerySpec("q132_quality_drift", q_quality_drift,
+              _oracle_quality_drift,
+              "distribution-drift monitor: fixed-bin quality "
+              "histograms per ingest epoch + exact integer "
+              "total-variation drift vs the baseline epoch",
+              ("P2-quality",)),
 ]

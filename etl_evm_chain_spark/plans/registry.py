@@ -25,8 +25,9 @@ _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
 # since) plus the oldest r02 query, the q01 flagship. The minhash
 # family swap changed the OUTPUT of q35/q121/q123 too, so they
 # re-enter despite their r6 green (changed-plans outrank staleness);
-# the three stale slots they displace (q04/q05/q13 — simple
-# relational plans untouched since r1) cycle next round.
+# the four stale slots they and the new q132 drift monitor displace
+# (q02/q04/q05/q13 — simple relational plans untouched since r1)
+# cycle next round.
 # Rotated OUT (all driver-green in r6, plans unchanged since):
 # q25-q27, q29, q44-q46, q51-q54, q59, q68, q70, q72, q74, q87,
 # q95, q96, q98, q101-q120, q122, q124, q125.
@@ -34,6 +35,7 @@ _PRIORITY = [
     # ---- EXACTLY the driver's 50-slot window, all oracle-backed ----
     # plans changed this round (first hash of the new surface):
     "q130_stream_kmeans", "q131_neardup_envelope",
+    "q132_quality_drift",
     "q40_ann_topk", "q42_ivf_topk", "q73_pq_topk",
     # output changed by the minhash family swap (re-hash required):
     "q35_lsh_near_dups", "q121_compacted_lsh_pairs",
@@ -42,7 +44,7 @@ _PRIORITY = [
     "q126_ann_recall", "q127_stream_dispositions",
     "q128_lloyd_kmeans", "q129_label_propagation",
     # longest-stale (last driver-checked r01), complete set:
-    "q02_top_revenue_customers", "q03_local_supplier_revenue",
+    "q03_local_supplier_revenue",
     "q06_dedup_by_key", "q07_coerce_props", "q08_derived_price",
     "q09_polarity_normalize", "q10_calendar_agg", "q11_global_summary",
     "q12_topk_orders", "q14_regex_dateparts",

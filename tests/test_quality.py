@@ -154,3 +154,98 @@ def test_matview_out_of_domain_var_is_null_not_zero(spark):
         assert merged["ok"]["sumsq"] is not None
     finally:
         spark.conf.set("spark.sql.ansi.enabled", old)
+
+
+def test_histogram_counts_bins_clamp_and_null_exclusion(spark):
+    from etl_evm_chain_spark.operators.expectations import histogram_counts
+
+    rows = [(0, -0.5), (0, 0.0), (0, 0.49), (0, 0.5), (0, 0.999),
+            (0, 1.0), (0, 7.5), (0, None), (0, float("nan")),
+            (1, 0.25)]
+    df = spark.createDataFrame(rows, "epoch int, v double")
+    got = {(r["epoch"], r["bin"]): r["n"]
+           for r in histogram_counts(df, "v", n_bins=4,
+                                     keys=("epoch",)).collect()}
+    # -0.5 clamps to bin 0; 1.0 and 7.5 clamp to bin 3; NULL/NaN drop
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (0, 3): 3,
+                   (1, 1): 1}
+    import pytest
+    with pytest.raises(ValueError):
+        histogram_counts(df, "v", n_bins=0)
+    with pytest.raises(ValueError):
+        histogram_counts(df, "v", lo=1.0, hi=1.0)
+
+
+def test_tv_drift_exact_numerator_vs_python(spark):
+    from etl_evm_chain_spark.operators.expectations import tv_drift
+
+    # bins missing on either side must zero-fill into the numerator
+    hist_rows = [(0, 0, 4), (0, 1, 6),            # baseline: N=10
+                 (1, 0, 1), (1, 2, 9),            # epoch 1: N=10, bin 2 new
+                 (2, 1, 5)]                       # epoch 2: N=5
+    hist = spark.createDataFrame(hist_rows, "epoch int, bin int, n long")
+    got = {r["epoch"]: (r["n_rows"], r["base_rows"], int(r["tv_num"]))
+           for r in tv_drift(hist, key="epoch", baseline=0).collect()}
+
+    counts = {e: {} for e in (0, 1, 2)}
+    for e, b, n in hist_rows:
+        counts[e][b] = n
+    bins = {b for _, b, _ in hist_rows}
+    base, m_tot = counts[0], sum(counts[0].values())
+    want = {}
+    for e, c in counts.items():
+        n_tot = sum(c.values())
+        tv = sum(abs(c.get(b, 0) * m_tot - base.get(b, 0) * n_tot)
+                 for b in bins)
+        want[e] = (n_tot, m_tot, tv)
+    assert got == want
+    assert got[0][2] == 0                          # baseline drift is 0
+    # identical distributions at different sizes drift by 0
+    h2 = spark.createDataFrame([(0, 0, 2), (0, 1, 2),
+                                (1, 0, 6), (1, 1, 6)],
+                               "epoch int, bin int, n long")
+    r = {x["epoch"]: int(x["tv_num"])
+         for x in tv_drift(h2, key="epoch", baseline=0).collect()}
+    assert r == {0: 0, 1: 0}
+
+
+def test_histogram_epochs_fold_like_matview(spark, tmp_path):
+    """Per-epoch histograms are a count monoid: landing each chunk's
+    histogram through the stream_matview epoch ledger keyed
+    (epoch, bin) and folding (read_matview) must equal the one-shot
+    histogram of the full corpus — the incremental == one-shot law
+    for the drift monitor's state."""
+    from etl_evm_chain_spark.catalog import load_table
+    from etl_evm_chain_spark.functions.text import quality_score
+    from etl_evm_chain_spark.operators.expectations import histogram_counts
+    from etl_evm_chain_spark.streaming import pipeline as sp
+
+    docs = (load_table(spark, "/root/testdata/sf0.001", "documents")
+            .filter(F.col("text").isNotNull()))
+    scored = docs.select(
+        F.pmod(F.col("doc_id"), F.lit(3)).cast("int").alias("epoch"),
+        quality_score("text").alias("q"),
+        F.col("doc_id"))
+    binned = scored.select(
+        "epoch",
+        F.least(F.greatest(F.floor(F.col("q") * 16).cast("int"),
+                           F.lit(0)), F.lit(15)).alias("bin"),
+        F.lit(1.0).alias("v"))
+    src = str(tmp_path / "drift_src")
+    std = str(tmp_path / "drift_state")
+    for c in range(2):
+        binned.filter(F.col("epoch") % 2 == c).coalesce(1) \
+            .write.mode("append").parquet(src)
+    stream = spark.readStream.schema("epoch int, bin int, v double") \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    q = sp.stream_matview(stream, state_dir=std,
+                          checkpoint=str(tmp_path / "drift_ckpt"),
+                          keys=["epoch", "bin"], value="v")
+    q.awaitTermination(120)
+    folded = {(r["epoch"], r["bin"]): r["n"]
+              for r in sp.read_matview(spark, std,
+                                       ["epoch", "bin"]).collect()}
+    oneshot = {(r["epoch"], r["bin"]): r["n"]
+               for r in histogram_counts(scored, "q", n_bins=16,
+                                         keys=("epoch",)).collect()}
+    assert folded == oneshot

@@ -107,6 +107,10 @@ ALLOW: dict[str, set[str]] = {
     # 1-row regression-fit broadcast (the scalar-subquery shape, like
     # q65/q66/q67) joined back to the ≤ZIPF_TOPK relation
     "q76_zipf_slope": {"nested_loop"},
+    # drift monitor: the keys×bins zero-fill spine (both sides bounded
+    # by geometry, ≤ epochs·n_bins rows) and the 1-row baseline-total
+    # broadcast (scalar-subquery shape) — nothing corpus-sized crosses
+    "q132_quality_drift": {"nested_loop"},
     # 1-row corpus-total broadcast for the share column (scalar-
     # subquery shape; replaced the empty-partition window)
     "q81_dataset_card": {"nested_loop"},
