@@ -234,12 +234,22 @@ def tv_drift(hist: DataFrame, *, key: str = "epoch",
     term = F.abs(F.col("f._n").cast("decimal(38,0)") * F.col("bt._M")
                  - F.coalesce(F.col("b._m"), F.lit(0))
                  .cast("decimal(38,0)") * F.col("t._N"))
+    # a baseline key with NO histogram rows is a misconfigured
+    # monitor, not a zero-drift one — sum(NULL) would return NULL
+    # tv_nums silently; assert loudly instead (the _cm_epoch_fold
+    # pattern: the checked bit multiplies into an output so pruning
+    # can never elide it)
+    base_ok = F.when(
+        F.assert_true(
+            F.col("bt._M").isNotNull(),
+            F.lit("tv_drift: baseline key has no histogram rows")
+        ).isNull(), F.lit(1).cast("long"))
     return (full
             .join(base, F.col(f"f.{bin_col}") == F.col(f"b.{bin_col}"),
                   "left")
             .join(tot, F.col(f"f.{key}") == F.col(f"t.{key}"))
             .crossJoin(F.broadcast(base_tot))
             .groupBy(F.col(f"f.{key}").alias(key))
-            .agg(F.max("t._N").alias("n_rows"),
+            .agg((F.max("t._N") * F.first(base_ok)).alias("n_rows"),
                  F.max("bt._M").alias("base_rows"),
                  F.sum(term).cast("decimal(38,0)").alias("tv_num")))

@@ -249,3 +249,14 @@ def test_histogram_epochs_fold_like_matview(spark, tmp_path):
                for r in histogram_counts(scored, "q", n_bins=16,
                                          keys=("epoch",)).collect()}
     assert folded == oneshot
+
+
+def test_tv_drift_missing_baseline_trips(spark):
+    import pytest
+
+    from etl_evm_chain_spark.operators.expectations import tv_drift
+
+    hist = spark.createDataFrame([(1, 0, 4), (2, 1, 6)],
+                                 "epoch int, bin int, n long")
+    with pytest.raises(Exception, match="baseline key has no"):
+        tv_drift(hist, key="epoch", baseline=0).collect()
