@@ -178,18 +178,22 @@ def histogram_counts(df: DataFrame, value: str, *, n_bins: int = 16,
     fold by addition — incremental == one-shot, tested.
 
     NULL/NaN values are excluded (the SQL twins mirror the predicate);
-    out-of-range values clamp to the edge bins so the relation is
-    never wider than keys × n_bins. One hash aggregate with map-side
-    combine; at 100 TB the shuffle carries keys × n_bins rows, never
-    the corpus."""
+    out-of-range values — ±Infinity included — clamp to the edge bins
+    so the relation is never wider than keys × n_bins. The clamp runs
+    on the DOUBLE ratio BEFORE any integral cast: a huge/infinite
+    value would otherwise reach ``cast(... as int)`` out of range and
+    throw CAST_OVERFLOW under the repo's ANSI sessions instead of
+    clamping (the SQL twin orders its least/greatest/cast the same
+    way). One hash aggregate with map-side combine; at 100 TB the
+    shuffle carries keys × n_bins rows, never the corpus."""
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     if not hi > lo:
         raise ValueError(f"need hi > lo, got [{lo}, {hi})")
     v = F.col(value).cast("double")
     w = (v - F.lit(float(lo))) / F.lit(float(hi - lo))
-    b = F.least(F.greatest(F.floor(w * n_bins).cast("int"), F.lit(0)),
-                F.lit(n_bins - 1))
+    wc = F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0))
+    b = F.least(F.floor(wc * n_bins).cast("int"), F.lit(n_bins - 1))
     cols = [F.col(k) for k in keys] + [b.alias("bin")]
     return (df.filter(v.isNotNull() & ~F.isnan(v))
             .groupBy(*cols)

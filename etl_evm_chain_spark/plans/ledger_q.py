@@ -288,8 +288,13 @@ def q_compacted_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity as sim
 
     vecs = load_table(spark, sf_dir, "embeddings")
+    # the "a{IVF_ASSIGN}" tag is the assign-count twin of the minhash
+    # family tag: an index landed under a different soft-assignment
+    # count must never be silently extended (its cells ledger has a
+    # different row multiplicity per vector)
     root = _index_root(
-        sf_dir, f"annidx{ANN_CELLS}p{ANN_PROBE}q{ANN_Q_MOD}",
+        sf_dir,
+        f"annidx{ANN_CELLS}a{sim.IVF_ASSIGN}p{ANN_PROBE}q{ANN_Q_MOD}",
         table="embeddings")
 
     def b(r: int) -> DataFrame:
@@ -315,6 +320,7 @@ def q_compacted_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_compacted_ann_topk() -> str:
+    from ..operators.similarity import IVF_ASSIGN
     from .llmdata import _SQL_DOT
 
     cos = ("{d} / (sqrt({na}) * sqrt({nb}))").format(
@@ -346,7 +352,7 @@ ranked_cells AS (
 assigned AS (
   SELECT vec_id AS cid, embedding AS cv, cell
   FROM ranked_cells
-  WHERE cr = 1
+  WHERE cr <= {IVF_ASSIGN}
     AND (vec_id % 3 IN (0, 1) OR vec_id % {ANN_Q_MOD} = 2)
 ),
 probed AS (
@@ -424,7 +430,10 @@ def q_stream_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not fs.exists(_jp(spark, gdir)):
             return empty  # every epoch slice was empty
         if gen == LLOYD_ITER - 1:
-            folded = sp.read_kmeans_stats(spark, gdir)
+            # expect= pins the final fold to THIS run's refined
+            # generation — a stale but internally-consistent ledger
+            # (wrong-centroid resume) now fails loudly (ADVICE r7)
+            folded = sp.read_kmeans_stats(spark, gdir, expect=cents)
             break
         # compaction sits INSIDE the checked lifecycle: the refine
         # below reads the folded baseline, not the raw epoch dirs

@@ -802,7 +802,7 @@ def _oracle_ivf_topk() -> str:
         na=_SQL_DOT.format(a="{a}", b="{a}"),
         nb=_SQL_DOT.format(a="{b}", b="{b}"))
     # library defaults, imported so a tuned constant can't go stale
-    from ..operators.similarity import IVF_CELLS, IVF_PROBE
+    from ..operators.similarity import IVF_ASSIGN, IVF_CELLS, IVF_PROBE
     h = _sql_hash15("'ivf:' || CAST(vec_id AS VARCHAR)")
     return f"""
 WITH cent_rows AS (
@@ -826,14 +826,14 @@ ranked_cells AS (
 ),
 assigned AS (
   SELECT vec_id AS cid, embedding AS cv, cell
-  FROM ranked_cells WHERE cr = 1
+  FROM ranked_cells WHERE cr <= {IVF_ASSIGN}
 ),
 probed AS (
   SELECT vec_id AS qid, embedding AS qv, cell
   FROM ranked_cells WHERE cr <= {IVF_PROBE} AND vec_id < 5
 ),
 cand AS (
-  SELECT qid, cid, {cos.format(a="qv", b="cv")} AS sim
+  SELECT DISTINCT qid, cid, {cos.format(a="qv", b="cv")} AS sim
   FROM assigned JOIN probed USING (cell)
   WHERE qid != cid
 ),
@@ -968,7 +968,7 @@ def _oracle_ann_recall() -> str:
     namespaced to compose the q38/q40/q42 oracle bodies in one WITH
     chain; recall = hits/n_exact is one IEEE double division of small
     exact integers, identical bit pattern in both engines."""
-    from ..operators.similarity import (IVF_CELLS, IVF_PROBE,
+    from ..operators.similarity import (IVF_ASSIGN, IVF_CELLS, IVF_PROBE,
                                         LSH_PLANES_PER_TABLE, LSH_TABLES)
     from .groundtruth import pq_topk_truth
     from . import oracle_ctx
@@ -1033,9 +1033,10 @@ ivf_top AS (
   SELECT qid, cid, rank FROM (
     SELECT qid, cid, row_number() OVER (PARTITION BY qid
                        ORDER BY sim DESC, cid ASC) AS rank
-    FROM (SELECT p.vec_id AS qid, a.vec_id AS cid,
+    FROM (SELECT DISTINCT p.vec_id AS qid, a.vec_id AS cid,
                  {cos.format(a="p.embedding", b="a.embedding")} AS sim
-          FROM (SELECT * FROM ivf_ranked_cells WHERE cr = 1) a
+          FROM (SELECT * FROM ivf_ranked_cells
+                WHERE cr <= {IVF_ASSIGN}) a
           JOIN (SELECT * FROM ivf_ranked_cells
                 WHERE cr <= {IVF_PROBE} AND vec_id < 5) p
             USING (cell)

@@ -217,6 +217,18 @@ def q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = histogram_counts(scored, "q", n_bins=DRIFT_BINS,
                             keys=("epoch",))
     out = tv_drift(hist, key="epoch", baseline=0)
+    # The OUTPUT cast to long is bounded, and the bound is documented
+    # (ADVICE r7): tv_num ≤ 2·N·M, so the cast is exact while
+    # epoch_rows × baseline_rows < 2^62 — i.e. both slices under ~2.1
+    # billion rows, far above any single ingest epoch this monitor
+    # compares (an epoch is one crawl batch, not the corpus). The
+    # decimal(38,0) cannot ride the output itself: DuckDB's pandas
+    # bridge converts DECIMAL(38,0) to lossy float64 (verified — a
+    # 23-digit value came back 1.23e+22), so a decimal column is NOT
+    # hash-stable across the harness. Consumers beyond the bound read
+    # tv_drift's exact decimal directly; under ANSI the cast fails
+    # loudly rather than wrapping, so the bound is enforced, not
+    # assumed.
     return (out.select(F.col("epoch"),
                        F.col("n_rows").cast("long").alias("n_docs"),
                        F.col("tv_num").cast("long").alias("tv_num_vs_e0"))
@@ -234,7 +246,8 @@ WITH scored AS (
 ),
 h AS (
   SELECT epoch,
-         least(greatest(CAST(floor(q * {DRIFT_BINS}) AS INT), 0),
+         least(CAST(floor(least(greatest(q, 0.0), 1.0)
+                          * {DRIFT_BINS}) AS INT),
                {DRIFT_BINS - 1}) AS bin,
          count(*) AS n
   FROM scored WHERE q IS NOT NULL AND NOT isnan(q)

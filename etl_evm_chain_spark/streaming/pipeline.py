@@ -364,6 +364,7 @@ def stream_ann_ingest(vecs: DataFrame, *, index_path: str,
                       neighbors_dir: str, checkpoint: str,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       k: int = 5, n_cells: int = 16, n_probe: int = 4,
+                      n_assign: int | None = None,
                       trigger_once: bool = True):
     """ANN ingest AT STREAM TIME — the embedding twin of
     stream_near_dups: each micro-batch of vectors updates the landed
@@ -395,10 +396,11 @@ def stream_ann_ingest(vecs: DataFrame, *, index_path: str,
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        extra = {} if n_assign is None else {"n_assign": n_assign}
         nbrs = update_ann_index(
             spark, batch_df, index_path, id_col=id_col, vec_col=vec_col,
             k=k, n_cells=n_cells, n_probe=n_probe,
-            batch_id=str(batch_id))
+            batch_id=str(batch_id), **extra)
         nbrs.write.mode("overwrite").parquet(
             os.path.join(neighbors_dir, f"batch_id={int(batch_id)}"))
 
@@ -932,13 +934,20 @@ def stream_kmeans(vecs: DataFrame, *, state_dir: str, checkpoint: str,
     return w.start()
 
 
-def read_kmeans_stats(spark: SparkSession, state_dir: str) -> DataFrame:
+def read_kmeans_stats(spark: SparkSession, state_dir: str,
+                      expect: list | None = None) -> DataFrame:
     """Fold the LIVE landed k-means epochs into generation totals
     (exact decimal monoid per (cell, pos); generation stamp asserted
-    globally — see operators/similarity.kmeans_fold_stats)."""
-    from ..operators.similarity import kmeans_fold_stats
+    globally — see operators/similarity.kmeans_fold_stats). Pass the
+    centroid generation the ledger was built against as ``expect``
+    whenever the caller knows it: min==max alone accepts a stale but
+    internally-consistent ledger, which the refine path always
+    rejected but a bare final-generation fold did not (ADVICE r7)."""
+    from ..operators.similarity import _kmeans_sig, kmeans_fold_stats
 
-    return kmeans_fold_stats(spark.read.parquet(*_live_paths(state_dir)))
+    return kmeans_fold_stats(
+        spark.read.parquet(*_live_paths(state_dir)),
+        expect_sig=None if expect is None else _kmeans_sig(expect))
 
 
 def read_kmeans_centroids(spark: SparkSession, state_dir: str,
@@ -949,16 +958,12 @@ def read_kmeans_centroids(spark: SparkSession, state_dir: str,
     must be the generation the ledger was built against (the fold's
     stamp check rejects a mismatch); cells that saw no vectors keep
     their previous centroid. Only k·dim decimals reach the driver."""
-    from ..operators.similarity import _kmeans_sig, kmeans_refine
+    from ..operators.similarity import kmeans_refine
 
-    rows = read_kmeans_stats(spark, state_dir).collect()
-    want = _kmeans_sig(centroids)
-    got = {r["sig"] for r in rows}
-    if got and got != {want}:
-        raise ValueError(
-            f"k-means ledger at {state_dir} was built against a "
-            f"different centroid generation (sig {sorted(got)} != "
-            f"{want}) — refusing to refine")
+    # the stamp check rides the fold itself (read_kmeans_stats
+    # expect=): one shared enforcement path for refine AND bare folds
+    rows = read_kmeans_stats(spark, state_dir,
+                             expect=centroids).collect()
     return kmeans_refine(centroids, rows)
 
 

@@ -342,7 +342,9 @@ def test_lifecycle_fast_forward_parity(spark):
          "", {"be1", "be2"}),
         (lq.q_compacted_ann_topk,
          lq._index_root(
-             SF_SMALL, f"annidx{lq.ANN_CELLS}p{lq.ANN_PROBE}q{lq.ANN_Q_MOD}",
+             SF_SMALL,
+             f"annidx{lq.ANN_CELLS}a{sim.IVF_ASSIGN}"
+             f"p{lq.ANN_PROBE}q{lq.ANN_Q_MOD}",
              table="embeddings"),
          "cells", {"ba1", "ba2"}),
     ]

@@ -75,13 +75,15 @@ def test_tuned_geometry_recall_floors(spark):
     the driver's hash gate at sf0.01; this pins a floor on the test
     fixture so a local retune cannot regress any path silently.
     Measured (deterministic) on sf0.001 / 20 queries / k=5:
-    ivf 0.63, pq 0.87 (lsh 0.83 is pinned by
-    test_ann_recall_against_brute_force above)."""
+    ivf 0.92 (round 8: IVF_ASSIGN=2 soft assignment lifted it from
+    0.63 — the verdict's 0.75-floor ask, floored at 0.80), pq 0.87
+    (lsh 0.83 is pinned by test_ann_recall_against_brute_force
+    above)."""
     emb = load_table(spark, SF_SMALL, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     exact = {(r["qid"], r["cid"])
              for r in sim.brute_force_topk(emb, queries, k=5).collect()}
-    for name, fn, floor in (("ivf", sim.ivf_topk, 0.60),
+    for name, fn, floor in (("ivf", sim.ivf_topk, 0.80),
                             ("pq", sim.pq_topk, 0.80)):
         got = {(r["qid"], r["cid"])
                for r in fn(emb, queries, k=5).collect()}
@@ -540,9 +542,11 @@ def test_incremental_ann_index_matches_one_shot(spark, tmp_path):
     assert any(c % 2 == 0 for c in cids)
 
     # equivalence: re-running the probe for batch-2 against a one-shot
-    # assignment with the SAME frozen centroids gives identical pairs
+    # assignment with the SAME frozen centroids (and the library's
+    # soft-assignment count) gives identical pairs
     cents = spark.read.parquet(idx + "/centroids")
-    assigned = sim._nearest_cells(emb, cents, "vec_id", "embedding", 1) \
+    assigned = sim._nearest_cells(emb, cents, "vec_id", "embedding",
+                                  sim.IVF_ASSIGN) \
         .select(F.col("vec_id").alias("cid"),
                 F.col("embedding").alias("cvec"), "cell")
     probed = sim._nearest_cells(b2, cents, "vec_id", "embedding", 4) \
@@ -551,8 +555,8 @@ def test_incremental_ann_index_matches_one_shot(spark, tmp_path):
     from pyspark.sql import Window
     scored = (assigned.join(F.broadcast(probed), "cell")
               .filter(F.col("qid") != F.col("cid"))
-              .withColumn("sim", sim.cosine("qvec", "cvec"))
-              .dropDuplicates(["qid", "cid"]))
+              .dropDuplicates(["qid", "cid"])
+              .withColumn("sim", sim.cosine("qvec", "cvec")))
     wr = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
     want = {(r["qid"], r["cid"], r["rank"]) for r in
             scored.withColumn("rank", F.row_number().over(wr))

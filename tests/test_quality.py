@@ -161,14 +161,18 @@ def test_histogram_counts_bins_clamp_and_null_exclusion(spark):
 
     rows = [(0, -0.5), (0, 0.0), (0, 0.49), (0, 0.5), (0, 0.999),
             (0, 1.0), (0, 7.5), (0, None), (0, float("nan")),
-            (1, 0.25)]
+            (1, 0.25), (1, float("inf")), (1, float("-inf")),
+            (1, 1e300)]
     df = spark.createDataFrame(rows, "epoch int, v double")
     got = {(r["epoch"], r["bin"]): r["n"]
            for r in histogram_counts(df, "v", n_bins=4,
                                      keys=("epoch",)).collect()}
-    # -0.5 clamps to bin 0; 1.0 and 7.5 clamp to bin 3; NULL/NaN drop
+    # -0.5 clamps to bin 0; 1.0 and 7.5 clamp to bin 3; NULL/NaN drop;
+    # ±Infinity and beyond-long doubles clamp to the edge bins instead
+    # of throwing CAST_OVERFLOW under ANSI (the clamp runs on the
+    # double ratio BEFORE the int cast — ADVICE r7)
     assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 1, (0, 3): 3,
-                   (1, 1): 1}
+                   (1, 0): 1, (1, 1): 1, (1, 3): 2}
     import pytest
     with pytest.raises(ValueError):
         histogram_counts(df, "v", n_bins=0)

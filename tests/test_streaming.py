@@ -1503,10 +1503,17 @@ def test_stream_kmeans_generation_mismatch_trips(spark, tmp_path):
     with pytest.raises(Exception, match="generation mismatch"):
         sp.read_kmeans_stats(spark, g0).collect()
 
+    # a STALE but internally-consistent ledger (the ADVICE r7 gap):
+    # min==max passes, so only the expect= pin can reject it — both
+    # through the refine path and through a bare final-generation fold
     g1 = str(tmp_path / "km_wrong_refine")
     sp.kmeans_epoch(emb, 0, state_dir=g1, centroids=seeds)
-    with pytest.raises(ValueError, match="different centroid generation"):
+    with pytest.raises(Exception, match="generation mismatch"):
         sp.read_kmeans_centroids(spark, g1, other)
+    with pytest.raises(Exception, match="generation mismatch"):
+        sp.read_kmeans_stats(spark, g1, expect=other).collect()
+    # and the matching generation still folds clean
+    assert sp.read_kmeans_stats(spark, g1, expect=seeds).count() > 0
 
 
 def test_stream_kmeans_self_compacts_and_preserves_refine(spark, tmp_path):

@@ -1,0 +1,83 @@
+"""Isolated per-query bench: time named registry queries outside the
+full-suite loop (idle reproduce-or-clear runs for flagged deltas).
+
+Usage: python tools/bench_one.py q60_ngram_jaccard [more...] [--reps N]
+Env:   SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+       SPARK_GRAFT_CPUS   (default *)
+
+Mirrors bench.py's measurement contract: a noop write forces the full
+distributed plan (no driver collect), the JVM is warmed with the same
+representative stages first, and caches/localCheckpoint blocks are
+dropped between reps so one rep cannot subsidize the next. Prints one
+JSON line: {"query": {"reps": [...], "min": s, "median": s}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from etl_evm_chain_spark.plans.registry import all_specs
+from etl_evm_chain_spark.session import get_spark
+
+
+def _drop_blocks(spark) -> None:
+    spark.catalog.clearCache()
+    try:
+        it = (spark.sparkContext._jsc.sc()
+              .getPersistentRDDs().toList().iterator())
+        while it.hasNext():
+            it.next()._2().unpersist(False)
+    except Exception:  # noqa: BLE001
+        pass
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    reps = 2
+    for i, a in enumerate(sys.argv[1:]):
+        if a == "--reps":
+            reps = int(sys.argv[1:][i + 1])
+            args.remove(sys.argv[1:][i + 1])
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench-one")
+
+    # Same warm-up family as bench.py's generic prefix: parquet scan +
+    # hash agg + exchange, Arrow grouped-map, interpreted HOFs (the
+    # shingle path is transform/aggregate-heavy).
+    from etl_evm_chain_spark.catalog import load_table
+    spark.range(1000).selectExpr("sum(id)").collect()
+    load_table(spark, sf_dir, "lineitem").groupBy(
+        "l_returnflag").count().collect()
+    warm = spark.range(256).withColumn("g", F.col("id") % 8)
+    warm.groupBy("g").applyInPandas(lambda pdf: pdf, "id long, g long").count()
+    warm.withColumn("a", F.expr(
+        "aggregate(transform(sequence(1, 32), x -> CAST(x AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")).agg(
+        F.sum("a")).collect()
+
+    specs = {s.name: s for s in all_specs()}
+    out: dict[str, dict] = {}
+    for name in args:
+        spec = specs[name]
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            spec.fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+            times.append(round(time.time() - t0, 3))
+            _drop_blocks(spark)
+        out[name] = {"reps": times, "min": min(times),
+                     "median": round(statistics.median(times), 3)}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
