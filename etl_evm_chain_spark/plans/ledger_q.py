@@ -455,6 +455,65 @@ def _oracle_stream_kmeans() -> str:
     return oracle_lloyd_kmeans()
 
 
+# ---------------------------------------------------------------------------
+# Q133: streaming distribution-drift lifecycle (VERDICT r7 ask #6).
+# The q132 monitor, rebuilt the way an ingest actually runs it: each
+# epoch's quality histogram lands from the stream's foreachBatch body
+# (streaming/pipeline.drift_epoch), a compaction folds the first two
+# epochs mid-protocol, and the live view (read_drift) computes the
+# exact integer TV statistic — hashed against q132's one-shot oracle,
+# so incremental == one-shot is driver-checked THROUGH a compaction
+# (the q130-vs-q128 pattern applied to the quality tier).
+# ---------------------------------------------------------------------------
+
+def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import quality_score
+    from ..operators.index_ledger import _fs, _jp
+    from ..streaming import pipeline as sp
+    from .quality_q import DRIFT_BINS, DRIFT_EPOCHS
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("text").isNotNull())
+    scored = docs.select(
+        F.pmod(F.col("doc_id"), F.lit(DRIFT_EPOCHS)).cast("int")
+        .alias("_e"),
+        quality_score("text").alias("q"))
+    root = _index_root(sf_dir, f"driftb{DRIFT_BINS}m{DRIFT_EPOCHS}")
+    fs, _ = _fs(spark, root)
+    base = sp._max_compact(root)
+    floor = -1 if base is None else base
+    for e in range(DRIFT_EPOCHS):
+        # committed epochs replay byte-identically — skip them; epochs
+        # at or below a compaction baseline were folded and GC'd
+        if e <= floor or fs.exists(
+                _jp(spark, root, f"batch_id={e}", "_SUCCESS")):
+            continue
+        sp.drift_epoch(scored.filter(F.col("_e") == e), e,
+                       state_dir=root, value="q", n_bins=DRIFT_BINS)
+        if e == DRIFT_EPOCHS - 2:
+            # compaction sits INSIDE the checked lifecycle: the final
+            # fold reads the folded baseline + the last epoch's dir
+            sp.compact_drift(spark, root)
+    out = sp.read_drift(spark, root, baseline=0)
+    # same output contract (and long-cast bound) as q132 — the oracle
+    # is shared, see quality_q.q_quality_drift
+    return (out.select(F.col("epoch"),
+                       F.col("n_rows").cast("long").alias("n_docs"),
+                       F.col("tv_num").cast("long").alias("tv_num_vs_e0"))
+            .orderBy("epoch")
+            # pin: the fold lazily scans ledger directories a later
+            # invocation's compaction GC could delete (q121 discipline)
+            .localCheckpoint())
+
+
+def _oracle_stream_drift() -> str:
+    # incremental == one-shot: the streamed ledger must reproduce the
+    # q132 batch monitor exactly, so the oracle IS q132's
+    from .quality_q import _oracle_quality_drift
+
+    return _oracle_quality_drift()
+
+
 SPECS = [
     QuerySpec("q121_compacted_lsh_pairs", q_compacted_lsh_pairs,
               _oracle_compacted_lsh_pairs,
@@ -479,4 +538,10 @@ SPECS = [
               "compaction between; final clustering == one-shot "
               "batch Lloyd (q128's ground truth)",
               ("H1", "H6", "P2-sim")),
+    QuerySpec("q133_stream_drift", q_stream_drift,
+              _oracle_stream_drift,
+              "streaming drift-monitor lifecycle: 3 ingest epochs of "
+              "landed quality histograms with a compaction between; "
+              "folded TV statistic == one-shot q132 monitor",
+              ("H6", "P2-quality")),
 ]

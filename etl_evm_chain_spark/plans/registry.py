@@ -12,54 +12,59 @@ _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
             textstats_q, skew_q, ingest_q, quality_q, ledger_q]
 
 # The correctness driver samples the FIRST 50 registry entries.
-# Round 7 executes the verdict's rotation ask (#5): with no backlog
-# of new-feature queries competing for slots, the window front-loads
-# (a) the queries whose PLANS changed this round — the two new
-# lifecycle/gate queries q130/q131 (first-ever hash rows) and the
-# retrieval queries retuned under the q126 gate (q40 banded
-# multi-table LSH, q42 IVF_PROBE 4->8, q73 PQ 32x256 — retuned AFTER
-# their r6 green, so the driver has never hashed the new geometry),
-# (b) the round-6 newcomers q126-q129 until twice-green (standing
-# discipline), and (c) the longest-stale set (last driver-checked in
-# r01 — q24_ewm_bias's plan was hardened in r5 and never re-hashed
-# since) plus the oldest r02 query, the q01 flagship. The minhash
-# family swap changed the OUTPUT of q35/q121/q123 too, so they
-# re-enter despite their r6 green (changed-plans outrank staleness);
-# the four stale slots they and the new q132 drift monitor displace
-# (q02/q04/q05/q13 — simple relational plans untouched since r1)
-# cycle next round.
-# Rotated OUT (all driver-green in r6, plans unchanged since):
-# q25-q27, q29, q44-q46, q51-q54, q59, q68, q70, q72, q74, q87,
-# q95, q96, q98, q101-q120, q122, q124, q125.
+# Round 8 rotation (changed plans outrank staleness; staleness =
+# union of CORRECTNESS_r01-r07 last-green rounds):
+# (a) outputs/plans changed this round — q133 (new streaming drift
+# lifecycle, first-ever hash), q42/q125/q126 (IVF_ASSIGN=2 soft
+# assignment changed the candidate sets), q41 (ADVICE r7: its output
+# moved with the r7 minhash family swap — it derives from the LSH
+# candidate set like q35 — but it missed the r7 window), q132
+# (histogram clamp order + documented long-cast bound; also an r7
+# newcomer), q130 (final fold now generation-pinned; r7 newcomer),
+# q131 (r7 newcomer) — newcomers stay until twice-green;
+# (b) the full r01/r02-stale set the r7 verdict scheduled (q02, q04,
+# q05, q13, q75, q78, q84, q85, q89, q90, q99, q100);
+# (c) everything last checked r03 (13 queries), r04 (11), r05 (4);
+# (d) two r06 picks: q44 (the blocks/s headline decode) and q122
+# (keeps the lifecycle trio's driver coverage contemporaneous).
+# Rotated OUT (driver-green in r6/r7, plans unchanged since):
+# q01, q03, q06-q12, q14-q24, q25-q29, q33-q40, q45, q46, q50-q54,
+# q59, q60, q62-q66, q68, q70-q74, q79, q87, q95, q96, q98,
+# q101-q120, q121, q123, q124, q127-q129.
 _PRIORITY = [
     # ---- EXACTLY the driver's 50-slot window, all oracle-backed ----
-    # plans changed this round (first hash of the new surface):
+    # new this round (first hash):
+    "q133_stream_drift",
+    # outputs changed by IVF soft assignment (re-hash required):
+    "q42_ivf_topk", "q125_compacted_ann_topk", "q126_ann_recall",
+    # ADVICE r7: missed the r7 re-hash after the family swap:
+    "q41_dedup_resolve",
+    # round-7 newcomers: keep until twice-green (q130/q132 also
+    # carry round-8 plan hardenings):
     "q130_stream_kmeans", "q131_neardup_envelope",
     "q132_quality_drift",
-    "q40_ann_topk", "q42_ivf_topk", "q73_pq_topk",
-    # output changed by the minhash family swap (re-hash required):
-    "q35_lsh_near_dups", "q121_compacted_lsh_pairs",
-    "q123_curation_funnel",
-    # round-6 newcomers: keep until twice-green:
-    "q126_ann_recall", "q127_stream_dispositions",
-    "q128_lloyd_kmeans", "q129_label_propagation",
-    # longest-stale (last driver-checked r01), complete set:
-    "q03_local_supplier_revenue",
-    "q06_dedup_by_key", "q07_coerce_props", "q08_derived_price",
-    "q09_polarity_normalize", "q10_calendar_agg", "q11_global_summary",
-    "q12_topk_orders", "q14_regex_dateparts",
-    "q16_resample_last", "q17_asof_ffill", "q18_pivot_wide",
-    "q19_consensus_rowwise", "q20_rolling_zscore", "q21_lead_label",
-    "q22_multiway_ts_join", "q23_signal_gate", "q24_ewm_bias",
-    "q28_ml_dataset", "q30_doc_stats", "q31_lang_id",
-    "q32_fingerprint", "q33_exact_dedup", "q34_minhash_signatures",
-    "q36_simhash", "q37_simhash_pairs", "q38_embedding_topk",
-    "q39_embedding_near_dups", "q50_winnow_fingerprints",
-    "q60_ngram_jaccard", "q62_pii_scrub", "q63_decontaminate",
-    "q64_repetition_filter", "q65_quantize_embeddings",
-    "q66_tfidf_keywords", "q79_bloom_candidates",
-    # oldest r02 entry, the flagship relational query:
-    "q01_pricing_summary",
+    # longest-stale, complete r01/r02 set:
+    "q02_top_revenue_customers", "q04_order_priority_semi",
+    "q05_customers_without_orders", "q13_union_concat",
+    "q75_char_entropy", "q78_funnel", "q84_retention_cohorts",
+    "q85_volume_anomaly", "q89_salted_agg", "q90_skew_join",
+    "q99_media_chunks", "q100_session_window",
+    # complete r03 set:
+    "q47_sessionize", "q48_rollup", "q49_unpivot", "q55_range_join",
+    "q61_media_stats", "q67_temperature_mix", "q77_mad_outliers",
+    "q82_dup_cluster_histogram", "q88_rolling_active_users",
+    "q91_cube_totals", "q92_above_avg_orders", "q93_customer_segments",
+    "q94_range_frame_hourly",
+    # complete r04 set:
+    "q15_time_split", "q56_hash_split", "q58_topk_quality",
+    "q76_zipf_slope", "q80_chunk_documents", "q81_dataset_card",
+    "q86_nation_trade", "q97_bucketed_knn", "q110_matrix_abi",
+    "q111_jsonl_roundtrip", "q112_orc_roundtrip",
+    # complete r05 set:
+    "q57_stratified_sample", "q69_span_dedup",
+    "q71_unigram_surprisal", "q83_bigram_surprisal",
+    # r06 picks (headline decode + lifecycle cohesion):
+    "q44_decode_transfers", "q122_compacted_exact_survivors",
 ]
 
 assert len(_PRIORITY) == 50, "driver window must be exactly 50 entries"

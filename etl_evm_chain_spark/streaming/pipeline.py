@@ -1017,6 +1017,119 @@ def stream_expectations(events: DataFrame, checks, *, report_dir: str,
     return w.start()
 
 
+def drift_epoch(batch_df: DataFrame, batch_id: int, *, state_dir: str,
+                value: str, n_bins: int = 16, lo: float = 0.0,
+                hi: float = 1.0) -> None:
+    """One streaming drift epoch: the batch's fixed-bin histogram
+    (operators/expectations.histogram_counts) stamped with its epoch
+    id, landed under ``state_dir/batch_id=<epoch>/``. Exposed at
+    module level (the kmeans_epoch / curation_funnel_epoch pattern)
+    so the q133 lifecycle query drives byte-identical logic to the
+    stream's foreachBatch body.
+
+    The histogram is a pure function of the batch's rows, so a
+    replayed epoch overwrites its directory with identical rows
+    (exactly-once, epoch-directory ledger). The epoch id rides INSIDE
+    the rows — unlike the matview/sketch ledgers the drift monitor
+    needs epochs kept APART (drift is per-epoch vs a baseline epoch),
+    so compaction folds by (epoch, bin), never across epochs."""
+    import os
+
+    from ..operators.expectations import histogram_counts
+    from ..operators.index_ledger import touch_liveness
+
+    if batch_df.isEmpty():
+        return
+    hist = histogram_counts(batch_df, value, n_bins=n_bins, lo=lo,
+                            hi=hi).withColumn(
+        "epoch", F.lit(int(batch_id)).cast("int"))
+    hist.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"batch_id={int(batch_id)}"))
+    touch_liveness(state_dir)
+
+
+def stream_drift(docs: DataFrame, *, state_dir: str, checkpoint: str,
+                 value: str, n_bins: int = 16, lo: float = 0.0,
+                 hi: float = 1.0, trigger_once: bool = True,
+                 compact_every: int | None = None):
+    """Distribution-drift monitoring AT INGEST TIME — the streaming
+    twin of the q132 batch monitor (VERDICT r7 ask #6; every other
+    quality tier already had its ingest-time twin): each micro-batch
+    lands its own quality histogram (``drift_epoch``);
+    :func:`read_drift` folds the live epochs and computes the exact
+    integer total-variation statistic of every epoch against a
+    baseline epoch (operators/expectations.tv_drift).
+
+    Because per-(epoch, bin) counts are a commutative monoid, the
+    folded relation is BIT-IDENTICAL to the one-shot
+    ``histogram_counts(union, keys=("epoch",))`` — incremental ==
+    one-shot, tested, and driver-checked by q133 (which replays the
+    protocol through a compaction and hashes against q132's oracle).
+
+    State at 100 TB: per-epoch cost is one hash aggregate with
+    map-side combine (the batch never shuffles, only n_bins count
+    rows land); the ledger holds O(live epochs · n_bins) tiny rows
+    and self-compacts with ``compact_every=N`` (single writer, so
+    compacting inside foreachBatch can't race)."""
+    if compact_every is not None and compact_every < 2:
+        raise ValueError(f"compact_every must be >= 2, got {compact_every}")
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        drift_epoch(batch_df, batch_id, state_dir=state_dir, value=value,
+                    n_bins=n_bins, lo=lo, hi=hi)
+        if compact_every is not None:
+            c = _max_compact(state_dir)
+            floor = -1 if c is None else c
+            live = [e for e in _epoch_ids(state_dir) if e > floor]
+            if len(live) >= compact_every:
+                compact_drift(batch_df.sparkSession, state_dir)
+
+    w = (docs.writeStream.foreachBatch(per_batch)
+         .option("checkpointLocation", checkpoint))
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def _drift_fold(df: DataFrame) -> DataFrame:
+    """(epoch, bin) count fold — the drift ledger's compaction
+    combine. Grouping BY epoch is what keeps compaction legal for
+    this monitor: epochs must stay apart (each is compared to the
+    baseline), so the baseline directory holds every epoch's
+    histogram rows, merely de-fragmented."""
+    return (df.groupBy("epoch", "bin")
+            .agg(F.sum("n").cast("long").alias("n")))
+
+
+def read_drift_hist(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The live per-epoch histograms — identical to the one-shot
+    ``histogram_counts(union, keys=("epoch",))`` by the count
+    monoid."""
+    return _drift_fold(spark.read.parquet(*_live_paths(state_dir)))
+
+
+def read_drift(spark: SparkSession, state_dir: str, *,
+               baseline: int = 0) -> DataFrame:
+    """Fold the drift ledger and compute each epoch's exact integer
+    TV numerator vs the ``baseline`` epoch — the live view a
+    gate-keeper polls ("did this crawl batch's distribution move?")."""
+    from ..operators.expectations import tv_drift
+
+    return tv_drift(read_drift_hist(spark, state_dir), key="epoch",
+                    baseline=baseline)
+
+
+def compact_drift(spark: SparkSession, state_dir: str, *,
+                  keep_last: int = 0, gc: bool = True) -> int | None:
+    """Log-compact a ``stream_drift`` ledger (per-(epoch, bin) count
+    fold — epochs survive compaction separately, see _drift_fold)."""
+    from ..operators.index_ledger import touch_liveness
+
+    touch_liveness(state_dir)
+    return compact_epoch_ledger(spark, state_dir, _drift_fold,
+                                keep_last=keep_last, gc=gc)
+
+
 def curation_funnel_epoch(batch_df: DataFrame, epoch: str, *,
                           eval_docs: DataFrame, fp_dir: str, nd_dir: str,
                           out_dir: str, report_dir: str,

@@ -1685,3 +1685,84 @@ def test_funnel_streaming_matches_batch_fuzz_within_envelope(
     # future change that makes this vacuous fails here
     assert total_div >= 2
 
+
+
+def test_stream_drift_incremental_equals_one_shot(spark, tmp_path):
+    """Per-epoch landed histograms must fold (read_drift_hist) into
+    exactly the one-shot keyed histogram over the full history, and
+    the folded TV statistic must equal tv_drift over the one-shot
+    relation — the count monoid through the streaming path."""
+    from etl_evm_chain_spark.operators.expectations import (
+        histogram_counts, tv_drift)
+
+    src = str(tmp_path / "dr_src")
+    std = str(tmp_path / "dr_state")
+    ckpt = str(tmp_path / "dr_ckpt")
+
+    def run():
+        stream = spark.readStream.schema("q double") \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        s = sp.stream_drift(stream, state_dir=std, checkpoint=ckpt,
+                            value="q", n_bins=8)
+        s.awaitTermination(120)
+
+    rows1 = [(0.05 * (i % 19),) for i in range(50)] + [(None,)]
+    rows2 = [(0.93,), (0.07,), (float("nan"),), (0.5,), (0.51,)]
+    # one FILE per append: the file source cuts micro-batches per
+    # file, and the drift ledger keys epochs by batch id
+    spark.createDataFrame(rows1, "q double") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run()
+    spark.createDataFrame(rows2, "q double") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    oneshot = histogram_counts(
+        spark.createDataFrame(rows1, "q double")
+        .withColumn("epoch", F.lit(0))
+        .unionByName(spark.createDataFrame(rows2, "q double")
+                     .withColumn("epoch", F.lit(1))),
+        "q", n_bins=8, keys=("epoch",))
+    as_set = lambda df: sorted(  # noqa: E731
+        tuple(r) for r in df.select("epoch", "bin", "n").collect())
+    assert as_set(sp.read_drift_hist(spark, std)) == as_set(oneshot)
+    drift_cols = ["epoch", "n_rows", "base_rows", "tv_num"]
+    want = sorted(tuple(r) for r in tv_drift(oneshot, key="epoch",
+                                             baseline=0)
+                  .select(*drift_cols).collect())
+    got = sorted(tuple(r) for r in sp.read_drift(spark, std, baseline=0)
+                 .select(*drift_cols).collect())
+    assert got == want and len(got) == 2
+
+
+def test_drift_epoch_replay_and_compaction_keep_epochs_apart(
+        spark, tmp_path):
+    """A replayed drift epoch overwrites byte-identical rows, and a
+    compaction folds the ledger WITHOUT merging epochs — the folded
+    view still reports one row per (epoch, bin) and the TV statistic
+    is unchanged."""
+    std = str(tmp_path / "dr2_state")
+    e0 = spark.createDataFrame([(0.1,), (0.2,), (0.9,)], "q double")
+    e1 = spark.createDataFrame([(0.1,), (0.85,), (0.9,)], "q double")
+    e2 = spark.createDataFrame([(0.4,)], "q double")
+    for df, e in ((e0, 0), (e1, 1)):
+        sp.drift_epoch(df, e, state_dir=std, value="q", n_bins=4)
+    before = sorted(tuple(r) for r in
+                    sp.read_drift(spark, std, baseline=0).collect())
+    # replay epoch 1: exactly-once by overwrite
+    sp.drift_epoch(e1, 1, state_dir=std, value="q", n_bins=4)
+    assert sorted(tuple(r) for r in
+                  sp.read_drift(spark, std, baseline=0).collect()) \
+        == before
+    # compact, then land a third epoch on top of the baseline
+    assert sp.compact_drift(spark, std) == 1
+    assert sorted(tuple(r) for r in
+                  sp.read_drift(spark, std, baseline=0).collect()) \
+        == before
+    sp.drift_epoch(e2, 2, state_dir=std, value="q", n_bins=4)
+    hist = {(r["epoch"], r["bin"]): r["n"]
+            for r in sp.read_drift_hist(spark, std).collect()}
+    assert hist[(2, 1)] == 1 and (0, 0) in hist and (1, 3) in hist
+    out = {r["epoch"]: r["tv_num"]
+           for r in sp.read_drift(spark, std, baseline=0).collect()}
+    assert out[0] == 0 and set(out) == {0, 1, 2}

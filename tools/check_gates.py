@@ -1,0 +1,105 @@
+"""Unified quality-gate harness (VERDICT r7 ask #5): run every
+approximation-quality gate query and its floor assertions in ONE
+command. This is the mandatory pre-commit step for any geometry /
+constant change in operators/similarity.py or operators/dedup.py —
+round 7 proved why: a minhash retune hash-matched every parity check
+yet inflated mid-similarity estimates, and only the envelope gate
+caught it.
+
+Gates and floors:
+  q126_ann_recall      recall@5 per method on the gate's 5-query set
+                       (lsh >= 0.80, ivf >= 0.80, pq >= 0.75 — PQ's
+                       documented sf0.001 value is 0.76; the stricter
+                       0.80 floor lives in tests/test_llmdata.py on
+                       its 20-query fixture), and every method's
+                       MRR > 0
+  q131_neardup_envelope false_drop == 0 and false_keep == 0 (the
+                       shipped universal family realizes zero
+                       confusion on the fixture corpora; the counter
+                       identities are re-asserted too)
+  q132_quality_drift   baseline epoch reports tv_num == 0, every
+                       epoch present with docs
+
+Usage: python tools/check_gates.py [sf_dir ...]
+       (default: sf0.001 and sf0.01; pass sf0.1 too before committing
+       a retune — the r7 pathology was INVISIBLE at sf0.01)
+Exits non-zero on the first floor violation.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RECALL_FLOORS = {"lsh": 0.80, "ivf": 0.80, "pq": 0.75}
+
+
+def check(spark, sf_dir: str) -> list[str]:
+    from etl_evm_chain_spark.plans.curation_q import q_neardup_envelope
+    from etl_evm_chain_spark.plans.llmdata import q_ann_recall
+    from etl_evm_chain_spark.plans.quality_q import (DRIFT_EPOCHS,
+                                                     q_quality_drift)
+
+    bad: list[str] = []
+
+    rec = {r["method"]: r for r in q_ann_recall(spark, sf_dir).collect()}
+    for m, floor in RECALL_FLOORS.items():
+        r = rec.get(m)
+        if r is None:
+            bad.append(f"q126: method {m} missing from the gate")
+            continue
+        print(f"  q126 {m}: recall {r['recall']:.2f} "
+              f"({r['hits']}/{r['n_exact']}), mrr_u6 {r['sum_rr_u6']}")
+        if r["recall"] < floor:
+            bad.append(f"q126: {m} recall {r['recall']:.2f} < {floor}")
+        if r["sum_rr_u6"] <= 0:
+            bad.append(f"q126: {m} retrieved nothing relevant (MRR 0)")
+
+    e = q_neardup_envelope(spark, sf_dir).collect()[0]
+    print(f"  q131 envelope: exact {e['n_exact_dup']} est "
+          f"{e['n_est_dup']} both {e['n_both']} "
+          f"fd {e['false_drop']} fk {e['false_keep']}")
+    if e["false_drop"] != 0 or e["false_keep"] != 0:
+        bad.append(f"q131: confusion nonzero (false_drop "
+                   f"{e['false_drop']}, false_keep {e['false_keep']})")
+    if e["n_est_dup"] != e["n_both"] + e["false_drop"] or \
+            e["n_exact_dup"] != e["n_both"] + e["false_keep"]:
+        bad.append("q131: counter identities violated")
+    if e["n_exact_dup"] == 0:
+        bad.append("q131: zero exact dups — the gate exercised nothing")
+
+    drift = {r["epoch"]: r for r in q_quality_drift(spark, sf_dir).collect()}
+    print(f"  q132 drift: " + " ".join(
+        f"e{k}={r['tv_num_vs_e0']}/{r['n_docs']}"
+        for k, r in sorted(drift.items())))
+    if set(drift) != set(range(DRIFT_EPOCHS)):
+        bad.append(f"q132: epochs {sorted(drift)} != 0..{DRIFT_EPOCHS - 1}")
+    elif drift[0]["tv_num_vs_e0"] != 0:
+        bad.append("q132: baseline epoch drifts from itself")
+    elif any(r["n_docs"] <= 0 for r in drift.values()):
+        bad.append("q132: an epoch reports zero docs")
+
+    return bad
+
+
+def main() -> int:
+    from etl_evm_chain_spark.session import get_spark
+
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.001",
+                            "/root/testdata/sf0.01"]
+    spark = get_spark("check-gates")
+    failures: list[str] = []
+    for d in dirs:
+        print(f"gates @ {d}:")
+        failures += [f"{d}: {b}" for b in check(spark, d)]
+    if failures:
+        print("\n".join("FAIL " + f for f in failures))
+        return 1
+    print("all gates green")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -208,6 +208,10 @@ _RDD_ALLOW = {
     # exact-Jaccard side reuses ngram_jaccard_pairs' pinned
     # doc-bounded gram index (the q60 allowance, one tier up)
     "q131_neardup_envelope",
+    # streamed drift lifecycle: the TV result pins before returning
+    # (q121 discipline — never hand a lazy plan over a mutable
+    # scratch ledger to the caller); epochs-bounded rows
+    "q133_stream_drift",
 }
 for _q in _RDD_ALLOW:
     ALLOW.setdefault(_q, set()).add("rdd_scan")
