@@ -315,6 +315,21 @@ def test_pq_topk_excludes_self_and_is_deterministic(spark):
     assert all(r["qid"] != r["cid"] for r in a)
 
 
+def test_pq_topk_chunked_equals_one_shot(spark):
+    """The unbounded-query-set path (encode once, stream the query
+    set in driver-bounded chunks) must return BIT-IDENTICAL rows to
+    the one-shot broadcast path — same codebooks, same ADC math, the
+    chunks merely partition the query set. query_chunk=7 over 40
+    queries forces 6 hash-sliced chunks through pq_encode."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 40)
+    one = sim.pq_topk(emb, queries, k=5).orderBy("qid", "rank").collect()
+    chunked = sim.pq_topk(emb, queries, k=5, query_chunk=7) \
+        .orderBy("qid", "rank").collect()
+    assert chunked == one
+    assert len({r["qid"] for r in chunked}) == 40
+
+
 def test_near_dup_bucketed_no_false_positives_and_recall(spark):
     # Force the auto-router past a tiny guard: 500 fixture vectors > 100
     # routes to the banded-LSH bucketed kernel. Every emitted pair must
