@@ -1766,3 +1766,38 @@ def test_drift_epoch_replay_and_compaction_keep_epochs_apart(
     out = {r["epoch"]: r["tv_num"]
            for r in sp.read_drift(spark, std, baseline=0).collect()}
     assert out[0] == 0 and set(out) == {0, 1, 2}
+
+
+def test_stream_drift_self_compacts(spark, tmp_path):
+    """compact_every folds old epochs into a baseline mid-stream; the
+    folded view (and the TV statistic) must equal an uncompacted twin
+    ledger over the same batches, and the baseline must actually
+    exist (the stream really compacted, not just kept epoch dirs)."""
+    src = str(tmp_path / "dc_src")
+    std = str(tmp_path / "dc_state")
+    twin = str(tmp_path / "dc_twin")
+    ckpt = str(tmp_path / "dc_ckpt")
+
+    batches = [
+        [(0.1,), (0.3,), (0.9,)],
+        [(0.2,), (0.8,)],
+        [(0.5,), (0.55,), (0.6,)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "q double") \
+            .coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("q double") \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        s = sp.stream_drift(stream, state_dir=std, checkpoint=ckpt,
+                            value="q", n_bins=4, compact_every=2)
+        s.awaitTermination(120)
+        sp.drift_epoch(spark.createDataFrame(rows, "q double"), i,
+                       state_dir=twin, value="q", n_bins=4)
+
+    assert sp._max_compact(std) is not None   # a baseline committed
+    as_set = lambda df: sorted(  # noqa: E731
+        tuple(r) for r in df.collect())
+    assert as_set(sp.read_drift_hist(spark, std)) \
+        == as_set(sp.read_drift_hist(spark, twin))
+    assert as_set(sp.read_drift(spark, std, baseline=0)) \
+        == as_set(sp.read_drift(spark, twin, baseline=0))
