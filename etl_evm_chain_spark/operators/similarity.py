@@ -1113,6 +1113,110 @@ def _pq_topk_chunked(corpus: DataFrame, queries: DataFrame, books, *,
             .select("qid", "cid", "sim", "rank"))
 
 
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               k: int = 5, n_cells: int = IVF_CELLS,
+               n_probe: int = IVF_PROBE, n_assign: int = IVF_ASSIGN,
+               n_sub: int = PQ_SUB, n_cents: int = PQ_CENTS) -> DataFrame:
+    """IVF-PQ approximate top-k — the composed billion-scale ANN
+    layout (Jégou et al. 2011 §V, the architecture FAISS's IVFPQ
+    index implements): the IVF coarse quantizer prunes the candidate
+    set to the probed cells, and PQ-ADC scores the survivors straight
+    off ~40-byte codes — the corpus is touched once at encode time
+    and never again.
+
+    Composition of the two operators already under the q126 gate:
+    the coarse quantizer is ``_ivf_centroids`` (salt "ipq:" — its own
+    namespace, so this index never aliases q42's), corpus vectors are
+    soft-assigned to their ``n_assign`` nearest cells and PQ-encoded
+    ONCE (``pq_encode``, the codes join their cell assignments — one
+    hash join of two corpus-thin relations, cheaper at scale than
+    encoding each replica); queries probe ``n_probe`` cells through
+    the SAME ``_nearest_cells`` kernel and score only rows whose cell
+    is probed. This is the plain (non-residual) IVF-PQ variant: codes
+    quantize the raw vectors, the cell only prunes — the residual
+    refinement (per-cell codebooks over x − centroid) changes the
+    encode/table math, not this plan shape, and is the documented
+    next dial if recall at a given code budget needs to rise.
+
+    Scale shape at 100 TB: candidate work is
+    ~n_assign·n_probe/n_cells of the CODES relation (not the raw
+    vectors), each partition emits only per-query local top-k, the
+    single shuffle is (queries × k × partitions) candidate rows into
+    the global top-k window. A pair probed via both of its assigned
+    cells is deduped inside the kernel before ranking.
+
+    Not SQL-expressible (argmin encode + table lookups) → the q134
+    oracle is a margin-checked numpy ground-truth replay
+    (plans/groundtruth.ivfpq_topk_truth, the q73 discipline).
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    cents = _ivf_centroids(corpus, id_col, vec_col, n_cells, salt="ipq:")
+    books = _pq_books(corpus, id_col, vec_col, n_sub, n_cents)
+
+    # encode once; join the soft cell assignments onto the codes
+    codes_df = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+    acells = _nearest_cells(corpus, cents, id_col, vec_col, n_assign) \
+        .select(id_col, "cell")
+    indexed = codes_df.join(acells, id_col)
+
+    # bounded probe contract (the pq_topk small-path rule): queries
+    # collect for the ADC tables; their probe cells come from the
+    # SAME kernel the corpus side used, so ranking parity is exact
+    qrows = queries.select(id_col, vec_col).collect()
+    qids, qnorms, tables = _pq_tables(qrows, books, id_col, vec_col)
+    probe_rows = _nearest_cells(queries, cents, id_col, vec_col,
+                                n_probe).select(id_col, "cell").collect()
+    probes: dict = {}
+    for r in probe_rows:
+        probes.setdefault(r[id_col], []).append(r["cell"])
+    bc = spark.sparkContext.broadcast((qids, qnorms, tables, probes))
+
+    def kernel(batches):
+        import pandas as pd
+
+        qids_b, qnorms_b, tables_b, probes_b = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids_b = pdf[id_col].to_numpy()
+            norms_b = pdf["norm"].to_numpy()
+            cells_b = pdf["cell"].to_numpy()
+            codes_b = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            out_q, out_c, out_s = [], [], []
+            for qi, qid in enumerate(qids_b):
+                pc = probes_b.get(qid)
+                if not pc:
+                    continue
+                sel = np.isin(cells_b, pc) & (ids_b != qid)
+                if not sel.any():
+                    continue
+                ids_s = ids_b[sel]
+                # a cid assigned to two probed cells appears twice
+                # with an IDENTICAL sim — dedup BEFORE ranking
+                ids_s, first = np.unique(ids_s, return_index=True)
+                codes_s = codes_b[sel][first]
+                norms_s = norms_b[sel][first]
+                approx = np.zeros(len(ids_s))
+                for s in range(tables_b.shape[1]):
+                    approx += tables_b[qi, s, codes_s[:, s]]
+                sims = approx / (qnorms_b[qi] * norms_s)
+                order = np.lexsort((ids_s, -sims))[:k]
+                out_q.extend([int(qid)] * len(order))
+                out_c.extend(int(x) for x in ids_s[order])
+                out_s.extend(float(np.floor(sims[j] * 1e6) / 1e6)
+                             for j in order)
+            yield pd.DataFrame({"qid": out_q, "cid": out_c, "sim": out_s})
+
+    local = indexed.mapInPandas(kernel, "qid long, cid long, sim double")
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return (local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "cid", "sim", "rank"))
+
+
 def _knn_accuracy(preds: DataFrame) -> DataFrame:
     """(qid, label, pred) → per-label n / n_correct / accuracy_micro
     (floor(accuracy·1e6) — integer, engine-portable)."""

@@ -721,6 +721,117 @@ ORDER BY qid, rank
 
 
 # ---------------------------------------------------------------------------
+# q134: IVF-PQ top-k — the composed layout has no training either
+# (hash-picked coarse centroids + hash-picked codebooks), so its
+# ground truth is one in-process replay of the full pipeline: the
+# "ipq:"-salted coarse pick, the EXACT _nearest_cells ranking math
+# (sequential cumsum folds — Spark's Arrow kernel runs the same numpy
+# expressions), soft n_assign corpus assignment, n_probe query
+# probing, pq_topk_truth's codes/tables, candidate = union of probed
+# cells' members. The rank-k boundary is margin-asserted exactly as
+# q73's so partition-local candidate selection can never reorder the
+# quantized result.
+# ---------------------------------------------------------------------------
+
+
+def _rank_cells_np(vec, cent_mat, keep: int):
+    """The _nearest_cells kernel's ranking, verbatim numpy: cumsum
+    folds, -inf for zero norms, lexsort((cell, -sim))."""
+    import numpy as np
+
+    cells = np.arange(len(cent_mat), dtype=np.int64)
+    cn = np.array([np.sqrt(np.cumsum(c * c)[-1]) if len(c) else 0.0
+                   for c in cent_mat])
+    va = np.asarray(vec, dtype=np.float64)
+    nv = np.sqrt(np.cumsum(va * va)[-1]) if len(va) else 0.0
+    sims = np.empty(len(cent_mat))
+    for j, c in enumerate(cent_mat):
+        denom = nv * cn[j]
+        sims[j] = (np.cumsum(va * c)[-1] / denom
+                   if denom != 0 else -np.inf)
+    return [int(cells[j]) for j in np.lexsort((cells, -sims))[:keep]]
+
+
+@lru_cache(maxsize=4)
+def ivfpq_topk_truth(sf_dir: str, k: int = 5) -> list[tuple]:
+    import numpy as np
+
+    from ..operators.similarity import (IVF_ASSIGN, IVF_CELLS,
+                                        IVF_PROBE, PQ_CENTS, PQ_SUB)
+
+    assert sf_dir == oracle_ctx.sf_dir()
+    con = oracle_ctx.connect()
+    rows = con.sql(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    d = mat.shape[1]
+    sub_d = d // PQ_SUB
+
+    # coarse quantizer: smallest hash15("ipq:"||id), ties by id (ids
+    # are sorted ascending, so the stable sort IS the (h, id) order)
+    chs = np.array([_hash15(f"ipq:{i}") for i in ids])
+    corder = np.argsort(chs, kind="mergesort")[:IVF_CELLS]
+    cent_mat = [mat[j] for j in corder]
+
+    # codebooks/tables: the q73 pipeline verbatim
+    hs = np.array([_hash15(f"pq:{i}") for i in ids])
+    order = np.argsort(hs, kind="mergesort")[:PQ_CENTS]
+    books = mat[order].reshape(PQ_CENTS, PQ_SUB, sub_d).transpose(1, 0, 2)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    subs = mat.reshape(len(mat), PQ_SUB, sub_d)
+    codes = np.empty((len(mat), PQ_SUB), dtype=np.int64)
+    for s in range(PQ_SUB):
+        d2 = ((subs[:, s, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d2.argmin(axis=1)
+
+    assigned = [set(_rank_cells_np(mat[i], cent_mat, IVF_ASSIGN))
+                for i in range(len(ids))]
+
+    qm = ids < 5
+    qids = ids[qm]
+    qmat = mat[qm]
+    qnorms = np.sqrt((qmat * qmat).sum(axis=1))
+    tables = np.einsum("qsd,scd->qsc",
+                       qmat.reshape(len(qids), PQ_SUB, sub_d), books)
+
+    out = []
+    for qi, qid in enumerate(qids):
+        probe = set(_rank_cells_np(qmat[qi], cent_mat, IVF_PROBE))
+        cand = np.array([i for i in range(len(ids))
+                         if ids[i] != qid and assigned[i] & probe],
+                        dtype=np.int64)
+        approx = np.zeros(len(cand))
+        for s in range(PQ_SUB):
+            approx += tables[qi, s, codes[cand, s]]
+        sims = approx / (qnorms[qi] * norms[cand])
+        top = np.lexsort((ids[cand], -sims))
+        qsim = np.floor(sims * 1e6) / 1e6
+        lead = [qsim[j] for j in top[:k + 1]]
+        if sorted(set(lead), reverse=True) != lead:
+            raise RuntimeError(
+                "q134 ground truth: quantized sim ties inside the "
+                "rank-k region — pinned top-k would be ambiguous")
+        for r, j in enumerate(top[:k], start=1):
+            out.append((int(qid), int(ids[cand[j]]), float(qsim[j]), r))
+    return out
+
+
+def oracle_ivfpq_topk() -> str:
+    rows = ivfpq_topk_truth(oracle_ctx.sf_dir())
+    vals = ",\n  ".join(
+        f"({q},{c},{repr(s)},{r})" for q, c, s, r in rows)
+    return f"""
+SELECT CAST(qid AS BIGINT) AS qid, CAST(cid AS BIGINT) AS cid,
+       sim, CAST(rank AS INTEGER) AS rank
+FROM (VALUES
+  {vals}) AS t(qid, cid, sim, rank)
+ORDER BY qid, rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # Lloyd k-means ground truth (q128): a from-scratch single-process
 # replay of operators/similarity.lloyd_kmeans — same hash15 seed pick,
 # same sequential-fold cosines (numpy cumsum == Spark's HOF left

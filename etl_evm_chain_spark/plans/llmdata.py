@@ -892,7 +892,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "rank"))
         .unionByName(sim.pq_topk(emb, queries, k=k)
                      .select(F.lit("pq").alias("method"), "qid", "cid",
-                             "rank")))
+                             "rank"))
+        .unionByName(sim.ivfpq_topk(emb, queries, k=k)
+                     .select(F.lit("ivfpq").alias("method"), "qid",
+                             "cid", "rank")))
     rel = approx.join(exact, ["qid", "cid"]).localCheckpoint()
     hits = rel.groupBy("method").agg(F.count(F.lit(1)).alias("_h"))
     # ordering gate: reciprocal rank of each query's FIRST relevant
@@ -911,7 +914,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     # literal method spine: a method with zero hits must still emit
     # its (damning) recall row rather than vanish from the gate
-    base = literal_df(spark, [("ivf",), ("lsh",), ("pq",)],
+    base = literal_df(spark, [("ivf",), ("ivfpq",), ("lsh",), ("pq",)],
                       "method string")
     hits_c = F.coalesce(F.col("_h"), F.lit(0)).cast("long")
     return (base.join(hits, "method", "left")
@@ -970,7 +973,7 @@ def _oracle_ann_recall() -> str:
     exact integers, identical bit pattern in both engines."""
     from ..operators.similarity import (IVF_ASSIGN, IVF_CELLS, IVF_PROBE,
                                         LSH_PLANES_PER_TABLE, LSH_TABLES)
-    from .groundtruth import pq_topk_truth
+    from .groundtruth import ivfpq_topk_truth, pq_topk_truth
     from . import oracle_ctx
 
     cos = ("{d} / (sqrt({na}) * sqrt({nb}))").format(
@@ -980,6 +983,9 @@ def _oracle_ann_recall() -> str:
     h = _sql_hash15("'ivf:' || CAST(vec_id AS VARCHAR)")
     pq_vals = ",\n    ".join(
         f"({q},{c},{r})" for q, c, _, r in pq_topk_truth(oracle_ctx.sf_dir()))
+    ipq_vals = ",\n    ".join(
+        f"({q},{c},{r})"
+        for q, c, _, r in ivfpq_topk_truth(oracle_ctx.sf_dir()))
     return f"""
 WITH ex_scored AS (
   SELECT q.vec_id AS qid, c.vec_id AS cid,
@@ -1045,11 +1051,15 @@ ivf_top AS (
 ),
 pq_top(qid, cid, rank) AS (VALUES
     {pq_vals}),
+ipq_top(qid, cid, rank) AS (VALUES
+    {ipq_vals}),
 meth AS (
   SELECT 'lsh' AS method, qid, cid, rank FROM lsh_top
   UNION ALL SELECT 'ivf', qid, cid, rank FROM ivf_top
   UNION ALL SELECT 'pq', CAST(qid AS BIGINT), CAST(cid AS BIGINT), rank
   FROM pq_top
+  UNION ALL SELECT 'ivfpq', CAST(qid AS BIGINT), CAST(cid AS BIGINT),
+  rank FROM ipq_top
 ),
 rel AS (SELECT method, qid, cid, rank FROM meth JOIN ex USING (qid, cid)),
 hits AS (SELECT method, count(*) AS hits FROM rel GROUP BY method),
@@ -1066,7 +1076,7 @@ SELECT m.method,
        CAST(coalesce(h.hits, 0) AS DOUBLE)
          / CAST(n.n_exact AS DOUBLE) AS recall,
        CAST(coalesce(r.sum_rr, 0) AS BIGINT) AS sum_rr_u6
-FROM (VALUES ('ivf'), ('lsh'), ('pq')) m(method)
+FROM (VALUES ('ivf'), ('ivfpq'), ('lsh'), ('pq')) m(method)
 LEFT JOIN hits h ON h.method = m.method
 LEFT JOIN mrr r ON r.method = m.method
 CROSS JOIN n
@@ -1753,6 +1763,19 @@ def _oracle_pq_topk() -> str:
     return oracle_pq_topk()
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.ivfpq_topk(emb, queries, k=5).orderBy("qid", "rank")
+
+
+def _oracle_ivfpq_topk() -> str:
+    # lazy: margin-checked ground-truth replay (plans/groundtruth.py)
+    from .groundtruth import oracle_ivfpq_topk
+
+    return oracle_ivfpq_topk()
+
+
 SPECS = [
     QuerySpec("q30_doc_stats", q_doc_stats, ORACLE_DOC_STATS,
               "per-document token/punct/stopword stats + quality score", ("P2-text",)),
@@ -1803,6 +1826,11 @@ SPECS = [
               "(recall-tested; oracle = in-process replay of the "
               "deterministic codebook/ADC pipeline, tie-margin "
               "asserted)", ("P2-sim",)),
+    QuerySpec("q134_ivfpq_topk", q_ivfpq_topk, _oracle_ivfpq_topk,
+              "composed IVF-PQ top-k (coarse cells prune, ADC codes "
+              "score — the billion-scale FAISS layout); oracle = "
+              "in-process replay of the full composed pipeline, "
+              "tie-margin asserted", ("P2-sim",)),
     QuerySpec("q128_lloyd_kmeans", q_lloyd_kmeans, _oracle_lloyd_kmeans,
               "deterministic 2-round spherical Lloyd k-means over "
               "embeddings (decimal-exact updates, margin-asserted "

@@ -25,8 +25,8 @@ _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
 # (b) the full r01/r02-stale set the r7 verdict scheduled (q02, q04,
 # q05, q13, q75, q78, q84, q85, q89, q90, q99, q100);
 # (c) everything last checked r03 (13 queries), r04 (11), r05 (4);
-# (d) two r06 picks: q44 (the blocks/s headline decode) and q122
-# (keeps the lifecycle trio's driver coverage contemporaneous).
+# (d) one r06 pick: q44 (the blocks/s headline decode) — q126 also
+# re-hashes with a 4th method row (ivfpq joined the recall gate).
 # Rotated OUT (driver-green in r6/r7, plans unchanged since):
 # q01, q03, q06-q12, q14-q24, q25-q29, q33-q40, q45, q46, q50-q54,
 # q59, q60, q62-q66, q68, q70-q74, q79, q87, q95, q96, q98,
@@ -34,7 +34,7 @@ _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
 _PRIORITY = [
     # ---- EXACTLY the driver's 50-slot window, all oracle-backed ----
     # new this round (first hash):
-    "q133_stream_drift",
+    "q133_stream_drift", "q134_ivfpq_topk",
     # outputs changed by IVF soft assignment (re-hash required):
     "q42_ivf_topk", "q125_compacted_ann_topk", "q126_ann_recall",
     # ADVICE r7: missed the r7 re-hash after the family swap:
@@ -63,8 +63,11 @@ _PRIORITY = [
     # complete r05 set:
     "q57_stratified_sample", "q69_span_dedup",
     "q71_unigram_surprisal", "q83_bigram_surprisal",
-    # r06 picks (headline decode + lifecycle cohesion):
-    "q44_decode_transfers", "q122_compacted_exact_survivors",
+    # r06 pick (the blocks/s headline decode); q122 — the other r06
+    # candidate — yields its slot to the new q134 (its plan is
+    # unchanged since its r6 green and the local replica re-verifies
+    # it every round)
+    "q44_decode_transfers",
 ]
 
 assert len(_PRIORITY) == 50, "driver window must be exactly 50 entries"

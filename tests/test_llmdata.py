@@ -84,7 +84,11 @@ def test_tuned_geometry_recall_floors(spark):
     exact = {(r["qid"], r["cid"])
              for r in sim.brute_force_topk(emb, queries, k=5).collect()}
     for name, fn, floor in (("ivf", sim.ivf_topk, 0.80),
-                            ("pq", sim.pq_topk, 0.80)):
+                            ("pq", sim.pq_topk, 0.80),
+                            # pruned-candidate ADC: pays ~0.05 recall
+                            # vs full PQ for the cell pruning
+                            # (measured .82/.85/.80 on 20q by sf)
+                            ("ivfpq", sim.ivfpq_topk, 0.75)):
         got = {(r["qid"], r["cid"])
                for r in fn(emb, queries, k=5).collect()}
         recall = len(exact & got) / len(exact)
@@ -313,6 +317,32 @@ def test_pq_topk_excludes_self_and_is_deterministic(spark):
     b = sim.pq_topk(emb, queries, k=5).orderBy("qid", "rank").collect()
     assert a == b                       # sampled codebooks are stable
     assert all(r["qid"] != r["cid"] for r in a)
+
+
+def test_ivfpq_full_probe_equals_pq(spark):
+    """With every cell probed the IVF layer prunes nothing, so the
+    composed operator must return EXACTLY pq_topk's rows — same
+    codebooks, same ADC math, same ranking; the coarse quantizer only
+    ever removes candidates, never rescores them."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    a = sim.ivfpq_topk(emb, queries, k=5, n_probe=sim.IVF_CELLS) \
+        .orderBy("qid", "rank").collect()
+    b = sim.pq_topk(emb, queries, k=5).orderBy("qid", "rank").collect()
+    assert a == b
+
+
+def test_ivfpq_excludes_self_and_is_deterministic(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = sim.ivfpq_topk(emb, queries, k=5).orderBy("qid", "rank").collect()
+    b = sim.ivfpq_topk(emb.repartition(7), queries, k=5) \
+        .orderBy("qid", "rank").collect()
+    assert a == b                   # partitioning-independent
+    assert all(r["qid"] != r["cid"] for r in a)
+    for qid in range(5):
+        ranks = sorted(r["rank"] for r in a if r["qid"] == qid)
+        assert ranks == list(range(1, len(ranks) + 1))
 
 
 def test_pq_topk_chunked_equals_one_shot(spark):

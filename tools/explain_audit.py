@@ -82,6 +82,9 @@ ALLOW: dict[str, set[str]] = {
     "q61_media_stats": {"pandas"},  # mapInPandas media decode IS the operator
     "q72_knn_classify": {"pandas"},  # broadcast-matrix BLAS kernel
     "q73_pq_topk": {"pandas"},  # PQ encode+ADC lookup BLAS kernel
+    # composed IVF-PQ: the same encode+ADC kernels over the
+    # cell-joined codes relation (candidates pruned to probed cells)
+    "q134_ivfpq_topk": {"pandas"},
     # brute-force top-k is the documented exact baseline (bounded by
     # broadcast query side); ANN is its bucketed scale path; the
     # Arrow kernel is the vectorized sign-plane sketch (exact
