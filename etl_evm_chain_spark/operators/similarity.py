@@ -859,7 +859,9 @@ def _pq_books(corpus: DataFrame, id_col: str, vec_col: str,
     from ..functions.text import hash15
 
     cent_rows = (
-        corpus.select(
+        corpus.filter(F.col(vec_col).isNotNull())  # a NULL vector can
+        # never seed a codebook (the _ivf_centroids rule)
+        .select(
             F.col(vec_col),
             hash15(F.concat(F.lit("pq:"), F.col(id_col).cast("string")))
             .alias("_h"))
@@ -959,6 +961,11 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, *,
     import numpy as np
 
     spark = corpus.sparkSession
+    # NULL vectors can neither be encoded nor probe (np.stack would
+    # reject them; update_ann_index filters for the same reason) —
+    # excluded up front on BOTH sides, so every kernel sees dense rows
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     books = _pq_books(corpus, id_col, vec_col, n_sub, n_cents)
 
     # one probe collect decides the path (no separate count job): if
@@ -1015,6 +1022,8 @@ def pq_encode(corpus: DataFrame, books, *, id_col: str = "vec_id",
     import numpy as np
 
     bc = corpus.sparkSession.sparkContext.broadcast(books)
+    corpus = corpus.filter(F.col(vec_col).isNotNull())  # np.stack
+    # rejects None rows; idempotent when the caller already filtered
 
     def kernel(batches):
         import pandas as pd
@@ -1153,6 +1162,10 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *,
     import numpy as np
 
     spark = corpus.sparkSession
+    # NULL vectors: same exclusion as pq_topk/update_ann_index (they
+    # can neither be encoded, assigned, nor probe)
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     cents = _ivf_centroids(corpus, id_col, vec_col, n_cells, salt="ipq:")
     books = _pq_books(corpus, id_col, vec_col, n_sub, n_cents)
 

@@ -37,6 +37,10 @@ _PRIORITY = [
     "q133_stream_drift", "q134_ivfpq_topk",
     # outputs changed by IVF soft assignment (re-hash required):
     "q42_ivf_topk", "q125_compacted_ann_topk", "q126_ann_recall",
+    # plan changed (NULL-vector exclusion joined the PQ paths —
+    # output identical on the NULL-free fixture, re-hash anyway;
+    # takes q57_stratified_sample's slot, r5-green and untouched):
+    "q73_pq_topk",
     # ADVICE r7: missed the r7 re-hash after the family swap:
     "q41_dedup_resolve",
     # round-7 newcomers: keep until twice-green (q130/q132 also
@@ -60,8 +64,8 @@ _PRIORITY = [
     "q76_zipf_slope", "q80_chunk_documents", "q81_dataset_card",
     "q86_nation_trade", "q97_bucketed_knn", "q110_matrix_abi",
     "q111_jsonl_roundtrip", "q112_orc_roundtrip",
-    # complete r05 set:
-    "q57_stratified_sample", "q69_span_dedup",
+    # r05 set minus q57 (yielded to q73's plan re-hash):
+    "q69_span_dedup",
     "q71_unigram_surprisal", "q83_bigram_surprisal",
     # r06 pick (the blocks/s headline decode); q122 — the other r06
     # candidate — yields its slot to the new q134 (its plan is

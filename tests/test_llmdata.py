@@ -345,6 +345,24 @@ def test_ivfpq_excludes_self_and_is_deterministic(spark):
         assert ranks == list(range(1, len(ranks) + 1))
 
 
+def test_pq_and_ivfpq_exclude_null_vectors(spark):
+    """A NULL embedding can neither be encoded nor probe: both code
+    paths must silently exclude such rows (the update_ann_index rule)
+    instead of crashing the Arrow kernel's np.stack, and results over
+    the remaining rows must equal the pre-filtered run."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    dirty = emb.unionByName(
+        spark.createDataFrame([(100001, None, 0), (100002, None, 0)],
+                              emb.schema))
+    queries = dirty.filter(
+        (F.col("vec_id") < 3) | (F.col("vec_id") == 100001))
+    for fn in (sim.pq_topk, sim.ivfpq_topk):
+        got = fn(dirty, queries, k=5).collect()
+        want = fn(emb, queries.filter(F.col("vec_id") < 3), k=5).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+        assert all(r["qid"] != 100001 and r["cid"] < 100001 for r in got)
+
+
 def test_pq_topk_chunked_equals_one_shot(spark):
     """The unbounded-query-set path (encode once, stream the query
     set in driver-bounded chunks) must return BIT-IDENTICAL rows to
