@@ -1126,7 +1126,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *,
                id_col: str = "vec_id", vec_col: str = "embedding",
                k: int = 5, n_cells: int = IVF_CELLS,
                n_probe: int = IVF_PROBE, n_assign: int = IVF_ASSIGN,
-               n_sub: int = PQ_SUB, n_cents: int = PQ_CENTS) -> DataFrame:
+               n_sub: int = PQ_SUB, n_cents: int = PQ_CENTS,
+               residual: bool = False) -> DataFrame:
     """IVF-PQ approximate top-k — the composed billion-scale ANN
     layout (Jégou et al. 2011 §V, the architecture FAISS's IVFPQ
     index implements): the IVF coarse quantizer prunes the candidate
@@ -1142,11 +1143,24 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *,
     hash join of two corpus-thin relations, cheaper at scale than
     encoding each replica); queries probe ``n_probe`` cells through
     the SAME ``_nearest_cells`` kernel and score only rows whose cell
-    is probed. This is the plain (non-residual) IVF-PQ variant: codes
-    quantize the raw vectors, the cell only prunes — the residual
-    refinement (per-cell codebooks over x − centroid) changes the
-    encode/table math, not this plan shape, and is the documented
-    next dial if recall at a given code budget needs to rise.
+    is probed. The default is the plain variant: codes quantize the
+    raw vectors, the cell only prunes. ``residual=True`` is the
+    classical IVFADC refinement (Jégou et al. §V.A): each replica
+    encodes its residual x − centroid[cell] against residual
+    codebooks and the ADC score restores the exact ⟨q, centroid⟩
+    term. HONEST MEASUREMENT (the lloyd-vs-hash-centroids
+    discipline): with THIS library's deterministic hash-SAMPLED
+    codebooks, residual coding is equal-or-worse on every fixture
+    tried — 4-cluster corpus at 32×256: plain 1.00 vs residual 0.38
+    recall@3 — because sampled residuals of near-duplicate cluster
+    members are isotropic noise, which sampled codebooks cannot
+    encode; IVFADC's textbook win needs k-means-TRAINED codebooks
+    over the residual distribution (the dial to reach for before
+    flipping this flag). Kept because the plumbing differs
+    structurally (per-replica codes — n_assign× the encode and
+    landed codes — and max-sim replica dedup, the FAISS rule) and a
+    trained-codebook upgrade would change only the tiny broadcast
+    tables, not this plan.
 
     Scale shape at 100 TB: candidate work is
     ~n_assign·n_probe/n_cells of the CODES relation (not the raw
@@ -1167,6 +1181,11 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *,
     corpus = corpus.filter(F.col(vec_col).isNotNull())
     queries = queries.filter(F.col(vec_col).isNotNull())
     cents = _ivf_centroids(corpus, id_col, vec_col, n_cells, salt="ipq:")
+    if residual:
+        return _ivfpq_residual(corpus, queries, cents, id_col=id_col,
+                               vec_col=vec_col, k=k, n_probe=n_probe,
+                               n_assign=n_assign, n_sub=n_sub,
+                               n_cents=n_cents)
     books = _pq_books(corpus, id_col, vec_col, n_sub, n_cents)
 
     # encode once; join the soft cell assignments onto the codes
@@ -1226,6 +1245,150 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *,
     local = indexed.mapInPandas(kernel, "qid long, cid long, sim double")
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
     return (local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "cid", "sim", "rank"))
+
+
+def _ivfpq_residual(corpus: DataFrame, queries: DataFrame,
+                    cents: DataFrame, *, id_col: str, vec_col: str,
+                    k: int, n_probe: int, n_assign: int, n_sub: int,
+                    n_cents: int) -> DataFrame:
+    """The residual (IVFADC) scoring path of :func:`ivfpq_topk` —
+    see its docstring for the math and the trade. Codes quantize
+    x − centroid[cell] per replica against residual codebooks
+    (deterministic: the residuals of the n_cents corpus rows with
+    smallest hash15('pqr:'||id), each vs its own nearest cell); the
+    ADC score restores the exact ⟨q, centroid⟩ term. A pair's two
+    replicas score differently, so dedup keeps the MAX sim — inside
+    the kernel per partition, then once more across partitions
+    (groupBy max before the global top-k window)."""
+    import numpy as np
+
+    from ..functions.text import hash15
+
+    spark = corpus.sparkSession
+    cent_rows = sorted(cents.collect(), key=lambda r: r["cell"])
+    cmat = np.stack([np.asarray(r["cvec_cent"], dtype=np.float64)
+                     for r in cent_rows])
+
+    def _nearest(v):
+        sims = np.empty(len(cmat))
+        nv = np.sqrt(np.cumsum(v * v)[-1]) if len(v) else 0.0
+        for j in range(len(cmat)):
+            c = cmat[j]
+            denom = nv * np.sqrt(np.cumsum(c * c)[-1])
+            sims[j] = (np.cumsum(v * c)[-1] / denom
+                       if denom != 0 else -np.inf)
+        return np.lexsort((np.arange(len(cmat)), -sims))
+
+    sample = (corpus.select(
+        F.col(vec_col),
+        hash15(F.concat(F.lit("pqr:"), F.col(id_col).cast("string")))
+        .alias("_h"))
+        .orderBy("_h").limit(n_cents).collect())
+    d = len(sample[0][vec_col])
+    if d % n_sub:
+        raise ValueError(f"dim {d} not divisible by n_sub {n_sub}")
+    res = []
+    for r in sample:
+        v = np.asarray(r[vec_col], dtype=np.float64)
+        res.append(v - cmat[_nearest(v)[0]])
+    books_r = np.stack(res).reshape(len(res), n_sub, d // n_sub) \
+        .transpose(1, 0, 2)
+
+    # per-replica residual encode over the exploded assignment
+    replicas = _nearest_cells(corpus, cents, id_col, vec_col, n_assign)
+    bc_enc = spark.sparkContext.broadcast((cmat, books_r))
+
+    def enc(batches):
+        import pandas as pd
+
+        cmat_b, books_b = bc_enc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cells = pdf["cell"].to_numpy()
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            resid = mat - cmat_b[cells]
+            subs = resid.reshape(len(mat), len(books_b), -1)
+            codes = np.empty((len(mat), len(books_b)), dtype=np.int64)
+            for s in range(len(books_b)):
+                d2 = ((subs[:, s, None, :] - books_b[s][None, :, :]) ** 2
+                      ).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(), "cell": cells,
+                "norm": norms, "codes": [c.tolist() for c in codes]})
+
+    indexed = replicas.select(id_col, vec_col, "cell").mapInPandas(
+        enc, f"{id_col} long, cell int, norm double, codes array<int>")
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids, qnorms, tables = _pq_tables(qrows, books_r, id_col, vec_col)
+    probe_rows = _nearest_cells(queries, cents, id_col, vec_col,
+                                n_probe).select(id_col, "cell").collect()
+    probes: dict = {}
+    for r in probe_rows:
+        probes.setdefault(r[id_col], []).append(r["cell"])
+    # exact <q, centroid> per (query, probed cell) — n_q × n_probe
+    # scalars, driver-tiny
+    qdotc = {}
+    for qi, r in enumerate(qrows):
+        v = np.asarray(r[vec_col], dtype=np.float64)
+        for c in probes.get(r[id_col], []):
+            qdotc[(r[id_col], c)] = float(np.cumsum(v * cmat[c])[-1])
+    bc = spark.sparkContext.broadcast((qids, qnorms, tables, probes,
+                                       qdotc))
+
+    def kernel(batches):
+        import pandas as pd
+
+        qids_b, qnorms_b, tables_b, probes_b, qdotc_b = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids_b = pdf[id_col].to_numpy()
+            norms_b = pdf["norm"].to_numpy()
+            cells_b = pdf["cell"].to_numpy()
+            codes_b = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            out_q, out_c, out_s = [], [], []
+            for qi, qid in enumerate(qids_b):
+                pc = probes_b.get(qid)
+                if not pc:
+                    continue
+                sel = np.isin(cells_b, pc) & (ids_b != qid)
+                if not sel.any():
+                    continue
+                ids_s = ids_b[sel]
+                cells_s = cells_b[sel]
+                codes_s = codes_b[sel]
+                norms_s = norms_b[sel]
+                base = np.array([qdotc_b[(qid, c)] for c in cells_s])
+                approx = base.copy()
+                for s in range(tables_b.shape[1]):
+                    approx += tables_b[qi, s, codes_s[:, s]]
+                sims = approx / (qnorms_b[qi] * norms_s)
+                # max-per-id dedup: sort by (-sim, id), keep each
+                # id's first (= best) replica
+                srt = np.lexsort((ids_s, -sims))
+                ids_sorted = ids_s[srt]
+                _, first = np.unique(ids_sorted, return_index=True)
+                keep = srt[np.sort(first)]
+                ids_k, sims_k = ids_s[keep], sims[keep]
+                order = np.lexsort((ids_k, -sims_k))[:k]
+                out_q.extend([int(qid)] * len(order))
+                out_c.extend(int(x) for x in ids_k[order])
+                out_s.extend(float(np.floor(sims_k[j] * 1e6) / 1e6)
+                             for j in order)
+            yield pd.DataFrame({"qid": out_q, "cid": out_c, "sim": out_s})
+
+    local = indexed.mapInPandas(kernel, "qid long, cid long, sim double")
+    # cross-partition replica dedup: the same pair can surface from
+    # two partitions with different per-replica sims — keep the max
+    best = local.groupBy("qid", "cid").agg(F.max("sim").alias("sim"))
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return (best.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("qid", "cid", "sim", "rank"))
 

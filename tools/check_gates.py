@@ -72,7 +72,7 @@ def check(spark, sf_dir: str) -> list[str]:
         bad.append("q131: zero exact dups — the gate exercised nothing")
 
     drift = {r["epoch"]: r for r in q_quality_drift(spark, sf_dir).collect()}
-    print(f"  q132 drift: " + " ".join(
+    print("  q132 drift: " + " ".join(
         f"e{k}={r['tv_num_vs_e0']}/{r['n_docs']}"
         for k, r in sorted(drift.items())))
     if set(drift) != set(range(DRIFT_EPOCHS)):
