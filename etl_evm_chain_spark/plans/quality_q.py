@@ -277,6 +277,215 @@ ORDER BY f.epoch
 """
 
 
+# ---------------------------------------------------------------------------
+# Q135: sketch-accuracy gate — the q126/q131 discipline applied to the
+# sketch tier. q115 (KMV distinct) and q117 (count-min heavy hitters)
+# prove their estimators are ENGINE-PORTABLE (the estimate itself
+# hash-matches DuckDB), but nothing gated how CLOSE the estimates run
+# to the exact statistics — a retuned KMV_K or CM_WIDTH could degrade
+# accuracy while every parity check stayed green (exactly how the
+# round-7 minhash retune slipped past hash parity until q131 caught
+# it). This query emits the error *as driver-hashed integers*:
+#
+#   method  grp            exact_n  est_n  err_ppm  within
+#   kmv     users:<type>   ...      ...    |e|/x    err²·(k−2) ≤ σ²·9x²
+#   kmv     events:<type>
+#   cm      tok:<token>    ...      ...    over/N   est≥exact ∧ over·w ≤ 3N
+#
+# Bounds are the estimators' own guarantees: KMV's relative stderr is
+# 1/sqrt(k−2) [Bar-Yossef et al. 2002] — the gate pins 3σ, integer-
+# exactly as err²·(k−2) ≤ 9·exact² (no sqrt enters either engine);
+# count-min NEVER under-counts and over-counts by ≤ ~e·N/width w.h.p.
+# [Cormode & Muthukrishnan 2005] — pinned as over·width ≤ 3·N with
+# N read from the sketch's own depth-0 counters (the sketch relation
+# is the census; no third pass over the corpus). All arithmetic is
+# bigint (err_ppm via integer division — Spark `div` and DuckDB `//`
+# truncate identically for the non-negative operands here), so the
+# statistic can never wobble across engines, and
+# tests/test_quality.py pins within=1 as the floor a sketch-geometry
+# retune must re-prove (tools/check_gates.py runs it at every sf).
+# The constants below feed BOTH the plan and the oracle, so a tune
+# can't leave the SQL stale.
+# ---------------------------------------------------------------------------
+
+SKETCH_GATE_TOPK = 10  # CM probes: the top-k exact-frequency tokens
+_KMV_SIGMAS = 3        # KMV gate: |est − exact| ≤ 3σ·exact
+_CM_BOUND_NUM = 3      # CM gate: (est − exact)·width ≤ 3·N_total
+
+
+def q_sketch_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+    from ..operators.sketches import (CM_WIDTH, KMV_K, cm_estimate,
+                                      cm_sketch, kmv_estimate_expr,
+                                      kmv_sketch_many)
+
+    # --- KMV rows: distinct-count estimate vs exact per event_type.
+    # Same geometry and salts as q115, so this gate guards exactly the
+    # estimator that query ships.
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch_many(ev, {"users": "user_id", "events": "event_id"},
+                         group_cols=["event_type"],
+                         salts={"users": "kmvu", "events": "kmve"})
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("x_users"),
+        F.countDistinct("event_id").alias("x_events"))
+    kj = exact.join(sk, "event_type")
+
+    def kmv_rows(kind: str) -> DataFrame:
+        x = F.col(f"x_{kind}").cast("long")
+        est = kmv_estimate_expr(F.col(kind))
+        return (kj.select(
+            F.lit("kmv").alias("method"),
+            F.concat(F.lit(kind + ":"), F.col("event_type")).alias("grp"),
+            x.alias("exact_n"), est.alias("est_n"))
+            .withColumn("_err", F.abs(F.col("est_n") - F.col("exact_n")))
+            .select(
+                "method", "grp", "exact_n", "est_n",
+                # greatest(…,1): an all-NULL key column gives exact=0
+                # with an empty sketch (err=0) — 0 div 0 would throw
+                # under ANSI instead of reading as zero error
+                F.expr("(_err * 1000000) div greatest(exact_n, 1)")
+                .alias("err_ppm"),
+                (F.col("_err") * F.col("_err") * F.lit(KMV_K - 2)
+                 <= F.lit(_KMV_SIGMAS * _KMV_SIGMAS)
+                 * F.col("exact_n") * F.col("exact_n"))
+                .cast("int").alias("within")))
+
+    # --- CM rows: estimated vs exact counts for the true top-k
+    # tokens (q117's geometry). N_total comes from the sketch's own
+    # depth-0 slice — every input unit lands in exactly one cell per
+    # depth row, so sum(cnt | depth=0) IS the census.
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (docs.select(F.explode(tokens("text")).alias("tok"))
+          .groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt")))
+    csk = cm_sketch(tc, "tok", weight_col="true_cnt")
+    top = tc.orderBy(F.desc("true_cnt"), "tok").limit(SKETCH_GATE_TOPK)
+    est = cm_estimate(csk, top, "tok")
+    n_tot = (csk.filter(F.col("depth") == 0)
+             .agg(F.sum("cnt").cast("long").alias("_n_tot")))
+    cm = (top.join(est, "tok").crossJoin(F.broadcast(n_tot))
+          .select(
+              F.lit("cm").alias("method"),
+              F.concat(F.lit("tok:"), F.col("tok")).alias("grp"),
+              F.col("true_cnt").cast("long").alias("exact_n"),
+              F.col("est_cnt").alias("est_n"),
+              F.col("_n_tot"))
+          .withColumn("_over", F.col("est_n") - F.col("exact_n"))
+          .select(
+              "method", "grp", "exact_n", "est_n",
+              F.expr("(_over * 1000000) div greatest(_n_tot, 1)")
+              .alias("err_ppm"),
+              ((F.col("_over") >= 0)
+               & (F.col("_over") * F.lit(CM_WIDTH)
+                  <= F.lit(_CM_BOUND_NUM) * F.col("_n_tot")))
+              .cast("int").alias("within")))
+
+    return (kmv_rows("users").unionByName(kmv_rows("events"))
+            .unionByName(cm).orderBy("method", "grp"))
+
+
+def _oracle_sketch_error_gate() -> str:
+    from ..operators.sketches import (CM_DEPTH, CM_WIDTH, KMV_K,
+                                      kmv_estimator_constant)
+    from .llmdata import _SQL_TOKS, _sql_hash15
+
+    c = repr(kmv_estimator_constant(KMV_K))
+    s2 = _KMV_SIGMAS * _KMV_SIGMAS
+
+    def kmv_est(key_expr: str, salt: str, out: str) -> str:
+        h = _sql_hash15(f"'{salt}:' || CAST({key_expr} AS VARCHAR)")
+        return f"""
+h_{out} AS (
+  SELECT DISTINCT event_type, {h} AS h
+  FROM events WHERE {key_expr} IS NOT NULL
+),
+r_{out} AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS r,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM h_{out}
+),
+e_{out} AS (
+  SELECT event_type,
+         CASE WHEN max(m) < {KMV_K} THEN max(m)
+              ELSE CAST(floor({c} / CAST(greatest(
+                     max(CASE WHEN r = {KMV_K} THEN h END), 1)
+                     AS DOUBLE)) AS BIGINT) END AS est
+  FROM r_{out} GROUP BY 1
+)"""
+
+    def cm_cell(tok_expr: str) -> str:
+        h = _sql_hash15(
+            f"'cm' || CAST(d.i AS VARCHAR) || ':' || {tok_expr}")
+        return f"{h} % {CM_WIDTH}"
+
+    return f"""
+WITH {kmv_est("user_id", "kmvu", "users")},
+{kmv_est("event_id", "kmve", "events")},
+exact AS (
+  SELECT event_type,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS x_users,
+         CAST(count(DISTINCT event_id) AS BIGINT) AS x_events
+  FROM events GROUP BY 1
+),
+kmv_long AS (
+  SELECT 'users:' || x.event_type AS grp, x.x_users AS exact_n,
+         u.est AS est_n
+  FROM exact x JOIN e_users u USING (event_type)
+  UNION ALL
+  SELECT 'events:' || x.event_type, x.x_events, e.est
+  FROM exact x JOIN e_events e USING (event_type)
+),
+kmv_rows AS (
+  SELECT 'kmv' AS method, grp, exact_n, est_n,
+         (abs(est_n - exact_n) * 1000000) // greatest(exact_n, 1)
+           AS err_ppm,
+         CAST(abs(est_n - exact_n) * abs(est_n - exact_n)
+                * {KMV_K - 2}
+              <= {s2} * exact_n * exact_n AS INT) AS within
+  FROM kmv_long
+),
+toks AS (SELECT unnest({_SQL_TOKS}) AS tok FROM documents),
+tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt
+       FROM toks GROUP BY tok),
+depths AS (SELECT unnest(range(0, {CM_DEPTH})) AS i),
+cells AS (
+  SELECT d.i AS depth, {cm_cell("tok")} AS cell,
+         CAST(sum(true_cnt) AS BIGINT) AS cnt
+  FROM tc CROSS JOIN depths d GROUP BY 1, 2
+),
+n_tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n
+          FROM cells WHERE depth = 0),
+top AS (SELECT tok, true_cnt FROM tc
+        ORDER BY true_cnt DESC, tok LIMIT {SKETCH_GATE_TOPK}),
+probe AS (
+  SELECT t.tok, t.true_cnt, d.i AS depth, {cm_cell("t.tok")} AS cell
+  FROM top t CROSS JOIN depths d
+),
+cm_est AS (
+  SELECT p.tok, p.true_cnt,
+         CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_n
+  FROM probe p LEFT JOIN cells c
+    ON c.depth = p.depth AND c.cell = p.cell
+  GROUP BY p.tok, p.true_cnt
+),
+cm_rows AS (
+  SELECT 'cm' AS method, 'tok:' || e.tok AS grp,
+         e.true_cnt AS exact_n, e.est_n,
+         ((e.est_n - e.true_cnt) * 1000000) // greatest(nt.n, 1)
+           AS err_ppm,
+         CAST(e.est_n >= e.true_cnt
+              AND (e.est_n - e.true_cnt) * {CM_WIDTH}
+                  <= {_CM_BOUND_NUM} * nt.n AS INT) AS within
+  FROM cm_est e CROSS JOIN n_tot nt
+)
+SELECT method, grp, exact_n, est_n,
+       CAST(err_ppm AS BIGINT) AS err_ppm, within
+FROM (SELECT * FROM kmv_rows UNION ALL SELECT * FROM cm_rows)
+ORDER BY method, grp
+"""
+
+
 SPECS = [
     QuerySpec("q118_expectations", q_expectations, ORACLE_EXPECTATIONS,
               "declarative data-quality gate: 6 rules in one fact scan "
@@ -293,4 +502,11 @@ SPECS = [
               "histograms per ingest epoch + exact integer "
               "total-variation drift vs the baseline epoch",
               ("P2-quality",)),
+    QuerySpec("q135_sketch_error_gate", q_sketch_error_gate,
+              _oracle_sketch_error_gate,
+              "sketch-accuracy gate: KMV distinct-count and count-min "
+              "frequency errors as driver-hashed integers with "
+              "within-guarantee flags (3-sigma KMV, over-count*width "
+              "<= 3N count-min)",
+              ("D15", "P2-sketch", "P2-quality")),
 ]

@@ -25,8 +25,10 @@ _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
 # (b) the full r01/r02-stale set the r7 verdict scheduled (q02, q04,
 # q05, q13, q75, q78, q84, q85, q89, q90, q99, q100);
 # (c) everything last checked r03 (13 queries), r04 (11), r05 (4);
-# (d) one r06 pick: q44 (the blocks/s headline decode) — q126 also
-# re-hashes with a 4th method row (ivfpq joined the recall gate).
+# (d) q135 (new sketch-accuracy gate, first-ever hash) — it takes
+# the slot that briefly held q44 (r6-green, plan unchanged, replica
+# re-verified every round); q126 still re-hashes with a 4th method
+# row (ivfpq joined the recall gate).
 # Rotated OUT (driver-green in r6/r7, plans unchanged since):
 # q01, q03, q06-q12, q14-q24, q25-q29, q33-q40, q45, q46, q50-q54,
 # q59, q60, q62-q66, q68, q70-q74, q79, q87, q95, q96, q98,
@@ -34,7 +36,7 @@ _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
 _PRIORITY = [
     # ---- EXACTLY the driver's 50-slot window, all oracle-backed ----
     # new this round (first hash):
-    "q133_stream_drift", "q134_ivfpq_topk",
+    "q133_stream_drift", "q134_ivfpq_topk", "q135_sketch_error_gate",
     # outputs changed by IVF soft assignment (re-hash required):
     "q42_ivf_topk", "q125_compacted_ann_topk", "q126_ann_recall",
     # plan changed (NULL-vector exclusion joined the PQ paths —
@@ -67,11 +69,9 @@ _PRIORITY = [
     # r05 set minus q57 (yielded to q73's plan re-hash):
     "q69_span_dedup",
     "q71_unigram_surprisal", "q83_bigram_surprisal",
-    # r06 pick (the blocks/s headline decode); q122 — the other r06
-    # candidate — yields its slot to the new q134 (its plan is
-    # unchanged since its r6 green and the local replica re-verifies
-    # it every round)
-    "q44_decode_transfers",
+    # (q44/q122 — the r06 re-hash candidates — yield their slots to
+    # the new q134/q135: their plans are unchanged since their r6
+    # greens and the local replica re-verifies them every round)
 ]
 
 assert len(_PRIORITY) == 50, "driver window must be exactly 50 entries"

@@ -264,3 +264,48 @@ def test_tv_drift_missing_baseline_trips(spark):
                                  "epoch int, bin int, n long")
     with pytest.raises(Exception, match="baseline key has no"):
         tv_drift(hist, key="epoch", baseline=0).collect()
+
+
+# ---------------------------------------------------------------------------
+# q135 sketch-accuracy gate: the floors a KMV_K / CM_WIDTH retune must
+# re-prove (tools/check_gates.py runs the same assertions at every sf;
+# the r7 lesson is that hash-parity alone cannot catch an accuracy
+# regression in an approximation).
+# ---------------------------------------------------------------------------
+
+def test_sketch_error_gate_floors_sf0001(spark):
+    from etl_evm_chain_spark.operators.sketches import KMV_K
+    from etl_evm_chain_spark.plans.quality_q import q_sketch_error_gate
+
+    rows = q_sketch_error_gate(spark, "/root/testdata/sf0.001").collect()
+    methods = {r["method"] for r in rows}
+    assert methods == {"kmv", "cm"}
+    for r in rows:
+        assert r["within"] == 1, (
+            f"{r['method']} {r['grp']} outside its guarantee: "
+            f"exact {r['exact_n']} est {r['est_n']} err {r['err_ppm']}")
+        assert r["err_ppm"] >= 0
+    # count-min can only over-count — a single under-count means the
+    # probe read the wrong counter space
+    for r in rows:
+        if r["method"] == "cm":
+            assert r["est_n"] >= r["exact_n"]
+    # groups whose cardinality is under k take the sketch's exact
+    # branch — the estimate IS the count, so the error must be zero
+    # (user_id cardinality at sf0.001 is far below KMV_K)
+    exact_branch = [r for r in rows
+                    if r["method"] == "kmv"
+                    and r["grp"].startswith("users:")
+                    and r["exact_n"] < KMV_K]
+    assert exact_branch, "fixture drifted: no exact-branch group left"
+    assert all(r["err_ppm"] == 0 for r in exact_branch)
+
+
+def test_sketch_gate_err_ppm_is_integer_division(spark):
+    # the statistic must be engine-portable integer arithmetic:
+    # (err * 1e6) div exact with truncation — both operands
+    # non-negative, so Spark `div` and DuckDB `//` agree exactly
+    df = spark.createDataFrame([(7, 3)], "e long, x long")
+    got = df.select(
+        F.expr("(e * 1000000) div greatest(x, 1)").alias("p")).first()["p"]
+    assert got == 7000000 // 3

@@ -20,6 +20,10 @@ Gates and floors:
                        identities are re-asserted too)
   q132_quality_drift   baseline epoch reports tv_num == 0, every
                        epoch present with docs
+  q135_sketch_error_gate every row within its estimator's guarantee
+                       (KMV |err| <= 3sigma*exact, count-min
+                       0 <= over*width <= 3N), and the count-min
+                       side never under-counts
 
 Usage: python tools/check_gates.py [sf_dir ...]
        (default: sf0.001 and sf0.01; pass sf0.1 too before committing
@@ -41,7 +45,8 @@ def check(spark, sf_dir: str) -> list[str]:
     from etl_evm_chain_spark.plans.curation_q import q_neardup_envelope
     from etl_evm_chain_spark.plans.llmdata import q_ann_recall
     from etl_evm_chain_spark.plans.quality_q import (DRIFT_EPOCHS,
-                                                     q_quality_drift)
+                                                     q_quality_drift,
+                                                     q_sketch_error_gate)
 
     bad: list[str] = []
 
@@ -70,6 +75,23 @@ def check(spark, sf_dir: str) -> list[str]:
         bad.append("q131: counter identities violated")
     if e["n_exact_dup"] == 0:
         bad.append("q131: zero exact dups — the gate exercised nothing")
+
+    sk = q_sketch_error_gate(spark, sf_dir).collect()
+    worst = {m: max((r["err_ppm"] for r in sk if r["method"] == m),
+                    default=None) for m in ("kmv", "cm")}
+    print(f"  q135 sketch: {len(sk)} rows, worst err_ppm "
+          f"kmv={worst['kmv']} cm={worst['cm']}")
+    if not any(r["method"] == "kmv" for r in sk) or \
+            not any(r["method"] == "cm" for r in sk):
+        bad.append("q135: a sketch method is missing from the gate")
+    for r in sk:
+        if r["within"] != 1:
+            bad.append(f"q135: {r['method']} {r['grp']} outside its "
+                       f"guarantee (exact {r['exact_n']} est "
+                       f"{r['est_n']} err_ppm {r['err_ppm']})")
+        if r["method"] == "cm" and r["est_n"] < r["exact_n"]:
+            bad.append(f"q135: count-min UNDER-counts {r['grp']} "
+                       f"({r['est_n']} < {r['exact_n']})")
 
     drift = {r["epoch"]: r for r in q_quality_drift(spark, sf_dir).collect()}
     print("  q132 drift: " + " ".join(

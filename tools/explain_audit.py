@@ -141,6 +141,10 @@ ALLOW: dict[str, set[str]] = {
     # (scalar-subquery shape; the sketch itself broadcasts as a
     # normal hash join on (depth, cell))
     "q117_cm_heavy_hitters": {"nested_loop"},
+    # the q117 shapes one tier up, plus the 1-row depth-0 census
+    # broadcast for the count-min bound column (scalar-subquery
+    # shape; KMV/CM error arithmetic is per-row integer math)
+    "q135_sketch_error_gate": {"nested_loop"},
 }
 
 # rdd_scan allowances: every localCheckpoint in a registry plan, with
@@ -177,6 +181,9 @@ _RDD_ALLOW = {
     # same: kmv_sketch ranks per-(group, salt) hashes through the kit,
     # whose pinned counts relation is groups × n_buckets-bounded
     "q115_kmv_distinct",
+    # the sketch gate runs q115's KMV build (same ranking-kit pin,
+    # groups × n_buckets-bounded) next to the error arithmetic
+    "q135_sketch_error_gate",
     # update_exact_dedup_index pins the batch fingerprint relation
     # (localCheckpoint) because three consumers share it — bounded by
     # the increment, the documented ledger reuse discipline
