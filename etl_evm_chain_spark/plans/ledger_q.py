@@ -514,6 +514,74 @@ def _oracle_stream_drift() -> str:
     return _oracle_quality_drift()
 
 
+# ---------------------------------------------------------------------------
+# Q136: streaming KMV distinct-count lifecycle — the sketch tier's
+# last streaming gap (CM frequencies had stream_token_sketch + q-level
+# checks; KMV distinct counts had only the expression-level merge).
+# Three ingest epochs of events land their own per-group KMV sketches
+# (streaming/pipeline.kmv_epoch), a compaction folds the first two
+# mid-protocol, and the live fold's ESTIMATES are hashed against
+# q115's one-shot oracle — legal because the KMV merge is EXACT (the
+# k smallest distinct hashes of a union are among the union of each
+# slice's k smallest), so incremental == one-shot is driver-checked
+# THROUGH a compaction, to the bit, by an external engine.
+# ---------------------------------------------------------------------------
+
+_KMV_EPOCHS = 3
+
+
+def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.index_ledger import _fs, _jp
+    from ..operators.sketches import KMV_K, kmv_estimate_expr
+    from ..streaming import pipeline as sp
+
+    ev = load_table(spark, sf_dir, "events")
+    root = _index_root(sf_dir, f"kmvled{KMV_K}m{_KMV_EPOCHS}",
+                       table="events")
+    sliced = ev.withColumn(
+        "_e", F.pmod(F.col("event_id"), F.lit(_KMV_EPOCHS)).cast("int"))
+    fs, _ = _fs(spark, root)
+    base = sp._max_compact(root)
+    floor = -1 if base is None else base
+    for e in range(_KMV_EPOCHS):
+        # committed epochs replay byte-identically — skip them; epochs
+        # at or below a compaction baseline were folded and GC'd
+        if e <= floor or fs.exists(
+                _jp(spark, root, f"batch_id={e}", "_SUCCESS")):
+            continue
+        sp.kmv_epoch(sliced.filter(F.col("_e") == e), e, state_dir=root,
+                     keys={"users": "user_id", "events": "event_id"},
+                     group_cols=["event_type"],
+                     salts={"users": "kmvu", "events": "kmve"})
+        if e == _KMV_EPOCHS - 2:
+            # compaction sits INSIDE the checked lifecycle: the final
+            # fold reads the folded baseline + the last epoch's dir
+            sp.compact_kmv_sketch(spark, root, ["event_type"])
+    sk = sp.read_kmv_sketch(spark, root, ["event_type"])
+    wide = (sk.groupBy("event_type")
+            .pivot("kind", ["users", "events"]).agg(F.first("sketch")))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.countDistinct("event_id").alias("exact_events"))
+    # q115's exact output contract — same estimator over the STREAMED
+    # ledger's fold; pin: the fold lazily scans ledger directories a
+    # later invocation's compaction GC could delete (q121 discipline)
+    return (exact.join(wide, "event_type")
+            .select("event_type", "exact_users",
+                    kmv_estimate_expr(F.col("users")).alias("est_users"),
+                    "exact_events",
+                    kmv_estimate_expr(F.col("events")).alias("est_events"))
+            .orderBy("event_type").localCheckpoint())
+
+
+def _oracle_stream_kmv() -> str:
+    # incremental == one-shot: the streamed ledger's fold must equal
+    # the one-shot sketch bit-for-bit, so the oracle IS q115's
+    from .warehouse import _oracle_kmv_distinct
+
+    return _oracle_kmv_distinct()
+
+
 SPECS = [
     QuerySpec("q121_compacted_lsh_pairs", q_compacted_lsh_pairs,
               _oracle_compacted_lsh_pairs,
@@ -544,4 +612,11 @@ SPECS = [
               "landed quality histograms with a compaction between; "
               "folded TV statistic == one-shot q132 monitor",
               ("H6", "P2-quality")),
+    QuerySpec("q136_stream_kmv", q_stream_kmv,
+              _oracle_stream_kmv,
+              "streaming KMV distinct-count lifecycle: 3 ingest "
+              "epochs of landed per-group sketches with a compaction "
+              "between; folded estimates == one-shot q115 sketches "
+              "(exact KMV merge)",
+              ("H6", "D15", "P2-sketch")),
 ]

@@ -780,6 +780,160 @@ def compact_token_sketch(spark: SparkSession, sketch_dir: str, *,
                                 keep_last=keep_last, gc=gc)
 
 
+# ---------------------------------------------------------------------------
+# KMV distinct-count ledger — the DISTINCT-COUNT companion to the CM
+# frequency ledger above, closing the sketch tier's last streaming
+# gap (CM had stream_token_sketch; KMV had only the expression-level
+# kmv_merge_expr). Each micro-batch lands its own per-group KMV
+# sketches (operators/sketches.kmv_sketch_many in LONG form: one row
+# per (group, kind) with the array sketch); because the k smallest
+# distinct hashes of a union are among the union of each side's k
+# smallest, the fold-on-read is EXACT — the folded sketch is
+# bit-identical to a one-shot sketch of the whole history, so the
+# live view answers "distinct users so far" without ever rescanning
+# history (tested; driver-checked end-to-end by q136, whose oracle is
+# literally q115's one-shot SQL).
+#
+# Geometry: every row carries a ``geom`` stamp "k<k>/<salt>" — a
+# ledger mixing sketch sizes or salts would fold into NONSENSE (the
+# k-th order statistic of differently-salted hashes estimates
+# nothing), so the fold asserts one geom per kind GLOBALLY across all
+# folded rows (the _cm_epoch_fold discipline: a per-group check would
+# miss epochs whose populated groups never collide).
+# ---------------------------------------------------------------------------
+
+def kmv_epoch(batch_df: DataFrame, batch_id: int, *, state_dir: str,
+              keys: "dict[str, str]", group_cols=(), k: int | None = None,
+              salts: "dict[str, str] | None" = None) -> None:
+    """One KMV ledger epoch: the batch's per-(group, kind) sketches
+    landed under ``state_dir/batch_id=<epoch>/``. Module-level (the
+    drift_epoch / kmeans_epoch pattern) so the q136 lifecycle query
+    drives byte-identical logic to the stream's foreachBatch body.
+    A sketch is a pure function of the batch's rows, so a replayed
+    epoch overwrites its directory with identical rows (exactly-once,
+    epoch-directory ledger)."""
+    import os
+
+    from ..operators.index_ledger import touch_liveness
+    from ..operators.sketches import KMV_K, kmv_sketch_many
+
+    if batch_df.isEmpty():
+        return
+    kk = KMV_K if k is None else k
+    salts = salts or {}
+    wide = kmv_sketch_many(batch_df, keys, group_cols=list(group_cols),
+                           k=kk, salts=salts)
+    names = list(keys)
+    stack_args = ", ".join(f"'{n}', {n}" for n in names)
+    geom = F.create_map(*[
+        x for n in names
+        for x in (F.lit(n),
+                  F.lit(f"k{kk}/{salts.get(n, f'kmv-{n}')}"))])
+    long = (wide.select(
+        *group_cols,
+        F.expr(f"stack({len(names)}, {stack_args}) AS (kind, sketch)"))
+        .withColumn("geom", F.element_at(geom, F.col("kind"))))
+    long.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"batch_id={int(batch_id)}"))
+    touch_liveness(state_dir)
+
+
+def _kmv_epoch_fold(df: DataFrame, group_cols, *,
+                    k: int | None = None) -> DataFrame:
+    """Merge per-epoch KMV sketches: per (group, kind), the k smallest
+    of the union of the epochs' hash sets — exact by the KMV merge
+    law. Geometry is asserted GLOBALLY: one distinct geom per kind
+    across every folded row (sparse ledgers whose groups never share
+    an output row would dodge a per-group check). The checked bit
+    gates the output arrays so pruning can never elide it; empty
+    sketches (all-NULL key groups) survive as empty arrays."""
+    from ..operators.sketches import KMV_K
+
+    kk = KMV_K if k is None else k
+    groups = list(group_cols)
+    chk = df.agg(
+        F.when(
+            F.assert_true(
+                F.coalesce(
+                    F.count_distinct(F.struct("kind", "geom"))
+                    == F.count_distinct(F.col("kind")), F.lit(True)),
+                F.lit("kmv geometry mismatch across epochs: a kind "
+                      "was landed with more than one k/salt"))
+            .isNull(), F.lit(1).cast("long")).alias("_geom_ok"))
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.collect_list("_h"))), 1, kk)
+    return (df.crossJoin(F.broadcast(chk))
+            .select(*groups, "kind", "geom", "_geom_ok",
+                    F.explode_outer("sketch").alias("_h"))
+            .groupBy(*groups, "kind")
+            .agg(F.when(F.first("_geom_ok") == 1, merged).alias("sketch"),
+                 F.min("geom").alias("geom")))
+
+
+def read_kmv_sketch(spark: SparkSession, state_dir: str, group_cols, *,
+                    k: int | None = None) -> DataFrame:
+    """The live folded sketches — bit-identical to a one-shot
+    ``kmv_sketch_many`` over the whole landed history (KMV merge is
+    exact). O(live epochs · groups · kinds · k) longs ever move; feed
+    the result's ``sketch`` column to ``kmv_estimate_expr``."""
+    return _kmv_epoch_fold(
+        spark.read.parquet(*_live_paths(state_dir)), group_cols, k=k)
+
+
+def compact_kmv_sketch(spark: SparkSession, state_dir: str, group_cols, *,
+                       k: int | None = None, keep_last: int = 0,
+                       gc: bool = True) -> int | None:
+    """Log-compact a KMV ledger (per-(group, kind) k-smallest merge —
+    legal because the fold is an exact idempotent monoid; geometry
+    re-checked globally across the folded epochs)."""
+    from ..operators.index_ledger import touch_liveness
+
+    touch_liveness(state_dir)
+    return compact_epoch_ledger(
+        spark, state_dir,
+        lambda df: _kmv_epoch_fold(df, group_cols, k=k),
+        keep_last=keep_last, gc=gc)
+
+
+def stream_kmv_sketch(events: DataFrame, *, state_dir: str,
+                      checkpoint: str, keys: "dict[str, str]",
+                      group_cols=(), k: int | None = None,
+                      salts: "dict[str, str] | None" = None,
+                      trigger_once: bool = True,
+                      compact_every: int | None = None):
+    """Distinct-count statistics AT INGEST TIME — the streaming twin
+    of the q115 batch sketches: each micro-batch lands its own KMV
+    sketches (``kmv_epoch``); :func:`read_kmv_sketch` folds the live
+    epochs into the exact one-shot sketch of the whole history.
+
+    State at 100 TB: per-epoch cost is the batch-bounded sketch build
+    (dedup shuffle + bucketed rank over the BATCH, never history);
+    the landed lake is O(live epochs · groups · kinds · k) longs and
+    self-compacts with ``compact_every=N`` (single writer, so
+    compacting inside foreachBatch can't race; replayed already-
+    folded epochs are ignored as ghosts by the readers)."""
+    if compact_every is not None and compact_every < 2:
+        raise ValueError(f"compact_every must be >= 2, got {compact_every}")
+    groups = list(group_cols)
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        kmv_epoch(batch_df, batch_id, state_dir=state_dir, keys=keys,
+                  group_cols=groups, k=k, salts=salts)
+        if compact_every is not None:
+            c = _max_compact(state_dir)
+            floor = -1 if c is None else c
+            live = [e for e in _epoch_ids(state_dir) if e > floor]
+            if len(live) >= compact_every:
+                compact_kmv_sketch(batch_df.sparkSession, state_dir,
+                                   groups, k=k)
+
+    w = (events.writeStream.foreachBatch(per_batch)
+         .option("checkpointLocation", checkpoint))
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def stream_matview(events: DataFrame, *, state_dir: str, checkpoint: str,
                    keys: str | list[str], value: str,
                    trigger_once: bool = True,

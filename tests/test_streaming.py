@@ -1801,3 +1801,153 @@ def test_stream_drift_self_compacts(spark, tmp_path):
         == as_set(sp.read_drift_hist(spark, twin))
     assert as_set(sp.read_drift(spark, std, baseline=0)) \
         == as_set(sp.read_drift(spark, twin, baseline=0))
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count ledger (stream_kmv_sketch / read_kmv_sketch) —
+# the sketch tier's streaming twin, driver-checked end-to-end by q136.
+# ---------------------------------------------------------------------------
+
+def _kmv_long(df):
+    return sorted((r["event_type"], r["kind"], tuple(r["sketch"]),
+                   r["geom"]) for r in df.collect())
+
+
+def test_stream_kmv_incremental_equals_one_shot(spark, tmp_path):
+    """Per-epoch landed KMV sketches must fold into EXACTLY the
+    one-shot sketch of the whole history — the KMV merge law through
+    the streaming path, arrays compared bit-for-bit."""
+    from etl_evm_chain_spark.operators.sketches import kmv_sketch_many
+
+    src = str(tmp_path / "kv_src")
+    std = str(tmp_path / "kv_state")
+    ckpt = str(tmp_path / "kv_ckpt")
+    schema = "event_type string, user_id long, event_id long"
+
+    def run():
+        stream = spark.readStream.schema(schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        s = sp.stream_kmv_sketch(
+            stream, state_dir=std, checkpoint=ckpt,
+            keys={"users": "user_id", "events": "event_id"},
+            group_cols=["event_type"], k=8,
+            salts={"users": "kmvu", "events": "kmve"})
+        s.awaitTermination(120)
+
+    rows1 = [("click", i % 7, i) for i in range(40)] + \
+            [("view", None, 1000)]
+    rows2 = [("click", i % 11, 200 + i) for i in range(30)] + \
+            [("buy", 3, 2000)]
+    spark.createDataFrame(rows1, schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    run()
+    spark.createDataFrame(rows2, schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    folded = {(r["event_type"], r["kind"]): tuple(r["sketch"])
+              for r in sp.read_kmv_sketch(spark, std, ["event_type"],
+                                          k=8).collect()}
+    oneshot_wide = kmv_sketch_many(
+        spark.createDataFrame(rows1 + rows2, schema),
+        {"users": "user_id", "events": "event_id"},
+        group_cols=["event_type"], k=8,
+        salts={"users": "kmvu", "events": "kmve"})
+    want = {}
+    for r in oneshot_wide.collect():
+        want[(r["event_type"], "users")] = tuple(r["users"])
+        want[(r["event_type"], "events")] = tuple(r["events"])
+    assert folded == want
+
+
+def test_kmv_epoch_replay_and_compaction_are_exact(spark, tmp_path):
+    """A replayed KMV epoch overwrites byte-identical rows; a
+    compaction folds the ledger without changing the folded view; a
+    post-compaction epoch merges on top of the baseline exactly."""
+    from etl_evm_chain_spark.operators.sketches import kmv_sketch_many
+
+    std = str(tmp_path / "kv2_state")
+    schema = "event_type string, user_id long, event_id long"
+    keys = {"users": "user_id", "events": "event_id"}
+    e0 = spark.createDataFrame(
+        [("a", i, i) for i in range(20)], schema)
+    e1 = spark.createDataFrame(
+        [("a", i + 15, 100 + i) for i in range(20)], schema)
+    e2 = spark.createDataFrame(
+        [("b", 1, 999)], schema)
+    for df, e in ((e0, 0), (e1, 1)):
+        sp.kmv_epoch(df, e, state_dir=std, keys=keys,
+                     group_cols=["event_type"], k=8)
+    before = _kmv_long(sp.read_kmv_sketch(spark, std, ["event_type"],
+                                          k=8))
+    sp.kmv_epoch(e1, 1, state_dir=std, keys=keys,
+                 group_cols=["event_type"], k=8)  # replay
+    assert _kmv_long(sp.read_kmv_sketch(spark, std, ["event_type"],
+                                        k=8)) == before
+    assert sp.compact_kmv_sketch(spark, std, ["event_type"], k=8) == 1
+    assert _kmv_long(sp.read_kmv_sketch(spark, std, ["event_type"],
+                                        k=8)) == before
+    sp.kmv_epoch(e2, 2, state_dir=std, keys=keys,
+                 group_cols=["event_type"], k=8)
+    folded = {(r["event_type"], r["kind"]): tuple(r["sketch"])
+              for r in sp.read_kmv_sketch(spark, std, ["event_type"],
+                                          k=8).collect()}
+    oneshot = kmv_sketch_many(e0.unionByName(e1).unionByName(e2),
+                              keys, group_cols=["event_type"], k=8)
+    want = {}
+    for r in oneshot.collect():
+        want[(r["event_type"], "users")] = tuple(r["users"])
+        want[(r["event_type"], "events")] = tuple(r["events"])
+    assert folded == want
+
+
+def test_kmv_fold_geometry_mismatch_trips(spark, tmp_path):
+    """Two epochs landing the same kind under different salts (or k)
+    estimate NOTHING when merged — the fold must fail loudly, not
+    fold order statistics from unrelated hash spaces."""
+    import pytest
+
+    std = str(tmp_path / "kv3_state")
+    schema = "event_type string, user_id long, event_id long"
+    df = spark.createDataFrame([("a", 1, 1)], schema)
+    sp.kmv_epoch(df, 0, state_dir=std,
+                 keys={"users": "user_id"}, group_cols=["event_type"],
+                 k=8, salts={"users": "saltA"})
+    sp.kmv_epoch(df, 1, state_dir=std,
+                 keys={"users": "user_id"}, group_cols=["event_type"],
+                 k=8, salts={"users": "saltB"})
+    with pytest.raises(Exception, match="kmv geometry mismatch"):
+        sp.read_kmv_sketch(spark, std, ["event_type"], k=8).collect()
+
+
+def test_kmv_all_null_kind_folds_to_empty_sketch(spark, tmp_path):
+    """A kind whose key column is all NULL (in a group that exists
+    via another kind) lands as the canonical EMPTY sketch in every
+    epoch and must fold to the empty sketch (estimate 0) — the
+    explode_outer path; it must not disappear or turn NULL. A group
+    with NO non-null kind at all is absent from one-shot
+    kmv_sketch_many, so the fold drops it identically (checked
+    too)."""
+    from etl_evm_chain_spark.operators.sketches import kmv_estimate_expr
+
+    std = str(tmp_path / "kv4_state")
+    schema = "event_type string, user_id long, event_id long"
+    keys = {"users": "user_id", "events": "event_id"}
+    for e in (0, 1):
+        sp.kmv_epoch(
+            spark.createDataFrame(
+                [("nullusers", None, 10 + e),
+                 ("allnull", None, None)], schema),
+            e, state_dir=std, keys=keys, group_cols=["event_type"], k=8)
+    out = {(r["event_type"], r["kind"]): (r["sketch"], r["est"])
+           for r in sp.read_kmv_sketch(spark, std, ["event_type"], k=8)
+           .select("event_type", "kind", "sketch",
+                   kmv_estimate_expr(F.col("sketch"), k=8).alias("est"))
+           .collect()}
+    # the all-NULL users kind survives as the empty sketch
+    assert out[("nullusers", "users")] == ([], 0)
+    sk, est = out[("nullusers", "events")]
+    assert len(sk) == 2 and est == 2
+    # a group with no non-null kind anywhere matches one-shot
+    # semantics: absent
+    assert not any(g == "allnull" for g, _ in out)

@@ -145,6 +145,10 @@ ALLOW: dict[str, set[str]] = {
     # broadcast for the count-min bound column (scalar-subquery
     # shape; KMV/CM error arithmetic is per-row integer math)
     "q135_sketch_error_gate": {"nested_loop"},
+    # the KMV ledger fold crossJoins its 1-row global geometry
+    # assertion (the _cm_epoch_fold / cm_estimate scalar-subquery
+    # shape); the folded relation is groups × kinds rows
+    "q136_stream_kmv": {"nested_loop"},
 }
 
 # rdd_scan allowances: every localCheckpoint in a registry plan, with
@@ -222,6 +226,10 @@ _RDD_ALLOW = {
     # (q121 discipline — never hand a lazy plan over a mutable
     # scratch ledger to the caller); epochs-bounded rows
     "q133_stream_drift",
+    # streamed KMV lifecycle: per-epoch sketch builds rank through
+    # the kit (the q115 pin, batch-bounded) and the estimate result
+    # pins before returning (q121 discipline); groups × kinds rows
+    "q136_stream_kmv",
 }
 for _q in _RDD_ALLOW:
     ALLOW.setdefault(_q, set()).add("rdd_scan")
