@@ -291,6 +291,7 @@ ORDER BY f.epoch
 #   kmv     users:<type>   ...      ...    |e|/x    err²·(k−2) ≤ σ²·9x²
 #   kmv     events:<type>
 #   cm      tok:<token>    ...      ...    over/N   est≥exact ∧ over·w ≤ 3N
+#   samp    parts:<flag>   ...      ...    |e|/x    err² ≤ 9·15·x
 #
 # Bounds are the estimators' own guarantees: KMV's relative stderr is
 # 1/sqrt(k−2) [Bar-Yossef et al. 2002] — the gate pins 3σ, integer-
@@ -298,7 +299,10 @@ ORDER BY f.epoch
 # count-min NEVER under-counts and over-counts by ≤ ~e·N/width w.h.p.
 # [Cormode & Muthukrishnan 2005] — pinned as over·width ≤ 3·N with
 # N read from the sketch's own depth-0 counters (the sketch relation
-# is the census; no third pass over the corpus). All arithmetic is
+# is the census; no third pass over the corpus); q53's ×16
+# sampled-distinct estimator is 16·X with X ~ Binomial(D, 1/16)
+# exactly (each distinct key is sampled by its own hash), so
+# var = 15·D and the 3σ gate is err² ≤ 135·exact. All arithmetic is
 # bigint (err_ppm via integer division — Spark `div` and DuckDB `//`
 # truncate identically for the non-negative operands here), so the
 # statistic can never wobble across engines, and
@@ -311,6 +315,10 @@ ORDER BY f.epoch
 SKETCH_GATE_TOPK = 10  # CM probes: the top-k exact-frequency tokens
 _KMV_SIGMAS = 3        # KMV gate: |est − exact| ≤ 3σ·exact
 _CM_BOUND_NUM = 3      # CM gate: (est − exact)·width ≤ 3·N_total
+_SAMP_MOD = 16         # q53's sampling modulus (1-in-16 by key hash)
+# 3σ bound for the ×MOD sampled-distinct estimator: var(MOD·X) =
+# MOD²·D·p·(1−p) = (MOD−1)·D with p = 1/MOD ⇒ err² ≤ 9·(MOD−1)·D
+_SAMP_BOUND = _KMV_SIGMAS * _KMV_SIGMAS * (_SAMP_MOD - 1)
 
 
 def q_sketch_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,8 +388,33 @@ def q_sketch_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                   <= F.lit(_CM_BOUND_NUM) * F.col("_n_tot")))
               .cast("int").alias("within")))
 
+    # --- samp rows: q53's ×16 sampled-distinct estimator vs exact
+    # distinct parts per returnflag (same salt and modulus as the
+    # shipped query, so the gate guards exactly that estimator).
+    from ..functions.text import hash15
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pk_h = hash15(F.concat(F.lit("kmv:"),
+                           F.col("l_partkey").cast("string")))
+    samp = (li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("long").alias("exact_n"),
+        (F.countDistinct(F.when(pk_h % _SAMP_MOD == 0,
+                                F.col("l_partkey"))) * _SAMP_MOD)
+        .cast("long").alias("est_n"))
+        .withColumn("_err", F.abs(F.col("est_n") - F.col("exact_n")))
+        .select(
+            F.lit("samp").alias("method"),
+            F.concat(F.lit("parts:"), F.col("l_returnflag")).alias("grp"),
+            "exact_n", "est_n",
+            F.expr("(_err * 1000000) div greatest(exact_n, 1)")
+            .alias("err_ppm"),
+            (F.col("_err") * F.col("_err")
+             <= F.lit(_SAMP_BOUND) * F.col("exact_n"))
+            .cast("int").alias("within")))
+
     return (kmv_rows("users").unionByName(kmv_rows("events"))
-            .unionByName(cm).orderBy("method", "grp"))
+            .unionByName(cm).unionByName(samp)
+            .orderBy("method", "grp"))
 
 
 def _oracle_sketch_error_gate() -> str:
@@ -418,6 +451,8 @@ e_{out} AS (
         h = _sql_hash15(
             f"'cm' || CAST(d.i AS VARCHAR) || ':' || {tok_expr}")
         return f"{h} % {CM_WIDTH}"
+
+    samp_h = _sql_hash15("'kmv:' || CAST(l_partkey AS VARCHAR)")
 
     return f"""
 WITH {kmv_est("user_id", "kmvu", "users")},
@@ -478,10 +513,28 @@ cm_rows AS (
               AND (e.est_n - e.true_cnt) * {CM_WIDTH}
                   <= {_CM_BOUND_NUM} * nt.n AS INT) AS within
   FROM cm_est e CROSS JOIN n_tot nt
+),
+samp_base AS (
+  SELECT l_returnflag,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_n,
+         CAST(count(DISTINCT CASE WHEN {samp_h} % {_SAMP_MOD} = 0
+                                  THEN l_partkey END)
+              * {_SAMP_MOD} AS BIGINT) AS est_n
+  FROM lineitem GROUP BY 1
+),
+samp_rows AS (
+  SELECT 'samp' AS method, 'parts:' || l_returnflag AS grp,
+         exact_n, est_n,
+         (abs(est_n - exact_n) * 1000000) // greatest(exact_n, 1)
+           AS err_ppm,
+         CAST(abs(est_n - exact_n) * abs(est_n - exact_n)
+              <= {_SAMP_BOUND} * exact_n AS INT) AS within
+  FROM samp_base
 )
 SELECT method, grp, exact_n, est_n,
        CAST(err_ppm AS BIGINT) AS err_ppm, within
-FROM (SELECT * FROM kmv_rows UNION ALL SELECT * FROM cm_rows)
+FROM (SELECT * FROM kmv_rows UNION ALL SELECT * FROM cm_rows
+      UNION ALL SELECT * FROM samp_rows)
 ORDER BY method, grp
 """
 
@@ -504,9 +557,10 @@ SPECS = [
               ("P2-quality",)),
     QuerySpec("q135_sketch_error_gate", q_sketch_error_gate,
               _oracle_sketch_error_gate,
-              "sketch-accuracy gate: KMV distinct-count and count-min "
-              "frequency errors as driver-hashed integers with "
-              "within-guarantee flags (3-sigma KMV, over-count*width "
-              "<= 3N count-min)",
+              "sketch-accuracy gate: KMV distinct-count, count-min "
+              "frequency, and x16 sampled-distinct errors as "
+              "driver-hashed integers with within-guarantee flags "
+              "(3-sigma KMV/sampled, over-count*width <= 3N "
+              "count-min)",
               ("D15", "P2-sketch", "P2-quality")),
 ]

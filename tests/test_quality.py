@@ -279,7 +279,7 @@ def test_sketch_error_gate_floors_sf0001(spark):
 
     rows = q_sketch_error_gate(spark, "/root/testdata/sf0.001").collect()
     methods = {r["method"] for r in rows}
-    assert methods == {"kmv", "cm"}
+    assert methods == {"kmv", "cm", "samp"}
     for r in rows:
         assert r["within"] == 1, (
             f"{r['method']} {r['grp']} outside its guarantee: "

@@ -21,9 +21,9 @@ Gates and floors:
   q132_quality_drift   baseline epoch reports tv_num == 0, every
                        epoch present with docs
   q135_sketch_error_gate every row within its estimator's guarantee
-                       (KMV |err| <= 3sigma*exact, count-min
-                       0 <= over*width <= 3N), and the count-min
-                       side never under-counts
+                       (KMV and x16-sampled-distinct |err| <=
+                       3sigma, count-min 0 <= over*width <= 3N), and
+                       the count-min side never under-counts
 
 Usage: python tools/check_gates.py [sf_dir ...]
        (default: sf0.001 and sf0.01; pass sf0.1 too before committing
@@ -78,11 +78,10 @@ def check(spark, sf_dir: str) -> list[str]:
 
     sk = q_sketch_error_gate(spark, sf_dir).collect()
     worst = {m: max((r["err_ppm"] for r in sk if r["method"] == m),
-                    default=None) for m in ("kmv", "cm")}
+                    default=None) for m in ("kmv", "cm", "samp")}
     print(f"  q135 sketch: {len(sk)} rows, worst err_ppm "
-          f"kmv={worst['kmv']} cm={worst['cm']}")
-    if not any(r["method"] == "kmv" for r in sk) or \
-            not any(r["method"] == "cm" for r in sk):
+          f"kmv={worst['kmv']} cm={worst['cm']} samp={worst['samp']}")
+    if any(worst[m] is None for m in worst):
         bad.append("q135: a sketch method is missing from the gate")
     for r in sk:
         if r["within"] != 1:
