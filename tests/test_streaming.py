@@ -1951,3 +1951,39 @@ def test_kmv_all_null_kind_folds_to_empty_sketch(spark, tmp_path):
     # a group with no non-null kind anywhere matches one-shot
     # semantics: absent
     assert not any(g == "allnull" for g, _ in out)
+
+
+def test_stream_kmv_self_compacts(spark, tmp_path):
+    """compact_every folds old epochs into a baseline mid-stream; the
+    folded sketches must equal an uncompacted twin ledger over the
+    same batches, and the baseline must actually exist."""
+    src = str(tmp_path / "kc_src")
+    std = str(tmp_path / "kc_state")
+    twin = str(tmp_path / "kc_twin")
+    ckpt = str(tmp_path / "kc_ckpt")
+    schema = "event_type string, user_id long, event_id long"
+    keys = {"users": "user_id", "events": "event_id"}
+
+    batches = [
+        [("a", i, i) for i in range(12)],
+        [("a", i + 9, 50 + i) for i in range(12)],
+        [("b", 2, 900), ("a", 1, 51)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        s = sp.stream_kmv_sketch(stream, state_dir=std, checkpoint=ckpt,
+                                 keys=keys, group_cols=["event_type"],
+                                 k=8, compact_every=2)
+        s.awaitTermination(120)
+        sp.kmv_epoch(spark.createDataFrame(rows, schema), i,
+                     state_dir=twin, keys=keys,
+                     group_cols=["event_type"], k=8)
+
+    assert sp._max_compact(std) is not None   # a baseline committed
+    assert _kmv_long(sp.read_kmv_sketch(spark, std, ["event_type"],
+                                        k=8)) \
+        == _kmv_long(sp.read_kmv_sketch(spark, twin, ["event_type"],
+                                        k=8))
