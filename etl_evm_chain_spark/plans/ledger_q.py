@@ -582,6 +582,69 @@ def _oracle_stream_kmv() -> str:
     return _oracle_kmv_distinct()
 
 
+# ---------------------------------------------------------------------------
+# Q137: streaming count-min lifecycle — the CM frequency ledger
+# (stream_token_sketch, the oldest epoch ledger in the repo) was
+# pytest-proven but never driver-checked; q136 closed the same gap
+# for KMV, this closes it for CM. Three document epochs land their
+# own token sketches, a compaction folds the first two mid-protocol,
+# and the folded sketch's heavy-hitter estimates are hashed against
+# q117's one-shot oracle — legal because counters are plain sums
+# (per-epoch occurrence sketches add up to exactly the one-shot
+# weighted sketch), so incremental == one-shot is driver-checked
+# THROUGH a compaction by an external engine.
+# ---------------------------------------------------------------------------
+
+_CM_EPOCHS = 3
+
+
+def q_stream_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+    from ..operators.index_ledger import _fs, _jp
+    from ..operators.sketches import CM_DEPTH, CM_WIDTH, cm_estimate
+    from ..streaming import pipeline as sp
+    from .llmdata import _CM_TOPK
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = _index_root(sf_dir, f"cmled{CM_DEPTH}x{CM_WIDTH}m{_CM_EPOCHS}")
+    sliced = docs.withColumn(
+        "_e", F.pmod(F.col("doc_id"), F.lit(_CM_EPOCHS)).cast("int"))
+    fs, _ = _fs(spark, root)
+    base = sp._max_compact(root)
+    floor = -1 if base is None else base
+    for e in range(_CM_EPOCHS):
+        # committed epochs replay byte-identically — skip them; epochs
+        # at or below a compaction baseline were folded and GC'd
+        if e <= floor or fs.exists(
+                _jp(spark, root, f"batch_id={e}", "_SUCCESS")):
+            continue
+        sp.cm_epoch(sliced.filter(F.col("_e") == e), e, sketch_dir=root)
+        if e == _CM_EPOCHS - 2:
+            # compaction sits INSIDE the checked lifecycle: the final
+            # fold reads the folded baseline + the last epoch's dir
+            sp.compact_token_sketch(spark, root)
+    sk = sp.read_token_sketch(spark, root)
+    # q117's exact output contract — the true top-k from the batch
+    # table, estimated against the STREAMED ledger's folded counters;
+    # pin: the fold lazily scans ledger directories a later
+    # invocation's compaction GC could delete (q121 discipline)
+    tc = (docs.select(F.explode(tokens("text")).alias("tok"))
+          .groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt")))
+    top = tc.orderBy(F.desc("true_cnt"), "tok").limit(_CM_TOPK)
+    est = cm_estimate(sk, top, "tok")
+    return (top.join(est, "tok")
+            .select("tok", "true_cnt", "est_cnt")
+            .orderBy(F.desc("true_cnt"), "tok").localCheckpoint())
+
+
+def _oracle_stream_cm() -> str:
+    # incremental == one-shot: per-epoch occurrence counters sum to
+    # exactly the one-shot weighted sketch, so the oracle IS q117's
+    from .llmdata import _oracle_cm_heavy_hitters
+
+    return _oracle_cm_heavy_hitters()
+
+
 SPECS = [
     QuerySpec("q121_compacted_lsh_pairs", q_compacted_lsh_pairs,
               _oracle_compacted_lsh_pairs,
@@ -619,4 +682,11 @@ SPECS = [
               "between; folded estimates == one-shot q115 sketches "
               "(exact KMV merge)",
               ("H6", "D15", "P2-sketch")),
+    QuerySpec("q137_stream_cm", q_stream_cm,
+              _oracle_stream_cm,
+              "streaming count-min lifecycle: 3 ingest epochs of "
+              "landed token sketches with a compaction between; "
+              "folded heavy-hitter estimates == one-shot q117 sketch "
+              "(exact counter sums)",
+              ("H6", "P2-sketch")),
 ]

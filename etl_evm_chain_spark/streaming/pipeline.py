@@ -555,19 +555,41 @@ def stream_token_sketch(docs: DataFrame, *, sketch_dir: str,
                          f"depth={d} width={w_}")
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        occ = batch_df.select(
-            F.explode(tokens(text_col)).alias("tok"))
-        sk = cm_sketch(occ, "tok", depth=d, width=w_)
-        sk.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(sketch_dir, f"batch_id={int(batch_id)}"))
+        cm_epoch(batch_df, batch_id, sketch_dir=sketch_dir,
+                 text_col=text_col, depth=d, width=w_)
 
     w = (docs.writeStream.foreachBatch(per_batch)
          .option("checkpointLocation", checkpoint))
     if trigger_once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def cm_epoch(batch_df: DataFrame, batch_id: int, *, sketch_dir: str,
+             text_col: str = "text", depth: int | None = None,
+             width: int | None = None) -> None:
+    """One CM ledger epoch: the batch's token count-min sketch landed
+    under ``sketch_dir/batch_id=<epoch>/`` — the shared body of
+    stream_token_sketch's foreachBatch closure AND the q137 lifecycle
+    query (the drift_epoch / kmv_epoch pattern). A sketch is a pure
+    function of the batch's rows, so a replayed epoch overwrites its
+    directory with identical counters (exactly-once)."""
+    import os
+
+    from ..functions.text import tokens
+    from ..operators.index_ledger import touch_liveness
+    from ..operators.sketches import CM_DEPTH, CM_WIDTH, cm_sketch
+
+    if batch_df.isEmpty():
+        return
+    occ = batch_df.select(
+        F.explode(tokens(text_col)).alias("tok"))
+    sk = cm_sketch(occ, "tok",
+                   depth=CM_DEPTH if depth is None else depth,
+                   width=CM_WIDTH if width is None else width)
+    sk.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sketch_dir, f"batch_id={int(batch_id)}"))
+    touch_liveness(sketch_dir)
 
 
 def _cm_epoch_fold(df: DataFrame) -> DataFrame:
@@ -776,6 +798,9 @@ def compact_token_sketch(spark: SparkSession, sketch_dir: str, *,
     """Log-compact a ``stream_token_sketch`` ledger (cell-wise CM sum;
     geometry re-checked GLOBALLY across the folded epochs — see
     :func:`_cm_epoch_fold`)."""
+    from ..operators.index_ledger import touch_liveness
+
+    touch_liveness(sketch_dir)
     return compact_epoch_ledger(spark, sketch_dir, _cm_epoch_fold,
                                 keep_last=keep_last, gc=gc)
 

@@ -149,6 +149,9 @@ ALLOW: dict[str, set[str]] = {
     # assertion (the _cm_epoch_fold / cm_estimate scalar-subquery
     # shape); the folded relation is groups × kinds rows
     "q136_stream_kmv": {"nested_loop"},
+    # same shapes as q117: the CM fold's and the estimate's 1-row
+    # geometry assertions crossJoin into the plan
+    "q137_stream_cm": {"nested_loop"},
 }
 
 # rdd_scan allowances: every localCheckpoint in a registry plan, with
@@ -230,6 +233,9 @@ _RDD_ALLOW = {
     # the kit (the q115 pin, batch-bounded) and the estimate result
     # pins before returning (q121 discipline); groups × kinds rows
     "q136_stream_kmv",
+    # streamed CM lifecycle: the heavy-hitter result pins before
+    # returning (q121 discipline); ≤ _CM_TOPK rows
+    "q137_stream_cm",
 }
 for _q in _RDD_ALLOW:
     ALLOW.setdefault(_q, set()).add("rdd_scan")
