@@ -146,6 +146,7 @@ def main() -> None:
                             (_lq.q_stream_drift, "q133"),
                             (_lq.q_stream_kmv, "q136"),
                             (_lq.q_stream_cm, "q137"),
+                            (_lq.q_stream_matview, "q138"),
                             (_cq.q_stream_dispositions, "q127")):
         _t0 = time.time()
         _lifecycle(spark, sf_dir).limit(1).collect()

@@ -645,6 +645,74 @@ def _oracle_stream_cm() -> str:
     return _oracle_cm_heavy_hitters()
 
 
+# ---------------------------------------------------------------------------
+# Q138: streaming matview lifecycle — q119 proves the matview monoid
+# by merging three epoch STATES in memory; the landed ledger route
+# (stream_matview → parquet epochs → compaction → read_matview fold)
+# was pytest-proven but never driver-checked. Same protocol as
+# q136/q137: the q119 date-cut epochs land their algebraic states
+# under the epoch-directory ledger, a compaction folds the first two
+# mid-protocol, and the folded state finalizes into q119's EXACT
+# output contract — hashed against q119's one-shot oracle (legal by
+# the decimal monoid: fold order cannot drift the sums).
+# ---------------------------------------------------------------------------
+
+def q_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.index_ledger import _fs, _jp
+    from ..operators.matview import finalize_state
+    from ..streaming import pipeline as sp
+    from .quality_q import _EPOCH_CUTS, _prepared_orders
+
+    base = _prepared_orders(spark, sf_dir)
+    c1 = F.lit(_EPOCH_CUTS[0]).cast("timestamp")
+    c2 = F.lit(_EPOCH_CUTS[1]).cast("timestamp")
+    slices = [
+        base.filter(F.col("o_orderdate") < c1),
+        base.filter((F.col("o_orderdate") >= c1)
+                    & (F.col("o_orderdate") < c2)),
+        base.filter(F.col("o_orderdate") >= c2),
+    ]
+    keys = ["status", "yr"]
+    root = _index_root(sf_dir, f"mvled{len(slices)}", table="orders")
+    fs, _ = _fs(spark, root)
+    mc = sp._max_compact(root)
+    floor = -1 if mc is None else mc
+    for e, sl in enumerate(slices):
+        # committed epochs replay byte-identically — skip them; epochs
+        # at or below a compaction baseline were folded and GC'd
+        if e <= floor or fs.exists(
+                _jp(spark, root, f"batch_id={e}", "_SUCCESS")):
+            continue
+        sp.matview_epoch(sl.drop("o_orderdate"), e, state_dir=root,
+                         keys=keys, value="price")
+        if e == len(slices) - 2:
+            # compaction sits INSIDE the checked lifecycle: the final
+            # fold reads the folded baseline + the last epoch's dir
+            sp.compact_matview(spark, root, keys)
+    state = sp.read_matview(spark, root, keys)
+    # q119's exact output contract (and std_cents floor convention);
+    # pin: the fold lazily scans ledger directories a later
+    # invocation's compaction GC could delete (q121 discipline)
+    return (finalize_state(state)
+            .select("status", "yr",
+                    F.col("n").alias("n_orders"),
+                    F.col("sum").cast("double").alias("sum_price"),
+                    F.col("min").alias("min_price"),
+                    F.col("max").alias("max_price"),
+                    F.col("avg").alias("avg_price"),
+                    F.floor(F.col("std") * 100).cast("double")
+                     .alias("std_cents"))
+            .orderBy("status", "yr").localCheckpoint())
+
+
+def _oracle_stream_matview() -> str:
+    # incremental == one-shot by the decimal matview monoid, so the
+    # oracle IS q119's one-shot aggregate
+    from .quality_q import ORACLE_INCREMENTAL_MV
+
+    return ORACLE_INCREMENTAL_MV
+
+
 SPECS = [
     QuerySpec("q121_compacted_lsh_pairs", q_compacted_lsh_pairs,
               _oracle_compacted_lsh_pairs,
@@ -689,4 +757,11 @@ SPECS = [
               "folded heavy-hitter estimates == one-shot q117 sketch "
               "(exact counter sums)",
               ("H6", "P2-sketch")),
+    QuerySpec("q138_stream_matview", q_stream_matview,
+              _oracle_stream_matview,
+              "streaming matview lifecycle: 3 ingest epochs of "
+              "landed algebraic states with a compaction between; "
+              "folded+finalized view == one-shot q119 aggregate "
+              "(decimal monoid)",
+              ("H6", "D13", "P2-quality")),
 ]

@@ -776,6 +776,9 @@ def compact_matview(spark: SparkSession, state_dir: str,
                     keys: str | list[str], *, keep_last: int = 0,
                     gc: bool = True) -> int | None:
     """Log-compact a ``stream_matview`` ledger (matview monoid fold)."""
+    from ..operators.index_ledger import touch_liveness
+
+    touch_liveness(state_dir)
     ks = [keys] if isinstance(keys, str) else list(keys)
 
     def fold(df: DataFrame) -> DataFrame:
@@ -991,11 +994,8 @@ def stream_matview(events: DataFrame, *, state_dir: str, checkpoint: str,
         raise ValueError(f"compact_every must be >= 2, got {compact_every}")
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        st = aggregate_state(batch_df, ks, value)
-        st.write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"batch_id={int(batch_id)}"))
+        matview_epoch(batch_df, batch_id, state_dir=state_dir,
+                      keys=ks, value=value)
         if compact_every is not None:
             c = _max_compact(state_dir)
             floor = -1 if c is None else c
@@ -1028,6 +1028,29 @@ def read_matview(spark: SparkSession, state_dir: str,
                   .cast("decimal(38,12)").alias("sumsq"),
                  F.min("min").alias("min"),
                  F.max("max").alias("max")))
+
+
+def matview_epoch(batch_df: DataFrame, batch_id: int, *, state_dir: str,
+                  keys: "str | list[str]", value: str) -> None:
+    """One matview ledger epoch: the batch's algebraic state
+    (operators/matview.aggregate_state) landed under
+    ``state_dir/batch_id=<epoch>/`` — the shared body of
+    stream_matview's foreachBatch closure AND the q138 lifecycle
+    query (the drift_epoch / kmv_epoch / cm_epoch pattern). The state
+    is a pure function of the batch's rows, so a replayed epoch
+    overwrites its directory with identical rows (exactly-once)."""
+    import os
+
+    from ..operators.index_ledger import touch_liveness
+    from ..operators.matview import aggregate_state
+
+    if batch_df.isEmpty():
+        return
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    st = aggregate_state(batch_df, ks, value)
+    st.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"batch_id={int(batch_id)}"))
+    touch_liveness(state_dir)
 
 
 def kmeans_epoch(batch_df: DataFrame, batch_id: int, *, state_dir: str,

@@ -236,6 +236,9 @@ _RDD_ALLOW = {
     # streamed CM lifecycle: the heavy-hitter result pins before
     # returning (q121 discipline); ≤ _CM_TOPK rows
     "q137_stream_cm",
+    # streamed matview lifecycle: the finalized view pins before
+    # returning (q121 discipline); |groups| rows
+    "q138_stream_matview",
 }
 for _q in _RDD_ALLOW:
     ALLOW.setdefault(_q, set()).add("rdd_scan")
