@@ -713,6 +713,110 @@ def _oracle_stream_matview() -> str:
     return ORACLE_INCREMENTAL_MV
 
 
+# ---------------------------------------------------------------------------
+# Q139: streaming expectations lifecycle — q118's ingest-time twin
+# (stream_expectations) landed per-epoch reports but was pytest-only,
+# and its fold semantics deserve a driver check precisely because
+# they are SUBTLE: per-epoch violation counts sum to the one-shot
+# suite ONLY for epoch-distributive rules (row predicates,
+# domain/range, FK against a static dim). The non-distributive rule
+# — tuple uniqueness, whose cross-epoch duplicates are invisible to
+# every single epoch — is deliberately excluded here and loudly
+# documented (cross-history uniqueness is the exact-dedup ledger's
+# job, q122). Three orderkey-sliced epochs land their reports, a
+# compaction folds the first two mid-protocol (epochs stay apart,
+# the audit-trail contract), and the folded corpus-lifetime totals
+# hash against the one-shot suite over the whole table.
+# ---------------------------------------------------------------------------
+
+_EXP_EPOCHS = 3
+
+
+def q_stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.expectations import (expect, expect_foreign_key,
+                                          expect_in_set, expect_not_null)
+    from ..operators.index_ledger import _fs, _jp
+    from ..streaming import pipeline as sp
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    checks = [
+        expect_not_null("orderdate_not_null", "o_orderdate"),
+        expect("totalprice_positive", F.col("o_totalprice") > 0),
+        expect("totalprice_under_100k", F.col("o_totalprice") < 100_000),
+        expect_in_set("status_domain", "o_orderstatus", ["O", "F", "P"]),
+        expect_foreign_key("custkey_fk_customer", "o_custkey",
+                           customer, "c_custkey"),
+    ]
+    root = _index_root(sf_dir, f"expled{_EXP_EPOCHS}", table="orders")
+    sliced = orders.withColumn(
+        "_e", F.pmod(F.col("o_orderkey"), F.lit(_EXP_EPOCHS)).cast("int"))
+    fs, _ = _fs(spark, root)
+    mc = sp._max_compact(root)
+    floor = -1 if mc is None else mc
+    for e in range(_EXP_EPOCHS):
+        # committed epochs replay byte-identically — skip them; epochs
+        # at or below a compaction baseline were folded and GC'd
+        if e <= floor or fs.exists(
+                _jp(spark, root, f"batch_id={e}", "_SUCCESS")):
+            continue
+        sp.expectations_epoch(sliced.filter(F.col("_e") == e).drop("_e"),
+                              e, report_dir=root, checks=checks)
+        if e == _EXP_EPOCHS - 2:
+            # compaction sits INSIDE the checked lifecycle: the final
+            # fold reads the folded baseline + the last epoch's dir
+            sp.compact_expectations(spark, root)
+    out = sp.read_expectations(spark, root, folded=True)
+    # q118's output contract (minus the non-distributive uniqueness
+    # rule); pin: the fold lazily scans ledger directories a later
+    # invocation's compaction GC could delete (q121 discipline)
+    return (out.withColumnRenamed("check", "check_name")
+            .orderBy("check_name").localCheckpoint())
+
+
+ORACLE_STREAM_EXPECTATIONS = """
+WITH scan AS (
+  SELECT
+    count(*) AS total,
+    count(*) FILTER (WHERE NOT coalesce(o_orderdate IS NOT NULL, FALSE))
+        AS v_orderdate_not_null,
+    count(*) FILTER (WHERE NOT coalesce(o_totalprice > 0, FALSE))
+        AS v_totalprice_positive,
+    count(*) FILTER (WHERE NOT coalesce(o_totalprice < 100000, FALSE))
+        AS v_totalprice_under_100k,
+    count(*) FILTER (WHERE NOT coalesce(o_orderstatus IN ('O','F','P'),
+                                        FALSE)) AS v_status_domain
+  FROM orders
+), fk AS (
+  SELECT count(*) AS total,
+         count(*) FILTER (WHERE c.c_custkey IS NULL) AS violations
+  FROM orders o
+  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o.o_custkey = c.c_custkey
+), long AS (
+  SELECT 'orderdate_not_null' AS check_name,
+         CAST(v_orderdate_not_null AS BIGINT) AS violations,
+         CAST(total AS BIGINT) AS total FROM scan
+  UNION ALL
+  SELECT 'totalprice_positive', CAST(v_totalprice_positive AS BIGINT),
+         CAST(total AS BIGINT) FROM scan
+  UNION ALL
+  SELECT 'totalprice_under_100k', CAST(v_totalprice_under_100k AS BIGINT),
+         CAST(total AS BIGINT) FROM scan
+  UNION ALL
+  SELECT 'status_domain', CAST(v_status_domain AS BIGINT),
+         CAST(total AS BIGINT) FROM scan
+  UNION ALL
+  SELECT 'custkey_fk_customer', CAST(violations AS BIGINT),
+         CAST(total AS BIGINT) FROM fk
+)
+SELECT check_name, violations, total,
+       CAST(violations = 0 AS INT) AS passed
+FROM long
+ORDER BY check_name
+"""
+
+
 SPECS = [
     QuerySpec("q121_compacted_lsh_pairs", q_compacted_lsh_pairs,
               _oracle_compacted_lsh_pairs,
@@ -764,4 +868,12 @@ SPECS = [
               "folded+finalized view == one-shot q119 aggregate "
               "(decimal monoid)",
               ("H6", "D13", "P2-quality")),
+    QuerySpec("q139_stream_expectations", q_stream_expectations,
+              ORACLE_STREAM_EXPECTATIONS,
+              "streaming expectations lifecycle: 3 ingest epochs of "
+              "landed violation reports with a compaction between; "
+              "folded totals == one-shot suite for the "
+              "epoch-distributive rules (uniqueness excluded by "
+              "design)",
+              ("H6", "B4", "P2-quality")),
 ]

@@ -1201,22 +1201,83 @@ def stream_expectations(events: DataFrame, checks, *, report_dir: str,
     uniqueness is a maintained-state problem — pair with
     ``stream_matview`` keyed on the tuple if needed).
     """
-    import os
-
-    from ..operators.expectations import run_expectations
-
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        rep = run_expectations(batch_df, checks)
-        rep.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(report_dir, f"batch_id={int(batch_id)}"))
+        expectations_epoch(batch_df, batch_id, report_dir=report_dir,
+                           checks=checks)
 
     w = (events.writeStream.foreachBatch(per_batch)
          .option("checkpointLocation", checkpoint))
     if trigger_once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def expectations_epoch(batch_df: DataFrame, batch_id: int, *,
+                       report_dir: str, checks) -> None:
+    """One expectations ledger epoch: the batch's |rules|-row report,
+    epoch-stamped in the rows (the drift_epoch convention — explicit
+    leaf-dir reads lose the partition column, so the fold needs the
+    stamp inside), landed under ``report_dir/batch_id=<epoch>/`` —
+    the shared body of stream_expectations' foreachBatch closure AND
+    the q139 lifecycle query. The report is a pure function of the
+    batch's rows (exactly-once by overwrite)."""
+    import os
+
+    from ..operators.expectations import run_expectations
+    from ..operators.index_ledger import touch_liveness
+
+    if batch_df.isEmpty():
+        return
+    rep = run_expectations(batch_df, checks).withColumn(
+        "epoch", F.lit(int(batch_id)).cast("int"))
+    rep.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(report_dir, f"batch_id={int(batch_id)}"))
+    touch_liveness(report_dir)
+
+
+def _expectations_fold(df: DataFrame) -> DataFrame:
+    """Per-(epoch, check) fold — epochs stay APART (the audit-trail
+    contract, like the drift ledger); each pair appears once per live
+    source so the sum is an identity that also makes baseline∪epoch
+    unions uniform."""
+    return (df.groupBy("epoch", "check")
+            .agg(F.sum("violations").cast("long").alias("violations"),
+                 F.sum("total").cast("long").alias("total"))
+            .select("epoch", "check", "violations", "total",
+                    (F.col("violations") == 0).cast("int")
+                    .alias("passed")))
+
+
+def read_expectations(spark: SparkSession, report_dir: str, *,
+                      folded: bool = False) -> DataFrame:
+    """The live reports. Default: one row per (epoch, check) — the
+    per-epoch audit trail a gate-keeper reads. ``folded=True`` sums
+    the history into corpus-lifetime totals per check — valid ONLY
+    for epoch-distributive rules (row predicates, domain/range,
+    FK-vs-static-dim): a per-epoch uniqueness rule does NOT
+    distribute (cross-epoch duplicates are invisible to every epoch),
+    exactly as stream_expectations' docstring warns."""
+    live = _expectations_fold(
+        spark.read.parquet(*_live_paths(report_dir)))
+    if not folded:
+        return live
+    return (live.groupBy("check")
+            .agg(F.sum("violations").cast("long").alias("violations"),
+                 F.sum("total").cast("long").alias("total"))
+            .select("check", "violations", "total",
+                    (F.col("violations") == 0).cast("int")
+                    .alias("passed")))
+
+
+def compact_expectations(spark: SparkSession, report_dir: str, *,
+                         keep_last: int = 0, gc: bool = True) -> int | None:
+    """Log-compact a ``stream_expectations`` ledger (per-(epoch,
+    check) fold — epochs survive compaction separately)."""
+    from ..operators.index_ledger import touch_liveness
+
+    touch_liveness(report_dir)
+    return compact_epoch_ledger(spark, report_dir, _expectations_fold,
+                                keep_last=keep_last, gc=gc)
 
 
 def drift_epoch(batch_df: DataFrame, batch_id: int, *, state_dir: str,

@@ -1987,3 +1987,57 @@ def test_stream_kmv_self_compacts(spark, tmp_path):
                                         k=8)) \
         == _kmv_long(sp.read_kmv_sketch(spark, twin, ["event_type"],
                                         k=8))
+
+
+def test_expectations_fold_equals_one_shot_for_distributive_rules(
+        spark, tmp_path):
+    """Folded corpus-lifetime totals must equal the one-shot suite
+    over the union for epoch-distributive rules — the q139 law,
+    through a compaction."""
+    from etl_evm_chain_spark.operators.expectations import (
+        expect, expect_not_null, run_expectations)
+
+    rpd = str(tmp_path / "ef_reports")
+    checks = [expect_not_null("c_not_null", "c"),
+              expect("v_positive", F.col("v") > 0)]
+    e0 = spark.createDataFrame([("x", 1.0), (None, -2.0)],
+                               "c string, v double")
+    e1 = spark.createDataFrame([("z", -1.0), ("w", 2.0), (None, 3.0)],
+                               "c string, v double")
+    for df, e in ((e0, 0), (e1, 1)):
+        sp.expectations_epoch(df, e, report_dir=rpd, checks=checks)
+    assert sp.compact_expectations(spark, rpd) == 1
+    folded = {r["check"]: (r["violations"], r["total"], r["passed"])
+              for r in sp.read_expectations(spark, rpd,
+                                            folded=True).collect()}
+    want = {r["check"]: (r["violations"], r["total"], r["passed"])
+            for r in run_expectations(e0.unionByName(e1),
+                                      checks).collect()}
+    assert folded == want
+    # the per-epoch audit trail survives the compaction
+    per_epoch = sp.read_expectations(spark, rpd).collect()
+    assert {(r["epoch"], r["check"]) for r in per_epoch} \
+        == {(e, c) for e in (0, 1) for c in ("c_not_null", "v_positive")}
+
+
+def test_expectations_fold_cannot_see_cross_epoch_duplicates(
+        spark, tmp_path):
+    """The documented reason q139 EXCLUDES uniqueness: each epoch is
+    internally unique, so every per-epoch report shows 0 violations
+    and the fold sums to 0 — while the one-shot suite over the union
+    sees the cross-epoch duplicate. This divergence is pinned so the
+    exclusion can never silently rot into a false 'fold proves
+    uniqueness' claim."""
+    from etl_evm_chain_spark.operators.expectations import (
+        expect_unique, run_expectations)
+
+    rpd = str(tmp_path / "eu_reports")
+    checks = [expect_unique("id_unique", "id")]
+    e0 = spark.createDataFrame([(1,), (2,)], "id long")
+    e1 = spark.createDataFrame([(2,), (3,)], "id long")  # 2 repeats
+    for df, e in ((e0, 0), (e1, 1)):
+        sp.expectations_epoch(df, e, report_dir=rpd, checks=checks)
+    folded = sp.read_expectations(spark, rpd, folded=True).collect()[0]
+    oneshot = run_expectations(e0.unionByName(e1), checks).collect()[0]
+    assert folded["violations"] == 0          # blind to the cross-dup
+    assert oneshot["violations"] == 1         # the truth

@@ -239,6 +239,9 @@ _RDD_ALLOW = {
     # streamed matview lifecycle: the finalized view pins before
     # returning (q121 discipline); |groups| rows
     "q138_stream_matview",
+    # streamed expectations lifecycle: the folded report pins before
+    # returning (q121 discipline); |rules| rows
+    "q139_stream_expectations",
 }
 for _q in _RDD_ALLOW:
     ALLOW.setdefault(_q, set()).add("rdd_scan")
