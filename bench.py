@@ -148,6 +148,7 @@ def main() -> None:
                             (_lq.q_stream_cm, "q137"),
                             (_lq.q_stream_matview, "q138"),
                             (_lq.q_stream_expectations, "q139"),
+                            (_lq.q_stream_shards, "q140"),
                             (_cq.q_stream_dispositions, "q127")):
         _t0 = time.time()
         _lifecycle(spark, sf_dir).limit(1).collect()

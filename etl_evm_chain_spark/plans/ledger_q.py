@@ -817,6 +817,56 @@ ORDER BY check_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Q140: streaming shard-export lifecycle — the export lake is a DATA
+# ledger (actual training-shard files), so its checkable contract is
+# the RECEIPT: the per-shard manifest (counts, char totals, interior
+# order bounds, order-insensitive fingerprint checksum) over the
+# multi-epoch streamed lake must equal the one-shot q108 manifest of
+# the whole corpus — assignment is a pure key hash, so which epoch
+# delivered a document can never move it or change any receipt
+# column. Three doc epochs land through the shared shard_epoch body;
+# the combined lake's manifest hashes against q108's oracle. (No
+# compaction step: shard files are data, not foldable state — file
+# compaction is functions/layout.compact_parquet's job.)
+# ---------------------------------------------------------------------------
+
+_SH_EPOCHS = 3
+
+
+def q_stream_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import shard_manifest
+    from ..operators.index_ledger import _fs, _jp
+    from ..streaming import pipeline as sp
+    from .curation_q import N_SHARDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = _index_root(sf_dir, f"shled{N_SHARDS}m{_SH_EPOCHS}")
+    sliced = docs.withColumn(
+        "_e", F.pmod(F.col("doc_id"), F.lit(_SH_EPOCHS)).cast("int"))
+    fs, _ = _fs(spark, root)
+    for e in range(_SH_EPOCHS):
+        # committed epochs replay byte-identically — skip them
+        if fs.exists(_jp(spark, root, f"batch_id={e}", "_SUCCESS")):
+            continue
+        sp.shard_epoch(sliced.filter(F.col("_e") == e).drop("_e"), e,
+                       out_dir=root, key="doc_id", n_shards=N_SHARDS)
+    lake = spark.read.parquet(root)
+    # q108's exact output contract over the streamed lake; pin: the
+    # manifest lazily scans lake directories (q121 discipline)
+    return (shard_manifest(
+        lake.select("doc_id", "text", "shard", "ord_key"))
+        .localCheckpoint())
+
+
+def _oracle_stream_shards() -> str:
+    # the streamed lake's receipt must equal the one-shot manifest,
+    # so the oracle IS q108's
+    from .curation_q import ORACLE_SHARD_MANIFEST
+
+    return ORACLE_SHARD_MANIFEST
+
+
 SPECS = [
     QuerySpec("q121_compacted_lsh_pairs", q_compacted_lsh_pairs,
               _oracle_compacted_lsh_pairs,
@@ -876,4 +926,11 @@ SPECS = [
               "epoch-distributive rules (uniqueness excluded by "
               "design)",
               ("H6", "B4", "P2-quality")),
+    QuerySpec("q140_stream_shards", q_stream_shards,
+              _oracle_stream_shards,
+              "streaming shard-export lifecycle: 3 ingest epochs of "
+              "landed training shards; the multi-epoch lake's "
+              "manifest (counts/chars/order bounds/fingerprint "
+              "checksum) == one-shot q108 manifest",
+              ("H6", "P2-curation")),
 ]

@@ -38,7 +38,7 @@ _PRIORITY = [
     # new this round (first hash):
     "q133_stream_drift", "q134_ivfpq_topk", "q135_sketch_error_gate",
     "q136_stream_kmv", "q137_stream_cm", "q138_stream_matview",
-    "q139_stream_expectations",
+    "q139_stream_expectations", "q140_stream_shards",
     # outputs changed by IVF soft assignment (re-hash required):
     "q42_ivf_topk", "q125_compacted_ann_topk", "q126_ann_recall",
     # plan changed (NULL-vector exclusion joined the PQ paths —
@@ -64,14 +64,13 @@ _PRIORITY = [
     "q91_cube_totals", "q92_above_avg_orders", "q93_customer_segments",
     "q94_range_frame_hourly",
     # complete r04 set:
-    # (q112_orc_roundtrip, q111_jsonl_roundtrip, q110_matrix_abi, and
-    # q97_bucketed_knn yield their slots to the new q136-q139 —
-    # first-hashing a NEW query outranks r4-stale hygiene re-hashes;
-    # all four are plan-unchanged since their r4 greens and replica
-    # re-verified every round)
+    # (q112_orc_roundtrip, q111_jsonl_roundtrip, q110_matrix_abi,
+    # q97_bucketed_knn, and q86_nation_trade yield their slots to the
+    # new q136-q140 — first-hashing a NEW query outranks r4-stale
+    # hygiene re-hashes; all five are plan-unchanged since their r4
+    # greens and replica re-verified every round)
     "q15_time_split", "q56_hash_split", "q58_topk_quality",
     "q76_zipf_slope", "q80_chunk_documents", "q81_dataset_card",
-    "q86_nation_trade",
     # r05 set minus q57 (yielded to q73's plan re-hash):
     "q69_span_dedup",
     "q71_unigram_surprisal", "q83_bigram_surprisal",

@@ -429,25 +429,41 @@ def stream_export_shards(docs: DataFrame, *, out_dir: str, checkpoint: str,
     order- and batch-insensitive sums, so incremental and one-shot
     exports agree — tested).
     """
-    import os
-
-    from ..operators.curation import shard_assignment
-
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        assigned = shard_assignment(batch_df, key=key,
-                                    n_shards=n_shards, salt=salt)
-        (assigned.repartition(min(n_shards, 32), "shard")
-         .sortWithinPartitions("shard", "ord_key")
-         .write.mode("overwrite").partitionBy("shard")
-         .parquet(os.path.join(out_dir, f"batch_id={int(batch_id)}")))
+        shard_epoch(batch_df, batch_id, out_dir=out_dir, key=key,
+                    n_shards=n_shards, salt=salt)
 
     w = (docs.writeStream.foreachBatch(per_batch)
          .option("checkpointLocation", checkpoint))
     if trigger_once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def shard_epoch(batch_df: DataFrame, batch_id: int, *, out_dir: str,
+                key: str = "doc_id", n_shards: int = 64,
+                salt: str = "shard") -> None:
+    """One shard-export epoch: the batch's deterministic shard
+    assignment landed under ``out_dir/batch_id=<epoch>/shard=<N>/`` —
+    the shared body of stream_export_shards' foreachBatch closure AND
+    the q140 lifecycle query. Assignment is a pure hash of the key,
+    so a replayed epoch overwrites its directory with identical
+    files (exactly-once) and late growth never moves old documents
+    between shards."""
+    import os
+
+    from ..operators.curation import shard_assignment
+    from ..operators.index_ledger import touch_liveness
+
+    if batch_df.isEmpty():
+        return
+    assigned = shard_assignment(batch_df, key=key,
+                                n_shards=n_shards, salt=salt)
+    (assigned.repartition(min(n_shards, 32), "shard")
+     .sortWithinPartitions("shard", "ord_key")
+     .write.mode("overwrite").partitionBy("shard")
+     .parquet(os.path.join(out_dir, f"batch_id={int(batch_id)}")))
+    touch_liveness(out_dir)
 
 
 def stream_jsonl(spark: SparkSession, src_dir: str, schema, *,

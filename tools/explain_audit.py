@@ -242,6 +242,9 @@ _RDD_ALLOW = {
     # streamed expectations lifecycle: the folded report pins before
     # returning (q121 discipline); |rules| rows
     "q139_stream_expectations",
+    # streamed shard-export lifecycle: the manifest pins before
+    # returning (q121 discipline); n_shards rows
+    "q140_stream_shards",
 }
 for _q in _RDD_ALLOW:
     ALLOW.setdefault(_q, set()).add("rdd_scan")
