@@ -895,14 +895,24 @@ def _kmv_epoch_fold(df: DataFrame, group_cols, *,
 
     kk = KMV_K if k is None else k
     groups = list(group_cols)
+    # two global assertions ride one 1-row aggregate: (a) one geom
+    # per kind across every folded row; (b) every geom carries the
+    # READER's k — a k=8 ledger folded with k=64 would otherwise
+    # slice harmlessly but then take kmv_estimate_expr's
+    # "size < k ⇒ exact" branch and report a sketch SIZE as an exact
+    # count (silent, catastrophic); fail loudly instead.
     chk = df.agg(
         F.when(
             F.assert_true(
                 F.coalesce(
-                    F.count_distinct(F.struct("kind", "geom"))
-                    == F.count_distinct(F.col("kind")), F.lit(True)),
-                F.lit("kmv geometry mismatch across epochs: a kind "
-                      "was landed with more than one k/salt"))
+                    (F.count_distinct(F.struct("kind", "geom"))
+                     == F.count_distinct(F.col("kind")))
+                    & (F.count(F.when(
+                        ~F.col("geom").startswith(f"k{kk}/"),
+                        F.lit(1))) == 0), F.lit(True)),
+                F.lit("kmv geometry mismatch: a kind was landed with "
+                      f"more than one k/salt, or not with k={kk} "
+                      "(the reader's k must match the ledger's)"))
             .isNull(), F.lit(1).cast("long")).alias("_geom_ok"))
     merged = F.slice(
         F.array_sort(F.array_distinct(F.collect_list("_h"))), 1, kk)

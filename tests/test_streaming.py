@@ -2041,3 +2041,21 @@ def test_expectations_fold_cannot_see_cross_epoch_duplicates(
     oneshot = run_expectations(e0.unionByName(e1), checks).collect()[0]
     assert folded["violations"] == 0          # blind to the cross-dup
     assert oneshot["violations"] == 1         # the truth
+
+
+def test_kmv_fold_rejects_wrong_reader_k(spark, tmp_path):
+    """Folding a k=8 ledger with a k=64 reader must fail loudly —
+    kmv_estimate_expr's 'size < k ⇒ exact' branch would otherwise
+    report the 8-value sketch's SIZE as an exact distinct count."""
+    import pytest
+
+    std = str(tmp_path / "kv5_state")
+    schema = "event_type string, user_id long, event_id long"
+    df = spark.createDataFrame([("a", i, i) for i in range(30)], schema)
+    sp.kmv_epoch(df, 0, state_dir=std, keys={"users": "user_id"},
+                 group_cols=["event_type"], k=8)
+    with pytest.raises(Exception, match="kmv geometry mismatch"):
+        sp.read_kmv_sketch(spark, std, ["event_type"], k=64).collect()
+    # the matching reader still folds
+    out = sp.read_kmv_sketch(spark, std, ["event_type"], k=8).collect()
+    assert len(out) == 1 and len(out[0]["sketch"]) == 8
