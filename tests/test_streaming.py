@@ -2059,3 +2059,46 @@ def test_kmv_fold_rejects_wrong_reader_k(spark, tmp_path):
     # the matching reader still folds
     out = sp.read_kmv_sketch(spark, std, ["event_type"], k=8).collect()
     assert len(out) == 1 and len(out[0]["sketch"]) == 8
+
+
+def test_kmv_fold_equals_one_shot_fuzz_random_partitions(
+        spark, tmp_path):
+    """Randomized partition fuzz for the KMV ledger's monoid law: for
+    seeded random corpora — duplicate keys deliberately strewn ACROSS
+    epochs, NULL keys mixed in — and random epoch counts, the landed
+    fold (with a random mid-protocol compaction) must equal the
+    one-shot sketch of the union bit-for-bit. Arrival order and
+    partition shape can never matter."""
+    import random
+
+    from etl_evm_chain_spark.operators.sketches import kmv_sketch_many
+
+    schema = "event_type string, user_id long, event_id long"
+    keys = {"users": "user_id", "events": "event_id"}
+    for seed in (3, 91):
+        rng = random.Random(seed)
+        rows = [(rng.choice(["a", "b", "c"]),
+                 rng.choice([None] + list(range(12))),
+                 rng.randrange(40))           # heavy cross-epoch dups
+                for _ in range(120)]
+        n_ep = rng.randint(2, 4)
+        assign = [rng.randrange(n_ep) for _ in rows]
+        std = str(tmp_path / f"fz{seed}")
+        for e in range(n_ep):
+            part = [r for r, a in zip(rows, assign) if a == e]
+            if part:
+                sp.kmv_epoch(spark.createDataFrame(part, schema), e,
+                             state_dir=std, keys=keys,
+                             group_cols=["event_type"], k=8)
+        if rng.random() < 0.8:
+            sp.compact_kmv_sketch(spark, std, ["event_type"], k=8)
+        folded = {(r["event_type"], r["kind"]): tuple(r["sketch"])
+                  for r in sp.read_kmv_sketch(spark, std, ["event_type"],
+                                              k=8).collect()}
+        want = {}
+        for r in kmv_sketch_many(spark.createDataFrame(rows, schema),
+                                 keys, group_cols=["event_type"],
+                                 k=8).collect():
+            want[(r["event_type"], "users")] = tuple(r["users"])
+            want[(r["event_type"], "events")] = tuple(r["events"])
+        assert folded == want, f"seed {seed}: fold != one-shot"
