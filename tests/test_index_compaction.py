@@ -453,3 +453,37 @@ def test_stream_kmeans_lifecycle_fast_forward_parity(spark):
            for d in os.listdir(g1) if d.startswith("batch_id=")}
     assert mt1 == mt2, "committed gen-1 epochs were rewritten"
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_epoch_ledger_lifecycles_resume_identically(spark):
+    """The five continuation lifecycle queries (q136-q140) run twice
+    in-process: the second invocation must fast-forward over the
+    committed (and, where applicable, compacted) ledger and return
+    identical rows — the resume contract bench measures as the
+    steady-state path."""
+    from etl_evm_chain_spark.operators.sketches import (CM_DEPTH,
+                                                        CM_WIDTH, KMV_K)
+    from etl_evm_chain_spark.plans import ledger_q as lq
+    from etl_evm_chain_spark.plans.curation_q import N_SHARDS
+
+    cases = [
+        (lq.q_stream_kmv,
+         lq._index_root(SF_SMALL, f"kmvled{KMV_K}m{lq._KMV_EPOCHS}",
+                        table="events")),
+        (lq.q_stream_cm,
+         lq._index_root(SF_SMALL,
+                        f"cmled{CM_DEPTH}x{CM_WIDTH}m{lq._CM_EPOCHS}")),
+        (lq.q_stream_matview,
+         lq._index_root(SF_SMALL, "mvled3", table="orders")),
+        (lq.q_stream_expectations,
+         lq._index_root(SF_SMALL, f"expled{lq._EXP_EPOCHS}",
+                        table="orders")),
+        (lq.q_stream_shards,
+         lq._index_root(SF_SMALL, f"shled{N_SHARDS}m{lq._SH_EPOCHS}")),
+    ]
+    for qfn, root in cases:
+        shutil.rmtree(root, ignore_errors=True)
+        r1 = sorted(tuple(r) for r in qfn(spark, SF_SMALL).collect())
+        r2 = sorted(tuple(r) for r in qfn(spark, SF_SMALL).collect())
+        assert r1 == r2 and r1, qfn
+        shutil.rmtree(root, ignore_errors=True)
