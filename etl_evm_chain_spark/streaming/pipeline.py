@@ -788,27 +788,63 @@ def compact_epoch_ledger(spark: SparkSession, state_dir: str,
     return upto
 
 
+def _mv_geom(ks: list, value: str) -> str:
+    return "|".join(ks) + "|" + value
+
+
+def _matview_fold(df: DataFrame, ks: list) -> DataFrame:
+    """Matview monoid fold with the geometry stamp asserted GLOBALLY:
+    two epochs landed with different (keys, value) geometries have
+    IDENTICAL state schemas — (n, sum, sumsq, min, max) — and would
+    otherwise fold silently into nonsense (the kmv reader-k hazard,
+    one ledger over). One distinct geom across every folded row, and
+    it must carry the reader's keys; the checked bit multiplies into
+    ``n`` so pruning can never elide it. ``geom`` stays on the output
+    (compaction baselines must keep the stamp); read_matview drops
+    it."""
+    if "geom" not in df.columns:
+        raise ValueError(
+            "matview ledger predates the geometry stamp — rebuild it "
+            "(epochs land the stamp since matview_epoch gained geom)")
+    prefix = "|".join(ks) + "|"
+    chk = df.agg(
+        F.when(
+            F.assert_true(
+                F.coalesce(
+                    (F.count_distinct("geom") == 1)
+                    & (F.count(F.when(~F.col("geom").startswith(prefix),
+                                      F.lit(1))) == 0), F.lit(True)),
+                F.concat(
+                    F.lit("matview geometry mismatch: ledger holds "),
+                    F.concat_ws(",", F.collect_set("geom")),
+                    F.lit(f", read with keys {ks}")))
+            .isNull(), F.lit(1).cast("long")).alias("_geom_ok"))
+    return (df.crossJoin(F.broadcast(chk))
+            .groupBy(*ks)
+            .agg((F.sum("n") * F.first("_geom_ok")).cast("long")
+                 .alias("n"),
+                 F.sum("sum").cast("decimal(38,6)").alias("sum"),
+                 F.when(F.sum(((F.col("n") > 0)
+                               & F.col("sumsq").isNull())
+                              .cast("int")) == 0, F.sum("sumsq"))
+                  .cast("decimal(38,12)").alias("sumsq"),
+                 F.min("min").alias("min"),
+                 F.max("max").alias("max"),
+                 F.min("geom").alias("geom")))
+
+
 def compact_matview(spark: SparkSession, state_dir: str,
                     keys: str | list[str], *, keep_last: int = 0,
                     gc: bool = True) -> int | None:
-    """Log-compact a ``stream_matview`` ledger (matview monoid fold)."""
+    """Log-compact a ``stream_matview`` ledger (matview monoid fold;
+    geometry re-checked globally across the folded epochs and kept on
+    the baseline rows)."""
     from ..operators.index_ledger import touch_liveness
 
     touch_liveness(state_dir)
     ks = [keys] if isinstance(keys, str) else list(keys)
-
-    def fold(df: DataFrame) -> DataFrame:
-        return (df.groupBy(*ks)
-                .agg(F.sum("n").cast("long").alias("n"),
-                     F.sum("sum").cast("decimal(38,6)").alias("sum"),
-                     F.when(F.sum(((F.col("n") > 0)
-                                   & F.col("sumsq").isNull())
-                                  .cast("int")) == 0, F.sum("sumsq"))
-                      .cast("decimal(38,12)").alias("sumsq"),
-                     F.min("min").alias("min"),
-                     F.max("max").alias("max")))
-
-    return compact_epoch_ledger(spark, state_dir, fold,
+    return compact_epoch_ledger(spark, state_dir,
+                                lambda df: _matview_fold(df, ks),
                                 keep_last=keep_last, gc=gc)
 
 
@@ -1044,16 +1080,8 @@ def read_matview(spark: SparkSession, state_dir: str,
     live count). Feed the result to ``matview.finalize_state`` for
     derived measures (avg); the fold output stays re-mergeable."""
     ks = [keys] if isinstance(keys, str) else list(keys)
-    return (spark.read.parquet(*_live_paths(state_dir))
-            .groupBy(*ks)
-            .agg(F.sum("n").cast("long").alias("n"),
-                 F.sum("sum").cast("decimal(38,6)").alias("sum"),
-                 F.when(F.sum(((F.col("n") > 0)
-                               & F.col("sumsq").isNull()).cast("int"))
-                        == 0, F.sum("sumsq"))
-                  .cast("decimal(38,12)").alias("sumsq"),
-                 F.min("min").alias("min"),
-                 F.max("max").alias("max")))
+    return _matview_fold(
+        spark.read.parquet(*_live_paths(state_dir)), ks).drop("geom")
 
 
 def matview_epoch(batch_df: DataFrame, batch_id: int, *, state_dir: str,
@@ -1073,7 +1101,8 @@ def matview_epoch(batch_df: DataFrame, batch_id: int, *, state_dir: str,
     if batch_df.isEmpty():
         return
     ks = [keys] if isinstance(keys, str) else list(keys)
-    st = aggregate_state(batch_df, ks, value)
+    st = aggregate_state(batch_df, ks, value).withColumn(
+        "geom", F.lit(_mv_geom(ks, value)))
     st.write.mode("overwrite").parquet(
         os.path.join(state_dir, f"batch_id={int(batch_id)}"))
     touch_liveness(state_dir)

@@ -740,9 +740,10 @@ def test_compact_matview_preserves_view_and_survives_ghosts(spark, tmp_path):
     std = str(tmp_path / "cmv_state")
 
     def land(bid, rows):
-        aggregate_state(
-            spark.createDataFrame(rows, "k string, v double"), "k", "v"
-        ).write.mode("overwrite").parquet(f"{std}/batch_id={bid}")
+        # the writer's contract: epochs carry the geometry stamp
+        sp.matview_epoch(
+            spark.createDataFrame(rows, "k string, v double"), bid,
+            state_dir=std, keys="k", value="v")
 
     all_rows = []
     for bid in range(3):
@@ -922,9 +923,10 @@ def test_compact_matview_never_folds_partial_epochs(spark, tmp_path):
     std = str(tmp_path / "pmv_state")
 
     def land(bid, rows, committed=True):
-        aggregate_state(
-            spark.createDataFrame(rows, "k string, v double"), "k", "v"
-        ).write.mode("overwrite").parquet(f"{std}/batch_id={bid}")
+        # the writer's contract: epochs carry the geometry stamp
+        sp.matview_epoch(
+            spark.createDataFrame(rows, "k string, v double"), bid,
+            state_dir=std, keys="k", value="v")
         if not committed:
             os.remove(f"{std}/batch_id={bid}/_SUCCESS")
 
@@ -2102,3 +2104,29 @@ def test_kmv_fold_equals_one_shot_fuzz_random_partitions(
             want[(r["event_type"], "users")] = tuple(r["users"])
             want[(r["event_type"], "events")] = tuple(r["events"])
         assert folded == want, f"seed {seed}: fold != one-shot"
+
+
+def test_matview_fold_rejects_mixed_geometry(spark, tmp_path):
+    """Two epochs landed with different value columns have IDENTICAL
+    state schemas — the fold must fail loudly, not sum unrelated
+    statistics (the kmv reader-k hazard, one ledger over). A
+    wrong-keys read trips the same stamp."""
+    import pytest
+
+    std = str(tmp_path / "mvg_state")
+    df = spark.createDataFrame([("a", 1.0, 9.0)],
+                               "g string, price double, qty double")
+    sp.matview_epoch(df, 0, state_dir=std, keys=["g"], value="price")
+    sp.matview_epoch(df, 1, state_dir=std, keys=["g"], value="qty")
+    with pytest.raises(Exception, match="matview geometry mismatch"):
+        sp.read_matview(spark, std, ["g"]).collect()
+    # consistent ledger + matching reader folds fine
+    std2 = str(tmp_path / "mvg2_state")
+    for e in (0, 1):
+        sp.matview_epoch(df, e, state_dir=std2, keys=["g"],
+                         value="price")
+    out = sp.read_matview(spark, std2, ["g"]).collect()
+    assert len(out) == 1 and out[0]["n"] == 2
+    # wrong-keys read of a healthy ledger trips too
+    with pytest.raises(Exception, match="matview geometry mismatch"):
+        sp.read_matview(spark, std2, ["price"]).collect()
