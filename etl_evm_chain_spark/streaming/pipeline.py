@@ -1358,9 +1358,11 @@ def drift_epoch(batch_df: DataFrame, batch_id: int, *, state_dir: str,
 
     if batch_df.isEmpty():
         return
-    hist = histogram_counts(batch_df, value, n_bins=n_bins, lo=lo,
-                            hi=hi).withColumn(
-        "epoch", F.lit(int(batch_id)).cast("int"))
+    hist = (histogram_counts(batch_df, value, n_bins=n_bins, lo=lo,
+                             hi=hi)
+            .withColumn("epoch", F.lit(int(batch_id)).cast("int"))
+            .withColumn("geom",
+                        F.lit(f"{n_bins}/{lo!r}/{hi!r}/{value}")))
     hist.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(state_dir, f"batch_id={int(batch_id)}"))
     touch_liveness(state_dir)
@@ -1414,16 +1416,39 @@ def _drift_fold(df: DataFrame) -> DataFrame:
     combine. Grouping BY epoch is what keeps compaction legal for
     this monitor: epochs must stay apart (each is compared to the
     baseline), so the baseline directory holds every epoch's
-    histogram rows, merely de-fragmented."""
-    return (df.groupBy("epoch", "bin")
-            .agg(F.sum("n").cast("long").alias("n")))
+    histogram rows, merely de-fragmented.
+
+    The geometry stamp (bins/lo/hi/value) is asserted GLOBALLY:
+    epochs binned under different edges share the same (epoch, bin,
+    n) schema and the cross-epoch TV comparison of mixed geometries
+    is nonsense — fail loudly instead (the matview/kmv hazard, one
+    ledger over). The stamp survives on the output so compaction
+    baselines keep it; read_drift_hist drops it."""
+    if "geom" not in df.columns:
+        raise ValueError(
+            "drift ledger predates the geometry stamp — rebuild it "
+            "(epochs land the stamp since drift_epoch gained geom)")
+    chk = df.agg(
+        F.when(
+            F.assert_true(
+                F.coalesce(F.count_distinct("geom") == 1, F.lit(True)),
+                F.concat(
+                    F.lit("drift geometry mismatch across epochs: "),
+                    F.concat_ws(",", F.collect_set("geom"))))
+            .isNull(), F.lit(1).cast("long")).alias("_geom_ok"))
+    return (df.crossJoin(F.broadcast(chk))
+            .groupBy("epoch", "bin")
+            .agg((F.sum("n") * F.first("_geom_ok")).cast("long")
+                 .alias("n"),
+                 F.min("geom").alias("geom")))
 
 
 def read_drift_hist(spark: SparkSession, state_dir: str) -> DataFrame:
     """The live per-epoch histograms — identical to the one-shot
     ``histogram_counts(union, keys=("epoch",))`` by the count
-    monoid."""
-    return _drift_fold(spark.read.parquet(*_live_paths(state_dir)))
+    monoid (geometry consistency asserted; see _drift_fold)."""
+    return _drift_fold(
+        spark.read.parquet(*_live_paths(state_dir))).drop("geom")
 
 
 def read_drift(spark: SparkSession, state_dir: str, *,

@@ -2130,3 +2130,17 @@ def test_matview_fold_rejects_mixed_geometry(spark, tmp_path):
     # wrong-keys read of a healthy ledger trips too
     with pytest.raises(Exception, match="matview geometry mismatch"):
         sp.read_matview(spark, std2, ["price"]).collect()
+
+
+def test_drift_fold_rejects_mixed_bin_geometry(spark, tmp_path):
+    """Epochs binned under different edges share the (epoch, bin, n)
+    schema but their cross-epoch TV comparison is nonsense — the fold
+    must fail loudly (the matview/kmv geometry discipline)."""
+    import pytest
+
+    std = str(tmp_path / "drg_state")
+    df = spark.createDataFrame([(0.1,), (0.9,)], "q double")
+    sp.drift_epoch(df, 0, state_dir=std, value="q", n_bins=4)
+    sp.drift_epoch(df, 1, state_dir=std, value="q", n_bins=8)
+    with pytest.raises(Exception, match="drift geometry mismatch"):
+        sp.read_drift_hist(spark, std).collect()
