@@ -1069,7 +1069,13 @@ def _pq_topk_chunked(corpus: DataFrame, queries: DataFrame, books, *,
     import numpy as np
 
     spark = corpus.sparkSession
-    n_q = queries.count()
+    # pin the PROJECTED query relation once (the codes_df rule): the
+    # loop below scans it n_chunks+1 times, and without the pin each
+    # scan re-executes the queries DataFrame's entire upstream
+    # lineage — for the large query sets this path exists for, that
+    # redundant recomputation would dominate the wall clock
+    qproj = queries.select(id_col, vec_col).localCheckpoint()
+    n_q = qproj.count()
     n_chunks = -(-n_q // query_chunk)
     codes_df = pq_encode(corpus, books, id_col=id_col,
                          vec_col=vec_col).localCheckpoint()
@@ -1079,7 +1085,7 @@ def _pq_topk_chunked(corpus: DataFrame, queries: DataFrame, books, *,
         # xxhash64 slice: deterministic, id-type-agnostic, and a
         # PARTITION of the query set (each query scores in exactly
         # one chunk — no cross-chunk dedup needed)
-        qrows = (queries.select(id_col, vec_col)
+        qrows = (qproj
                  .filter(F.pmod(F.xxhash64(F.col(id_col)),
                                 F.lit(n_chunks)) == i)
                  .collect())
@@ -1127,7 +1133,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *,
                k: int = 5, n_cells: int = IVF_CELLS,
                n_probe: int = IVF_PROBE, n_assign: int = IVF_ASSIGN,
                n_sub: int = PQ_SUB, n_cents: int = PQ_CENTS,
-               residual: bool = False) -> DataFrame:
+               residual: bool = False,
+               query_chunk: int = PQ_QUERY_CHUNK) -> DataFrame:
     """IVF-PQ approximate top-k — the composed billion-scale ANN
     layout (Jégou et al. 2011 §V, the architecture FAISS's IVFPQ
     index implements): the IVF coarse quantizer prunes the candidate
@@ -1194,55 +1201,100 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *,
         .select(id_col, "cell")
     indexed = codes_df.join(acells, id_col)
 
-    # bounded probe contract (the pq_topk small-path rule): queries
-    # collect for the ADC tables; their probe cells come from the
-    # SAME kernel the corpus side used, so ranking parity is exact
-    qrows = queries.select(id_col, vec_col).collect()
-    qids, qnorms, tables = _pq_tables(qrows, books, id_col, vec_col)
-    probe_rows = _nearest_cells(queries, cents, id_col, vec_col,
-                                n_probe).select(id_col, "cell").collect()
-    probes: dict = {}
-    for r in probe_rows:
-        probes.setdefault(r[id_col], []).append(r["cell"])
-    bc = spark.sparkContext.broadcast((qids, qnorms, tables, probes))
+    def make_kernel(bc):
+        def kernel(batches):
+            import pandas as pd
 
-    def kernel(batches):
-        import pandas as pd
-
-        qids_b, qnorms_b, tables_b, probes_b = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids_b = pdf[id_col].to_numpy()
-            norms_b = pdf["norm"].to_numpy()
-            cells_b = pdf["cell"].to_numpy()
-            codes_b = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
-            out_q, out_c, out_s = [], [], []
-            for qi, qid in enumerate(qids_b):
-                pc = probes_b.get(qid)
-                if not pc:
+            qids_b, qnorms_b, tables_b, probes_b = bc.value
+            for pdf in batches:
+                if not len(pdf):
                     continue
-                sel = np.isin(cells_b, pc) & (ids_b != qid)
-                if not sel.any():
-                    continue
-                ids_s = ids_b[sel]
-                # a cid assigned to two probed cells appears twice
-                # with an IDENTICAL sim — dedup BEFORE ranking
-                ids_s, first = np.unique(ids_s, return_index=True)
-                codes_s = codes_b[sel][first]
-                norms_s = norms_b[sel][first]
-                approx = np.zeros(len(ids_s))
-                for s in range(tables_b.shape[1]):
-                    approx += tables_b[qi, s, codes_s[:, s]]
-                sims = approx / (qnorms_b[qi] * norms_s)
-                order = np.lexsort((ids_s, -sims))[:k]
-                out_q.extend([int(qid)] * len(order))
-                out_c.extend(int(x) for x in ids_s[order])
-                out_s.extend(float(np.floor(sims[j] * 1e6) / 1e6)
-                             for j in order)
-            yield pd.DataFrame({"qid": out_q, "cid": out_c, "sim": out_s})
+                ids_b = pdf[id_col].to_numpy()
+                norms_b = pdf["norm"].to_numpy()
+                cells_b = pdf["cell"].to_numpy()
+                codes_b = np.stack(pdf["codes"].to_numpy()) \
+                    .astype(np.int64)
+                out_q, out_c, out_s = [], [], []
+                for qi, qid in enumerate(qids_b):
+                    pc = probes_b.get(qid)
+                    if not pc:
+                        continue
+                    sel = np.isin(cells_b, pc) & (ids_b != qid)
+                    if not sel.any():
+                        continue
+                    ids_s = ids_b[sel]
+                    # a cid assigned to two probed cells appears twice
+                    # with an IDENTICAL sim — dedup BEFORE ranking
+                    ids_s, first = np.unique(ids_s, return_index=True)
+                    codes_s = codes_b[sel][first]
+                    norms_s = norms_b[sel][first]
+                    approx = np.zeros(len(ids_s))
+                    for s in range(tables_b.shape[1]):
+                        approx += tables_b[qi, s, codes_s[:, s]]
+                    sims = approx / (qnorms_b[qi] * norms_s)
+                    order = np.lexsort((ids_s, -sims))[:k]
+                    out_q.extend([int(qid)] * len(order))
+                    out_c.extend(int(x) for x in ids_s[order])
+                    out_s.extend(float(np.floor(sims[j] * 1e6) / 1e6)
+                                 for j in order)
+                yield pd.DataFrame(
+                    {"qid": out_q, "cid": out_c, "sim": out_s})
+        return kernel
 
-    local = indexed.mapInPandas(kernel, "qid long, cid long, sim double")
+    # bounded probe contract (the pq_topk rule, round-8 chunk switch
+    # included): small query sets collect once for the ADC tables;
+    # past ``query_chunk`` queries the set streams through in
+    # xxhash64-sliced driver-bounded chunks — the same partition-of-
+    # queries scheme as _pq_topk_chunked, with each chunk's probe
+    # cells computed by the SAME _nearest_cells kernel the corpus
+    # side used so ranking parity is exact. Every chunk scans the
+    # PINNED indexed relation, never raw vectors.
+    qproj = queries.select(id_col, vec_col)
+    head = qproj.limit(query_chunk + 1).collect()
+    if len(head) <= query_chunk:
+        chunks = [(head, queries)]
+        indexed_src = indexed
+    else:
+        qpin = qproj.localCheckpoint()
+        n_chunks = -(-qpin.count() // query_chunk)
+        indexed_src = indexed.localCheckpoint()
+        chunks = [(None, qpin.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)) == i))
+            for i in range(n_chunks)]
+
+    parts = []
+    for qrows, qdf in chunks:
+        if qrows is None:
+            qrows = qdf.select(id_col, vec_col).collect()
+        if not qrows:
+            continue
+        qids, qnorms, tables = _pq_tables(qrows, books, id_col, vec_col)
+        probe_rows = _nearest_cells(qdf, cents, id_col, vec_col,
+                                    n_probe).select(id_col,
+                                                    "cell").collect()
+        probes: dict = {}
+        for r in probe_rows:
+            probes.setdefault(r[id_col], []).append(r["cell"])
+        bc = spark.sparkContext.broadcast((qids, qnorms, tables, probes))
+        parts.append(indexed_src.mapInPandas(
+            make_kernel(bc), "qid long, cid long, sim double"))
+
+    if not parts:
+        return spark.range(0).select(
+            F.col("id").alias("qid"), F.col("id").alias("cid"),
+            F.lit(0.0).alias("sim"), F.lit(0).alias("rank")).limit(0)
+    local = parts[0]
+    for p in parts[1:]:
+        local = local.unionByName(p)
+    # the kernel's np.unique dedups replicas only WITHIN one Arrow
+    # batch; a cid whose n_assign replicas straddle batch/partition
+    # boundaries emits twice (identical sim — plain ADC scores depend
+    # only on the codes) and would occupy two rank slots, displacing
+    # a real candidate. Dedup once more ACROSS partitions before the
+    # global top-k (the residual path's groupBy-max rule; max of
+    # identical sims is the identity) — the relation is ≤ k rows per
+    # (query, input batch), never corpus-sized.
+    local = local.groupBy("qid", "cid").agg(F.max("sim").alias("sim"))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
     return (local.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -1942,8 +1994,27 @@ def update_ann_index(spark, batch: DataFrame, index_path: str, *,
     # every prior batch's cell assignments).
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(cent_path)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    geom_path = os.path.join(index_path, "index_geom")
+    jvm_geom = spark._jvm.org.apache.hadoop.fs.Path(geom_path)
     if fs.exists(jvm_path):
         cents = spark.read.parquet(cent_path)
+        # n_assign is an INDEX-time property, frozen like the
+        # quantizer: extending a single-assignment index with
+        # n_assign=2 batches gives mixed row multiplicity —
+        # systematically lower recall for the old vectors, with no
+        # loud failure (the ledger-geometry hazard, IVF edition).
+        # Changing it is an explicit rebuild.
+        if not fs.exists(jvm_geom):
+            raise ValueError(
+                f"index at {index_path} predates the frozen n_assign "
+                "stamp — rebuild it (geometry is persisted since "
+                "update_ann_index gained index_geom)")
+        frozen = spark.read.parquet(geom_path).collect()[0]["n_assign"]
+        if int(frozen) != int(n_assign):
+            raise ValueError(
+                f"index at {index_path} was built with n_assign="
+                f"{frozen}; extending it with n_assign={n_assign} "
+                "would mix row multiplicities — rebuild instead")
     else:
         if centroids == "kmeans":
             cents = kmeans_centroids(batch, id_col=id_col, vec_col=vec_col,
@@ -1953,6 +2024,9 @@ def update_ann_index(spark, batch: DataFrame, index_path: str, *,
                                    salt="ivfx:")
         cents.coalesce(1).write.mode("overwrite").parquet(cent_path)
         cents = spark.read.parquet(cent_path)
+        from ..catalog import literal_df
+        literal_df(spark, [(int(n_assign),)], "n_assign int") \
+            .coalesce(1).write.mode("overwrite").parquet(geom_path)
     if n_assign > n_probe:
         # the shared ranking below only materializes ranks 1..n_probe
         raise ValueError(

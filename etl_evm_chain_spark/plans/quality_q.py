@@ -315,7 +315,11 @@ ORDER BY f.epoch
 SKETCH_GATE_TOPK = 10  # CM probes: the top-k exact-frequency tokens
 _KMV_SIGMAS = 3        # KMV gate: |est − exact| ≤ 3σ·exact
 _CM_BOUND_NUM = 3      # CM gate: (est − exact)·width ≤ 3·N_total
-_SAMP_MOD = 16         # q53's sampling modulus (1-in-16 by key hash)
+# q53's sampling modulus — imported from its single definition so a
+# q53 retune can never leave this gate bounding an estimator that no
+# longer ships (the constants-feed-both-plan-and-oracle rule)
+from .warehouse import APPROX_SAMPLE_MOD as _SAMP_MOD  # noqa: E402
+
 # 3σ bound for the ×MOD sampled-distinct estimator: var(MOD·X) =
 # MOD²·D·p·(1−p) = (MOD−1)·D with p = 1/MOD ⇒ err² ≤ 9·(MOD−1)·D
 _SAMP_BOUND = _KMV_SIGMAS * _KMV_SIGMAS * (_SAMP_MOD - 1)

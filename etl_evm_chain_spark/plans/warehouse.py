@@ -216,6 +216,14 @@ UNPIVOT (value FOR metric IN (
 
 _SQL_H15 = "CAST('0x' || substr(md5({e}), 1, 15) AS BIGINT)"
 
+# q53's 1-in-N sampling modulus — the SINGLE definition. The q135
+# sketch gate bounds exactly this estimator (3σ via err² ≤
+# 9·(N−1)·exact), so the constant must be shared or a retune here
+# would leave the gate green while guarding a modulus that no longer
+# ships (the parity-green/quality-regressed failure mode the gate
+# exists to catch).
+APPROX_SAMPLE_MOD = 16
+
 
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ranking import bucketed_rank, scaled_buckets
@@ -228,7 +236,9 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pk_h = hash15(F.concat(F.lit("kmv:"), F.col("l_partkey").cast("string")))
     base = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        (F.countDistinct(F.when(pk_h % 16 == 0, F.col("l_partkey"))) * 16)
+        (F.countDistinct(F.when(pk_h % APPROX_SAMPLE_MOD == 0,
+                                F.col("l_partkey")))
+         * APPROX_SAMPLE_MOD)
         .alias("approx_parts"))
 
     row_h = hash15(F.concat(F.lit("qs:"), F.col("l_orderkey").cast("string"),
@@ -240,7 +250,7 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table (measured 5.0s → 0.9s warm at sf0.1). On a cluster this is the
     # landed-sample pattern: pay the fact-table pass once, rank the
     # 16×-smaller sample from its materialized copy.
-    samp = (li.filter(row_h % 16 == 0)
+    samp = (li.filter(row_h % APPROX_SAMPLE_MOD == 0)
             .select("l_returnflag", "l_extendedprice",
                     "l_orderkey", "l_linenumber")
             .localCheckpoint(eager=False))
@@ -272,14 +282,15 @@ _H_QS = _SQL_H15.format(
 ORACLE_APPROX_STATS = f"""
 WITH base AS (
   SELECT l_returnflag, count(*) AS n,
-         CAST(count(DISTINCT CASE WHEN {_H_KMV} % 16 = 0
-                    THEN l_partkey END) * 16 AS BIGINT) AS approx_parts
+         CAST(count(DISTINCT CASE WHEN {_H_KMV} % {APPROX_SAMPLE_MOD} = 0
+                    THEN l_partkey END) * {APPROX_SAMPLE_MOD} AS BIGINT)
+           AS approx_parts
   FROM lineitem GROUP BY 1
 ),
 samp AS (
   SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber
   FROM lineitem
-  WHERE {_H_QS} % 16 = 0
+  WHERE {_H_QS} % {APPROX_SAMPLE_MOD} = 0
 ),
 ranked AS (
   SELECT *,

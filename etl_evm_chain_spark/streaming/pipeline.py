@@ -1295,6 +1295,14 @@ def _expectations_fold(df: DataFrame) -> DataFrame:
     contract, like the drift ledger); each pair appears once per live
     source so the sum is an identity that also makes baseline∪epoch
     unions uniform."""
+    if "epoch" not in df.columns:
+        # reports landed before the in-row epoch stamp have no epoch
+        # column; fail with the rebuild message, not an opaque
+        # UNRESOLVED_COLUMN (the matview/drift legacy-guard rule)
+        raise ValueError(
+            "expectations ledger predates the in-row epoch stamp — "
+            "rebuild it (epochs carry the stamp since "
+            "expectations_epoch gained it)")
     return (df.groupBy("epoch", "check")
             .agg(F.sum("violations").cast("long").alias("violations"),
                  F.sum("total").cast("long").alias("total"))

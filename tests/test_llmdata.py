@@ -833,3 +833,37 @@ def test_ivf_topk_lloyd_centroids(spark):
     assert {r["qid"] for r in a} == {0, 1, 2}
     for r in a:
         assert 1 <= r["rank"] <= 3 and r["qid"] != r["cid"]
+
+
+def test_ivfpq_chunked_queries_equal_one_shot(spark):
+    """Past query_chunk queries, ivfpq streams the query set through
+    driver-bounded xxhash chunks (the pq_topk round-8 switch) — the
+    result must be bit-identical to the one-shot path, including the
+    cross-partition replica dedup."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 12)
+    one = sorted(tuple(r) for r in
+                 sim.ivfpq_topk(emb, q, k=3).collect())
+    chunked = sorted(tuple(r) for r in
+                     sim.ivfpq_topk(emb, q, k=3,
+                                    query_chunk=5).collect())
+    assert one == chunked and one
+
+
+def test_ann_index_rejects_changed_n_assign(spark, tmp_path):
+    """n_assign is an index-time property frozen like the quantizer:
+    extending a 2-assignment index with 1-assignment batches would
+    mix row multiplicities and silently lower old vectors' recall —
+    the operator must refuse loudly."""
+    import pytest
+
+    idx = str(tmp_path / "ann_geom")
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    sim.update_ann_index(spark, b1, idx, k=3, n_assign=2).count()
+    with pytest.raises(ValueError, match="n_assign"):
+        sim.update_ann_index(spark, b2, idx, k=3, n_assign=1)
+    # the matching geometry still extends
+    assert sim.update_ann_index(spark, b2, idx, k=3,
+                                n_assign=2).count() > 0

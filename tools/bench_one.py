@@ -40,12 +40,20 @@ def _drop_blocks(spark) -> None:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     reps = 2
-    for i, a in enumerate(sys.argv[1:]):
-        if a == "--reps":
-            reps = int(sys.argv[1:][i + 1])
-            args.remove(sys.argv[1:][i + 1])
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--reps":
+            if i + 1 >= len(argv):
+                sys.exit("usage: bench_one.py <query...> [--reps N]")
+            reps = int(argv[i + 1])
+            i += 2
+            continue
+        if not argv[i].startswith("--"):
+            args.append(argv[i])
+        i += 1
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench-one")
 
