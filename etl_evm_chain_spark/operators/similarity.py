@@ -67,6 +67,13 @@ IVF_ASSIGN = 2        # soft assignment: each corpus vector is indexed
 # BEFORE the cosine fold (_probe_score_topk).
 PQ_SUB = 32           # pq_topk subquantizers
 PQ_CENTS = 256        # pq_topk codebook size
+PQ_TRAIN_ITER = 1     # Lloyd iterations for the default trained
+# codebooks (round-8 retune: trained beats the sampled pick on every
+# real-embedding fixture — recall@5 pq .872→.92, ivfpq plain
+# .808→.856 / .832→.896 at sf0.001/sf0.01 — at the cost of
+# train_iter extra corpus passes; iters 2/3 measured equal-or-worse
+# than 1 on every fixture, so one pass is the default; 0 = the
+# sampled books)
 PQ_QUERY_CHUNK = 4096  # pq_topk switches to the chunked path above
 # this many queries: per-query ADC tables cost n_sub×n_cents×8 B
 # (64 KiB at the defaults), so one chunk's driver/broadcast footprint
@@ -876,6 +883,151 @@ def _pq_books(corpus: DataFrame, id_col: str, vec_col: str,
         .transpose(1, 0, 2)
 
 
+def _residual_seed_books(corpus: DataFrame, cmat, id_col: str,
+                         vec_col: str, n_sub: int, n_cents: int):
+    """Deterministic sampled RESIDUAL codebooks: the residuals of the
+    ``n_cents`` corpus rows with smallest ``hash15('pqr:'||id)``, each
+    vs its own nearest coarse cell — the residual-path counterpart of
+    ``_pq_books``, shared by the sampled scoring path and as the
+    Lloyd-training init so the trained path starts from the exact
+    geometry the sampled path ships."""
+    import numpy as np
+
+    from ..functions.text import hash15
+
+    def _nearest(v):
+        sims = np.empty(len(cmat))
+        nv = np.sqrt(np.cumsum(v * v)[-1]) if len(v) else 0.0
+        for j in range(len(cmat)):
+            c = cmat[j]
+            denom = nv * np.sqrt(np.cumsum(c * c)[-1])
+            sims[j] = (np.cumsum(v * c)[-1] / denom
+                       if denom != 0 else -np.inf)
+        return np.lexsort((np.arange(len(cmat)), -sims))
+
+    sample = (corpus.select(
+        F.col(vec_col),
+        hash15(F.concat(F.lit("pqr:"), F.col(id_col).cast("string")))
+        .alias("_h"))
+        .orderBy("_h").limit(n_cents).collect())
+    d = len(sample[0][vec_col])
+    if d % n_sub:
+        raise ValueError(f"dim {d} not divisible by n_sub {n_sub}")
+    res = []
+    for r in sample:
+        v = np.asarray(r[vec_col], dtype=np.float64)
+        res.append(v - cmat[_nearest(v)[0]])
+    return np.stack(res).reshape(len(res), n_sub, d // n_sub) \
+        .transpose(1, 0, 2)
+
+
+def pq_train_books(corpus: DataFrame, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding", n_sub: int = PQ_SUB,
+                   n_cents: int = PQ_CENTS, n_iter: int = 2,
+                   coarse: DataFrame | None = None,
+                   n_assign: int = IVF_ASSIGN):
+    """Lloyd-trained PQ codebooks — the dial the residual path's
+    honest-negative measurement pointed at (sampled residual books
+    lose because residuals of clustered vectors are isotropic noise
+    around centroids the sample never adapts to; k-means training is
+    what FAISS's IVFPQ trains, Jégou et al. 2011 §III). Returns the
+    same ``(n_sub, n_cents, sub_d)`` ndarray as ``_pq_books`` /
+    ``_residual_seed_books``, so every consumer's plan is unchanged —
+    only the tiny broadcast table differs.
+
+    ``coarse=None`` trains over raw subvectors (plain PQ);
+    ``coarse=<centroid relation>`` trains over the per-replica
+    residuals x − centroid[cell] of the exploded ``n_assign`` soft
+    assignment — the SAME residual distribution the IVFADC encode
+    kernel quantizes, so train and encode cannot drift.
+
+    Determinism protocol (the ``_lloyd_fit`` discipline applied per
+    subspace, all subspaces in ONE job per iteration):
+
+    - init: the sampled codebooks the untrained path ships — a stable
+      pseudo-random spread, no training randomness;
+    - assignment: per-row numpy argmin over the broadcast books
+      (first-match ties, row-local → partitioning-independent);
+    - update: the kernel emits one ``(s, c, pos, v)`` row per
+      assigned subvector component and ONE shuffle keyed
+      (subspace, code, component) sums them through
+      ``decimal(38,18)`` — exact and fold-order-free, so the
+      collected n_sub·n_cents·sub_d relation (the only driver
+      materialization, ~16k rows at 32×256) is identical however the
+      cluster partitions the data. New centroid = decimal sum / count
+      in driver floats; an emptied code keeps its previous centroid
+      (PQ is Euclidean per subspace — means, not unit vectors).
+
+    At 100 TB each round is one map pass + one aggregation with
+    map-side partial combine into n_sub·n_cents·sub_d groups — the
+    ``_lloyd_fit`` scale shape with a wider but still tiny key space.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    if coarse is None:
+        books = _pq_books(corpus, id_col, vec_col, n_sub, n_cents)
+        cmat = None
+        base = corpus.select(id_col, vec_col)
+    else:
+        cent_rows = sorted(coarse.collect(), key=lambda r: r["cell"])
+        cmat = np.stack([np.asarray(r["cvec_cent"], dtype=np.float64)
+                         for r in cent_rows])
+        books = _residual_seed_books(corpus, cmat, id_col, vec_col,
+                                     n_sub, n_cents)
+        base = _nearest_cells(corpus, coarse, id_col, vec_col,
+                              n_assign).select(id_col, vec_col, "cell")
+    sub_d = books.shape[2]
+
+    def make_kernel(bc):
+        def kernel(batches):
+            import pandas as pd
+
+            cmat_b, books_b = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.stack(pdf[vec_col].to_numpy()) \
+                    .astype(np.float64)
+                if cmat_b is not None:
+                    mat = mat - cmat_b[pdf["cell"].to_numpy()]
+                subs = mat.reshape(len(mat), n_sub, -1)
+                n = len(mat)
+                out_s, out_c, out_p, out_v = [], [], [], []
+                for s in range(n_sub):
+                    d2 = ((subs[:, s, None, :]
+                           - books_b[s][None, :, :]) ** 2).sum(axis=2)
+                    codes = d2.argmin(axis=1)
+                    out_s.append(np.full(n * sub_d, s,
+                                         dtype=np.int32))
+                    out_c.append(np.repeat(codes, sub_d)
+                                 .astype(np.int32))
+                    out_p.append(np.tile(
+                        np.arange(sub_d, dtype=np.int32), n))
+                    out_v.append(subs[:, s, :].ravel())
+                yield pd.DataFrame({
+                    "s": np.concatenate(out_s),
+                    "c": np.concatenate(out_c),
+                    "pos": np.concatenate(out_p),
+                    "v": np.concatenate(out_v)})
+        return kernel
+
+    for _ in range(n_iter):
+        bc = spark.sparkContext.broadcast((cmat, books))
+        emitted = base.mapInPandas(
+            make_kernel(bc), "s int, c int, pos int, v double")
+        agg = (emitted.groupBy("s", "c", "pos")
+               .agg(F.sum(F.col("v").cast("decimal(38,18)")).alias("vs"),
+                    F.count(F.lit(1)).alias("n"))
+               .collect())
+        nxt = books.copy()
+        for r in agg:
+            nxt[r["s"], r["c"], r["pos"]] = float(r["vs"]) / r["n"]
+        books = nxt
+    return books
+
+
 def _pq_tables(qrows, books, id_col: str, vec_col: str):
     """(qids, qnorms, tables) for a COLLECTED query slice: tables[q,
     s, c] = <q_sub s, centroid c> — the ADC lookup tables."""
@@ -912,7 +1064,7 @@ def _pq_adc_emit(sims, qids_b, ids_b, k):
 def pq_topk(corpus: DataFrame, queries: DataFrame, *,
             id_col: str = "vec_id", vec_col: str = "embedding",
             k: int = 5, n_sub: int = PQ_SUB,
-            n_cents: int = PQ_CENTS,
+            n_cents: int = PQ_CENTS, train_iter: int = PQ_TRAIN_ITER,
             query_chunk: int = PQ_QUERY_CHUNK) -> DataFrame:
     """Product-quantization ADC approximate top-k (Jégou et al. 2011,
     "Product Quantization for Nearest Neighbor Search"): vectors are
@@ -921,17 +1073,22 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, *,
     compression with the stored norm), and queries score candidates
     straight off the codes via per-subspace lookup tables, never
     touching the raw corpus vectors. The 32×256 default is the
-    round-7 recall retune (recall@5 .76/.80/.84 on the
-    sf0.001/0.01/0.1 fixture vs .12-.16 at the old 8×64 — finer
-    subspaces resolve far more of the dot product; the compression
-    ratio drops from ~40× to ~13×, the classic PQ accuracy/space
-    dial, pinned by the q126 gate and the tests' recall floors).
+    round-7 recall retune (finer subspaces resolve far more of the
+    dot product vs the old 8×64; the compression ratio drops from
+    ~40× to ~13×, the classic PQ accuracy/space dial, pinned by the
+    q126 gate and the tests' recall floors).
 
-    Codebooks are deterministic sampled subvectors (the ``n_cents``
-    corpus rows with smallest ``hash15('pq:'||id)``, as in
-    ``semantic_dedup``): a stable pseudo-random spread, no training
-    iterations, so results are reproducible run-to-run; swapping in
-    k-means codebooks changes only the tiny broadcast table, not the
+    Codebooks default to Lloyd-TRAINED (``train_iter=PQ_TRAIN_ITER``
+    rounds of :func:`pq_train_books` — the round-8 retune: q126-gate
+    recall@5 .84/.88/.84 by sf vs .76/.80/.84 sampled, .92 vs .87 on
+    the 20-query fixture, for ``train_iter`` extra corpus passes).
+    ``train_iter=0`` keeps the deterministic
+    sampled pick (the ``n_cents`` corpus rows with smallest
+    ``hash15('pq:'||id)``, as in ``semantic_dedup``) — which also
+    seeds the training, so both paths share one init. Either way the
+    codebooks are bit-reproducible run-to-run and
+    partitioning-independent (the trainer's decimal-sum protocol),
+    and swapping them changes only the tiny broadcast table, not the
     plan. Approximate sim = Σ_sub ⟨q_sub, centroid[code]⟩ normalized
     by the true norms (stored at encode time, 8 more bytes).
 
@@ -966,7 +1123,12 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, *,
     # excluded up front on BOTH sides, so every kernel sees dense rows
     corpus = corpus.filter(F.col(vec_col).isNotNull())
     queries = queries.filter(F.col(vec_col).isNotNull())
-    books = _pq_books(corpus, id_col, vec_col, n_sub, n_cents)
+    if train_iter > 0:
+        books = pq_train_books(corpus, id_col=id_col, vec_col=vec_col,
+                               n_sub=n_sub, n_cents=n_cents,
+                               n_iter=train_iter)
+    else:
+        books = _pq_books(corpus, id_col, vec_col, n_sub, n_cents)
 
     # one probe collect decides the path (no separate count job): if
     # the limit returns more than query_chunk rows the set is large —
@@ -1134,6 +1296,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *,
                n_probe: int = IVF_PROBE, n_assign: int = IVF_ASSIGN,
                n_sub: int = PQ_SUB, n_cents: int = PQ_CENTS,
                residual: bool = False,
+               train_iter: int = PQ_TRAIN_ITER,
                query_chunk: int = PQ_QUERY_CHUNK) -> DataFrame:
     """IVF-PQ approximate top-k — the composed billion-scale ANN
     layout (Jégou et al. 2011 §V, the architecture FAISS's IVFPQ
@@ -1150,24 +1313,26 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *,
     hash join of two corpus-thin relations, cheaper at scale than
     encoding each replica); queries probe ``n_probe`` cells through
     the SAME ``_nearest_cells`` kernel and score only rows whose cell
-    is probed. The default is the plain variant: codes quantize the
-    raw vectors, the cell only prunes. ``residual=True`` is the
-    classical IVFADC refinement (Jégou et al. §V.A): each replica
-    encodes its residual x − centroid[cell] against residual
-    codebooks and the ADC score restores the exact ⟨q, centroid⟩
-    term. HONEST MEASUREMENT (the lloyd-vs-hash-centroids
-    discipline): with THIS library's deterministic hash-SAMPLED
-    codebooks, residual coding is equal-or-worse on every fixture
-    tried — 4-cluster corpus at 32×256: plain 1.00 vs residual 0.38
-    recall@3 — because sampled residuals of near-duplicate cluster
-    members are isotropic noise, which sampled codebooks cannot
-    encode; IVFADC's textbook win needs k-means-TRAINED codebooks
-    over the residual distribution (the dial to reach for before
-    flipping this flag). Kept because the plumbing differs
+    is probed. The default is the plain variant with Lloyd-TRAINED
+    codebooks (``train_iter=PQ_TRAIN_ITER`` — the round-8 retune:
+    recall@5 .856/.896 at sf0.001/0.01 on 25 queries vs .808/.832
+    sampled, q126-gate floor lifted 0.70→0.80; the codes quantize
+    the raw vectors, the cell only prunes).
+    ``residual=True`` is the classical IVFADC refinement (Jégou et
+    al. §V.A): each replica encodes its residual x − centroid[cell]
+    against residual codebooks and the ADC score restores the exact
+    ⟨q, centroid⟩ term. HONEST MEASUREMENT (the
+    lloyd-vs-hash-centroids discipline): residual stays behind plain
+    on every fixture tried — sampled books: plain 1.00 vs residual
+    0.38 recall@3 on the 4-cluster corpus; trained books close most
+    of the gap on real embeddings (.80/.872 vs plain's .856/.896)
+    but on the clustered fixture training correctly averages the
+    noise-only residuals to zero and every candidate ties (0.08) —
+    so plain remains the default. Kept because the plumbing differs
     structurally (per-replica codes — n_assign× the encode and
-    landed codes — and max-sim replica dedup, the FAISS rule) and a
-    trained-codebook upgrade would change only the tiny broadcast
-    tables, not this plan.
+    landed codes — and max-sim replica dedup, the FAISS rule) and
+    ``train_iter``/``books_r`` swap only the tiny broadcast tables,
+    not this plan.
 
     Scale shape at 100 TB: candidate work is
     ~n_assign·n_probe/n_cells of the CODES relation (not the raw
@@ -1189,11 +1354,20 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *,
     queries = queries.filter(F.col(vec_col).isNotNull())
     cents = _ivf_centroids(corpus, id_col, vec_col, n_cells, salt="ipq:")
     if residual:
+        books_r = (pq_train_books(
+            corpus, id_col=id_col, vec_col=vec_col, n_sub=n_sub,
+            n_cents=n_cents, n_iter=train_iter, coarse=cents,
+            n_assign=n_assign) if train_iter > 0 else None)
         return _ivfpq_residual(corpus, queries, cents, id_col=id_col,
                                vec_col=vec_col, k=k, n_probe=n_probe,
                                n_assign=n_assign, n_sub=n_sub,
-                               n_cents=n_cents)
-    books = _pq_books(corpus, id_col, vec_col, n_sub, n_cents)
+                               n_cents=n_cents, books_r=books_r)
+    if train_iter > 0:
+        books = pq_train_books(corpus, id_col=id_col, vec_col=vec_col,
+                               n_sub=n_sub, n_cents=n_cents,
+                               n_iter=train_iter)
+    else:
+        books = _pq_books(corpus, id_col, vec_col, n_sub, n_cents)
 
     # encode once; join the soft cell assignments onto the codes
     codes_df = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
@@ -1304,49 +1478,26 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *,
 def _ivfpq_residual(corpus: DataFrame, queries: DataFrame,
                     cents: DataFrame, *, id_col: str, vec_col: str,
                     k: int, n_probe: int, n_assign: int, n_sub: int,
-                    n_cents: int) -> DataFrame:
+                    n_cents: int, books_r=None) -> DataFrame:
     """The residual (IVFADC) scoring path of :func:`ivfpq_topk` —
     see its docstring for the math and the trade. Codes quantize
     x − centroid[cell] per replica against residual codebooks
-    (deterministic: the residuals of the n_cents corpus rows with
-    smallest hash15('pqr:'||id), each vs its own nearest cell); the
-    ADC score restores the exact ⟨q, centroid⟩ term. A pair's two
-    replicas score differently, so dedup keeps the MAX sim — inside
-    the kernel per partition, then once more across partitions
-    (groupBy max before the global top-k window)."""
+    (``books_r``; defaults to the deterministic sampled pick of
+    :func:`_residual_seed_books`, or pass Lloyd-trained books from
+    :func:`pq_train_books`); the ADC score restores the exact
+    ⟨q, centroid⟩ term. A pair's two replicas score differently, so
+    dedup keeps the MAX sim — inside the kernel per partition, then
+    once more across partitions (groupBy max before the global top-k
+    window)."""
     import numpy as np
-
-    from ..functions.text import hash15
 
     spark = corpus.sparkSession
     cent_rows = sorted(cents.collect(), key=lambda r: r["cell"])
     cmat = np.stack([np.asarray(r["cvec_cent"], dtype=np.float64)
                      for r in cent_rows])
-
-    def _nearest(v):
-        sims = np.empty(len(cmat))
-        nv = np.sqrt(np.cumsum(v * v)[-1]) if len(v) else 0.0
-        for j in range(len(cmat)):
-            c = cmat[j]
-            denom = nv * np.sqrt(np.cumsum(c * c)[-1])
-            sims[j] = (np.cumsum(v * c)[-1] / denom
-                       if denom != 0 else -np.inf)
-        return np.lexsort((np.arange(len(cmat)), -sims))
-
-    sample = (corpus.select(
-        F.col(vec_col),
-        hash15(F.concat(F.lit("pqr:"), F.col(id_col).cast("string")))
-        .alias("_h"))
-        .orderBy("_h").limit(n_cents).collect())
-    d = len(sample[0][vec_col])
-    if d % n_sub:
-        raise ValueError(f"dim {d} not divisible by n_sub {n_sub}")
-    res = []
-    for r in sample:
-        v = np.asarray(r[vec_col], dtype=np.float64)
-        res.append(v - cmat[_nearest(v)[0]])
-    books_r = np.stack(res).reshape(len(res), n_sub, d // n_sub) \
-        .transpose(1, 0, 2)
+    if books_r is None:
+        books_r = _residual_seed_books(corpus, cmat, id_col, vec_col,
+                                       n_sub, n_cents)
 
     # per-replica residual encode over the exploded assignment
     replicas = _nearest_cells(corpus, cents, id_col, vec_col, n_assign)

@@ -642,6 +642,41 @@ ORDER BY y
 # ---------------------------------------------------------------------------
 
 
+def _train_books_np(mat, books, n_iter: int):
+    """The ``pq_train_books`` Lloyd loop, verbatim single-process:
+    per-subspace numpy argmin assignment (identical float64
+    expressions to the Arrow kernel), component sums through
+    shortest-repr decimal(38,18) (``Decimal(repr(v))`` + HALF_UP
+    quantize == Spark's BigDecimal.valueOf + setScale — the
+    lloyd_kmeans_truth parity), new centroid = ``float(sum) / count``
+    in driver floats, an emptied code keeps its previous centroid.
+    Decimal sums are fold-order-free, so this equals the distributed
+    fold EXACTLY however Spark partitions the data."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    n_sub, _, sub_d = books.shape
+    q18 = Decimal("1e-18")
+    subs = mat.reshape(len(mat), n_sub, sub_d)
+    for _ in range(n_iter):
+        nxt = books.copy()
+        for s in range(n_sub):
+            d2 = ((subs[:, s, None, :] - books[s][None, :, :]) ** 2
+                  ).sum(axis=2)
+            codes = d2.argmin(axis=1)
+            for c in np.unique(codes):
+                sel = subs[codes == c, s, :]
+                for p in range(sub_d):
+                    tot = Decimal(0)
+                    for v in sel[:, p]:
+                        tot += Decimal(repr(float(v))).quantize(
+                            q18, rounding=ROUND_HALF_UP)
+                    nxt[s, c, p] = float(tot) / len(sel)
+        books = nxt
+    return books
+
+
 @lru_cache(maxsize=4)
 def pq_topk_truth(sf_dir: str, k: int = 5, n_sub: int | None = None,
                   n_cents: int | None = None) -> list[tuple]:
@@ -650,7 +685,7 @@ def pq_topk_truth(sf_dir: str, k: int = 5, n_sub: int | None = None,
     # geometry defaults come FROM the operator module so a retuned
     # constant can never leave this replay stale (same discipline as
     # the IVF/LSH oracles' imports)
-    from ..operators.similarity import PQ_CENTS, PQ_SUB
+    from ..operators.similarity import PQ_CENTS, PQ_SUB, PQ_TRAIN_ITER
 
     n_sub = PQ_SUB if n_sub is None else n_sub
     n_cents = PQ_CENTS if n_cents is None else n_cents
@@ -666,7 +701,9 @@ def pq_topk_truth(sf_dir: str, k: int = 5, n_sub: int | None = None,
     sub_d = d // n_sub
     hs = np.array([_hash15(f"pq:{i}") for i in ids])
     order = np.argsort(hs, kind="mergesort")[:n_cents]
-    books = mat[order].reshape(n_cents, n_sub, sub_d).transpose(1, 0, 2)
+    books = mat[order].reshape(len(order), n_sub, sub_d) \
+        .transpose(1, 0, 2)
+    books = _train_books_np(mat, books, PQ_TRAIN_ITER)
 
     qm = ids < 5
     qids = ids[qm]
@@ -721,13 +758,13 @@ ORDER BY qid, rank
 
 
 # ---------------------------------------------------------------------------
-# q134: IVF-PQ top-k — the composed layout has no training either
-# (hash-picked coarse centroids + hash-picked codebooks), so its
-# ground truth is one in-process replay of the full pipeline: the
-# "ipq:"-salted coarse pick, the EXACT _nearest_cells ranking math
-# (sequential cumsum folds — Spark's Arrow kernel runs the same numpy
-# expressions), soft n_assign corpus assignment, n_probe query
-# probing, pq_topk_truth's codes/tables, candidate = union of probed
+# q134: IVF-PQ top-k — one in-process replay of the full pipeline:
+# the "ipq:"-salted coarse pick (hash-picked, untrained), the EXACT
+# _nearest_cells ranking math (sequential cumsum folds — Spark's
+# Arrow kernel runs the same numpy expressions), soft n_assign corpus
+# assignment, n_probe query probing, pq_topk_truth's trained
+# codes/tables (_train_books_np — bit-identical to the distributed
+# trainer by the decimal-sum protocol), candidate = union of probed
 # cells' members. The rank-k boundary is margin-asserted exactly as
 # q73's so partition-local candidate selection can never reorder the
 # quantized result.
@@ -757,7 +794,8 @@ def ivfpq_topk_truth(sf_dir: str, k: int = 5) -> list[tuple]:
     import numpy as np
 
     from ..operators.similarity import (IVF_ASSIGN, IVF_CELLS,
-                                        IVF_PROBE, PQ_CENTS, PQ_SUB)
+                                        IVF_PROBE, PQ_CENTS, PQ_SUB,
+                                        PQ_TRAIN_ITER)
 
     assert sf_dir == oracle_ctx.sf_dir()
     con = oracle_ctx.connect()
@@ -775,10 +813,12 @@ def ivfpq_topk_truth(sf_dir: str, k: int = 5) -> list[tuple]:
     corder = np.argsort(chs, kind="mergesort")[:IVF_CELLS]
     cent_mat = [mat[j] for j in corder]
 
-    # codebooks/tables: the q73 pipeline verbatim
+    # codebooks/tables: the q73 pipeline verbatim (trained default)
     hs = np.array([_hash15(f"pq:{i}") for i in ids])
     order = np.argsort(hs, kind="mergesort")[:PQ_CENTS]
-    books = mat[order].reshape(PQ_CENTS, PQ_SUB, sub_d).transpose(1, 0, 2)
+    books = mat[order].reshape(len(order), PQ_SUB, sub_d) \
+        .transpose(1, 0, 2)
+    books = _train_books_np(mat, books, PQ_TRAIN_ITER)
     norms = np.sqrt((mat * mat).sum(axis=1))
     subs = mat.reshape(len(mat), PQ_SUB, sub_d)
     codes = np.empty((len(mat), PQ_SUB), dtype=np.int64)

@@ -41,9 +41,12 @@ _PRIORITY = [
     "q139_stream_expectations", "q140_stream_shards",
     # outputs changed by IVF soft assignment (re-hash required):
     "q42_ivf_topk", "q125_compacted_ann_topk", "q126_ann_recall",
-    # plan changed (NULL-vector exclusion joined the PQ paths —
-    # output identical on the NULL-free fixture, re-hash anyway;
-    # takes q57_stratified_sample's slot, r5-green and untouched):
+    # outputs changed by the round-8 Lloyd-trained codebook default
+    # (PQ_TRAIN_ITER=1; oracles moved with the operator via
+    # _train_books_np — re-hash REQUIRED; q134/q126 above re-hash
+    # for the same reason on top of being new/4th-method rows; the
+    # slot originally came from q57_stratified_sample, r5-green and
+    # untouched):
     "q73_pq_topk",
     # ADVICE r7: missed the r7 re-hash after the family swap:
     "q41_dedup_resolve",

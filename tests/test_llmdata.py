@@ -76,19 +76,19 @@ def test_tuned_geometry_recall_floors(spark):
     fixture so a local retune cannot regress any path silently.
     Measured (deterministic) on sf0.001 / 20 queries / k=5:
     ivf 0.92 (round 8: IVF_ASSIGN=2 soft assignment lifted it from
-    0.63 — the verdict's 0.75-floor ask, floored at 0.80), pq 0.87
-    (lsh 0.83 is pinned by test_ann_recall_against_brute_force
-    above)."""
+    0.63 — the verdict's 0.75-floor ask, floored at 0.80), pq 0.92
+    and ivfpq 0.87 (round 8: Lloyd-trained codebooks, up from 0.87 /
+    0.82 sampled; lsh 0.83 is pinned by
+    test_ann_recall_against_brute_force above)."""
     emb = load_table(spark, SF_SMALL, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     exact = {(r["qid"], r["cid"])
              for r in sim.brute_force_topk(emb, queries, k=5).collect()}
     for name, fn, floor in (("ivf", sim.ivf_topk, 0.80),
-                            ("pq", sim.pq_topk, 0.80),
-                            # pruned-candidate ADC: pays ~0.05 recall
-                            # vs full PQ for the cell pruning
-                            # (measured .82/.85/.80 on 20q by sf)
-                            ("ivfpq", sim.ivfpq_topk, 0.75)):
+                            ("pq", sim.pq_topk, 0.85),
+                            # pruned-candidate ADC: pays a little
+                            # recall vs full PQ for the cell pruning
+                            ("ivfpq", sim.ivfpq_topk, 0.80)):
         got = {(r["qid"], r["cid"])
                for r in fn(emb, queries, k=5).collect()}
         recall = len(exact & got) / len(exact)
@@ -380,7 +380,13 @@ def test_ivfpq_residual_path_shape_and_determinism(spark):
     honest-negative floor (sampled codebooks make residual coding
     equal-or-worse — measured 0.38 vs plain's 1.00 on the clustered
     corpus at 32x256; the floor below catches total breakage, NOT a
-    claim that residual wins)."""
+    claim that residual wins). train_iter=0 pins the SAMPLED path:
+    on THIS fixture the residuals are pure ±0.02 noise by
+    construction, so Lloyd training correctly averages the books
+    toward zero and every candidate ties (measured 0.08) — the
+    trained-residual win needs residuals that carry signal, which
+    the real-embedding fixtures show (see
+    test_trained_books_beat_sampled)."""
     import random
 
     rng = random.Random(7)
@@ -395,9 +401,11 @@ def test_ivfpq_residual_path_shape_and_determinism(spark):
         rows, "vec_id long, embedding array<float>, label int")
     q = emb.filter(F.col("vec_id") % 25 == 0)
     a = sim.ivfpq_topk(emb, q, k=3, n_cells=8, n_probe=2, n_assign=2,
-                       residual=True).orderBy("qid", "rank").collect()
+                       residual=True, train_iter=0) \
+        .orderBy("qid", "rank").collect()
     b = sim.ivfpq_topk(emb.repartition(7), q, k=3, n_cells=8,
-                       n_probe=2, n_assign=2, residual=True) \
+                       n_probe=2, n_assign=2, residual=True,
+                       train_iter=0) \
         .orderBy("qid", "rank").collect()
     assert a == b
     assert all(r["qid"] != r["cid"] for r in a)
@@ -867,3 +875,74 @@ def test_ann_index_rejects_changed_n_assign(spark, tmp_path):
     # the matching geometry still extends
     assert sim.update_ann_index(spark, b2, idx, k=3,
                                 n_assign=2).count() > 0
+
+
+def test_pq_train_books_matches_numpy_twin(spark):
+    """The distributed Lloyd codebook trainer is bit-identical to the
+    oracle's single-process Decimal replay AND partitioning-independent
+    (the decimal(38,18) fold-order-free update — same protocol as
+    _lloyd_fit / lloyd_kmeans_truth)."""
+    import duckdb
+    import numpy as np
+
+    from etl_evm_chain_spark.plans.groundtruth import (_hash15,
+                                                       _train_books_np)
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    b_spark = sim.pq_train_books(emb, n_iter=2)
+    b_rep = sim.pq_train_books(emb.repartition(7), n_iter=2)
+    assert np.array_equal(b_spark, b_rep)
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, embedding FROM '{SF_SMALL}/embeddings.parquet' "
+        "ORDER BY vec_id").fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    hs = np.array([_hash15(f"pq:{i}") for i in ids])
+    order = np.argsort(hs, kind="mergesort")[:sim.PQ_CENTS]
+    seed = mat[order].reshape(
+        len(order), sim.PQ_SUB, mat.shape[1] // sim.PQ_SUB) \
+        .transpose(1, 0, 2)
+    assert np.array_equal(b_spark, _train_books_np(mat, seed, 2))
+
+
+def test_trained_books_beat_sampled(spark):
+    """The round-8 retune claim, pinned: on the real-embedding
+    fixture Lloyd-trained codebooks STRICTLY beat the sampled pick
+    for both PQ and IVF-PQ (deterministic — measured pq .872→.912,
+    ivfpq .808→.856 recall@5 on 25 queries at sf0.001). Guards the
+    default flip: if a future change makes training a no-op (or
+    regresses it to the sampled floor), this fails before the q126
+    gate ever sees it."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 25)
+    exact = {(r["qid"], r["cid"])
+             for r in sim.brute_force_topk(emb, q, k=5).collect()}
+
+    def rec(df):
+        got = {(r["qid"], r["cid"]) for r in df.collect()}
+        return len(exact & got) / len(exact)
+
+    for fn in (sim.pq_topk, sim.ivfpq_topk):
+        sampled = rec(fn(emb, q, k=5, train_iter=0))
+        trained = rec(fn(emb, q, k=5))   # default = PQ_TRAIN_ITER
+        assert trained > sampled, (fn.__name__, trained, sampled)
+
+
+def test_pq_train_books_residual_mode(spark):
+    """coarse=<centroids> trains over the per-replica residual
+    distribution: same (n_sub, n_cents, sub_d) shape, differs from
+    the raw-subvector books, and is partitioning-independent."""
+    import numpy as np
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = sim._ivf_centroids(emb, "vec_id", "embedding", 8,
+                               salt="ipq:")
+    plain = sim.pq_train_books(emb, n_iter=1)
+    resid = sim.pq_train_books(emb, n_iter=1, coarse=cents, n_assign=2)
+    resid_rep = sim.pq_train_books(emb.repartition(5), n_iter=1,
+                                   coarse=cents, n_assign=2)
+    assert plain.shape == resid.shape
+    assert not np.array_equal(plain, resid)
+    assert np.array_equal(resid, resid_rep)

@@ -8,12 +8,13 @@ caught it.
 
 Gates and floors:
   q126_ann_recall      recall@5 per method on the gate's 5-query set
-                       (lsh >= 0.80, ivf >= 0.80, pq >= 0.75,
-                       ivfpq >= 0.70 — PQ's documented sf0.001 value
-                       is 0.76, IVF-PQ's sf0.01 value 0.72; the
-                       stricter 20-query floors live in
-                       tests/test_llmdata.py), and every method's
-                       MRR > 0
+                       (lsh >= 0.80, ivf >= 0.80, pq >= 0.80,
+                       ivfpq >= 0.80 — the round-8 Lloyd-trained
+                       codebooks measure pq 0.84-0.92 and ivfpq
+                       0.84-0.88 across sf0.001/0.01/0.1, up from
+                       0.76/0.72 sampled; the stricter 20-query
+                       floors live in tests/test_llmdata.py), and
+                       every method's MRR > 0
   q131_neardup_envelope false_drop == 0 and false_keep == 0 (the
                        shipped universal family realizes zero
                        confusion on the fixture corpora; the counter
@@ -38,7 +39,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-RECALL_FLOORS = {"lsh": 0.80, "ivf": 0.80, "pq": 0.75, "ivfpq": 0.70}
+RECALL_FLOORS = {"lsh": 0.80, "ivf": 0.80, "pq": 0.80, "ivfpq": 0.80}
 
 
 def check(spark, sf_dir: str) -> list[str]:
