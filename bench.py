@@ -142,6 +142,7 @@ def main() -> None:
     for _lifecycle, _bq in ((_lq.q_compacted_lsh_pairs, "q121"),
                             (_lq.q_compacted_exact_survivors, "q122"),
                             (_lq.q_compacted_ann_topk, "q125"),
+                            (_lq.q_compacted_pq_topk, "q141"),
                             (_lq.q_stream_kmeans, "q130"),
                             (_lq.q_stream_drift, "q133"),
                             (_lq.q_stream_kmv, "q136"),

@@ -1228,9 +1228,26 @@ def _pq_topk_chunked(corpus: DataFrame, queries: DataFrame, books, *,
     ~256 MiB at the defaults — regardless of |queries|; the corpus
     side is the codes relation (~40 B/vector) scanned once per chunk,
     the classic ADC cost model."""
+    codes_df = pq_encode(corpus, books, id_col=id_col,
+                         vec_col=vec_col).localCheckpoint()
+    return _adc_topk_codes(codes_df, queries, books, id_col=id_col,
+                           vec_col=vec_col, k=k,
+                           query_chunk=query_chunk)
+
+
+def _adc_topk_codes(codes_df: DataFrame, queries: DataFrame, books, *,
+                    id_col: str, vec_col: str, k: int,
+                    query_chunk: int) -> DataFrame:
+    """Chunked ADC top-k over an ALREADY-ENCODED codes relation
+    (``(id, norm, codes)``) — the scoring half of
+    :func:`_pq_topk_chunked`, shared with the landed PQ index
+    (``update_pq_index``) whose codes come from the ledger instead of
+    a fresh encode. The caller pins ``codes_df`` (localCheckpoint or
+    a parquet-backed ledger read); every chunk re-scans CODES, never
+    raw vectors."""
     import numpy as np
 
-    spark = corpus.sparkSession
+    spark = codes_df.sparkSession
     # pin the PROJECTED query relation once (the codes_df rule): the
     # loop below scans it n_chunks+1 times, and without the pin each
     # scan re-executes the queries DataFrame's entire upstream
@@ -1239,8 +1256,6 @@ def _pq_topk_chunked(corpus: DataFrame, queries: DataFrame, books, *,
     qproj = queries.select(id_col, vec_col).localCheckpoint()
     n_q = qproj.count()
     n_chunks = -(-n_q // query_chunk)
-    codes_df = pq_encode(corpus, books, id_col=id_col,
-                         vec_col=vec_col).localCheckpoint()
 
     parts = []
     for i in range(n_chunks):
@@ -1274,11 +1289,12 @@ def _pq_topk_chunked(corpus: DataFrame, queries: DataFrame, books, *,
                 yield pd.DataFrame(
                     {"qid": out_q, "cid": out_c, "sim": out_s})
 
-        parts.append(codes_df.mapInPandas(
-            kernel, "qid long, cid long, sim double"))
+        parts.append(codes_df.select(id_col, "norm", "codes")
+                     .mapInPandas(kernel,
+                                  "qid long, cid long, sim double"))
 
     if not parts:
-        return corpus.sparkSession.range(0).select(
+        return spark.range(0).select(
             F.col("id").alias("qid"), F.col("id").alias("cid"),
             F.lit(0.0).alias("sim"), F.lit(0).alias("rank")).limit(0)
     local = parts[0]
@@ -2239,4 +2255,144 @@ def compact_ann_index(spark, index_path: str, *,
 
     return compact_batch_index(spark, os.path.join(index_path, "cells"),
                                part_col="cell",
+                               keep_last=keep_last, gc=gc)
+
+
+PQ_INDEX_BUCKETS = 16  # landed-codes physical partitioning (pure
+# parallelism — plain ADC scans all codes, there is no probe-side
+# pruning key; xxhash64 of the id spreads any id distribution)
+
+
+def update_pq_index(spark, batch: DataFrame, index_path: str, *,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    k: int = 5, n_sub: int = PQ_SUB,
+                    n_cents: int = PQ_CENTS,
+                    train_iter: int = PQ_TRAIN_ITER,
+                    batch_id: str | None = None,
+                    query_chunk: int = PQ_QUERY_CHUNK) -> DataFrame:
+    """Incremental PQ-ADC index — the landed-codes twin of
+    ``update_ann_index`` (reference parity: the cursor/index-ledger
+    discipline of internal/progress applied to the PQ tier; FAISS-
+    style services persist exactly this codes+codebook layout). The
+    batch queries use only ~40 B/vector of LANDED state: at 100 TB
+    the corpus is encoded once per ingest increment and every later
+    increment scores against codes read back from the ledger — the
+    per-invocation full-corpus re-encode of ``pq_topk`` is exactly
+    what cannot ship at scale.
+
+    The CODEBOOKS are trained on the first batch (``pq_train_books``
+    at ``train_iter``; the sampled pick at 0) and frozen under
+    ``<index_path>/books`` — later batches must encode against the
+    same books or codes drift per increment (the frozen-quantizer
+    rule). ``pq_geom`` stamps (n_sub, n_cents, train_iter); extending
+    under ANY different value is refused loudly (mixed-width codes
+    would crash the kernel; a different n_cents silently mis-scores —
+    the ledger-geometry hazard, PQ edition).
+
+    Codes land under ``codes/batch_id=b<id>/bucket=<n>/`` — the
+    epoch-ledger contract (replays overwrite their own directory,
+    torn writes stay invisible, ``compact_pq_index`` folds history);
+    ``bucket`` is xxhash64(id) % PQ_INDEX_BUCKETS, pure parallelism
+    (plain ADC has no pruning key). Returns (qid, cid, sim, rank):
+    the new batch vs everything ingested so far, self excluded,
+    scored by the chunked ADC engine (driver-bounded however large
+    the increment is)."""
+    import os
+    import uuid
+
+    import numpy as np
+
+    books_path = os.path.join(index_path, "books")
+    geom_path = os.path.join(index_path, "pq_geom")
+    codes_path = os.path.join(index_path, "codes")
+    batch = batch.filter(F.col(vec_col).isNotNull())
+    if batch.isEmpty():
+        # nothing to index OR books must not be trained on nothing
+        # (the update_ann_index empty-first-batch rule)
+        return batch.select(
+            F.col(id_col).alias("qid"), F.col(id_col).alias("cid"),
+            F.lit(0.0).alias("sim"), F.lit(0).alias("rank")).limit(0)
+    jvm_books = spark._jvm.org.apache.hadoop.fs.Path(books_path)
+    fs = jvm_books.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jvm_books):
+        geom = spark.read.parquet(geom_path).collect()[0]
+        frozen = (int(geom["n_sub"]), int(geom["n_cents"]),
+                  int(geom["train_iter"]))
+        if frozen != (int(n_sub), int(n_cents), int(train_iter)):
+            raise ValueError(
+                f"index at {index_path} was built with (n_sub, "
+                f"n_cents, train_iter)={frozen}; extending it with "
+                f"({n_sub}, {n_cents}, {train_iter}) would mix code "
+                "geometries — rebuild instead")
+        brows = spark.read.parquet(books_path).collect()
+        sub_d = 1 + max(r["pos"] for r in brows)
+        eff_cents = 1 + max(r["c"] for r in brows)
+        books = np.zeros((n_sub, eff_cents, sub_d))
+        for r in brows:
+            books[r["s"], r["c"], r["pos"]] = r["v"]
+    else:
+        if train_iter > 0:
+            books = pq_train_books(batch, id_col=id_col,
+                                   vec_col=vec_col, n_sub=n_sub,
+                                   n_cents=n_cents, n_iter=train_iter)
+        else:
+            books = _pq_books(batch, id_col, vec_col, n_sub, n_cents)
+        from ..catalog import literal_df
+        rows = [(int(s), int(c), int(p), float(books[s, c, p]))
+                for s in range(books.shape[0])
+                for c in range(books.shape[1])
+                for p in range(books.shape[2])]
+        # books rows exceed literal_df's ~1k cap (32×256×2 = 16k) —
+        # write via an Arrow-backed createDataFrame ONCE at build
+        # time (not a hot path; the landed parquet is the hot read)
+        import pandas as pd
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["s", "c", "pos", "v"])) \
+            .coalesce(1).write.mode("overwrite").parquet(books_path)
+        literal_df(spark,
+                   [(int(n_sub), int(n_cents), int(train_iter))],
+                   "n_sub int, n_cents int, train_iter int") \
+            .coalesce(1).write.mode("overwrite").parquet(geom_path)
+        # read back what was landed (the cents discipline): encoding
+        # must use the PERSISTED copy so a partial write can never
+        # leave this invocation encoding against books later batches
+        # cannot reproduce (doubles round-trip parquet exactly, so
+        # this is normally a no-op)
+        eff = books.shape
+        brows = spark.read.parquet(books_path).collect()
+        books = np.zeros(eff)
+        for r in brows:
+            books[r["s"], r["c"], r["pos"]] = r["v"]
+
+    codes = pq_encode(batch, books, id_col=id_col, vec_col=vec_col) \
+        .withColumn("bucket", F.pmod(F.xxhash64(F.col(id_col)),
+                                     F.lit(PQ_INDEX_BUCKETS)))
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex
+    batch_dir = os.path.join(codes_path, f"batch_id=b{batch_id}")
+    codes.write.mode("overwrite").partitionBy("bucket") \
+        .parquet(batch_dir)
+    from .index_ledger import read_live_index, touch_liveness
+    touch_liveness(index_path)
+
+    live = read_live_index(spark, codes_path)
+    codes_live = (live.drop("batch_id", "bucket") if live is not None
+                  else codes.drop("bucket").limit(0))
+    return _adc_topk_codes(codes_live, batch, books, id_col=id_col,
+                           vec_col=vec_col, k=k,
+                           query_chunk=query_chunk)
+
+
+def compact_pq_index(spark, index_path: str, *,
+                     keep_last: int = 0, gc: bool = True) -> int | None:
+    """Fold the PQ index's accumulated ``codes/batch_id=``
+    directories into a compacted generation (operators/index_ledger
+    protocol). The frozen codebooks under ``<index_path>/books`` are
+    untouched; the ``bucket`` physical partitioning survives."""
+    import os
+
+    from .index_ledger import compact_batch_index
+
+    return compact_batch_index(spark, os.path.join(index_path, "codes"),
+                               part_col="bucket",
                                keep_last=keep_last, gc=gc)

@@ -858,6 +858,90 @@ def ivfpq_topk_truth(sf_dir: str, k: int = 5) -> list[tuple]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# q141: landed PQ index lifecycle — the frozen-codebook twin of
+# q125's frozen-quantizer oracle. Books are trained ON BATCH 0 ONLY
+# (the first-increment freeze: hash15("pq:") seed over batch-0 ids,
+# _train_books_np at PQ_TRAIN_ITER — bit-identical to the distributed
+# trainer), codes cover everything ingested through the thin third
+# increment, queries are the third increment scored against the full
+# landed history. Margin-asserted like q73/q134.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=4)
+def pq_index_topk_truth(sf_dir: str, k: int, q_mod: int) -> list[tuple]:
+    import numpy as np
+
+    from ..operators.similarity import PQ_CENTS, PQ_SUB, PQ_TRAIN_ITER
+
+    assert sf_dir == oracle_ctx.sf_dir()
+    con = oracle_ctx.connect()
+    rows = con.sql(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    d = mat.shape[1]
+    sub_d = d // PQ_SUB
+
+    b0 = ids % 3 == 0
+    ids0, mat0 = ids[b0], mat[b0]
+    hs = np.array([_hash15(f"pq:{i}") for i in ids0])
+    order = np.argsort(hs, kind="mergesort")[:PQ_CENTS]
+    books = mat0[order].reshape(len(order), PQ_SUB, sub_d) \
+        .transpose(1, 0, 2)
+    books = _train_books_np(mat0, books, PQ_TRAIN_ITER)
+
+    idx = (ids % 3 <= 1) | (ids % q_mod == 2)
+    iids, imat = ids[idx], mat[idx]
+    inorms = np.sqrt((imat * imat).sum(axis=1))
+    isubs = imat.reshape(len(imat), PQ_SUB, sub_d)
+    codes = np.empty((len(imat), PQ_SUB), dtype=np.int64)
+    for s in range(PQ_SUB):
+        d2 = ((isubs[:, s, None, :] - books[s][None, :, :]) ** 2
+              ).sum(axis=2)
+        codes[:, s] = d2.argmin(axis=1)
+
+    qm = ids % q_mod == 2
+    qids, qmat = ids[qm], mat[qm]
+    qnorms = np.sqrt((qmat * qmat).sum(axis=1))
+    tables = np.einsum("qsd,scd->qsc",
+                       qmat.reshape(len(qids), PQ_SUB, sub_d), books)
+
+    out = []
+    for qi, qid in enumerate(qids):
+        approx = np.zeros(len(iids))
+        for s in range(PQ_SUB):
+            approx += tables[qi, s, codes[:, s]]
+        sims = approx / (qnorms[qi] * inorms)
+        row = sims.copy()
+        row[iids == qid] = -np.inf
+        top = np.lexsort((iids, -row))
+        qsim = np.floor(row * 1e6) / 1e6
+        lead = [qsim[j] for j in top[:k + 1]]
+        if sorted(set(lead), reverse=True) != lead:
+            raise RuntimeError(
+                "q141 ground truth: quantized sim ties inside the "
+                "rank-k region — pinned top-k would be ambiguous")
+        for r, j in enumerate(top[:k], start=1):
+            out.append((int(qid), int(iids[j]), float(qsim[j]), r))
+    return out
+
+
+def oracle_pq_index_topk(k: int, q_mod: int) -> str:
+    rows = pq_index_topk_truth(oracle_ctx.sf_dir(), k, q_mod)
+    vals = ",\n  ".join(
+        f"({q},{c},{repr(s)},{r})" for q, c, s, r in rows)
+    return f"""
+SELECT CAST(qid AS BIGINT) AS qid, CAST(cid AS BIGINT) AS cid,
+       sim, CAST(rank AS INTEGER) AS rank
+FROM (VALUES
+  {vals}) AS t(qid, cid, sim, rank)
+ORDER BY qid, rank
+"""
+
+
 def oracle_ivfpq_topk() -> str:
     rows = ivfpq_topk_truth(oracle_ctx.sf_dir())
     vals = ",\n  ".join(

@@ -377,6 +377,62 @@ ORDER BY qid, rank
 
 
 # ---------------------------------------------------------------------------
+# Q141: landed PQ index lifecycle — the codes+codebook twin of q125.
+# Books are trained on increment 1 and frozen (the quantizer rule,
+# PQ edition); increments 2 and the thin third increment encode
+# against the SAME landed books; top-k of the third increment against
+# the compacted history must equal the one-shot frozen-books ADC over
+# the full ingested corpus (plans/groundtruth.pq_index_topk_truth).
+# ---------------------------------------------------------------------------
+
+PQ_IDX_K = 5
+PQ_IDX_Q_MOD = 48   # thin third increment (the ANN_Q_MOD rationale:
+# the incremental property needs a representative increment, and the
+# query side pays chunked ADC tables per invocation)
+
+
+def q_compacted_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as sim
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    # geometry tag: subquantizers x codebook size, train iterations,
+    # query modulus — an index landed under ANY other codebook
+    # geometry must never be silently extended (update_pq_index also
+    # refuses via its pq_geom stamp; the root tag makes the refusal
+    # unreachable in normal operation)
+    root = _index_root(
+        sf_dir,
+        f"pqidx{sim.PQ_SUB}x{sim.PQ_CENTS}t{sim.PQ_TRAIN_ITER}"
+        f"q{PQ_IDX_Q_MOD}",
+        table="embeddings")
+
+    def b(r: int) -> DataFrame:
+        return vecs.filter(F.pmod(F.col("vec_id"), F.lit(3)) == r)
+
+    if not _built_through(spark, os.path.join(root, "codes"),
+                          {"bp1", "bp2"}):
+        sim.update_pq_index(spark, b(0), root, k=PQ_IDX_K,
+                            batch_id="p1")
+        sim.update_pq_index(spark, b(1), root, k=PQ_IDX_K,
+                            batch_id="p2")
+        sim.compact_pq_index(spark, root)
+    thin = vecs.filter(
+        F.pmod(F.col("vec_id"), F.lit(PQ_IDX_Q_MOD)) == 2)
+    out = sim.update_pq_index(spark, thin, root, k=PQ_IDX_K,
+                              batch_id="p3")
+    # pin: the top-k plan lazily scans ledger code directories a
+    # later invocation's compaction GC may delete (q121/q125
+    # discipline); k x |thin batch| rows
+    return out.orderBy("qid", "rank").localCheckpoint()
+
+
+def _oracle_compacted_pq_topk() -> str:
+    from .groundtruth import oracle_pq_index_topk
+
+    return oracle_pq_index_topk(PQ_IDX_K, PQ_IDX_Q_MOD)
+
+
+# ---------------------------------------------------------------------------
 # Q130: streaming mini-batch k-means lifecycle (VERDICT r6 ask #2).
 # The full 2-generation protocol — seed pick, generation 0 streamed
 # as 3 epochs of exact decimal sufficient statistics, ledger
@@ -883,6 +939,13 @@ SPECS = [
               "IVF index lifecycle: frozen quantizer from increment 1, "
               "2 increments -> compaction -> 3rd increment; top-k == "
               "one-shot frozen-quantizer IVF over the corpus",
+              ("H1", "H6", "P2-sim")),
+    QuerySpec("q141_compacted_pq_topk", q_compacted_pq_topk,
+              _oracle_compacted_pq_topk,
+              "PQ index lifecycle: codebooks trained on increment 1 "
+              "and frozen, 2 increments -> compaction -> thin 3rd "
+              "increment; top-k against the landed codes == one-shot "
+              "frozen-books ADC over the ingested corpus",
               ("H1", "H6", "P2-sim")),
     QuerySpec("q130_stream_kmeans", q_stream_kmeans,
               _oracle_stream_kmeans,

@@ -39,6 +39,7 @@ _PRIORITY = [
     "q133_stream_drift", "q134_ivfpq_topk", "q135_sketch_error_gate",
     "q136_stream_kmv", "q137_stream_cm", "q138_stream_matview",
     "q139_stream_expectations", "q140_stream_shards",
+    "q141_compacted_pq_topk",
     # outputs changed by IVF soft assignment (re-hash required):
     "q42_ivf_topk", "q125_compacted_ann_topk", "q126_ann_recall",
     # outputs changed by the round-8 Lloyd-trained codebook default
@@ -74,9 +75,13 @@ _PRIORITY = [
     # greens and replica re-verified every round)
     "q15_time_split", "q56_hash_split", "q58_topk_quality",
     "q76_zipf_slope", "q80_chunk_documents", "q81_dataset_card",
-    # r05 set minus q57 (yielded to q73's plan re-hash):
+    # r05 set minus q57 (yielded to q73's plan re-hash) and minus
+    # q83_bigram_surprisal (yielded to the new q141 — first-hashing a
+    # NEW query outranks an r4-stale hygiene re-hash; q83's plan is
+    # unchanged since its r4 green and replica re-verified every
+    # round):
     "q69_span_dedup",
-    "q71_unigram_surprisal", "q83_bigram_surprisal",
+    "q71_unigram_surprisal",
     # (q44/q122 — the r06 re-hash candidates — yield their slots to
     # the new q134/q135: their plans are unchanged since their r6
     # greens and the local replica re-verifies them every round)

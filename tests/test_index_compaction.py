@@ -347,6 +347,13 @@ def test_lifecycle_fast_forward_parity(spark):
              f"p{lq.ANN_PROBE}q{lq.ANN_Q_MOD}",
              table="embeddings"),
          "cells", {"ba1", "ba2"}),
+        (lq.q_compacted_pq_topk,
+         lq._index_root(
+             SF_SMALL,
+             f"pqidx{sim.PQ_SUB}x{sim.PQ_CENTS}t{sim.PQ_TRAIN_ITER}"
+             f"q{lq.PQ_IDX_Q_MOD}",
+             table="embeddings"),
+         "codes", {"bp1", "bp2"}),
     ]
     for qfn, root, sub, expected in cases:
         shutil.rmtree(root, ignore_errors=True)
@@ -487,3 +494,90 @@ def test_epoch_ledger_lifecycles_resume_identically(spark):
         r2 = sorted(tuple(r) for r in qfn(spark, SF_SMALL).collect())
         assert r1 == r2 and r1, qfn
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_pq_index_incremental_equals_one_shot(spark, tmp_path):
+    """The landed-PQ thesis: three increments against frozen
+    first-batch-trained codebooks, with a compaction between, score
+    the third increment IDENTICALLY to a one-shot ADC over the full
+    ingested corpus with the same books — and the compacted index
+    answers exactly like the uncompacted one."""
+    idx_plain = str(tmp_path / "pq_plain")
+    idx_comp = str(tmp_path / "pq_comp")
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    b1 = emb.filter(F.col("vec_id") % 3 == 0)
+    b2 = emb.filter(F.col("vec_id") % 3 == 1)
+    b3 = emb.filter((F.col("vec_id") % 3 == 2)
+                    & (F.col("vec_id") < 60))
+    for idx in (idx_plain, idx_comp):
+        sim.update_pq_index(spark, b1, idx, k=3, batch_id="p1").collect()
+        sim.update_pq_index(spark, b2, idx, k=3, batch_id="p2").collect()
+    assert sim.compact_pq_index(spark, idx_comp) == 0
+    codes = os.path.join(idx_comp, "codes")
+    assert not any(d.startswith("batch_id=") for d in os.listdir(codes))
+    # frozen codebooks untouched
+    assert os.path.isdir(os.path.join(idx_comp, "books"))
+
+    def topk(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    t_plain = topk(sim.update_pq_index(spark, b3, idx_plain, k=3,
+                                       batch_id="p3"))
+    t_comp = topk(sim.update_pq_index(spark, b3, idx_comp, k=3,
+                                      batch_id="p3"))
+    assert t_plain == t_comp and t_comp
+
+    # one-shot twin: books trained on batch 1 ONLY, codes over the
+    # full ingested corpus, the same chunked ADC engine
+    books = sim.pq_train_books(b1, n_iter=sim.PQ_TRAIN_ITER)
+    full = b1.unionByName(b2).unionByName(b3)
+    codes_df = sim.pq_encode(full, books).localCheckpoint()
+    want = topk(sim._adc_topk_codes(
+        codes_df, b3, books, id_col="vec_id", vec_col="embedding",
+        k=3, query_chunk=sim.PQ_QUERY_CHUNK))
+    assert t_comp == want
+
+    # replay a FOLDED batch: served from the baseline, no duplicates
+    t_replay = sim.update_pq_index(spark, b2, idx_comp, k=3,
+                                   batch_id="p2").collect()
+    per_q = {}
+    for r in t_replay:
+        per_q.setdefault(r["qid"], []).append(r["cid"])
+    assert t_replay and all(len(v) == len(set(v))
+                            for v in per_q.values())
+
+
+def test_pq_index_rejects_changed_geometry(spark, tmp_path):
+    """(n_sub, n_cents, train_iter) are frozen with the codebooks:
+    extending under ANY different value must refuse loudly (mixed
+    code widths crash; a different codebook silently mis-scores)."""
+    import pytest
+
+    idx = str(tmp_path / "pq_geom")
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    sim.update_pq_index(spark, b1, idx, k=3, batch_id="g1").collect()
+    for kw in ({"n_sub": 16}, {"n_cents": 64}, {"train_iter": 0}):
+        with pytest.raises(ValueError, match="geometr"):
+            sim.update_pq_index(spark, b2, idx, k=3, **kw)
+    # matching geometry still extends
+    assert sim.update_pq_index(spark, b2, idx, k=3,
+                               batch_id="g2").count() > 0
+
+
+def test_pq_index_empty_batch_is_noop(spark, tmp_path):
+    """An all-NULL first batch must not train codebooks on nothing
+    (the ANN empty-first-batch rule): typed empty result, nothing
+    persisted, and a later real batch builds normally."""
+    idx = str(tmp_path / "pq_empty")
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    nulls = spark.createDataFrame([(900001, None, 0), (900002, None, 0)],
+                                  emb.schema)
+    out = sim.update_pq_index(spark, nulls, idx, k=3, batch_id="e0")
+    assert out.count() == 0
+    assert not os.path.isdir(os.path.join(idx, "books"))
+    real = sim.update_pq_index(
+        spark, emb.filter(F.col("vec_id") < 100), idx, k=3,
+        batch_id="e1")
+    assert real.count() > 0

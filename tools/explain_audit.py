@@ -201,6 +201,11 @@ _RDD_ALLOW = {
     "q121_compacted_lsh_pairs",
     # same pin discipline; k x |batch| rows
     "q125_compacted_ann_topk",
+    # same pin discipline (q121/q125 — the result must not lazily
+    # scan ledger code dirs a later compaction GC may delete); the
+    # chunked ADC engine also pins its projected query slice. k x
+    # |thin batch| rows
+    "q141_compacted_pq_topk",
     # the recall gate pins the k x |queries|-row exact top-k set
     # (consumed twice: hit join + denominator) instead of re-running
     # the brute-force scan
