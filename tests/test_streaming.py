@@ -2144,3 +2144,67 @@ def test_drift_fold_rejects_mixed_bin_geometry(spark, tmp_path):
     sp.drift_epoch(df, 1, state_dir=std, value="q", n_bins=8)
     with pytest.raises(Exception, match="drift geometry mismatch"):
         sp.read_drift_hist(spark, std).collect()
+
+
+def test_stream_pq_ingest_equals_manual_batches(spark, tmp_path):
+    """The streaming PQ ingest must land bit-identical neighbor
+    results to a manual update_pq_index loop over the same batches —
+    epoch-1 books come FROZEN from epoch 0 (the first-epoch-trains
+    rule), and a checkpoint-resumed second run adds epoch 1 without
+    disturbing epoch 0's landed neighbors."""
+    import math
+
+    from etl_evm_chain_spark.operators.similarity import update_pq_index
+
+    def vec(i):
+        return [math.cos(i * 0.7) + 0.1 * j for j in range(4)]
+
+    rows1 = [(i, vec(i)) for i in range(12)]
+    rows2 = [(100 + i, vec(i + 3)) for i in range(8)]
+    schema = "vec_id long, embedding array<float>"
+    kw = dict(n_sub=2, n_cents=4, k=3)
+
+    src = str(tmp_path / "pq_src")
+    idx_s = str(tmp_path / "pq_idx_stream")
+    out_s = str(tmp_path / "pq_out_stream")
+    ckpt = str(tmp_path / "pq_ckpt")
+
+    def run():
+        stream = spark.readStream.schema(schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        q = sp.stream_pq_ingest(stream, index_path=idx_s,
+                                neighbors_dir=out_s, checkpoint=ckpt,
+                                **kw)
+        q.awaitTermination(120)
+
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run()
+    epoch0 = sorted(map(tuple, spark.read.parquet(out_s)
+                        .select("qid", "cid", "rank").collect()))
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run()
+
+    idx_m = str(tmp_path / "pq_idx_manual")
+    m0 = update_pq_index(spark, spark.createDataFrame(rows1, schema),
+                         idx_m, batch_id="0", **kw)
+    m0 = sorted(map(tuple, m0.select("qid", "cid", "rank").collect()))
+    m1 = update_pq_index(spark, spark.createDataFrame(rows2, schema),
+                         idx_m, batch_id="1", **kw)
+    m1 = sorted(map(tuple, m1.select("qid", "cid", "rank").collect()))
+
+    streamed = spark.read.parquet(out_s)
+    s0 = sorted(map(tuple, streamed.filter("batch_id = 0")
+                    .select("qid", "cid", "rank").collect()))
+    s1 = sorted(map(tuple, streamed.filter("batch_id = 1")
+                    .select("qid", "cid", "rank").collect()))
+    assert s0 == m0 == epoch0   # epoch 0 untouched by epoch 1
+    assert s1 == m1 and s1
+    # the two index lakes hold identical live code rows
+    from etl_evm_chain_spark.operators.index_ledger import read_live_index
+    ls = read_live_index(spark, f"{idx_s}/codes") \
+        .select("vec_id", "norm", "codes").collect()
+    lm = read_live_index(spark, f"{idx_m}/codes") \
+        .select("vec_id", "norm", "codes").collect()
+    assert sorted(map(tuple, ls)) == sorted(map(tuple, lm))
