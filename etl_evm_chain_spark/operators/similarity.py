@@ -923,7 +923,8 @@ def _residual_seed_books(corpus: DataFrame, cmat, id_col: str,
 
 def pq_train_books(corpus: DataFrame, *, id_col: str = "vec_id",
                    vec_col: str = "embedding", n_sub: int = PQ_SUB,
-                   n_cents: int = PQ_CENTS, n_iter: int = 2,
+                   n_cents: int = PQ_CENTS,
+                   n_iter: int = PQ_TRAIN_ITER,
                    coarse: DataFrame | None = None,
                    n_assign: int = IVF_ASSIGN):
     """Lloyd-trained PQ codebooks — the dial the residual path's
@@ -1300,6 +1301,16 @@ def _adc_topk_codes(codes_df: DataFrame, queries: DataFrame, books, *,
     local = parts[0]
     for p in parts[1:]:
         local = local.unionByName(p)
+    # (qid, cid) dedup before the global top-k (the _probe_score_topk
+    # rule, ledger edition): a vec_id landed in TWO batch directories
+    # (re-ingest under a new batch_id) yields two code rows, and
+    # without this its duplicate would occupy two rank slots and
+    # displace a real candidate. Per the ANN twin's contract the
+    # re-ingested embedding is identical, so both rows carry the same
+    # codes and max(sim) is the identity — deterministic either way.
+    # The relation is ≤ k rows per (query, input partition), never
+    # corpus-sized.
+    local = local.groupBy("qid", "cid").agg(F.max("sim").alias("sim"))
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
     return (local.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -2302,6 +2313,15 @@ def update_pq_index(spark, batch: DataFrame, index_path: str, *,
 
     import numpy as np
 
+    def _books_from_rows(brows, shape):
+        # ONE reconstruction for both the extend path and the
+        # first-build readback, so a schema change can never
+        # desynchronize what the two paths encode against
+        out = np.zeros(shape)
+        for r in brows:
+            out[r["s"], r["c"], r["pos"]] = r["v"]
+        return out
+
     books_path = os.path.join(index_path, "books")
     geom_path = os.path.join(index_path, "pq_geom")
     codes_path = os.path.join(index_path, "codes")
@@ -2314,7 +2334,15 @@ def update_pq_index(spark, batch: DataFrame, index_path: str, *,
             F.lit(0.0).alias("sim"), F.lit(0).alias("rank")).limit(0)
     jvm_books = spark._jvm.org.apache.hadoop.fs.Path(books_path)
     fs = jvm_books.getFileSystem(spark._jsc.hadoopConfiguration())
+    jvm_geom = spark._jvm.org.apache.hadoop.fs.Path(geom_path)
     if fs.exists(jvm_books):
+        if not fs.exists(jvm_geom):
+            # torn first build (books committed, geom write crashed):
+            # fail with the rebuild message, not an opaque
+            # PATH_NOT_FOUND (the update_ann_index guard)
+            raise ValueError(
+                f"index at {index_path} has codebooks but no pq_geom "
+                "stamp — a torn first build; rebuild it")
         geom = spark.read.parquet(geom_path).collect()[0]
         frozen = (int(geom["n_sub"]), int(geom["n_cents"]),
                   int(geom["train_iter"]))
@@ -2327,9 +2355,7 @@ def update_pq_index(spark, batch: DataFrame, index_path: str, *,
         brows = spark.read.parquet(books_path).collect()
         sub_d = 1 + max(r["pos"] for r in brows)
         eff_cents = 1 + max(r["c"] for r in brows)
-        books = np.zeros((n_sub, eff_cents, sub_d))
-        for r in brows:
-            books[r["s"], r["c"], r["pos"]] = r["v"]
+        books = _books_from_rows(brows, (n_sub, eff_cents, sub_d))
     else:
         if train_iter > 0:
             books = pq_train_books(batch, id_col=id_col,
@@ -2358,11 +2384,8 @@ def update_pq_index(spark, batch: DataFrame, index_path: str, *,
         # leave this invocation encoding against books later batches
         # cannot reproduce (doubles round-trip parquet exactly, so
         # this is normally a no-op)
-        eff = books.shape
-        brows = spark.read.parquet(books_path).collect()
-        books = np.zeros(eff)
-        for r in brows:
-            books[r["s"], r["c"], r["pos"]] = r["v"]
+        books = _books_from_rows(spark.read.parquet(books_path).collect(),
+                                 books.shape)
 
     codes = pq_encode(batch, books, id_col=id_col, vec_col=vec_col) \
         .withColumn("bucket", F.pmod(F.xxhash64(F.col(id_col)),

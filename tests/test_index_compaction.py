@@ -581,3 +581,40 @@ def test_pq_index_empty_batch_is_noop(spark, tmp_path):
         spark, emb.filter(F.col("vec_id") < 100), idx, k=3,
         batch_id="e1")
     assert real.count() > 0
+
+
+def test_pq_index_reingested_id_not_duplicated(spark, tmp_path):
+    """A vec_id landed in TWO batch directories (re-ingest under a
+    new batch_id, same embedding — the ANN twin's contract) must
+    appear at most once per query's neighbor list and must not
+    displace a real candidate from the k slots."""
+    idx = str(tmp_path / "pq_reingest")
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    b1 = emb.filter(F.col("vec_id") < 200)
+    dup = emb.filter(F.col("vec_id") < 50)        # re-ingest subset
+    sim.update_pq_index(spark, b1, idx, k=3, batch_id="r1").collect()
+    out = sim.update_pq_index(spark, dup, idx, k=3,
+                              batch_id="r2").collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["qid"], []).append(r["cid"])
+    assert out and all(len(v) == len(set(v)) for v in per_q.values())
+    # and every query still fills all k slots — the duplicate row
+    # must not have displaced a real candidate
+    assert all(len(v) == 3 for v in per_q.values())
+
+
+def test_pq_index_torn_first_build_rejected(spark, tmp_path):
+    """Books committed but the pq_geom stamp missing (crash between
+    the two writes) must fail with the loud rebuild message, not an
+    opaque parquet PATH_NOT_FOUND."""
+    import pytest
+
+    idx = str(tmp_path / "pq_torn")
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    sim.update_pq_index(spark, emb.filter(F.col("vec_id") < 100),
+                        idx, k=3, batch_id="t1").collect()
+    shutil.rmtree(os.path.join(idx, "pq_geom"))
+    with pytest.raises(ValueError, match="torn first build"):
+        sim.update_pq_index(spark, emb.filter(F.col("vec_id") >= 100),
+                            idx, k=3, batch_id="t2")
