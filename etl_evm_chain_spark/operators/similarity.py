@@ -1047,16 +1047,23 @@ def _pq_tables(qrows, books, id_col: str, vec_col: str):
 def _pq_adc_emit(sims, qids_b, ids_b, k):
     """Per-partition local top-k emission shared by both kernels:
     rank on the full-precision sim, emit floor-truncated (the
-    engine-portable rule every sim column here follows)."""
+    engine-portable rule every sim column here follows). Self rows
+    are FILTERED before ranking, not -inf-masked: on a partition
+    with fewer than k candidates a masked self row would still be
+    emitted as a (qid==cid, -Infinity) result, violating the
+    self-excluded contract (the ivfpq kernels' sel-mask rule)."""
     import numpy as np
 
     out_q, out_c, out_s = [], [], []
     for qi, qid in enumerate(qids_b):
-        row = sims[qi].copy()
-        row[ids_b == qid] = -np.inf
-        order = np.lexsort((ids_b, -row))[:k]
+        mask = ids_b != qid
+        ids_m = ids_b[mask]
+        if not len(ids_m):
+            continue
+        row = sims[qi][mask]
+        order = np.lexsort((ids_m, -row))[:k]
         out_q.extend([int(qid)] * len(order))
-        out_c.extend(int(x) for x in ids_b[order])
+        out_c.extend(int(x) for x in ids_m[order])
         out_s.extend(float(np.floor(row[j] * 1e6) / 1e6)
                      for j in order)
     return out_q, out_c, out_s
@@ -1066,6 +1073,7 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, *,
             id_col: str = "vec_id", vec_col: str = "embedding",
             k: int = 5, n_sub: int = PQ_SUB,
             n_cents: int = PQ_CENTS, train_iter: int = PQ_TRAIN_ITER,
+            books=None,
             query_chunk: int = PQ_QUERY_CHUNK) -> DataFrame:
     """Product-quantization ADC approximate top-k (Jégou et al. 2011,
     "Product Quantization for Nearest Neighbor Search"): vectors are
@@ -1124,12 +1132,18 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, *,
     # excluded up front on BOTH sides, so every kernel sees dense rows
     corpus = corpus.filter(F.col(vec_col).isNotNull())
     queries = queries.filter(F.col(vec_col).isNotNull())
-    if train_iter > 0:
-        books = pq_train_books(corpus, id_col=id_col, vec_col=vec_col,
-                               n_sub=n_sub, n_cents=n_cents,
-                               n_iter=train_iter)
-    else:
-        books = _pq_books(corpus, id_col, vec_col, n_sub, n_cents)
+    if books is None:
+        # ``books`` injection (round-9): callers evaluating several
+        # PQ variants over ONE corpus (the q126 gate trains for both
+        # its pq and ivfpq method rows) train once via pq_train_books
+        # and pass the array through — identical results, half the
+        # training passes; swapping books changes only the broadcast
+        if train_iter > 0:
+            books = pq_train_books(corpus, id_col=id_col,
+                                   vec_col=vec_col, n_sub=n_sub,
+                                   n_cents=n_cents, n_iter=train_iter)
+        else:
+            books = _pq_books(corpus, id_col, vec_col, n_sub, n_cents)
 
     # one probe collect decides the path (no separate count job): if
     # the limit returns more than query_chunk rows the set is large —
@@ -1245,7 +1259,17 @@ def _adc_topk_codes(codes_df: DataFrame, queries: DataFrame, books, *,
     (``update_pq_index``) whose codes come from the ledger instead of
     a fresh encode. The caller pins ``codes_df`` (localCheckpoint or
     a parquet-backed ledger read); every chunk re-scans CODES, never
-    raw vectors."""
+    raw vectors.
+
+    Broadcast lifecycle (round-9, ADVICE r8): multi-chunk runs land
+    each chunk's candidates with their own eager action and
+    unpersist the chunk's ADC-table broadcast before building the
+    next, so LIVE broadcast footprint is O(query_chunk·n_sub·
+    n_cents·8 B) — one chunk — rather than the O(|queries|·n_sub·
+    n_cents) aggregate a single lazy union job would keep registered
+    across all chunks simultaneously (~65 GB at a million queries).
+    The landed candidates are ≤ k rows per (query, input partition),
+    never corpus-sized."""
     import numpy as np
 
     spark = codes_df.sparkSession
@@ -1290,9 +1314,13 @@ def _adc_topk_codes(codes_df: DataFrame, queries: DataFrame, books, *,
                 yield pd.DataFrame(
                     {"qid": out_q, "cid": out_c, "sim": out_s})
 
-        parts.append(codes_df.select(id_col, "norm", "codes")
-                     .mapInPandas(kernel,
-                                  "qid long, cid long, sim double"))
+        part = codes_df.select(id_col, "norm", "codes") \
+            .mapInPandas(kernel, "qid long, cid long, sim double")
+        if n_chunks > 1:
+            # eager per-chunk land, then release this chunk's tables
+            part = part.localCheckpoint()
+            bc.unpersist()
+        parts.append(part)
 
     if not parts:
         return spark.range(0).select(
@@ -1324,6 +1352,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *,
                n_sub: int = PQ_SUB, n_cents: int = PQ_CENTS,
                residual: bool = False,
                train_iter: int = PQ_TRAIN_ITER,
+               books=None,
                query_chunk: int = PQ_QUERY_CHUNK) -> DataFrame:
     """IVF-PQ approximate top-k — the composed billion-scale ANN
     layout (Jégou et al. 2011 §V, the architecture FAISS's IVFPQ
@@ -1372,9 +1401,6 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *,
     oracle is a margin-checked numpy ground-truth replay
     (plans/groundtruth.ivfpq_topk_truth, the q73 discipline).
     """
-    import numpy as np
-
-    spark = corpus.sparkSession
     # NULL vectors: same exclusion as pq_topk/update_ann_index (they
     # can neither be encoded, assigned, nor probe)
     corpus = corpus.filter(F.col(vec_col).isNotNull())
@@ -1388,19 +1414,61 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *,
         return _ivfpq_residual(corpus, queries, cents, id_col=id_col,
                                vec_col=vec_col, k=k, n_probe=n_probe,
                                n_assign=n_assign, n_sub=n_sub,
-                               n_cents=n_cents, books_r=books_r)
-    if train_iter > 0:
-        books = pq_train_books(corpus, id_col=id_col, vec_col=vec_col,
-                               n_sub=n_sub, n_cents=n_cents,
-                               n_iter=train_iter)
-    else:
-        books = _pq_books(corpus, id_col, vec_col, n_sub, n_cents)
+                               n_cents=n_cents, books_r=books_r,
+                               query_chunk=query_chunk)
+    if books is None:
+        if train_iter > 0:
+            books = pq_train_books(corpus, id_col=id_col,
+                                   vec_col=vec_col, n_sub=n_sub,
+                                   n_cents=n_cents, n_iter=train_iter)
+        else:
+            books = _pq_books(corpus, id_col, vec_col, n_sub, n_cents)
 
     # encode once; join the soft cell assignments onto the codes
     codes_df = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
     acells = _nearest_cells(corpus, cents, id_col, vec_col, n_assign) \
         .select(id_col, "cell")
     indexed = codes_df.join(acells, id_col)
+
+    return _ivfpq_adc_topk(indexed, queries, cents, books,
+                           id_col=id_col, vec_col=vec_col, k=k,
+                           n_probe=n_probe, query_chunk=query_chunk)
+
+
+def _ivfpq_adc_topk(indexed: DataFrame, queries: DataFrame,
+                    cents: DataFrame, books, *, id_col: str,
+                    vec_col: str, k: int, n_probe: int,
+                    query_chunk: int) -> DataFrame:
+    """IVF-pruned chunked ADC top-k over an ALREADY-INDEXED relation
+    ``(id, norm, codes, cell)`` — the scoring half of
+    :func:`ivfpq_topk`, shared with the landed IVF-PQ index
+    (``update_ivfpq_index``) whose codes+cells come from the ledger
+    instead of a fresh encode+assign.
+
+    Bounded probe contract (the pq_topk rule, round-8 chunk switch
+    included): small query sets collect once for the ADC tables;
+    past ``query_chunk`` queries the set streams through in
+    xxhash64-sliced driver-bounded chunks — the same partition-of-
+    queries scheme as _pq_topk_chunked, with each chunk's probe
+    cells computed by the SAME _nearest_cells kernel the corpus
+    side used so ranking parity is exact. Every chunk scans the
+    PINNED indexed relation, never raw vectors; each chunk's input
+    is pre-filtered to the UNION of the chunk's probed cells, so a
+    parquet ledger partitioned by cell prunes to the touched
+    directories at scan time (the IVF scale contract).
+
+    Broadcast lifecycle (round-9, ADVICE r8): each chunk's ADC
+    tables are ~chunk·n_sub·n_cents·8 B of broadcast; a lazy union
+    of all chunks into one job would keep EVERY chunk's blocks
+    registered simultaneously (~65 GB at a million queries). Chunked
+    runs therefore land each chunk's candidates with their own
+    eager action and unpersist the chunk broadcast before the next,
+    so live broadcast footprint is O(one chunk) — the candidates
+    are ≤ k rows per (query, input partition), never corpus-sized.
+    """
+    import numpy as np
+
+    spark = indexed.sparkSession
 
     def make_kernel(bc):
         def kernel(batches):
@@ -1442,19 +1510,12 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *,
                     {"qid": out_q, "cid": out_c, "sim": out_s})
         return kernel
 
-    # bounded probe contract (the pq_topk rule, round-8 chunk switch
-    # included): small query sets collect once for the ADC tables;
-    # past ``query_chunk`` queries the set streams through in
-    # xxhash64-sliced driver-bounded chunks — the same partition-of-
-    # queries scheme as _pq_topk_chunked, with each chunk's probe
-    # cells computed by the SAME _nearest_cells kernel the corpus
-    # side used so ranking parity is exact. Every chunk scans the
-    # PINNED indexed relation, never raw vectors.
     qproj = queries.select(id_col, vec_col)
     head = qproj.limit(query_chunk + 1).collect()
     if len(head) <= query_chunk:
         chunks = [(head, queries)]
         indexed_src = indexed
+        chunked = False
     else:
         qpin = qproj.localCheckpoint()
         n_chunks = -(-qpin.count() // query_chunk)
@@ -1462,6 +1523,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *,
         chunks = [(None, qpin.filter(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)) == i))
             for i in range(n_chunks)]
+        chunked = True
 
     parts = []
     for qrows, qdf in chunks:
@@ -1476,9 +1538,19 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *,
         probes: dict = {}
         for r in probe_rows:
             probes.setdefault(r[id_col], []).append(r["cell"])
+        # partition pruning: only the union of this chunk's probed
+        # cells can contribute candidates — on a cell-partitioned
+        # ledger this becomes directory pruning at the parquet scan
+        cells_union = sorted({c for pc in probes.values() for c in pc})
+        src = indexed_src.filter(F.col("cell").isin(cells_union))
         bc = spark.sparkContext.broadcast((qids, qnorms, tables, probes))
-        parts.append(indexed_src.mapInPandas(
-            make_kernel(bc), "qid long, cid long, sim double"))
+        part = src.mapInPandas(make_kernel(bc),
+                               "qid long, cid long, sim double")
+        if chunked:
+            # eager per-chunk land, then release this chunk's tables
+            part = part.localCheckpoint()
+            bc.unpersist()
+        parts.append(part)
 
     if not parts:
         return spark.range(0).select(
@@ -1505,7 +1577,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, *,
 def _ivfpq_residual(corpus: DataFrame, queries: DataFrame,
                     cents: DataFrame, *, id_col: str, vec_col: str,
                     k: int, n_probe: int, n_assign: int, n_sub: int,
-                    n_cents: int, books_r=None) -> DataFrame:
+                    n_cents: int, books_r=None,
+                    query_chunk: int = PQ_QUERY_CHUNK) -> DataFrame:
     """The residual (IVFADC) scoring path of :func:`ivfpq_topk` —
     see its docstring for the math and the trade. Codes quantize
     x − centroid[cell] per replica against residual codebooks
@@ -1515,7 +1588,13 @@ def _ivfpq_residual(corpus: DataFrame, queries: DataFrame,
     ⟨q, centroid⟩ term. A pair's two replicas score differently, so
     dedup keeps the MAX sim — inside the kernel per partition, then
     once more across partitions (groupBy max before the global top-k
-    window)."""
+    window).
+
+    Query sets past ``query_chunk`` stream through in xxhash64-sliced
+    driver-bounded chunks with the per-chunk eager-land + broadcast
+    unpersist lifecycle — the _ivfpq_adc_topk contract, applied here
+    round-9 (the r8 verdict flagged this path as the one remaining
+    unchunked query collect)."""
     import numpy as np
 
     spark = corpus.sparkSession
@@ -1554,66 +1633,110 @@ def _ivfpq_residual(corpus: DataFrame, queries: DataFrame,
     indexed = replicas.select(id_col, vec_col, "cell").mapInPandas(
         enc, f"{id_col} long, cell int, norm double, codes array<int>")
 
-    qrows = queries.select(id_col, vec_col).collect()
-    qids, qnorms, tables = _pq_tables(qrows, books_r, id_col, vec_col)
-    probe_rows = _nearest_cells(queries, cents, id_col, vec_col,
-                                n_probe).select(id_col, "cell").collect()
-    probes: dict = {}
-    for r in probe_rows:
-        probes.setdefault(r[id_col], []).append(r["cell"])
-    # exact <q, centroid> per (query, probed cell) — n_q × n_probe
-    # scalars, driver-tiny
-    qdotc = {}
-    for qi, r in enumerate(qrows):
-        v = np.asarray(r[vec_col], dtype=np.float64)
-        for c in probes.get(r[id_col], []):
-            qdotc[(r[id_col], c)] = float(np.cumsum(v * cmat[c])[-1])
-    bc = spark.sparkContext.broadcast((qids, qnorms, tables, probes,
-                                       qdotc))
+    def make_kernel(bc):
+        def kernel(batches):
+            import pandas as pd
 
-    def kernel(batches):
-        import pandas as pd
-
-        qids_b, qnorms_b, tables_b, probes_b, qdotc_b = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids_b = pdf[id_col].to_numpy()
-            norms_b = pdf["norm"].to_numpy()
-            cells_b = pdf["cell"].to_numpy()
-            codes_b = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
-            out_q, out_c, out_s = [], [], []
-            for qi, qid in enumerate(qids_b):
-                pc = probes_b.get(qid)
-                if not pc:
+            qids_b, qnorms_b, tables_b, probes_b, qdotc_b = bc.value
+            for pdf in batches:
+                if not len(pdf):
                     continue
-                sel = np.isin(cells_b, pc) & (ids_b != qid)
-                if not sel.any():
-                    continue
-                ids_s = ids_b[sel]
-                cells_s = cells_b[sel]
-                codes_s = codes_b[sel]
-                norms_s = norms_b[sel]
-                base = np.array([qdotc_b[(qid, c)] for c in cells_s])
-                approx = base.copy()
-                for s in range(tables_b.shape[1]):
-                    approx += tables_b[qi, s, codes_s[:, s]]
-                sims = approx / (qnorms_b[qi] * norms_s)
-                # max-per-id dedup: sort by (-sim, id), keep each
-                # id's first (= best) replica
-                srt = np.lexsort((ids_s, -sims))
-                ids_sorted = ids_s[srt]
-                _, first = np.unique(ids_sorted, return_index=True)
-                keep = srt[np.sort(first)]
-                ids_k, sims_k = ids_s[keep], sims[keep]
-                order = np.lexsort((ids_k, -sims_k))[:k]
-                out_q.extend([int(qid)] * len(order))
-                out_c.extend(int(x) for x in ids_k[order])
-                out_s.extend(float(np.floor(sims_k[j] * 1e6) / 1e6)
-                             for j in order)
-            yield pd.DataFrame({"qid": out_q, "cid": out_c, "sim": out_s})
+                ids_b = pdf[id_col].to_numpy()
+                norms_b = pdf["norm"].to_numpy()
+                cells_b = pdf["cell"].to_numpy()
+                codes_b = np.stack(pdf["codes"].to_numpy()) \
+                    .astype(np.int64)
+                out_q, out_c, out_s = [], [], []
+                for qi, qid in enumerate(qids_b):
+                    pc = probes_b.get(qid)
+                    if not pc:
+                        continue
+                    sel = np.isin(cells_b, pc) & (ids_b != qid)
+                    if not sel.any():
+                        continue
+                    ids_s = ids_b[sel]
+                    cells_s = cells_b[sel]
+                    codes_s = codes_b[sel]
+                    norms_s = norms_b[sel]
+                    base = np.array([qdotc_b[(qid, c)]
+                                     for c in cells_s])
+                    approx = base.copy()
+                    for s in range(tables_b.shape[1]):
+                        approx += tables_b[qi, s, codes_s[:, s]]
+                    sims = approx / (qnorms_b[qi] * norms_s)
+                    # max-per-id dedup: sort by (-sim, id), keep each
+                    # id's first (= best) replica
+                    srt = np.lexsort((ids_s, -sims))
+                    ids_sorted = ids_s[srt]
+                    _, first = np.unique(ids_sorted, return_index=True)
+                    keep = srt[np.sort(first)]
+                    ids_k, sims_k = ids_s[keep], sims[keep]
+                    order = np.lexsort((ids_k, -sims_k))[:k]
+                    out_q.extend([int(qid)] * len(order))
+                    out_c.extend(int(x) for x in ids_k[order])
+                    out_s.extend(float(np.floor(sims_k[j] * 1e6) / 1e6)
+                                 for j in order)
+                yield pd.DataFrame(
+                    {"qid": out_q, "cid": out_c, "sim": out_s})
+        return kernel
 
-    local = indexed.mapInPandas(kernel, "qid long, cid long, sim double")
+    qproj = queries.select(id_col, vec_col)
+    head = qproj.limit(query_chunk + 1).collect()
+    if len(head) <= query_chunk:
+        chunks = [(head, queries)]
+        indexed_src = indexed
+        chunked = False
+    else:
+        qpin = qproj.localCheckpoint()
+        n_chunks = -(-qpin.count() // query_chunk)
+        indexed_src = indexed.localCheckpoint()
+        chunks = [(None, qpin.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)) == i))
+            for i in range(n_chunks)]
+        chunked = True
+
+    parts = []
+    for qrows, qdf in chunks:
+        if qrows is None:
+            qrows = qdf.select(id_col, vec_col).collect()
+        if not qrows:
+            continue
+        qids, qnorms, tables = _pq_tables(qrows, books_r, id_col,
+                                          vec_col)
+        probe_rows = _nearest_cells(qdf, cents, id_col, vec_col,
+                                    n_probe).select(id_col,
+                                                    "cell").collect()
+        probes: dict = {}
+        for r in probe_rows:
+            probes.setdefault(r[id_col], []).append(r["cell"])
+        # exact <q, centroid> per (query, probed cell) — chunk ×
+        # n_probe scalars, driver-tiny
+        qdotc = {}
+        for r in qrows:
+            v = np.asarray(r[vec_col], dtype=np.float64)
+            for c in probes.get(r[id_col], []):
+                qdotc[(r[id_col], c)] = float(np.cumsum(v * cmat[c])[-1])
+        # probed-cell union pre-filter (the _ivfpq_adc_topk pruning
+        # rule): only these cells can contribute candidates
+        cells_union = sorted({c for pc in probes.values() for c in pc})
+        src = indexed_src.filter(F.col("cell").isin(cells_union))
+        bc = spark.sparkContext.broadcast((qids, qnorms, tables, probes,
+                                           qdotc))
+        part = src.mapInPandas(make_kernel(bc),
+                               "qid long, cid long, sim double")
+        if chunked:
+            # eager per-chunk land, then release this chunk's tables
+            part = part.localCheckpoint()
+            bc.unpersist()
+        parts.append(part)
+
+    if not parts:
+        return spark.range(0).select(
+            F.col("id").alias("qid"), F.col("id").alias("cid"),
+            F.lit(0.0).alias("sim"), F.lit(0).alias("rank")).limit(0)
+    local = parts[0]
+    for p in parts[1:]:
+        local = local.unionByName(p)
     # cross-partition replica dedup: the same pair can surface from
     # two partitions with different per-replica sims — keep the max
     best = local.groupBy("qid", "cid").agg(F.max("sim").alias("sim"))
@@ -2183,10 +2306,21 @@ def update_ann_index(spark, batch: DataFrame, index_path: str, *,
         # loud failure (the ledger-geometry hazard, IVF edition).
         # Changing it is an explicit rebuild.
         if not fs.exists(jvm_geom):
-            raise ValueError(
-                f"index at {index_path} predates the frozen n_assign "
-                "stamp — rebuild it (geometry is persisted since "
-                "update_ann_index gained index_geom)")
+            # Pre-stamp indexes were all built single-assignment, so
+            # extending with n_assign=1 is provably safe — grandfather
+            # it by writing the stamp now instead of forcing a rebuild.
+            # Any OTHER multiplicity still refuses: mixing it into a
+            # single-assignment ledger is exactly the hazard the stamp
+            # exists to catch.
+            if int(n_assign) != 1:
+                raise ValueError(
+                    f"index at {index_path} predates the frozen "
+                    "n_assign stamp (built with n_assign=1); "
+                    f"extending it with n_assign={n_assign} would mix "
+                    "row multiplicities — rebuild instead")
+            from ..catalog import literal_df
+            literal_df(spark, [(1,)], "n_assign int") \
+                .coalesce(1).write.mode("overwrite").parquet(geom_path)
         frozen = spark.read.parquet(geom_path).collect()[0]["n_assign"]
         if int(frozen) != int(n_assign):
             raise ValueError(
@@ -2274,6 +2408,43 @@ PQ_INDEX_BUCKETS = 16  # landed-codes physical partitioning (pure
 # pruning key; xxhash64 of the id spreads any id distribution)
 
 
+def _books_from_rows(brows, shape):
+    """Reconstruct the codebook array from its landed (s, c, pos, v)
+    rows — ONE reconstruction shared by every extend path and
+    first-build readback, so a schema change can never desynchronize
+    what two paths encode against."""
+    import numpy as np
+
+    out = np.zeros(shape)
+    for r in brows:
+        out[r["s"], r["c"], r["pos"]] = r["v"]
+    return out
+
+
+def _read_landed_books(spark, books_path: str, n_sub: int):
+    """Read frozen codebooks back from their landed parquet."""
+    brows = spark.read.parquet(books_path).collect()
+    sub_d = 1 + max(r["pos"] for r in brows)
+    eff_cents = 1 + max(r["c"] for r in brows)
+    return _books_from_rows(brows, (n_sub, eff_cents, sub_d))
+
+
+def _write_landed_books(spark, books, books_path: str) -> None:
+    """Land the codebook array as (s, c, pos, v) rows. Books rows
+    exceed literal_df's ~1k cap (32×256×2 = 16k) — written via an
+    Arrow-backed createDataFrame ONCE at build time (not a hot path;
+    the landed parquet is the hot read)."""
+    import pandas as pd
+
+    rows = [(int(s), int(c), int(p), float(books[s, c, p]))
+            for s in range(books.shape[0])
+            for c in range(books.shape[1])
+            for p in range(books.shape[2])]
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["s", "c", "pos", "v"])) \
+        .coalesce(1).write.mode("overwrite").parquet(books_path)
+
+
 def update_pq_index(spark, batch: DataFrame, index_path: str, *,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     k: int = 5, n_sub: int = PQ_SUB,
@@ -2311,17 +2482,6 @@ def update_pq_index(spark, batch: DataFrame, index_path: str, *,
     import os
     import uuid
 
-    import numpy as np
-
-    def _books_from_rows(brows, shape):
-        # ONE reconstruction for both the extend path and the
-        # first-build readback, so a schema change can never
-        # desynchronize what the two paths encode against
-        out = np.zeros(shape)
-        for r in brows:
-            out[r["s"], r["c"], r["pos"]] = r["v"]
-        return out
-
     books_path = os.path.join(index_path, "books")
     geom_path = os.path.join(index_path, "pq_geom")
     codes_path = os.path.join(index_path, "codes")
@@ -2352,10 +2512,7 @@ def update_pq_index(spark, batch: DataFrame, index_path: str, *,
                 f"n_cents, train_iter)={frozen}; extending it with "
                 f"({n_sub}, {n_cents}, {train_iter}) would mix code "
                 "geometries — rebuild instead")
-        brows = spark.read.parquet(books_path).collect()
-        sub_d = 1 + max(r["pos"] for r in brows)
-        eff_cents = 1 + max(r["c"] for r in brows)
-        books = _books_from_rows(brows, (n_sub, eff_cents, sub_d))
+        books = _read_landed_books(spark, books_path, n_sub)
     else:
         if train_iter > 0:
             books = pq_train_books(batch, id_col=id_col,
@@ -2364,17 +2521,7 @@ def update_pq_index(spark, batch: DataFrame, index_path: str, *,
         else:
             books = _pq_books(batch, id_col, vec_col, n_sub, n_cents)
         from ..catalog import literal_df
-        rows = [(int(s), int(c), int(p), float(books[s, c, p]))
-                for s in range(books.shape[0])
-                for c in range(books.shape[1])
-                for p in range(books.shape[2])]
-        # books rows exceed literal_df's ~1k cap (32×256×2 = 16k) —
-        # write via an Arrow-backed createDataFrame ONCE at build
-        # time (not a hot path; the landed parquet is the hot read)
-        import pandas as pd
-        spark.createDataFrame(
-            pd.DataFrame(rows, columns=["s", "c", "pos", "v"])) \
-            .coalesce(1).write.mode("overwrite").parquet(books_path)
+        _write_landed_books(spark, books, books_path)
         literal_df(spark,
                    [(int(n_sub), int(n_cents), int(train_iter))],
                    "n_sub int, n_cents int, train_iter int") \
@@ -2384,8 +2531,7 @@ def update_pq_index(spark, batch: DataFrame, index_path: str, *,
         # leave this invocation encoding against books later batches
         # cannot reproduce (doubles round-trip parquet exactly, so
         # this is normally a no-op)
-        books = _books_from_rows(spark.read.parquet(books_path).collect(),
-                                 books.shape)
+        books = _read_landed_books(spark, books_path, n_sub)
 
     codes = pq_encode(batch, books, id_col=id_col, vec_col=vec_col) \
         .withColumn("bucket", F.pmod(F.xxhash64(F.col(id_col)),
@@ -2418,4 +2564,173 @@ def compact_pq_index(spark, index_path: str, *,
 
     return compact_batch_index(spark, os.path.join(index_path, "codes"),
                                part_col="bucket",
+                               keep_last=keep_last, gc=gc)
+
+
+def update_ivfpq_index(spark, batch: DataFrame, index_path: str, *,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       k: int = 5, n_cells: int = IVF_CELLS,
+                       n_probe: int = IVF_PROBE,
+                       n_assign: int = IVF_ASSIGN,
+                       n_sub: int = PQ_SUB, n_cents: int = PQ_CENTS,
+                       train_iter: int = PQ_TRAIN_ITER,
+                       centroids: str = "hash",
+                       batch_id: str | None = None,
+                       query_chunk: int = PQ_QUERY_CHUNK) -> DataFrame:
+    """Incremental LANDED IVF-PQ index — the FAISS IVFPQ file layout
+    (Jégou et al. 2011 §V; inverted lists of PQ codes) under the
+    epoch-ledger discipline: :func:`update_pq_index` lands flat codes
+    that every query must scan in full, :func:`ivfpq_topk` prunes by
+    cell but re-encodes the corpus per invocation — this operator is
+    both at once, the scale-true layout. Codes land PARTITIONED BY
+    CELL (``codes/batch_id=b<id>/cell=<n>/``), so the probe-side
+    ``cell IN (probed)`` filter becomes parquet directory pruning:
+    each query touches ~n_assign·n_probe/n_cells of the landed
+    ~40 B/vector codes and the raw corpus is read exactly once per
+    ingest increment.
+
+    Both quantizers are FROZEN at index creation and persisted beside
+    the ledger: the coarse quantizer under ``<index_path>/centroids``
+    (hash-picked from the first batch in the private "ipqx:"
+    namespace — never aliasing q42's "ivfx:" or q134's "ipq:" — or
+    spherical k-means with ``centroids="kmeans"``) and the PQ
+    codebooks under ``<index_path>/books`` (Lloyd-trained on the
+    first batch at ``train_iter``; the sampled pick at 0). The codes
+    are PLAIN PQ of the raw vectors (the shipped ivfpq_topk default —
+    the cell only prunes, the codes quantize; replicas therefore
+    carry identical codes and dedup by max-sim is the identity).
+    ``ipq_geom`` stamps (n_cells, n_assign, n_sub, n_cents,
+    train_iter, cent_src) and is written LAST — the commit marker of
+    the first build: books-but-no-stamp or centroids-but-no-stamp is
+    a torn build, refused loudly, and extending under ANY different
+    geometry is refused (the ledger-geometry hazard, composed
+    edition: mixed n_assign skews recall silently, mixed codebooks
+    mis-score silently, a different centroid source re-shuffles every
+    cell).
+
+    Exactly-once: replays overwrite their own ``batch_id=b<id>/``
+    directory (the update_ann_index contract); torn batch writes stay
+    invisible until replayed; :func:`compact_ivfpq_index` folds
+    history keeping the cell partitioning. Returns (qid, cid, sim,
+    rank): the new batch vs everything ingested so far, self
+    excluded, scored by the shared chunked IVF-ADC engine
+    (:func:`_ivfpq_adc_topk` — driver-bounded however large the
+    increment is, probe-pruned at the parquet scan).
+    """
+    import os
+    import uuid
+
+    if centroids not in ("hash", "kmeans"):
+        # validate BEFORE anything persists (the update_ann_index
+        # rule): a typo silently frozen into the quantizer would cost
+        # a full index rebuild
+        raise ValueError(f"unknown centroids source {centroids!r}")
+
+    cent_path = os.path.join(index_path, "centroids")
+    books_path = os.path.join(index_path, "books")
+    geom_path = os.path.join(index_path, "ipq_geom")
+    codes_path = os.path.join(index_path, "codes")
+    batch = batch.filter(F.col(vec_col).isNotNull())
+    if batch.isEmpty():
+        # nothing to index OR the quantizers must not be trained on
+        # nothing (the update_ann_index empty-first-batch rule)
+        return batch.select(
+            F.col(id_col).alias("qid"), F.col(id_col).alias("cid"),
+            F.lit(0.0).alias("sim"), F.lit(0).alias("rank")).limit(0)
+
+    jvm_geom = spark._jvm.org.apache.hadoop.fs.Path(geom_path)
+    fs = jvm_geom.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _exists(p):
+        return fs.exists(spark._jvm.org.apache.hadoop.fs.Path(p))
+
+    if _exists(geom_path):
+        geom = spark.read.parquet(geom_path).collect()[0]
+        frozen = (int(geom["n_cells"]), int(geom["n_assign"]),
+                  int(geom["n_sub"]), int(geom["n_cents"]),
+                  int(geom["train_iter"]), str(geom["cent_src"]))
+        asked = (int(n_cells), int(n_assign), int(n_sub),
+                 int(n_cents), int(train_iter), str(centroids))
+        if frozen != asked:
+            raise ValueError(
+                f"index at {index_path} was built with (n_cells, "
+                "n_assign, n_sub, n_cents, train_iter, cent_src)="
+                f"{frozen}; extending it with {asked} would mix "
+                "index geometries — rebuild instead")
+        cents = spark.read.parquet(cent_path)
+        books = _read_landed_books(spark, books_path, n_sub)
+    elif _exists(cent_path) or _exists(books_path):
+        # quantizer artifacts without the stamp: the first build
+        # crashed between its writes — fail with the rebuild message,
+        # not an opaque PATH_NOT_FOUND or a silent re-train that
+        # would orphan any committed codes
+        raise ValueError(
+            f"index at {index_path} has quantizer artifacts but no "
+            "ipq_geom stamp — a torn first build; rebuild it")
+    else:
+        if centroids == "kmeans":
+            cents = kmeans_centroids(batch, id_col=id_col,
+                                     vec_col=vec_col, n_cells=n_cells)
+        else:
+            cents = _ivf_centroids(batch, id_col, vec_col, n_cells,
+                                   salt="ipqx:")
+        cents.coalesce(1).write.mode("overwrite").parquet(cent_path)
+        cents = spark.read.parquet(cent_path)
+        if train_iter > 0:
+            books = pq_train_books(batch, id_col=id_col,
+                                   vec_col=vec_col, n_sub=n_sub,
+                                   n_cents=n_cents, n_iter=train_iter)
+        else:
+            books = _pq_books(batch, id_col, vec_col, n_sub, n_cents)
+        _write_landed_books(spark, books, books_path)
+        books = _read_landed_books(spark, books_path, n_sub)
+        # the stamp commits the build — written LAST, after both
+        # quantizers are durably landed
+        from ..catalog import literal_df
+        literal_df(spark,
+                   [(int(n_cells), int(n_assign), int(n_sub),
+                     int(n_cents), int(train_iter), str(centroids))],
+                   "n_cells int, n_assign int, n_sub int, "
+                   "n_cents int, train_iter int, cent_src string") \
+            .coalesce(1).write.mode("overwrite").parquet(geom_path)
+
+    # encode ONCE per vector; join the soft cell assignments onto the
+    # codes (the ivfpq_topk composition — cheaper than encoding each
+    # replica) and land partitioned by cell, the probe pruning key
+    codes = pq_encode(batch, books, id_col=id_col, vec_col=vec_col)
+    acells = _nearest_cells(batch, cents, id_col, vec_col, n_assign) \
+        .select(id_col, "cell")
+    indexed_batch = codes.join(acells, id_col)
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex
+    batch_dir = os.path.join(codes_path, f"batch_id=b{batch_id}")
+    indexed_batch.write.mode("overwrite").partitionBy("cell") \
+        .parquet(batch_dir)
+    from .index_ledger import read_live_index, touch_liveness
+    touch_liveness(index_path)
+
+    live = read_live_index(spark, codes_path)
+    indexed = (live.drop("batch_id") if live is not None
+               else indexed_batch.limit(0))
+    return _ivfpq_adc_topk(indexed, batch, cents, books,
+                           id_col=id_col, vec_col=vec_col, k=k,
+                           n_probe=n_probe, query_chunk=query_chunk)
+
+
+def compact_ivfpq_index(spark, index_path: str, *,
+                        keep_last: int = 0,
+                        gc: bool = True) -> int | None:
+    """Fold the IVF-PQ index's accumulated ``codes/batch_id=``
+    directories into a compacted generation (operators/index_ledger
+    protocol). The frozen quantizers under ``<index_path>/centroids``
+    and ``<index_path>/books`` are untouched; the ``cell`` physical
+    partitioning survives, so probe-side partition pruning keeps
+    reading only touched cells."""
+    import os
+
+    from .index_ledger import compact_batch_index
+
+    return compact_batch_index(spark, os.path.join(index_path, "codes"),
+                               part_col="cell",
                                keep_last=keep_last, gc=gc)

@@ -433,6 +433,67 @@ def _oracle_compacted_pq_topk() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Q142: landed IVF-PQ index lifecycle — the composed rung above q141
+# (flat landed codes) and q134 (cell-pruned but re-encoded per
+# invocation): BOTH quantizers freeze on increment 1, codes land
+# partitioned by CELL so the third increment's probes prune the
+# parquet scan to the touched directories, and the top-k of the thin
+# third increment against the compacted history must equal the
+# one-shot frozen-quantizer IVF-ADC over the full ingested corpus
+# (plans/groundtruth.ivfpq_index_topk_truth — the q134 margin-checked
+# replay under the q141 freeze).
+# ---------------------------------------------------------------------------
+
+IPQ_IDX_K = 5
+IPQ_IDX_Q_MOD = 48  # the PQ_IDX_Q_MOD rationale: thin representative
+# third increment; the query side pays chunked ADC tables per
+# invocation
+
+
+def q_compacted_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as sim
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    # geometry tag: coarse cells × soft assignment × probes, PQ
+    # subquantizers × codebook size, train iterations, query modulus —
+    # an index landed under ANY other composed geometry must never be
+    # silently extended (update_ivfpq_index also refuses via its
+    # ipq_geom stamp; the root tag makes the refusal unreachable in
+    # normal operation)
+    root = _index_root(
+        sf_dir,
+        f"ipqidx{sim.IVF_CELLS}a{sim.IVF_ASSIGN}p{sim.IVF_PROBE}"
+        f"s{sim.PQ_SUB}x{sim.PQ_CENTS}t{sim.PQ_TRAIN_ITER}"
+        f"q{IPQ_IDX_Q_MOD}",
+        table="embeddings")
+
+    def b(r: int) -> DataFrame:
+        return vecs.filter(F.pmod(F.col("vec_id"), F.lit(3)) == r)
+
+    if not _built_through(spark, os.path.join(root, "codes"),
+                          {"bip1", "bip2"}):
+        sim.update_ivfpq_index(spark, b(0), root, k=IPQ_IDX_K,
+                               batch_id="ip1")
+        sim.update_ivfpq_index(spark, b(1), root, k=IPQ_IDX_K,
+                               batch_id="ip2")
+        sim.compact_ivfpq_index(spark, root)
+    thin = vecs.filter(
+        F.pmod(F.col("vec_id"), F.lit(IPQ_IDX_Q_MOD)) == 2)
+    out = sim.update_ivfpq_index(spark, thin, root, k=IPQ_IDX_K,
+                                 batch_id="ip3")
+    # pin: the top-k plan lazily scans ledger cell directories a
+    # later invocation's compaction GC may delete (q121/q125/q141
+    # discipline); k x |thin batch| rows
+    return out.orderBy("qid", "rank").localCheckpoint()
+
+
+def _oracle_compacted_ivfpq_topk() -> str:
+    from .groundtruth import oracle_ivfpq_index_topk
+
+    return oracle_ivfpq_index_topk(IPQ_IDX_K, IPQ_IDX_Q_MOD)
+
+
+# ---------------------------------------------------------------------------
 # Q130: streaming mini-batch k-means lifecycle (VERDICT r6 ask #2).
 # The full 2-generation protocol — seed pick, generation 0 streamed
 # as 3 epochs of exact decimal sufficient statistics, ledger
@@ -822,7 +883,9 @@ def q_stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             # compaction sits INSIDE the checked lifecycle: the final
             # fold reads the folded baseline + the last epoch's dir
             sp.compact_expectations(spark, root)
-    out = sp.read_expectations(spark, root, folded=True)
+    # the reader pins the ledger's checks-list fingerprint to the
+    # very suite it is asking about (round-9 geometry discipline)
+    out = sp.read_expectations(spark, root, folded=True, checks=checks)
     # q118's output contract (minus the non-distributive uniqueness
     # rule); pin: the fold lazily scans ledger directories a later
     # invocation's compaction GC could delete (q121 discipline)
@@ -946,6 +1009,15 @@ SPECS = [
               "and frozen, 2 increments -> compaction -> thin 3rd "
               "increment; top-k against the landed codes == one-shot "
               "frozen-books ADC over the ingested corpus",
+              ("H1", "H6", "P2-sim")),
+    QuerySpec("q142_compacted_ivfpq_topk", q_compacted_ivfpq_topk,
+              _oracle_compacted_ivfpq_topk,
+              "landed IVF-PQ index lifecycle: coarse quantizer AND "
+              "codebooks frozen on increment 1, codes landed "
+              "partitioned by cell, 2 increments -> compaction -> "
+              "thin 3rd increment; probe-pruned top-k against the "
+              "landed codes == one-shot frozen-quantizer IVF-ADC "
+              "over the ingested corpus",
               ("H1", "H6", "P2-sim")),
     QuerySpec("q130_stream_kmeans", q_stream_kmeans,
               _oracle_stream_kmeans,

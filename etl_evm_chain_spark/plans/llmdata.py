@@ -884,16 +884,24 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # brute-force scan (audit: rdd_scan ALLOW q126)
     exact = (sim.brute_force_topk(emb, queries, k=k)
              .select("qid", "cid").localCheckpoint())
+    # ONE Lloyd training serves both PQ-coded method rows (round-9,
+    # verdict r8 #3): pq_topk and ivfpq_topk train identical books
+    # from identical (corpus, geometry) inputs — the trainer is
+    # deterministic and partitioning-independent by the decimal-sum
+    # protocol — so injecting the shared array halves the gate's
+    # training passes without moving a single hash
+    books = sim.pq_train_books(emb.filter(F.col("embedding").isNotNull()),
+                               n_iter=sim.PQ_TRAIN_ITER)
     approx = (
         sim.ann_topk(emb, queries, k=k)
         .select(F.lit("lsh").alias("method"), "qid", "cid", "rank")
         .unionByName(sim.ivf_topk(emb, queries, k=k)
                      .select(F.lit("ivf").alias("method"), "qid", "cid",
                              "rank"))
-        .unionByName(sim.pq_topk(emb, queries, k=k)
+        .unionByName(sim.pq_topk(emb, queries, k=k, books=books)
                      .select(F.lit("pq").alias("method"), "qid", "cid",
                              "rank"))
-        .unionByName(sim.ivfpq_topk(emb, queries, k=k)
+        .unionByName(sim.ivfpq_topk(emb, queries, k=k, books=books)
                      .select(F.lit("ivfpq").alias("method"), "qid",
                              "cid", "rank")))
     rel = approx.join(exact, ["qid", "cid"]).localCheckpoint()

@@ -465,6 +465,72 @@ def stream_pq_ingest(vecs: DataFrame, *, index_path: str,
     return w.start()
 
 
+def stream_ivfpq_ingest(vecs: DataFrame, *, index_path: str,
+                        neighbors_dir: str, checkpoint: str,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        k: int = 5, n_cells: int | None = None,
+                        n_probe: int | None = None,
+                        n_assign: int | None = None,
+                        n_sub: int | None = None,
+                        n_cents: int | None = None,
+                        train_iter: int | None = None,
+                        trigger_once: bool = True):
+    """IVF-PQ ingest AT STREAM TIME — the composed twin of
+    stream_ann_ingest (cell pruning) and stream_pq_ingest (landed
+    codes): each micro-batch updates the landed IVF-PQ index
+    (operators/similarity.update_ivfpq_index — coarse quantizer AND
+    codebooks frozen on the FIRST epoch with the ipq_geom stamp) and
+    lands the batch's probe-pruned top-k neighbors against everything
+    ingested so far under ``batch_id=<epoch>/`` in ``neighbors_dir``.
+
+    Exactly-once exactly as the other ingest twins: foreachBatch is
+    at-least-once, and both writes are overwrite-on-replay keyed by
+    the checkpoint's epoch id (codes under
+    ``batch_id=b<epoch>/cell=<n>/``, neighbors under
+    ``batch_id=<epoch>``) — the partition directory IS the ledger
+    entry. Neighbor semantics are as-of-arrival, the ingest-time
+    enrichment contract; a full-history re-query is one
+    ``_ivfpq_adc_topk`` over the final lake. Streaming equals the
+    manual batch loop bit-for-bit (tested).
+
+    State at 100 TB: no executor state — the index is a
+    CELL-partitioned codes lake (~40 B/vector), per-batch cost is one
+    encode pass + map-only soft assignment + a chunked ADC probe that
+    parquet-prunes to the batch's probed cells.
+    """
+    import os
+
+    from ..operators.similarity import (IVF_ASSIGN, IVF_CELLS,
+                                        IVF_PROBE, PQ_CENTS, PQ_SUB,
+                                        PQ_TRAIN_ITER,
+                                        update_ivfpq_index)
+
+    kw = {"n_cells": IVF_CELLS if n_cells is None else n_cells,
+          "n_probe": IVF_PROBE if n_probe is None else n_probe,
+          "n_assign": IVF_ASSIGN if n_assign is None else n_assign,
+          "n_sub": PQ_SUB if n_sub is None else n_sub,
+          "n_cents": PQ_CENTS if n_cents is None else n_cents,
+          "train_iter": (PQ_TRAIN_ITER if train_iter is None
+                         else train_iter)}
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        nbrs = update_ivfpq_index(
+            spark, batch_df, index_path, id_col=id_col,
+            vec_col=vec_col, k=k, batch_id=str(batch_id), **kw)
+        nbrs.write.mode("overwrite").parquet(
+            os.path.join(neighbors_dir, f"batch_id={int(batch_id)}"))
+
+    w = (vecs.writeStream.foreachBatch(per_batch)
+         .option("checkpointLocation", checkpoint))
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def stream_export_shards(docs: DataFrame, *, out_dir: str, checkpoint: str,
                          key: str = "doc_id", n_shards: int = 64,
                          salt: str = "shard", trigger_once: bool = True):
@@ -1321,15 +1387,38 @@ def stream_expectations(events: DataFrame, checks, *, report_dir: str,
     return w.start()
 
 
+def _exp_geom(checks) -> str:
+    """Deterministic fingerprint of an expectations CHECKS LIST — the
+    ledger-geometry stamp, rules edition (round-9, the r8 verdict's
+    CM_DEPTH/CM_WIDTH-style audit): two epochs landed under different
+    suites (a rule added mid-stream, a threshold retuned under the
+    same name) have IDENTICAL report schemas, so their folded sums
+    would silently mix incomparable counts. The fingerprint covers
+    each rule's name, kind, columns, AND predicate expression text —
+    renaming nothing but a threshold still changes it. (The FK dim's
+    CONTENTS are deliberately out of scope: a dim is a relation, not
+    geometry; its drift is a data question the suite itself checks.)
+    """
+    import hashlib
+
+    sig = "|".join(
+        f"{c.name}:{c.kind}:{','.join(c.cols)}:{','.join(c.dim_cols)}:"
+        f"{'' if c.cond is None else str(c.cond)}"
+        for c in checks)
+    return f"x{len(checks)}/" + hashlib.md5(sig.encode()).hexdigest()[:12]
+
+
 def expectations_epoch(batch_df: DataFrame, batch_id: int, *,
                        report_dir: str, checks) -> None:
     """One expectations ledger epoch: the batch's |rules|-row report,
     epoch-stamped in the rows (the drift_epoch convention — explicit
     leaf-dir reads lose the partition column, so the fold needs the
-    stamp inside), landed under ``report_dir/batch_id=<epoch>/`` —
-    the shared body of stream_expectations' foreachBatch closure AND
-    the q139 lifecycle query. The report is a pure function of the
-    batch's rows (exactly-once by overwrite)."""
+    stamp inside) and geometry-stamped with the checks-list
+    fingerprint (:func:`_exp_geom`), landed under
+    ``report_dir/batch_id=<epoch>/`` — the shared body of
+    stream_expectations' foreachBatch closure AND the q139 lifecycle
+    query. The report is a pure function of the batch's rows
+    (exactly-once by overwrite)."""
     import os
 
     from ..operators.expectations import run_expectations
@@ -1337,18 +1426,27 @@ def expectations_epoch(batch_df: DataFrame, batch_id: int, *,
 
     if batch_df.isEmpty():
         return
-    rep = run_expectations(batch_df, checks).withColumn(
-        "epoch", F.lit(int(batch_id)).cast("int"))
+    rep = (run_expectations(batch_df, checks)
+           .withColumn("epoch", F.lit(int(batch_id)).cast("int"))
+           .withColumn("geom", F.lit(_exp_geom(checks))))
     rep.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(report_dir, f"batch_id={int(batch_id)}"))
     touch_liveness(report_dir)
 
 
-def _expectations_fold(df: DataFrame) -> DataFrame:
+def _expectations_fold(df: DataFrame, *,
+                       expected_geom: str | None = None) -> DataFrame:
     """Per-(epoch, check) fold — epochs stay APART (the audit-trail
     contract, like the drift ledger); each pair appears once per live
     source so the sum is an identity that also makes baseline∪epoch
-    unions uniform."""
+    unions uniform. Geometry is asserted GLOBALLY (the matview/kmv
+    discipline): one distinct checks-list fingerprint across every
+    folded row — and equal to the READER's suite when
+    ``expected_geom`` is given — so epochs landed under different
+    rule suites can never sum into one audit trail. The checked bit
+    multiplies into the counts so pruning cannot elide it; ``geom``
+    stays on the output so a compacted baseline re-folds under the
+    same guard."""
     if "epoch" not in df.columns:
         # reports landed before the in-row epoch stamp have no epoch
         # column; fail with the rebuild message, not an opaque
@@ -1357,25 +1455,56 @@ def _expectations_fold(df: DataFrame) -> DataFrame:
             "expectations ledger predates the in-row epoch stamp — "
             "rebuild it (epochs carry the stamp since "
             "expectations_epoch gained it)")
-    return (df.groupBy("epoch", "check")
-            .agg(F.sum("violations").cast("long").alias("violations"),
-                 F.sum("total").cast("long").alias("total"))
+    if "geom" not in df.columns:
+        raise ValueError(
+            "expectations ledger predates the checks-list geometry "
+            "stamp — rebuild it (epochs land the stamp since "
+            "expectations_epoch gained geom)")
+    ok = F.count_distinct("geom") == 1
+    if expected_geom is not None:
+        ok = ok & (F.count(F.when(F.col("geom") != expected_geom,
+                                  F.lit(1))) == 0)
+    want = ("" if expected_geom is None
+            else f"; reader expects {expected_geom}")
+    chk = df.agg(
+        F.when(
+            F.assert_true(
+                # an empty ledger slice folds to nothing — vacuously ok
+                (F.count(F.lit(1)) == 0) | ok,
+                F.concat(
+                    F.lit("expectations geometry mismatch: ledger "
+                          "holds "),
+                    F.concat_ws(",", F.sort_array(F.collect_set("geom"))),
+                    F.lit(want))).isNull(),
+            F.lit(1).cast("long")).alias("_geom_ok"))
+    return (df.crossJoin(F.broadcast(chk))
+            .groupBy("epoch", "check")
+            .agg((F.sum("violations") * F.first("_geom_ok"))
+                 .cast("long").alias("violations"),
+                 (F.sum("total") * F.first("_geom_ok"))
+                 .cast("long").alias("total"),
+                 F.min("geom").alias("geom"))
             .select("epoch", "check", "violations", "total",
                     (F.col("violations") == 0).cast("int")
-                    .alias("passed")))
+                    .alias("passed"), "geom"))
 
 
 def read_expectations(spark: SparkSession, report_dir: str, *,
-                      folded: bool = False) -> DataFrame:
+                      folded: bool = False, checks=None) -> DataFrame:
     """The live reports. Default: one row per (epoch, check) — the
     per-epoch audit trail a gate-keeper reads. ``folded=True`` sums
     the history into corpus-lifetime totals per check — valid ONLY
     for epoch-distributive rules (row predicates, domain/range,
     FK-vs-static-dim): a per-epoch uniqueness rule does NOT
     distribute (cross-epoch duplicates are invisible to every epoch),
-    exactly as stream_expectations' docstring warns."""
+    exactly as stream_expectations' docstring warns. Pass the
+    reader's ``checks`` to ALSO pin the ledger's fingerprint to the
+    suite being asked about (the kmv reader's-k rule) — without it
+    only internal cross-epoch consistency is asserted."""
+    expected = None if checks is None else _exp_geom(checks)
     live = _expectations_fold(
-        spark.read.parquet(*_live_paths(report_dir)))
+        spark.read.parquet(*_live_paths(report_dir)),
+        expected_geom=expected)
     if not folded:
         return live
     return (live.groupBy("check")

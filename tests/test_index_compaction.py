@@ -618,3 +618,160 @@ def test_pq_index_torn_first_build_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="torn first build"):
         sim.update_pq_index(spark, emb.filter(F.col("vec_id") >= 100),
                             idx, k=3, batch_id="t2")
+
+
+# ---------------------------------------------------------------------------
+# Landed IVF-PQ index (update_ivfpq_index, round 9) — the composed
+# layout's own battery: incremental == one-shot under BOTH frozen
+# quantizers, cell-partitioned physical layout, geometry/torn-build
+# refusals, empty-batch no-op.
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_index_incremental_equals_one_shot(spark, tmp_path):
+    """The landed IVF-PQ thesis: three increments against a frozen
+    first-batch coarse quantizer AND frozen first-batch-trained
+    codebooks, with a compaction between, score the third increment
+    IDENTICALLY to a one-shot probe-pruned ADC over the full ingested
+    corpus with the same quantizers — and the compacted index answers
+    exactly like the uncompacted one."""
+    idx_plain = str(tmp_path / "ipq_plain")
+    idx_comp = str(tmp_path / "ipq_comp")
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    b1 = emb.filter(F.col("vec_id") % 3 == 0)
+    b2 = emb.filter(F.col("vec_id") % 3 == 1)
+    b3 = emb.filter((F.col("vec_id") % 3 == 2)
+                    & (F.col("vec_id") < 60))
+    for idx in (idx_plain, idx_comp):
+        sim.update_ivfpq_index(spark, b1, idx, k=3,
+                               batch_id="i1").collect()
+        sim.update_ivfpq_index(spark, b2, idx, k=3,
+                               batch_id="i2").collect()
+    assert sim.compact_ivfpq_index(spark, idx_comp) == 0
+    codes = os.path.join(idx_comp, "codes")
+    assert not any(d.startswith("batch_id=") for d in os.listdir(codes))
+    # frozen quantizers untouched by compaction
+    assert os.path.isdir(os.path.join(idx_comp, "books"))
+    assert os.path.isdir(os.path.join(idx_comp, "centroids"))
+
+    def topk(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    t_plain = topk(sim.update_ivfpq_index(spark, b3, idx_plain, k=3,
+                                          batch_id="i3"))
+    t_comp = topk(sim.update_ivfpq_index(spark, b3, idx_comp, k=3,
+                                         batch_id="i3"))
+    assert t_plain == t_comp and t_comp
+
+    # one-shot twin: BOTH quantizers frozen on batch 1 only, codes +
+    # soft assignments over the full ingested corpus, the same
+    # shared probe-pruned ADC engine
+    cents = sim._ivf_centroids(b1, "vec_id", "embedding",
+                               sim.IVF_CELLS, salt="ipqx:")
+    books = sim.pq_train_books(b1, n_iter=sim.PQ_TRAIN_ITER)
+    full = b1.unionByName(b2).unionByName(b3)
+    codes_df = sim.pq_encode(full, books)
+    acells = sim._nearest_cells(full, cents, "vec_id", "embedding",
+                                sim.IVF_ASSIGN).select("vec_id", "cell")
+    indexed = codes_df.join(acells, "vec_id").localCheckpoint()
+    want = topk(sim._ivfpq_adc_topk(
+        indexed, b3, cents, books, id_col="vec_id",
+        vec_col="embedding", k=3, n_probe=sim.IVF_PROBE,
+        query_chunk=sim.PQ_QUERY_CHUNK))
+    assert t_comp == want
+
+    # replay a FOLDED batch: served from the baseline, no duplicates
+    t_replay = sim.update_ivfpq_index(spark, b2, idx_comp, k=3,
+                                      batch_id="i2").collect()
+    per_q = {}
+    for r in t_replay:
+        per_q.setdefault(r["qid"], []).append(r["cid"])
+    assert t_replay and all(len(v) == len(set(v))
+                            for v in per_q.values())
+
+
+def test_ivfpq_index_lands_codes_partitioned_by_cell(spark, tmp_path):
+    """Cell IS the physical partition key — the probe-side pruning
+    contract: each batch directory fans out into cell=N/
+    subdirectories (parquet directory pruning serves the probe
+    filter), and every soft-assigned replica of a vector carries
+    identical codes (plain-PQ composition)."""
+    idx = str(tmp_path / "ipq_layout")
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    sim.update_ivfpq_index(spark, emb.filter(F.col("vec_id") < 200),
+                           idx, k=3, batch_id="l1").collect()
+    bdir = os.path.join(idx, "codes", "batch_id=bl1")
+    cells = [d for d in os.listdir(bdir) if d.startswith("cell=")]
+    assert cells, "codes must land under cell= partition directories"
+    rows = spark.read.parquet(bdir).collect()
+    # soft assignment: IVF_ASSIGN replicas per vector, identical codes
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["vec_id"], []).append(
+            (tuple(r["codes"]), r["norm"]))
+    assert all(len(v) == sim.IVF_ASSIGN for v in by_id.values())
+    assert all(len(set(v)) == 1 for v in by_id.values())
+
+
+def test_ivfpq_index_rejects_changed_geometry(spark, tmp_path):
+    """(n_cells, n_assign, n_sub, n_cents, train_iter, cent_src) are
+    frozen with the quantizers: extending under ANY different value
+    must refuse loudly (mixed multiplicities skew recall silently,
+    mixed codebooks mis-score silently, a different centroid source
+    re-shuffles every cell)."""
+    import pytest
+
+    idx = str(tmp_path / "ipq_geom")
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    sim.update_ivfpq_index(spark, b1, idx, k=3, batch_id="g1").collect()
+    for kw in ({"n_cells": 8}, {"n_assign": 1}, {"n_sub": 16},
+               {"n_cents": 64}, {"train_iter": 0},
+               {"centroids": "kmeans"}):
+        with pytest.raises(ValueError, match="geometr"):
+            sim.update_ivfpq_index(spark, b2, idx, k=3, **kw)
+    # matching geometry still extends
+    assert sim.update_ivfpq_index(spark, b2, idx, k=3,
+                                  batch_id="g2").count() > 0
+
+
+def test_ivfpq_index_torn_first_build_rejected(spark, tmp_path):
+    """Quantizer artifacts committed but the ipq_geom stamp missing
+    (crash between the writes — the stamp is written LAST as the
+    build's commit marker) must fail with the loud rebuild message,
+    not an opaque parquet PATH_NOT_FOUND and never a silent
+    re-train."""
+    import pytest
+
+    idx = str(tmp_path / "ipq_torn")
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    sim.update_ivfpq_index(spark, emb.filter(F.col("vec_id") < 100),
+                           idx, k=3, batch_id="t1").collect()
+    shutil.rmtree(os.path.join(idx, "ipq_geom"))
+    with pytest.raises(ValueError, match="torn first build"):
+        sim.update_ivfpq_index(spark, emb.filter(F.col("vec_id") >= 100),
+                               idx, k=3, batch_id="t2")
+    # books-only torn build (centroids write also crashed) refuses too
+    shutil.rmtree(os.path.join(idx, "centroids"))
+    with pytest.raises(ValueError, match="torn first build"):
+        sim.update_ivfpq_index(spark, emb.filter(F.col("vec_id") >= 100),
+                               idx, k=3, batch_id="t3")
+
+
+def test_ivfpq_index_empty_batch_is_noop(spark, tmp_path):
+    """An all-NULL first batch must not freeze quantizers trained on
+    nothing (the ANN/PQ empty-first-batch rule): typed empty result,
+    nothing persisted, and a later real batch builds normally."""
+    idx = str(tmp_path / "ipq_empty")
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    nulls = spark.createDataFrame([(900001, None, 0), (900002, None, 0)],
+                                  emb.schema)
+    out = sim.update_ivfpq_index(spark, nulls, idx, k=3, batch_id="e0")
+    assert out.count() == 0
+    assert not os.path.isdir(os.path.join(idx, "books"))
+    assert not os.path.isdir(os.path.join(idx, "centroids"))
+    real = sim.update_ivfpq_index(
+        spark, emb.filter(F.col("vec_id") < 100), idx, k=3,
+        batch_id="e1")
+    assert real.count() > 0

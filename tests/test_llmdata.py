@@ -858,6 +858,22 @@ def test_ivfpq_chunked_queries_equal_one_shot(spark):
     assert one == chunked and one
 
 
+def test_ivfpq_residual_chunked_queries_equal_one_shot(spark):
+    """The residual IVFADC path was the one remaining unchunked query
+    collect (r8 verdict): past query_chunk queries it must stream the
+    set through the same driver-bounded xxhash chunks and return
+    bit-identical rows to its one-shot run — including the exact
+    ⟨q, centroid⟩ base term and max-sim replica dedup."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 12)
+    one = sorted(tuple(r) for r in
+                 sim.ivfpq_topk(emb, q, k=3, residual=True).collect())
+    chunked = sorted(tuple(r) for r in
+                     sim.ivfpq_topk(emb, q, k=3, residual=True,
+                                    query_chunk=5).collect())
+    assert one == chunked and one
+
+
 def test_ann_index_rejects_changed_n_assign(spark, tmp_path):
     """n_assign is an index-time property frozen like the quantizer:
     extending a 2-assignment index with 1-assignment batches would

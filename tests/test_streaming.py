@@ -2208,3 +2208,122 @@ def test_stream_pq_ingest_equals_manual_batches(spark, tmp_path):
     lm = read_live_index(spark, f"{idx_m}/codes") \
         .select("vec_id", "norm", "codes").collect()
     assert sorted(map(tuple, ls)) == sorted(map(tuple, lm))
+
+
+def test_stream_ivfpq_ingest_equals_manual_batches(spark, tmp_path):
+    """The streaming IVF-PQ ingest must land bit-identical neighbor
+    results to a manual update_ivfpq_index loop over the same batches
+    — epoch-1 quantizers (coarse cells AND codebooks) come FROZEN
+    from epoch 0, and a checkpoint-resumed second run adds epoch 1
+    without disturbing epoch 0's landed neighbors."""
+    import math
+
+    from etl_evm_chain_spark.operators.similarity import (
+        update_ivfpq_index)
+
+    def vec(i):
+        return [math.cos(i * 0.7) + 0.1 * j for j in range(4)]
+
+    rows1 = [(i, vec(i)) for i in range(12)]
+    rows2 = [(100 + i, vec(i + 3)) for i in range(8)]
+    schema = "vec_id long, embedding array<float>"
+    kw = dict(n_cells=4, n_probe=2, n_assign=1, n_sub=2, n_cents=4,
+              k=3)
+
+    src = str(tmp_path / "ipq_src")
+    idx_s = str(tmp_path / "ipq_idx_stream")
+    out_s = str(tmp_path / "ipq_out_stream")
+    ckpt = str(tmp_path / "ipq_ckpt")
+
+    def run():
+        stream = spark.readStream.schema(schema) \
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        q = sp.stream_ivfpq_ingest(stream, index_path=idx_s,
+                                   neighbors_dir=out_s,
+                                   checkpoint=ckpt, **kw)
+        q.awaitTermination(120)
+
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run()
+    epoch0 = sorted(map(tuple, spark.read.parquet(out_s)
+                        .select("qid", "cid", "rank").collect()))
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run()
+
+    idx_m = str(tmp_path / "ipq_idx_manual")
+    m0 = update_ivfpq_index(spark,
+                            spark.createDataFrame(rows1, schema),
+                            idx_m, batch_id="0", **kw)
+    m0 = sorted(map(tuple, m0.select("qid", "cid", "rank").collect()))
+    m1 = update_ivfpq_index(spark,
+                            spark.createDataFrame(rows2, schema),
+                            idx_m, batch_id="1", **kw)
+    m1 = sorted(map(tuple, m1.select("qid", "cid", "rank").collect()))
+
+    streamed = spark.read.parquet(out_s)
+    s0 = sorted(map(tuple, streamed.filter("batch_id = 0")
+                    .select("qid", "cid", "rank").collect()))
+    s1 = sorted(map(tuple, streamed.filter("batch_id = 1")
+                    .select("qid", "cid", "rank").collect()))
+    assert s0 == m0 == epoch0   # epoch 0 untouched by epoch 1
+    assert s1 == m1 and s1
+    # the two index lakes hold identical live (code, cell) rows
+    from etl_evm_chain_spark.operators.index_ledger import read_live_index
+    ls = read_live_index(spark, f"{idx_s}/codes") \
+        .select("vec_id", "norm", "codes", "cell").collect()
+    lm = read_live_index(spark, f"{idx_m}/codes") \
+        .select("vec_id", "norm", "codes", "cell").collect()
+    assert sorted(map(tuple, ls)) == sorted(map(tuple, lm))
+
+
+def test_expectations_fold_rejects_mixed_checks_geometry(spark, tmp_path):
+    """Two epochs landed under different rule suites — here the
+    SNEAKIEST variant, the same rule NAME with a retuned threshold —
+    have identical report schemas, so only the checks-list
+    fingerprint can stop the fold from summing incomparable counts
+    (the matview/kmv/cm geometry discipline, rules edition). A
+    matching-suite reader pin passes; a different-suite pin trips the
+    same stamp."""
+    import pytest
+
+    from etl_evm_chain_spark.operators.expectations import expect
+
+    rpd = str(tmp_path / "eg_reports")
+    suite_a = [expect("v_cap", F.col("v") < 5)]
+    suite_b = [expect("v_cap", F.col("v") < 7)]   # same name, retuned
+    df = spark.createDataFrame([(1.0,), (6.0,)], "v double")
+    sp.expectations_epoch(df, 0, report_dir=rpd, checks=suite_a)
+    sp.expectations_epoch(df, 1, report_dir=rpd, checks=suite_b)
+    with pytest.raises(Exception, match="expectations geometry mismatch"):
+        sp.read_expectations(spark, rpd).collect()
+    # and compaction refuses to fold them for the same reason
+    with pytest.raises(Exception, match="expectations geometry mismatch"):
+        sp.compact_expectations(spark, rpd)
+
+    # healthy single-suite ledger: folds fine, and the reader's-suite
+    # pin accepts the matching suite but trips on any other
+    rpd2 = str(tmp_path / "eg2_reports")
+    for e in (0, 1):
+        sp.expectations_epoch(df, e, report_dir=rpd2, checks=suite_a)
+    out = sp.read_expectations(spark, rpd2, folded=True,
+                               checks=suite_a).collect()
+    assert out and out[0]["total"] == 4
+    with pytest.raises(Exception, match="expectations geometry mismatch"):
+        sp.read_expectations(spark, rpd2, checks=suite_b).collect()
+
+
+def test_expectations_ledger_predating_geom_stamp_refuses(spark, tmp_path):
+    """Reports landed before the checks-list stamp have no geom
+    column; the fold must fail with the loud rebuild message, not an
+    opaque UNRESOLVED_COLUMN (the matview/drift legacy-guard rule)."""
+    import pytest
+
+    rpd = str(tmp_path / "el_reports")
+    spark.createDataFrame(
+        [("v_cap", 1, 2, 0, 0)],
+        "check string, violations long, total long, passed int, "
+        "epoch int").coalesce(1).write.parquet(rpd + "/batch_id=0")
+    with pytest.raises(ValueError, match="checks-list geometry stamp"):
+        sp.read_expectations(spark, rpd)
