@@ -12,79 +12,62 @@ _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
             textstats_q, skew_q, ingest_q, quality_q, ledger_q]
 
 # The correctness driver samples the FIRST 50 registry entries.
-# Round 8 rotation (changed plans outrank staleness; staleness =
-# union of CORRECTNESS_r01-r07 last-green rounds):
-# (a) outputs/plans changed this round — q133 (new streaming drift
-# lifecycle, first-ever hash), q42/q125/q126 (IVF_ASSIGN=2 soft
-# assignment changed the candidate sets), q41 (ADVICE r7: its output
-# moved with the r7 minhash family swap — it derives from the LSH
-# candidate set like q35 — but it missed the r7 window), q132
-# (histogram clamp order + documented long-cast bound; also an r7
-# newcomer), q130 (final fold now generation-pinned; r7 newcomer),
-# q131 (r7 newcomer) — newcomers stay until twice-green;
-# (b) the full r01/r02-stale set the r7 verdict scheduled (q02, q04,
-# q05, q13, q75, q78, q84, q85, q89, q90, q99, q100);
-# (c) everything last checked r03 (13 queries), r04 (11), r05 (4);
-# (d) q135 (new sketch-accuracy gate, first-ever hash) — it takes
-# the slot that briefly held q44 (r6-green, plan unchanged, replica
-# re-verified every round); q126 still re-hashes with a 4th method
-# row (ivfpq joined the recall gate).
-# Rotated OUT (driver-green in r6/r7, plans unchanged since):
-# q01, q03, q06-q12, q14-q24, q25-q29, q33-q40, q45, q46, q50-q54,
-# q59, q60, q62-q66, q68, q70-q74, q79, q87, q95, q96, q98,
-# q101-q120, q121, q123, q124, q127-q129.
+# Round 9 rotation (changed plans outrank staleness; staleness =
+# union of CORRECTNESS_r01-r08 last-green rounds):
+# (a) q142 — the new landed IVF-PQ index lifecycle, first-ever hash;
+# (b) the 9 round-8 newcomers q133-q141 stay until twice-green (the
+# standing discipline), and the PQ/ADC family carries ROUND-9 PLAN
+# changes on top (shared _ivfpq_adc_topk scorer + probed-cell
+# pre-filter + per-chunk broadcast lifecycle for q134/q141/q126;
+# _pq_adc_emit self-filter for q73/q141; one shared trained-books
+# pass inside q126 — all verified output-identical locally, but the
+# plans moved so the re-hash is REQUIRED, not just hygiene);
+# (c) q42/q125/q73/q41/q126 changed outputs in r8 (soft assignment /
+# trained codebooks / family swap) and are once-green since — second
+# green this round;
+# (d) the five r4-stale queries the r8 verdict scheduled (q86, q97,
+# q110, q111, q112) plus the r5 pair (q57, q83) — after this round
+# no query's last driver check is older than r06;
+# (e) the remaining 28 slots take the r6-stale set's heavier plans
+# (EVM decode family, backtest/ML, sketch/expectation/mv, lifecycle
+# q122/q124, graph q74/q114). Deferred to r10 (r6-green, plans
+# unchanged, replica re-verified every round): q27, q52, q59, q87,
+# q102, q104, q105, q106, q113, q116, q120.
+# Rotated OUT (twice-green r7+r8, plans unchanged): q130, q131,
+# q132, q02, q04, q05, q13, q75, q78, q84, q85, q89, q90, q99,
+# q100, q15, q47-q49, q55, q56, q58, q61, q67, q69, q71, q76, q77,
+# q80-q82, q88, q91-q94.
 _PRIORITY = [
     # ---- EXACTLY the driver's 50-slot window, all oracle-backed ----
     # new this round (first hash):
+    "q142_compacted_ivfpq_topk",
+    # r8 newcomers until twice-green; q134/q141 also re-hash for the
+    # r9 scorer/emit plan changes:
     "q133_stream_drift", "q134_ivfpq_topk", "q135_sketch_error_gate",
     "q136_stream_kmv", "q137_stream_cm", "q138_stream_matview",
     "q139_stream_expectations", "q140_stream_shards",
     "q141_compacted_pq_topk",
-    # outputs changed by IVF soft assignment (re-hash required):
+    # changed in r8 (once-green since) — second green; q73/q126 also
+    # re-hash for the r9 emit/books-sharing plan changes:
     "q42_ivf_topk", "q125_compacted_ann_topk", "q126_ann_recall",
-    # outputs changed by the round-8 Lloyd-trained codebook default
-    # (PQ_TRAIN_ITER=1; oracles moved with the operator via
-    # _train_books_np — re-hash REQUIRED; q134/q126 above re-hash
-    # for the same reason on top of being new/4th-method rows; the
-    # slot originally came from q57_stratified_sample, r5-green and
-    # untouched):
-    "q73_pq_topk",
-    # ADVICE r7: missed the r7 re-hash after the family swap:
-    "q41_dedup_resolve",
-    # round-7 newcomers: keep until twice-green (q130/q132 also
-    # carry round-8 plan hardenings):
-    "q130_stream_kmeans", "q131_neardup_envelope",
-    "q132_quality_drift",
-    # longest-stale, complete r01/r02 set:
-    "q02_top_revenue_customers", "q04_order_priority_semi",
-    "q05_customers_without_orders", "q13_union_concat",
-    "q75_char_entropy", "q78_funnel", "q84_retention_cohorts",
-    "q85_volume_anomaly", "q89_salted_agg", "q90_skew_join",
-    "q99_media_chunks", "q100_session_window",
-    # complete r03 set:
-    "q47_sessionize", "q48_rollup", "q49_unpivot", "q55_range_join",
-    "q61_media_stats", "q67_temperature_mix", "q77_mad_outliers",
-    "q82_dup_cluster_histogram", "q88_rolling_active_users",
-    "q91_cube_totals", "q92_above_avg_orders", "q93_customer_segments",
-    "q94_range_frame_hourly",
-    # complete r04 set:
-    # (q112_orc_roundtrip, q111_jsonl_roundtrip, q110_matrix_abi,
-    # q97_bucketed_knn, and q86_nation_trade yield their slots to the
-    # new q136-q140 — first-hashing a NEW query outranks r4-stale
-    # hygiene re-hashes; all five are plan-unchanged since their r4
-    # greens and replica re-verified every round)
-    "q15_time_split", "q56_hash_split", "q58_topk_quality",
-    "q76_zipf_slope", "q80_chunk_documents", "q81_dataset_card",
-    # r05 set minus q57 (yielded to q73's plan re-hash) and minus
-    # q83_bigram_surprisal (yielded to the new q141 — first-hashing a
-    # NEW query outranks an r4-stale hygiene re-hash; q83's plan is
-    # unchanged since its r4 green and replica re-verified every
-    # round):
-    "q69_span_dedup",
-    "q71_unigram_surprisal",
-    # (q44/q122 — the r06 re-hash candidates — yield their slots to
-    # the new q134/q135: their plans are unchanged since their r6
-    # greens and the local replica re-verifies them every round)
+    "q73_pq_topk", "q41_dedup_resolve",
+    # r4/r5-stale hygiene (the r8 verdict's ask #5):
+    "q86_nation_trade", "q97_bucketed_knn", "q110_matrix_abi",
+    "q111_jsonl_roundtrip", "q112_orc_roundtrip",
+    "q57_stratified_sample", "q83_bigram_surprisal",
+    # r6-stale set (28 of 39; the 11 lightest defer to r10):
+    "q25_backtest_pct", "q26_backtest_zscore", "q29_ml_signals",
+    "q44_decode_transfers", "q45_topic_routing",
+    "q46_transfer_rollup", "q51_merge_upsert", "q53_approx_stats",
+    "q54_asof_join", "q68_semantic_dedup", "q70_balance_ledger",
+    "q72_knn_classify", "q74_pagerank", "q95_dynamic_abi",
+    "q96_bucketed_near_dups", "q98_sender_recovery",
+    "q101_dup_spans", "q103_bpe_tokens", "q107_tuple_abi",
+    "q108_shard_manifest", "q109_tuple_array_abi",
+    "q114_copurchase_triangles", "q115_kmv_distinct",
+    "q117_cm_heavy_hitters", "q118_expectations",
+    "q119_incremental_mv", "q122_compacted_exact_survivors",
+    "q124_leakage_safe_split",
 ]
 
 assert len(_PRIORITY) == 50, "driver window must be exactly 50 entries"
