@@ -143,6 +143,9 @@ def main() -> None:
                             (_lq.q_compacted_exact_survivors, "q122"),
                             (_lq.q_compacted_ann_topk, "q125"),
                             (_lq.q_compacted_pq_topk, "q141"),
+                            (_lq.q_compacted_ivfpq_topk, "q142"),
+                            (_lq.q_ivfpq_serving, "q143"),
+                            (_lq.q_ann_serving, "q144"),
                             (_lq.q_stream_kmeans, "q130"),
                             (_lq.q_stream_drift, "q133"),
                             (_lq.q_stream_kmv, "q136"),

@@ -2387,6 +2387,50 @@ def update_ann_index(spark, batch: DataFrame, index_path: str, *,
     return _probe_score_topk(index, probed, k)
 
 
+def probe_ann_index(spark, queries: DataFrame, index_path: str, *,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding", k: int = 5,
+                    n_probe: int = 4) -> DataFrame:
+    """READ-ONLY serving path for a landed IVF (exact-scoring) index
+    — the :func:`probe_pq_index` contract for the raw-vector tier:
+    queries are assigned their ``n_probe`` nearest FROZEN cells and
+    exact-cosine-scored against the live index rows in those cells
+    only (cell is the physical partition key, so the join prunes to
+    the probed directories). Touches no ledger state: no batch
+    directory, no liveness stamp, no quantizer writes — a lookup
+    fleet runs this while one ingest process owns
+    ``update_ann_index``. ``n_probe`` is the query-time recall/IO
+    dial; the index-time geometry (the quantizer itself, n_assign)
+    is frozen on disk and not consulted here — a probe reads cells,
+    it does not land under them. Refuses loudly when no quantizer
+    exists (a probe must never train one)."""
+    import os
+
+    cent_path = os.path.join(index_path, "centroids")
+    cells_path = os.path.join(index_path, "cells")
+    jvm_cent = spark._jvm.org.apache.hadoop.fs.Path(cent_path)
+    fs = jvm_cent.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_cent):
+        raise ValueError(
+            f"no committed ANN index at {index_path} (missing "
+            "centroids) — build one with update_ann_index before "
+            "probing")
+    cents = spark.read.parquet(cent_path)
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    from .index_ledger import read_live_index
+
+    live = read_live_index(spark, cells_path)
+    if live is None:
+        return spark.range(0).select(
+            F.col("id").alias("qid"), F.col("id").alias("cid"),
+            F.lit(0.0).alias("sim"), F.lit(0).alias("rank")).limit(0)
+    probed = _nearest_cells(queries, cents, id_col, vec_col,
+                            n_probe).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"),
+        "cell")
+    return _probe_score_topk(live.drop("batch_id"), probed, k)
+
+
 def compact_ann_index(spark, index_path: str, *,
                       keep_last: int = 0, gc: bool = True) -> int | None:
     """Fold the IVF index's accumulated ``cells/batch_id=``
@@ -2565,6 +2609,95 @@ def compact_pq_index(spark, index_path: str, *,
     return compact_batch_index(spark, os.path.join(index_path, "codes"),
                                part_col="bucket",
                                keep_last=keep_last, gc=gc)
+
+
+def probe_pq_index(spark, queries: DataFrame, index_path: str, *,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   k: int = 5,
+                   query_chunk: int = PQ_QUERY_CHUNK) -> DataFrame:
+    """READ-ONLY serving path for a landed PQ index: score ``queries``
+    against everything ingested so far WITHOUT ingesting them — the
+    production query API (``update_pq_index`` is the ingest API; its
+    probe side always ingests the batch first, so a pure lookup
+    workload would bloat the ledger with query batches). Touches no
+    ledger state: no batch directory, no liveness stamp, no quantizer
+    writes — a serving fleet can hammer this while one ingest process
+    owns the writes.
+
+    The frozen codebooks and their ``pq_geom`` stamp must already
+    exist (a probe can never train — refusing loudly beats freezing
+    books on a query workload); geometry (n_sub) comes from the
+    stamp, not the caller. Queries need not be in the index; a query
+    id that IS indexed keeps the self-excluded contract. Returns
+    (qid, cid, sim, rank) via the chunked ADC engine — driver-bounded
+    however large the query set is."""
+    import os
+
+    books_path = os.path.join(index_path, "books")
+    geom_path = os.path.join(index_path, "pq_geom")
+    codes_path = os.path.join(index_path, "codes")
+    jvm_geom = spark._jvm.org.apache.hadoop.fs.Path(geom_path)
+    fs = jvm_geom.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_geom):
+        raise ValueError(
+            f"no committed PQ index at {index_path} (missing pq_geom "
+            "stamp) — build one with update_pq_index before probing")
+    geom = spark.read.parquet(geom_path).collect()[0]
+    books = _read_landed_books(spark, books_path, int(geom["n_sub"]))
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    from .index_ledger import read_live_index
+
+    live = read_live_index(spark, codes_path)
+    if live is None:
+        return spark.range(0).select(
+            F.col("id").alias("qid"), F.col("id").alias("cid"),
+            F.lit(0.0).alias("sim"), F.lit(0).alias("rank")).limit(0)
+    return _adc_topk_codes(live.drop("batch_id", "bucket"), queries,
+                           books, id_col=id_col, vec_col=vec_col,
+                           k=k, query_chunk=query_chunk)
+
+
+def probe_ivfpq_index(spark, queries: DataFrame, index_path: str, *,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding", k: int = 5,
+                      n_probe: int = IVF_PROBE,
+                      query_chunk: int = PQ_QUERY_CHUNK) -> DataFrame:
+    """READ-ONLY serving path for a landed IVF-PQ index — the
+    :func:`probe_pq_index` contract with coarse pruning: queries
+    probe their ``n_probe`` nearest frozen cells and score only the
+    landed codes in those cells (parquet directory pruning via the
+    cell partition key). ``n_probe`` is a query-time dial (more
+    probes = more recall, more directories read) — unlike the
+    ``ipq_geom``-frozen index-time geometry, which comes from the
+    stamp. Touches no ledger state."""
+    import os
+
+    cent_path = os.path.join(index_path, "centroids")
+    books_path = os.path.join(index_path, "books")
+    geom_path = os.path.join(index_path, "ipq_geom")
+    codes_path = os.path.join(index_path, "codes")
+    jvm_geom = spark._jvm.org.apache.hadoop.fs.Path(geom_path)
+    fs = jvm_geom.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_geom):
+        raise ValueError(
+            f"no committed IVF-PQ index at {index_path} (missing "
+            "ipq_geom stamp) — build one with update_ivfpq_index "
+            "before probing")
+    geom = spark.read.parquet(geom_path).collect()[0]
+    cents = spark.read.parquet(cent_path)
+    books = _read_landed_books(spark, books_path, int(geom["n_sub"]))
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    from .index_ledger import read_live_index
+
+    live = read_live_index(spark, codes_path)
+    if live is None:
+        return spark.range(0).select(
+            F.col("id").alias("qid"), F.col("id").alias("cid"),
+            F.lit(0.0).alias("sim"), F.lit(0).alias("rank")).limit(0)
+    return _ivfpq_adc_topk(live.drop("batch_id"), queries, cents,
+                           books, id_col=id_col, vec_col=vec_col,
+                           k=k, n_probe=n_probe,
+                           query_chunk=query_chunk)
 
 
 def update_ivfpq_index(spark, batch: DataFrame, index_path: str, *,

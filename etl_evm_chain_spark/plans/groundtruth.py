@@ -943,8 +943,8 @@ def pq_index_topk_truth(sf_dir: str, k: int, q_mod: int) -> list[tuple]:
 
 
 @lru_cache(maxsize=4)
-def ivfpq_index_topk_truth(sf_dir: str, k: int,
-                           q_mod: int) -> list[tuple]:
+def ivfpq_index_topk_truth(sf_dir: str, k: int, q_mod: int,
+                           ingest_third: bool = True) -> list[tuple]:
     import numpy as np
 
     from ..operators.similarity import (IVF_ASSIGN, IVF_CELLS,
@@ -977,7 +977,12 @@ def ivfpq_index_topk_truth(sf_dir: str, k: int,
         .transpose(1, 0, 2)
     books = _train_books_np(mat0, books, PQ_TRAIN_ITER)
 
-    idx = (ids % 3 <= 1) | (ids % q_mod == 2)
+    # ingest_third=False is the q143 SERVING truth: the thin query
+    # set is probed read-only against batches 0-1 only, never landed
+    # (q_mod is a multiple of 3, so the query ids — ≡2 mod 3 — are
+    # disjoint from the ingested corpus by construction)
+    idx = ((ids % 3 <= 1) | (ids % q_mod == 2)) if ingest_third \
+        else (ids % 3 <= 1)
     iids, imat = ids[idx], mat[idx]
     inorms = np.sqrt((imat * imat).sum(axis=1))
     isubs = imat.reshape(len(imat), PQ_SUB, sub_d)
@@ -1010,15 +1015,17 @@ def ivfpq_index_topk_truth(sf_dir: str, k: int,
         lead = [qsim[j] for j in top[:k + 1]]
         if sorted(set(lead), reverse=True) != lead:
             raise RuntimeError(
-                "q142 ground truth: quantized sim ties inside the "
-                "rank-k region — pinned top-k would be ambiguous")
+                "q142/q143 ground truth: quantized sim ties inside "
+                "the rank-k region — pinned top-k would be ambiguous")
         for r, j in enumerate(top[:k], start=1):
             out.append((int(qid), int(iids[cand[j]]), float(qsim[j]), r))
     return out
 
 
-def oracle_ivfpq_index_topk(k: int, q_mod: int) -> str:
-    rows = ivfpq_index_topk_truth(oracle_ctx.sf_dir(), k, q_mod)
+def oracle_ivfpq_index_topk(k: int, q_mod: int,
+                            ingest_third: bool = True) -> str:
+    rows = ivfpq_index_topk_truth(oracle_ctx.sf_dir(), k, q_mod,
+                                  ingest_third)
     vals = ",\n  ".join(
         f"({q},{c},{repr(s)},{r})" for q, c, s, r in rows)
     return f"""

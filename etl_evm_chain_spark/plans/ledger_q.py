@@ -494,6 +494,158 @@ def _oracle_compacted_ivfpq_topk() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Q143: the SERVING path of the landed IVF-PQ index —
+# probe_ivfpq_index is read-only (no batch directory, no liveness
+# touch, no quantizer writes): the production lookup API a query
+# fleet hammers while one ingest process owns the writes. The
+# lifecycle builds increments 1-2 and compacts; the thin query set is
+# then probed WITHOUT being ingested (q_mod is a multiple of 3, so
+# the query ids are provably disjoint from the landed corpus), and
+# the result must equal the frozen-quantizer IVF-ADC over batches
+# 0-1 only (ivfpq_index_topk_truth with ingest_third=False). The
+# read-only property itself is pytest-pinned (directory listing
+# unchanged by a probe).
+# ---------------------------------------------------------------------------
+
+
+def q_ivfpq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as sim
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    # own root — NEVER q142's: sharing would make this query's
+    # output depend on whether q142's third increment had already
+    # landed in this process (ordering-dependent hashes)
+    root = _index_root(
+        sf_dir,
+        f"ipqsrv{sim.IVF_CELLS}a{sim.IVF_ASSIGN}p{sim.IVF_PROBE}"
+        f"s{sim.PQ_SUB}x{sim.PQ_CENTS}t{sim.PQ_TRAIN_ITER}"
+        f"q{IPQ_IDX_Q_MOD}",
+        table="embeddings")
+
+    def b(r: int) -> DataFrame:
+        return vecs.filter(F.pmod(F.col("vec_id"), F.lit(3)) == r)
+
+    if not _built_through(spark, os.path.join(root, "codes"),
+                          {"bsv1", "bsv2"}):
+        sim.update_ivfpq_index(spark, b(0), root, k=IPQ_IDX_K,
+                               batch_id="sv1")
+        sim.update_ivfpq_index(spark, b(1), root, k=IPQ_IDX_K,
+                               batch_id="sv2")
+        sim.compact_ivfpq_index(spark, root)
+    thin = vecs.filter(
+        F.pmod(F.col("vec_id"), F.lit(IPQ_IDX_Q_MOD)) == 2)
+    out = sim.probe_ivfpq_index(spark, thin, root, k=IPQ_IDX_K)
+    # pin: the probe plan lazily scans ledger cell directories a
+    # later invocation's compaction GC may delete (q142 discipline)
+    return out.orderBy("qid", "rank").localCheckpoint()
+
+
+def _oracle_ivfpq_serving() -> str:
+    from .groundtruth import oracle_ivfpq_index_topk
+
+    return oracle_ivfpq_index_topk(IPQ_IDX_K, IPQ_IDX_Q_MOD,
+                                   ingest_third=False)
+
+
+# ---------------------------------------------------------------------------
+# Q144: the SERVING path of the landed IVF (exact-scoring) index —
+# probe_ann_index is q143's contract for the raw-vector tier: the
+# lifecycle builds increments 1-2 of q125's index shape and compacts;
+# the thin query set is then probed read-only (disjoint from the
+# landed corpus — ANN_Q_MOD is a multiple of 3), and the result must
+# equal the frozen-quantizer IVF top-k over batches 0-1 only. Unlike
+# q143 this oracle is PURE SQL (exact cosine scoring — no codebooks),
+# the q125 oracle with the ingest clause dropped.
+# ---------------------------------------------------------------------------
+
+
+def q_ann_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as sim
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    # own root — never q125's (the q143 ordering-dependence rule)
+    root = _index_root(
+        sf_dir,
+        f"annsrv{ANN_CELLS}a{sim.IVF_ASSIGN}p{ANN_PROBE}q{ANN_Q_MOD}",
+        table="embeddings")
+
+    def b(r: int) -> DataFrame:
+        return vecs.filter(F.pmod(F.col("vec_id"), F.lit(3)) == r)
+
+    if not _built_through(spark, os.path.join(root, "cells"),
+                          {"bas1", "bas2"}):
+        sim.update_ann_index(spark, b(0), root, n_cells=ANN_CELLS,
+                             n_probe=ANN_PROBE, k=ANN_K,
+                             batch_id="as1")
+        sim.update_ann_index(spark, b(1), root, n_cells=ANN_CELLS,
+                             n_probe=ANN_PROBE, k=ANN_K,
+                             batch_id="as2")
+        sim.compact_ann_index(spark, root)
+    thin = vecs.filter(F.pmod(F.col("vec_id"), F.lit(ANN_Q_MOD)) == 2)
+    out = sim.probe_ann_index(spark, thin, root, k=ANN_K,
+                              n_probe=ANN_PROBE)
+    # pin: the probe plan lazily scans ledger cell directories a
+    # later invocation's compaction GC may delete (q125 discipline)
+    return out.orderBy("qid", "rank").localCheckpoint()
+
+
+def _oracle_ann_serving() -> str:
+    from ..operators.similarity import IVF_ASSIGN
+    from .llmdata import _SQL_DOT
+
+    cos = ("{d} / (sqrt({na}) * sqrt({nb}))").format(
+        d=_SQL_DOT.format(a="{a}", b="{b}"),
+        na=_SQL_DOT.format(a="{a}", b="{a}"),
+        nb=_SQL_DOT.format(a="{b}", b="{b}"))
+    h = _sql_hash15("'ivfx:' || CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH cent_rows AS (
+  SELECT vec_id, embedding, {h} AS h
+  FROM embeddings WHERE vec_id % 3 = 0
+  ORDER BY h, vec_id LIMIT {ANN_CELLS}
+),
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cell,
+         embedding AS cent
+  FROM cent_rows
+),
+scored_cells AS (
+  SELECT e.vec_id, e.embedding, c.cell,
+         {cos.format(a="e.embedding", b="c.cent")} AS csim
+  FROM embeddings e CROSS JOIN cents c
+),
+ranked_cells AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY csim DESC, cell ASC) AS cr
+  FROM scored_cells
+),
+assigned AS (
+  SELECT vec_id AS cid, embedding AS cv, cell
+  FROM ranked_cells
+  WHERE cr <= {IVF_ASSIGN} AND vec_id % 3 IN (0, 1)
+),
+probed AS (
+  SELECT vec_id AS qid, embedding AS qv, cell
+  FROM ranked_cells
+  WHERE cr <= {ANN_PROBE} AND vec_id % {ANN_Q_MOD} = 2
+),
+cand AS (
+  SELECT DISTINCT qid, cid, {cos.format(a="qv", b="cv")} AS sim
+  FROM assigned JOIN probed USING (cell)
+  WHERE qid != cid
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY sim DESC, cid ASC) AS rank
+  FROM cand
+)
+SELECT qid, cid, round(sim, 6) AS sim, rank
+FROM ranked WHERE rank <= {ANN_K}
+ORDER BY qid, rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # Q130: streaming mini-batch k-means lifecycle (VERDICT r6 ask #2).
 # The full 2-generation protocol — seed pick, generation 0 streamed
 # as 3 epochs of exact decimal sufficient statistics, ledger
@@ -1019,6 +1171,20 @@ SPECS = [
               "landed codes == one-shot frozen-quantizer IVF-ADC "
               "over the ingested corpus",
               ("H1", "H6", "P2-sim")),
+    QuerySpec("q143_ivfpq_serving", q_ivfpq_serving,
+              _oracle_ivfpq_serving,
+              "read-only serving probe of the landed IVF-PQ index: "
+              "queries scored against the compacted history WITHOUT "
+              "being ingested == frozen-quantizer IVF-ADC over "
+              "batches 0-1 only",
+              ("H1", "P2-sim")),
+    QuerySpec("q144_ann_serving", q_ann_serving,
+              _oracle_ann_serving,
+              "read-only serving probe of the landed IVF index: "
+              "exact-cosine top-k of un-ingested queries against the "
+              "compacted batches 0-1 cells == pure-SQL "
+              "frozen-quantizer IVF",
+              ("H1", "P2-sim")),
     QuerySpec("q130_stream_kmeans", q_stream_kmeans,
               _oracle_stream_kmeans,
               "streaming mini-batch k-means lifecycle: 2 generations "

@@ -775,3 +775,111 @@ def test_ivfpq_index_empty_batch_is_noop(spark, tmp_path):
         spark, emb.filter(F.col("vec_id") < 100), idx, k=3,
         batch_id="e1")
     assert real.count() > 0
+
+
+def test_probe_indexes_are_read_only_and_match_one_shot(spark, tmp_path):
+    """The serving path (probe_pq_index / probe_ivfpq_index): queries
+    NOT in the index score against the landed history exactly as the
+    one-shot frozen-quantizer engines would — and the probe leaves
+    the ledger byte-untouched (no batch directory, no liveness
+    refresh): the production read/write split."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 3 <= 1)
+    queries = emb.filter((F.col("vec_id") % 3 == 2)
+                         & (F.col("vec_id") < 60))
+
+    def topk(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    def tree(root):
+        return sorted(
+            os.path.join(dp, f)[len(root):]
+            for dp, _, fs in os.walk(root) for f in fs)
+
+    # ---- flat PQ index ----
+    idx_pq = str(tmp_path / "srv_pq")
+    sim.update_pq_index(spark, corpus, idx_pq, k=3,
+                        batch_id="s1").collect()
+    before = tree(idx_pq)
+    got = topk(sim.probe_pq_index(spark, queries, idx_pq, k=3))
+    assert tree(idx_pq) == before          # read-only
+    books = sim.pq_train_books(corpus, n_iter=sim.PQ_TRAIN_ITER)
+    codes_df = sim.pq_encode(corpus, books).localCheckpoint()
+    want = topk(sim._adc_topk_codes(
+        codes_df, queries, books, id_col="vec_id",
+        vec_col="embedding", k=3, query_chunk=sim.PQ_QUERY_CHUNK))
+    assert got == want and got
+
+    # ---- IVF-PQ index ----
+    idx_ipq = str(tmp_path / "srv_ipq")
+    sim.update_ivfpq_index(spark, corpus, idx_ipq, k=3,
+                           batch_id="s1").collect()
+    before = tree(idx_ipq)
+    got = topk(sim.probe_ivfpq_index(spark, queries, idx_ipq, k=3))
+    assert tree(idx_ipq) == before         # read-only
+    cents = sim._ivf_centroids(corpus, "vec_id", "embedding",
+                               sim.IVF_CELLS, salt="ipqx:")
+    acells = sim._nearest_cells(corpus, cents, "vec_id", "embedding",
+                                sim.IVF_ASSIGN).select("vec_id", "cell")
+    indexed = codes_df.join(acells, "vec_id").localCheckpoint()
+    want = topk(sim._ivfpq_adc_topk(
+        indexed, queries, cents, books, id_col="vec_id",
+        vec_col="embedding", k=3, n_probe=sim.IVF_PROBE,
+        query_chunk=sim.PQ_QUERY_CHUNK))
+    assert got == want and got
+
+
+def test_probe_of_missing_index_refuses_loudly(spark, tmp_path):
+    """A probe can never train or create state: probing a path with
+    no committed index must fail with the build-first message, not
+    freeze quantizers on a query workload or return empty rows."""
+    import pytest
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="no committed PQ index"):
+        sim.probe_pq_index(spark, q, str(tmp_path / "nope_pq"))
+    with pytest.raises(ValueError, match="no committed IVF-PQ index"):
+        sim.probe_ivfpq_index(spark, q, str(tmp_path / "nope_ipq"))
+
+
+def test_probe_ann_index_read_only_and_matches_one_shot(spark, tmp_path):
+    """probe_ann_index, the raw-vector serving tier: un-ingested
+    queries exact-cosine-score against the live cells exactly as the
+    frozen-quantizer composition would, the ledger stays
+    byte-untouched, and probing a path with no quantizer refuses
+    loudly."""
+    import pytest
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 3 <= 1)
+    queries = emb.filter((F.col("vec_id") % 3 == 2)
+                         & (F.col("vec_id") < 60))
+    idx = str(tmp_path / "srv_ann")
+    sim.update_ann_index(spark, corpus, idx, k=3, batch_id="s1").collect()
+
+    def tree(root):
+        return sorted(
+            os.path.join(dp, f)[len(root):]
+            for dp, _, fs in os.walk(root) for f in fs)
+
+    before = tree(idx)
+    got = sorted(tuple(r) for r in
+                 sim.probe_ann_index(spark, queries, idx, k=3,
+                                     n_probe=4).collect())
+    assert tree(idx) == before             # read-only
+    # one-shot twin against the FROZEN landed quantizer
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    assigned = sim._nearest_cells(corpus, cents, "vec_id", "embedding",
+                                  sim.IVF_ASSIGN).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cvec"), "cell")
+    probed = sim._nearest_cells(queries, cents, "vec_id", "embedding",
+                                4).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"), "cell")
+    want = sorted(tuple(r) for r in
+                  sim._probe_score_topk(assigned, probed, 3).collect())
+    assert got == want and got
+    with pytest.raises(ValueError, match="no committed ANN index"):
+        sim.probe_ann_index(spark, queries, str(tmp_path / "nope_ann"))

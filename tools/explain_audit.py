@@ -206,6 +206,15 @@ _RDD_ALLOW = {
     # chunked ADC engine also pins its projected query slice. k x
     # |thin batch| rows
     "q141_compacted_pq_topk",
+    # the landed IVF-PQ lifecycle: same pin discipline as q141 (the
+    # probe-pruned top-k must not lazily scan ledger cell dirs a
+    # later compaction GC may delete); k x |thin batch| rows
+    "q142_compacted_ivfpq_topk",
+    # its read-only serving probe: same pin discipline; k x |thin
+    # query set| rows
+    "q143_ivfpq_serving",
+    # the IVF index's read-only serving probe: same pin discipline
+    "q144_ann_serving",
     # the recall gate pins the k x |queries|-row exact top-k set
     # (consumed twice: hit join + denominator) instead of re-running
     # the brute-force scan
