@@ -2387,6 +2387,43 @@ def update_ann_index(spark, batch: DataFrame, index_path: str, *,
     return _probe_score_topk(index, probed, k)
 
 
+def rerank_exact(queries: DataFrame, corpus: DataFrame,
+                 shortlist: DataFrame, *, id_col: str = "vec_id",
+                 vec_col: str = "embedding", k: int = 5) -> DataFrame:
+    """Two-stage retrieval tail: EXACT-cosine rerank of an
+    approximate shortlist — the standard production layout (FAISS
+    index + refine step; every ADC tier here trades accuracy for
+    ~40 B/vector scans, and reranking the top-k' shortlist against
+    raw vectors buys the accuracy back for a cost proportional to
+    the SHORTLIST, not the corpus). ``shortlist`` is (qid, cid[,...])
+    from any approximate tier (probe_ivfpq_index, ann_topk, ...);
+    extra columns are ignored — the approximate sims are recomputed
+    exactly, never trusted.
+
+    Plan shape at 100 TB: the shortlist is |queries|·k' rows; the
+    query-vector join is broadcast-sized for bounded probe workloads
+    and the corpus-side join is a plain equi-join on the id (AQE
+    broadcasts the shortlist side when small — the corpus is only
+    read where the join demands it, and a storage layout bucketed by
+    id serves it without a shuffle). Ranking: full-precision cosine
+    (the sequential HOF fold, oracle-portable), ties by cid, sims
+    emitted floor-truncated to micro-units (the engine-portable
+    rule)."""
+    qv = queries.select(F.col(id_col).alias("qid"),
+                        F.col(vec_col).alias("qvec"))
+    cv = corpus.select(F.col(id_col).alias("cid"),
+                       F.col(vec_col).alias("cvec"))
+    scored = (shortlist.select("qid", "cid")
+              .join(qv, "qid").join(cv, "cid")
+              .withColumn("_sim", cosine("qvec", "cvec")))
+    w = Window.partitionBy("qid").orderBy(F.desc("_sim"), F.asc("cid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "cid",
+                    (F.floor(F.col("_sim") * 1e6) / 1e6).alias("sim"),
+                    "rank"))
+
+
 def probe_ann_index(spark, queries: DataFrame, index_path: str, *,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding", k: int = 5,

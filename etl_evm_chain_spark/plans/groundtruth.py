@@ -1022,6 +1022,112 @@ def ivfpq_index_topk_truth(sf_dir: str, k: int, q_mod: int,
     return out
 
 
+# ---------------------------------------------------------------------------
+# q145: two-stage serving — the q143 probe widened to an ADC
+# shortlist, then EXACT-cosine reranked against the raw corpus
+# vectors. Shortlist selection needs no margin (Spark's kernel and
+# this replay run the identical fp64 op order, and both tiebreak by
+# cid); the FINAL rank-k boundary is margin-asserted on the floored
+# EXACT sims like q73/q141/q142.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=4)
+def ivfpq_rerank_truth(sf_dir: str, k: int, q_mod: int,
+                       shortlist_k: int) -> list[tuple]:
+    import numpy as np
+
+    from ..operators.similarity import (IVF_ASSIGN, IVF_CELLS,
+                                        IVF_PROBE, PQ_CENTS, PQ_SUB,
+                                        PQ_TRAIN_ITER)
+
+    assert sf_dir == oracle_ctx.sf_dir()
+    con = oracle_ctx.connect()
+    rows = con.sql(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    d = mat.shape[1]
+    sub_d = d // PQ_SUB
+
+    b0 = ids % 3 == 0
+    ids0, mat0 = ids[b0], mat[b0]
+    chs = np.array([_hash15(f"ipqx:{i}") for i in ids0])
+    corder = np.argsort(chs, kind="mergesort")[:IVF_CELLS]
+    cent_mat = [mat0[j] for j in corder]
+    hs = np.array([_hash15(f"pq:{i}") for i in ids0])
+    order = np.argsort(hs, kind="mergesort")[:PQ_CENTS]
+    books = mat0[order].reshape(len(order), PQ_SUB, sub_d) \
+        .transpose(1, 0, 2)
+    books = _train_books_np(mat0, books, PQ_TRAIN_ITER)
+
+    idx = ids % 3 <= 1                     # serve-only corpus
+    iids, imat = ids[idx], mat[idx]
+    inorms = np.sqrt((imat * imat).sum(axis=1))
+    isubs = imat.reshape(len(imat), PQ_SUB, sub_d)
+    codes = np.empty((len(imat), PQ_SUB), dtype=np.int64)
+    for s in range(PQ_SUB):
+        d2 = ((isubs[:, s, None, :] - books[s][None, :, :]) ** 2
+              ).sum(axis=2)
+        codes[:, s] = d2.argmin(axis=1)
+    assigned = [set(_rank_cells_np(imat[i], cent_mat, IVF_ASSIGN))
+                for i in range(len(iids))]
+
+    qm = ids % q_mod == 2
+    qids, qmat = ids[qm], mat[qm]
+    qnorms = np.sqrt((qmat * qmat).sum(axis=1))
+    tables = np.einsum("qsd,scd->qsc",
+                       qmat.reshape(len(qids), PQ_SUB, sub_d), books)
+
+    out = []
+    for qi, qid in enumerate(qids):
+        probe = set(_rank_cells_np(qmat[qi], cent_mat, IVF_PROBE))
+        cand = np.array([i for i in range(len(iids))
+                         if iids[i] != qid and assigned[i] & probe],
+                        dtype=np.int64)
+        approx = np.zeros(len(cand))
+        for s in range(PQ_SUB):
+            approx += tables[qi, s, codes[cand, s]]
+        sims = approx / (qnorms[qi] * inorms[cand])
+        short = np.lexsort((iids[cand], -sims))[:shortlist_k]
+        scand = cand[short]
+        # exact rerank: the sequential cumsum fold == Spark's HOF
+        # cosine() expression bit-for-bit (the _nearest_cells parity)
+        va = qmat[qi]
+        nv = np.sqrt(np.cumsum(va * va)[-1])
+        exact = np.empty(len(scand))
+        for j, ci in enumerate(scand):
+            cb = imat[ci]
+            nc = np.sqrt(np.cumsum(cb * cb)[-1])
+            exact[j] = np.cumsum(va * cb)[-1] / (nv * nc)
+        top = np.lexsort((iids[scand], -exact))
+        qsim = np.floor(exact * 1e6) / 1e6
+        lead = [qsim[j] for j in top[:k + 1]]
+        if sorted(set(lead), reverse=True) != lead:
+            raise RuntimeError(
+                "q145 ground truth: quantized exact sim ties inside "
+                "the rank-k region — pinned top-k would be ambiguous")
+        for r, j in enumerate(top[:k], start=1):
+            out.append((int(qid), int(iids[scand[j]]),
+                        float(qsim[j]), r))
+    return out
+
+
+def oracle_ivfpq_rerank(k: int, q_mod: int, shortlist_k: int) -> str:
+    rows = ivfpq_rerank_truth(oracle_ctx.sf_dir(), k, q_mod,
+                              shortlist_k)
+    vals = ",\n  ".join(
+        f"({q},{c},{repr(s)},{r})" for q, c, s, r in rows)
+    return f"""
+SELECT CAST(qid AS BIGINT) AS qid, CAST(cid AS BIGINT) AS cid,
+       sim, CAST(rank AS INTEGER) AS rank
+FROM (VALUES
+  {vals}) AS t(qid, cid, sim, rank)
+ORDER BY qid, rank
+"""
+
+
 def oracle_ivfpq_index_topk(k: int, q_mod: int,
                             ingest_third: bool = True) -> str:
     rows = ivfpq_index_topk_truth(oracle_ctx.sf_dir(), k, q_mod,

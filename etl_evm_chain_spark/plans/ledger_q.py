@@ -508,13 +508,16 @@ def _oracle_compacted_ivfpq_topk() -> str:
 # ---------------------------------------------------------------------------
 
 
-def q_ivfpq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivfpq_serving_built(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-needed the SHARED serving ledger (batches 0-1 +
+    compaction, nothing else ever ingested) and return its root.
+    q143 and q145 both read it — sharing is order-SAFE precisely
+    because probes are read-only: whichever query runs first builds
+    the identical deterministic state, and no probe ever mutates it
+    (unlike q142's ingest lifecycle, which must keep its own root)."""
     from ..operators import similarity as sim
 
     vecs = load_table(spark, sf_dir, "embeddings")
-    # own root — NEVER q142's: sharing would make this query's
-    # output depend on whether q142's third increment had already
-    # landed in this process (ordering-dependent hashes)
     root = _index_root(
         sf_dir,
         f"ipqsrv{sim.IVF_CELLS}a{sim.IVF_ASSIGN}p{sim.IVF_PROBE}"
@@ -532,6 +535,14 @@ def q_ivfpq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim.update_ivfpq_index(spark, b(1), root, k=IPQ_IDX_K,
                                batch_id="sv2")
         sim.compact_ivfpq_index(spark, root)
+    return root
+
+
+def q_ivfpq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as sim
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    root = _ivfpq_serving_built(spark, sf_dir)
     thin = vecs.filter(
         F.pmod(F.col("vec_id"), F.lit(IPQ_IDX_Q_MOD)) == 2)
     out = sim.probe_ivfpq_index(spark, thin, root, k=IPQ_IDX_K)
@@ -545,6 +556,45 @@ def _oracle_ivfpq_serving() -> str:
 
     return oracle_ivfpq_index_topk(IPQ_IDX_K, IPQ_IDX_Q_MOD,
                                    ingest_third=False)
+
+
+# ---------------------------------------------------------------------------
+# Q145: TWO-STAGE serving — the production retrieval layout every
+# FAISS deployment runs (coarse index + refine): q143's probe widened
+# to a 5k ADC shortlist, then operators/similarity.rerank_exact
+# recomputes the shortlist's cosines EXACTLY from the raw corpus
+# vectors and emits the true top-k. The rerank cost is proportional
+# to the SHORTLIST (|q|·k' rows joined against raw vectors), not the
+# corpus — the quantization error the ~40 B/vector codes traded away
+# is bought back for pennies. Oracle: the q143 replay's ADC shortlist
+# reranked in numpy by the identical sequential cosine fold
+# (margin-asserted at the final rank-k boundary).
+# ---------------------------------------------------------------------------
+
+RERANK_SHORTLIST = 25   # 5x the final k: the classic refine ratio
+
+
+def q_ivfpq_reranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as sim
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    root = _ivfpq_serving_built(spark, sf_dir)
+    thin = vecs.filter(
+        F.pmod(F.col("vec_id"), F.lit(IPQ_IDX_Q_MOD)) == 2)
+    shortlist = sim.probe_ivfpq_index(spark, thin, root,
+                                      k=RERANK_SHORTLIST)
+    corpus = vecs.filter(F.pmod(F.col("vec_id"), F.lit(3)) <= 1)
+    out = sim.rerank_exact(thin, corpus, shortlist, k=IPQ_IDX_K)
+    # pin: the shortlist plan lazily scans ledger cell directories a
+    # later invocation's compaction GC may delete (q142 discipline)
+    return out.orderBy("qid", "rank").localCheckpoint()
+
+
+def _oracle_ivfpq_reranked() -> str:
+    from .groundtruth import oracle_ivfpq_rerank
+
+    return oracle_ivfpq_rerank(IPQ_IDX_K, IPQ_IDX_Q_MOD,
+                               RERANK_SHORTLIST)
 
 
 # ---------------------------------------------------------------------------
@@ -1177,6 +1227,12 @@ SPECS = [
               "queries scored against the compacted history WITHOUT "
               "being ingested == frozen-quantizer IVF-ADC over "
               "batches 0-1 only",
+              ("H1", "P2-sim")),
+    QuerySpec("q145_ivfpq_reranked", q_ivfpq_reranked,
+              _oracle_ivfpq_reranked,
+              "two-stage serving: 5k ADC shortlist off the landed "
+              "IVF-PQ index, exact-cosine reranked against raw "
+              "vectors == numpy replay of shortlist + exact refine",
               ("H1", "P2-sim")),
     QuerySpec("q144_ann_serving", q_ann_serving,
               _oracle_ann_serving,

@@ -962,3 +962,42 @@ def test_pq_train_books_residual_mode(spark):
     assert plain.shape == resid.shape
     assert not np.array_equal(plain, resid)
     assert np.array_equal(resid, resid_rep)
+
+
+def test_rerank_exact_recovers_brute_force_within_shortlist(spark):
+    """Two-stage retrieval semantics: (a) reranking a WIDE ADC
+    shortlist recovers the exact brute-force top-k whenever the true
+    neighbors are inside it — the refine stage erases quantization
+    error entirely; (b) rerank recall at equal k can never be below
+    the unreranked ADC ranking's (it recomputes the same candidates
+    exactly); (c) emitted sims are the true cosines, floor-quantized."""
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r["qid"], r["cid"]): r["rank"]
+             for r in sim.brute_force_topk(emb, queries, k=5).collect()}
+    # a full-corpus "shortlist" (every candidate): rerank must equal
+    # brute force outright, including sims
+    every = (emb.crossJoin(queries.select(
+        F.col("vec_id").alias("qid")))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid")))
+    rr_full = {(r["qid"], r["cid"]): (r["rank"], r["sim"])
+               for r in sim.rerank_exact(queries, emb, every,
+                                         k=5).collect()}
+    bf = {(r["qid"], r["cid"]): (r["rank"], r["sim"])
+          for r in sim.brute_force_topk(emb, queries, k=5).collect()}
+    # same pairs at the same ranks; sims agree to the micro-unit
+    # (rerank FLOORS — the engine-portable ADC-family rule — while
+    # brute_force_topk rounds, so the last digit may differ by one)
+    assert {p: v[0] for p, v in rr_full.items()} \
+        == {p: v[0] for p, v in bf.items()}
+    assert all(abs(rr_full[p][1] - bf[p][1]) <= 1e-6 + 1e-12
+               for p in bf)
+    # realistic shortlist: PQ top-25 reranked -> recall at least the
+    # unreranked PQ top-5's
+    short = sim.pq_topk(emb, queries, k=25)
+    rr = {(r["qid"], r["cid"])
+          for r in sim.rerank_exact(queries, emb, short, k=5).collect()}
+    pq5 = {(r["qid"], r["cid"])
+           for r in sim.pq_topk(emb, queries, k=5).collect()}
+    assert len(rr & set(exact)) >= len(pq5 & set(exact))

@@ -15,6 +15,10 @@ Gates and floors:
                        0.76/0.72 sampled; the stricter 20-query
                        floors live in tests/test_llmdata.py), and
                        every method's MRR > 0
+  q145 two-stage       recall@5 >= 0.80 for the 5k-shortlist +
+                       exact-rerank serving path, asserted >= the
+                       unreranked landed row (refine can only fix
+                       ADC errors, never introduce them)
   q142 landed ivf-pq   recall@5 >= 0.75 on the same gate set, probed
                        off a scratch codes+cells LEDGER built through
                        update_ivfpq_index (same trained books + probe
@@ -56,6 +60,15 @@ RECALL_FLOORS = {"lsh": 0.80, "ivf": 0.80, "pq": 0.80, "ivfpq": 0.80}
 # because the landed path is allowed to be worse structurally but
 # because the tiny-fixture salt variance is ±1-2 hits of 25.
 IPQ_IDX_FLOOR = 0.75
+# Two-stage serving (q145): exact rerank of the 5k ADC shortlist
+# removes quantization error on the SHORTLIST, so recall rises
+# toward the cell-pruning ceiling (a true neighbor outside the
+# probed cells, or outside the ADC top-25, stays unrecoverable).
+# Measured 0.84 / 0.92 / 0.92 by sf — always ABOVE the unreranked
+# landed row (0.76 / 0.88 / 0.80), which the gate asserts
+# structurally. Floor 0.80: a nontrivial lift over IPQ_IDX_FLOOR
+# that still absorbs the tiny-fixture draw.
+RERANK_FLOOR = 0.80
 
 
 def check(spark, sf_dir: str) -> list[str]:
@@ -107,6 +120,14 @@ def check(spark, sf_dir: str) -> list[str]:
                for r in sim.update_ivfpq_index(spark, gate_q, root,
                                                k=5,
                                                batch_id="g2").collect()}
+        # two-stage serving (q145): 5k ADC shortlist off the same
+        # landed index, exact-cosine reranked — must buy back the
+        # quantization loss up to the CELL-pruning ceiling (the IVF
+        # row's own recall), hence the higher floor
+        short = sim.probe_ivfpq_index(spark, gate_q, root, k=25)
+        got_rr = {(r["qid"], r["cid"])
+                  for r in sim.rerank_exact(gate_q, emb, short,
+                                            k=5).collect()}
     finally:
         shutil.rmtree(root, ignore_errors=True)
     hits = len(got & exact)
@@ -115,6 +136,17 @@ def check(spark, sf_dir: str) -> list[str]:
     if rec_idx < IPQ_IDX_FLOOR:
         bad.append(f"q142: landed ivfpq recall {rec_idx:.2f} "
                    f"< {IPQ_IDX_FLOOR}")
+    hits_rr = len(got_rr & exact)
+    rec_rr = hits_rr / max(len(exact), 1)
+    print(f"  q145 reranked: recall {rec_rr:.2f} "
+          f"({hits_rr}/{len(exact)})")
+    if rec_rr < RERANK_FLOOR:
+        bad.append(f"q145: reranked recall {rec_rr:.2f} "
+                   f"< {RERANK_FLOOR}")
+    if rec_rr + 1e-9 < rec_idx:
+        bad.append(f"q145: rerank REDUCED recall ({rec_rr:.2f} < "
+                   f"{rec_idx:.2f}) — the exact refine can only fix "
+                   "ADC errors, never introduce them at equal k")
 
     e = q_neardup_envelope(spark, sf_dir).collect()[0]
     print(f"  q131 envelope: exact {e['n_exact_dup']} est "

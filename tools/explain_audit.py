@@ -215,6 +215,9 @@ _RDD_ALLOW = {
     "q143_ivfpq_serving",
     # the IVF index's read-only serving probe: same pin discipline
     "q144_ann_serving",
+    # two-stage serving: the ADC shortlist rides the same pinned
+    # ledger scan; the rerank joins are shortlist-bounded
+    "q145_ivfpq_reranked",
     # the recall gate pins the k x |queries|-row exact top-k set
     # (consumed twice: hit join + denominator) instead of re-running
     # the brute-force scan
