@@ -146,6 +146,7 @@ def main() -> None:
                             (_lq.q_compacted_ivfpq_topk, "q142"),
                             (_lq.q_ivfpq_serving, "q143"),
                             (_lq.q_ann_serving, "q144"),
+                            (_lq.q_ivfpq_deleted, "q146"),
                             (_lq.q_stream_kmeans, "q130"),
                             (_lq.q_stream_drift, "q133"),
                             (_lq.q_stream_kmv, "q136"),

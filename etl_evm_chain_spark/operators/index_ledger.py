@@ -190,14 +190,22 @@ def read_live_index(spark: SparkSession, root: str) -> DataFrame | None:
 
 def compact_batch_index(spark: SparkSession, root: str, *,
                         part_col: str, keep_last: int = 0,
-                        gc: bool = True) -> int | None:
+                        gc: bool = True, minus: DataFrame | None = None,
+                        minus_on: str | None = None) -> int | None:
     """Fold the live batch directories (all but the ``keep_last``
     most-recently-modified) plus the previous baseline into a new
     generation; returns its number, or None when there is nothing to
     fold. Results are bit-identical before and after: the baseline
     re-lands the same rows, ``batch_id`` preserved as a column,
     partitioned by ``part_col`` so partition-pruned probes keep
-    working against the baseline."""
+    working against the baseline.
+
+    ``minus``/``minus_on`` (round-9, tombstone deletes): when given,
+    rows whose ``minus_on`` key appears in ``minus`` are EXCLUDED
+    from the folded generation — the physical application of a
+    tombstone set. The anti-join runs once at fold time; readers'
+    logical anti-joins stay cheap afterwards because the rows are
+    gone from the baseline."""
     touch_liveness(root)
     fs, _ = _fs(spark, root)
     prev = _newest_gen(spark, root)
@@ -228,6 +236,11 @@ def compact_batch_index(spark: SparkSession, root: str, *,
     if prev_base is not None:
         srcs.append(spark.read.parquet(prev_base))
     data = srcs[0] if len(srcs) == 1 else srcs[0].unionByName(srcs[1])
+    if minus is not None:
+        if minus_on is None:
+            raise ValueError("minus requires minus_on (the join key)")
+        data = data.join(minus.select(minus_on).distinct(),
+                         minus_on, "left_anti")
 
     g = prev_g + 1
     base = f"{root}/_compacted/gen={g}"

@@ -2712,7 +2712,6 @@ def probe_ivfpq_index(spark, queries: DataFrame, index_path: str, *,
     cent_path = os.path.join(index_path, "centroids")
     books_path = os.path.join(index_path, "books")
     geom_path = os.path.join(index_path, "ipq_geom")
-    codes_path = os.path.join(index_path, "codes")
     jvm_geom = spark._jvm.org.apache.hadoop.fs.Path(geom_path)
     fs = jvm_geom.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jvm_geom):
@@ -2724,14 +2723,14 @@ def probe_ivfpq_index(spark, queries: DataFrame, index_path: str, *,
     cents = spark.read.parquet(cent_path)
     books = _read_landed_books(spark, books_path, int(geom["n_sub"]))
     queries = queries.filter(F.col(vec_col).isNotNull())
-    from .index_ledger import read_live_index
-
-    live = read_live_index(spark, codes_path)
-    if live is None:
+    # live codes minus live tombstones — identical deletion
+    # semantics to the ingest path's scoring (shared helper)
+    indexed, _ = _ivfpq_live_minus_tombs(spark, index_path, id_col)
+    if indexed is None:
         return spark.range(0).select(
             F.col("id").alias("qid"), F.col("id").alias("cid"),
             F.lit(0.0).alias("sim"), F.lit(0).alias("rank")).limit(0)
-    return _ivfpq_adc_topk(live.drop("batch_id"), queries, cents,
+    return _ivfpq_adc_topk(indexed, queries, cents,
                            books, id_col=id_col, vec_col=vec_col,
                            k=k, n_probe=n_probe,
                            query_chunk=query_chunk)
@@ -2877,18 +2876,92 @@ def update_ivfpq_index(spark, batch: DataFrame, index_path: str, *,
     batch_dir = os.path.join(codes_path, f"batch_id=b{batch_id}")
     indexed_batch.write.mode("overwrite").partitionBy("cell") \
         .parquet(batch_dir)
-    from .index_ledger import read_live_index, touch_liveness
+    from .index_ledger import touch_liveness
     touch_liveness(index_path)
 
-    live = read_live_index(spark, codes_path)
-    indexed = (live.drop("batch_id") if live is not None
-               else indexed_batch.limit(0))
+    # live codes minus live tombstones (delete_from_ivfpq_index):
+    # a deleted id never scores as a neighbor, even if this very
+    # batch re-ingested it (tombstone wins until compaction clears)
+    indexed, _ = _ivfpq_live_minus_tombs(spark, index_path, id_col)
+    if indexed is None:
+        indexed = indexed_batch.limit(0)
     return _ivfpq_adc_topk(indexed, batch, cents, books,
                            id_col=id_col, vec_col=vec_col, k=k,
                            n_probe=n_probe, query_chunk=query_chunk)
 
 
+def delete_from_ivfpq_index(spark, ids: DataFrame, index_path: str, *,
+                            id_col: str = "vec_id",
+                            batch_id: str | None = None) -> int:
+    """TOMBSTONE delete from a landed IVF-PQ index — the
+    right-to-be-forgotten path a production training-data index
+    needs: the ids land as a tombstone batch under
+    ``<index_path>/tombs/batch_id=b<id>/`` and every read path
+    (``update_ivfpq_index`` scoring, ``probe_ivfpq_index``)
+    anti-joins live codes against live tombstones BEFORE scoring, so
+    a deleted vector stops surfacing as a neighbor IMMEDIATELY — no
+    rewrite of the (possibly enormous) codes lake on the delete
+    path. The next full compaction applies the tombstones physically
+    (the folded generation excludes the rows) and clears them.
+
+    Contract edges, all deterministic and tested:
+    - A tombstone wins over every code row while it is live —
+      including a RE-INGEST of the same id. Resurrection = re-ingest
+      AFTER a compaction has applied-and-cleared the tombstone.
+    - Replayed deletes overwrite their own batch directory
+      (exactly-once, the epoch-ledger contract); deleting a
+      never-ingested id is harmless (anti-join no-op).
+    - Deleting from a path with no committed index refuses loudly.
+
+    Returns the number of distinct ids tombstoned."""
+    import os
+    import uuid
+
+    geom_path = os.path.join(index_path, "ipq_geom")
+    jvm_geom = spark._jvm.org.apache.hadoop.fs.Path(geom_path)
+    fs = jvm_geom.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_geom):
+        raise ValueError(
+            f"no committed IVF-PQ index at {index_path} (missing "
+            "ipq_geom stamp) — nothing to delete from")
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex
+    tomb = ids.select(id_col).filter(F.col(id_col).isNotNull()) \
+        .distinct()
+    tomb.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_path, "tombs", f"batch_id=b{batch_id}"))
+    from .index_ledger import touch_liveness
+    touch_liveness(index_path)
+    return spark.read.parquet(
+        os.path.join(index_path, "tombs",
+                     f"batch_id=b{batch_id}")).count()
+
+
+def _ivfpq_live_minus_tombs(spark, index_path: str, id_col: str):
+    """(live codes anti-joined against live tombstones, live
+    tombstone ids or None) — the one read shared by the
+    update/probe scoring paths so deletion semantics can never
+    drift between them. The anti-join is a plain equi-join (AQE
+    broadcasts the tombstone side while it is small; at a huge
+    tombstone backlog the shuffle is the honest cost and the fix is
+    running compaction)."""
+    import os
+
+    from .index_ledger import read_live_index
+
+    live = read_live_index(spark, os.path.join(index_path, "codes"))
+    if live is None:
+        return None, None
+    tombs = read_live_index(spark, os.path.join(index_path, "tombs"))
+    live = live.drop("batch_id")
+    if tombs is None:
+        return live, None
+    tomb_ids = tombs.select(id_col).distinct()
+    return live.join(tomb_ids, id_col, "left_anti"), tomb_ids
+
+
 def compact_ivfpq_index(spark, index_path: str, *,
+                        id_col: str = "vec_id",
                         keep_last: int = 0,
                         gc: bool = True) -> int | None:
     """Fold the IVF-PQ index's accumulated ``codes/batch_id=``
@@ -2896,11 +2969,40 @@ def compact_ivfpq_index(spark, index_path: str, *,
     protocol). The frozen quantizers under ``<index_path>/centroids``
     and ``<index_path>/books`` are untouched; the ``cell`` physical
     partitioning survives, so probe-side partition pruning keeps
-    reading only touched cells."""
+    reading only touched cells.
+
+    Live TOMBSTONES (``delete_from_ivfpq_index``) are applied
+    physically: the folded generation excludes the tombstoned rows.
+    With ``keep_last=0`` (every batch folded) the applied tombstone
+    directories are then CLEARED — deleted rows are physically gone
+    and a later re-ingest resurrects the id. With ``keep_last>0``
+    the tombstones stay live (a kept-out batch directory may still
+    hold tombstoned rows; clearing would resurrect them), so reads
+    keep anti-joining until a full compaction."""
     import os
 
-    from .index_ledger import compact_batch_index
+    from .index_ledger import (_fs, _jp, compact_batch_index,
+                               committed_batch_dirs, read_live_index)
 
-    return compact_batch_index(spark, os.path.join(index_path, "codes"),
-                               part_col="cell",
-                               keep_last=keep_last, gc=gc)
+    tombs_root = os.path.join(index_path, "tombs")
+    tombs = read_live_index(spark, tombs_root)
+    tomb_ids = None
+    if tombs is not None:
+        # pin: the fold's anti-join must not lazily re-scan tomb
+        # directories this same call may GC afterwards
+        tomb_ids = tombs.select(id_col).distinct().localCheckpoint()
+    g = compact_batch_index(spark, os.path.join(index_path, "codes"),
+                            part_col="cell",
+                            keep_last=keep_last, gc=gc,
+                            minus=tomb_ids,
+                            minus_on=(id_col if tomb_ids is not None
+                                      else None))
+    if g is not None and keep_last == 0 and tomb_ids is not None:
+        # every code batch folded and the baseline excludes the rows:
+        # the tombstones are fully applied — clear them (crash before
+        # this GC is safe: re-applying a tombstone to rows already
+        # gone is a no-op, and the next compaction clears again)
+        fs, _ = _fs(spark, tombs_root)
+        for b, p in committed_batch_dirs(spark, tombs_root).items():
+            fs.delete(_jp(spark, p), True)
+    return g

@@ -944,7 +944,8 @@ def pq_index_topk_truth(sf_dir: str, k: int, q_mod: int) -> list[tuple]:
 
 @lru_cache(maxsize=4)
 def ivfpq_index_topk_truth(sf_dir: str, k: int, q_mod: int,
-                           ingest_third: bool = True) -> list[tuple]:
+                           ingest_third: bool = True,
+                           delete_mod: int | None = None) -> list[tuple]:
     import numpy as np
 
     from ..operators.similarity import (IVF_ASSIGN, IVF_CELLS,
@@ -980,9 +981,19 @@ def ivfpq_index_topk_truth(sf_dir: str, k: int, q_mod: int,
     # ingest_third=False is the q143 SERVING truth: the thin query
     # set is probed read-only against batches 0-1 only, never landed
     # (q_mod is a multiple of 3, so the query ids — ≡2 mod 3 — are
-    # disjoint from the ingested corpus by construction)
+    # disjoint from the ingested corpus by construction).
+    # delete_mod is the q146 TOMBSTONE truth: ids ≡0 mod delete_mod
+    # were deleted from the landed index (both batches contribute
+    # victims since delete_mod is not a multiple of 3), so they can
+    # never appear as neighbors. NOTE the quantizers were frozen on
+    # the FULL batch 0 — before the delete — so a deleted id may
+    # still BE a centroid/codebook seed (its vector shaped the
+    # geometry; deletion removes it from the INDEXED set only, the
+    # production semantics of every frozen-quantizer service).
     idx = ((ids % 3 <= 1) | (ids % q_mod == 2)) if ingest_third \
         else (ids % 3 <= 1)
+    if delete_mod is not None:
+        idx = idx & (ids % delete_mod != 0)
     iids, imat = ids[idx], mat[idx]
     inorms = np.sqrt((imat * imat).sum(axis=1))
     isubs = imat.reshape(len(imat), PQ_SUB, sub_d)
@@ -1129,9 +1140,10 @@ ORDER BY qid, rank
 
 
 def oracle_ivfpq_index_topk(k: int, q_mod: int,
-                            ingest_third: bool = True) -> str:
+                            ingest_third: bool = True,
+                            delete_mod: int | None = None) -> str:
     rows = ivfpq_index_topk_truth(oracle_ctx.sf_dir(), k, q_mod,
-                                  ingest_third)
+                                  ingest_third, delete_mod)
     vals = ",\n  ".join(
         f"({q},{c},{repr(s)},{r})" for q, c, s, r in rows)
     return f"""

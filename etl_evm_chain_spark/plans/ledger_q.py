@@ -598,6 +598,73 @@ def _oracle_ivfpq_reranked() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Q146: TOMBSTONE deletes through the landed IVF-PQ lifecycle — the
+# right-to-be-forgotten contract, driver-hashed: build increments
+# 1-2, tombstone every ingested id ≡0 mod IPQ_DEL_MOD
+# (delete_from_ivfpq_index — both batches contribute victims), run
+# the compaction that APPLIES the tombstones physically and clears
+# them, then probe the thin query set read-only. The result must
+# equal the frozen-quantizer IVF-ADC replay over (batches 0-1 minus
+# the deleted set) — with the quantizers still frozen on the FULL
+# batch 0, the production semantics of deleting from a
+# frozen-geometry service. The delete/compaction edge cases
+# (immediate logical delete, delete-wins-over-live-reingest,
+# post-clear resurrection, keep_last safety, replay idempotency)
+# are pytest-pinned in tests/test_index_compaction.py.
+# ---------------------------------------------------------------------------
+
+IPQ_DEL_MOD = 10   # not a multiple of 3: victims come from BOTH
+# ingested batches; disjoint from the %48==2 query set by parity
+
+
+def q_ivfpq_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as sim
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    # own root — the delete mutates state, so it can never share
+    # q142/q143's ledgers (the ordering rule, destructive edition)
+    root = _index_root(
+        sf_dir,
+        f"ipqdel{sim.IVF_CELLS}a{sim.IVF_ASSIGN}p{sim.IVF_PROBE}"
+        f"s{sim.PQ_SUB}x{sim.PQ_CENTS}t{sim.PQ_TRAIN_ITER}"
+        f"d{IPQ_DEL_MOD}q{IPQ_IDX_Q_MOD}",
+        table="embeddings")
+
+    def b(r: int) -> DataFrame:
+        return vecs.filter(F.pmod(F.col("vec_id"), F.lit(3)) == r)
+
+    if not _built_through(spark, os.path.join(root, "codes"),
+                          {"bdl1", "bdl2"}):
+        sim.update_ivfpq_index(spark, b(0), root, k=IPQ_IDX_K,
+                               batch_id="dl1")
+        sim.update_ivfpq_index(spark, b(1), root, k=IPQ_IDX_K,
+                               batch_id="dl2")
+        victims = vecs.filter(
+            (F.pmod(F.col("vec_id"), F.lit(3)) <= 1)
+            & (F.pmod(F.col("vec_id"), F.lit(IPQ_DEL_MOD)) == 0))
+        sim.delete_from_ivfpq_index(spark, victims, root,
+                                    batch_id="del1")
+        # the compaction APPLIES the tombstones (baseline excludes
+        # the rows) and clears them — the folded set is exactly the
+        # two ingest batches, so fast-forward state is deterministic
+        sim.compact_ivfpq_index(spark, root)
+    thin = vecs.filter(
+        F.pmod(F.col("vec_id"), F.lit(IPQ_IDX_Q_MOD)) == 2)
+    out = sim.probe_ivfpq_index(spark, thin, root, k=IPQ_IDX_K)
+    # pin: the probe plan lazily scans ledger cell directories a
+    # later invocation's compaction GC may delete (q142 discipline)
+    return out.orderBy("qid", "rank").localCheckpoint()
+
+
+def _oracle_ivfpq_deleted() -> str:
+    from .groundtruth import oracle_ivfpq_index_topk
+
+    return oracle_ivfpq_index_topk(IPQ_IDX_K, IPQ_IDX_Q_MOD,
+                                   ingest_third=False,
+                                   delete_mod=IPQ_DEL_MOD)
+
+
+# ---------------------------------------------------------------------------
 # Q144: the SERVING path of the landed IVF (exact-scoring) index —
 # probe_ann_index is q143's contract for the raw-vector tier: the
 # lifecycle builds increments 1-2 of q125's index shape and compacts;
@@ -1234,6 +1301,13 @@ SPECS = [
               "IVF-PQ index, exact-cosine reranked against raw "
               "vectors == numpy replay of shortlist + exact refine",
               ("H1", "P2-sim")),
+    QuerySpec("q146_ivfpq_deleted", q_ivfpq_deleted,
+              _oracle_ivfpq_deleted,
+              "tombstone deletes through the landed IVF-PQ "
+              "lifecycle: delete -> compaction applies+clears -> "
+              "read-only probe == frozen-quantizer IVF-ADC over the "
+              "ingested-minus-deleted corpus",
+              ("H1", "H6", "P2-sim")),
     QuerySpec("q144_ann_serving", q_ann_serving,
               _oracle_ann_serving,
               "read-only serving probe of the landed IVF index: "

@@ -16,8 +16,9 @@ _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
 # union of CORRECTNESS_r01-r08 last-green rounds):
 # (a) q142 (the new landed IVF-PQ index lifecycle), q143 (its
 # read-only serving probe), q144 (the landed IVF index's serving
-# probe), and q145 (two-stage shortlist+exact-rerank serving) —
-# first-ever hashes;
+# probe), q145 (two-stage shortlist+exact-rerank serving), and q146
+# (tombstone deletes through the landed lifecycle) — first-ever
+# hashes;
 # (b) the 9 round-8 newcomers q133-q141 stay until twice-green (the
 # standing discipline), and the PQ/ADC family carries ROUND-9 PLAN
 # changes on top (shared _ivfpq_adc_topk scorer + probed-cell
@@ -31,11 +32,11 @@ _MODULES = [relational, timeseries_q, stateful, llmdata, evm, analytics_ext,
 # (d) the five r4-stale queries the r8 verdict scheduled (q86, q97,
 # q110, q111, q112) plus the r5 pair (q57, q83) — after this round
 # no query's last driver check is older than r06;
-# (e) the remaining 25 slots take the r6-stale set's heavier plans
+# (e) the remaining 24 slots take the r6-stale set's heavier plans
 # (EVM decode family, backtest/ML, sketch/expectation/mv, lifecycle
 # q122, graph q74/q114). Deferred to r10 (r6-green, plans
 # unchanged, replica re-verified every round): q27, q52, q59, q87,
-# q102, q104, q105, q106, q113, q116, q118, q119, q120, q124.
+# q102, q104, q105, q106, q113, q116, q117, q118, q119, q120, q124.
 # Rotated OUT (twice-green r7+r8, plans unchanged): q130, q131,
 # q132, q02, q04, q05, q13, q75, q78, q84, q85, q89, q90, q99,
 # q100, q15, q47-q49, q55, q56, q58, q61, q67, q69, q71, q76, q77,
@@ -45,6 +46,7 @@ _PRIORITY = [
     # new this round (first hash):
     "q142_compacted_ivfpq_topk", "q143_ivfpq_serving",
     "q144_ann_serving", "q145_ivfpq_reranked",
+    "q146_ivfpq_deleted",
     # r8 newcomers until twice-green; q134/q141 also re-hash for the
     # r9 scorer/emit plan changes:
     "q133_stream_drift", "q134_ivfpq_topk", "q135_sketch_error_gate",
@@ -59,7 +61,7 @@ _PRIORITY = [
     "q86_nation_trade", "q97_bucketed_knn", "q110_matrix_abi",
     "q111_jsonl_roundtrip", "q112_orc_roundtrip",
     "q57_stratified_sample", "q83_bigram_surprisal",
-    # r6-stale set (25 of 39; the 14 lightest defer to r10):
+    # r6-stale set (24 of 39; the 15 lightest defer to r10):
     "q25_backtest_pct", "q26_backtest_zscore", "q29_ml_signals",
     "q44_decode_transfers", "q45_topic_routing",
     "q46_transfer_rollup", "q51_merge_upsert", "q53_approx_stats",
@@ -69,7 +71,6 @@ _PRIORITY = [
     "q101_dup_spans", "q103_bpe_tokens", "q107_tuple_abi",
     "q108_shard_manifest", "q109_tuple_array_abi",
     "q114_copurchase_triangles", "q115_kmv_distinct",
-    "q117_cm_heavy_hitters",
     "q122_compacted_exact_survivors",
 ]
 

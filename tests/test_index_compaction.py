@@ -883,3 +883,136 @@ def test_probe_ann_index_read_only_and_matches_one_shot(spark, tmp_path):
     assert got == want and got
     with pytest.raises(ValueError, match="no committed ANN index"):
         sim.probe_ann_index(spark, queries, str(tmp_path / "nope_ann"))
+
+
+# ---------------------------------------------------------------------------
+# Tombstone deletes (delete_from_ivfpq_index, round 9) — the
+# right-to-be-forgotten battery: immediate logical deletion on both
+# read paths, physical application + clearing at compaction,
+# deterministic resurrection semantics, replay idempotency,
+# keep_last safety.
+# ---------------------------------------------------------------------------
+
+
+def _ipq_del_fixture(spark, tmp_path, name):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 3 <= 1)
+    queries = emb.filter((F.col("vec_id") % 3 == 2)
+                         & (F.col("vec_id") < 30))
+    idx = str(tmp_path / name)
+    sim.update_ivfpq_index(spark, corpus, idx, k=5,
+                           batch_id="t1").collect()
+    return emb, corpus, queries, idx
+
+
+def test_ivfpq_delete_is_immediate_on_both_read_paths(spark, tmp_path):
+    """A tombstoned id stops surfacing as a neighbor IMMEDIATELY on
+    BOTH read paths (probe and ingest-time scoring) — no compaction
+    needed — while other results are unaffected."""
+    emb, corpus, queries, idx = _ipq_del_fixture(spark, tmp_path, "d1")
+    pre = sim.probe_ivfpq_index(spark, queries, idx, k=5).collect()
+    victims = sorted({r["cid"] for r in pre if r["qid"] == 2})
+    assert victims
+    n = sim.delete_from_ivfpq_index(
+        spark, spark.createDataFrame([(v,) for v in victims],
+                                     "vec_id long"),
+        idx, batch_id="del1")
+    assert n == len(victims)
+    post = sim.probe_ivfpq_index(spark, queries, idx, k=5).collect()
+    assert all(r["cid"] not in victims for r in post)
+    assert any(r["qid"] == 2 for r in post)    # replaced, not silenced
+    # ingest path too: a fresh increment's neighbors exclude victims
+    inc = emb.filter((F.col("vec_id") % 3 == 2)
+                     & (F.col("vec_id") >= 30)
+                     & (F.col("vec_id") < 60))
+    out = sim.update_ivfpq_index(spark, inc, idx, k=5,
+                                 batch_id="t2").collect()
+    assert out and all(r["cid"] not in victims for r in out)
+
+
+def test_ivfpq_delete_applied_and_cleared_at_compaction(spark, tmp_path):
+    """Full compaction applies tombstones physically (the baseline
+    excludes the rows), clears the tombstone directories, and the
+    probe result is bit-identical before and after — then a
+    re-ingest AFTER the clear resurrects the id (the documented
+    resurrection boundary)."""
+    emb, corpus, queries, idx = _ipq_del_fixture(spark, tmp_path, "d2")
+    pre = sim.probe_ivfpq_index(spark, queries, idx, k=5).collect()
+    victims = sorted({r["cid"] for r in pre if r["qid"] == 2})
+    sim.delete_from_ivfpq_index(
+        spark, spark.createDataFrame([(v,) for v in victims],
+                                     "vec_id long"),
+        idx, batch_id="del1")
+    logical = sorted(tuple(r) for r in
+                     sim.probe_ivfpq_index(spark, queries, idx,
+                                           k=5).collect())
+    assert sim.compact_ivfpq_index(spark, idx) == 0
+    tombs = os.path.join(idx, "tombs")
+    assert not any(d.startswith("batch_id=")
+                   for d in os.listdir(tombs))
+    physical = sorted(tuple(r) for r in
+                      sim.probe_ivfpq_index(spark, queries, idx,
+                                            k=5).collect())
+    assert logical == physical
+    base = spark.read.parquet(
+        os.path.join(idx, "codes", "_compacted", "gen=0"))
+    assert base.filter(F.col("vec_id").isin(victims)).count() == 0
+    # resurrection: re-ingest after the clear
+    sim.update_ivfpq_index(
+        spark, emb.filter(F.col("vec_id").isin(victims)), idx, k=5,
+        batch_id="t3").collect()
+    back = sim.probe_ivfpq_index(spark, queries, idx, k=5).collect()
+    assert any(r["cid"] in victims for r in back)
+
+
+def test_ivfpq_delete_wins_over_live_reingest(spark, tmp_path):
+    """The documented contract edge: re-ingesting a tombstoned id
+    while the tombstone is still LIVE does not resurrect it — the
+    delete wins until a full compaction clears the tombstone."""
+    emb, corpus, queries, idx = _ipq_del_fixture(spark, tmp_path, "d3")
+    pre = sim.probe_ivfpq_index(spark, queries, idx, k=5).collect()
+    victims = sorted({r["cid"] for r in pre if r["qid"] == 2})
+    sim.delete_from_ivfpq_index(
+        spark, spark.createDataFrame([(v,) for v in victims],
+                                     "vec_id long"),
+        idx, batch_id="del1")
+    sim.update_ivfpq_index(
+        spark, emb.filter(F.col("vec_id").isin(victims)), idx, k=5,
+        batch_id="t2").collect()
+    post = sim.probe_ivfpq_index(spark, queries, idx, k=5).collect()
+    assert all(r["cid"] not in victims for r in post)
+
+
+def test_ivfpq_delete_replay_and_edge_cases(spark, tmp_path):
+    """Replayed deletes overwrite their own tombstone directory
+    (exactly-once); deleting a never-ingested id is a harmless
+    no-op; deleting from a path with no committed index refuses
+    loudly; keep_last>0 compaction does NOT clear tombstones (a
+    kept-out batch may still hold tombstoned rows)."""
+    import pytest
+
+    emb, corpus, queries, idx = _ipq_del_fixture(spark, tmp_path, "d4")
+    ghost = spark.createDataFrame([(999999,)], "vec_id long")
+    for _ in range(2):   # replay: same batch id twice
+        n = sim.delete_from_ivfpq_index(spark, ghost, idx,
+                                        batch_id="delg")
+        assert n == 1
+    tombs = os.path.join(idx, "tombs")
+    assert [d for d in os.listdir(tombs)
+            if d.startswith("batch_id=")] == ["batch_id=bdelg"]
+    # ghost tombstone changes nothing
+    out = sim.probe_ivfpq_index(spark, queries, idx, k=5).collect()
+    assert out
+    with pytest.raises(ValueError, match="nothing to delete from"):
+        sim.delete_from_ivfpq_index(spark, ghost,
+                                    str(tmp_path / "nope"))
+    # keep_last compaction: second batch lands, oldest folds, tombs
+    # must SURVIVE (the kept-out batch could hold tombstoned rows)
+    sim.update_ivfpq_index(
+        spark, emb.filter((F.col("vec_id") % 3 == 2)
+                          & (F.col("vec_id") < 30)),
+        idx, k=5, batch_id="t2").collect()
+    g = sim.compact_ivfpq_index(spark, idx, keep_last=1)
+    assert g == 0
+    assert [d for d in os.listdir(tombs)
+            if d.startswith("batch_id=")] == ["batch_id=bdelg"]

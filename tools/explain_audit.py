@@ -218,6 +218,9 @@ _RDD_ALLOW = {
     # two-stage serving: the ADC shortlist rides the same pinned
     # ledger scan; the rerank joins are shortlist-bounded
     "q145_ivfpq_reranked",
+    # tombstone-delete lifecycle: same pin discipline (the probe
+    # must not lazily scan dirs a later compaction GC may delete)
+    "q146_ivfpq_deleted",
     # the recall gate pins the k x |queries|-row exact top-k set
     # (consumed twice: hit join + denominator) instead of re-running
     # the brute-force scan
