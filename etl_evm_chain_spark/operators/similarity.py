@@ -2379,6 +2379,12 @@ def update_ann_index(spark, batch: DataFrame, index_path: str, *,
     # always live, so the None fallback is structural safety only
     index = (live.drop("batch_id") if live is not None
              else assigned.limit(0))
+    # live tombstones (delete_from_ann_index): a deleted id never
+    # scores as a neighbor, even if this batch re-ingested it
+    tomb_ids = _live_tomb_ids(spark, index_path, id_col)
+    if tomb_ids is not None:
+        index = index.join(tomb_ids.withColumnRenamed(id_col, "cid"),
+                           "cid", "left_anti")
     probed = ranked.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"), "cell")
     # plain equi-join: the batch is unbounded (a forced broadcast of
@@ -2465,23 +2471,44 @@ def probe_ann_index(spark, queries: DataFrame, index_path: str, *,
                             n_probe).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"),
         "cell")
-    return _probe_score_topk(live.drop("batch_id"), probed, k)
+    index = live.drop("batch_id")
+    # live tombstones: identical deletion semantics to the ingest
+    # path's scoring
+    tomb_ids = _live_tomb_ids(spark, index_path, id_col)
+    if tomb_ids is not None:
+        index = index.join(tomb_ids.withColumnRenamed(id_col, "cid"),
+                           "cid", "left_anti")
+    return _probe_score_topk(index, probed, k)
 
 
 def compact_ann_index(spark, index_path: str, *,
+                      id_col: str = "vec_id",
                       keep_last: int = 0, gc: bool = True) -> int | None:
     """Fold the IVF index's accumulated ``cells/batch_id=``
     directories into a compacted generation (operators/index_ledger
     protocol). The frozen quantizer under ``<index_path>/centroids``
     is untouched; the ``cell`` physical partitioning survives, so
-    probe-side partition pruning keeps reading only touched cells."""
+    probe-side partition pruning keeps reading only touched cells.
+    Live tombstones (``delete_from_ann_index``) are applied
+    physically and — with ``keep_last=0`` — cleared (the
+    compact_ivfpq_index contract)."""
     from .index_ledger import compact_batch_index
 
     import os
 
-    return compact_batch_index(spark, os.path.join(index_path, "cells"),
-                               part_col="cell",
-                               keep_last=keep_last, gc=gc)
+    tomb_ids = _live_tomb_ids(spark, index_path, id_col)
+    if tomb_ids is not None:
+        tomb_ids = tomb_ids.withColumnRenamed(id_col, "cid") \
+            .localCheckpoint()
+    g = compact_batch_index(spark, os.path.join(index_path, "cells"),
+                            part_col="cell",
+                            keep_last=keep_last, gc=gc,
+                            minus=tomb_ids,
+                            minus_on=("cid" if tomb_ids is not None
+                                      else None))
+    if tomb_ids is not None:
+        _clear_applied_tombs(spark, index_path, g, keep_last)
+    return g
 
 
 PQ_INDEX_BUCKETS = 16  # landed-codes physical partitioning (pure
@@ -2628,24 +2655,42 @@ def update_pq_index(spark, batch: DataFrame, index_path: str, *,
     live = read_live_index(spark, codes_path)
     codes_live = (live.drop("batch_id", "bucket") if live is not None
                   else codes.drop("bucket").limit(0))
+    # live tombstones (delete_from_pq_index): identical semantics to
+    # the IVF-PQ tier's shared-helper wiring
+    tomb_ids = _live_tomb_ids(spark, index_path, id_col)
+    if tomb_ids is not None:
+        codes_live = codes_live.join(tomb_ids, id_col, "left_anti")
     return _adc_topk_codes(codes_live, batch, books, id_col=id_col,
                            vec_col=vec_col, k=k,
                            query_chunk=query_chunk)
 
 
 def compact_pq_index(spark, index_path: str, *,
+                     id_col: str = "vec_id",
                      keep_last: int = 0, gc: bool = True) -> int | None:
     """Fold the PQ index's accumulated ``codes/batch_id=``
     directories into a compacted generation (operators/index_ledger
     protocol). The frozen codebooks under ``<index_path>/books`` are
-    untouched; the ``bucket`` physical partitioning survives."""
+    untouched; the ``bucket`` physical partitioning survives. Live
+    tombstones (``delete_from_pq_index``) are applied physically and
+    — with ``keep_last=0`` — cleared (the compact_ivfpq_index
+    contract)."""
     import os
 
     from .index_ledger import compact_batch_index
 
-    return compact_batch_index(spark, os.path.join(index_path, "codes"),
-                               part_col="bucket",
-                               keep_last=keep_last, gc=gc)
+    tomb_ids = _live_tomb_ids(spark, index_path, id_col)
+    if tomb_ids is not None:
+        tomb_ids = tomb_ids.localCheckpoint()
+    g = compact_batch_index(spark, os.path.join(index_path, "codes"),
+                            part_col="bucket",
+                            keep_last=keep_last, gc=gc,
+                            minus=tomb_ids,
+                            minus_on=(id_col if tomb_ids is not None
+                                      else None))
+    if tomb_ids is not None:
+        _clear_applied_tombs(spark, index_path, g, keep_last)
+    return g
 
 
 def probe_pq_index(spark, queries: DataFrame, index_path: str, *,
@@ -2689,7 +2734,12 @@ def probe_pq_index(spark, queries: DataFrame, index_path: str, *,
         return spark.range(0).select(
             F.col("id").alias("qid"), F.col("id").alias("cid"),
             F.lit(0.0).alias("sim"), F.lit(0).alias("rank")).limit(0)
-    return _adc_topk_codes(live.drop("batch_id", "bucket"), queries,
+    codes_live = live.drop("batch_id", "bucket")
+    # live tombstones: identical deletion semantics to the ingest path
+    tomb_ids = _live_tomb_ids(spark, index_path, id_col)
+    if tomb_ids is not None:
+        codes_live = codes_live.join(tomb_ids, id_col, "left_anti")
+    return _adc_topk_codes(codes_live, queries,
                            books, id_col=id_col, vec_col=vec_col,
                            k=k, query_chunk=query_chunk)
 
@@ -2890,6 +2940,90 @@ def update_ivfpq_index(spark, batch: DataFrame, index_path: str, *,
                            n_probe=n_probe, query_chunk=query_chunk)
 
 
+def _land_tombstones(spark, ids: DataFrame, index_path: str,
+                     id_col: str, batch_id: str | None,
+                     commit_marker: str, kind: str) -> int:
+    """Shared tombstone-landing core for every landed index family:
+    refuse when no committed index exists (``commit_marker`` is the
+    family's build-commit artifact), land the distinct non-NULL ids
+    under ``tombs/batch_id=b<id>/`` (replay-overwrite, the
+    epoch-ledger contract), refresh liveness, return the count."""
+    import os
+    import uuid
+
+    jvm_m = spark._jvm.org.apache.hadoop.fs.Path(
+        os.path.join(index_path, commit_marker))
+    fs = jvm_m.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_m):
+        raise ValueError(
+            f"no committed {kind} index at {index_path} (missing "
+            f"{commit_marker}) — nothing to delete from")
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex
+    tomb_dir = os.path.join(index_path, "tombs",
+                            f"batch_id=b{batch_id}")
+    ids.select(id_col).filter(F.col(id_col).isNotNull()).distinct() \
+        .coalesce(1).write.mode("overwrite").parquet(tomb_dir)
+    from .index_ledger import touch_liveness
+    touch_liveness(index_path)
+    return spark.read.parquet(tomb_dir).count()
+
+
+def _live_tomb_ids(spark, index_path: str, id_col: str):
+    """The live tombstone id set of a landed index (or None) —
+    shared by every family's read paths so deletion semantics can
+    never drift between them."""
+    import os
+
+    from .index_ledger import read_live_index
+
+    t = read_live_index(spark, os.path.join(index_path, "tombs"))
+    return None if t is None else t.select(id_col).distinct()
+
+
+def _clear_applied_tombs(spark, index_path: str, gen,
+                         keep_last: int) -> None:
+    """After a compaction whose fold applied the tombstones: clear
+    them IFF every batch folded (``keep_last == 0`` and a generation
+    was actually written) — a kept-out batch directory may still
+    hold tombstoned rows, and clearing then would resurrect them.
+    Crash-safe: re-applying a tombstone to rows already gone is a
+    no-op, and the next compaction clears again."""
+    import os
+
+    from .index_ledger import _fs, _jp, committed_batch_dirs
+
+    if gen is None or keep_last != 0:
+        return
+    tombs_root = os.path.join(index_path, "tombs")
+    fs, _ = _fs(spark, tombs_root)
+    for _b, p in committed_batch_dirs(spark, tombs_root).items():
+        fs.delete(_jp(spark, p), True)
+
+
+def delete_from_ann_index(spark, ids: DataFrame, index_path: str, *,
+                          id_col: str = "vec_id",
+                          batch_id: str | None = None) -> int:
+    """Tombstone delete from a landed IVF (raw-vector) index — the
+    :func:`delete_from_ivfpq_index` contract for the tier that needs
+    it MOST: the cells ledger stores the raw embeddings, so a
+    forget-me request must stop them surfacing immediately. Same
+    semantics: reads anti-join immediately, the next full compaction
+    applies physically and clears, resurrection = re-ingest after
+    the clear."""
+    return _land_tombstones(spark, ids, index_path, id_col, batch_id,
+                            "centroids", "ANN")
+
+
+def delete_from_pq_index(spark, ids: DataFrame, index_path: str, *,
+                         id_col: str = "vec_id",
+                         batch_id: str | None = None) -> int:
+    """Tombstone delete from a landed flat-PQ index (same contract
+    as :func:`delete_from_ivfpq_index`)."""
+    return _land_tombstones(spark, ids, index_path, id_col, batch_id,
+                            "pq_geom", "PQ")
+
+
 def delete_from_ivfpq_index(spark, ids: DataFrame, index_path: str, *,
                             id_col: str = "vec_id",
                             batch_id: str | None = None) -> int:
@@ -2914,27 +3048,8 @@ def delete_from_ivfpq_index(spark, ids: DataFrame, index_path: str, *,
     - Deleting from a path with no committed index refuses loudly.
 
     Returns the number of distinct ids tombstoned."""
-    import os
-    import uuid
-
-    geom_path = os.path.join(index_path, "ipq_geom")
-    jvm_geom = spark._jvm.org.apache.hadoop.fs.Path(geom_path)
-    fs = jvm_geom.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jvm_geom):
-        raise ValueError(
-            f"no committed IVF-PQ index at {index_path} (missing "
-            "ipq_geom stamp) — nothing to delete from")
-    if batch_id is None:
-        batch_id = uuid.uuid4().hex
-    tomb = ids.select(id_col).filter(F.col(id_col).isNotNull()) \
-        .distinct()
-    tomb.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(index_path, "tombs", f"batch_id=b{batch_id}"))
-    from .index_ledger import touch_liveness
-    touch_liveness(index_path)
-    return spark.read.parquet(
-        os.path.join(index_path, "tombs",
-                     f"batch_id=b{batch_id}")).count()
+    return _land_tombstones(spark, ids, index_path, id_col, batch_id,
+                            "ipq_geom", "IVF-PQ")
 
 
 def _ivfpq_live_minus_tombs(spark, index_path: str, id_col: str):
@@ -2952,11 +3067,10 @@ def _ivfpq_live_minus_tombs(spark, index_path: str, id_col: str):
     live = read_live_index(spark, os.path.join(index_path, "codes"))
     if live is None:
         return None, None
-    tombs = read_live_index(spark, os.path.join(index_path, "tombs"))
     live = live.drop("batch_id")
-    if tombs is None:
+    tomb_ids = _live_tomb_ids(spark, index_path, id_col)
+    if tomb_ids is None:
         return live, None
-    tomb_ids = tombs.select(id_col).distinct()
     return live.join(tomb_ids, id_col, "left_anti"), tomb_ids
 
 
@@ -2981,28 +3095,19 @@ def compact_ivfpq_index(spark, index_path: str, *,
     keep anti-joining until a full compaction."""
     import os
 
-    from .index_ledger import (_fs, _jp, compact_batch_index,
-                               committed_batch_dirs, read_live_index)
+    from .index_ledger import compact_batch_index
 
-    tombs_root = os.path.join(index_path, "tombs")
-    tombs = read_live_index(spark, tombs_root)
-    tomb_ids = None
-    if tombs is not None:
+    tomb_ids = _live_tomb_ids(spark, index_path, id_col)
+    if tomb_ids is not None:
         # pin: the fold's anti-join must not lazily re-scan tomb
         # directories this same call may GC afterwards
-        tomb_ids = tombs.select(id_col).distinct().localCheckpoint()
+        tomb_ids = tomb_ids.localCheckpoint()
     g = compact_batch_index(spark, os.path.join(index_path, "codes"),
                             part_col="cell",
                             keep_last=keep_last, gc=gc,
                             minus=tomb_ids,
                             minus_on=(id_col if tomb_ids is not None
                                       else None))
-    if g is not None and keep_last == 0 and tomb_ids is not None:
-        # every code batch folded and the baseline excludes the rows:
-        # the tombstones are fully applied — clear them (crash before
-        # this GC is safe: re-applying a tombstone to rows already
-        # gone is a no-op, and the next compaction clears again)
-        fs, _ = _fs(spark, tombs_root)
-        for b, p in committed_batch_dirs(spark, tombs_root).items():
-            fs.delete(_jp(spark, p), True)
+    if tomb_ids is not None:
+        _clear_applied_tombs(spark, index_path, g, keep_last)
     return g

@@ -1016,3 +1016,51 @@ def test_ivfpq_delete_replay_and_edge_cases(spark, tmp_path):
     assert g == 0
     assert [d for d in os.listdir(tombs)
             if d.startswith("batch_id=")] == ["batch_id=bdelg"]
+
+
+def test_ann_and_pq_index_tombstone_deletes(spark, tmp_path):
+    """The tombstone contract extended uniformly to the other two
+    landed families (one shared helper set, so semantics cannot
+    drift): immediate logical delete on the probe path, compaction
+    applies physically and clears the tombstones, results identical
+    before and after, refuse-on-missing-index."""
+    import pytest
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 3 <= 1)
+    queries = emb.filter((F.col("vec_id") % 3 == 2)
+                         & (F.col("vec_id") < 30))
+
+    families = [
+        ("ann", sim.update_ann_index, sim.probe_ann_index,
+         sim.delete_from_ann_index, sim.compact_ann_index, "cells"),
+        ("pq", sim.update_pq_index, sim.probe_pq_index,
+         sim.delete_from_pq_index, sim.compact_pq_index, "codes"),
+    ]
+    for name, update, probe, delete, compact, sub in families:
+        idx = str(tmp_path / f"tomb_{name}")
+        update(spark, corpus, idx, k=5, batch_id="t1").collect()
+        pre = probe(spark, queries, idx, k=5).collect()
+        victims = sorted({r["cid"] for r in pre if r["qid"] == 2})
+        assert victims, name
+        n = delete(spark,
+                   spark.createDataFrame([(v,) for v in victims],
+                                         "vec_id long"),
+                   idx, batch_id="del1")
+        assert n == len(victims), name
+        logical = probe(spark, queries, idx, k=5).collect()
+        assert all(r["cid"] not in victims for r in logical), name
+        assert any(r["qid"] == 2 for r in logical), name
+        assert compact(spark, idx) == 0
+        tombs = os.path.join(idx, "tombs")
+        assert not any(d.startswith("batch_id=")
+                       for d in os.listdir(tombs)), name
+        physical = probe(spark, queries, idx, k=5).collect()
+        assert sorted(map(tuple, logical)) \
+            == sorted(map(tuple, physical)), name
+        base = spark.read.parquet(
+            os.path.join(idx, sub, "_compacted", "gen=0"))
+        idc = "cid" if name == "ann" else "vec_id"
+        assert base.filter(F.col(idc).isin(victims)).count() == 0, name
+        with pytest.raises(ValueError, match="nothing to delete from"):
+            delete(spark, queries, str(tmp_path / f"nope_{name}"))
