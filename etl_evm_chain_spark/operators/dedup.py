@@ -510,6 +510,14 @@ def update_near_dup_index(spark, docs: DataFrame, index_path: str, *,
     # recreated directory is manifest-excluded, never double-counted
     from .index_ledger import read_live_index
     index = read_live_index(spark, index_path).drop("batch_id")
+    # live tombstones (delete_from_near_dup_index): a deleted doc
+    # emits no pairs from EITHER side — even if this very batch
+    # re-ingested it (tombstone wins until compaction clears)
+    from .similarity import _live_tomb_ids
+    tomb_ids = _live_tomb_ids(spark, index_path, id_col)
+    if tomb_ids is not None:
+        index = index.join(tomb_ids, id_col, "left_anti")
+        new_banded = new_banded.join(tomb_ids, id_col, "left_anti")
     # Semi-join prune the landed side to the batch's touched buckets
     # BEFORE the pair join: with a small increment AQE broadcasts the
     # touched-keys set and dynamic partition pruning skips untouched
@@ -813,18 +821,86 @@ def update_exact_dedup_index(spark, docs: DataFrame, index_path: str, *,
     return fresh.drop("fp", "band")
 
 
+def delete_from_near_dup_index(spark, ids: DataFrame, index_path: str, *,
+                               id_col: str = "doc_id",
+                               batch_id: str | None = None) -> int:
+    """Tombstone delete from the landed LSH near-dup index — the
+    forget-me contract of the vector tiers
+    (similarity.delete_from_ivfpq_index) applied to the document
+    plane: the minhash signatures ARE content-derived state, so a
+    removed document's rows must stop emitting pairs immediately.
+    Reads anti-join BOTH pair sides against live tombstones (a
+    re-ingest of a tombstoned id lands rows but emits nothing — the
+    tombstone-wins rule); the next full compaction purges the rows
+    physically and clears the tombstones; re-ingest after the clear
+    resurrects."""
+    from .similarity import _land_tombstones
+
+    return _land_tombstones(spark, ids, index_path, id_col, batch_id,
+                            None, "near-dup")
+
+
 def compact_near_dup_index(spark, index_path: str, *,
+                           id_col: str = "doc_id",
                            keep_last: int = 0, gc: bool = True) -> int | None:
     """Fold the LSH index's accumulated ``batch_id=`` directories into
     a compacted generation (operators/index_ledger protocol): results
     are bit-identical (the baseline re-lands the same rows, batch_id
     preserved), directory count drops to O(1) + keep_last, and the
     ``band`` physical partitioning survives so the touched-bucket
-    semi-join keeps pruning. Returns the new generation number."""
+    semi-join keeps pruning. Live tombstones
+    (``delete_from_near_dup_index``) are applied physically and —
+    with ``keep_last=0`` — cleared (the vector tiers' contract).
+    Returns the new generation number."""
     from .index_ledger import compact_batch_index
+    from .similarity import _clear_applied_tombs, _live_tomb_ids
 
+    tomb_ids = _live_tomb_ids(spark, index_path, id_col)
+    if tomb_ids is not None:
+        tomb_ids = tomb_ids.localCheckpoint()
+    g = compact_batch_index(spark, index_path, part_col="band",
+                            keep_last=keep_last, gc=gc,
+                            minus=tomb_ids,
+                            minus_on=(id_col if tomb_ids is not None
+                                      else None))
+    if tomb_ids is not None:
+        _clear_applied_tombs(spark, index_path, g, keep_last)
+    return g
+
+
+def delete_from_exact_dedup_index(spark, docs: DataFrame,
+                                  index_path: str, *,
+                                  text_col: str = "text") -> int | None:
+    """Content-keyed UN-REMEMBER for the exact-dedup fingerprint
+    index: drop the given documents' fingerprints from history so
+    legitimately re-submitted content is admitted again — the
+    first-seen-wins rule needs an undo after a forget-me removal of
+    the original, or the content stays suppressed forever.
+
+    Unlike the id-keyed tombstone tiers this APPLIES IMMEDIATELY
+    (one forced compaction folds history minus the fingerprints).
+    A live fp tombstone cannot work here: the index stores no doc
+    ids to scope it by, so while it lived EVERY subsequent batch
+    carrying the content would be re-admitted — duplicate
+    admissions. The fingerprint relation is ~16 B per unique doc,
+    so the eager fold is the honest, cheap price of a correct
+    semantic. Returns the new compacted generation (None when the
+    index holds nothing to fold)."""
+    import os
+
+    from .index_ledger import compact_batch_index, touch_liveness
+
+    jvm_p = spark._jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = jvm_p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_p):
+        raise ValueError(
+            f"no committed exact-dedup index at {index_path} — "
+            "nothing to delete from")
+    fp_expr = F.coalesce(fingerprint(text_col), F.lit(-1).cast("long"))
+    fps = docs.select(fp_expr.alias("fp")).distinct().localCheckpoint()
+    touch_liveness(index_path)
     return compact_batch_index(spark, index_path, part_col="band",
-                               keep_last=keep_last, gc=gc)
+                               minus=fps, minus_on="fp", force=True)
 
 
 def compact_exact_dedup_index(spark, index_path: str, *,

@@ -191,7 +191,8 @@ def read_live_index(spark: SparkSession, root: str) -> DataFrame | None:
 def compact_batch_index(spark: SparkSession, root: str, *,
                         part_col: str, keep_last: int = 0,
                         gc: bool = True, minus: DataFrame | None = None,
-                        minus_on: str | None = None) -> int | None:
+                        minus_on: str | None = None,
+                        force: bool = False) -> int | None:
     """Fold the live batch directories (all but the ``keep_last``
     most-recently-modified) plus the previous baseline into a new
     generation; returns its number, or None when there is nothing to
@@ -205,7 +206,13 @@ def compact_batch_index(spark: SparkSession, root: str, *,
     from the folded generation — the physical application of a
     tombstone set. The anti-join runs once at fold time; readers'
     logical anti-joins stay cheap afterwards because the rows are
-    gone from the baseline."""
+    gone from the baseline.
+
+    ``force`` (round-9, apply-immediately deletes): normally a call
+    with no live batch directories is a no-op; with ``force=True``
+    an existing baseline is re-folded into a new generation even
+    alone — the vehicle for applying a ``minus`` set to
+    already-compacted history."""
     touch_liveness(root)
     fs, _ = _fs(spark, root)
     prev = _newest_gen(spark, root)
@@ -228,11 +235,14 @@ def compact_batch_index(spark: SparkSession, root: str, *,
             key=lambda kv: fs.getFileStatus(
                 _jp(spark, kv[1])).getModificationTime())
         live = dict(by_mtime[:len(by_mtime) - keep_last])
-    if not live:
+    if not live and not (force and prev_base is not None):
         return None
 
     fold_ids = sorted(prev_folded | set(live))
-    srcs = [spark.read.option("basePath", root).parquet(*live.values())]
+    srcs = []
+    if live:
+        srcs.append(
+            spark.read.option("basePath", root).parquet(*live.values()))
     if prev_base is not None:
         srcs.append(spark.read.parquet(prev_base))
     data = srcs[0] if len(srcs) == 1 else srcs[0].unionByName(srcs[1])

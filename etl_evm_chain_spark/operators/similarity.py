@@ -2942,22 +2942,25 @@ def update_ivfpq_index(spark, batch: DataFrame, index_path: str, *,
 
 def _land_tombstones(spark, ids: DataFrame, index_path: str,
                      id_col: str, batch_id: str | None,
-                     commit_marker: str, kind: str) -> int:
+                     commit_marker: str | None, kind: str) -> int:
     """Shared tombstone-landing core for every landed index family:
     refuse when no committed index exists (``commit_marker`` is the
-    family's build-commit artifact), land the distinct non-NULL ids
-    under ``tombs/batch_id=b<id>/`` (replay-overwrite, the
-    epoch-ledger contract), refresh liveness, return the count."""
+    family's build-commit artifact; None = the index root itself),
+    land the distinct non-NULL ids under ``tombs/batch_id=b<id>/``
+    (replay-overwrite, the epoch-ledger contract), refresh liveness,
+    return the count."""
     import os
     import uuid
 
     jvm_m = spark._jvm.org.apache.hadoop.fs.Path(
-        os.path.join(index_path, commit_marker))
+        index_path if commit_marker is None
+        else os.path.join(index_path, commit_marker))
     fs = jvm_m.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jvm_m):
         raise ValueError(
             f"no committed {kind} index at {index_path} (missing "
-            f"{commit_marker}) — nothing to delete from")
+            f"{commit_marker or 'index root'}) — nothing to delete "
+            "from")
     if batch_id is None:
         batch_id = uuid.uuid4().hex
     tomb_dir = os.path.join(index_path, "tombs",

@@ -1064,3 +1064,78 @@ def test_ann_and_pq_index_tombstone_deletes(spark, tmp_path):
         assert base.filter(F.col(idc).isin(victims)).count() == 0, name
         with pytest.raises(ValueError, match="nothing to delete from"):
             delete(spark, queries, str(tmp_path / f"nope_{name}"))
+
+
+def test_near_dup_index_tombstone_deletes(spark, tmp_path):
+    """Forget-me on the document plane: a tombstoned doc emits no
+    pairs from either side immediately (including via its own
+    re-ingest — tombstone wins), the compaction purges its band rows
+    physically and clears the tombstones, and a post-clear re-ingest
+    resurrects pairing."""
+    idx = str(tmp_path / "nd_tomb")
+    d1 = _mkdocs(spark, 0, 30)
+    dd.update_near_dup_index(spark, d1, idx, batch_id="t1").collect()
+    # doc 100 near-dups doc 1's content
+    twin = spark.createDataFrame(
+        [(100, _doc_rows(1, 2)[0][1])], "doc_id long, text string")
+    pre = dd.update_near_dup_index(spark, twin, idx,
+                                   batch_id="t2").collect()
+    assert any({r["id_a"], r["id_b"]} == {1, 100} for r in pre)
+    # tombstone doc 1: its pairs vanish on the next increment
+    n = dd.delete_from_near_dup_index(
+        spark, spark.createDataFrame([(1,)], "doc_id long"), idx,
+        batch_id="del1")
+    assert n == 1
+    twin2 = spark.createDataFrame(
+        [(101, _doc_rows(1, 2)[0][1])], "doc_id long, text string")
+    post = dd.update_near_dup_index(spark, twin2, idx,
+                                    batch_id="t3").collect()
+    assert all(1 not in (r["id_a"], r["id_b"]) for r in post)
+    assert any({r["id_a"], r["id_b"]} == {100, 101} for r in post)
+    # re-ingesting doc 1 while the tombstone lives emits nothing for it
+    re1 = dd.update_near_dup_index(spark, d1.filter("doc_id = 1"), idx,
+                                   batch_id="t4").collect()
+    assert all(1 not in (r["id_a"], r["id_b"]) for r in re1)
+    # compaction purges + clears; post-clear re-ingest resurrects
+    assert dd.compact_near_dup_index(spark, idx) == 0
+    assert not any(d.startswith("batch_id=")
+                   for d in os.listdir(os.path.join(idx, "tombs")))
+    live = read_live_index(spark, idx)
+    assert live.filter(F.col("doc_id") == 1).count() == 0
+    back = dd.update_near_dup_index(spark, d1.filter("doc_id = 1"),
+                                    idx, batch_id="t5").collect()
+    assert any(1 in (r["id_a"], r["id_b"]) for r in back)
+
+
+def test_exact_dedup_index_content_unremember(spark, tmp_path):
+    """The exact-dedup undo: deleting a document's CONTENT from the
+    fingerprint history re-admits a later legitimate re-submission
+    exactly once — applied immediately (forced fold), so there is no
+    live-tombstone window in which every re-submission would be
+    re-admitted."""
+    idx = str(tmp_path / "xd_tomb")
+    d1 = _mkdocs(spark, 0, 20)
+    out1 = dd.update_exact_dedup_index(spark, d1, idx, batch_id="e1")
+    assert out1.count() > 0
+    # re-crawl of doc 3's content under a new id: suppressed
+    recrawl = spark.createDataFrame(
+        [(500, _doc_rows(3, 4)[0][1])], "doc_id long, text string")
+    assert dd.update_exact_dedup_index(spark, recrawl, idx,
+                                       batch_id="e2").count() == 0
+    # un-remember the content; the next re-submission is admitted
+    g = dd.delete_from_exact_dedup_index(spark, recrawl, idx)
+    assert g is not None
+    resub = spark.createDataFrame(
+        [(501, _doc_rows(3, 4)[0][1])], "doc_id long, text string")
+    assert dd.update_exact_dedup_index(spark, resub, idx,
+                                       batch_id="e3").count() == 1
+    # and having been re-admitted, it suppresses the NEXT copy again
+    resub2 = spark.createDataFrame(
+        [(502, _doc_rows(3, 4)[0][1])], "doc_id long, text string")
+    assert dd.update_exact_dedup_index(spark, resub2, idx,
+                                       batch_id="e4").count() == 0
+    # deleting from a missing index refuses loudly
+    import pytest
+    with pytest.raises(ValueError, match="nothing to delete from"):
+        dd.delete_from_exact_dedup_index(spark, recrawl,
+                                         str(tmp_path / "nope_xd"))
