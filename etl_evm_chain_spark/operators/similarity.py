@@ -3004,6 +3004,58 @@ def _clear_applied_tombs(spark, index_path: str, gen,
         fs.delete(_jp(spark, p), True)
 
 
+def describe_ivfpq_index(spark, index_path: str) -> dict:
+    """Operational introspection of a landed IVF-PQ index — what an
+    on-call engineer asks a 100 TB index before touching it: the
+    frozen geometry (from the stamps, never recomputed), how many
+    live batch directories a read fans over (compaction pressure),
+    the live code-row count and distinct indexed vectors, the
+    tombstone backlog (pending forget-me work), and the per-cell
+    occupancy relation — the IVF SKEW report, because a hot cell is
+    a straggler at probe time and the signal to retrain the coarse
+    quantizer or raise n_cells on the next rebuild.
+
+    Returns a dict: the ``ipq_geom`` fields, ``live_batches``,
+    ``n_code_rows``, ``n_vectors``, ``n_tombstones``, and ``cells``
+    (a (cell, n_codes) DataFrame, n_cells rows). Read-only."""
+    import os
+
+    from .index_ledger import assert_live_batch_count, read_live_index
+
+    geom_path = os.path.join(index_path, "ipq_geom")
+    jvm_geom = spark._jvm.org.apache.hadoop.fs.Path(geom_path)
+    fs = jvm_geom.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_geom):
+        raise ValueError(
+            f"no committed IVF-PQ index at {index_path} (missing "
+            "ipq_geom stamp)")
+    out = dict(spark.read.parquet(geom_path).collect()[0].asDict())
+    codes_path = os.path.join(index_path, "codes")
+    out["live_batches"] = assert_live_batch_count(spark, codes_path)
+    live = read_live_index(spark, codes_path)
+    if live is None:
+        out.update(n_code_rows=0, n_vectors=0,
+                   cells=spark.range(0).select(
+                       F.col("id").cast("int").alias("cell"),
+                       F.col("id").alias("n_codes")))
+    else:
+        id_c = [c for c in live.columns
+                if c not in ("batch_id", "cell", "norm", "codes")][0]
+        agg = live.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.count_distinct(F.col(id_c)).alias("vecs")).collect()[0]
+        out["n_code_rows"] = int(agg["rows"])
+        out["n_vectors"] = int(agg["vecs"])
+        out["cells"] = (live.groupBy("cell")
+                        .agg(F.count(F.lit(1)).alias("n_codes"))
+                        .orderBy("cell"))
+    tombs = _live_tomb_ids(
+        spark, index_path,
+        id_col="vec_id" if live is None else id_c)
+    out["n_tombstones"] = 0 if tombs is None else tombs.count()
+    return out
+
+
 def delete_from_ann_index(spark, ids: DataFrame, index_path: str, *,
                           id_col: str = "vec_id",
                           batch_id: str | None = None) -> int:

@@ -531,6 +531,38 @@ def stream_ivfpq_ingest(vecs: DataFrame, *, index_path: str,
     return w.start()
 
 
+def stream_ivfpq_deletes(ids: DataFrame, *, index_path: str,
+                         checkpoint: str, id_col: str = "vec_id",
+                         trigger_once: bool = True):
+    """Forget-me requests AT STREAM TIME: each micro-batch of ids
+    tombstones the landed IVF-PQ index
+    (operators/similarity.delete_from_ivfpq_index) — the deletion
+    twin of stream_ivfpq_ingest, so a privacy queue drains into the
+    index with the same exactly-once discipline as the ingest side:
+    foreachBatch is at-least-once and each epoch OVERWRITES its own
+    ``tombs/batch_id=b<epoch>/`` directory on replay (the tombstone
+    batch is a pure function of the micro-batch's ids). Deleted
+    vectors stop surfacing immediately on every read path; the next
+    full compaction applies them physically. An empty micro-batch is
+    a no-op; a batch arriving before the index exists FAILS the
+    stream loudly (a deletion queue pointed at a missing index is a
+    wiring bug, not a condition to absorb silently)."""
+    from ..operators.similarity import delete_from_ivfpq_index
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delete_from_ivfpq_index(batch_df.sparkSession, batch_df,
+                                index_path, id_col=id_col,
+                                batch_id=str(batch_id))
+
+    w = (ids.writeStream.foreachBatch(per_batch)
+         .option("checkpointLocation", checkpoint))
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def stream_export_shards(docs: DataFrame, *, out_dir: str, checkpoint: str,
                          key: str = "doc_id", n_shards: int = 64,
                          salt: str = "shard", trigger_once: bool = True):

@@ -2327,3 +2327,50 @@ def test_expectations_ledger_predating_geom_stamp_refuses(spark, tmp_path):
         "epoch int").coalesce(1).write.parquet(rpd + "/batch_id=0")
     with pytest.raises(ValueError, match="checks-list geometry stamp"):
         sp.read_expectations(spark, rpd)
+
+
+def test_stream_ivfpq_deletes_equals_manual(spark, tmp_path):
+    """The deletion stream must land the same tombstone state as
+    manual delete_from_ivfpq_index calls, drive the same immediate
+    neighbor suppression, and replay idempotently via the epoch-
+    keyed tombstone directories."""
+    import math
+
+    from etl_evm_chain_spark.operators.similarity import (
+        describe_ivfpq_index, probe_ivfpq_index, update_ivfpq_index)
+
+    def vec(i):
+        return [math.cos(i * 0.7) + 0.1 * j for j in range(4)]
+
+    rows = [(i, vec(i)) for i in range(16)]
+    schema = "vec_id long, embedding array<float>"
+    kw = dict(n_cells=4, n_probe=4, n_assign=1, n_sub=2, n_cents=4)
+    idx = str(tmp_path / "ipqds_idx")
+    update_ivfpq_index(spark, spark.createDataFrame(rows, schema),
+                       idx, k=3, batch_id="0", **kw).collect()
+    queries = spark.createDataFrame([(200, vec(3))], schema)
+    pre = probe_ivfpq_index(spark, queries, idx, k=3).collect()
+    victims = sorted({r["cid"] for r in pre})[:2]
+
+    src = str(tmp_path / "ipqds_src")
+    ckpt = str(tmp_path / "ipqds_ckpt")
+    spark.createDataFrame([(v,) for v in victims], "vec_id long") \
+        .coalesce(1).write.mode("append").parquet(src)
+    q = sp.stream_ivfpq_deletes(
+        spark.readStream.schema("vec_id long").parquet(src),
+        index_path=idx, checkpoint=ckpt)
+    q.awaitTermination(120)
+    post = probe_ivfpq_index(spark, queries, idx, k=3).collect()
+    assert post and all(r["cid"] not in victims for r in post)
+    st = describe_ivfpq_index(spark, idx)
+    assert st["n_tombstones"] == len(victims)
+    assert st["n_vectors"] == 16 and st["live_batches"] == 1
+    assert sum(r["n_codes"] for r in st["cells"].collect()) \
+        == st["n_code_rows"]
+    # checkpoint-resumed restart with no new data: no state change
+    q = sp.stream_ivfpq_deletes(
+        spark.readStream.schema("vec_id long").parquet(src),
+        index_path=idx, checkpoint=ckpt)
+    q.awaitTermination(120)
+    assert describe_ivfpq_index(spark, idx)["n_tombstones"] \
+        == len(victims)
