@@ -451,20 +451,43 @@ def _nearest_cells(df: DataFrame, cents: DataFrame, id_col: str,
              for r in cent_rows]
         cn = np.array([np.sqrt(np.cumsum(c * c)[-1]) if len(c) else 0.0
                        for c in C])
+        raw = vecs.to_numpy()
+        null_mask = np.array([v is None for v in raw])
+        live = [np.asarray(v, dtype=np.float64) for v in raw[~null_mask]]
+        out_live = []
+        if live:
+            V = np.stack(live)                       # (n, d)
+            d = V.shape[1]
+            # Row-vectorized sequential folds (round-9): the per-row /
+            # per-centroid python loop is O(n·n_cells) interpreter
+            # iterations with 3 cumsum temporaries each. Accumulating
+            # COLUMN BY COLUMN keeps the exact left-to-right float64
+            # fold of cumsum[-1] for every element (each partial sum
+            # adds the same product in the same order — 0.0+x0 == x0
+            # bitwise up to the sign of zero, which no consumer of a
+            # cosine can observe), while vectorizing across rows.
+            nv2 = np.zeros(len(V))
+            for t in range(d):
+                nv2 += V[:, t] * V[:, t]
+            nv = np.sqrt(nv2)
+            sims_all = np.empty((len(V), len(C)))
+            for j, c in enumerate(C):
+                acc = np.zeros(len(V))
+                for t in range(d):
+                    acc += V[:, t] * c[t]
+                denom = nv * cn[j]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims_all[:, j] = np.where(denom != 0, acc / denom,
+                                              -np.inf)
+            for i in range(len(V)):
+                order = np.lexsort((cells, -sims_all[i]))[:keep]
+                out_live.append([int(cells[j]) for j in order])
+        null_order = [int(cells[j]) for j in
+                      np.lexsort((cells, -np.full(len(C), -np.inf)))[:keep]]
         out = []
-        for v in vecs.to_numpy():
-            if v is None:
-                sims = np.full(len(C), -np.inf)
-            else:
-                va = np.asarray(v, dtype=np.float64)
-                nv = np.sqrt(np.cumsum(va * va)[-1]) if len(va) else 0.0
-                sims = np.empty(len(C))
-                for j, c in enumerate(C):
-                    denom = nv * cn[j]
-                    sims[j] = (np.cumsum(va * c)[-1] / denom
-                               if denom != 0 else -np.inf)
-            order = np.lexsort((cells, -sims))[:keep]
-            out.append([int(cells[j]) for j in order])
+        it = iter(out_live)
+        for is_null in null_mask:
+            out.append(null_order if is_null else next(it))
         return pd.Series(out)
 
     return df.withColumn("cell", F.explode(nearest(F.col(vec_col))))
@@ -1810,23 +1833,30 @@ def knn_classify_bucketed(emb: DataFrame, *, id_col: str = "vec_id",
         qn = np.sqrt((qmat * qmat).sum(axis=1))
         rn = np.sqrt((rmat * rmat).sum(axis=1))
         sims = (qmat @ rmat.T) / np.outer(qn, rn)
-        frames = []
-        for i, qid in enumerate(qids):
-            row = sims[i].copy()
-            row[rids == qid] = -np.inf               # leave-one-out
+        sims[qids[:, None] == rids[None, :]] = -np.inf  # leave-one-out
+        # one flat emit per cogroup (round-9): the per-query
+        # DataFrame-and-concat loop spent more time constructing
+        # frames than scoring; the selection itself (lexsort by
+        # (-sim, rid), finite-filtered) is unchanged per row
+        qsel, rsel = [], []
+        for i in range(len(qids)):
+            row = sims[i]
             order = np.lexsort((rids, -row))[:k]
             order = order[np.isfinite(row[order])]
-            if not len(order):
-                continue
-            frames.append(pd.DataFrame({
-                "qid": np.full(len(order), int(qid), dtype="int64"),
-                "qlabel": np.full(len(order),
-                                  int(qpdf["qlabel"].iloc[i]), dtype="int32"),
-                "rid": rids[order].astype("int64"),
-                "rlabel": rpdf["rlabel"].to_numpy()[order].astype("int32"),
-                "sim": row[order],
-            }))
-        return pd.concat(frames) if frames else empty
+            if len(order):
+                qsel.append(np.full(len(order), i, dtype="int64"))
+                rsel.append(order)
+        if not qsel:
+            return empty
+        qi = np.concatenate(qsel)
+        ri = np.concatenate(rsel)
+        return pd.DataFrame({
+            "qid": qids[qi].astype("int64"),
+            "qlabel": qpdf["qlabel"].to_numpy()[qi].astype("int32"),
+            "rid": rids[ri].astype("int64"),
+            "rlabel": rpdf["rlabel"].to_numpy()[ri].astype("int32"),
+            "sim": sims[qi, ri],
+        })
 
     cand = qs.groupby("cell").cogroup(refs.groupby("rcell")).applyInPandas(
         kernel, "qid long, qlabel int, rid long, rlabel int, sim double")
@@ -2109,16 +2139,21 @@ def cosine_near_dup_pairs_bucketed(df: DataFrame, *,
         mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         if mat.shape[1] == 0:
             return empty
-        # Sequential-fold dots (cumsum), NOT mat @ mat.T: this query
-        # carries a value-hash oracle, and a pair whose cosine sits
-        # within an ulp of the threshold or a rounding boundary would
-        # otherwise flip between the kernel's pairwise-BLAS sum and
-        # the oracle's sequential list_aggregate fold. Buckets are
-        # small by construction, so the b× python loop is cheap.
+        # Sequential-fold dots, NOT mat @ mat.T: this query carries a
+        # value-hash oracle, and a pair whose cosine sits within an
+        # ulp of the threshold or a rounding boundary would otherwise
+        # flip between the kernel's pairwise-BLAS sum and the oracle's
+        # sequential list_aggregate fold. Round-9: the fold is
+        # accumulated COLUMN BY COLUMN (rank-1 updates) instead of a
+        # per-row cumsum loop — every dots[i,j] partial adds the same
+        # products in the same left-to-right order (bit-identical to
+        # cumsum[-1] up to the sign of zero, unobservable through the
+        # >=threshold>0 emit), without the b× (n×d) cumsum temporaries.
         norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
-        dots = np.empty((len(mat), len(mat)))
-        for j in range(len(mat)):
-            dots[:, j] = np.cumsum(mat * mat[j], axis=1)[:, -1]
+        dots = np.zeros((len(mat), len(mat)))
+        for t in range(mat.shape[1]):
+            col = mat[:, t]
+            dots += col[:, None] * col[None, :]
         sims = dots / np.outer(norms, norms)
         lt = ids[:, None] < ids[None, :]          # id_a < id_b, both orders once
         ai, bi = np.nonzero((sims >= threshold) & lt)

@@ -89,6 +89,12 @@ def get_spark(app_name: str = "etl_evm_chain_spark", *, cpus: str | None = None,
         # matching DuckDB's ns→µs truncation).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # Diagnostics hook: extra driver-JVM flags (e.g. -Xlog:gc for GC
+    # attribution during bench investigations). Local mode only sees
+    # this at first-JVM launch; no-op on an already-running session.
+    jopts = os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS")
+    if jopts:
+        builder = builder.config("spark.driver.extraJavaOptions", jopts)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

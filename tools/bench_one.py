@@ -71,19 +71,33 @@ def main() -> None:
         "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")).agg(
         F.sum("a")).collect()
 
+    def _n_jobs() -> int:
+        try:
+            return len(spark.sparkContext.statusTracker()
+                       .getJobIdsForGroup(None))
+        except Exception:  # noqa: BLE001 — diagnostics only
+            return -1
+
     specs = {s.name: s for s in all_specs()}
     out: dict[str, dict] = {}
     for name in args:
         spec = specs[name]
         times = []
+        jobs = []
         for _ in range(reps):
+            j0 = _n_jobs()
             t0 = time.time()
             spec.fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite").save()
             times.append(round(time.time() - t0, 3))
+            jobs.append(_n_jobs() - j0)
             _drop_blocks(spark)
         out[name] = {"reps": times, "min": min(times),
-                     "median": round(statistics.median(times), 3)}
+                     "median": round(statistics.median(times), 3),
+                     # sequential Spark jobs per invocation — each is a
+                     # driver round trip, the overhead unit that
+                     # dominates sub-second queries at bench scale
+                     "jobs": jobs}
     print(json.dumps(out))
 
 
