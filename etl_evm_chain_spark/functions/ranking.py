@@ -196,7 +196,10 @@ def _pin_and_probe(rel: DataFrame, part_cols: list,
     # Pinning before the probe makes the count free for phase 2: the
     # offsets join and (broadcast path) the triangular join all read
     # the same materialized relation instead of re-scanning the input.
-    rel = rel.localCheckpoint()
+    # Lazy checkpoint: the probe count() right below is the forcing
+    # action, so pin+probe is ONE job, not an eager-materialize job
+    # followed by a count job (round-9 job-count trim).
+    rel = rel.localCheckpoint(eager=False)
     return rel, rel.count() <= MAX_BROADCAST_GROUPS * n_buckets
 
 
@@ -247,10 +250,12 @@ def _assign_buckets(df: DataFrame, value_col: str, part_cols: list,
     # convenience: on executor loss the job fails and retries whole —
     # acceptable for a deterministic batch plan; use edges="width"
     # where lineage-based recovery matters more than balance.)
+    # (lazy: the census aggregation right after is the forcing action —
+    # the materialized-once guarantee is unchanged, one fewer job)
     ranged = df.repartitionByRange(n_buckets,
                                    *[F.col(c) for c in order_cols])
     return ranged.withColumn("_bkt", F.spark_partition_id()) \
-                 .localCheckpoint()
+                 .localCheckpoint(eager=False)
 
 
 def _bucketize(df: DataFrame, value_col: str, part_cols: list,

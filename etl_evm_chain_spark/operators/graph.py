@@ -124,7 +124,9 @@ def pagerank(edges: DataFrame, *, iters: int = 5,
     back to shuffle hash/sort-merge, which is the correct plan for a
     billion-node graph anyway.
     """
-    edges = edges.localCheckpoint()
+    # lazy: the nodes.count() below is the forcing action for BOTH
+    # pins (one materialization job instead of three)
+    edges = edges.localCheckpoint(eager=False)
     sc = edges.sparkSession.sparkContext
     # |V| rows spread across spark.sql.shuffle.partitions inflate
     # every superstep by (iters × partitions) task overheads; at
@@ -140,7 +142,7 @@ def pagerank(edges: DataFrame, *, iters: int = 5,
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
         .coalesce(cap)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     rank_parts = max(8, min(cap, 1 + n // 500_000))
@@ -158,7 +160,7 @@ def pagerank(edges: DataFrame, *, iters: int = 5,
     )
     teleport = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iters):
+    for it in range(iters):
         mass = (
             shares.join(hint(ranks.withColumnRenamed("node", "src")), "src")
             .groupBy(F.col("dst").alias("node"))
@@ -173,8 +175,16 @@ def pagerank(edges: DataFrame, *, iters: int = 5,
                 .alias("rank"),
             )
             .coalesce(rank_parts)  # |V|-sized; see nodes note
-            .localCheckpoint()
         )
+        # Each rank relation is consumed exactly once (the next
+        # superstep's join), so the supersteps CHAIN lazily into one
+        # DAG — no recompute, one action instead of one eager
+        # materialization job per iteration (round-9: 32 jobs → 9 at
+        # iters=5, q74 4.7 → 2.5 s isolated). Checkpoint on a cadence
+        # only, to bound plan lineage when a caller asks for many
+        # iterations (the resolve_duplicates loop discipline).
+        if (it + 1) % 8 == 0 and it + 1 < iters:
+            ranks = ranks.localCheckpoint()
     return ranks
 
 
@@ -236,7 +246,7 @@ def label_propagation(edges: DataFrame, *, a_col: str = "a",
                   .join(labels.select("node"), "node", "left_anti")
                   .select("node", F.col("node").alias("lbl"))
                   .localCheckpoint())
-    for _ in range(n_iter):
+    for it in range(n_iter):
         votes = (sym.join(labels, sym["src"] == labels["node"])
                  .groupBy(F.col("dst").alias("vnode"), "lbl")
                  .agg(F.count(F.lit(1)).alias("c")))
@@ -245,6 +255,13 @@ def label_propagation(edges: DataFrame, *, a_col: str = "a",
                                     .alias("neg"))).alias("_b"))
                 .select(F.col("vnode").alias("node"),
                         (-F.col("_b.neg")).alias("lbl")))
-        labels = best.localCheckpoint()
+        labels = best
+        # rounds chain lazily (each label relation feeds exactly one
+        # consumer, the next round's join) — pure integer arithmetic,
+        # so there is no float-order exposure either; checkpoint on a
+        # cadence only, to bound lineage for large n_iter (round-9:
+        # one eager job per round → one action, q129 5.3 → 3.4 s)
+        if (it + 1) % 8 == 0 and it + 1 < n_iter:
+            labels = labels.localCheckpoint()
     return (labels.unionByName(singletons)
             .select("node", F.col("lbl").alias("community")))
