@@ -107,12 +107,12 @@ def shingle_hashes(docs: DataFrame, *, id_col: str = "doc_id",
     family mixes). Callers composing BOTH pipelines over one corpus
     (q131's envelope gate) compute this once, pin it, and pass it
     down via the operators' ``base`` parameter."""
-    exploded = docs.select(
-        F.col(id_col),
-        F.explode(shingles(text_col, k)).alias("_sh"),
-    )
-    return exploded.select(F.col(id_col),
-                           hash15(F.col("_sh")).alias("sh"))
+    from ..functions.text import gram_hash_rows
+
+    # Arrow gram-hash kernel (round-9): same tokens, same distinct-
+    # before-hash semantics, same hash15 values — see gram_hash_rows
+    return gram_hash_rows(docs, id_col=id_col, text_col=text_col,
+                          k=k, distinct=True, out_col="sh")
 
 
 def minhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
@@ -373,12 +373,10 @@ def span_dup_stats(docs: DataFrame, *, id_col: str = "doc_id",
     counterpart of its dedup C6 (`stable_fee_ml_bot.py:97-98`) at
     span granularity.
     """
-    from ..functions.text import token_grams
+    from ..functions.text import gram_hash_rows
 
-    g = docs.select(
-        F.col(id_col),
-        F.explode(token_grams(text_col, k)).alias("_g"),
-    ).select(F.col(id_col), hash15(F.col("_g")).alias("gh"))
+    # Arrow gram-hash kernel (round-9) — same grams, same hash15
+    g = gram_hash_rows(docs, id_col=id_col, text_col=text_col, k=k)
     per = g.groupBy(id_col, "gh").agg(F.count(F.lit(1)).alias("c"))
     per = per.withColumn(
         "n_docs", F.count(F.lit(1)).over(Window.partitionBy("gh")))
@@ -414,12 +412,11 @@ def dup_spans(docs: DataFrame, *, id_col: str = "doc_id",
     corpus-global). Output: (doc_id, start_tok, end_tok, len_toks,
     n_grams, max_gram_df), token positions 0-based inclusive.
     """
-    from ..functions.text import token_grams
+    from ..functions.text import gram_hash_rows
 
-    gp = docs.select(
-        F.col(id_col),
-        F.posexplode(token_grams(text_col, k)).alias("pos", "_g"),
-    ).select(id_col, "pos", hash15(F.col("_g")).alias("gh"))
+    # Arrow gram-hash kernel (round-9) — same grams/positions/hash15
+    gp = gram_hash_rows(docs, id_col=id_col, text_col=text_col, k=k,
+                        with_pos=True)
     dup_gh = (gp.select(id_col, "gh").distinct()
               .groupBy("gh").agg(F.count(F.lit(1)).alias("n_docs"))
               .filter(F.col("n_docs") >= min_df))
