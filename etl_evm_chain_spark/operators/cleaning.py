@@ -211,9 +211,13 @@ def bloom_candidates(train: DataFrame, evalset: DataFrame, *,
     # latter bloats codegen and evaluates per row.
     lit_words = F.lit([w - (1 << 64) if w >= (1 << 63) else w
                        for w in words])
-    tr = (train.select(F.col(id_col).alias("train_id"),
-                       F.explode(shingles(text_col, k)).alias("_sh"))
-          .select("train_id", hash15(F.col("_sh")).alias("sh")))
+    from ..functions.text import gram_hash_rows
+
+    # Arrow gram-hash kernel on the corpus side (round-9) — same
+    # distinct-shingles-then-hash15 values, one narrow stage
+    tr = gram_hash_rows(train, id_col=id_col, text_col=text_col, k=k,
+                        distinct=True, out_col="sh") \
+        .withColumnRenamed(id_col, "train_id")
     tr = tr.withColumn("_bits", lit_words)
     hit = None
     for pc in _bloom_positions(F.col("sh")):
@@ -294,9 +298,12 @@ def contamination(train: DataFrame, evalset: DataFrame, *,
     reach the aggregation exchange.
     """
     def index(df: DataFrame, name: str) -> DataFrame:
-        return (df.select(F.col(id_col).alias(name),
-                          F.explode(shingles(text_col, k)).alias("_sh"))
-                .select(name, hash15(F.col("_sh")).alias("sh")))
+        from ..functions.text import gram_hash_rows
+
+        # Arrow gram-hash kernel (round-9) — identical (id, sh) values
+        return gram_hash_rows(df, id_col=id_col, text_col=text_col,
+                              k=k, distinct=True, out_col="sh") \
+            .withColumnRenamed(id_col, name)
 
     ev = index(evalset, "eval_id")
     ev_sizes = ev.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_eval"))
@@ -338,10 +345,11 @@ def redact_contaminated(train: DataFrame, evalset: DataFrame, *,
            .select(hash15(F.col("_g")).alias("gh")).distinct())
     toks = train.select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("idx", "tok"))
-    gpos = train.select(
-        F.col(id_col),
-        F.posexplode(token_grams(text_col, k)).alias("pos", "_g")) \
-        .select(id_col, "pos", hash15(F.col("_g")).alias("gh"))
+    from ..functions.text import gram_hash_rows
+
+    # Arrow gram-hash kernel (round-9) — same grams/positions/hash15
+    gpos = gram_hash_rows(train, id_col=id_col, text_col=text_col,
+                          k=k, with_pos=True)
     covered = (gpos.join(bad, "gh", "left_semi")
                .select(id_col, F.explode(
                    F.sequence(F.col("pos"), F.col("pos") + k - 1))

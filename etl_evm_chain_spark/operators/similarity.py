@@ -444,53 +444,65 @@ def _nearest_cells(df: DataFrame, cents: DataFrame, id_col: str,
 
     @pandas_udf("array<int>")
     def nearest(vecs: pd.Series) -> pd.Series:
-        import numpy as np
-
-        cells = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
-        C = [np.asarray(r["cvec_cent"], dtype=np.float64)
-             for r in cent_rows]
-        cn = np.array([np.sqrt(np.cumsum(c * c)[-1]) if len(c) else 0.0
-                       for c in C])
-        raw = vecs.to_numpy()
-        null_mask = np.array([v is None for v in raw])
-        live = [np.asarray(v, dtype=np.float64) for v in raw[~null_mask]]
-        out_live = []
-        if live:
-            V = np.stack(live)                       # (n, d)
-            d = V.shape[1]
-            # Row-vectorized sequential folds (round-9): the per-row /
-            # per-centroid python loop is O(n·n_cells) interpreter
-            # iterations with 3 cumsum temporaries each. Accumulating
-            # COLUMN BY COLUMN keeps the exact left-to-right float64
-            # fold of cumsum[-1] for every element (each partial sum
-            # adds the same product in the same order — 0.0+x0 == x0
-            # bitwise up to the sign of zero, which no consumer of a
-            # cosine can observe), while vectorizing across rows.
-            nv2 = np.zeros(len(V))
-            for t in range(d):
-                nv2 += V[:, t] * V[:, t]
-            nv = np.sqrt(nv2)
-            sims_all = np.empty((len(V), len(C)))
-            for j, c in enumerate(C):
-                acc = np.zeros(len(V))
-                for t in range(d):
-                    acc += V[:, t] * c[t]
-                denom = nv * cn[j]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    sims_all[:, j] = np.where(denom != 0, acc / denom,
-                                              -np.inf)
-            for i in range(len(V)):
-                order = np.lexsort((cells, -sims_all[i]))[:keep]
-                out_live.append([int(cells[j]) for j in order])
-        null_order = [int(cells[j]) for j in
-                      np.lexsort((cells, -np.full(len(C), -np.inf)))[:keep]]
-        out = []
-        it = iter(out_live)
-        for is_null in null_mask:
-            out.append(null_order if is_null else next(it))
-        return pd.Series(out)
+        return pd.Series(_rank_cells(vecs.to_numpy(), cent_rows, keep))
 
     return df.withColumn("cell", F.explode(nearest(F.col(vec_col))))
+
+
+def _rank_cells(raw_vecs, cent_rows, keep: int) -> list:
+    """Shared cell-ranking core of :func:`_nearest_cells` AND the
+    driver-side probe assignment of ``_ivfpq_adc_topk`` (whose query
+    chunk is already collected) — ONE implementation so the two paths
+    cannot drift. Returns each input vector's ``keep`` nearest cells.
+
+    Row-vectorized sequential folds (round-9): the per-row /
+    per-centroid python loop is O(n·n_cells) interpreter iterations
+    with 3 cumsum temporaries each. Accumulating COLUMN BY COLUMN
+    keeps the exact left-to-right float64 fold of cumsum[-1] for
+    every element (each partial sum adds the same product in the same
+    order — 0.0+x0 == x0 bitwise up to the sign of zero, which no
+    consumer of a cosine can observe), while vectorizing across rows.
+    Ranking parity with the SQL oracles is unchanged: ties order by
+    cell asc via stable lexsort, zero-norm/NULL vectors rank last,
+    mirroring (sim DESC, cell ASC).
+    """
+    import numpy as np
+
+    cells = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
+    C = [np.asarray(r["cvec_cent"], dtype=np.float64)
+         for r in cent_rows]
+    cn = np.array([np.sqrt(np.cumsum(c * c)[-1]) if len(c) else 0.0
+                   for c in C])
+    null_mask = np.array([v is None for v in raw_vecs], dtype=bool)
+    live = [np.asarray(v, dtype=np.float64)
+            for v, is_null in zip(raw_vecs, null_mask) if not is_null]
+    out_live = []
+    if live:
+        V = np.stack(live)                       # (n, d)
+        d = V.shape[1]
+        nv2 = np.zeros(len(V))
+        for t in range(d):
+            nv2 += V[:, t] * V[:, t]
+        nv = np.sqrt(nv2)
+        sims_all = np.empty((len(V), len(C)))
+        for j, c in enumerate(C):
+            acc = np.zeros(len(V))
+            for t in range(d):
+                acc += V[:, t] * c[t]
+            denom = nv * cn[j]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims_all[:, j] = np.where(denom != 0, acc / denom,
+                                          -np.inf)
+        for i in range(len(V)):
+            order = np.lexsort((cells, -sims_all[i]))[:keep]
+            out_live.append([int(cells[j]) for j in order])
+    null_order = [int(cells[j]) for j in
+                  np.lexsort((cells, -np.full(len(C), -np.inf)))[:keep]]
+    out = []
+    it = iter(out_live)
+    for is_null in null_mask:
+        out.append(null_order if is_null else next(it))
+    return out
 
 
 def kmeans_centroids(corpus: DataFrame, *, id_col: str = "vec_id",
@@ -1548,6 +1560,12 @@ def _ivfpq_adc_topk(indexed: DataFrame, queries: DataFrame,
             for i in range(n_chunks)]
         chunked = True
 
+    # n_cells rows — collected ONCE for every chunk's driver-side
+    # probe assignment (round-9: the per-chunk distributed
+    # _nearest_cells job over an already-collected, driver-bounded
+    # query chunk was a pure round trip — _rank_cells is the same
+    # fold code the distributed kernel runs, so values cannot drift)
+    cent_rows = cents.collect()
     parts = []
     for qrows, qdf in chunks:
         if qrows is None:
@@ -1555,12 +1573,10 @@ def _ivfpq_adc_topk(indexed: DataFrame, queries: DataFrame,
         if not qrows:
             continue
         qids, qnorms, tables = _pq_tables(qrows, books, id_col, vec_col)
-        probe_rows = _nearest_cells(qdf, cents, id_col, vec_col,
-                                    n_probe).select(id_col,
-                                                    "cell").collect()
-        probes: dict = {}
-        for r in probe_rows:
-            probes.setdefault(r[id_col], []).append(r["cell"])
+        ranked_cells = _rank_cells([r[vec_col] for r in qrows],
+                                   cent_rows, n_probe)
+        probes = {r[id_col]: pc
+                  for r, pc in zip(qrows, ranked_cells)}
         # partition pruning: only the union of this chunk's probed
         # cells can contribute candidates — on a cell-partitioned
         # ledger this becomes directory pruning at the parquet scan
