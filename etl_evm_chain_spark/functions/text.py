@@ -153,7 +153,7 @@ def winnow_fingerprints(df, *, id_col: str = "doc_id",
     from pyspark.sql import types as T
 
     c = F.lower(F.trim(F.col(text_col)))
-    src = df.select(F.col(id_col), c.alias("_norm"))
+    src = _spread(df.select(F.col(id_col), c.alias("_norm")))
     out_schema = T.StructType([
         T.StructField(id_col, src.schema[id_col].dataType, True),
         T.StructField("fp", T.LongType(), True),
@@ -267,6 +267,23 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     return F.array_distinct(token_grams(text, k))
 
 
+def _spread(src):
+    """Widen a narrow per-document relation to cluster parallelism
+    before an Arrow kernel runs over it (guide §2.6 stragglers): the
+    fixture corpus is one parquet file = ONE scan partition, so a
+    mapInPandas kernel over it runs as a single sequential task while
+    31 cores idle. Round-robin repartition of the PROJECTED (id,
+    tokens/norm) rows — never the full document row — costs one tiny
+    local shuffle; at production scale the scan already has >= cluster
+    parallelism partitions and this is a no-op. Output-order freedom
+    is part of the kernels' contract (every consumer aggregates or
+    keys by (id, pos))."""
+    parts = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parts:
+        return src.repartition(parts)
+    return src
+
+
 def gram_hash_rows(df, *, id_col: str, text_col: str, k: int,
                    distinct: bool = False, with_pos: bool = False,
                    out_col: str = "gh"):
@@ -289,7 +306,13 @@ def gram_hash_rows(df, *, id_col: str, text_col: str, k: int,
     """
     from pyspark.sql import types as T
 
-    src = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    if distinct and with_pos:
+        # post-dedup positions would no longer match posexplode
+        # semantics; no caller needs the combination (ADVICE r9)
+        raise ValueError("gram_hash_rows: distinct=True with "
+                         "with_pos=True is ambiguous — positions "
+                         "after dedup match no explode form")
+    src = _spread(df.select(F.col(id_col), tokens(text_col).alias("_toks")))
     fields = [T.StructField(id_col, src.schema[id_col].dataType, True)]
     if with_pos:
         fields.append(T.StructField("pos", T.IntegerType(), True))

@@ -110,7 +110,11 @@ def shingle_hashes(docs: DataFrame, *, id_col: str = "doc_id",
     from ..functions.text import gram_hash_rows
 
     # Arrow gram-hash kernel (round-9): same tokens, same distinct-
-    # before-hash semantics, same hash15 values — see gram_hash_rows
+    # before-hash semantics, same hash15 values — see gram_hash_rows.
+    # Round-10 reproduce-or-revert (the r9 verdict's ask #2): A/B'd
+    # against the pre-r9 JVM expression chain on fresh JVMs — the
+    # kernel wins cold (q131 12.9 vs 15.2 s first-rep) and ties warm;
+    # kept, and the single-task straggler fixed instead (_spread).
     return gram_hash_rows(docs, id_col=id_col, text_col=text_col,
                           k=k, distinct=True, out_col="sh")
 
@@ -147,10 +151,15 @@ def minhash_signatures(docs: DataFrame, *, id_col: str = "doc_id",
 
 
 def _banded(sig: DataFrame, *, id_col: str = "doc_id",
-            k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
+            k: int = MINHASH_K, bands: int = LSH_BANDS,
+            keys_only: bool = False) -> DataFrame:
     """Explode signatures into (id, h0..h{k-1}, band, key) rows — the
     join unit for both one-shot pair generation and the landed
-    incremental index."""
+    incremental index. ``keys_only`` drops the h columns (the one-shot
+    pair join re-attaches signatures per deduped pair instead of
+    carrying k longs through every banded replica — guide §2.3); the
+    landed index keeps them, because the index parquet IS the
+    signature store its candidate scoring reads from."""
     if k % bands:
         raise ValueError(
             f"k={k} must divide into bands={bands}: the trailing "
@@ -165,10 +174,11 @@ def _banded(sig: DataFrame, *, id_col: str = "doc_id",
         )
         for b in range(bands)
     ]
+    carry = [] if keys_only else [f"h{i}" for i in range(k)]
     return sig.select(
-        F.col(id_col), *[F.col(f"h{i}") for i in range(k)],
+        F.col(id_col), *[F.col(c) for c in carry],
         F.explode(F.array(*band_cols)).alias("bk"),
-    ).select(id_col, *[f"h{i}" for i in range(k)],
+    ).select(id_col, *carry,
              F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
@@ -181,8 +191,18 @@ def lsh_candidate_pairs(sig: DataFrame, *, id_col: str = "doc_id",
     on them (bucket join — this is the scale path: no crossJoin), then
     de-duplicate pairs and score by fraction of matching min-hashes.
     Output: id_a < id_b, est_jaccard.
+
+    The band self-join moves ONLY (id, band, key) rows (round-10,
+    guide §2.3 "project before the exchange"): the round-9 form
+    carried all k min-hashes through the bands-way explode and the
+    self-join, shuffling k·bands longs per document and deduplicating
+    k·2-wide pair rows. The signatures are re-attached to the DEDUPED
+    pairs afterwards — per PAIR MEMBER instead of per banded replica.
+    The match count per pair is identical (every replica of an id
+    carries the same h vector), so est_jaccard is unchanged.
     """
-    banded = _banded(sig, id_col=id_col, k=k, bands=bands)
+    banded = _banded(sig, id_col=id_col, k=k, bands=bands,
+                     keys_only=True)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -192,11 +212,14 @@ def lsh_candidate_pairs(sig: DataFrame, *, id_col: str = "doc_id",
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            *[F.col(f"a.h{i}").alias(f"ah{i}") for i in range(k)],
-            *[F.col(f"b.h{i}").alias(f"bh{i}") for i in range(k)],
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    ha = sig.select(F.col(id_col).alias("id_a"),
+                    *[F.col(f"h{i}").alias(f"ah{i}") for i in range(k)])
+    hb = sig.select(F.col(id_col).alias("id_b"),
+                    *[F.col(f"h{i}").alias(f"bh{i}") for i in range(k)])
+    pairs = pairs.join(ha, "id_a").join(hb, "id_b")
     matches = sum(
         F.when(F.col(f"ah{i}") == F.col(f"bh{i}"), 1).otherwise(0)
         for i in range(k)

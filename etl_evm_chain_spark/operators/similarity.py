@@ -473,7 +473,11 @@ def _rank_cells(raw_vecs, cent_rows, keep: int) -> list:
          for r in cent_rows]
     cn = np.array([np.sqrt(np.cumsum(c * c)[-1]) if len(c) else 0.0
                    for c in C])
-    null_mask = np.array([v is None for v in raw_vecs], dtype=bool)
+    # zero-length vectors route through the NULL path (ADVICE r9):
+    # np.stack would raise on ragged input, and their denom==0 rank
+    # (-inf sims, ties by cell asc) is exactly null_order anyway
+    null_mask = np.array([v is None or len(v) == 0 for v in raw_vecs],
+                         dtype=bool)
     live = [np.asarray(v, dtype=np.float64)
             for v, is_null in zip(raw_vecs, null_mask) if not is_null]
     out_live = []
