@@ -180,9 +180,13 @@ def pagerank(edges: DataFrame, *, iters: int = 5,
         # superstep's join), so the supersteps CHAIN lazily into one
         # DAG — no recompute, one action instead of one eager
         # materialization job per iteration (round-9: 32 jobs → 9 at
-        # iters=5, q74 4.7 → 2.5 s isolated). Checkpoint on a cadence
-        # only, to bound plan lineage when a caller asks for many
-        # iterations (the resolve_duplicates loop discipline).
+        # iters=5; driver-confirmed q74 7.0 → 5.8 s, re-A/B'd r10:
+        # eager-per-round ties within noise, lazy kept). Checkpoint on
+        # a cadence only, to bound plan lineage when a caller asks for
+        # many iterations (the resolve_duplicates loop discipline).
+        # NOTE for multi-action consumers (ADVICE r9): below the
+        # cadence the returned relation is a lazy chain — a caller
+        # consuming it in several actions should pin it once itself.
         if (it + 1) % 8 == 0 and it + 1 < iters:
             ranks = ranks.localCheckpoint()
     return ranks
@@ -256,12 +260,14 @@ def label_propagation(edges: DataFrame, *, a_col: str = "a",
                 .select(F.col("vnode").alias("node"),
                         (-F.col("_b.neg")).alias("lbl")))
         labels = best
-        # rounds chain lazily (each label relation feeds exactly one
-        # consumer, the next round's join) — pure integer arithmetic,
-        # so there is no float-order exposure either; checkpoint on a
-        # cadence only, to bound lineage for large n_iter (round-9:
-        # one eager job per round → one action, q129 5.3 → 3.4 s)
-        if (it + 1) % 8 == 0 and it + 1 < n_iter:
+        # eager localCheckpoint per round, keeping lineage O(1) in
+        # rounds. Round-9 chained the rounds lazily (isolated-warm
+        # q129 5.3 → 3.8 s) but the driver's cold in-suite bench
+        # REGRESSED 6.9 → 8.5 s; the r10 reproduce-or-revert A/B
+        # (fresh JVMs, reps) confirms eager-per-round is faster here
+        # (4.5-5.6 s vs 5.4-5.7 s warm) — the deep 3-round join tree
+        # costs more in AQE/codegen than the per-round jobs save.
+        if it + 1 < n_iter:
             labels = labels.localCheckpoint()
     return (labels.unionByName(singletons)
             .select("node", F.col("lbl").alias("community")))

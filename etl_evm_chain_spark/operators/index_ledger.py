@@ -101,6 +101,31 @@ def touch_liveness(root: str) -> None:
             return
 
 
+def tiny_parquet_rows(spark: SparkSession, path: str) -> list[dict]:
+    """Rows of a TINY landed metadata artifact (generation manifest,
+    geometry stamp, codebook relation, centroid relation) as plain
+    dicts — read ON THE DRIVER via pyarrow when the path is on the
+    local filesystem, which costs zero Spark jobs (round-10, guide
+    §2: the serving/ledger queries spent 15-25 sequential driver
+    round trips per invocation, several of them
+    ``spark.read.parquet(<dozens of rows>).collect()``). Any
+    non-local scheme (hdfs://, s3a://) falls back to the distributed
+    read — the fast path is an optimization, never a requirement.
+    ONLY for bounded metadata: never data directories."""
+    p = path[len("file:"):] if path.startswith("file:") else path
+    if "://" not in p:
+        try:
+            import pyarrow.parquet as pq
+
+            # dataset discovery skips _SUCCESS and other _-prefixed
+            # side files by default
+            return pq.read_table(p).to_pylist()
+        except Exception:  # noqa: BLE001 — fall back to Spark
+            pass
+    return [r.asDict()
+            for r in spark.read.parquet(path).collect()]
+
+
 def _has_data(fs, jdir) -> bool:
     """True when the directory holds at least one non-underscore child
     (a zero-row partitionBy write leaves only _SUCCESS, no footers)."""
@@ -155,7 +180,7 @@ def _newest_gen(spark: SparkSession, root: str):
         return None
     g, base = best
     folded = {r["batch_id"] for r in
-              spark.read.parquet(base + "/_folded").collect()}
+              tiny_parquet_rows(spark, base + "/_folded")}
     return g, base, folded
 
 

@@ -439,8 +439,14 @@ def _nearest_cells(df: DataFrame, cents: DataFrame, id_col: str,
     DuckDB's list_aggregate), ties order by cell asc via stable
     lexsort, zero-norm/NULL vectors rank last (the window form's
     NULLS-LAST), mirroring (sim DESC, cell ASC).
+
+    ``cents`` may be a DataFrame or an already-materialized row list
+    (dicts/Rows) — the landed-index read paths fetch the tiny
+    centroid relation on the driver (index_ledger.tiny_parquet_rows)
+    and skip the collect job here (round-10 job-count trim).
     """
-    cent_rows = cents.collect()  # n_cells rows — always tiny
+    cent_rows = cents if isinstance(cents, list) \
+        else cents.collect()  # n_cells rows — always tiny
 
     @pandas_udf("array<int>")
     def nearest(vecs: pd.Series) -> pd.Series:
@@ -1568,8 +1574,10 @@ def _ivfpq_adc_topk(indexed: DataFrame, queries: DataFrame,
     # probe assignment (round-9: the per-chunk distributed
     # _nearest_cells job over an already-collected, driver-bounded
     # query chunk was a pure round trip — _rank_cells is the same
-    # fold code the distributed kernel runs, so values cannot drift)
-    cent_rows = cents.collect()
+    # fold code the distributed kernel runs, so values cannot drift).
+    # A caller that already holds the rows (tiny_parquet_rows read of
+    # the landed centroid relation) skips the collect job entirely.
+    cent_rows = cents if isinstance(cents, list) else cents.collect()
     parts = []
     for qrows, qdf in chunks:
         if qrows is None:
@@ -2376,7 +2384,8 @@ def update_ann_index(spark, batch: DataFrame, index_path: str, *,
             from ..catalog import literal_df
             literal_df(spark, [(1,)], "n_assign int") \
                 .coalesce(1).write.mode("overwrite").parquet(geom_path)
-        frozen = spark.read.parquet(geom_path).collect()[0]["n_assign"]
+        from .index_ledger import tiny_parquet_rows
+        frozen = tiny_parquet_rows(spark, geom_path)[0]["n_assign"]
         if int(frozen) != int(n_assign):
             raise ValueError(
                 f"index at {index_path} was built with n_assign="
@@ -2513,9 +2522,12 @@ def probe_ann_index(spark, queries: DataFrame, index_path: str, *,
             f"no committed ANN index at {index_path} (missing "
             "centroids) — build one with update_ann_index before "
             "probing")
-    cents = spark.read.parquet(cent_path)
+    from .index_ledger import read_live_index, tiny_parquet_rows
+
+    # rows, not a DataFrame: _nearest_cells collects the tiny centroid
+    # relation anyway — the driver-side read skips that job
+    cents = tiny_parquet_rows(spark, cent_path)
     queries = queries.filter(F.col(vec_col).isNotNull())
-    from .index_ledger import read_live_index
 
     live = read_live_index(spark, cells_path)
     if live is None:
@@ -2585,8 +2597,12 @@ def _books_from_rows(brows, shape):
 
 
 def _read_landed_books(spark, books_path: str, n_sub: int):
-    """Read frozen codebooks back from their landed parquet."""
-    brows = spark.read.parquet(books_path).collect()
+    """Read frozen codebooks back from their landed parquet — on the
+    driver when local (tiny_parquet_rows; n_sub·n_cents·sub_d rows of
+    4 scalars, zero Spark jobs)."""
+    from .index_ledger import tiny_parquet_rows
+
+    brows = tiny_parquet_rows(spark, books_path)
     sub_d = 1 + max(r["pos"] for r in brows)
     eff_cents = 1 + max(r["c"] for r in brows)
     return _books_from_rows(brows, (n_sub, eff_cents, sub_d))
@@ -2666,7 +2682,8 @@ def update_pq_index(spark, batch: DataFrame, index_path: str, *,
             raise ValueError(
                 f"index at {index_path} has codebooks but no pq_geom "
                 "stamp — a torn first build; rebuild it")
-        geom = spark.read.parquet(geom_path).collect()[0]
+        from .index_ledger import tiny_parquet_rows
+        geom = tiny_parquet_rows(spark, geom_path)[0]
         frozen = (int(geom["n_sub"]), int(geom["n_cents"]),
                   int(geom["train_iter"]))
         if frozen != (int(n_sub), int(n_cents), int(train_iter)):
@@ -2779,10 +2796,11 @@ def probe_pq_index(spark, queries: DataFrame, index_path: str, *,
         raise ValueError(
             f"no committed PQ index at {index_path} (missing pq_geom "
             "stamp) — build one with update_pq_index before probing")
-    geom = spark.read.parquet(geom_path).collect()[0]
+    from .index_ledger import read_live_index, tiny_parquet_rows
+
+    geom = tiny_parquet_rows(spark, geom_path)[0]
     books = _read_landed_books(spark, books_path, int(geom["n_sub"]))
     queries = queries.filter(F.col(vec_col).isNotNull())
-    from .index_ledger import read_live_index
 
     live = read_live_index(spark, codes_path)
     if live is None:
@@ -2824,8 +2842,10 @@ def probe_ivfpq_index(spark, queries: DataFrame, index_path: str, *,
             f"no committed IVF-PQ index at {index_path} (missing "
             "ipq_geom stamp) — build one with update_ivfpq_index "
             "before probing")
-    geom = spark.read.parquet(geom_path).collect()[0]
-    cents = spark.read.parquet(cent_path)
+    from .index_ledger import tiny_parquet_rows
+
+    geom = tiny_parquet_rows(spark, geom_path)[0]
+    cents = tiny_parquet_rows(spark, cent_path)
     books = _read_landed_books(spark, books_path, int(geom["n_sub"]))
     queries = queries.filter(F.col(vec_col).isNotNull())
     # live codes minus live tombstones — identical deletion
@@ -2919,8 +2939,10 @@ def update_ivfpq_index(spark, batch: DataFrame, index_path: str, *,
     def _exists(p):
         return fs.exists(spark._jvm.org.apache.hadoop.fs.Path(p))
 
+    from .index_ledger import tiny_parquet_rows
+
     if _exists(geom_path):
-        geom = spark.read.parquet(geom_path).collect()[0]
+        geom = tiny_parquet_rows(spark, geom_path)[0]
         frozen = (int(geom["n_cells"]), int(geom["n_assign"]),
                   int(geom["n_sub"]), int(geom["n_cents"]),
                   int(geom["train_iter"]), str(geom["cent_src"]))
@@ -2932,7 +2954,7 @@ def update_ivfpq_index(spark, batch: DataFrame, index_path: str, *,
                 "n_assign, n_sub, n_cents, train_iter, cent_src)="
                 f"{frozen}; extending it with {asked} would mix "
                 "index geometries — rebuild instead")
-        cents = spark.read.parquet(cent_path)
+        cents = tiny_parquet_rows(spark, cent_path)
         books = _read_landed_books(spark, books_path, n_sub)
     elif _exists(cent_path) or _exists(books_path):
         # quantizer artifacts without the stamp: the first build
@@ -2950,7 +2972,7 @@ def update_ivfpq_index(spark, batch: DataFrame, index_path: str, *,
             cents = _ivf_centroids(batch, id_col, vec_col, n_cells,
                                    salt="ipqx:")
         cents.coalesce(1).write.mode("overwrite").parquet(cent_path)
-        cents = spark.read.parquet(cent_path)
+        cents = tiny_parquet_rows(spark, cent_path)
         if train_iter > 0:
             books = pq_train_books(batch, id_col=id_col,
                                    vec_col=vec_col, n_sub=n_sub,
