@@ -2042,14 +2042,10 @@ def semantic_dedup(df: DataFrame, *, id_col: str = "vec_id",
     """
     from ..functions.text import hash15
 
-    from ..functions.vectors import dot, norm2
-
     # TakeOrderedAndProject fetch + driver-side numbering of n_cells
     # rows (the _ivf_centroids pattern) — numbering the limited rows
     # with a global window fired the single-partition WindowExec
     # warning on every run for a ≤n_cells relation
-    from pyspark.sql import types as T
-
     cent_collected = (
         df.select(F.col(id_col), F.col(vec_col),
                   hash15(F.concat(F.lit("cent:"),
@@ -2057,48 +2053,59 @@ def semantic_dedup(df: DataFrame, *, id_col: str = "vec_id",
         .orderBy("_h", id_col).limit(n_cells)
         .collect()
     )
-    vec_type = df.schema[vec_col].dataType
-    from ..catalog import literal_df
-    cents = literal_df(
-        df.sparkSession,
-        [(i, list(r[vec_col])) for i, r in enumerate(cent_collected)],
-        T.StructType([T.StructField("cell", T.IntegerType(), False),
-                      T.StructField("_cent", vec_type, False)]),
-    ).withColumn("_cn", F.sqrt(norm2("_cent")))
-    # Norms fold once per vector (and once per centroid), NOT once per
-    # candidate pair — sim = dot/(n_a·n_b) is float-identical to the
-    # full cosine (same sequential folds, same division structure) at
-    # a third of the pair-phase expression work.
-    base = df.select(F.col(id_col), F.col(vec_col),
-                     F.sqrt(norm2(vec_col)).alias("_n"))
-    scored = (
-        base.crossJoin(F.broadcast(cents))
-        .withColumn("_sim", F.when(
-            (F.col("_n") != 0) & (F.col("_cn") != 0),
-            dot(vec_col, "_cent") / (F.col("_n") * F.col("_cn"))))
-    )
-    w_assign = Window.partitionBy(id_col).orderBy(F.desc("_sim"),
-                                                  F.asc("cell"))
-    assigned = (
-        scored.withColumn("_r", F.row_number().over(w_assign))
-        .filter(F.col("_r") == 1)
-        .select(id_col, vec_col, "_n", "cell")
-    )
-    a = assigned.select(F.col(id_col).alias("id_a"),
-                        F.col(vec_col).alias("_va"),
-                        F.col("_n").alias("_na"), "cell")
-    b = assigned.select(F.col(id_col).alias("id_b"),
-                        F.col(vec_col).alias("_vb"),
-                        F.col("_n").alias("_nb"), "cell")
-    dropped = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter((F.col("_na") != 0) & (F.col("_nb") != 0))
-        .filter(dot("_va", "_vb") / (F.col("_na") * F.col("_nb"))
-                >= threshold)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-    )
+    cent_rows = [{"cell": i, "cvec_cent": list(r[vec_col])}
+                 for i, r in enumerate(cent_collected)]
+    # Assignment through the shared _nearest_cells Arrow kernel
+    # (round-10): the round-2 form cross-joined every vector against
+    # the broadcast centroid relation through the INTERPRETED HOF
+    # cosine (CodegenFallback) and ranked with a per-id window — an
+    # n_cells× row blowup plus a full shuffle, both gone here. Parity
+    # is the _rank_cells contract: sequential float64 folds, ties by
+    # cell asc, NULL/zero-norm vectors rank last (== the window's
+    # NULLS-LAST under desc(_sim)), keep=1 == rank 1.
+    assigned = _nearest_cells(df.select(F.col(id_col), F.col(vec_col)),
+                              cent_rows, id_col, vec_col, 1)
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({id_col: pd.Series(dtype="int64")})
+        if len(pdf) < 2:
+            return empty
+        vecs = pdf[vec_col]
+        live_mask = np.array(
+            [v is not None and len(v) > 0 for v in vecs], dtype=bool)
+        if live_mask.sum() < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()[live_mask]
+        mat = np.stack(vecs[live_mask].to_numpy()).astype(np.float64)
+        # sims via the fold-parity math of the bucketed pair kernel:
+        # norms are sequential folds (cumsum[-1]); dots accumulate
+        # COLUMN BY COLUMN so every partial adds the same products in
+        # the same left-to-right order as the HOF/oracle fold; the
+        # division structure dot/(na*nb) matches via np.outer.
+        norms = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+        zero = norms == 0.0
+        dots = np.zeros((len(mat), len(mat)))
+        for t in range(mat.shape[1]):
+            col = mat[:, t]
+            dots += col[:, None] * col[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = dots / np.outer(norms, norms)
+        # the keep rule: drop id_b iff SOME lower-id live vector in
+        # the cell clears the threshold (zero-norm rows neither drop
+        # nor are dropped — their sim was NULL in the SQL form)
+        cand = (sims >= threshold) & (ids[:, None] < ids[None, :]) \
+            & ~zero[:, None] & ~zero[None, :]
+        drop = cand.any(axis=0)
+        if not drop.any():
+            return empty
+        return pd.DataFrame({id_col: ids[drop].astype("int64")})
+
+    dropped = (assigned.groupBy("cell")
+               .applyInPandas(kernel, f"{id_col} long")
+               .distinct())
     return (
         assigned.join(dropped.withColumn("_d", F.lit(1)), id_col, "left")
         .select(id_col, "cell",

@@ -104,9 +104,11 @@ ALLOW: dict[str, set[str]] = {
     "q65_quantize_embeddings": {"nested_loop"},
     "q66_tfidf_keywords": {"nested_loop"},
     "q67_temperature_mix": {"nested_loop"},
-    # n_cells-row broadcast centroid set for coarse assignment (the
-    # IVF shape); pair comparisons are cell-bounded equi-joins
-    "q68_semantic_dedup": {"nested_loop"},
+    # Arrow cell-assignment kernel (the _nearest_cells IVF shape) +
+    # per-cell grouped-map pair kernel — round-10 replaced the
+    # broadcast-NLJ centroid crossJoin and the cell-bounded pair
+    # equi-join with the vectorized fold-parity kernels
+    "q68_semantic_dedup": {"pandas"},
     # 1-row regression-fit broadcast (the scalar-subquery shape, like
     # q65/q66/q67) joined back to the ≤ZIPF_TOPK relation
     "q76_zipf_slope": {"nested_loop"},
@@ -174,8 +176,6 @@ _RDD_ALLOW = {
     "q74_pagerank",
     # 64-row capped recovery slice pinned before ECDSA verification
     "q98_sender_recovery",
-    # cluster-assignment relation pinned before cell-bounded pairing
-    "q68_semantic_dedup",
     # doc-bounded gram set pinned before the jaccard pair join
     "q60_ngram_jaccard",
     # depth-mode range assignment pinned (same reason as q120); the
