@@ -223,6 +223,36 @@ def test_tfidf_keywords_ranks_rare_terms_first(spark):
     assert got[(3, 1)][1] == math.floor(2 * math.log(3.0) * 1e6)
 
 
+def test_cosine_arrow_bit_parity_with_hof_fold(spark):
+    """cosine_arrow must be BIT-identical to functions.vectors.cosine
+    (same sequential fold, same division structure) including the
+    NULL cases: NULL input, zero norm, mismatched lengths, empty
+    arrays — and NaN from the kernel must cross the Arrow boundary as
+    NULL, never as a NaN that would sort FIRST under desc()."""
+    import struct
+
+    from etl_evm_chain_spark.functions.vectors import cosine
+
+    rows = [
+        (1, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),
+        (2, [0.0, 0.0, 0.0], [1.0, 2.0, 3.0]),
+        (3, None, [1.0, 2.0, 3.0]),
+        (4, [1.0, 2.0], [1.0, 2.0, 3.0]),
+        (5, [0.1] * 64, [0.30000001] * 64),
+        (6, [], []),
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    out = df.select("id", cosine("a", "b").alias("hof"),
+                    sim.cosine_arrow("a", "b").alias("arw")).collect()
+    for r in out:
+        h, w = r["hof"], r["arw"]
+        if h is None:
+            assert w is None, r
+        else:
+            assert w is not None and \
+                struct.pack("d", h) == struct.pack("d", w), r
+
+
 def test_semantic_dedup_drops_higher_id_twin(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),

@@ -89,7 +89,7 @@ ALLOW: dict[str, set[str]] = {
     # broadcast query side); ANN is its bucketed scale path; the
     # Arrow kernel is the vectorized sign-plane sketch (exact
     # sequential-fold parity with the SQL oracle via cumsum)
-    "q38_embedding_topk": {"nested_loop"},
+    "q38_embedding_topk": {"nested_loop", "pandas"},
     "q40_ann_topk": {"nested_loop", "pandas"},
     # coarse-quantizer scan vs n_cells broadcast centroids (bounded);
     # the Arrow kernel is the map-only cell assignment (exact
