@@ -337,10 +337,14 @@ def ngram_jaccard_pairs(docs: DataFrame, *, id_col: str = "doc_id",
     if base is not None:
         sh = base.select(F.col(id_col), "sh")
     else:
-        sh = (docs.select(F.col(id_col),
-                          F.explode(shingles(text_col, k)).alias("_sh"))
-              .select(F.col(id_col), hash15(F.col("_sh")).alias("sh"))
-              .localCheckpoint())
+        # the shingle_hashes Arrow kernel (same distinct-before-hash
+        # semantics, same hash15 values, _spread parallelism) — the
+        # round-9 JVM explode+md5 chain kept here was the last
+        # non-kernel shingle path (round-10)
+        from ..functions.text import gram_hash_rows
+        sh = gram_hash_rows(docs, id_col=id_col, text_col=text_col,
+                            k=k, distinct=True, out_col="sh") \
+            .localCheckpoint()
     if max_df is not None:
         keep = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
                 .filter(F.col("df") <= max_df).select("sh"))

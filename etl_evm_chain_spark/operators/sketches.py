@@ -91,7 +91,8 @@ def kmv_sketch(df: DataFrame, key_col: str, *,
 
 def kmv_sketch_many(df: DataFrame, keys: "dict[str, str]", *,
                     group_cols: Sequence[str] = (), k: int = KMV_K,
-                    salts: "dict[str, str] | None" = None) -> DataFrame:
+                    salts: "dict[str, str] | None" = None,
+                    exact_counts: bool = False) -> DataFrame:
     """Sketch SEVERAL key columns in one ranking pass.
 
     ``keys`` maps output column name → key column; the per-key hash
@@ -101,6 +102,16 @@ def kmv_sketch_many(df: DataFrame, keys: "dict[str, str]", *,
     fixed-cost jobs — bounds, counts, prefix offsets — dominate for
     sketch-sized outputs). Returns one row per group with an
     ``array<long>`` sketch column per key.
+
+    ``exact_counts`` additionally emits ``x_<name>`` exact
+    distinct-count columns from the SAME single pass (round-10, the
+    q135 one-logical-scan restructure): the union carries the raw key
+    beside its hash, dedups on (group, kind, key) — the hash is a
+    function of the key, so the distinct hash SET is unchanged — and
+    counts rows per (group, kind) before reducing to distinct hashes
+    for the ranking. Equal to ``countDistinct(<key>)`` per group by
+    construction (NULL keys excluded on both paths), without the
+    second scan + expand-distinct pass over the input.
     """
     if not keys:
         raise ValueError("keys must map at least one output name to a "
@@ -108,16 +119,30 @@ def kmv_sketch_many(df: DataFrame, keys: "dict[str, str]", *,
     groups = list(group_cols)
     salts = salts or {}
     part: DataFrame | None = None
+    raw = [F.col("_raw")] if exact_counts else []
     for name, col in keys.items():
         rel = (
             df.filter(F.col(col).isNotNull())
             .select(*groups, F.lit(name).alias("_kind"),
+                    *([F.col(col).cast("string").alias("_raw")]
+                      if exact_counts else []),
                     kmv_hash(F.col(col),
                              salt=salts.get(name, f"kmv-{name}"))
                     .alias("_h"))
         )
         part = rel if part is None else part.unionByName(rel)
     dist = part.distinct()
+    exact = None
+    if exact_counts:
+        # string cast is injective for the scalar key types sketched
+        # here, so count(distinct raw) == countDistinct(key)
+        exact = (dist.groupBy(*groups)
+                 .pivot("_kind", list(keys))
+                 .agg(F.count(F.lit(1)))
+                 .select(*groups,
+                         *[F.coalesce(F.col(n), F.lit(0)).cast("long")
+                           .alias(f"x_{n}") for n in keys]))
+        dist = dist.drop("_raw").distinct()
     ranked = bucketed_rank(
         dist, "_h", ["_h"], part_cols=groups + ["_kind"],
         n_buckets=scaled_buckets(df.sparkSession), rank_name="_r")
@@ -135,6 +160,8 @@ def kmv_sketch_many(df: DataFrame, keys: "dict[str, str]", *,
     empty = F.array().cast("array<long>")
     for name in keys:
         out = out.withColumn(name, F.coalesce(F.col(name), empty))
+    if exact is not None:
+        out = out.join(exact, groups) if groups else out.crossJoin(exact)
     return out
 
 

@@ -25,6 +25,8 @@ this fuzz is the parity net for that whole grammar.
 
 from __future__ import annotations
 
+import pytest
+
 import random
 from decimal import Decimal
 
@@ -252,6 +254,7 @@ def _roundtrip(spark, inputs: list[AbiInput], value_rows: list[list]):
                 f"encoded {exp!r}\nschema={[i.type for i in inputs]}")
 
 
+@pytest.mark.slow
 def test_abi_roundtrip_fuzz(spark):
     """~60 random schemas (1-4 params each, composites nested to depth
     3) x 3 independent value rows: decode(encode(v)) == v across the

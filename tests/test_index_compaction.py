@@ -6,6 +6,8 @@ round-4 verdict asked to budget for every fresh ledger protocol."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import shutil
 
@@ -397,6 +399,7 @@ def test_sweep_dead_roots_pid_reuse_ttl(tmp_path):
     assert not os.path.isdir(live_fresh)
 
 
+@pytest.mark.slow
 def test_two_process_concurrency_soak_on_shared_lake_base():
     """Round-5 verdict ask #3: two concurrent processes drive the
     full q121/q122/q125 lifecycle (each against its own pid-scoped

@@ -3,11 +3,20 @@
 This replicates the driver's t2 gate (which runs at sf0.01; we use
 sf0.001 here to keep the suite fast — tools/check_oracle.py runs the
 full-size check).
+
+Marked ``slow`` (round 10): the 145-query sweep is ~5 minutes of a
+verify window the r9 driver run overran (VERIFY_r09 tests_ok=false,
+zero failures — the suite was cut off), and it duplicates a gate the
+driver itself runs at sf0.01 every round. Run explicitly with
+``pytest tests/test_oracle_parity.py -m slow`` (tools/check_oracle.py
+remains the full-size local replica).
 """
 
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow
 
 from etl_evm_chain_spark.plans.registry import all_specs
 

@@ -254,6 +254,7 @@ def test_bucketed_rank_matches_window_on_random_data(spark, rows, nb,
                 min_size=1, max_size=200, unique=True),
        st.integers(min_value=0, max_value=200))
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_kmv_merge_is_union_sketch_on_random_splits(spark, keys, cut):
     from pyspark.sql import functions as F
 
@@ -291,6 +292,7 @@ mix_rows = st.lists(
 
 @given(mix_rows, st.integers(min_value=1, max_value=9))
 @settings(**SETTINGS)
+@pytest.mark.slow
 def test_budget_mix_selects_maximal_hash_prefix(spark, rows, rate):
     """For every group: the selection is exactly the LONGEST prefix of
     the md5(doc_id) order whose cumulative cost fits the budget —

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from etl_evm_chain_spark.sources import reorg as rg
@@ -197,6 +199,7 @@ def test_plain_watermark_cursor_is_rejected(spark, tmp_path):
         rg.read_cursor(spark, prog)
 
 
+@pytest.mark.slow
 def test_random_grow_reorg_sequences_converge_to_chain(spark, tmp_path):
     """Property: after ANY sequence of grows and reorgs, the committed
     lake equals a clean decode of the final chain up to the watermark.

@@ -3,6 +3,8 @@ watermark dedup, windowed aggregation, stateful FSM across batches."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 
 import pandas as pd
@@ -1344,6 +1346,7 @@ def test_funnel_disposition_lake_grades_and_reconciliation(spark, tmp_path):
     assert kept_ids.isdisjoint(d1)
 
 
+@pytest.mark.slow
 def test_funnel_streaming_matches_batch_on_collision_free_fixture(
         spark, tmp_path):
     """The round-5 verdict's equivalence property: the same corpus
@@ -1596,6 +1599,7 @@ def _fuzz_funnel_corpus(seed: int):
     return rows, evt
 
 
+@pytest.mark.slow
 def test_funnel_streaming_matches_batch_fuzz_within_envelope(
         spark, tmp_path):
     """Randomized extension of the collision-free equivalence (VERDICT
@@ -2063,6 +2067,7 @@ def test_kmv_fold_rejects_wrong_reader_k(spark, tmp_path):
     assert len(out) == 1 and len(out[0]["sketch"]) == 8
 
 
+@pytest.mark.slow
 def test_kmv_fold_equals_one_shot_fuzz_random_partitions(
         spark, tmp_path):
     """Randomized partition fuzz for the KMV ledger's monoid law: for
