@@ -72,6 +72,10 @@ def main() -> None:
         F.sum("a")).collect()
 
     def _n_jobs() -> int:
+        # NOTE (ADVICE r9): getJobIdsForGroup is capped by
+        # spark.ui.retainedJobs (default 1000) — a session that runs
+        # >1000 jobs silently undercounts later deltas. Diagnostics
+        # only; bench_one sessions stay far under the cap per rep.
         try:
             return len(spark.sparkContext.statusTracker()
                        .getJobIdsForGroup(None))

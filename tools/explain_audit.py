@@ -109,6 +109,23 @@ ALLOW: dict[str, set[str]] = {
     # broadcast-NLJ centroid crossJoin and the cell-bounded pair
     # equi-join with the vectorized fold-parity kernels
     "q68_semantic_dedup": {"pandas"},
+    # round-9/10 Arrow gram-hash kernels (gram_hash_rows /
+    # winnow_fingerprints / shingle_hashes): tokenize stays a JVM
+    # column, the per-gram md5+hash15 runs vectorized in mapInPandas
+    # (exact value parity documented on the kernels) — the narrow
+    # map-only stage IS the operator
+    "q34_minhash_signatures": {"pandas"},
+    "q35_lsh_near_dups": {"pandas"},
+    "q50_winnow_fingerprints": {"pandas"},
+    "q60_ngram_jaccard": {"pandas"},
+    "q63_decontaminate": {"pandas"},
+    "q69_span_dedup": {"pandas"},
+    "q79_bloom_candidates": {"pandas"},
+    "q101_dup_spans": {"pandas"},
+    "q102_quality_filter": {"pandas"},
+    "q105_redact_contaminated": {"pandas"},
+    "q123_curation_funnel": {"pandas"},
+    "q131_neardup_envelope": {"pandas"},
     # 1-row regression-fit broadcast (the scalar-subquery shape, like
     # q65/q66/q67) joined back to the ≤ZIPF_TOPK relation
     "q76_zipf_slope": {"nested_loop"},
